@@ -1,0 +1,321 @@
+"""STR-packed R-tree over geometry bounding boxes — numpy, no GEOS.
+
+Replicates the query semantics of the reference's `shapely/strtree.py` +
+`src/strtree.c` (bulk bbox query, predicate refinement, dwithin, nearest,
+query_nearest) with identical output conventions:
+
+- None / empty geometries are not inserted at build but indices are
+  preserved (src/strtree.c:146-160, 443-445) and are skipped at query
+  (src/strtree.c:376-378).
+- `query(geoms, predicate=...)` refines with predicate(input, tree_geom)
+  and returns a (2, n) [input_idx; tree_idx] array ordered by input index
+  ("effectively performs an inner join", strtree.py:229-234).
+- `nearest` raises on None/empty input; ties are broken deterministically
+  by lowest tree index (documented deviation: the reference is explicitly
+  nondeterministic on ties, strtree.py:276-279 — its own tests sort).
+- `query_nearest` supports max_distance / exclusive / all_matches /
+  return_distance (strtree.py:350-542, src/strtree.c:718-949).
+
+Build is Sort-Tile-Recursive packing (Leutenegger et al. 1997), the same
+published algorithm GEOS uses; node_capacity defaults to 10 as
+strtree.py:63.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from engine.geo import relate as R
+from engine.geo.geom import Geom
+
+_PREDICATES = {
+    "intersects": R.intersects,
+    "within": R.within,
+    "contains": R.contains,
+    "overlaps": R.overlaps,
+    "crosses": R.crosses,
+    "touches": R.touches,
+    "covers": R.covers,
+    "covered_by": R.covered_by,
+    "contains_properly": R.contains_properly,
+}
+
+
+def _bounds_min_dist2(b: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Min squared distance between one bbox and an (n,4) array of bboxes."""
+    dx = np.maximum(np.maximum(boxes[:, 0] - b[2], b[0] - boxes[:, 2]), 0.0)
+    dy = np.maximum(np.maximum(boxes[:, 1] - b[3], b[1] - boxes[:, 3]), 0.0)
+    return dx * dx + dy * dy
+
+
+class STRtree:
+    """Query-only STR-packed R-tree over geometry bboxes."""
+
+    def __init__(self, geoms, node_capacity: int = 10):
+        self.geometries = list(geoms)
+        self.node_capacity = int(node_capacity)
+        boxes = []
+        idxs = []
+        for i, g in enumerate(self.geometries):
+            if g is None or g.is_empty:
+                continue
+            b = g.bounds()
+            if np.isnan(b).any():
+                continue
+            boxes.append(b)
+            idxs.append(i)
+        self._item_idx = np.asarray(idxs, dtype=np.int64)
+        self._item_boxes = (
+            np.asarray(boxes, dtype=np.float64) if boxes else np.empty((0, 4))
+        )
+        self._build()
+
+    def __len__(self) -> int:
+        """Number of indexed (non-missing, non-empty) geometries."""
+        return len(self._item_idx)
+
+    # ------------------------------------------------------------------ build
+    def _build(self):
+        """STR packing: sort by x-center into vertical slices, each slice
+        sorted by y-center, chunked into leaves; upper levels packed the
+        same way over node centers."""
+        cap = self.node_capacity
+        n = len(self._item_boxes)
+        if n == 0:
+            self._levels = []
+            return
+
+        def pack(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+            m = len(boxes)
+            cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+            cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+            nleaves = int(np.ceil(m / cap))
+            nslices = int(np.ceil(np.sqrt(nleaves)))
+            order = np.argsort(cx, kind="stable")
+            slice_size = int(np.ceil(m / nslices))
+            groups = []
+            for s in range(0, m, slice_size):
+                sl = order[s : s + slice_size]
+                sl = sl[np.argsort(cy[sl], kind="stable")]
+                for t in range(0, len(sl), cap):
+                    groups.append(sl[t : t + cap])
+            parent_boxes = np.empty((len(groups), 4))
+            for gi, grp in enumerate(groups):
+                bb = boxes[grp]
+                parent_boxes[gi] = (
+                    bb[:, 0].min(),
+                    bb[:, 1].min(),
+                    bb[:, 2].max(),
+                    bb[:, 3].max(),
+                )
+            return parent_boxes, groups
+
+        # level 0 children are item positions (into _item_idx/_item_boxes)
+        self._levels = []  # list of (node_boxes (k,4), children: list[np.ndarray])
+        boxes = self._item_boxes
+        while True:
+            parent_boxes, groups = pack(boxes)
+            self._levels.append((parent_boxes, groups))
+            if len(parent_boxes) <= 1:
+                break
+            boxes = parent_boxes
+
+    # ------------------------------------------------------------------ query
+    def _query_box(self, qb: np.ndarray, pad: float = 0.0) -> np.ndarray:
+        """Item positions whose bbox intersects query bbox (± pad)."""
+        if not self._levels:
+            return np.empty(0, dtype=np.int64)
+        xmin, ymin, xmax, ymax = qb[0] - pad, qb[1] - pad, qb[2] + pad, qb[3] + pad
+        top_boxes, _ = self._levels[-1]
+        stack = [(len(self._levels) - 1, i) for i in range(len(top_boxes))]
+        out = []
+        while stack:
+            lvl, node = stack.pop()
+            nb = self._levels[lvl][0][node]
+            if nb[0] > xmax or nb[2] < xmin or nb[1] > ymax or nb[3] < ymin:
+                continue
+            children = self._levels[lvl][1][node]
+            if lvl == 0:
+                cb = self._item_boxes[children]
+                hit = ~(
+                    (cb[:, 0] > xmax)
+                    | (cb[:, 2] < xmin)
+                    | (cb[:, 1] > ymax)
+                    | (cb[:, 3] < ymin)
+                )
+                out.append(children[hit])
+            else:
+                stack.extend((lvl - 1, c) for c in children)
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(out)
+
+    def query(self, geometry, predicate: str | None = None, distance=None):
+        """Bulk bbox query with optional predicate refinement.
+
+        Scalar input -> (n,) tree indices; array input -> (2, n)
+        [input_idx; tree_idx], ordered by input index, tree indices
+        ascending within each input (deterministic superset of the
+        reference's traversal order; its tests compare sorted)."""
+        scalar = isinstance(geometry, Geom) or geometry is None
+        geoms = [geometry] if scalar else list(geometry)
+        if predicate == "dwithin":
+            if distance is None:
+                raise ValueError(
+                    "distance parameter must be provided for dwithin predicate"
+                )
+            dist_arr = np.broadcast_to(
+                np.asarray(distance, dtype=np.float64), (len(geoms),)
+            )
+        elif predicate is not None and predicate not in _PREDICATES:
+            raise ValueError(f"invalid predicate: {predicate!r}")
+
+        in_idx: list[int] = []
+        tr_idx: list[int] = []
+        for ii, g in enumerate(geoms):
+            if g is None or g.is_empty:
+                continue
+            qb = g.bounds()
+            if np.isnan(qb).any():
+                continue
+            if predicate == "dwithin":
+                d = float(dist_arr[ii])
+                cand = self._query_box(qb, pad=max(d, 0.0))
+            else:
+                cand = self._query_box(qb)
+            if len(cand) == 0:
+                continue
+            cand = np.sort(self._item_idx[cand])
+            if predicate is None:
+                keep = cand
+            elif predicate == "dwithin":
+                keep = [t for t in cand if R.dwithin(g, self.geometries[t], float(dist_arr[ii]))]
+            else:
+                fn = _PREDICATES[predicate]
+                keep = [t for t in cand if fn(g, self.geometries[t])]
+            for t in keep:
+                in_idx.append(ii)
+                tr_idx.append(int(t))
+        if scalar:
+            return np.asarray(tr_idx, dtype=np.int64)
+        return np.array([in_idx, tr_idx], dtype=np.int64)
+
+    # ---------------------------------------------------------------- nearest
+    def _nearest_one(
+        self,
+        g: Geom,
+        max_distance: float | None = None,
+        exclusive: bool = False,
+        all_matches: bool = True,
+    ) -> tuple[list[int], float]:
+        """Best-first branch-and-bound nearest search.
+
+        Returns (tree item indices of all matches sorted ascending, dist)."""
+        if not self._levels:
+            return [], np.inf
+        qb = g.bounds()
+        best = np.inf if max_distance is None else float(max_distance)
+        strict_cap = max_distance is not None
+        matches: list[int] = []
+        top_boxes, _ = self._levels[-1]
+        heap: list[tuple[float, int, int, int]] = []
+        d2 = _bounds_min_dist2(qb, top_boxes)
+        for i in range(len(top_boxes)):
+            heapq.heappush(heap, (float(d2[i]), 1, len(self._levels) - 1, i))
+        while heap:
+            dmin2, is_node, lvl, node = heapq.heappop(heap)
+            dmin = np.sqrt(dmin2)
+            if dmin > best + 1e-12:
+                break
+            if is_node:
+                children = self._levels[lvl][1][node]
+                if lvl == 0:
+                    cb = self._item_boxes[children]
+                    cd2 = _bounds_min_dist2(qb, cb)
+                    for c, cd in zip(children, cd2):
+                        heapq.heappush(heap, (float(cd), 0, 0, int(c)))
+                else:
+                    cb = self._levels[lvl - 1][0][children]
+                    cd2 = _bounds_min_dist2(qb, cb)
+                    for c, cd in zip(children, cd2):
+                        heapq.heappush(heap, (float(cd), 1, lvl - 1, int(c)))
+                continue
+            # leaf item: exact distance
+            tidx = int(self._item_idx[node])
+            tg = self.geometries[tidx]
+            d = R.distance(g, tg)
+            if np.isnan(d):
+                continue
+            if strict_cap and d > best:
+                continue
+            if exclusive and R.equals(g, tg):
+                continue
+            if d < best - 1e-12 or (not strict_cap and best == np.inf):
+                best = d
+                matches = [tidx]
+            elif abs(d - best) <= 1e-12:
+                matches.append(tidx)
+        matches.sort()
+        if not all_matches and matches:
+            matches = matches[:1]
+        return matches, best
+
+    def nearest(self, geometry):
+        """Index of the single nearest tree geometry per input.
+
+        Ties broken by lowest tree index (deterministic; see module doc).
+        Raises on None/empty input (strtree.py:376-380)."""
+        if len(self._item_idx) == 0:
+            return None
+        scalar = isinstance(geometry, Geom) or geometry is None
+        geoms = [geometry] if scalar else list(geometry)
+        out = np.empty(len(geoms), dtype=np.int64)
+        for i, g in enumerate(geoms):
+            if g is None or g.is_empty:
+                raise ValueError(
+                    "Cannot determine nearest geometry for empty geometry or "
+                    "missing value (None)."
+                )
+            m, _ = self._nearest_one(g, all_matches=False)
+            out[i] = m[0] if m else -1
+        return int(out[0]) if scalar else out
+
+    def query_nearest(
+        self,
+        geometry,
+        max_distance: float | None = None,
+        return_distance: bool = False,
+        exclusive: bool = False,
+        all_matches: bool = True,
+    ):
+        """All nearest tree geometries per input (strtree.py:350-542).
+
+        None/empty inputs are omitted from the output (not an error)."""
+        if max_distance is not None and max_distance <= 0:
+            raise ValueError("max_distance must be greater than 0")
+        scalar = isinstance(geometry, Geom) or geometry is None
+        geoms = [geometry] if scalar else list(geometry)
+        in_idx: list[int] = []
+        tr_idx: list[int] = []
+        dists: list[float] = []
+        for ii, g in enumerate(geoms):
+            if g is None or g.is_empty:
+                continue
+            m, d = self._nearest_one(
+                g, max_distance=max_distance, exclusive=exclusive, all_matches=all_matches
+            )
+            for t in m:
+                in_idx.append(ii)
+                tr_idx.append(t)
+                dists.append(d)
+        if scalar:
+            idx = np.asarray(tr_idx, dtype=np.int64)
+            if return_distance:
+                return idx, np.asarray(dists)
+            return idx
+        idx = np.array([in_idx, tr_idx], dtype=np.int64)
+        if return_distance:
+            return idx, np.asarray(dists)
+        return idx
