@@ -1,0 +1,199 @@
+"""Ragged arrays, cell indexes, and the prepared batch join kernel.
+
+The batch kernels are differentially tested against the scalar DE-9IM
+machinery (which is itself anchored to the reference's conformance
+tables) — both paths must agree pair-for-pair.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.geo import cells
+from engine.geo import relate as R
+from engine.geo.geom import Geom
+from engine.geo.prepared import PreparedPolygons
+from engine.geo.ragged import PolygonArray, points_from_arrow, points_to_arrow
+from tests.common import Polygon, box, buffer, Point, polygon_with_hole
+
+
+def _layer():
+    rng = np.random.default_rng(7)
+    geoms = []
+    for i in range(25):
+        cx, cy = rng.uniform(0, 10, 2)
+        r = rng.uniform(0.3, 1.2)
+        geoms.append(buffer(Point(cx, cy), r, quad_segs=4))
+    geoms.append(polygon_with_hole)
+    geoms.append(box(-3, -3, -1, -1))
+    return geoms
+
+
+def test_polygon_array_roundtrip_geoms():
+    geoms = _layer()
+    pa_arr = PolygonArray.from_geoms(geoms)
+    assert len(pa_arr) == len(geoms)
+    for i, g in enumerate(geoms):
+        got = pa_arr.get(i)
+        assert len(got.rings) == len(g.rings)
+        for ra, rb in zip(got.rings, g.rings):
+            np.testing.assert_array_equal(ra, rb)
+
+
+def test_polygon_array_arrow_roundtrip():
+    geoms = _layer()
+    arr = PolygonArray.from_geoms(geoms)
+    a = arr.to_arrow()
+    assert a.type == pa.list_(pa.list_(pa.list_(pa.float64(), 2)))
+    back = PolygonArray.from_arrow(a)
+    np.testing.assert_array_equal(back.coords, arr.coords)
+    np.testing.assert_array_equal(back.ring_offsets, arr.ring_offsets)
+    np.testing.assert_array_equal(back.poly_offsets, arr.poly_offsets)
+    # slicing (non-zero offsets) still decodes correctly
+    sl = PolygonArray.from_arrow(a.slice(2, 5))
+    for k in range(5):
+        np.testing.assert_array_equal(sl.rings_of(k)[0], arr.rings_of(k + 2)[0])
+
+
+def test_polygon_array_measures_match_scalar():
+    geoms = _layer()
+    arr = PolygonArray.from_geoms(geoms)
+    areas = arr.area()
+    perims = arr.perimeter()
+    bnds = arr.bounds()
+    for i, g in enumerate(geoms):
+        assert areas[i] == pytest.approx(g.area())
+        assert perims[i] == pytest.approx(g.length())
+        np.testing.assert_allclose(bnds[i], g.bounds())
+
+
+def test_polygon_array_empty_rows():
+    geoms = [box(0, 0, 1, 1), Polygon(), box(2, 2, 3, 3)]
+    arr = PolygonArray.from_geoms(geoms)
+    b = arr.bounds()
+    assert np.isnan(b[1]).all()
+    np.testing.assert_array_equal(b[0], [0, 0, 1, 1])
+    np.testing.assert_array_equal(b[2], [2, 2, 3, 3])
+    assert arr.area()[1] == 0.0
+
+
+def test_from_bounds():
+    arr = PolygonArray.from_bounds([0, 5], [0, 5], [2, 6], [3, 7])
+    np.testing.assert_array_equal(arr.bounds(), [[0, 0, 2, 3], [5, 5, 6, 7]])
+    np.testing.assert_allclose(arr.area(), [6.0, 2.0])
+
+
+def test_points_arrow_roundtrip():
+    x = np.array([0.0, 1.5, -2.0])
+    y = np.array([3.0, -1.5, 0.25])
+    a = points_to_arrow(x, y)
+    bx, by = points_from_arrow(a)
+    np.testing.assert_array_equal(bx, x)
+    np.testing.assert_array_equal(by, y)
+
+
+# ------------------------------------------------------------------- cells
+def test_s2_invariants():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-179, 179, 5000)
+    lat = rng.uniform(-85, 85, 5000)
+    c12 = cells.s2_cell(lon, lat, 12)
+    assert np.array_equal(cells.s2_parent(c12, 8), cells.s2_cell(lon, lat, 8))
+    assert (cells.s2_level(c12) == 12).all()
+    c20 = cells.s2_cell(lon, lat, 20)
+    dlon, dlat = cells.s2_cell_center(c20)
+    err = np.hypot((dlon - lon + 180) % 360 - 180, dlat - lat)
+    assert err.max() < 5e-3  # inside one level-20 cell
+
+
+def test_grid_cell_and_cover():
+    ids = cells.grid_cell([0.5, 1.5, -0.5], [0.5, 0.5, -0.5], 1.0)
+    assert ids[0] != ids[1] and ids[0] != ids[2]
+    cover = cells.grid_cover(0.2, 0.2, 1.8, 0.8, 1.0)
+    assert set(cover) == {ids[0], ids[1]}
+    # superset property: any point in a bbox falls in a cover cell
+    rng = np.random.default_rng(0)
+    px = rng.uniform(0.2, 1.8, 1000)
+    py = rng.uniform(0.2, 0.8, 1000)
+    assert set(cells.grid_cell(px, py, 1.0)) <= set(cover)
+
+
+def test_hex_cover_superset():
+    rng = np.random.default_rng(0)
+    cover = set(cells.hex_cover(0.0, 0.0, 0.1, 0.08, 8).tolist())
+    px = rng.uniform(0, 0.1, 3000)
+    py = rng.uniform(0, 0.08, 3000)
+    assert set(cells.hex_cell(px, py, 8).tolist()) <= cover
+
+
+def test_hex_neighbors_ring():
+    h = cells.hex_cell(np.array([0.01]), np.array([0.01]), 8)
+    nb = cells.hex_neighbors(h)[0]
+    assert len(set(nb.tolist())) == 6
+    assert h[0] not in set(nb.tolist())
+
+
+# ---------------------------------------------------- prepared (hot path)
+def test_prepared_matches_scalar_predicates():
+    geoms = _layer()
+    prep = PreparedPolygons(PolygonArray.from_geoms(geoms))
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-4, 11, 150)
+    py = rng.uniform(-4, 11, 150)
+    for predicate in ("intersects", "contains"):
+        pt_idx, poly_idx = prep.query_points(px, py, predicate)
+        got = set(zip(pt_idx.tolist(), poly_idx.tolist()))
+        want = set()
+        fn = R.intersects if predicate == "intersects" else R.contains
+        for i in range(len(px)):
+            p = Geom.point(px[i], py[i])
+            for j, g in enumerate(geoms):
+                if predicate == "contains":
+                    ok = fn(g, p)
+                else:
+                    ok = fn(p, g)
+                if ok:
+                    want.add((i, j))
+        assert got == want
+
+
+def test_prepared_dwithin_matches_scalar():
+    geoms = _layer()[:10]
+    prep = PreparedPolygons(PolygonArray.from_geoms(geoms))
+    rng = np.random.default_rng(4)
+    px = rng.uniform(-2, 11, 80)
+    py = rng.uniform(-2, 11, 80)
+    d = 0.7
+    pt_idx, poly_idx = prep.query_points_dwithin(px, py, d)
+    got = set(zip(pt_idx.tolist(), poly_idx.tolist()))
+    want = {
+        (i, j)
+        for i in range(len(px))
+        for j, g in enumerate(geoms)
+        if R.dwithin(Geom.point(px[i], py[i]), g, d)
+    }
+    assert got == want
+
+
+def test_prepared_nearest_matches_scalar():
+    geoms = _layer()[:12]
+    prep = PreparedPolygons(PolygonArray.from_geoms(geoms))
+    rng = np.random.default_rng(5)
+    px = rng.uniform(-2, 12, 60)
+    py = rng.uniform(-2, 12, 60)
+    idx, dist = prep.nearest_poly(px, py)
+    for i in range(len(px)):
+        p = Geom.point(px[i], py[i])
+        dists = np.array([R.distance(p, g) for g in geoms])
+        assert dist[i] == pytest.approx(dists.min(), abs=1e-9)
+        assert idx[i] == int(np.flatnonzero(dists <= dists.min() + 1e-12)[0])
+
+
+def test_prepared_hole_semantics():
+    prep = PreparedPolygons(PolygonArray.from_geoms([polygon_with_hole]))
+    px = np.array([1.0, 3.0, 2.0, 20.0])
+    py = np.array([1.0, 3.0, 2.0, 20.0])
+    pt_idx, _ = prep.query_points(px, py, "intersects")
+    assert pt_idx.tolist() == [0, 2]  # hole interior (3,3) + far point excluded
+    pt_idx, _ = prep.query_points(px, py, "contains")
+    assert pt_idx.tolist() == [0]  # hole-boundary point (2,2) not contained
