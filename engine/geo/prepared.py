@@ -56,6 +56,54 @@ class PreparedPolygons:
             counts[p] = n
         self._edges = np.vstack(edges) if edges else np.empty((0, 4))
         self._edge_off = np.concatenate([[0], np.cumsum(counts)])
+        self._build_slabs()
+
+    # y-slab edge index: per polygon, edges bucketed into NSLAB horizontal
+    # slabs of its bbox.  A point only ever interacts (ray-crossing or
+    # boundary test) with edges whose y-range contains its y — i.e. edges
+    # bucketed in its slab — so refinement touches ~edges/NSLAB per
+    # candidate instead of all edges (memory-bandwidth is the scaling
+    # limiter of the expanded (pair, edge) kernel).
+    NSLAB = 8
+
+    def _build_slabs(self):
+        P = len(self.polys)
+        B = self.NSLAB
+        eps = 1e-9
+        ymin_p = np.where(np.isnan(self.bounds[:, 1]), 0.0, self.bounds[:, 1])
+        ymax_p = np.where(np.isnan(self.bounds[:, 3]), 0.0, self.bounds[:, 3])
+        h = np.maximum((ymax_p - ymin_p) / B, 1e-300)
+        self._slab_y0 = ymin_p
+        self._slab_h = h
+        bucket_rows: list[np.ndarray] = []
+        bucket_keys: list[np.ndarray] = []
+        for p in range(P):
+            e0, e1 = self._edge_off[p], self._edge_off[p + 1]
+            if e1 == e0:
+                continue
+            ed = self._edges[e0:e1]
+            y0 = np.minimum(ed[:, 1], ed[:, 3]) - eps
+            y1 = np.maximum(ed[:, 1], ed[:, 3]) + eps
+            s0 = np.clip(((y0 - ymin_p[p]) / h[p]).astype(np.int64), 0, B - 1)
+            s1 = np.clip(((y1 - ymin_p[p]) / h[p]).astype(np.int64), 0, B - 1)
+            span = s1 - s0 + 1
+            rows = np.repeat(np.arange(e0, e1, dtype=np.int64), span)
+            within = np.arange(len(rows), dtype=np.int64) - np.repeat(
+                np.cumsum(span) - span, span
+            )
+            slabs = s0.repeat(span) + within
+            bucket_rows.append(rows)
+            bucket_keys.append(p * B + slabs)
+        if bucket_rows:
+            rows = np.concatenate(bucket_rows)
+            keys = np.concatenate(bucket_keys)
+            order = np.argsort(keys, kind="stable")
+            self._slab_edges = rows[order]
+            counts = np.bincount(keys, minlength=P * B)
+            self._slab_off = np.concatenate([[0], np.cumsum(counts)])
+        else:
+            self._slab_edges = np.empty(0, dtype=np.int64)
+            self._slab_off = np.zeros(P * B + 1, dtype=np.int64)
 
     def __len__(self) -> int:
         return len(self.polys)
@@ -101,17 +149,33 @@ class PreparedPolygons:
         out = np.zeros(npairs, dtype=np.int8)
         if npairs == 0 or len(self._edges) == 0:
             return out
-        # expand each pair to its polygon's edge rows (ragged gather), then
-        # one flat ray-cast over all (pair, edge) rows; aggregate by pair
-        cnt = self._edge_off[poly_idx + 1] - self._edge_off[poly_idx]
+        # expand each pair to its polygon's edges IN THE POINT'S Y-SLAB
+        # (slab index built once in __init__): every edge a point can
+        # cross or lie on has a y-range containing the point's y, so the
+        # slab's edge list is sufficient — ~edges/NSLAB rows per pair.
+        B = self.NSLAB
+        qy_pair = py[pt_idx]
+        slab = np.clip(
+            ((qy_pair - self._slab_y0[poly_idx]) / self._slab_h[poly_idx]).astype(np.int64),
+            0,
+            B - 1,
+        )
+        key = poly_idx * B + slab
+        cnt = self._slab_off[key + 1] - self._slab_off[key]
         total = int(cnt.sum())
+        if total == 0:
+            return out
         pair_of = np.repeat(np.arange(npairs, dtype=np.int64), cnt)
         within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        erow = self._edge_off[poly_idx].repeat(cnt) + within
+        erow = self._slab_edges[self._slab_off[key].repeat(cnt) + within]
         # chunk to bound peak memory on huge batches
         crossings = np.zeros(npairs, dtype=np.int64)
-        on_b = np.zeros(npairs, dtype=bool)
-        chunk = 8_000_000
+        on_b = np.zeros(npairs, dtype=np.int64)
+        # small chunk keeps peak temporaries ~tens of MB: bounds worker
+        # heap (SURVEY §7 memory-aware rule) and, in this sandbox, caps
+        # the first-touch page-fault bill a fresh worker pays (~200µs/4K
+        # page); the arena then recycles the same pages every chunk.
+        chunk = 500_000
         for s in range(0, total, chunk):
             e = slice(s, min(total, s + chunk))
             pid = pair_of[e]
@@ -119,19 +183,30 @@ class PreparedPolygons:
             qx = px[pt_idx[pid]]
             qy = py[pt_idx[pid]]
             ax, ay, bx, by = ed[:, 0], ed[:, 1], ed[:, 2], ed[:, 3]
-            onseg = core.on_segment(qx, qy, ax, ay, bx, by)
-            if onseg.any():
-                np.logical_or.at(on_b, pid[onseg], True)
+            # cheap bbox pre-mask: only edge rows whose y-span brackets the
+            # point (ray-cast candidates) or whose bbox contains the point
+            # (boundary candidates) do any further work
             cond = (ay > qy) != (by > qy)
+            nearx = (qx >= np.minimum(ax, bx) - 1e-9) & (qx <= np.maximum(ax, bx) + 1e-9)
+            neary = (qy >= np.minimum(ay, by) - 1e-9) & (qy <= np.maximum(ay, by) + 1e-9)
+            near = nearx & neary
+            if near.any():
+                idx = np.flatnonzero(near)
+                onseg = core.on_segment(
+                    qx[idx], qy[idx], ax[idx], ay[idx], bx[idx], by[idx]
+                )
+                if onseg.any():
+                    on_b += np.bincount(pid[idx[onseg]], minlength=npairs)
             if cond.any():
+                idx = np.flatnonzero(cond)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    xint = ax[cond] + (qy[cond] - ay[cond]) * (bx[cond] - ax[cond]) / (
-                        by[cond] - ay[cond]
+                    xint = ax[idx] + (qy[idx] - ay[idx]) * (bx[idx] - ax[idx]) / (
+                        by[idx] - ay[idx]
                     )
-                hits = xint > qx[cond]
-                np.add.at(crossings, pid[cond][hits], 1)
+                hits = idx[xint > qx[idx]]
+                crossings += np.bincount(pid[hits], minlength=npairs)
         out[crossings % 2 == 1] = 2
-        out[on_b] = 1
+        out[on_b > 0] = 1
         return out
 
     # ------------------------------------------------------------- queries

@@ -168,6 +168,24 @@ def relate_matrix(a: Geom, b: Geom, eps=core.EPS) -> np.ndarray:
         for seg, role in _segments_with_roles(da_):
             p, q = seg[:2], seg[2:]
             cuts = core.seg_cut_params(p, q, other_segs, eps)
+            # also cut at the other geometry's 0-dim parts lying ON this
+            # segment — otherwise a piece midpoint can coincide with an
+            # isolated point of B and claim a spurious dim-1 intersection
+            if len(db_.pts):
+                on = core.on_segment(
+                    db_.pts[:, 0], db_.pts[:, 1], p[0], p[1], q[0], q[1], eps
+                )
+                if bool(np.any(on)):
+                    r = q - p
+                    len2 = float(r @ r)
+                    if len2 > 0:
+                        t = (
+                            (db_.pts[on, 0] - p[0]) * r[0]
+                            + (db_.pts[on, 1] - p[1]) * r[1]
+                        ) / len2
+                        cuts = np.sort(
+                            np.concatenate([cuts, np.clip(t, 0.0, 1.0)])
+                        )
             ts = np.concatenate([[0.0], cuts, [1.0]])
             ts = np.unique(ts)
             # classify each cut point (dim-0) and each piece midpoint (dim-1)

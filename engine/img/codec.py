@@ -1,0 +1,163 @@
+"""Image payload codec: deterministic synth, raw/PNG codec, PSNR, phash.
+
+``input_hint`` requires per-row "decoded-pixel allclose (PSNR≥40dB for
+lossy) + caption equality".  No image library ships in this sandbox, so
+the codec is self-contained: a complete (encode+decode, filters 0–4)
+8-bit RGB PNG implementation over stdlib ``zlib``/``struct`` + numpy,
+a trivial ``raw`` format, and a deterministic per-image synthesizer
+seeded by image_id — both codecs are lossless, so the PSNR check is
+exact (∞ dB ≥ 40 dB).  JPEG-style lossy decode is STUBBED
+(NotImplementedError) with the Ray-side plumbing (schema, actor stage,
+batch sizing) real and tested.
+
+phash = 64-bit average-hash (aHash): 8×8 mean-downsampled grayscale
+thresholded at its mean — deterministic, vectorizable, Hamming-friendly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray, level: int = 6) -> bytes:
+    """8-bit RGB (h, w, 3) → PNG bytes (filter 0 rows, zlib deflate)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3, "RGB only"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per row
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter_row(f: int, cur: np.ndarray, prev: np.ndarray, bpp: int = 3) -> np.ndarray:
+    """Undo one PNG row filter.  Types 0/2 are vectorized; 1 (Sub) uses a
+    per-channel-lane modular cumsum; 3/4 carry a true left dependency and
+    fall back to a pixel scan (we never emit them; decode-only)."""
+    n = len(cur)
+    if f == 0:
+        return cur.copy()
+    if f == 2:  # Up
+        return cur + prev
+    if f == 1:  # Sub: out[i] = cur[i] + out[i-bpp]  → lane-wise cumsum mod 256
+        out = cur.copy()
+        for lane in range(bpp):
+            out[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.uint64).astype(np.uint8)
+        return out
+    out = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        a = int(out[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        if f == 3:  # Average
+            out[i] = (int(cur[i]) + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            p = a + b - c
+            pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            out[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8.  Supports 8-bit RGB, filters 0–4."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, _h, bit, color, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if bit != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError("only 8-bit RGB non-interlaced")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    rows = raw.reshape(-1, 1 + w * 3)
+    h = rows.shape[0]
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    for r in range(h):
+        prev = out[r - 1] if r > 0 else np.zeros(w * 3, dtype=np.uint8)
+        out[r] = _unfilter_row(int(rows[r, 0]), rows[r, 1:], prev)
+    return out.reshape(h, w, 3)
+
+
+def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB image from the image_id (stable across runs)."""
+    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 224, size=(4, 4, 3), dtype=np.uint8)
+    # upsample a 4×4 palette to (h, w) — structured, compressible content
+    yi = (np.arange(h) * 4 // max(h, 1)).clip(0, 3)
+    xi = (np.arange(w) * 4 // max(w, 1)).clip(0, 3)
+    img = base[yi[:, None], xi[None, :]]
+    noise = rng.integers(0, 32, size=(h, w, 1), dtype=np.uint8)
+    return (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
+
+
+def encode_payload(image_id: str, w: int, h: int, fmt: str) -> bytes:
+    img = synth_image(image_id, w, h)
+    if fmt == "raw":
+        return img.tobytes()
+    if fmt == "png":
+        return png_encode(img)
+    raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+
+
+def decode_payload(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        return png_decode(data)
+    raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit average-hash of an RGB image (8×8 grayscale mean grid)."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(np.int64)
+    xs = np.linspace(0, w, 9).astype(np.int64)
+    grid = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            grid[i, j] = gray[
+                ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+            ].mean()
+    bits = (grid > grid.mean()).reshape(-1)
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            h |= np.uint64(1) << np.uint64(i)
+    return int(h.view(np.int64))  # signed 64-bit (Arrow int64 column)

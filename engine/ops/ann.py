@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Baseline: brute-force cosine top-k — each ``map_batches`` task matmuls
+its batch against the BROADCAST query matrix (``ray.put`` once) and
+emits only its local top-k per query; a tiny groupby merges the partial
+top-k sets (k × n_blocks candidate rows, never the full score matrix).
+Scale path: LSH-bucketed variant — random-hyperplane sign buckets
+restrict each query to matching buckets (same band machinery as
+SimHash dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class TopKScorer:
+    """Actor stage: local top-k of this batch's vectors per query."""
+
+    def __init__(self, queries_ref, query_ids_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = (
+            ray.get(query_ids_ref) if isinstance(query_ids_ref, ray.ObjectRef) else query_ids_ref
+        )
+        self.q = _unit(np.asarray(q, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        sims = self.q @ _unit(emb).T  # (nq, nbatch)
+        nq, nb = sims.shape
+        kk = min(self.k, nb)
+        # argpartition bounded top-k per query, then exact order
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for qi in range(nq):
+            cand = part[qi]
+            rows.append((np.full(kk, self.qids[qi]), ids[cand], sims[qi, cand]))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate([r[0] for r in rows])),
+                "vec_id": pa.array(np.concatenate([r[1] for r in rows])),
+                "sim": pa.array(np.concatenate([r[2] for r in rows])),
+            }
+        )
+
+
+def _merge_topk(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy()
+        ids = group["vec_id"].to_numpy()
+        q = group["query_id"].to_numpy()
+        # rank: round(sim, 6) desc, then vec_id asc (deterministic ties —
+        # matches the SQL oracle's ORDER BY)
+        order = np.lexsort((ids, -np.round(sims, 6)))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(q[order]),
+                "vec_id": pa.array(ids[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return merge
+
+
+def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                exclude_self: bool = True, concurrency=(1, 8)):
+    """Dataset pipeline: brute-force cosine top-k (the ANN baseline)."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    idref = ray.put(np.asarray(query_ids, dtype=np.int64))
+    local = ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={"queries_ref": qref, "query_ids_ref": idref,
+                               "k": k + (1 if exclude_self else 0)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    if exclude_self:
+        import pyarrow.compute as pc
+
+        local = local.map_batches(
+            lambda b: b.filter(pc.not_equal(b["query_id"], b["vec_id"])),
+            batch_format="pyarrow", batch_size=None,
+        )
+    return local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- LSH variant
+class LSHBucketer:
+    """+ bucket:int64 — random-hyperplane sign hash (nbits planes)."""
+
+    def __init__(self, planes_ref):
+        import ray
+
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.planes = np.asarray(p, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        signs = (emb @ self.planes.T) > 0
+        bucket = np.zeros(len(emb), dtype=np.int64)
+        for b in range(signs.shape[1]):
+            bucket |= signs[:, b].astype(np.int64) << b
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def make_planes(dim: int, nbits: int = 8, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((nbits, dim))
+
+
+def topk_cosine_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                    nbits: int = 6, dim: int = 64, concurrency=(1, 8)):
+    """LSH-restricted top-k: score only vectors whose bucket matches a
+    query bucket (approximate — recall < 1; the 100-TB path where the
+    brute-force matmul is infeasible).  Bucket assignment is an
+    actor-pool stage; the per-bucket filter runs before any scoring."""
+    import ray
+
+    planes = make_planes(dim, nbits)
+    pref = ray.put(planes)
+    q = np.asarray(queries, dtype=np.float64)
+    qbuckets = set()
+    signs = (q @ planes.T) > 0
+    for row in signs:
+        b = 0
+        for i, s in enumerate(row):
+            b |= int(s) << i
+        qbuckets.add(b)
+    bucketed = ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs={"planes_ref": pref},
+        batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    import pyarrow.compute as pc
+
+    filtered = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b["bucket"], value_set=pa.array(sorted(qbuckets)))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return topk_cosine(filtered, queries, query_ids, k=k, concurrency=concurrency)

@@ -1,0 +1,105 @@
+"""Text analysis stages over the ``documents`` table.
+
+Training-data-pipeline operators (engine-level, beyond the reference's
+geometry scope): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  All are ``map_batches`` kernels; the hot parts
+use ``pyarrow.compute`` string kernels (vectorized C), not Python row
+loops.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """+ n_tokens (single-space split, = count(' ')+1 — the SQL-mirrorable
+    definition), + n_chars_calc."""
+    text = batch["text"]
+    spaces = pc.count_substring(text, " ")
+    n_tokens = pc.add(spaces, 1)
+    return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64())) \
+                .append_column("n_chars_calc", pc.cast(pc.utf8_length(text), pa.int64()))
+
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """+ quality features: mean word length, stopword ratio, digit ratio.
+
+    All via vectorized pyarrow string kernels (count_substring /
+    count_substring_regex); score = crude linear combination in [0,1]
+    (heuristic quality filter of large-scale text pipelines).
+    """
+    text = batch["text"]
+    nchars = pc.cast(pc.utf8_length(text), pa.float64())
+    ntok = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.float64())
+    digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+    stop = None
+    for w in _STOPWORDS:
+        c = pc.cast(pc.count_substring(text, f" {w} "), pa.float64())
+        stop = c if stop is None else pc.add(stop, c)
+    nchars_np = nchars.to_numpy(zero_copy_only=False)
+    ntok_np = ntok.to_numpy(zero_copy_only=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_wlen = np.where(ntok_np > 0, nchars_np / ntok_np, 0.0)
+        stop_ratio = np.where(
+            ntok_np > 0, stop.to_numpy(zero_copy_only=False) / ntok_np, 0.0
+        )
+        digit_ratio = np.where(
+            nchars_np > 0, digits.to_numpy(zero_copy_only=False) / nchars_np, 0.0
+        )
+    score = np.clip(
+        0.5 + 0.8 * stop_ratio - 0.6 * digit_ratio - 0.04 * np.abs(mean_wlen - 5.5),
+        0.0,
+        1.0,
+    )
+    return (
+        batch.append_column("mean_wlen", pa.array(mean_wlen))
+        .append_column("stop_ratio", pa.array(stop_ratio))
+        .append_column("digit_ratio", pa.array(digit_ratio))
+        .append_column("quality", pa.array(score))
+    )
+
+
+# marker substrings per language (n-gram heuristic language ID)
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " is "),
+    "es": (" el ", " la ", " que "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+}
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """+ pred_lang: argmax of per-language marker-substring counts
+    (vectorized: one count_substring pass per marker), 'und' when all 0."""
+    text = batch["text"]
+    n = len(batch)
+    scores = np.zeros((len(_LANG_MARKERS), n), dtype=np.int64)
+    langs = list(_LANG_MARKERS)
+    for li, lang in enumerate(langs):
+        for m in _LANG_MARKERS[lang]:
+            scores[li] += pc.count_substring(text, m).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=0)
+    hit = scores.max(axis=0) > 0
+    pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column("pred_lang", pa.array(pred.tolist(), type=pa.string()))
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """+ fp64: 64-bit content fingerprint (crc32 of two text halves packed)
+    — cheap rolling-hash-style exact-dup key that avoids shuffling the
+    full text at scale."""
+    texts = batch["text"].to_pylist()
+    fps = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        half = len(b) // 2
+        fps[i] = (zlib.crc32(b[:half]) << 32) | zlib.crc32(b[half:])
+    return batch.append_column("fp64", pa.array(fps))

@@ -1,0 +1,88 @@
+"""Actor-pool image payload stages (multimodal column plumbing).
+
+The image ``bytes`` column is OPAQUE to the join (never shuffled,
+SURVEY.md §7 "Wide rows"); these stages attach / decode / validate it at
+the pipeline edges.  Codec work is per-image Python (zlib) — exactly the
+kind of stateful, CPU-bound work an actor pool exists for: small
+``batch_size`` (payload-width-bounded, not row-bounded), ``concurrency``
+sized to cores, setup in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.img import codec
+
+PAYLOAD_BATCH = 256  # bytes-carrying batches stay small (MB budget, not rows)
+
+
+class AddPayload:
+    """image rows → + (bytes, phash): completes the input_hint schema."""
+
+    def __init__(self):
+        pass  # codec is stateless; __init__ kept for actor-pool symmetry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        payloads, hashes = [], np.empty(len(ids), dtype=np.int64)
+        for i, (iid, w, h, fmt) in enumerate(zip(ids, ws, hs, fmts)):
+            img = codec.synth_image(iid, int(w), int(h))
+            payloads.append(
+                img.tobytes() if fmt == "raw" else codec.png_encode(img)
+            )
+            hashes[i] = codec.phash64(img)
+        return batch.append_column("bytes", pa.array(payloads, type=pa.binary())) \
+                    .append_column("phash", pa.array(hashes))
+
+
+class DecodeValidate:
+    """bytes → decode → per-row PSNR vs the reference pixels.
+
+    Implements the input_hint per-row invariant (decoded-pixel allclose;
+    PSNR≥40dB for lossy): our codecs are lossless so psnr_ok is exact.
+    Unknown formats raise NotImplementedError (documented codec stub).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        ok = np.zeros(len(ids), dtype=bool)
+        mean_px = np.zeros(len(ids))
+        for i, (iid, w, h, fmt, raw) in enumerate(zip(ids, ws, hs, fmts, data)):
+            img = codec.decode_payload(raw, int(w), int(h), fmt)
+            ref = codec.synth_image(iid, int(w), int(h))
+            p = codec.psnr(img, ref)
+            ok[i] = p >= 40.0
+            mean_px[i] = float(img.mean())
+        return batch.drop_columns(["bytes"]).append_column(
+            "psnr_ok", pa.array(ok)
+        ).append_column("mean_px", pa.array(mean_px))
+
+
+def payload_dataset(sf_dir: str, concurrency=(1, 8)):
+    """Full input_hint table (with bytes) as a lazy Dataset."""
+    from engine.rayds.imagetab import image_dataset
+
+    return image_dataset(sf_dir).map_batches(
+        AddPayload,
+        batch_format="pyarrow",
+        batch_size=PAYLOAD_BATCH,
+        concurrency=concurrency,
+    )
+
+
+def validate_dataset(sf_dir: str, concurrency=(1, 8)):
+    return payload_dataset(sf_dir, concurrency).map_batches(
+        DecodeValidate,
+        batch_format="pyarrow",
+        batch_size=PAYLOAD_BATCH,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,184 @@
+"""Flagship pipeline: read → cell encode → two-phase join → tiling → sink.
+
+The Ray-Data realization of the north star: the reference's
+``STRtree(polys).query(points, predicate)`` bulk join (strtree.py:108)
+plus per-cell raster tiling, as a streaming Dataset pipeline — the
+polygon layer is broadcast ONCE via ``ray.put`` and indexed per actor
+(prepared-geometry semantics), image rows stream through zero-copy Arrow
+batches, and the only wide exchange is the (combiner-reduced) tile-count
+groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.rayds import ckpt, shuffle
+from engine.rayds.imagetab import Layer, image_dataset, load_layer
+from engine.rayds.stages import (
+    DwithinRefiner,
+    JoinRefiner,
+    NearestCenterStage,
+    cell_encode,
+    make_tile_assign,
+)
+
+# actor-pool sizing: autoscale up to ~half the cluster CPUs (measured
+# optimum at 32 CPUs — leaves headroom for the fused read/derive tasks
+# and the downstream tile/shuffle tasks so no stage starves another).
+# At multi-node scale this becomes concurrency=(nodes, nodes*cores/2).
+JOIN_BATCH = 16384
+
+
+def _join_concurrency() -> tuple[int, int]:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(4, cpus // 2))
+
+
+def pairs_dataset(sf_dir: str, predicate: str = "covers", layer: Layer | None = None,
+                  keep_cols=("image_id",), ds=None, use_actors: bool = False):
+    """image × polygon-layer inner join pairs (lazy Dataset).
+
+    Default path: task-based map_batches with a per-worker cached
+    prepared index (elastic, no pool sizing); ``use_actors=True`` runs
+    the same kernel as an explicit actor pool (``JoinRefiner``)."""
+    import ray
+
+    from engine.rayds.stages import make_join_fn
+
+    layer = layer or load_layer(sf_dir)
+    ref = ray.put(layer)
+    ds = ds if ds is not None else image_dataset(sf_dir)
+    if use_actors:
+        return ds.map_batches(
+            JoinRefiner,
+            fn_constructor_kwargs={"layer_ref": ref, "predicate": predicate,
+                                   "keep_cols": keep_cols},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=JOIN_BATCH,
+            concurrency=_join_concurrency(),
+        )
+    return ds.map_batches(
+        make_join_fn(ref, predicate, keep_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=JOIN_BATCH,
+    )
+
+
+def tiles_dataset(sf_dir: str, predicate: str = "covers", layer: Layer | None = None,
+                  ds=None):
+    """Join pairs + per-polygon 4×4 tile assignment (lazy Dataset)."""
+    layer = layer or load_layer(sf_dir)
+    pairs = pairs_dataset(sf_dir, predicate, layer, ds=ds)
+    return pairs.map_batches(
+        make_tile_assign(layer), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def tile_counts(sf_dir: str, salted: bool = False):
+    """Rows per (poly_id, tile_id) — the tiling aggregate, combiner-first
+    (optionally salted for hot cells)."""
+    tiles = tiles_dataset(sf_dir).select_columns(["poly_id", "tile_id"])
+    fn = shuffle.salted_grouped_count if salted else shuffle.grouped_count
+    return fn(tiles, ["poly_id", "tile_id"], out_col="n_images")
+
+
+def dwithin_dataset(sf_dir: str, distance: float, layer: Layer | None = None):
+    import ray
+
+    from engine.rayds.stages import make_dwithin_fn
+
+    layer = layer or load_layer(sf_dir)
+    ref = ray.put(layer)
+    return image_dataset(sf_dir).map_batches(
+        make_dwithin_fn(ref, distance),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=JOIN_BATCH,
+    )
+
+
+def knn_centers_dataset(sf_dir: str, layer: Layer | None = None):
+    import ray
+
+    layer = layer or load_layer(sf_dir)
+    ref = ray.put(layer)
+    return image_dataset(sf_dir).map_batches(
+        NearestCenterStage,
+        fn_constructor_kwargs={"layer_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=JOIN_BATCH,
+        concurrency=_join_concurrency(),
+    )
+
+
+def encoded_dataset(sf_dir: str):
+    """Image table + cell-id columns (the batched encode stage)."""
+    return image_dataset(sf_dir).map_batches(
+        cell_encode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def run_tiles_checkpointed(sf_dir: str, out_dir: str, num_shards: int = 4) -> dict:
+    """Resumable flagship run: shard the events input, write partitioned
+    tile-pair parquet + per-shard lineage manifests (ckpt.py)."""
+    import ray.data
+
+    layer = load_layer(sf_dir)
+
+    def build(paths):
+        import ray
+
+        ds = ray.data.read_parquet(paths, columns=["event_id", "event_type"])
+        from engine.rayds.imagetab import derive_batch
+
+        imgs = ds.map_batches(derive_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        return tiles_dataset(sf_dir, layer=layer, ds=imgs)
+
+    return ckpt.run_sharded(build, [f"{sf_dir}/events.parquet"], out_dir,
+                            num_shards=num_shards)
+
+
+def semi_anti_ids(sf_dir: str, anti: bool = False):
+    """Images with ≥1 polygon match (semi) / no match (anti) — projection
+    of the inner join per SURVEY.md §2.4, realized without a second
+    shuffle: matched ids come from the pair table (unique), anti = the
+    id-complement via a hash filter against the broadcast matched set.
+    """
+    import ray
+
+    pairs = pairs_dataset(sf_dir).select_columns(["image_id"])
+    matched = shuffle.grouped_count(pairs, ["image_id"], out_col="n_matches")
+    if not anti:
+        return matched.select_columns(["image_id"])
+    # anti: broadcast the matched-id set (small relative to input at
+    # realistic selectivity) and filter the full table against it.
+    matched_ids = set(
+        matched.select_columns(["image_id"]).to_pandas()["image_id"]
+    )
+    ref = ray.put(matched_ids)
+
+    class AntiFilter:
+        def __init__(self, ids_ref):
+            self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            mask = np.array([i not in self.ids for i in ids], dtype=bool)
+            return batch.filter(pa.array(mask)).select(["image_id"])
+
+    return image_dataset(sf_dir).map_batches(
+        AntiFilter,
+        fn_constructor_kwargs={"ids_ref": ref},
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 4),
+    )

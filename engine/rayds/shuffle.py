@@ -1,0 +1,116 @@
+"""Shuffle helpers: partial (combiner) aggregation + salted hot-key splits.
+
+Ray Data's ``groupby`` hash-shuffles every block; at 10^12 rows the only
+viable aggregate is partial-per-block first (the classic combiner), and
+skewed keys need salting (north_rule: "skewed hot cells split via salted
+groupby-aggregate shuffles").  Both helpers keep the wide exchange down
+to the already-reduced partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _partial_count_fn(keys: list[str]):
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return t.rename_columns(keys + ["_pcnt"])
+
+    return partial
+
+
+def _merge_counts(keys: list[str]):
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(keys).aggregate([("_pcnt", "sum")])
+        return t.rename_columns(keys + ["_pcnt"])
+
+    return merge
+
+
+def grouped_count(ds, keys: list[str], out_col: str = "cnt",
+                  use_shuffle: bool = False):
+    """count(*) per key, combiner-first.
+
+    Stage 1 (narrow): per-block ``pyarrow`` group_by → partial counts —
+    downstream stages then move ≤ (distinct keys × blocks) rows instead
+    of every input row.
+
+    Stage 2 default = TREE REDUCE (coalesce → combine → single final
+    combine): right whenever distinct keys ≪ rows, and avoids the
+    sort-based all-to-all entirely.  ``use_shuffle=True`` switches to the
+    hash-shuffle ``groupby`` — the path for group cardinalities too large
+    for one final block (then the exchange only moves partials).
+    """
+    partial = ds.map_batches(
+        _partial_count_fn(keys), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    if use_shuffle:
+        agg = partial.groupby(keys).sum("_pcnt")
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.select(keys + ["sum(_pcnt)"]).rename_columns(
+                keys + [out_col]
+            )
+
+        return agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+    merged = (
+        partial.repartition(16)
+        .map_batches(_merge_counts(keys), batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_merge_counts(keys), batch_format="pyarrow", batch_size=None)
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(keys + [out_col])
+
+    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def salted_grouped_count(ds, keys: list[str], out_col: str = "cnt", salt: int = 16):
+    """Two-round salted count for skewed keys.
+
+    Round 1 groups on (keys…, _salt) — a hot key's rows land on ``salt``
+    different reducers instead of one straggler; round 2 merges the per-
+    salt partials with a tiny second shuffle.  The salt is derived from a
+    per-batch row counter (deterministic, no RNG in workers).
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys)
+        s = np.arange(len(batch), dtype=np.int64) % salt
+        t = t.append_column("_salt", pa.array(s))
+        t = t.group_by(keys + ["_salt"]).aggregate([([], "count_all")])
+        return t.rename_columns(keys + ["_salt", "_pcnt"])
+
+    partial = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    round1 = partial.groupby(keys + ["_salt"]).sum("_pcnt")
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + ["sum(_pcnt)"]).rename_columns(keys + ["_pcnt"])
+
+    round2 = round1.map_batches(strip, batch_format="pyarrow", batch_size=None).groupby(keys).sum("_pcnt")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + ["sum(_pcnt)"]).rename_columns(keys + [out_col])
+
+    return round2.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def detect_hot_keys(ds, key: str, threshold_frac: float = 0.05, sample_blocks: int = 4):
+    """Cheap skew probe: counts on a block sample; returns hot key values.
+
+    At scale this runs on a ``ds.limit(...)`` sample, never the full
+    input; callers switch the downstream groupby to the salted variant
+    for the returned keys (or for everything when any key exceeds the
+    threshold).
+    """
+    sample = ds.limit(100_000)
+    counts = grouped_count(sample, [key]).to_pandas()
+    total = counts["cnt"].sum()
+    if total == 0:
+        return []
+    hot = counts[counts["cnt"] > threshold_frac * total]
+    return list(hot[key])
