@@ -69,6 +69,29 @@ def grouped_count(ds, keys: list[str], out_col: str = "cnt",
     return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def merge_partial_counts(partial_ds, keys: list[str], out_col: str = "cnt",
+                         two_level: bool = False):
+    """Reduce (keys…, _pcnt) partial blocks to final counts.
+
+    Single-level (default): one final merge task — right when
+    blocks × groups fits one task (the combiner already shrank the data).
+    ``two_level=True`` inserts an intermediate fan-in for wider runs.
+    """
+    ds = partial_ds
+    if two_level:
+        ds = ds.repartition(16).map_batches(
+            _merge_counts(keys), batch_format="pyarrow", batch_size=None
+        )
+    merged = ds.repartition(1).map_batches(
+        _merge_counts(keys), batch_format="pyarrow", batch_size=None
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(keys + [out_col])
+
+    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def salted_grouped_count(ds, keys: list[str], out_col: str = "cnt", salt: int = 16):
     """Two-round salted count for skewed keys.
 

@@ -206,6 +206,50 @@ class NearestCenterStage:
         return pa.table(out)
 
 
+def make_fused_tiles_partial_fn(layer_ref, predicate: str = "covers",
+                                batch_rows: int = 16384):
+    """MANUALLY FUSED hot path: image rows → join → tile assign → partial
+    tile counts, all inside one task with no framework batch hand-offs.
+
+    Ray Data's auto-fused operator chain re-slices/rebuilds batches at
+    every stage boundary; measured ~7× overhead vs composing the kernels
+    in-task on this workload.  The engine therefore fuses its own hot
+    chain (classic operator fusion) and lets Ray provide distribution,
+    scheduling and the reduce.  Emits (poly_id, tile_id, _pcnt) partials
+    ready for ``shuffle.merge_partial_counts``.
+    """
+    from engine.rayds.imagetab import TILE_N
+
+    def fused(batch: pa.Table) -> pa.Table:
+        pp, layer = _prepared_for(layer_ref)
+        xmin = layer.bounds[:, 0]
+        ymin = layer.bounds[:, 1]
+        sides = layer.sides
+        x_all = batch["x"].to_numpy()
+        y_all = batch["y"].to_numpy()
+        parts = []
+        for s in range(0, len(x_all), batch_rows):
+            x = x_all[s : s + batch_rows]
+            y = y_all[s : s + batch_rows]
+            pt, pl = pp.query_points(x, y, predicate)
+            side4 = sides[pl] / TILE_N
+            tix = np.minimum(np.floor((x[pt] - xmin[pl]) / side4), TILE_N - 1)
+            tiy = np.minimum(np.floor((y[pt] - ymin[pl]) / side4), TILE_N - 1)
+            tile_id = (tiy * TILE_N + tix).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {"poly_id": pa.array(layer.poly_ids[pl]), "tile_id": pa.array(tile_id)}
+                )
+            )
+        allt = pa.concat_tables(parts) if parts else pa.table(
+            {"poly_id": pa.array([], type=pa.int64()), "tile_id": pa.array([], type=pa.int64())}
+        )
+        g = allt.group_by(["poly_id", "tile_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["poly_id", "tile_id", "_pcnt"])
+
+    return fused
+
+
 # -------------------------------------------------------------------- tiling
 def make_tile_assign(layer: Layer):
     """Stateless tile-assignment kernel over pair rows.

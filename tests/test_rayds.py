@@ -1,0 +1,211 @@
+"""Ray Data pipeline layer tests: join/tiles/shuffle/ckpt vs brute force.
+
+Brute-force numpy references are computed driver-side over the same
+derived table, so these tests are independent of the DuckDB oracle
+(which the driver runs separately via __ray_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ray_ready(ray_session):
+    return True
+
+
+def _brute_pairs(sf_dir, predicate="covers"):
+    from engine.rayds.imagetab import derive_xy, load_layer
+
+    eid = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_numpy()
+    x, y = derive_xy(eid)
+    layer = load_layer(sf_dir)
+    out = set()
+    for i in range(len(layer.poly_ids)):
+        b = layer.bounds[i]
+        if predicate == "covers":
+            m = (x >= b[0]) & (x <= b[2]) & (y >= b[1]) & (y <= b[3])
+        else:
+            m = (x > b[0]) & (x < b[2]) & (y > b[1]) & (y < b[3])
+        for e in eid[m]:
+            out.add((f"img{e}", int(layer.poly_ids[i])))
+    return out
+
+
+def test_pairs_join_matches_brute_force(ray_ready):
+    from engine.rayds import pipeline
+
+    got = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF).select_columns(["image_id", "poly_id"]).take_all()
+    }
+    assert got == _brute_pairs(SF, "covers")
+
+
+def test_contains_join_matches_brute_force(ray_ready):
+    from engine.rayds import pipeline
+
+    got = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF, "contains").select_columns(["image_id", "poly_id"]).take_all()
+    }
+    assert got == _brute_pairs(SF, "contains")
+
+
+def test_actor_pool_join_matches_task_join(ray_ready):
+    from engine.rayds import pipeline
+
+    a = sorted(
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF, use_actors=True).select_columns(["image_id", "poly_id"]).take_all()
+    )
+    b = sorted(
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF, use_actors=False).select_columns(["image_id", "poly_id"]).take_all()
+    )
+    assert a == b
+
+
+def test_tiles_within_polygon_bounds(ray_ready):
+    from engine.rayds import pipeline
+
+    rows = pipeline.tiles_dataset(SF).take_all()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        assert 0 <= r["tile_id"] < 16
+
+
+def test_grouped_count_matches_pandas(ray_ready):
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count, salted_grouped_count
+
+    tbl = pa.table({"k": pa.array([1, 1, 2, 3, 3, 3] * 100)})
+    ds = ray.data.from_arrow(tbl)
+    for fn in (grouped_count, salted_grouped_count):
+        got = {int(r["k"]): int(r["cnt"]) for r in fn(ds, ["k"]).take_all()}
+        assert got == {1: 200, 2: 100, 3: 300}, fn.__name__
+
+
+def test_grouped_count_shuffle_path(ray_ready):
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([5, 5, 7])}))
+    got = {int(r["k"]): int(r["cnt"]) for r in grouped_count(ds, ["k"], use_shuffle=True).take_all()}
+    assert got == {5: 2, 7: 1}
+
+
+def test_fused_tile_counts_match_staged(ray_ready):
+    """The manually fused hot path must produce the same tile counts as
+    the staged pipeline (tile_counts with salted shuffle)."""
+    import ray
+
+    from engine.rayds import pipeline, shuffle
+    from engine.rayds.imagetab import image_dataset, load_layer
+    from engine.rayds.stages import make_fused_tiles_partial_fn
+
+    staged = {
+        (int(r["poly_id"]), int(r["tile_id"])): int(r["n_images"])
+        for r in pipeline.tile_counts(SF, salted=True).take_all()
+    }
+    ref = ray.put(load_layer(SF))
+    fused = image_dataset(SF).map_batches(
+        make_fused_tiles_partial_fn(ref), batch_format="pyarrow", batch_size=None
+    )
+    got = {
+        (int(r["poly_id"]), int(r["tile_id"])): int(r["n_images"])
+        for r in shuffle.merge_partial_counts(
+            fused, ["poly_id", "tile_id"], out_col="n_images"
+        ).take_all()
+    }
+    assert got == staged
+
+
+def test_knn_centers_matches_brute(ray_ready):
+    from engine.rayds import pipeline
+    from engine.rayds.imagetab import derive_xy, load_layer
+
+    got = {r["image_id"]: int(r["poly_id"]) for r in pipeline.knn_centers_dataset(SF).take_all()}
+    eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])["event_id"].to_numpy()
+    x, y = derive_xy(eid)
+    layer = load_layer(SF)
+    order = np.argsort(layer.poly_ids)
+    cx = ((layer.bounds[:, 0] + layer.bounds[:, 2]) / 2)[order]
+    cy = ((layer.bounds[:, 1] + layer.bounds[:, 3]) / 2)[order]
+    ids = layer.poly_ids[order]
+    d2 = (x[:, None] - cx) ** 2 + (y[:, None] - cy) ** 2
+    want = ids[np.argmin(d2, axis=1)]
+    for e, w in zip(eid, want):
+        assert got[f"img{e}"] == int(w)
+
+
+def test_dwithin_matches_brute(ray_ready):
+    from engine.rayds import pipeline
+    from engine.rayds.imagetab import derive_xy, load_layer
+
+    d = 1.5
+    got = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.dwithin_dataset(SF, d).take_all()
+    }
+    eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])["event_id"].to_numpy()
+    x, y = derive_xy(eid)
+    layer = load_layer(SF)
+    want = set()
+    for i in range(len(layer.poly_ids)):
+        b = layer.bounds[i]
+        dx = np.maximum(np.maximum(b[0] - x, x - b[2]), 0.0)
+        dy = np.maximum(np.maximum(b[1] - y, y - b[3]), 0.0)
+        m = dx * dx + dy * dy <= d * d
+        for e in eid[m]:
+            want.add((f"img{e}", int(layer.poly_ids[i])))
+    assert got == want
+
+
+def test_checkpoint_resume(ray_ready, tmp_path):
+    from engine.rayds import ckpt, pipeline
+
+    out = str(tmp_path / "tiles_out")
+    r1 = pipeline.run_tiles_checkpointed(SF, out, num_shards=1)
+    assert r1["computed"] == [0] and r1["skipped"] == []
+    # second run: everything skipped (manifest fingerprints match)
+    r2 = pipeline.run_tiles_checkpointed(SF, out, num_shards=1)
+    assert r2["computed"] == [] and r2["skipped"] == [0]
+    # corrupt the manifest -> recomputed
+    os.remove(ckpt.manifest_path(out, 0))
+    r3 = pipeline.run_tiles_checkpointed(SF, out, num_shards=1)
+    assert r3["computed"] == [0]
+    # manifest records lineage + rows
+    import json
+
+    with open(ckpt.manifest_path(out, 0)) as f:
+        m = json.load(f)
+    assert m["status"] == "complete" and m["rows"] > 0 and m["inputs"]
+
+
+def test_cell_encode_columns(ray_ready):
+    from engine.rayds import pipeline
+
+    row = pipeline.encoded_dataset(SF).take(1)[0]
+    for col in ("cell", "s2_id", "hex7", "hex8", "hex9"):
+        assert col in row
+
+
+def test_payload_validate_psnr(ray_ready):
+    from engine.rayds.imgstage import validate_dataset
+
+    rows = validate_dataset(SF).limit(64).take_all()
+    assert len(rows) == 64
+    assert all(r["psnr_ok"] for r in rows)
