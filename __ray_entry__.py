@@ -142,6 +142,77 @@ def _q_anti_join(sf_dir):
     return pipeline.semi_anti_ids(sf_dir, anti=True)
 
 
+def _q_wkb_roundtrip(sf_dir):
+    """Vectorized WKB encode→decode of the point column (serialization
+    family, SURVEY §2.1); must reproduce x/y bit-exactly."""
+    from engine.rayds.geo_stages import wkb_point_decode, wkb_point_encode
+    from engine.rayds.imagetab import image_dataset
+
+    return (
+        image_dataset(sf_dir)
+        .map_batches(wkb_point_encode, batch_format="pyarrow", batch_size=None)
+        .map_batches(wkb_point_decode, batch_format="pyarrow", batch_size=None)
+        .select_columns(["image_id", "x", "y"])
+    )
+
+
+def _q_affine_bounds(sf_dir):
+    """Affine transform stage (x+10.5, 2·y) then total-bounds aggregate
+    (affinity family §2.13 + aggregate §2.6)."""
+    from ray.data.aggregate import Max, Min
+
+    from engine.rayds.geo_stages import affine_xy
+    from engine.rayds.imagetab import image_dataset
+
+    ds = image_dataset(sf_dir).map_batches(
+        affine_xy(e=2.0, xoff=10.5), batch_format="pyarrow", batch_size=None
+    )
+    res = ds.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    return pa.table(
+        {
+            "xmin": [res["min(x)"]],
+            "xmax": [res["max(x)"]],
+            "ymin": [res["min(y)"]],
+            "ymax": [res["max(y)"]],
+        }
+    )
+
+
+def _q_tile_clip_area(sf_dir):
+    """clip_by_rect kernel (constructive.py:380) over every layer-tile
+    rect against the window (10,10)-(60,60); oracle recomputes with
+    rectangle-intersection arithmetic."""
+    import pyarrow.compute as pc
+
+    from engine.geo.constructive import clip_by_rect
+    from engine.geo.geom import Geom
+    from engine.geo.measure import area as geo_area
+    from engine.rayds.imagetab import TILE_N, load_layer
+
+    layer = load_layer(sf_dir)
+    rows_p, rows_t, rows_a = [], [], []
+    for i, pid in enumerate(layer.poly_ids):
+        b = layer.bounds[i]
+        side4 = layer.sides[i] / TILE_N
+        for ty in range(TILE_N):
+            for tx in range(TILE_N):
+                rect = Geom.box(
+                    b[0] + tx * side4, b[1] + ty * side4,
+                    b[0] + (tx + 1) * side4, b[1] + (ty + 1) * side4,
+                )
+                clipped = clip_by_rect(rect, 10.0, 10.0, 60.0, 60.0)
+                rows_p.append(int(pid))
+                rows_t.append(ty * TILE_N + tx)
+                rows_a.append(0.0 if clipped.is_empty else float(geo_area(clipped)))
+    return pa.table(
+        {
+            "poly_id": pa.array(rows_p, type=pa.int64()),
+            "tile_id": pa.array(rows_t, type=pa.int64()),
+            "clip_area": pa.array(rows_a),
+        }
+    )
+
+
 # -------------------------------------------------------------- text queries
 def _docs(sf_dir):
     import ray.data
@@ -292,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layer_measures": _q_layer_measures,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
+        "wkb_roundtrip": _q_wkb_roundtrip,
+        "affine_bounds": _q_affine_bounds,
+        "tile_clip_area": _q_tile_clip_area,
         "token_stats": _q_token_stats,
         "word_topk": _q_word_topk,
         "dedup_exact": _q_dedup_exact,
@@ -375,6 +449,34 @@ def oracle_sql() -> dict[str, str]:
                 WHERE i.x >= l.xmin AND i.x <= l.xmax
                   AND i.y >= l.ymin AND i.y <= l.ymax
             )
+        """,
+        "wkb_roundtrip": f"""
+            WITH {_IMGS}
+            SELECT image_id, x, y FROM imgs
+        """,
+        "affine_bounds": f"""
+            WITH {_IMGS}
+            SELECT min(x + 10.5) AS xmin, max(x + 10.5) AS xmax,
+                   min(y * 2.0) AS ymin, max(y * 2.0) AS ymax
+            FROM imgs
+        """,
+        "tile_clip_area": f"""
+            WITH {_LAYER},
+            tiles AS (
+                SELECT poly_id,
+                       CAST(ty * 4 + tx AS BIGINT) AS tile_id,
+                       xmin + tx * (side / 4) AS txmin,
+                       ymin + ty * (side / 4) AS tymin,
+                       xmin + (tx + 1) * (side / 4) AS txmax,
+                       ymin + (ty + 1) * (side / 4) AS tymax
+                FROM layer
+                CROSS JOIN (SELECT unnest(range(4)) AS tx)
+                CROSS JOIN (SELECT unnest(range(4)) AS ty)
+            )
+            SELECT poly_id, tile_id,
+                   greatest(0, least(txmax, 60.0) - greatest(txmin, 10.0))
+                   * greatest(0, least(tymax, 60.0) - greatest(tymin, 10.0)) AS clip_area
+            FROM tiles
         """,
         "token_stats": """
             SELECT doc_id,

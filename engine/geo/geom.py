@@ -488,8 +488,10 @@ def to_wkt(g: Geom | None) -> str | None:
     if t == GeomType.POLYGON:
         return "POLYGON (" + ", ".join(_fmt_coords(r) for r in g.rings) + ")"
     if t == GeomType.MULTIPOINT:
+        # modern per-point parens, matching the reference's GEOS writer
+        # (creation.py:536 docstring: MULTIPOINT ((1 1), (2 2)))
         return "MULTIPOINT (" + ", ".join(
-            f"{_fmt_num(p.coords[0, 0])} {_fmt_num(p.coords[0, 1])}"
+            f"({_fmt_num(p.coords[0, 0])} {_fmt_num(p.coords[0, 1])})"
             if len(p.coords)
             else "EMPTY"
             for p in g.parts

@@ -1,0 +1,184 @@
+"""to_ragged_array / from_ragged_array — the reference's GeoArrow
+interchange (shapely/_ragged_array.py:159 / :417).
+
+Returns (GeomType, coords, offsets-tuple) with the exact layout rules:
+point → 0 offset arrays (:51-55, empty point = NaN row :55-61);
+(multi)linestring / multipoint → 1; (multi)polygon → 2/3 (:86-156);
+mixed single/multi of one family promoted to multi (:309-318);
+GeometryCollections unsupported (:214, raises ValueError).
+Offsets are int32 when possible, int64 for >2^31 coords (:66-73).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.geo.geom import Geom, GeomType
+
+
+def _off_dtype(n: int):
+    return np.int64 if n > np.iinfo(np.int32).max else np.int32
+
+
+def _offsets(counts: list[int], total: int) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(counts, dtype=np.int64)]).astype(_off_dtype(total))
+
+
+def to_ragged_array(geometries):
+    """Geometry array → (geometry_type, coords(n,2), offsets tuple)."""
+    geoms = [g for g in geometries]
+    types = {g.type_id for g in geoms if g is not None and not g.is_empty}
+    # empties participate in type inference like the reference
+    types |= {g.type_id for g in geoms if g is not None}
+    if GeomType.LINEARRING in types:
+        types = (types - {GeomType.LINEARRING}) | {GeomType.LINESTRING}
+    if not types:
+        types = {GeomType.POINT}
+    if GeomType.GEOMETRYCOLLECTION in types:
+        raise ValueError("geometry collections are not supported")
+    family = {
+        GeomType.POINT: 0, GeomType.MULTIPOINT: 0,
+        GeomType.LINESTRING: 1, GeomType.MULTILINESTRING: 1,
+        GeomType.POLYGON: 2, GeomType.MULTIPOLYGON: 2,
+    }
+    fams = {family[t] for t in types}
+    if len(fams) > 1:
+        raise ValueError(f"mixed geometry families: {sorted(types)}")
+    fam = fams.pop()
+    multi = any(
+        t in (GeomType.MULTIPOINT, GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON)
+        for t in types
+    ) or len(types) > 1 and fam == 0  # mixed point/multipoint promotes
+
+    def parts_of(g):
+        if g.type_id in (GeomType.MULTIPOINT, GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON):
+            return g.parts
+        return [] if g.is_empty and fam != 0 else [g]
+
+    if fam == 0 and not multi and all(
+        (g is None) or g.type_id == GeomType.POINT for g in geoms
+    ):
+        coords = np.full((len(geoms), 2), np.nan)
+        for i, g in enumerate(geoms):
+            if g is not None and not g.is_empty:
+                coords[i] = g.coords[0]
+        return GeomType.POINT, coords, ()
+
+    if fam == 0:
+        blocks, counts = [], []
+        for g in geoms:
+            ps = [] if g is None else parts_of(g)
+            pts = [p.coords[0] for p in ps if not p.is_empty]
+            counts.append(len(pts))
+            blocks.extend(pts)
+        coords = np.vstack(blocks) if blocks else np.empty((0, 2))
+        return GeomType.MULTIPOINT, coords, (_offsets(counts, len(coords)),)
+
+    if fam == 1:
+        multi = multi or any(
+            g is not None and g.type_id == GeomType.MULTILINESTRING for g in geoms
+        )
+        blocks, line_counts, geom_counts = [], [], []
+        for g in geoms:
+            ps = [] if g is None else parts_of(g)
+            lines = [p.coords for p in ps if not p.is_empty]
+            geom_counts.append(len(lines))
+            for c in lines:
+                line_counts.append(len(c))
+                blocks.append(c)
+        coords = np.vstack(blocks) if blocks else np.empty((0, 2))
+        line_off = _offsets(line_counts, len(coords))
+        if not multi:
+            return GeomType.LINESTRING, coords, (line_off,)
+        return GeomType.MULTILINESTRING, coords, (line_off, _offsets(geom_counts, len(line_off) - 1))
+
+    multi = multi or any(
+        g is not None and g.type_id == GeomType.MULTIPOLYGON for g in geoms
+    )
+    blocks, ring_counts, poly_counts, geom_counts = [], [], [], []
+    for g in geoms:
+        ps = [] if g is None else parts_of(g)
+        polys = [p for p in ps if not p.is_empty]
+        geom_counts.append(len(polys))
+        for p in polys:
+            poly_counts.append(len(p.rings))
+            for r in p.rings:
+                ring_counts.append(len(r))
+                blocks.append(r)
+    coords = np.vstack(blocks) if blocks else np.empty((0, 2))
+    ring_off = _offsets(ring_counts, len(coords))
+    poly_off = _offsets(poly_counts, len(ring_off) - 1)
+    if not multi:
+        return GeomType.POLYGON, coords, (ring_off, poly_off)
+    return GeomType.MULTIPOLYGON, coords, (ring_off, poly_off, _offsets(geom_counts, len(poly_off) - 1))
+
+
+def from_ragged_array(geometry_type, coords, offsets=()):
+    """(type, coords, offsets) → object array of Geom (:417)."""
+    t = GeomType(geometry_type)
+    coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    offs = [np.asarray(o, dtype=np.int64) for o in (offsets or ())]
+
+    if t == GeomType.POINT:
+        out = []
+        for row in coords:
+            if np.isnan(row).all():
+                out.append(Geom.empty(GeomType.POINT))
+            else:
+                out.append(Geom.point(row[0], row[1]))
+        return np.array(out, dtype=object)
+
+    if t == GeomType.MULTIPOINT:
+        (o,) = offs
+        out = []
+        for i in range(len(o) - 1):
+            pts = coords[o[i]: o[i + 1]]
+            if len(pts) == 0:
+                out.append(Geom.empty(GeomType.MULTIPOINT))
+            else:
+                out.append(Geom(GeomType.MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts]))
+        return np.array(out, dtype=object)
+
+    if t == GeomType.LINESTRING:
+        (o,) = offs
+        out = []
+        for i in range(len(o) - 1):
+            c = coords[o[i]: o[i + 1]]
+            out.append(Geom.empty(t) if len(c) == 0 else Geom.linestring(c))
+        return np.array(out, dtype=object)
+
+    if t == GeomType.MULTILINESTRING:
+        line_off, geom_off = offs
+        out = []
+        for i in range(len(geom_off) - 1):
+            parts = []
+            for j in range(geom_off[i], geom_off[i + 1]):
+                parts.append(Geom.linestring(coords[line_off[j]: line_off[j + 1]]))
+            out.append(
+                Geom(t, parts=parts) if parts else Geom.empty(t)
+            )
+        return np.array(out, dtype=object)
+
+    def poly(ring_off, j0, j1):
+        rings = [coords[ring_off[j]: ring_off[j + 1]] for j in range(j0, j1)]
+        return Geom(GeomType.POLYGON, rings=rings) if rings else Geom.empty(GeomType.POLYGON)
+
+    if t == GeomType.POLYGON:
+        ring_off, poly_off = offs
+        return np.array(
+            [poly(ring_off, poly_off[i], poly_off[i + 1]) for i in range(len(poly_off) - 1)],
+            dtype=object,
+        )
+
+    if t == GeomType.MULTIPOLYGON:
+        ring_off, poly_off, geom_off = offs
+        out = []
+        for i in range(len(geom_off) - 1):
+            parts = [
+                poly(ring_off, poly_off[j], poly_off[j + 1])
+                for j in range(geom_off[i], geom_off[i + 1])
+            ]
+            out.append(Geom(t, parts=parts) if parts else Geom.empty(t))
+        return np.array(out, dtype=object)
+
+    raise ValueError(f"unsupported ragged type {t}")

@@ -122,6 +122,34 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
     raise ValueError(f"unsupported WKB type code {raw_code}")
 
 
+def points_to_wkb_np(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized little-endian WKB for point columns → (n, 21) uint8.
+
+    The batch hot path of the `from_wkt`/`to_wkb` family (SURVEY §2.1):
+    no per-row Python, just byte views — feed to
+    ``pa.Array.from_buffers(pa.binary(21), …)`` for a zero-copy Arrow
+    fixed-size-binary column."""
+    x = np.ascontiguousarray(x, dtype="<f8")
+    y = np.ascontiguousarray(y, dtype="<f8")
+    n = len(x)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+    buf[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+    return buf
+
+
+def points_from_wkb_np(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of points_to_wkb_np for (n, 21) little-endian point WKB."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8).reshape(-1, 21)
+    if len(buf) and not (buf[0, 0] == 1 and buf[0, 1] == 1):
+        raise ValueError("not little-endian point WKB")
+    x = buf[:, 5:13].copy().view("<f8").reshape(-1)
+    y = buf[:, 13:21].copy().view("<f8").reshape(-1)
+    return x.astype(np.float64), y.astype(np.float64)
+
+
 def to_wkb(geometry, hex: bool = False, byte_order: int = 1, flavor: str = "iso"):
     """Geometry (or array) → WKB bytes (io.py:119 semantics).
 

@@ -23,7 +23,7 @@ from tests.common import LineString, Point, Polygon, box, polygon_with_hole
         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
         "POLYGON EMPTY",
-        "MULTIPOINT (0 0, 1 2)",
+        "MULTIPOINT ((0 0), (1 2))",
         "MULTILINESTRING ((0 0, 1 2), (3 3, 4 4))",
         "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((3 3, 4 3, 4 4, 3 3)))",
         "GEOMETRYCOLLECTION (POINT (51 -1), LINESTRING (52 -1, 49 2))",

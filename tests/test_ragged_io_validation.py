@@ -1,0 +1,92 @@
+"""to_ragged_array/from_ragged_array parity (reference
+shapely/_ragged_array.py docstring behaviors) + validation + vectorized
+WKB point kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.geo import ragged_io, validation, wkb
+from engine.geo.geom import GeomType, from_wkt, to_wkt
+
+P = from_wkt
+
+
+def roundtrip(wkts):
+    t, coords, offs = ragged_io.to_ragged_array([P(w) for w in wkts])
+    back = ragged_io.from_ragged_array(t, coords, offs)
+    return t, [to_wkt(g) for g in back]
+
+
+def test_points_no_offsets():
+    t, coords, offs = ragged_io.to_ragged_array([P("POINT (1 2)"), P("POINT EMPTY")])
+    assert t == GeomType.POINT and offs == ()
+    # empty point encoded as NaN row (_ragged_array.py:55-61)
+    assert np.isnan(coords[1]).all()
+    _, wkts = roundtrip(["POINT (1 2)", "POINT EMPTY"])
+    assert wkts == ["POINT (1 2)", "POINT EMPTY"]
+
+
+def test_mixed_promotes_to_multi():
+    # _ragged_array.py:309-318: mixed single/multi of same family
+    t, wkts = roundtrip(["POINT (0 0)", "MULTIPOINT ((1 1), (2 2))"])
+    assert t == GeomType.MULTIPOINT
+    assert wkts == ["MULTIPOINT ((0 0))", "MULTIPOINT ((1 1), (2 2))"]
+
+
+def test_linestrings_one_offset():
+    t, coords, offs = ragged_io.to_ragged_array(
+        [P("LINESTRING (0 0, 1 1)"), P("LINESTRING (2 2, 3 3, 4 4)")]
+    )
+    assert t == GeomType.LINESTRING and len(offs) == 1
+    assert list(offs[0]) == [0, 2, 5]
+    assert offs[0].dtype == np.int32  # int32 preferred (:66-73)
+
+
+def test_polygons_two_offsets():
+    w = [
+        "POLYGON ((0 0, 4 0, 4 4, 0 0))",
+        "POLYGON ((10 10, 20 10, 20 20, 10 10), (12 12, 13 12, 12 13, 12 12))",
+    ]
+    t, wkts = roundtrip(w)
+    assert t == GeomType.POLYGON
+    assert wkts == w
+
+
+def test_multipolygons_three_offsets():
+    w = ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+         "POLYGON ((9 9, 10 9, 10 10, 9 9))"]
+    t, coords, offs = ragged_io.to_ragged_array([P(x) for x in w])
+    assert t == GeomType.MULTIPOLYGON and len(offs) == 3
+    back = ragged_io.from_ragged_array(t, coords, offs)
+    assert to_wkt(back[1]) == "MULTIPOLYGON (((9 9, 10 9, 10 10, 9 9)))"
+
+
+def test_collections_rejected_and_mixed_families():
+    with pytest.raises(ValueError):
+        ragged_io.to_ragged_array([P("GEOMETRYCOLLECTION (POINT (0 0))")])
+    with pytest.raises(ValueError):
+        ragged_io.to_ragged_array([P("POINT (0 0)"), P("LINESTRING (0 0, 1 1)")])
+
+
+def test_explain_validity_and_make_valid():
+    assert validation.explain_validity(P("POINT (0 0)")) == "Valid Geometry"
+    assert validation.explain_validity(None) == "Null geometry"
+    # CW shell with reversed hole orientation: repairable by reorientation
+    bad = P("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+    fixed = validation.make_valid(bad)
+    from engine.geo import predicates
+
+    assert predicates.is_valid(fixed)
+
+
+def test_vectorized_point_wkb():
+    x = np.array([1.0, 2.5, -3.25])
+    y = np.array([4.0, -5.5, 6.125])
+    buf = wkb.points_to_wkb_np(x, y)
+    assert buf.shape == (3, 21)
+    # row 0 must equal the scalar encoder's bytes
+    assert buf[0].tobytes() == wkb.to_wkb(P("POINT (1 4)"))
+    bx, by = wkb.points_from_wkb_np(buf)
+    assert np.array_equal(bx, x) and np.array_equal(by, y)
