@@ -213,6 +213,16 @@ def _q_tile_clip_area(sf_dir):
     )
 
 
+def _q_tile_mosaics(sf_dir):
+    """Per-(poly, tile) raster mosaic materialization (north_rule);
+    metadata columns oracle-checked (grid dims derive from counts)."""
+    from engine.rayds.mosaic import tile_mosaics
+
+    return tile_mosaics(sf_dir).select_columns(
+        ["poly_id", "tile_id", "n_images", "mosaic_w", "mosaic_h"]
+    )
+
+
 # -------------------------------------------------------------- text queries
 def _docs(sf_dir):
     import ray.data
@@ -363,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layer_measures": _q_layer_measures,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
+        "tile_mosaics": _q_tile_mosaics,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "affine_bounds": _q_affine_bounds,
         "tile_clip_area": _q_tile_clip_area,
@@ -449,6 +460,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE i.x >= l.xmin AND i.x <= l.xmax
                   AND i.y >= l.ymin AND i.y <= l.ymax
             )
+        """,
+        "tile_mosaics": f"""
+            WITH {_IMGS}, {_LAYER},
+            counts AS (
+                SELECT poly_id, {_TILE} AS tile_id, count(*) AS n_images
+                FROM imgs JOIN layer ON {_COVERS}
+                GROUP BY 1, 2
+            )
+            SELECT poly_id, tile_id, n_images,
+                   CAST(least(8, CAST(ceil(sqrt(n_images)) AS BIGINT)) * 8 AS INTEGER) AS mosaic_w,
+                   CAST(least(8, CAST(ceil(sqrt(n_images)) AS BIGINT)) * 8 AS INTEGER) AS mosaic_h
+            FROM counts
         """,
         "wkb_roundtrip": f"""
             WITH {_IMGS}

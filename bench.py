@@ -142,6 +142,40 @@ def run_headline(sf_dir: str, mult: int) -> dict:
             "rows_per_sec": in_rows / best}
 
 
+def run_skew(rows: int = 4_000_000) -> dict:
+    """Skew ladder: 80% of rows share ONE hot key (hot cell).
+
+    naive   — ray groupby.count() on raw rows: the hot key's rows all
+              land on one reducer (the straggler the north rule warns
+              about);
+    combiner— per-block partial count + tree reduce (engine default);
+    salted  — two-round salted groupby (hot key split across reducers
+              before the merge).
+    """
+    import numpy as np
+    import ray.data
+
+    from engine.rayds import shuffle
+
+    rng = np.random.default_rng(11)
+    keys = np.where(rng.random(rows) < 0.8, 0, rng.integers(1, 1000, rows)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(64).materialize()
+    out = {}
+    t0 = time.perf_counter()
+    n1 = ds.groupby("k").count().count()
+    out["naive_groupby_secs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n2 = shuffle.grouped_count(ds, ["k"]).count()
+    out["combiner_tree_secs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n3 = shuffle.salted_grouped_count(ds, ["k"], salt=16).count()
+    out["salted_secs"] = round(time.perf_counter() - t0, 3)
+    assert n1 == n2 == n3, (n1, n2, n3)
+    out["groups"] = n1
+    out["rows"] = rows
+    return out
+
+
 def run_queries(sf_dir: str) -> dict:
     import ray.data
 
@@ -191,6 +225,13 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
+    if "--skew" in sys.argv:
+        try:
+            print(json.dumps({"metric": "skew_ladder", "unit": "sec",
+                              "num_cpus": NUM_CPUS, **run_skew()}))
+        finally:
+            ray.shutdown()
+        return
     try:
         head = run_headline(SF_DIR, MULT)
         queries = {} if headline_only else run_queries(SF_DIR)

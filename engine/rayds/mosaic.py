@@ -1,0 +1,71 @@
+"""Per-cell raster tile materialization (north_rule: "raster tiles are
+materialized per cell").
+
+Pipeline: join pairs (carrying the image payload) → groupby
+(poly_id, tile_id) → `map_groups` mosaic builder — each tile renders an
+8×8-per-image grid mosaic PNG from its member images' decoded pixels,
+plus membership metadata.  Wide `bytes` columns enter ONLY here, after
+the narrow join decided membership (SURVEY §7 "Wide rows"): the payload
+is attached by re-deriving from image_id (deterministic synth), exactly
+how a production pipeline would re-join bytes by key at the edge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.img import codec
+from engine.rayds.imagetab import TILE_N, Layer
+
+
+def _mosaic_group(group: pa.Table) -> pa.Table:
+    """One (poly_id, tile_id) group → one mosaic row.
+
+    Mosaic = k×k grid (k = ceil(sqrt(n)), capped 8) of 8×8 mean-color
+    patches, PNG-encoded.  Deterministic: members sorted by image_id."""
+    ids = sorted(group["image_id"].to_pylist())
+    poly_id = int(group["poly_id"][0].as_py())
+    tile_id = int(group["tile_id"][0].as_py())
+    k = min(8, int(np.ceil(np.sqrt(len(ids)))))
+    cells = k * k
+    patch = 8
+    mosaic = np.zeros((k * patch, k * patch, 3), dtype=np.uint8)
+    for i, iid in enumerate(ids[:cells]):
+        img = codec.synth_image(iid, 16, 16)  # payload re-derived by key
+        mean = img.reshape(-1, 3).mean(axis=0).astype(np.uint8)
+        r, c = divmod(i, k)
+        mosaic[r * patch : (r + 1) * patch, c * patch : (c + 1) * patch] = mean
+    png = codec.png_encode(mosaic)
+    return pa.table(
+        {
+            "poly_id": pa.array([poly_id], type=pa.int64()),
+            "tile_id": pa.array([tile_id], type=pa.int64()),
+            "n_images": pa.array([len(ids)], type=pa.int64()),
+            "mosaic_png": pa.array([png], type=pa.binary()),
+            "mosaic_w": pa.array([k * patch], type=pa.int32()),
+            "mosaic_h": pa.array([k * patch], type=pa.int32()),
+        }
+    )
+
+
+def tile_mosaics(sf_dir: str, layer: Layer | None = None):
+    """Lazy Dataset of one mosaic per (poly_id, tile_id)."""
+    from engine.rayds import pipeline
+
+    tiles = pipeline.tiles_dataset(sf_dir, layer=layer).select_columns(
+        ["image_id", "poly_id", "tile_id"]
+    )
+    return tiles.groupby(["poly_id", "tile_id"]).map_groups(
+        _mosaic_group, batch_format="pyarrow"
+    )
+
+
+def write_tile_mosaics(sf_dir: str, out_dir: str) -> int:
+    """Materialize mosaics as parquet partitioned by poly_id (resumable
+    layout: one directory per polygon)."""
+    ds = tile_mosaics(sf_dir)
+    ds.write_parquet(out_dir, partition_cols=["poly_id"])
+    import os
+
+    return sum(len(files) for _, _, files in os.walk(out_dir))

@@ -209,3 +209,26 @@ def test_payload_validate_psnr(ray_ready):
     rows = validate_dataset(SF).limit(64).take_all()
     assert len(rows) == 64
     assert all(r["psnr_ok"] for r in rows)
+
+
+def test_tile_mosaics(ray_ready, tmp_path):
+    from engine.img import codec
+    from engine.rayds import mosaic, pipeline
+
+    rows = mosaic.tile_mosaics(SF).take_all()
+    # one mosaic per (poly, tile) group present in the tile counts
+    counts = pipeline.tile_counts(SF).take_all()
+    assert len(rows) == len(counts)
+    want = {(int(r["poly_id"]), int(r["tile_id"])): int(r["n_images"]) for r in counts}
+    for r in rows[:20]:
+        assert want[(int(r["poly_id"]), int(r["tile_id"]))] == int(r["n_images"])
+        img = codec.png_decode(r["mosaic_png"])
+        assert img.shape == (r["mosaic_h"], r["mosaic_w"], 3)
+    # deterministic across runs
+    again = mosaic.tile_mosaics(SF).take_all()
+    a = {(r["poly_id"], r["tile_id"]): r["mosaic_png"] for r in rows}
+    b = {(r["poly_id"], r["tile_id"]): r["mosaic_png"] for r in again}
+    assert a == b
+    # partitioned write
+    n = mosaic.write_tile_mosaics(SF, str(tmp_path / "mosaics"))
+    assert n > 0
