@@ -1,0 +1,353 @@
+"""Linework operations (reference constructive.py: node:850,
+polygonize:884, polygonize_full:939, build_area:654, snap:1171,
+minimum_clearance_line:758, minimum_width:1434; linear.py
+shared_paths:172).
+
+polygonize follows the GEOS Polygonizer model: node the linework, build
+the planar graph, extract minimal rings by always taking the most
+clockwise outgoing edge (left-hand traversal), keep CCW faces (the
+bounded ones), then nest holes for build_area.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.geo import core
+from engine.geo.geom import Geom, GeomType
+
+
+def _all_segments(geoms) -> np.ndarray:
+    from engine.geo.relate import Decomp
+
+    segs = []
+    for g in geoms:
+        if g is None:
+            continue
+        d = Decomp(g)
+        if len(d.segs):
+            segs.append(d.segs)
+    return np.vstack(segs) if segs else np.empty((0, 4))
+
+
+def node(geometry):
+    """constructive.py:850 — split all segments at every intersection,
+    dedupe, return MULTILINESTRING of the noded pieces."""
+    geoms = [geometry] if isinstance(geometry, Geom) else list(geometry)
+    segs = _all_segments(geoms)
+    return _node_segs(segs)
+
+
+def _node_segs(segs: np.ndarray) -> Geom:
+    pieces = _noded_pieces(segs)
+    if not pieces:
+        return Geom.empty(GeomType.MULTILINESTRING)
+    parts = [Geom.linestring(np.array(p)) for p in pieces]
+    return Geom(GeomType.MULTILINESTRING, parts=parts)
+
+
+def _noded_pieces(segs: np.ndarray) -> list[tuple]:
+    """Unique noded (p, q) pieces from raw segments."""
+    out = set()
+    for i in range(len(segs)):
+        p = segs[i, :2]
+        q = segs[i, 2:]
+        if np.array_equal(p, q):
+            continue
+        others = np.delete(segs, i, axis=0)
+        cuts = core.seg_cut_params(p, q, others)
+        ts = np.unique(np.concatenate([[0.0, 1.0], cuts]))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            a = p + t0 * (q - p)
+            b = p + t1 * (q - p)
+            key = (tuple(np.round(a, 12)), tuple(np.round(b, 12)))
+            rkey = (key[1], key[0])
+            if rkey in out:
+                continue
+            out.add(key)
+    return sorted(out)
+
+
+def _minimal_rings(pieces) -> list[np.ndarray]:
+    """Planar face walk: every directed edge belongs to exactly one face;
+    from incoming (u→v) continue with the neighbor immediately CLOCKWISE
+    of the reverse edge in v's angular order.  Bounded faces come out
+    with positive signed area; the single unbounded face is negative and
+    is dropped."""
+    adj: dict[tuple, list[tuple]] = {}
+    for a, b in pieces:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ang_index: dict[tuple, dict[tuple, int]] = {}
+    for v, ns in adj.items():
+        uniq = sorted(set(ns), key=lambda w: np.arctan2(w[1] - v[1], w[0] - v[0]))
+        adj[v] = uniq
+        ang_index[v] = {w: i for i, w in enumerate(uniq)}
+    dir_edges = set()
+    for a, b in pieces:
+        dir_edges.add((a, b))
+        dir_edges.add((b, a))
+    used: set = set()
+    rings = []
+    max_steps = 4 * len(dir_edges) + 8
+    for e0 in sorted(dir_edges):
+        if e0 in used:
+            continue
+        ring = []
+        e = e0
+        for _ in range(max_steps):
+            used.add(e)
+            u, v = e
+            ring.append(u)
+            ns = adj[v]
+            i = ang_index[v][u]
+            w = ns[(i - 1) % len(ns)]
+            e = (v, w)
+            if e == e0:
+                break
+        else:
+            continue  # open walk (shouldn't happen on a closed graph)
+        if len(ring) < 3:
+            continue
+        arr = np.vstack([ring, ring[:1]])
+        if core.ring_signed_area(arr) > 1e-15:
+            rings.append(arr)
+    return rings
+
+
+def polygonize(geometries):
+    """constructive.py:884 — GEOMETRYCOLLECTION of polygons formed by
+    the (noded) linework's minimal rings."""
+    geoms = [geometries] if isinstance(geometries, Geom) else [g for g in geometries]
+    segs = _all_segments(geoms)
+    pieces = _noded_pieces(segs)
+    rings = _minimal_rings(pieces)
+    polys = _nest_rings(rings)
+    return Geom(GeomType.GEOMETRYCOLLECTION, parts=polys)
+
+
+def _nest_rings(rings: list[np.ndarray]) -> list[Geom]:
+    """Assign each ring as shell or hole of its smallest container."""
+    polys = []
+    order = np.argsort([-abs(core.ring_signed_area(r)) for r in rings])
+    shells: list[list[np.ndarray]] = []
+    for i in order:
+        r = rings[i]
+        placed = False
+        cx, cy = r[:-1].mean(axis=0)
+        for s in shells:
+            if core.point_in_rings(cx, cy, [s[0]]) == 2:
+                # inside an existing shell: check not inside one of its holes
+                if all(core.point_in_rings(cx, cy, [h]) != 2 for h in s[1:]):
+                    s.append(r)
+                    placed = True
+                    break
+        if not placed:
+            shells.append([r])
+    for s in shells:
+        polys.append(Geom(GeomType.POLYGON, rings=s))
+    return polys
+
+
+def polygonize_full(geometries):
+    """constructive.py:939 — (polygons, cut_edges, dangles, invalid).
+
+    Dangles = noded pieces not part of any ring; cut edges = pieces
+    whose both endpoints touch rings but the piece itself is unused."""
+    geoms = [geometries] if isinstance(geometries, Geom) else [g for g in geometries]
+    segs = _all_segments(geoms)
+    pieces = _noded_pieces(segs)
+    rings = _minimal_rings(pieces)
+    ring_edges = set()
+    for r in rings:
+        for k in range(len(r) - 1):
+            e = (tuple(np.round(r[k], 12)), tuple(np.round(r[k + 1], 12)))
+            ring_edges.add(e)
+            ring_edges.add((e[1], e[0]))
+    ring_verts = {v for e in ring_edges for v in e}
+    dangles, cuts = [], []
+    for a, b in pieces:
+        if (a, b) in ring_edges:
+            continue
+        if a in ring_verts and b in ring_verts:
+            cuts.append(Geom.linestring(np.array([a, b])))
+        else:
+            dangles.append(Geom.linestring(np.array([a, b])))
+    polys = _nest_rings(rings)
+
+    def ml(parts):
+        return Geom(GeomType.MULTILINESTRING, parts=parts) if parts else Geom.empty(
+            GeomType.MULTILINESTRING
+        )
+
+    return (
+        Geom(GeomType.GEOMETRYCOLLECTION, parts=polys),
+        ml(cuts),
+        ml(dangles),
+        Geom.empty(GeomType.GEOMETRYCOLLECTION),
+    )
+
+
+def build_area(geometry):
+    """constructive.py:654 — areal geometry from a collection's linework
+    (polygonize + hole nesting; adjacent shells kept separate)."""
+    coll = polygonize(geometry)
+    parts = coll.parts
+    if not parts:
+        return Geom.empty(GeomType.POLYGON)
+    if len(parts) == 1:
+        return parts[0]
+    return Geom(GeomType.MULTIPOLYGON, parts=parts)
+
+
+def snap(geometry, reference, tolerance):
+    """constructive.py:1171 — move vertices of ``geometry`` onto nearby
+    vertices (preferred) or segments of ``reference`` within tolerance."""
+    from engine.geo.coordinates import get_coordinates, set_coordinates
+    from engine.geo.relate import Decomp
+
+    def one(g, ref):
+        if g is None or ref is None:
+            return None
+        dref = Decomp(ref)
+        rv = dref.vertices
+        segs = dref.segs
+        c = get_coordinates(g).copy()
+        for i in range(len(c)):
+            x, y = c[i]
+            if len(rv):
+                d2 = (rv[:, 0] - x) ** 2 + (rv[:, 1] - y) ** 2
+                j = int(np.argmin(d2))
+                if d2[j] <= tolerance * tolerance:
+                    c[i] = rv[j]
+                    continue
+            if len(segs):
+                d2 = core.point_seg_dist2(
+                    x, y, segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+                )
+                j = int(np.argmin(d2))
+                if d2[j] <= tolerance * tolerance:
+                    a = segs[j, :2]
+                    b = segs[j, 2:]
+                    ab = b - a
+                    t = float(np.clip(((np.array([x, y]) - a) @ ab) / max(ab @ ab, 1e-300), 0, 1))
+                    c[i] = a + t * ab
+        return set_coordinates(g, c)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry, reference)
+    return np.array([one(g, r) for g, r in zip(geometry, reference)], dtype=object)
+
+
+def shared_paths(a, b):
+    """linear.py:172 — GEOMETRYCOLLECTION (forward MULTILINESTRING,
+    backward MULTILINESTRING) of collinear overlapping pieces."""
+    from engine.geo.relate import Decomp
+
+    da, db = Decomp(a), Decomp(b)
+    fwd, bwd = [], []
+    for sa in da.segs:
+        p, q = sa[:2], sa[2:]
+        r = q - p
+        len2 = r @ r
+        if len2 == 0:
+            continue
+        for sb in db.segs:
+            u, v = sb[:2], sb[2:]
+            # collinear?
+            if core.orient(p[0], p[1], q[0], q[1], u[0], u[1]) != 0:
+                continue
+            if core.orient(p[0], p[1], q[0], q[1], v[0], v[1]) != 0:
+                continue
+            tu = ((u - p) @ r) / len2
+            tv = ((v - p) @ r) / len2
+            lo, hi = min(tu, tv), max(tu, tv)
+            lo, hi = max(lo, 0.0), min(hi, 1.0)
+            if hi - lo <= 1e-12:
+                continue
+            seg = np.array([p + lo * r, p + hi * r])
+            if tv >= tu:
+                fwd.append(Geom.linestring(seg))
+            else:
+                bwd.append(Geom.linestring(seg))
+
+    def ml(parts):
+        return Geom(GeomType.MULTILINESTRING, parts=parts) if parts else Geom.empty(
+            GeomType.MULTILINESTRING
+        )
+
+    return Geom(GeomType.GEOMETRYCOLLECTION, parts=[ml(fwd), ml(bwd)])
+
+
+def minimum_clearance_line(geometry):
+    """constructive.py:758 — the two-point LINESTRING achieving the
+    minimum clearance."""
+    from engine.geo.relate import Decomp
+
+    g = geometry
+    if g is None:
+        return None
+    d = Decomp(g)
+    vs = d.vertices
+    segs = d.segs
+    best = (np.inf, None)
+    if len(vs) >= 2:
+        d2 = (vs[:, None, 0] - vs[None, :, 0]) ** 2 + (vs[:, None, 1] - vs[None, :, 1]) ** 2
+        d2[d2 == 0] = np.inf
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        if d2[i, j] < best[0]:
+            best = (d2[i, j], np.array([vs[i], vs[j]]))
+    if len(segs) and len(vs):
+        d2 = core.point_seg_dist2(
+            vs[:, None, 0], vs[:, None, 1],
+            segs[None, :, 0], segs[None, :, 1], segs[None, :, 2], segs[None, :, 3],
+        )
+        incident = (
+            ((vs[:, None, 0] == segs[None, :, 0]) & (vs[:, None, 1] == segs[None, :, 1]))
+            | ((vs[:, None, 0] == segs[None, :, 2]) & (vs[:, None, 1] == segs[None, :, 3]))
+        )
+        d2 = np.where(incident, np.inf, d2)
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        if d2[i, j] < best[0]:
+            a = segs[j, :2]
+            b = segs[j, 2:]
+            ab = b - a
+            t = float(np.clip(((vs[i] - a) @ ab) / max(ab @ ab, 1e-300), 0, 1))
+            best = (d2[i, j], np.array([vs[i], a + t * ab]))
+    if best[1] is None:
+        return Geom.empty(GeomType.LINESTRING)
+    return Geom.linestring(best[1])
+
+
+def minimum_width(geometry):
+    """constructive.py:1434 — shortest LINESTRING across the geometry:
+    rotating calipers min hull width (GEOS MinimumDiameter)."""
+    from engine.geo.constructive import _hull_of_points
+    from engine.geo.relate import Decomp
+
+    g = geometry
+    if g is None:
+        return None
+    h = _hull_of_points(Decomp(g).vertices)
+    if len(h) < 2:
+        return Geom.empty(GeomType.LINESTRING)
+    if len(h) == 2:
+        return Geom.linestring(h)
+    best = (np.inf, None)
+    n = len(h)
+    for i in range(n):
+        a, b = h[i], h[(i + 1) % n]
+        ab = b - a
+        L = np.hypot(*ab)
+        if L == 0:
+            continue
+        d = np.abs(core.orient(a[0], a[1], b[0], b[1], h[:, 0], h[:, 1])) / L
+        j = int(np.argmax(d))
+        if d[j] < best[0]:
+            p = h[j]
+            t = float(((p - a) @ ab) / (L * L))
+            foot = a + np.clip(t, 0, 1) * ab
+            best = (d[j], np.array([foot, p]))
+    return Geom.linestring(best[1])

@@ -1,0 +1,304 @@
+"""Triangulation family (reference constructive.py:491
+`delaunay_triangles`, :1270 `voronoi_polygons`, :431 `concave_hull`).
+
+- Delaunay: Bowyer–Watson over the input's unique vertices (O(n²),
+  adequate for the reference's own benchmark sizes); ``only_edges``
+  returns the unique edge set as MULTILINESTRING.
+- Voronoi: per-site half-plane intersection (perpendicular bisectors
+  clipped against an envelope box) — O(n² · m) but robust; matches GEOS
+  semantics of clipping cells to an expanded envelope.
+- Concave hull: Delaunay border-edge peeling (chi-shape).  ``ratio``
+  interpolates the edge-length threshold between the min and max border
+  edge length, like GEOS ConcaveHull.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.geo import core
+from engine.geo.geom import Geom, GeomType
+
+
+def _unique_vertices(g: Geom) -> np.ndarray:
+    from engine.geo.relate import Decomp
+
+    vs = Decomp(g).vertices
+    return np.unique(vs, axis=0) if len(vs) else vs
+
+
+def _bowyer_watson(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Indices of Delaunay triangles over pts (Bowyer–Watson)."""
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle
+    cx, cy = pts.mean(axis=0)
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 10
+    sp = np.array([[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]])
+    P = np.vstack([pts, sp])
+    tris = [(n, n + 1, n + 2)]
+
+    def circum(t):
+        a, b, c = P[t[0]], P[t[1]], P[t[2]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if d == 0:
+            return (0.0, 0.0, -1.0)
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        return (ux, uy, r2)
+
+    cc = {tris[0]: circum(tris[0])}
+    for i in range(n):
+        px, py = P[i]
+        bad = []
+        for t in tris:
+            ux, uy, r2 = cc[t]
+            if r2 >= 0 and (px - ux) ** 2 + (py - uy) ** 2 <= r2 * (1 + 1e-12):
+                bad.append(t)
+        # boundary of the bad-triangle cavity
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        for t in bad:
+            tris.remove(t)
+            del cc[t]
+        for (u, v), cnt in edge_count.items():
+            if cnt == 1:
+                nt = (u, v, i)
+                tris.append(nt)
+                cc[nt] = circum(nt)
+    out = []
+    for t in tris:
+        if all(v < n for v in t):
+            out.append(t)
+    return out
+
+
+def delaunay_triangles(geometry, tolerance: float = 0.0, only_edges: bool = False):
+    """constructive.py:491."""
+
+    def one(g):
+        if g is None:
+            return None
+        pts = _unique_vertices(g)
+        if len(pts) < 3:
+            return (
+                Geom.empty(GeomType.MULTILINESTRING)
+                if only_edges
+                else Geom.empty(GeomType.GEOMETRYCOLLECTION)
+            )
+        tris = _bowyer_watson(pts)
+        if only_edges:
+            edges = set()
+            for a, b, c in tris:
+                for e in ((a, b), (b, c), (c, a)):
+                    edges.add((min(e), max(e)))
+            parts = [
+                Geom.linestring(np.array([pts[u], pts[v]])) for u, v in sorted(edges)
+            ]
+            return Geom(GeomType.MULTILINESTRING, parts=parts)
+        parts = []
+        for a, b, c in tris:
+            ring = np.array([pts[a], pts[b], pts[c], pts[a]])
+            if core.ring_signed_area(ring) < 0:
+                ring = ring[::-1]
+            parts.append(Geom(GeomType.POLYGON, rings=[ring]))
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
+def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
+                     only_edges: bool = False):
+    """constructive.py:1270 — cell per unique input point, clipped to the
+    (expanded) envelope; GEOMETRYCOLLECTION in input order."""
+    from engine.geo.set_operations import _clip_convex
+
+    def one(g):
+        if g is None:
+            return None
+        pts = _unique_vertices(g)
+        if len(pts) == 0:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        b = (
+            extend_to.bounds()
+            if isinstance(extend_to, Geom)
+            else np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
+        )
+        pad = max(b[2] - b[0], b[3] - b[1], 1.0)  # GEOS expands by ~diameter
+        xmin, ymin, xmax, ymax = b[0] - pad, b[1] - pad, b[2] + pad, b[3] + pad
+        box = np.array(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
+        )
+        cells = []
+        for i, p in enumerate(pts):
+            ring = box
+            for j, q in enumerate(pts):
+                if i == j:
+                    continue
+                # half-plane closer to p than q: clip by bisector
+                mid = (p + q) / 2
+                nvec = q - p  # points away from p
+                # build a long clip edge along the bisector, oriented so
+                # the kept side (left) contains p
+                tvec = np.array([-nvec[1], nvec[0]])
+                tlen = np.hypot(*tvec)
+                if tlen == 0:
+                    continue
+                tvec = tvec / tlen * (4 * pad + np.hypot(*(q - p)))
+                a_, b_ = mid - tvec, mid + tvec
+                if core.orient(a_[0], a_[1], b_[0], b_[1], p[0], p[1]) < 0:
+                    a_, b_ = b_, a_
+                ring = _clip_halfplane(ring, a_, b_)
+                if len(ring) == 0:
+                    break
+            if len(ring):
+                cells.append(Geom(GeomType.POLYGON, rings=[ring]))
+        if only_edges:
+            edges = set()
+            for c in cells:
+                r = c.rings[0]
+                for k in range(len(r) - 1):
+                    e = (tuple(r[k]), tuple(r[k + 1]))
+                    edges.add(tuple(sorted(e)))
+            return Geom(
+                GeomType.MULTILINESTRING,
+                parts=[Geom.linestring(np.array(e)) for e in sorted(edges)],
+            )
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=cells)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
+def _clip_halfplane(ring: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Keep the part of closed ring left of directed line a→b."""
+    pts = list(ring[:-1])
+    out = []
+    m = len(pts)
+    for k in range(m):
+        cur, nxt = pts[k], pts[(k + 1) % m]
+        d1 = core.orient(a[0], a[1], b[0], b[1], cur[0], cur[1])
+        d2 = core.orient(a[0], a[1], b[0], b[1], nxt[0], nxt[1])
+        if d1 >= 0:
+            out.append(cur)
+        if (d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0):
+            t = d1 / (d1 - d2)
+            out.append(cur + t * (nxt - cur))
+    if len(out) < 3:
+        return np.empty((0, 2))
+    return np.vstack([out, out[:1]])
+
+
+def concave_hull(geometry, ratio: float = 0.0, allow_holes: bool = False):
+    """constructive.py:431 — chi-shape: Delaunay border-edge peeling;
+    ratio=1 → convex hull, ratio=0 → shortest-edge threshold."""
+    from engine.geo.constructive import convex_hull
+
+    def one(g):
+        if g is None:
+            return None
+        pts = _unique_vertices(g)
+        if len(pts) < 4:
+            return convex_hull(g)
+        tris = set(_bowyer_watson(pts))
+
+        def border_edges(tris):
+            cnt: dict[tuple[int, int], int] = {}
+            for t in tris:
+                for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                    k = (min(e), max(e))
+                    cnt[k] = cnt.get(k, 0) + 1
+            return {e for e, c in cnt.items() if c == 1}
+
+        def elen(e):
+            return float(np.hypot(*(pts[e[0]] - pts[e[1]])))
+
+        all_lens = [elen(e) for t in tris for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
+        lmin, lmax = min(all_lens), max(all_lens)
+        threshold = lmin + ratio * (lmax - lmin)
+        changed = True
+        while changed:
+            changed = False
+            border = border_edges(tris)
+            # vertex use count (don't disconnect)
+            vcnt: dict[int, int] = {}
+            for t in tris:
+                for v in t:
+                    vcnt[v] = vcnt.get(v, 0) + 1
+            for t in sorted(tris, key=lambda t: -max(elen((t[0], t[1])), elen((t[1], t[2])), elen((t[2], t[0])))):
+                long_border = [
+                    e
+                    for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))
+                    if (min(e), max(e)) in border and elen(e) > threshold
+                ]
+                if not long_border:
+                    continue
+                # removing t must not orphan a vertex or pinch the shape:
+                # the vertex opposite the border edge must stay used
+                tris.remove(t)
+                if not _edges_form_single_ring(border_edges(tris)):
+                    tris.add(t)
+                    continue
+                changed = True
+                break
+        ring_edges = border_edges(tris)
+        ring = _edges_to_ring(ring_edges, pts)
+        if ring is None:
+            return convex_hull(g)
+        if core.ring_signed_area(ring) < 0:
+            ring = ring[::-1]
+        return Geom(GeomType.POLYGON, rings=[ring])
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
+def _edges_form_single_ring(edges) -> bool:
+    if not edges:
+        return False
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    if any(len(vs) != 2 for vs in adj.values()):
+        return False
+    # connected?
+    start = next(iter(adj))
+    seen = {start}
+    stack = [start]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return len(seen) == len(adj)
+
+
+def _edges_to_ring(edges, pts) -> np.ndarray | None:
+    if not _edges_form_single_ring(edges):
+        return None
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    start = next(iter(adj))
+    path = [start]
+    prev = None
+    cur = start
+    while True:
+        nxt = adj[cur][0] if adj[cur][0] != prev else adj[cur][1]
+        if nxt == start:
+            break
+        path.append(nxt)
+        prev, cur = cur, nxt
+    return np.vstack([pts[path], pts[path[:1]]])

@@ -1,0 +1,143 @@
+"""Delaunay / Voronoi / concave hull / node / polygonize / build_area /
+snap / shared_paths / minimum_clearance_line / minimum_width — expected
+behaviors from the reference docstrings (constructive.py, linear.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from engine.geo import linework, measure, predicates as pred, triangulate
+from engine.geo.geom import Geom, GeomType, from_wkt, to_wkt
+
+P = from_wkt
+
+
+def test_delaunay_square():
+    g = P("MULTIPOINT ((0 0), (1 0), (1 1), (0 1))")
+    tris = triangulate.delaunay_triangles(g)
+    assert tris.type_id == GeomType.GEOMETRYCOLLECTION
+    assert len(tris.parts) == 2
+    assert sum(measure.area(p) for p in tris.parts) == pytest.approx(1.0)
+    edges = triangulate.delaunay_triangles(g, only_edges=True)
+    assert edges.type_id == GeomType.MULTILINESTRING
+    assert len(edges.parts) == 5  # 4 sides + 1 diagonal
+
+
+def test_delaunay_empty_condition():
+    assert triangulate.delaunay_triangles(P("MULTIPOINT ((0 0), (1 1))")).is_empty
+
+
+def test_delaunay_circumcircle_property():
+    rng = np.random.default_rng(2)
+    pts = rng.random((25, 2)) * 10
+    g = Geom(GeomType.MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts])
+    tris = triangulate.delaunay_triangles(g)
+    # no input point strictly inside any triangle's circumcircle
+    for t in tris.parts:
+        r = t.rings[0]
+        (ax, ay), (bx, by), (cx, cy) = r[0], r[1], r[2]
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        assert (d2 >= r2 * (1 - 1e-9)).all()
+
+
+def test_voronoi_partition():
+    g = P("MULTIPOINT ((2 2), (4 2), (3 4))")
+    cells = triangulate.voronoi_polygons(g)
+    assert len(cells.parts) == 3
+    # each input point inside its own cell; cells tile (disjoint interiors)
+    pts = [(2, 2), (4, 2), (3, 4)]
+    owners = []
+    for x, y in pts:
+        inside = [i for i, c in enumerate(cells.parts) if pred.contains(c, Geom.point(x, y))]
+        assert len(inside) == 1
+        owners.append(inside[0])
+    assert len(set(owners)) == 3
+    # every cell boundary point is equidistant-or-closer to its site
+    for i, c in enumerate(cells.parts):
+        cx, cy = pts[owners.index(i)] if False else pts[[o for o in range(3) if owners[o] == i][0]]
+        r = c.rings[0]
+        for vx, vy in r[:-1]:
+            d_own = (vx - cx) ** 2 + (vy - cy) ** 2
+            for ox, oy in pts:
+                assert d_own <= (vx - ox) ** 2 + (vy - oy) ** 2 + 1e-6
+
+
+def test_concave_hull_contains_points_and_shrinks():
+    rng = np.random.default_rng(4)
+    pts = np.vstack([rng.random((30, 2)) * np.array([10, 2]),
+                     rng.random((30, 2)) * np.array([2, 10])])  # L shape
+    g = Geom(GeomType.MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts])
+    from engine.geo.constructive import convex_hull
+
+    ch = convex_hull(g)
+    cc = triangulate.concave_hull(g, ratio=0.3)
+    assert cc.type_id == GeomType.POLYGON
+    assert measure.area(cc) <= measure.area(ch) + 1e-9
+    for x, y in pts:
+        assert pred.covers(cc, Geom.point(x, y))
+
+
+def test_node_splits_at_crossing():
+    g = P("MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))")
+    noded = linework.node(g)
+    assert noded.type_id == GeomType.MULTILINESTRING
+    assert len(noded.parts) == 4  # X split into 4 half-diagonals
+
+
+def test_polygonize_square_and_dangle():
+    # constructive.py polygonize docstring pattern
+    lines = [
+        P("LINESTRING (0 0, 1 1)"),
+        P("LINESTRING (0 0, 0 1)"),
+        P("LINESTRING (0 1, 1 1)"),
+    ]
+    coll = linework.polygonize(lines)
+    assert len(coll.parts) == 1
+    assert measure.area(coll.parts[0]) == pytest.approx(0.5)
+    polys, cuts, dangles, invalid = linework.polygonize_full(
+        lines + [P("LINESTRING (5 5, 6 6)")]
+    )
+    assert len(polys.parts) == 1
+    assert len(dangles.parts) == 1
+    assert invalid.is_empty
+
+
+def test_polygonize_nested_hole():
+    outer = P("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
+    inner = P("LINESTRING (2 2, 4 2, 4 4, 2 4, 2 2)")
+    area = linework.build_area([outer, inner])
+    # build_area nests the inner ring as a hole (constructive.py:654)
+    assert measure.area(area) == pytest.approx(100 - 4)
+
+
+def test_snap():
+    g = P("LINESTRING (0.1 0.1, 5 5)")
+    ref = P("POINT (0 0)")
+    s = linework.snap(g, ref, 0.5)
+    assert to_wkt(s) == "LINESTRING (0 0, 5 5)"
+    far = linework.snap(g, ref, 0.05)
+    assert to_wkt(far) == to_wkt(g)
+
+
+def test_shared_paths():
+    a = P("LINESTRING (0 0, 10 0)")
+    b = P("LINESTRING (2 0, 6 0)")
+    res = linework.shared_paths(a, b)
+    fwd, bwd = res.parts
+    assert len(fwd.parts) == 1 and bwd.is_empty
+    assert to_wkt(fwd.parts[0]) == "LINESTRING (2 0, 6 0)"
+    rev = linework.shared_paths(a, P("LINESTRING (6 0, 2 0)"))
+    assert rev.parts[0].is_empty and len(rev.parts[1].parts) == 1
+
+
+def test_minimum_clearance_line_and_width():
+    g = P("POLYGON ((0 0, 0 10, 5 6, 10 10, 10 0, 5 4, 0 0))")
+    line = linework.minimum_clearance_line(g)
+    assert measure.length(line) == pytest.approx(2.0)
+    w = linework.minimum_width(P("POLYGON ((0 0, 10 0, 10 3, 0 3, 0 0))"))
+    assert measure.length(w) == pytest.approx(3.0)
