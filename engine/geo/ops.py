@@ -1,0 +1,257 @@
+"""shapely.ops equivalents + remaining structural accessors.
+
+split (ops.py:311-506: polygon-by-line via boundary∪splitter →
+polygonize → representative-point filter :320-332; line-by-line via
+noding), nearest_points (ops.py), transform (ops.py:216 — delegates to
+coordinates.transform), plus _geometry.py accessors: get_point:400,
+get_num_points:445, get_geometry:595, get_segments:1020,
+set_precision:868 / get_precision:824, force_2d:952 (identity — the
+engine is 2-D throughout, geometry/base.py:1-7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.geo import core, predicates
+from engine.geo.coordinates import transform  # noqa: F401  (ops.transform)
+from engine.geo.geom import Geom, GeomType
+from engine.geo.linear import substring  # noqa: F401
+
+
+def split(geometry: Geom, splitter: Geom) -> Geom:
+    """ops.py:311 — GEOMETRYCOLLECTION of the split parts."""
+    from engine.geo.constructive import boundary
+    from engine.geo.linework import _noded_pieces, polygonize
+    from engine.geo.relate import Decomp
+
+    t = geometry.type_id
+    if t == GeomType.POLYGON and splitter.type_id in (
+        GeomType.LINESTRING,
+        GeomType.MULTILINESTRING,
+    ):
+        # polygonize(boundary ∪ splitter), keep faces whose representative
+        # point lies in the original polygon (ops.py:320-332)
+        union_lines = [boundary(geometry), splitter]
+        faces = polygonize(union_lines)
+        keep = [
+            p
+            for p in faces.parts
+            if predicates.contains(geometry, _rep_point(p))
+        ]
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=keep)
+    if t == GeomType.LINESTRING:
+        # split line at intersection points with the splitter (ops.py:350)
+        d_split = Decomp(splitter)
+        c = geometry.coords
+        out_parts = []
+        cur = [c[0]]
+        for i in range(len(c) - 1):
+            p, q = c[i], c[i + 1]
+            cuts = core.seg_cut_params(p, q, d_split.segs) if len(d_split.segs) else np.empty(0)
+            if len(d_split.pts):
+                on = core.on_segment(
+                    d_split.pts[:, 0], d_split.pts[:, 1], p[0], p[1], q[0], q[1]
+                )
+                if on.any():
+                    r = q - p
+                    len2 = float(r @ r)
+                    tt = ((d_split.pts[on] - p) @ r) / max(len2, 1e-300)
+                    cuts = np.concatenate([cuts, np.clip(tt, 0, 1)])
+            for tcut in np.unique(cuts):
+                if tcut <= 1e-12 or tcut >= 1 - 1e-12:
+                    continue
+                pt = p + tcut * (q - p)
+                cur.append(pt)
+                out_parts.append(np.vstack(cur))
+                cur = [pt]
+            cur.append(q)
+        out_parts.append(np.vstack(cur))
+        parts = [Geom.linestring(seg) for seg in out_parts if len(seg) >= 2]
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
+    raise NotImplementedError(f"split({t}, {splitter.type_id})")
+
+
+def _rep_point(p: Geom) -> Geom:
+    x, y = p.representative_point()
+    return Geom.point(x, y)
+
+
+def nearest_points(a: Geom, b: Geom) -> tuple[Geom, Geom]:
+    """ops.py nearest_points — endpoints of the shortest connecting line."""
+    from engine.geo.linear import shortest_line
+
+    line = shortest_line(a, b)
+    if line is None:
+        raise ValueError("nearest_points on None")
+    return (
+        Geom.point(line.coords[0, 0], line.coords[0, 1]),
+        Geom.point(line.coords[1, 0], line.coords[1, 1]),
+    )
+
+
+# ------------------------------------------------------ structural accessors
+def get_point(line, index):
+    """_geometry.py:400 — nth vertex of a linestring (None out of range)."""
+
+    def one(g, i):
+        if g is None or g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING):
+            return None
+        n = len(g.coords)
+        if i < -n or i >= n:
+            return None
+        return Geom.point(g.coords[i, 0], g.coords[i, 1])
+
+    if isinstance(line, Geom) or line is None:
+        return one(line, index)
+    return np.array([one(g, index) for g in line], dtype=object)
+
+
+def get_num_points(line):
+    """_geometry.py:445 — vertex count of linestrings (0 otherwise)."""
+
+    def one(g):
+        if g is None or g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING):
+            return 0
+        return len(g.coords)
+
+    if isinstance(line, Geom) or line is None:
+        return one(line)
+    return np.array([one(g) for g in line], dtype=np.int64)
+
+
+def get_geometry(geometry, index):
+    """_geometry.py:595 — nth part of a collection (the geometry itself
+    for simple types at index 0/-1)."""
+
+    def one(g, i):
+        if g is None:
+            return None
+        parts = g.parts if g.parts else ([g] if not g.is_empty else [])
+        n = len(parts)
+        if i < -n or i >= n:
+            return None
+        return parts[i]
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry, index)
+    return np.array([one(g, index) for g in geometry], dtype=object)
+
+
+def get_segments(geometry):
+    """_geometry.py:1020 (new in 2.2) — per-segment two-point
+    linestrings of the line parts."""
+    from engine.geo.relate import Decomp
+
+    def one(g):
+        if g is None:
+            return np.array([], dtype=object)
+        segs = Decomp(g).line_segs
+        return np.array(
+            [Geom.linestring(np.array([s[:2], s[2:]])) for s in segs], dtype=object
+        )
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.concatenate([one(g) for g in geometry])
+
+
+def force_2d(geometry):
+    """_geometry.py:952 — identity: the engine is strictly 2-D."""
+    return geometry
+
+
+def set_precision(geometry, grid_size: float, mode: str = "valid_output"):
+    """_geometry.py:868 — snap coordinates to the grid; collapsed
+    segments removed (pointwise mode keeps them)."""
+    from engine.geo.constructive import remove_repeated_points
+    from engine.geo.coordinates import get_coordinates, set_coordinates
+
+    def one(g):
+        if g is None:
+            return None
+        if grid_size == 0:
+            return g
+        c = get_coordinates(g)
+        snapped = np.round(c / grid_size) * grid_size
+        out = set_coordinates(g, snapped)
+        if mode != "pointwise":
+            out = remove_repeated_points(out, 0.0)
+        out._precision = grid_size  # noqa: SLF001 (engine-side metadata)
+        return out
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
+def get_precision(geometry):
+    """_geometry.py:824."""
+
+    def one(g):
+        if g is None:
+            return np.nan
+        return float(getattr(g, "_precision", 0.0))
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry])
+
+
+def maximum_inscribed_circle(geometry, tolerance: float | None = None):
+    """constructive.py:1473 — two-point LINESTRING (center → nearest
+    boundary point).  Grid-refinement search (GEOS uses the same
+    successive-refinement idea); tolerance defaults to diameter/1000."""
+    from engine.geo.relate import Decomp
+
+    g = geometry
+    if g is None or g.is_empty:
+        return None if g is None else Geom.empty(GeomType.LINESTRING)
+    d = Decomp(g)
+    segs = d.segs
+    b = g.bounds()
+    tol = tolerance or max(b[2] - b[0], b[3] - b[1]) / 1000.0
+
+    def boundary_dist(xs, ys):
+        d2 = core.point_seg_dist2(
+            xs[:, None], ys[:, None],
+            segs[None, :, 0], segs[None, :, 1], segs[None, :, 2], segs[None, :, 3],
+        ).min(axis=1)
+        return np.sqrt(d2)
+
+    # coarse seed grid, keep interior points only
+    n = 24
+    xs, ys = np.meshgrid(np.linspace(b[0], b[2], n), np.linspace(b[1], b[3], n))
+    xs, ys = xs.reshape(-1), ys.reshape(-1)
+    inside = np.array(
+        [core.point_in_rings(x, y, d.polys[0]) == 2 for x, y in zip(xs, ys)]
+    )
+    if not inside.any():
+        x0, y0 = g.representative_point()
+        best = (np.array([x0]), np.array([y0]))
+    else:
+        best = (xs[inside], ys[inside])
+    bx, by = best
+    dist = boundary_dist(bx, by)
+    i = int(np.argmax(dist))
+    cx, cy, r = bx[i], by[i], dist[i]
+    step = max(b[2] - b[0], b[3] - b[1]) / n
+    while step > tol:
+        step /= 2
+        gx, gy = np.meshgrid(cx + np.linspace(-step, step, 5), cy + np.linspace(-step, step, 5))
+        gx, gy = gx.reshape(-1), gy.reshape(-1)
+        ok = np.array([core.point_in_rings(x, y, d.polys[0]) == 2 for x, y in zip(gx, gy)])
+        if not ok.any():
+            continue
+        dd = boundary_dist(gx[ok], gy[ok])
+        j = int(np.argmax(dd))
+        if dd[j] > r:
+            cx, cy, r = gx[ok][j], gy[ok][j], dd[j]
+    # nearest boundary point from the center
+    d2 = core.point_seg_dist2(cx, cy, segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+    k = int(np.argmin(d2))
+    a, bseg = segs[k, :2], segs[k, 2:]
+    ab = bseg - a
+    t = float(np.clip(((np.array([cx, cy]) - a) @ ab) / max(ab @ ab, 1e-300), 0, 1))
+    nb = a + t * ab
+    return Geom.linestring(np.array([[cx, cy], nb]))
