@@ -77,21 +77,45 @@ def _merge_topk(k: int):
 
 
 def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-                exclude_self: bool = True, concurrency=(1, 8)):
-    """Dataset pipeline: brute-force cosine top-k (the ANN baseline)."""
+                exclude_self: bool = True, concurrency=None):
+    """Dataset pipeline: brute-force cosine top-k (the ANN baseline).
+
+    Task-based with a per-worker cached (unit-normalized) query matrix —
+    prepared-state semantics without actor-pool spawn cost; pass
+    ``concurrency`` to force the explicit actor-pool form instead."""
     import ray
 
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    idref = ray.put(np.asarray(query_ids, dtype=np.int64))
-    local = ds.map_batches(
-        TopKScorer,
-        fn_constructor_kwargs={"queries_ref": qref, "query_ids_ref": idref,
-                               "k": k + (1 if exclude_self else 0)},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4096,
-        concurrency=concurrency,
-    )
+    kk = k + (1 if exclude_self else 0)
+    if concurrency is not None:
+        qref = ray.put(np.asarray(queries, dtype=np.float64))
+        idref = ray.put(np.asarray(query_ids, dtype=np.int64))
+        local = ds.map_batches(
+            TopKScorer,
+            fn_constructor_kwargs={"queries_ref": qref, "query_ids_ref": idref,
+                                   "k": kk},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+    else:
+        from engine.rayds.bcast import cached
+
+        bundle = ray.put(
+            (np.asarray(queries, dtype=np.float64),
+             np.asarray(query_ids, dtype=np.int64), kk)
+        )
+
+        def build_scorer(b):
+            q, ids, kk_ = b
+            return TopKScorer(q, ids, kk_)
+
+        def score(batch):
+            return cached(bundle, build_scorer)(batch)
+
+        local = ds.map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+        )
     if exclude_self:
         import pyarrow.compute as pc
 

@@ -67,22 +67,43 @@ class DecodeValidate:
         ).append_column("mean_px", pa.array(mean_px))
 
 
-def payload_dataset(sf_dir: str, concurrency=(1, 8)):
-    """Full input_hint table (with bytes) as a lazy Dataset."""
+_ADD = AddPayload()
+_VALIDATE = DecodeValidate()
+
+
+def _add_payload_fn(batch: pa.Table) -> pa.Table:
+    return _ADD(batch)
+
+
+def _validate_fn(batch: pa.Table) -> pa.Table:
+    return _VALIDATE(batch)
+
+
+def payload_dataset(sf_dir: str, concurrency=None):
+    """Full input_hint table (with bytes) as a lazy Dataset.
+
+    Task-based by default (the codec is stateless; elastic task pool
+    beats a fixed actor count); pass ``concurrency`` for the actor-pool
+    form (the shape a model-loading stage would use)."""
     from engine.rayds.imagetab import image_dataset
 
+    if concurrency is not None:
+        return image_dataset(sf_dir).map_batches(
+            AddPayload, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency,
+        )
     return image_dataset(sf_dir).map_batches(
-        AddPayload,
-        batch_format="pyarrow",
-        batch_size=PAYLOAD_BATCH,
-        concurrency=concurrency,
+        _add_payload_fn, batch_format="pyarrow", batch_size=PAYLOAD_BATCH
     )
 
 
-def validate_dataset(sf_dir: str, concurrency=(1, 8)):
-    return payload_dataset(sf_dir, concurrency).map_batches(
-        DecodeValidate,
-        batch_format="pyarrow",
-        batch_size=PAYLOAD_BATCH,
-        concurrency=concurrency,
+def validate_dataset(sf_dir: str, concurrency=None):
+    base = payload_dataset(sf_dir, concurrency)
+    if concurrency is not None:
+        return base.map_batches(
+            DecodeValidate, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency,
+        )
+    return base.map_batches(
+        _validate_fn, batch_format="pyarrow", batch_size=PAYLOAD_BATCH
     )
