@@ -89,6 +89,97 @@ def _points_geom(pts: np.ndarray) -> Geom:
     return Geom(GeomType.MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts])
 
 
+def _face_interior_point(ring: np.ndarray) -> tuple[float, float]:
+    """Point just inside a CCW ring: midpoint of its longest edge offset
+    a hair to the LEFT.  Edge-local (immune to islands inside the face,
+    which representative_point is not — a face of an arrangement can
+    contain a disconnected boundary component)."""
+    d = np.diff(ring, axis=0)
+    lens = np.hypot(d[:, 0], d[:, 1])
+    k = int(np.argmax(lens))
+    mx, my = (ring[k] + ring[k + 1]) / 2.0
+    ux, uy = d[k] / lens[k]
+    eps = max(lens[k] * 1e-9, 1e-12)
+    return (mx - uy * eps, my + ux * eps)
+
+
+def _locate_in(decomp, x: float, y: float) -> bool:
+    """True iff (x, y) is in the interior of the areal geometry."""
+    from engine.geo.relate import I
+
+    return decomp.locate(x, y) == I
+
+
+def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
+    """General areal overlay via the engine's arrangement machinery:
+
+    1. node BOTH boundaries' segments (linework._noded_pieces);
+    2. planar face walk → every bounded face of the arrangement;
+    3. keep faces by (interior-point ∈ A, ∈ B) through ``keep``;
+    4. dissolve: edges used by exactly ONE kept face form the result
+       boundary; face-walk it again and classify each traced ring as
+       shell (interior point kept) or hole;
+    5. nest holes into their smallest containing shell.
+
+    This is the classical overlay-by-arrangement construction (same
+    plan GEOS' OverlayNG follows), built on the noding and face-walk
+    already powering polygonize (constructive.py:884 machinery).
+    """
+    from engine.geo.linework import _minimal_rings, _noded_pieces
+    from engine.geo.relate import Decomp
+
+    da, db = Decomp(a), Decomp(b)
+    segs = [s for s in (da.ring_segs, db.ring_segs) if len(s)]
+    if not segs:
+        return Geom.empty(GeomType.POLYGON)
+    pieces = _noded_pieces(np.vstack(segs))
+    # a noded edge bounds the result iff membership differs across it
+    border = []
+    for p, q in pieces:
+        px, py = p
+        qx, qy = q
+        L = np.hypot(qx - px, qy - py)
+        if L == 0:
+            continue
+        ux, uy = (qx - px) / L, (qy - py) / L
+        eps = max(L * 1e-9, 1e-12)
+        mx, my = (px + qx) / 2.0, (py + qy) / 2.0
+        lx, ly = mx - uy * eps, my + ux * eps  # left of p→q
+        rx, ry = mx + uy * eps, my - ux * eps
+        kl = keep(_locate_in(da, lx, ly), _locate_in(db, lx, ly))
+        kr = keep(_locate_in(da, rx, ry), _locate_in(db, rx, ry))
+        if kl != kr:
+            border.append((p, q))
+    if not border:
+        return Geom.empty(GeomType.POLYGON)
+    rings2 = _minimal_rings(border)
+    shells, holes = [], []
+    for r in rings2:
+        x, y = _face_interior_point(r)
+        if keep(_locate_in(da, x, y), _locate_in(db, x, y)):
+            shells.append(r)
+        else:
+            holes.append((r[::-1].copy(), (x, y)))  # store CW + interior pt
+    polys: list[list[np.ndarray]] = [[s] for s in shells]
+    for h, (hx, hy) in holes:
+        # smallest containing shell
+        best, best_area = None, np.inf
+        for p in polys:
+            if core.point_in_rings(hx, hy, [p[0]]) == 2:
+                ar = abs(core.ring_signed_area(p[0]))
+                if ar < best_area:
+                    best, best_area = p, ar
+        if best is not None:
+            best.append(h)
+    parts = [Geom(GeomType.POLYGON, rings=p) for p in polys]
+    if len(parts) == 1:
+        return parts[0]
+    return Geom(GeomType.MULTIPOLYGON, parts=parts)
+
+
+_AREAL = (GeomType.POLYGON, GeomType.MULTIPOLYGON)
+
+
 def _binary(fn):
     def wrapped(a, b, grid_size=None, **kw):
         arr_a = isinstance(a, (list, tuple, np.ndarray))
@@ -119,17 +210,20 @@ def intersection(a, b):
         return _points_geom(np.array(keep).reshape(-1, 2))
     if ta == GeomType.POLYGON and tb == GeomType.POLYGON:
         ra, rb = a.rings, b.rings
-        if len(rb) == 1 and _is_convex(rb[0]):
+        # fast path: Sutherland–Hodgman, correct only when the SUBJECT is
+        # convex too (concave subjects produce degenerate bridge edges)
+        if (
+            len(ra) == 1 and len(rb) == 1
+            and _is_convex(rb[0]) and _is_convex(ra[0])
+        ):
             out = _clip_convex(ra[0], rb[0])
             if len(out) == 0:
                 return Geom.empty(GeomType.POLYGON)
-            holes = [h for h in (_clip_convex(r, rb[0]) for r in ra[1:]) if len(h)]
-            return Geom(GeomType.POLYGON, rings=[out] + holes)
-        if len(ra) == 1 and _is_convex(ra[0]):
-            return intersection(b, a)
+            return Geom(GeomType.POLYGON, rings=[out])
+    if ta in _AREAL and tb in _AREAL:
+        return _polygon_overlay(a, b, lambda ia, ib: ia and ib)
     raise NotImplementedError(
-        "general concave polygon overlay is out of round-1 scope "
-        "(tiling uses clip_by_rect / convex clips)"
+        f"intersection({ta}, {tb}): line×areal/line×line overlay TBD"
     )
 
 
@@ -148,7 +242,9 @@ def difference(a, b):
         return _points_geom(np.array(keep).reshape(-1, 2))
     if predicates.disjoint(a, b):
         return a
-    raise NotImplementedError("difference beyond point/disjoint inputs (round-1 scope)")
+    if a.type_id in _AREAL and b.type_id in _AREAL:
+        return _polygon_overlay(a, b, lambda ia, ib: ia and not ib)
+    raise NotImplementedError("difference of line×areal inputs (TBD)")
 
 
 @_binary
@@ -166,16 +262,16 @@ def union(a, b):
         pts = np.vstack([_point_parts(a), _point_parts(b)])
         uniq = np.unique(pts, axis=0)
         return _points_geom(uniq)
-    poly = (GeomType.POLYGON, GeomType.MULTIPOLYGON)
-    if a.type_id in poly and b.type_id in poly:
-        if not predicates.overlaps(a, b) and not predicates.contains(a, b) and not predicates.contains(b, a):
+    if a.type_id in _AREAL and b.type_id in _AREAL:
+        if predicates.disjoint(a, b):
             parts = (a.parts or [a]) + (b.parts or [b])
             return Geom(GeomType.MULTIPOLYGON, parts=parts)
         if predicates.covers(a, b):
             return a
         if predicates.covers(b, a):
             return b
-    raise NotImplementedError("union of overlapping areal geometries (round-1 scope)")
+        return _polygon_overlay(a, b, lambda ia, ib: ia or ib)
+    raise NotImplementedError("union of mixed-dimension inputs (TBD)")
 
 
 def _reduce_all(fn, geometries, axis=None):
@@ -214,7 +310,9 @@ def symmetric_difference(a, b, grid_size=None):
         return _points_geom(np.array(sym).reshape(-1, 2))
     if predicates.disjoint(a, b):
         return union(a, b)
-    raise NotImplementedError("symmetric_difference beyond points (round-1 scope)")
+    if a.type_id in _AREAL and b.type_id in _AREAL:
+        return _polygon_overlay(a, b, lambda ia, ib: ia != ib)
+    raise NotImplementedError("symmetric_difference of mixed-dimension inputs (TBD)")
 
 
 def symmetric_difference_all(geometries, axis=None):

@@ -296,5 +296,39 @@ def test_polygon_clip_and_union():
     assert to_wkt(so.union_all([])) == "GEOMETRYCOLLECTION EMPTY"
     cu = so.coverage_union_all([a, far])
     assert measure.area(cu) == 17.0
-    with pytest.raises(NotImplementedError):
-        so.union(a, b)  # overlapping areal union: documented scope
+    # overlapping areal union now supported by the general overlay
+    assert measure.area(so.union(a, b)) == 28.0
+
+
+def test_general_polygon_overlay():
+    """General (concave, hole-forming, multi-part) overlay via the
+    arrangement machinery (set_operations.py:_polygon_overlay)."""
+    a = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    b = P("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    assert measure.area(so.intersection(a, b)) == 4.0
+    assert measure.area(so.union(a, b)) == 28.0
+    assert measure.area(so.difference(a, b)) == 12.0
+    assert measure.area(so.symmetric_difference(a, b)) == 24.0
+    # hole creation
+    big = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    small = P("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    donut = so.difference(big, small)
+    assert measure.area(donut) == 96.0 and len(donut.rings) == 2
+    # union of two L-shapes closing a frame -> hole
+    l1 = P("POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))")
+    l2 = P("POLYGON ((3 0, 3 3, 0 3, 0 2, 2 2, 2 0, 3 0))")
+    assert measure.area(so.union(l1, l2)) == 8.0
+    # concave subject split into two disjoint parts
+    conc = P("POLYGON ((0 0, 6 0, 6 6, 3 2, 0 6, 0 0))")
+    box = P("POLYGON ((0 3, 6 3, 6 7, 0 7, 0 3))")
+    ci = so.intersection(conc, box)
+    assert ci.type_id == GeomType.MULTIPOLYGON and len(ci.parts) == 2
+    assert measure.area(ci) == pytest.approx(6.75)
+    # multipolygon input
+    mp = P("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((8 8, 9 8, 9 9, 8 9, 8 8)))")
+    assert measure.area(so.intersection(mp, P("POLYGON ((1 1, 10 1, 10 10, 1 10, 1 1))"))) == 2.0
+    # overlay result consistent with predicates
+    from engine.geo import predicates as pred
+
+    inter = so.intersection(a, b)
+    assert pred.within(inter, a) and pred.within(inter, b)
