@@ -565,25 +565,74 @@ def oriented_envelope(geometry):
 minimum_rotated_rectangle = oriented_envelope
 
 
+def _disc(x: float, y: float, distance: float, quad_segs: int) -> Geom:
+    n = max(4, 4 * quad_segs)
+    ang = np.linspace(0, 2 * np.pi, n + 1)
+    ring = np.column_stack([x + distance * np.cos(ang), y + distance * np.sin(ang)])
+    return Geom(GeomType.POLYGON, rings=[ring])
+
+
+def _capsule(a: np.ndarray, b: np.ndarray, d: float, quad_segs: int) -> Geom:
+    """Round-capped segment buffer: rectangle + two half-disc fans."""
+    v = b - a
+    L = float(np.hypot(*v))
+    if L == 0:
+        return _disc(a[0], a[1], d, quad_segs)
+    u = v / L
+    n = np.array([-u[1], u[0]])
+    theta0 = np.arctan2(n[1], n[0])
+    k = max(2, 2 * quad_segs)
+    cap_b = [b + d * np.array([np.cos(t), np.sin(t)])
+             for t in np.linspace(theta0, theta0 - np.pi, k + 1)]
+    cap_a = [a + d * np.array([np.cos(t), np.sin(t)])
+             for t in np.linspace(theta0 + np.pi, theta0, k + 1)]
+    ring = np.vstack([[a + d * n], cap_b, cap_a[:-1], [a + d * n]])
+    return Geom(GeomType.POLYGON, rings=[ring])
+
+
 def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
-    """constructive.py:142 — discs around points (regular 4·quad_segs-gon
-    like GEOS's default round cap).  Negative distance on points and
-    non-point inputs: NotImplementedError (documented round-1 scope)."""
+    """constructive.py:142 — positive round-join buffers: discs around
+    points; lines/polygons via union of per-segment round capsules (+
+    the polygon body), using the engine's general overlay.  Negative
+    distances (erosion) remain NotImplementedError (documented)."""
+    from engine.geo.relate import Decomp
+    from engine.geo.set_operations import union_all
 
     def one(g):
         if g is None:
             return None
         if distance <= 0:
-            return Geom.empty(GeomType.POLYGON)
+            if distance == 0 or g.type_id not in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+                return Geom.empty(GeomType.POLYGON)
+            raise NotImplementedError("negative (erosion) buffer TBD")
         t = g.type_id
-        if t == GeomType.POINT and not g.is_empty:
+        if g.is_empty:
+            return Geom.empty(GeomType.POLYGON)
+        if t == GeomType.POINT:
             x, y = g.coords[0]
-            n = max(4, 4 * quad_segs)
-            ang = np.linspace(0, 2 * np.pi, n + 1)
-            ring = np.column_stack([x + distance * np.cos(ang), y + distance * np.sin(ang)])
-            return Geom(GeomType.POLYGON, rings=[ring])
-        raise NotImplementedError(
-            "buffer: only point inputs in round 1 (general offsetting TBD)"
-        )
+            return _disc(x, y, distance, quad_segs)
+        if t == GeomType.MULTIPOINT:
+            return union_all([_disc(p.coords[0, 0], p.coords[0, 1], distance, quad_segs)
+                              for p in g.parts])
+        d = Decomp(g)
+        # one rectangle per edge + ONE disc per distinct vertex: every
+        # buffer circle appears exactly once, so the overlay never sees
+        # two overlapping arcs of the same circle (degenerate noding);
+        # adjacent capsules would (their corner arcs share circles).
+        pieces = []
+        for s in d.segs:
+            a, b = s[:2], s[2:]
+            v = b - a
+            L = float(np.hypot(*v))
+            if L == 0:
+                continue
+            n = np.array([-v[1], v[0]]) / L * distance
+            ring = np.vstack([[a + n], [b + n], [b - n], [a - n], [a + n]])
+            pieces.append(Geom(GeomType.POLYGON, rings=[ring]))
+        for vx, vy in np.unique(d.vertices, axis=0):
+            pieces.append(_disc(vx, vy, distance, quad_segs))
+        if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+            pieces = [p for p in ([g] if t == GeomType.POLYGON else list(g.parts))] + pieces
+        return union_all(pieces)
 
     return _apply1(one, geometry)

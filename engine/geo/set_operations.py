@@ -153,6 +153,16 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
     if not border:
         return Geom.empty(GeomType.POLYGON)
     rings2 = _minimal_rings(border)
+    # drop numeric slivers (near-coincident inputs — e.g. adjacent buffer
+    # capsules sharing an arc endpoint — produce faces of ~ulp area that
+    # poison downstream overlays)
+    extent = max(
+        float(np.ptp(np.vstack([e for pair in border for e in pair])[:, 0])),
+        float(np.ptp(np.vstack([e for pair in border for e in pair])[:, 1])),
+        1e-300,
+    )
+    min_area = (extent * 1e-9) ** 2
+    rings2 = [r for r in rings2 if abs(core.ring_signed_area(r)) > min_area]
     shells, holes = [], []
     for r in rings2:
         x, y = _face_interior_point(r)
@@ -222,9 +232,40 @@ def intersection(a, b):
             return Geom(GeomType.POLYGON, rings=[out])
     if ta in _AREAL and tb in _AREAL:
         return _polygon_overlay(a, b, lambda ia, ib: ia and ib)
+    _LINE = (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING)
+    if ta in _LINE and tb in _AREAL:
+        return _clip_line_by_area(a, b, inside=True)
+    if tb in _LINE and ta in _AREAL:
+        return _clip_line_by_area(b, a, inside=True)
     raise NotImplementedError(
-        f"intersection({ta}, {tb}): line×areal/line×line overlay TBD"
+        f"intersection({ta}, {tb}): line×line overlay TBD"
     )
+
+
+def _clip_line_by_area(line: Geom, areal: Geom, inside: bool) -> Geom:
+    """Pieces of a line inside (or outside) an areal geometry's closure:
+    split each segment at boundary crossings, keep by midpoint locate."""
+    from engine.geo.linear import line_merge
+    from engine.geo.relate import Decomp, E
+
+    d_area = Decomp(areal)
+    kept = []
+    d_line = Decomp(line)
+    for seg in d_line.line_segs:
+        p, q = seg[:2], seg[2:]
+        cuts = core.seg_cut_params(p, q, d_area.ring_segs)
+        ts = np.unique(np.concatenate([[0.0, 1.0], cuts]))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            mid = p + 0.5 * (t0 + t1) * (q - p)
+            in_closure = d_area.locate(mid[0], mid[1]) != E
+            if in_closure == inside:
+                kept.append(Geom.linestring(np.vstack([p + t0 * (q - p), p + t1 * (q - p)])))
+    if not kept:
+        return Geom.empty(GeomType.LINESTRING)
+    merged = line_merge(Geom(GeomType.MULTILINESTRING, parts=kept))
+    return merged
 
 
 @_binary
@@ -244,7 +285,10 @@ def difference(a, b):
         return a
     if a.type_id in _AREAL and b.type_id in _AREAL:
         return _polygon_overlay(a, b, lambda ia, ib: ia and not ib)
-    raise NotImplementedError("difference of line×areal inputs (TBD)")
+    _LINE = (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING)
+    if a.type_id in _LINE and b.type_id in _AREAL:
+        return _clip_line_by_area(a, b, inside=False)
+    raise NotImplementedError("difference of these input dimensions (TBD)")
 
 
 @_binary
@@ -275,13 +319,20 @@ def union(a, b):
 
 
 def _reduce_all(fn, geometries, axis=None):
+    """Balanced-tree n-ary reduce (associative ops): keeps intermediate
+    operands small — the same shape as the engine's partial+final
+    aggregate plumbing (ufuncs.c:63-130 Y_Y_reduce_func equivalent)."""
     gs = [g for g in geometries if g is not None]
     if not gs:
         return Geom.empty(GeomType.GEOMETRYCOLLECTION)
-    acc = gs[0]
-    for g in gs[1:]:
-        acc = fn(acc, g)
-    return acc
+    while len(gs) > 1:
+        nxt = []
+        for i in range(0, len(gs) - 1, 2):
+            nxt.append(fn(gs[i], gs[i + 1]))
+        if len(gs) % 2:
+            nxt.append(gs[-1])
+        gs = nxt
+    return gs[0]
 
 
 def union_all(geometries, grid_size=None, axis=None):

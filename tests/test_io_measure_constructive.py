@@ -199,7 +199,7 @@ def test_buffer_points():
     b = constructive.buffer(P("POINT (0 0)"), 2.0, quad_segs=32)
     assert measure.area(b) == pytest.approx(np.pi * 4, rel=0.01)
     with pytest.raises(NotImplementedError):
-        constructive.buffer(P("LINESTRING (0 0, 1 1)"), 1.0)
+        constructive.buffer(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), -1.0)  # erosion TBD
 
 
 # -------------------------------------------------------------- coordinates
@@ -332,3 +332,27 @@ def test_general_polygon_overlay():
 
     inter = so.intersection(a, b)
     assert pred.within(inter, a) and pred.within(inter, b)
+
+
+def test_line_areal_overlay():
+    line = P("LINESTRING (-2 1, 6 1)")
+    box = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    inter = so.intersection(line, box)
+    assert to_wkt(inter) == "LINESTRING (0 1, 4 1)"
+    diff = so.difference(line, box)
+    assert diff.type_id == GeomType.MULTILINESTRING
+    assert measure.length(diff) == pytest.approx(4.0)  # 2 + 2 outside
+
+
+def test_buffer_line_and_polygon():
+    line = P("LINESTRING (0 0, 10 0)")
+    b = constructive.buffer(line, 1.0, quad_segs=16)
+    # capsule: 10×2 rectangle + unit disc ≈ 20 + π
+    assert measure.area(b) == pytest.approx(20 + np.pi, rel=0.01)
+    poly = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    pb = constructive.buffer(poly, 1.0, quad_segs=16)
+    # 16 + perimeter*d + π d² = 16 + 16 + π
+    assert measure.area(pb) == pytest.approx(32 + np.pi, rel=0.01)
+    from engine.geo import predicates as pred
+
+    assert pred.covers(pb, poly)
