@@ -422,7 +422,11 @@ def _parse_geom(p: _P) -> Geom | None:
         p.expect("(")
         parts = []
         while True:
-            parts.append(Geom(GeomType.LINESTRING, _parse_coords(p)))
+            if p.peek() is not None and p.peek().upper() == "EMPTY":
+                p.next()
+                parts.append(Geom(GeomType.LINESTRING))
+            else:
+                parts.append(Geom(GeomType.LINESTRING, _parse_coords(p)))
             if p.next() == ")":
                 break
         return Geom(t, parts=parts)
@@ -430,13 +434,17 @@ def _parse_geom(p: _P) -> Geom | None:
         p.expect("(")
         parts = []
         while True:
-            p.expect("(")
-            rings = []
-            while True:
-                rings.append(_parse_coords(p))
-                if p.next() == ")":
-                    break
-            parts.append(Geom(GeomType.POLYGON, rings=rings))
+            if p.peek() is not None and p.peek().upper() == "EMPTY":
+                p.next()
+                parts.append(Geom(GeomType.POLYGON))
+            else:
+                p.expect("(")
+                rings = []
+                while True:
+                    rings.append(_parse_coords(p))
+                    if p.next() == ")":
+                        break
+                parts.append(Geom(GeomType.POLYGON, rings=rings))
             if p.next() == ")":
                 break
         return Geom(t, parts=parts)

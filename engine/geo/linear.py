@@ -19,16 +19,49 @@ def _seg_cumlen(c: np.ndarray) -> np.ndarray:
     return np.concatenate([[0.0], np.cumsum(d)])
 
 
+def _line_coords(g: Geom) -> np.ndarray | None:
+    """Concatenated vertex run of a lineal geometry; None if not lineal.
+
+    MultiLineString interpolation operates on the concatenated parts
+    (reference test_linear.py:21-27 expected values); collections are
+    lineal iff all their non-empty parts are."""
+    t = g.type_id
+    if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+        return g.coords
+    if t == GeomType.MULTILINESTRING:
+        runs = [p.coords for p in g.parts if len(p.coords)]
+        return np.vstack(runs) if runs else np.empty((0, 2))
+    if t == GeomType.GEOMETRYCOLLECTION:
+        # only DIRECT LineString/LinearRing members count; an empty GC is
+        # lineal-empty, a GC with members but no line member is invalid
+        if not g.parts:
+            return np.empty((0, 2))
+        lines = [
+            p for p in g.parts
+            if p.type_id in (GeomType.LINESTRING, GeomType.LINEARRING)
+        ]
+        if not lines:
+            return None
+        runs = [p.coords for p in lines if len(p.coords)]
+        return np.vstack(runs) if runs else np.empty((0, 2))
+    return None
+
+
 def line_interpolate_point(line, distance, normalized: bool = False):
     """linear.py:26 — point at distance along line (negative = from
-    end; clamped to endpoints like GEOS)."""
+    end; clamped to endpoints like GEOS); NaN distance → None; non-line
+    input → TypeError (reference test_linear.py:80-90)."""
 
     def one(g, dist):
         if g is None:
             return None
-        if g.is_empty:
+        if np.isnan(dist):
+            return None
+        c = _line_coords(g)
+        if c is None:
+            raise TypeError(f"line_interpolate_point on {g.type_id!r}")
+        if len(c) == 0:
             return Geom.empty(GeomType.POINT)
-        c = g.coords
         cl = _seg_cumlen(c)
         total = cl[-1]
         d = float(dist) * total if normalized else float(dist)
@@ -54,9 +87,15 @@ def line_locate_point(line, other, normalized: bool = False):
     """linear.py:78 — distance along line of the point's projection."""
 
     def one(g, p):
-        if g is None or p is None or g.is_empty or p.is_empty:
+        if g is None or p is None:
             return np.nan
-        c = g.coords
+        if p.type_id != GeomType.POINT:
+            raise TypeError("line_locate_point: second geometry must be a point")
+        c = _line_coords(g)
+        if c is None:
+            raise TypeError("line_locate_point: first geometry must be lineal")
+        if len(c) == 0 or p.is_empty:
+            return np.nan
         cl = _seg_cumlen(c)
         px, py = p.coords[0]
         ax, ay = c[:-1, 0], c[:-1, 1]

@@ -243,8 +243,15 @@ def snap(geometry, reference, tolerance):
 
 def shared_paths(a, b):
     """linear.py:172 — GEOMETRYCOLLECTION (forward MULTILINESTRING,
-    backward MULTILINESTRING) of collinear overlapping pieces."""
+    backward MULTILINESTRING) of collinear overlapping pieces; None
+    propagates, non-lineal input raises."""
     from engine.geo.relate import Decomp
+
+    if a is None or b is None:
+        return None
+    lineal = (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING)
+    if a.type_id not in lineal or b.type_id not in lineal:
+        raise TypeError("shared_paths requires lineal geometries")
 
     da, db = Decomp(a), Decomp(b)
     fwd, bwd = [], []
