@@ -213,6 +213,15 @@ def _q_tile_clip_area(sf_dir):
     )
 
 
+def _q_join_covers_cellpart(sf_dir):
+    """Same join as join_covers through the BIG-BIG physical plan:
+    co-partition both sides by cell (shuffle equi-join + per-group
+    refinement + pair dedupe) instead of broadcasting the layer."""
+    from engine.rayds.celljoin import cellpart_pairs
+
+    return cellpart_pairs(sf_dir)
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -373,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layer_measures": _q_layer_measures,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
+        "join_covers_cellpart": _q_join_covers_cellpart,
         "tile_mosaics": _q_tile_mosaics,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "affine_bounds": _q_affine_bounds,
@@ -460,6 +470,10 @@ def oracle_sql() -> dict[str, str]:
                 WHERE i.x >= l.xmin AND i.x <= l.xmax
                   AND i.y >= l.ymin AND i.y <= l.ymax
             )
+        """,
+        "join_covers_cellpart": f"""
+            WITH {_IMGS}, {_LAYER}
+            SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
         """,
         "tile_mosaics": f"""
             WITH {_IMGS}, {_LAYER},

@@ -232,3 +232,20 @@ def test_tile_mosaics(ray_ready, tmp_path):
     # partitioned write
     n = mosaic.write_tile_mosaics(SF, str(tmp_path / "mosaics"))
     assert n > 0
+
+
+def test_cellpart_join_matches_broadcast(ray_ready):
+    """Big-big (cell co-partitioned shuffle) and broadcast plans must
+    produce identical pair sets."""
+    from engine.rayds import pipeline
+    from engine.rayds.celljoin import cellpart_pairs
+
+    a = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in cellpart_pairs(SF).take_all()
+    }
+    b = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF).select_columns(["image_id", "poly_id"]).take_all()
+    }
+    assert a == b
