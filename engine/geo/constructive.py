@@ -590,6 +590,67 @@ def _capsule(a: np.ndarray, b: np.ndarray, d: float, quad_segs: int) -> Geom:
     return Geom(GeomType.POLYGON, rings=[ring])
 
 
+def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
+                 mitre_limit: float = 5.0):
+    """constructive.py:272 — parallel offset of a line: positive =
+    left side, negative = right.  Per-segment offset with round joins at
+    outward turns and intersection-trim at inward turns; global
+    self-intersection removal (tight hairpins) is out of scope and
+    documented."""
+
+    def one(g):
+        if g is None:
+            return None
+        t = g.type_id
+        if t not in (GeomType.LINESTRING, GeomType.LINEARRING):
+            if t == GeomType.MULTILINESTRING:
+                return Geom(t, parts=[one(p) for p in g.parts])
+            raise TypeError("offset_curve requires lineal input")
+        c = g.coords
+        if len(c) < 2 or distance == 0:
+            return Geom(t, coords=c.copy())
+        d = float(distance)
+        side = 1.0 if d > 0 else -1.0
+        ad = abs(d)
+        # per-segment unit normals (left of travel × side)
+        v = np.diff(c, axis=0)
+        L = np.hypot(v[:, 0], v[:, 1])
+        keepseg = L > 0
+        v, L = v[keepseg], L[keepseg]
+        pts = np.vstack([c[:1], c[1:][keepseg]])
+        n = np.column_stack([-v[:, 1], v[:, 0]]) / L[:, None] * side
+        out = [pts[0] + ad * n[0]]
+        for i in range(len(v) - 1):
+            vert = pts[i + 1]
+            e_prev = vert + ad * n[i]
+            e_next = vert + ad * n[i + 1]
+            turn = core.orient(0, 0, v[i, 0], v[i, 1], v[i + 1, 0], v[i + 1, 1])
+            outward = turn * side < 0  # turning away from the offset side
+            if outward:
+                # round join: arc from e_prev to e_next around vert
+                a0 = np.arctan2(n[i, 1], n[i, 0])
+                a1 = np.arctan2(n[i + 1, 1], n[i + 1, 0])
+                sweep = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
+                k = max(1, int(np.ceil(abs(sweep) / (np.pi / (2 * quad_segs)))))
+                angs = a0 + sweep * np.linspace(0, 1, k + 1)
+                out.extend(vert + ad * np.column_stack([np.cos(angs), np.sin(angs)]))
+            else:
+                # inward turn: intersect the two offset lines (trim)
+                den = v[i, 0] * v[i + 1, 1] - v[i, 1] * v[i + 1, 0]
+                if den != 0:
+                    tpar = ((e_next - e_prev) @ np.array([v[i + 1, 1], -v[i + 1, 0]])) / den
+                    out.append(e_prev + tpar * v[i])
+                else:
+                    out.append(e_prev)
+        out.append(pts[-1] + ad * n[-1])
+        coords = np.vstack(out)
+        keep = np.ones(len(coords), dtype=bool)
+        keep[1:] = (np.abs(np.diff(coords, axis=0)) > 1e-15).any(axis=1)
+        return Geom(GeomType.LINESTRING, coords=coords[keep])
+
+    return _apply1(one, geometry)
+
+
 def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
     """constructive.py:142 — positive round-join buffers: discs around
     points; lines/polygons via union of per-segment round capsules (+

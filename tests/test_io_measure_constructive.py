@@ -356,3 +356,18 @@ def test_buffer_line_and_polygon():
     from engine.geo import predicates as pred
 
     assert pred.covers(pb, poly)
+
+
+def test_offset_curve():
+    # constructive.py:272 docstring examples (verbatim)
+    line = P("LINESTRING (0 0, 0 2)")
+    assert to_wkt(constructive.offset_curve(line, 2)) == "LINESTRING (-2 0, -2 2)"
+    assert to_wkt(constructive.offset_curve(line, -2)) == "LINESTRING (2 0, 2 2)"
+    # inward turn trims to the intersection; outward turn gets an arc
+    l_shape = P("LINESTRING (0 0, 5 0, 5 5)")
+    inner = constructive.offset_curve(l_shape, 1)
+    assert to_wkt(inner) == "LINESTRING (0 1, 4 1, 4 5)"
+    outer = constructive.offset_curve(l_shape, -1)
+    assert measure.length(outer) == pytest.approx(10 + np.pi / 2, rel=0.01)
+    with pytest.raises(TypeError):
+        constructive.offset_curve(P("POINT (0 0)"), 1)
