@@ -1,0 +1,175 @@
+"""shapely-compatible flat namespace (the switch-over façade).
+
+``import engine.compat as shapely`` exposes the reference's top-level
+API names (shapely/__init__.py surface) mapped onto this engine's
+implementations, so pipelines written against the reference's module
+layout port by changing one import.  Scalar classes are constructor
+functions returning the engine's Geom (which carries the OO sugar:
+.area, .buffer(), .intersects(), operators — geometry/base.py:197-209).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine.geo.affinity import (  # noqa: F401
+    affine_transform, rotate, scale, skew, translate,
+)
+from engine.geo.constructive import (  # noqa: F401
+    boundary, buffer, centroid, clip_by_rect, convex_hull, envelope,
+    extract_unique_points, minimum_bounding_circle, minimum_rotated_rectangle,
+    normalize, offset_curve, orient_polygons, oriented_envelope,
+    point_on_surface, remove_repeated_points, reverse, segmentize, simplify,
+)
+from engine.geo.coordinates import (  # noqa: F401
+    count_coordinates, get_coordinates, get_exterior_ring, get_interior_ring,
+    get_num_coordinates, get_num_geometries, get_num_interior_rings, get_parts,
+    get_rings, get_type_id, get_x, get_y, set_coordinates, transform,
+)
+from engine.geo.coverage import (  # noqa: F401
+    coverage_invalid_edges, coverage_is_valid, coverage_simplify, get_srid,
+    has_m, has_z, set_srid,
+)
+from engine.geo.creation import (  # noqa: F401
+    box, empty, geometrycollections, linearrings, linestrings, multilinestrings,
+    multipoints, multipolygons, points, polygons,
+)
+from engine.geo.geom import Geom, GeomType, from_wkt, to_wkt  # noqa: F401
+from engine.geo.io import from_geojson, to_geojson  # noqa: F401
+from engine.geo.linear import (  # noqa: F401
+    line_interpolate_point, line_locate_point, line_merge, shortest_line,
+    substring,
+)
+from engine.geo.linework import (  # noqa: F401
+    build_area, minimum_clearance_line, minimum_width, node, polygonize,
+    polygonize_full, shared_paths, snap,
+)
+from engine.geo.measure import (  # noqa: F401
+    area, bounds, distance, frechet_distance, hausdorff_distance, length,
+    minimum_bounding_radius, minimum_clearance, total_bounds,
+)
+from engine.geo.ops import (  # noqa: F401
+    force_2d, get_geometry, get_num_points, get_point, get_precision,
+    get_segments, maximum_inscribed_circle, nearest_points, set_precision,
+    split,
+)
+from engine.geo.predicates import (  # noqa: F401
+    contains, contains_properly, contains_xy, covered_by, covers, crosses,
+    destroy_prepared, disjoint, dwithin, equals, equals_exact, equals_identical,
+    intersects, intersects_xy, is_ccw, is_closed, is_empty, is_geometry,
+    is_missing, is_prepared, is_ring, is_simple, is_valid, is_valid_input,
+    is_valid_reason, overlaps, prepare, relate, relate_pattern, touches, within,
+)
+from engine.geo.ragged_io import from_ragged_array, to_ragged_array  # noqa: F401
+from engine.geo.set_operations import (  # noqa: F401
+    coverage_union, coverage_union_all, difference, disjoint_subset_union,
+    disjoint_subset_union_all, intersection, intersection_all,
+    symmetric_difference, symmetric_difference_all, unary_union, union,
+    union_all,
+)
+from engine.geo.strtree import STRtree  # noqa: F401
+from engine.geo.triangulate import (  # noqa: F401
+    concave_hull, delaunay_triangles, voronoi_polygons,
+)
+from engine.geo.validation import explain_validity, make_valid  # noqa: F401
+from engine.geo.wkb import from_wkb, to_wkb  # noqa: F401
+
+
+# ---------------------------------------------------------- scalar classes
+def Point(*args):
+    """shapely.Point(x, y) / Point((x, y))."""
+    if len(args) == 1:
+        args = tuple(args[0])
+    return Geom.point(float(args[0]), float(args[1]))
+
+
+def LineString(coords=()):
+    coords = np.asarray(list(coords), dtype=np.float64)
+    if len(coords) == 0:
+        return Geom.empty(GeomType.LINESTRING)
+    return Geom.linestring(coords[:, :2])
+
+
+def LinearRing(coords=()):
+    coords = np.asarray(list(coords), dtype=np.float64)
+    if len(coords) == 0:
+        return Geom.empty(GeomType.LINEARRING)
+    return Geom.linearring(coords[:, :2])
+
+
+def Polygon(shell=(), holes=()):
+    shell = np.asarray(list(shell), dtype=np.float64)
+    if len(shell) == 0:
+        return Geom.empty(GeomType.POLYGON)
+    return Geom.polygon(shell[:, :2], [np.asarray(list(h), dtype=np.float64)[:, :2] for h in holes or ()])
+
+
+def MultiPoint(pts=()):
+    parts = [Point(p) for p in pts]
+    return Geom(GeomType.MULTIPOINT, parts=parts) if parts else Geom.empty(GeomType.MULTIPOINT)
+
+
+def MultiLineString(lines=()):
+    parts = [ls if isinstance(ls, Geom) else LineString(ls) for ls in lines]
+    return Geom(GeomType.MULTILINESTRING, parts=parts) if parts else Geom.empty(
+        GeomType.MULTILINESTRING
+    )
+
+
+def MultiPolygon(polys=()):
+    parts = [p if isinstance(p, Geom) else Polygon(*p) for p in polys]
+    return Geom(GeomType.MULTIPOLYGON, parts=parts) if parts else Geom.empty(
+        GeomType.MULTIPOLYGON
+    )
+
+
+def GeometryCollection(geoms=()):
+    parts = list(geoms)
+    return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts) if parts else Geom.empty(
+        GeomType.GEOMETRYCOLLECTION
+    )
+
+
+# --------------------------------------------- OO sugar on the scalar type
+# (geometry/base.py methods + operator overloads :197-209, installed here
+# so engine.geo stays a pure-kernel package)
+def _install_oo():
+    from engine.geo import constructive as _c
+    from engine.geo import measure as _m
+    from engine.geo import predicates as _p
+    from engine.geo import set_operations as _s
+    from engine.geo.geom import to_wkt as _to_wkt
+
+    sugar = {
+        "buffer": lambda self, d, quad_segs=8, **kw: _c.buffer(self, d, quad_segs, **kw),
+        "simplify": lambda self, tol, preserve_topology=True: _c.simplify(self, tol, preserve_topology),
+        "intersects": lambda self, other: _p.intersects(self, other),
+        "contains": lambda self, other: _p.contains(self, other),
+        "within": lambda self, other: _p.within(self, other),
+        "touches": lambda self, other: _p.touches(self, other),
+        "crosses": lambda self, other: _p.crosses(self, other),
+        "overlaps": lambda self, other: _p.overlaps(self, other),
+        "covers": lambda self, other: _p.covers(self, other),
+        "disjoint": lambda self, other: _p.disjoint(self, other),
+        "equals": lambda self, other: _p.equals(self, other),
+        "relate": lambda self, other: _p.relate(self, other),
+        "distance": lambda self, other: _m.distance(self, other),
+        "intersection": lambda self, other, **kw: _s.intersection(self, other),
+        "union": lambda self, other, **kw: _s.union(self, other),
+        "difference": lambda self, other, **kw: _s.difference(self, other),
+        "symmetric_difference": lambda self, other, **kw: _s.symmetric_difference(self, other),
+        "__and__": lambda self, other: _s.intersection(self, other),
+        "__or__": lambda self, other: _s.union(self, other),
+        "__sub__": lambda self, other: _s.difference(self, other),
+        "__xor__": lambda self, other: _s.symmetric_difference(self, other),
+    }
+    for name, fn in sugar.items():
+        if not hasattr(Geom, name) or name.startswith("__"):
+            setattr(Geom, name, fn)
+    if not hasattr(Geom, "wkt"):
+        Geom.wkt = property(lambda self: _to_wkt(self))
+    if not hasattr(Geom, "convex_hull_geom"):
+        Geom.envelope_geom = property(lambda self: _c.envelope(self))
+
+
+_install_oo()

@@ -1,22 +1,22 @@
 """Set operations (reference shapely/set_operations.py, 760 LoC).
 
-Round-1 scope (documented; SURVEY.md §2.5): the north star needs tile
-clip paths, point/line set semantics, and the n-ary reduce plumbing —
-NOT a full general polygon-overlay engine.  Implemented exactly:
+Coverage (SURVEY.md §2.5):
+- GENERAL areal overlay (intersection / union / difference /
+  symmetric_difference of arbitrary polygons incl. holes, concave
+  shapes, multipolygons) via the arrangement construction in
+  ``_polygon_overlay`` — node both boundaries, keep edges whose two
+  sides differ in membership, face-walk, nest holes;
+- point/multipoint set semantics exact via the predicate family;
+- line×areal intersection/difference via boundary splitting;
+- convex×convex Sutherland–Hodgman fast path (the tiling clip);
+- n-ary reduce plumbing: *_all with balanced-tree reduction
+  (ufuncs.c:63-130 Y_Y_reduce_func equivalent) and the reference's
+  empty-input rule (union_all([]) → GEOMETRYCOLLECTION EMPTY,
+  set_operations.py:525-530);
+- coverage_union(_all) concat semantics for non-overlapping mosaics.
 
-- point/multipoint × anything: intersection/difference/union via the
-  exact predicate family (point-set semantics are fully decidable);
-- polygon ∩ axis-aligned box (the tiling path — Sutherland–Hodgman via
-  constructive.clip_by_rect);
-- polygon ∩ CONVEX polygon (Sutherland–Hodgman general form);
-- union/union_all for points and disjoint polygons (collection
-  semantics; coverage_union_all for non-overlapping tile mosaics);
-- n-ary reduce plumbing: *_all over arrays (ufuncs.c:63-130
-  Y_Y_reduce_func equivalent) with the reference's empty-input rule
-  (union_all([]) → GEOMETRYCOLLECTION EMPTY, set_operations.py:525-530).
-
-General concave-polygon overlay raises NotImplementedError with this
-rationale in the message.
+Remaining scope notes: line×line overlay (use linework.node /
+ops.split) and grid_size precision snapping are not implemented.
 """
 
 from __future__ import annotations
@@ -99,7 +99,7 @@ def _face_interior_point(ring: np.ndarray) -> tuple[float, float]:
     k = int(np.argmax(lens))
     mx, my = (ring[k] + ring[k + 1]) / 2.0
     ux, uy = d[k] / lens[k]
-    eps = max(lens[k] * 1e-9, 1e-12)
+    eps = max(lens[k] * 1e-6, 1e-9)
     return (mx - uy * eps, my + ux * eps)
 
 
@@ -142,7 +142,10 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
         if L == 0:
             continue
         ux, uy = (qx - px) / L, (qy - py) / L
-        eps = max(L * 1e-9, 1e-12)
+        # offset must clear locate()'s point-on-boundary tolerance, which
+        # is ~EPS/edge_length in DISTANCE terms for short edges — a 1e-9
+        # relative offset lands INSIDE it and both sides read "boundary"
+        eps = max(L * 1e-6, 1e-9)
         mx, my = (px + qx) / 2.0, (py + qy) / 2.0
         lx, ly = mx - uy * eps, my + ux * eps  # left of p→q
         rx, ry = mx + uy * eps, my - ux * eps
