@@ -20,7 +20,13 @@ import numpy as np
 import pyarrow as pa
 
 from engine.geo import cells
-from engine.rayds.imagetab import CELL_SIZE, Layer
+from engine.rayds.imagetab import Layer
+
+# partition granularity: coarser than the prefilter cell — each group is
+# one shuffle task, so group count trades scheduling overhead against
+# candidate-set width (the in-group bbox refine is vectorized and cheap;
+# at cluster scale pick ~4-16 groups per reducer slot)
+PART_CELL = 20.0
 
 
 def _points_with_cell(batch: pa.Table) -> pa.Table:
@@ -28,7 +34,7 @@ def _points_with_cell(batch: pa.Table) -> pa.Table:
     y = batch["y"].to_numpy()
     return pa.table(
         {
-            "cell": pa.array(cells.grid_cell(x, y, CELL_SIZE)),
+            "cell": pa.array(cells.grid_cell(x, y, PART_CELL)),
             "image_id": batch["image_id"],
             "x": x,
             "y": y,
@@ -44,7 +50,7 @@ def _points_with_cell(batch: pa.Table) -> pa.Table:
 
 def _layer_cover_table(layer: Layer) -> pa.Table:
     """Polygon side, exploded to covering cells (flat_map equivalent)."""
-    rows, cids = cells.grid_cover_many(layer.bounds, CELL_SIZE)
+    rows, cids = cells.grid_cover_many(layer.bounds, PART_CELL)
     b = layer.bounds[rows]
     return pa.table(
         {
