@@ -156,16 +156,34 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
     if not border:
         return Geom.empty(GeomType.POLYGON)
     rings2 = _minimal_rings(border)
-    # drop numeric slivers (near-coincident inputs — e.g. adjacent buffer
-    # capsules sharing an arc endpoint — produce faces of ~ulp area that
-    # poison downstream overlays)
+    # numeric hygiene on emitted rings: (a) merge consecutive vertices
+    # within extent·1e-12 (near-duplicate nodes survive noding and break
+    # downstream predicates with ~ulp-length segments), (b) drop sliver
+    # faces of ~ulp area (near-coincident inputs produce them and they
+    # poison subsequent overlays)
     extent = max(
         float(np.ptp(np.vstack([e for pair in border for e in pair])[:, 0])),
         float(np.ptp(np.vstack([e for pair in border for e in pair])[:, 1])),
         1e-300,
     )
+    vtol = extent * 1e-12
+
+    def clean_ring(r: np.ndarray) -> np.ndarray | None:
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (np.abs(np.diff(r, axis=0)) > vtol).any(axis=1)
+        rr = r[keep]
+        if len(rr) and (np.abs(rr[0] - rr[-1]) > vtol).any():
+            rr = np.vstack([rr, rr[:1]])
+        elif len(rr):
+            rr = np.vstack([rr[:-1], rr[:1]]) if len(rr) > 1 else rr
+        return rr if len(rr) >= 4 else None
+
     min_area = (extent * 1e-9) ** 2
-    rings2 = [r for r in rings2 if abs(core.ring_signed_area(r)) > min_area]
+    rings2 = [
+        cr
+        for cr in (clean_ring(r) for r in rings2)
+        if cr is not None and abs(core.ring_signed_area(cr)) > min_area
+    ]
     shells, holes = [], []
     for r in rings2:
         x, y = _face_interior_point(r)

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): algebraic identities that must
+hold for ANY input — complements the fixed conformance tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.geo import measure, predicates as pred, set_operations as so
+from engine.geo.constructive import buffer, convex_hull
+from engine.geo.geom import Geom, GeomType
+
+# coordinates on a modest grid: exercises general positions AND exact
+# shared-edge/vertex cases (the hard ones), while keeping areas exact
+coord = st.integers(min_value=0, max_value=12).map(float)
+
+
+@st.composite
+def rects(draw):
+    x0, x1 = sorted((draw(coord), draw(coord)))
+    y0, y1 = sorted((draw(coord), draw(coord)))
+    if x1 == x0:
+        x1 = x0 + 1
+    if y1 == y0:
+        y1 = y0 + 1
+    return (x0, y0, x1, y1)
+
+
+def rect_geom(r):
+    return Geom.box(*r)
+
+
+def rect_inter_area(a, b):
+    w = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    h = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    return w * h
+
+
+@settings(max_examples=120, deadline=None)
+@given(rects(), rects())
+def test_overlay_area_identities_rects(ra, rb):
+    a, b = rect_geom(ra), rect_geom(rb)
+    area_a = (ra[2] - ra[0]) * (ra[3] - ra[1])
+    area_b = (rb[2] - rb[0]) * (rb[3] - rb[1])
+    ai = rect_inter_area(ra, rb)
+    inter = so.intersection(a, b)
+    un = so.union(a, b)
+    da = so.difference(a, b)
+    sym = so.symmetric_difference(a, b)
+    assert measure.area(inter) == pytest.approx(ai, abs=1e-9)
+    assert measure.area(un) == pytest.approx(area_a + area_b - ai, abs=1e-9)
+    assert measure.area(da) == pytest.approx(area_a - ai, abs=1e-9)
+    assert measure.area(sym) == pytest.approx(area_a + area_b - 2 * ai, abs=1e-9)
+
+
+@st.composite
+def convex_polys(draw):
+    n = draw(st.integers(min_value=4, max_value=8))
+    pts = np.array(
+        [[draw(coord), draw(coord)] for _ in range(n)], dtype=np.float64
+    )
+    h = convex_hull(Geom(GeomType.MULTIPOINT,
+                         parts=[Geom.point(x, y) for x, y in pts]))
+    if h.type_id != GeomType.POLYGON:
+        return rect_geom((0.0, 0.0, 1.0, 1.0))
+    return h
+
+
+@settings(max_examples=60, deadline=None)
+@given(convex_polys(), convex_polys())
+def test_overlay_inclusion_exclusion_convex(a, b):
+    ai = measure.area(so.intersection(a, b))
+    au = measure.area(so.union(a, b))
+    assert au == pytest.approx(measure.area(a) + measure.area(b) - ai, abs=1e-6)
+    # intersection is inside both
+    inter = so.intersection(a, b)
+    if not inter.is_empty and measure.area(inter) > 1e-9:
+        assert ai <= min(measure.area(a), measure.area(b)) + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(rects(), st.tuples(coord, coord))
+def test_predicate_consistency_point_rect(r, pxy):
+    g = rect_geom(r)
+    p = Geom.point(*pxy)
+    assert pred.intersects(g, p) == (not pred.disjoint(g, p))
+    if pred.contains(g, p):
+        assert pred.covers(g, p)
+        assert pred.within(p, g)
+    if pred.covers(g, p):
+        assert pred.intersects(g, p)
+    assert pred.contains_xy(g, pxy[0], pxy[1]) == pred.contains(g, p)
+    # relate string consistent with intersects
+    m = pred.relate(g, p)
+    assert (m[0] != "F" or m[1] != "F" or m[3] != "F" or m[4] != "F") == pred.intersects(g, p)
+
+
+@settings(max_examples=40, deadline=None)
+@given(convex_polys())
+def test_buffer_covers_input(g):
+    b = buffer(g, 0.5, quad_segs=4)
+    assert pred.covers(b, g)
+    assert measure.area(b) >= measure.area(g) - 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(rects(), rects())
+def test_strtree_vs_brute(ra, rb):
+    from engine.geo.strtree import STRtree
+
+    geoms = [rect_geom(ra), rect_geom(rb)]
+    tree = STRtree(geoms)
+    probe = Geom.point((ra[0] + ra[2]) / 2, (ra[1] + ra[3]) / 2)
+    res = set(tree.query(probe, predicate="intersects").tolist())
+    want = {i for i, g in enumerate(geoms) if pred.intersects(probe, g)}
+    assert res == want
