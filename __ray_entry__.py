@@ -354,13 +354,18 @@ def _q_embed_dedup(sf_dir):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     mat = np.asarray([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
     ids = t["vec_id"].to_numpy().astype(np.int64)
-    mref, iref = ray.put(mat), ray.put(ids)
-    return _embeddings(sf_dir).map_batches(
-        EmbeddingDedup,
-        fn_constructor_kwargs={"mat_ref": mref, "ids_ref": iref, "threshold": 0.4},
-        batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 4),
-    )
+    bundle = ray.put((mat, ids))
+
+    from engine.rayds.bcast import cached
+
+    def build(b):
+        m, i = b
+        return EmbeddingDedup(m, i, threshold=0.4)
+
+    def fn(batch):
+        return cached(bundle, build)(batch)
+
+    return _embeddings(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _q_psnr_validate(sf_dir):

@@ -258,9 +258,45 @@ def intersection(a, b):
         return _clip_line_by_area(a, b, inside=True)
     if tb in _LINE and ta in _AREAL:
         return _clip_line_by_area(b, a, inside=True)
-    raise NotImplementedError(
-        f"intersection({ta}, {tb}): line×line overlay TBD"
-    )
+    if ta in _LINE and tb in _LINE:
+        return _line_line_intersection(a, b)
+    raise NotImplementedError(f"intersection({ta}, {tb})")
+
+
+def _line_line_intersection(a: Geom, b: Geom) -> Geom:
+    """line ∩ line = collinear overlap pieces (dim 1, via shared_paths)
+    + isolated proper crossing/touch points (dim 0) not already covered
+    by a shared piece."""
+    from engine.geo.linework import shared_paths
+    from engine.geo.relate import Decomp
+
+    sp = shared_paths(a, b)
+    pieces = list(sp.parts[0].parts) + list(sp.parts[1].parts)
+    # crossing points: cut parameters of each A segment against B
+    da, db = Decomp(a), Decomp(b)
+    pts = set()
+    for seg in da.line_segs:
+        p, q = seg[:2], seg[2:]
+        for t in core.seg_cut_params(p, q, db.line_segs):
+            x, y = p + t * (q - p)
+            pts.add((round(float(x), 12), round(float(y), 12)))
+    # drop points lying on a shared piece (they're part of dim-1 output)
+    def on_piece(x, y):
+        for pc in pieces:
+            c = pc.coords
+            if bool(np.any(core.on_segment(x, y, c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]))):
+                return True
+        return False
+
+    iso = sorted(p for p in pts if not on_piece(*p))
+    point_parts = [Geom.point(x, y) for x, y in iso]
+    if pieces and point_parts:
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=point_parts + pieces)
+    if pieces:
+        if len(pieces) == 1:
+            return pieces[0]
+        return Geom(GeomType.MULTILINESTRING, parts=pieces)
+    return _points_geom(np.array(iso).reshape(-1, 2))
 
 
 def _clip_line_by_area(line: Geom, areal: Geom, inside: bool) -> Geom:

@@ -371,3 +371,23 @@ def test_offset_curve():
     assert measure.length(outer) == pytest.approx(10 + np.pi / 2, rel=0.01)
     with pytest.raises(TypeError):
         constructive.offset_curve(P("POINT (0 0)"), 1)
+
+
+def test_line_line_intersection():
+    # crossing lines -> the crossing point (set_operations.py docstrings)
+    a = P("LINESTRING (0 0, 2 2)")
+    b = P("LINESTRING (0 2, 2 0)")
+    assert to_wkt(so.intersection(a, b)) == "POINT (1 1)"
+    # collinear overlap -> the shared piece
+    c = so.intersection(P("LINESTRING (0 0, 10 0)"), P("LINESTRING (2 0, 6 0)"))
+    assert to_wkt(c) == "LINESTRING (2 0, 6 0)"
+    # mixed: overlap + isolated crossing
+    mixed = so.intersection(
+        P("LINESTRING (0 0, 10 0)"),
+        P("MULTILINESTRING ((2 0, 6 0), (8 -1, 8 1))"),
+    )
+    assert mixed.type_id == GeomType.GEOMETRYCOLLECTION
+    kinds = sorted(to_wkt(p) for p in mixed.parts)
+    assert kinds == ["LINESTRING (2 0, 6 0)", "POINT (8 0)"]
+    # disjoint -> empty
+    assert so.intersection(P("LINESTRING (0 0, 1 0)"), P("LINESTRING (5 5, 6 5)")).is_empty
