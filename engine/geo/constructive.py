@@ -7,10 +7,10 @@ ring), convex_hull:467 (monotone chain), simplify:1118
 normalize:794, orient_polygons:1529, extract_unique_points:621,
 remove_repeated_points:1003, segmentize:1070, oriented_envelope:1344
 (rotating calipers), minimum_bounding_circle:1398 (Welzl),
-minimum_rotated_rectangle alias, buffer:142 (points/multipoints: exact
-regular-polygon disc with quad_segs/cap_style semantics; other inputs
-raise NotImplementedError — general offsetting is out of round-1 scope
-and documented as such).
+minimum_rotated_rectangle alias, buffer:142 (positive round-join for
+all input types via edge-rect + vertex-disc unions over the general
+overlay; negative/erosion for areal inputs via polygon − boundary
+band), offset_curve:272 (segment offset, round joins, inward trim).
 """
 
 from __future__ import annotations
@@ -651,49 +651,58 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
     return _apply1(one, geometry)
 
 
-def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
-    """constructive.py:142 — positive round-join buffers: discs around
-    points; lines/polygons via union of per-segment round capsules (+
-    the polygon body), using the engine's general overlay.  Negative
-    distances (erosion) remain NotImplementedError (documented)."""
+def _buffer_positive(g: Geom, dist: float, quad_segs: int) -> Geom:
     from engine.geo.relate import Decomp
     from engine.geo.set_operations import union_all
+
+    t = g.type_id
+    if g.is_empty:
+        return Geom.empty(GeomType.POLYGON)
+    if t == GeomType.POINT:
+        x, y = g.coords[0]
+        return _disc(x, y, dist, quad_segs)
+    if t == GeomType.MULTIPOINT:
+        return union_all([_disc(p.coords[0, 0], p.coords[0, 1], dist, quad_segs)
+                          for p in g.parts])
+    d = Decomp(g)
+    # one rectangle per edge + ONE disc per distinct vertex: every
+    # buffer circle appears exactly once, so the overlay never sees
+    # two overlapping arcs of the same circle (degenerate noding);
+    # adjacent capsules would (their corner arcs share circles).
+    pieces = []
+    for s in d.segs:
+        a, b = s[:2], s[2:]
+        v = b - a
+        L = float(np.hypot(*v))
+        if L == 0:
+            continue
+        n = np.array([-v[1], v[0]]) / L * dist
+        ring = np.vstack([[a + n], [b + n], [b - n], [a - n], [a + n]])
+        pieces.append(Geom(GeomType.POLYGON, rings=[ring]))
+    for vx, vy in np.unique(d.vertices, axis=0):
+        pieces.append(_disc(vx, vy, dist, quad_segs))
+    if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        pieces = [p for p in ([g] if t == GeomType.POLYGON else list(g.parts))] + pieces
+    return union_all(pieces)
+
+
+def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
+    """constructive.py:142 — round-join buffers: positive via union of
+    per-edge rectangles + per-vertex discs over the general overlay;
+    negative (erosion, areal inputs) via polygon − boundary band."""
 
     def one(g):
         if g is None:
             return None
-        if distance <= 0:
-            if distance == 0 or g.type_id not in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
-                return Geom.empty(GeomType.POLYGON)
-            raise NotImplementedError("negative (erosion) buffer TBD")
-        t = g.type_id
-        if g.is_empty:
+        if distance == 0 or (
+            distance < 0 and g.type_id not in (GeomType.POLYGON, GeomType.MULTIPOLYGON)
+        ):
             return Geom.empty(GeomType.POLYGON)
-        if t == GeomType.POINT:
-            x, y = g.coords[0]
-            return _disc(x, y, distance, quad_segs)
-        if t == GeomType.MULTIPOINT:
-            return union_all([_disc(p.coords[0, 0], p.coords[0, 1], distance, quad_segs)
-                              for p in g.parts])
-        d = Decomp(g)
-        # one rectangle per edge + ONE disc per distinct vertex: every
-        # buffer circle appears exactly once, so the overlay never sees
-        # two overlapping arcs of the same circle (degenerate noding);
-        # adjacent capsules would (their corner arcs share circles).
-        pieces = []
-        for s in d.segs:
-            a, b = s[:2], s[2:]
-            v = b - a
-            L = float(np.hypot(*v))
-            if L == 0:
-                continue
-            n = np.array([-v[1], v[0]]) / L * distance
-            ring = np.vstack([[a + n], [b + n], [b - n], [a - n], [a + n]])
-            pieces.append(Geom(GeomType.POLYGON, rings=[ring]))
-        for vx, vy in np.unique(d.vertices, axis=0):
-            pieces.append(_disc(vx, vy, distance, quad_segs))
-        if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
-            pieces = [p for p in ([g] if t == GeomType.POLYGON else list(g.parts))] + pieces
-        return union_all(pieces)
+        if distance < 0:
+            from engine.geo.set_operations import difference
+
+            band = _buffer_positive(boundary(g), -distance, quad_segs)
+            return difference(g, band)
+        return _buffer_positive(g, float(distance), quad_segs)
 
     return _apply1(one, geometry)

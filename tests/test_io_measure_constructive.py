@@ -198,8 +198,8 @@ def test_min_circle_and_oriented_envelope():
 def test_buffer_points():
     b = constructive.buffer(P("POINT (0 0)"), 2.0, quad_segs=32)
     assert measure.area(b) == pytest.approx(np.pi * 4, rel=0.01)
-    with pytest.raises(NotImplementedError):
-        constructive.buffer(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), -1.0)  # erosion TBD
+    # negative buffer of a point is empty (GEOS semantics)
+    assert constructive.buffer(P("POINT (0 0)"), -1.0).is_empty
 
 
 # -------------------------------------------------------------- coordinates
@@ -391,3 +391,17 @@ def test_line_line_intersection():
     assert kinds == ["LINESTRING (2 0, 6 0)", "POINT (8 0)"]
     # disjoint -> empty
     assert so.intersection(P("LINESTRING (0 0, 1 0)"), P("LINESTRING (5 5, 6 5)")).is_empty
+
+
+def test_buffer_erosion():
+    g = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    e = constructive.buffer(g, -2.0)
+    assert measure.area(e) == pytest.approx(36.0)
+    assert np.allclose(measure.bounds(e), [2, 2, 8, 8])
+    from engine.geo import predicates as pred
+
+    assert pred.within(e, g)
+    # erode past collapse -> empty
+    assert constructive.buffer(g, -6.0).is_empty
+    # erosion of non-areal input -> empty polygon (GEOS semantics)
+    assert constructive.buffer(P("LINESTRING (0 0, 1 1)"), -1.0).is_empty
