@@ -392,9 +392,94 @@ def _reduce_all(fn, geometries, axis=None):
     return gs[0]
 
 
+def _nary_union_areal(geoms: list[Geom]) -> Geom:
+    """Single-pass n-ary areal union: ONE arrangement over all inputs
+    with membership = "interior of ANY input".
+
+    Iterated pairwise unions degrade: each round's output carries seam
+    vertices whose ~ulp discrepancies become spurious crossings in the
+    next round's noding.  One pass nodes only the ORIGINAL clean inputs
+    (this is why buffer() dissolves its rect+disc decomposition here).
+    """
+    from engine.geo.linework import _minimal_rings, _noded_pieces
+    from engine.geo.relate import Decomp
+
+    decomps = [Decomp(g) for g in geoms]
+    segs = [d.ring_segs for d in decomps if len(d.ring_segs)]
+    if not segs:
+        return Geom.empty(GeomType.POLYGON)
+    pieces = _noded_pieces(np.vstack(segs))
+
+    def inside_any(x, y):
+        from engine.geo.relate import I
+
+        return any(d.locate(x, y) == I for d in decomps)
+
+    border = []
+    for p, q in pieces:
+        px, py = p
+        qx, qy = q
+        L = np.hypot(qx - px, qy - py)
+        if L == 0:
+            continue
+        ux, uy = (qx - px) / L, (qy - py) / L
+        eps = max(L * 1e-6, 1e-9)
+        mx, my = (px + qx) / 2.0, (py + qy) / 2.0
+        kl = inside_any(mx - uy * eps, my + ux * eps)
+        kr = inside_any(mx + uy * eps, my - ux * eps)
+        if kl != kr:
+            border.append((p, q))
+    if not border:
+        return Geom.empty(GeomType.POLYGON)
+    rings2 = _minimal_rings(border)
+    allc = np.vstack([e for pair in border for e in pair])
+    extent = max(float(np.ptp(allc[:, 0])), float(np.ptp(allc[:, 1])), 1e-300)
+    vtol = extent * 1e-12
+    min_area = (extent * 1e-9) ** 2
+    cleaned = []
+    for r in rings2:
+        keep_m = np.ones(len(r), dtype=bool)
+        keep_m[1:] = (np.abs(np.diff(r, axis=0)) > vtol).any(axis=1)
+        rr = r[keep_m]
+        if len(rr) and (np.abs(rr[0] - rr[-1]) > vtol).any():
+            rr = np.vstack([rr, rr[:1]])
+        if len(rr) >= 4 and abs(core.ring_signed_area(rr)) > min_area:
+            cleaned.append(rr)
+    shells, holes = [], []
+    for r in cleaned:
+        x, y = _face_interior_point(r)
+        if inside_any(x, y):
+            shells.append(r)
+        else:
+            holes.append((r[::-1].copy(), (x, y)))
+    polys: list[list[np.ndarray]] = [[s] for s in shells]
+    for h, (hx, hy) in holes:
+        best, best_area = None, np.inf
+        for p in polys:
+            if core.point_in_rings(hx, hy, [p[0]]) == 2:
+                ar = abs(core.ring_signed_area(p[0]))
+                if ar < best_area:
+                    best, best_area = p, ar
+        if best is not None:
+            best.append(h)
+    parts = [Geom(GeomType.POLYGON, rings=p) for p in polys]
+    if not parts:
+        return Geom.empty(GeomType.POLYGON)
+    if len(parts) == 1:
+        return parts[0]
+    return Geom(GeomType.MULTIPOLYGON, parts=parts)
+
+
 def union_all(geometries, grid_size=None, axis=None):
     """set_operations.py:465 — ignores None; empty input →
-    GEOMETRYCOLLECTION EMPTY (:525-530)."""
+    GEOMETRYCOLLECTION EMPTY (:525-530).  All-areal inputs take the
+    single-pass arrangement union (see _nary_union_areal)."""
+    gs = [g for g in geometries if g is not None and not g.is_empty]
+    if gs and all(g.type_id in _AREAL for g in gs):
+        flat: list[Geom] = []
+        for g in gs:
+            flat.extend(g.parts or [g])
+        return _nary_union_areal(flat)
     return _reduce_all(union, geometries)
 
 
