@@ -116,3 +116,29 @@ def test_strtree_vs_brute(ra, rb):
     res = set(tree.query(probe, predicate="intersects").tolist())
     want = {i for i, g in enumerate(geoms) if pred.intersects(probe, g)}
     assert res == want
+
+
+def test_overlay_concave_star_identities():
+    """Randomized concave (star) polygons, general-position floats —
+    the area identities must hold for every op (seeded, 40 trials)."""
+    import random
+
+    rng = random.Random(7)
+
+    def star(cx, cy, n, r1, r2):
+        ang = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+        rad = np.where(np.arange(2 * n) % 2 == 0, r2, r1)
+        ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        return Geom(GeomType.POLYGON, rings=[ring])
+
+    for _ in range(40):
+        a = star(rng.uniform(3, 9), rng.uniform(3, 9), rng.randint(3, 7),
+                 rng.uniform(0.5, 1.5), rng.uniform(2, 4))
+        b = star(rng.uniform(3, 9), rng.uniform(3, 9), rng.randint(3, 7),
+                 rng.uniform(0.5, 1.5), rng.uniform(2, 4))
+        aa, ab = measure.area(a), measure.area(b)
+        ai = measure.area(so.intersection(a, b))
+        assert abs(measure.area(so.union(a, b)) - (aa + ab - ai)) < 1e-6
+        assert abs(measure.area(so.difference(a, b)) - (aa - ai)) < 1e-6
+        assert abs(measure.area(so.symmetric_difference(a, b)) - (aa + ab - 2 * ai)) < 1e-6
