@@ -374,6 +374,50 @@ def _q_psnr_validate(sf_dir):
     return validate_dataset(sf_dir).select_columns(["image_id", "psnr_ok"])
 
 
+def _q_img_features(sf_dir):
+    """Decode → resize → featurize actor-pool stage (multimodal path)."""
+    from engine.rayds.imgstage import PAYLOAD_BATCH, ResizeExtract, payload_dataset
+
+    return payload_dataset(sf_dir).map_batches(
+        ResizeExtract, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
+        concurrency=(1, 8),
+    ).select_columns(["image_id", "thumb_phash"])
+
+
+def _q_minhash_verified(sf_dir):
+    """MinHash candidates verified with EXACT n-gram Jaccard (the
+    adversarial-verify stage of the dedup pipeline)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops import dedup
+
+    cand = _q_minhash_pairs(sf_dir).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    tbl = pa.table({"a": pa.array(cand["a"], type=pa.int64()),
+                    "b": pa.array(cand["b"], type=pa.int64())})
+    out = dedup.jaccard_verify(tbl, texts, threshold=0.5)
+    return out.drop_columns(["jaccard"])
+
+
+def _q_ann_topk_lsh(sf_dir):
+    """LSH-bucketed approximate top-k (the 100-TB ANN scale path)."""
+    from engine.ops import ann
+
+    q, qids = _load_query_vecs(sf_dir, 3)
+    return ann.topk_cosine_lsh(_embeddings(sf_dir), q, qids, k=10, nbits=4, dim=64)
+
+
+def _q_doc_fingerprint(sf_dir):
+    from engine.ops import text
+
+    return (
+        _docs(sf_dir)
+        .map_batches(text.fingerprint, batch_format="pyarrow", batch_size=None)
+        .select_columns(["doc_id", "fp64"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -401,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
+        "img_features": _q_img_features,
+        "minhash_verified": _q_minhash_verified,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 

@@ -97,9 +97,11 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     — cheap rolling-hash-style exact-dup key that avoids shuffling the
     full text at scale."""
     texts = batch["text"].to_pylist()
-    fps = np.empty(len(texts), dtype=np.int64)
+    fps = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         b = t.encode()
         half = len(b) // 2
-        fps[i] = (zlib.crc32(b[:half]) << 32) | zlib.crc32(b[half:])
-    return batch.append_column("fp64", pa.array(fps))
+        fps[i] = np.uint64(zlib.crc32(b[:half])) << np.uint64(32) | np.uint64(
+            zlib.crc32(b[half:])
+        )
+    return batch.append_column("fp64", pa.array(fps.view(np.int64)))

@@ -67,6 +67,54 @@ class DecodeValidate:
         ).append_column("mean_px", pa.array(mean_px))
 
 
+class ResizeExtract:
+    """Actor-pool stage: decode → nearest-neighbour resize to a fixed
+    thumbnail → feature columns (phash of the thumbnail, mean px).
+
+    The resize itself is pure numpy index striding (no image lib); at
+    scale this is the standard decode→resize→featurize preprocessing
+    stage with batch_size bounded by payload bytes."""
+
+    def __init__(self, thumb: int = 16):
+        self.thumb = int(thumb)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        t = self.thumb
+        hashes = np.empty(len(ids), dtype=np.int64)
+        means = np.empty(len(ids))
+        for i, (iid, w, h, fmt, raw) in enumerate(zip(ids, ws, hs, fmts, data)):
+            img = codec.decode_payload(raw, int(w), int(h), fmt)
+            yi = (np.arange(t) * img.shape[0] // t).clip(0, img.shape[0] - 1)
+            xi = (np.arange(t) * img.shape[1] // t).clip(0, img.shape[1] - 1)
+            thumb = img[yi[:, None], xi[None, :]]
+            hashes[i] = codec.phash64(thumb)
+            means[i] = float(thumb.mean())
+        return batch.drop_columns(["bytes"]).append_column(
+            "thumb_phash", pa.array(hashes)
+        ).append_column("thumb_mean", pa.array(means))
+
+
+class FrameSample:
+    """STUB for video frame sampling (no video codec in this sandbox):
+    the Ray-side plumbing (schema, actor signature, batch sizing) is
+    real; calling it raises NotImplementedError per the documented
+    multimodal scope."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video decode unavailable in this sandbox (documented stub); "
+            "schema: (video_id, bytes, fmt) -> (video_id, frame_idx, frame_png)"
+        )
+
+
 _ADD = AddPayload()
 _VALIDATE = DecodeValidate()
 
