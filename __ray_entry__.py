@@ -376,12 +376,9 @@ def _q_psnr_validate(sf_dir):
 
 def _q_img_features(sf_dir):
     """Decode → resize → featurize actor-pool stage (multimodal path)."""
-    from engine.rayds.imgstage import PAYLOAD_BATCH, ResizeExtract, payload_dataset
+    from engine.rayds.imgstage import features_dataset
 
-    return payload_dataset(sf_dir).map_batches(
-        ResizeExtract, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
-        concurrency=(1, 8),
-    ).select_columns(["image_id", "thumb_phash"])
+    return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
 def _q_minhash_verified(sf_dir):

@@ -117,6 +117,24 @@ class FrameSample:
 
 _ADD = AddPayload()
 _VALIDATE = DecodeValidate()
+_RESIZE = ResizeExtract()
+
+
+def _resize_fn(batch: pa.Table) -> pa.Table:
+    return _RESIZE(batch)
+
+
+def features_dataset(sf_dir: str, concurrency=None):
+    """payload → decode → resize → features (task-based by default)."""
+    base = payload_dataset(sf_dir, concurrency)
+    if concurrency is not None:
+        return base.map_batches(
+            ResizeExtract, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency,
+        )
+    return base.map_batches(
+        _resize_fn, batch_format="pyarrow", batch_size=PAYLOAD_BATCH
+    )
 
 
 def _add_payload_fn(batch: pa.Table) -> pa.Table:
