@@ -189,3 +189,17 @@ def test_lsh_topk_subset_of_brute(ray_session):
     # every returned neighbor must share the query's LSH bucket by
     # construction; ranks must be 1..n
     assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_synth_table_generator(tmp_path):
+    import pyarrow.parquet as pq
+
+    from engine.img.synth import generate_table
+
+    p = generate_table(100, 3, cache_dir=str(tmp_path))
+    t = pq.read_table(p)
+    assert t.num_rows == 100
+    assert set(t.column_names) == {"image_id", "bytes", "w", "h", "fmt",
+                                   "caption", "phash", "x", "y"}
+    # deterministic: same (rows, seed) -> same cached file
+    assert generate_table(100, 3, cache_dir=str(tmp_path)) == p
