@@ -211,15 +211,32 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
 _AREAL = (GeomType.POLYGON, GeomType.MULTIPOLYGON)
 
 
+def _snap_grid(g, grid_size):
+    if g is None or grid_size in (None, 0):
+        return g
+    from engine.geo.ops import set_precision
+
+    return set_precision(g, grid_size)
+
+
 def _binary(fn):
     def wrapped(a, b, grid_size=None, **kw):
         arr_a = isinstance(a, (list, tuple, np.ndarray))
         arr_b = isinstance(b, (list, tuple, np.ndarray))
+        if grid_size:
+            # reference grid_size semantics (set_operations.py:52-57):
+            # inputs snapped to the precision grid, output on the grid
+            snap = lambda g: _snap_grid(g, grid_size)  # noqa: E731
+            post = snap
+        else:
+            snap = post = lambda g: g  # noqa: E731
         if not arr_a and not arr_b:
-            return fn(a, b)
+            return post(fn(snap(a), snap(b)))
         aa = a if arr_a else [a] * len(b)
         bb = b if arr_b else [b] * len(a)
-        return np.array([fn(x, y) for x, y in zip(aa, bb)], dtype=object)
+        return np.array(
+            [post(fn(snap(x), snap(y))) for x, y in zip(aa, bb)], dtype=object
+        )
 
     return wrapped
 
@@ -345,7 +362,45 @@ def difference(a, b):
     _LINE = (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING)
     if a.type_id in _LINE and b.type_id in _AREAL:
         return _clip_line_by_area(a, b, inside=False)
+    if a.type_id in _LINE and b.type_id in _LINE:
+        return _line_line_difference(a, b)
+    if a.type_id in _AREAL and b.type_id in _LINE + (GeomType.POINT, GeomType.MULTIPOINT):
+        return a  # lower-dimensional subtrahend removes no area
     raise NotImplementedError("difference of these input dimensions (TBD)")
+
+
+def _line_line_difference(a: Geom, b: Geom) -> Geom:
+    """a − b for lines: split a's segments at b and at collinear-overlap
+    bounds; keep pieces whose midpoint is NOT on b."""
+    from engine.geo.linear import line_merge
+    from engine.geo.relate import Decomp
+
+    da, db = Decomp(a), Decomp(b)
+    kept = []
+    for seg in da.line_segs:
+        p, q = seg[:2], seg[2:]
+        cuts = core.seg_cut_params(p, q, db.line_segs) if len(db.line_segs) else np.empty(0)
+        ts = np.unique(np.concatenate([[0.0, 1.0], cuts]))
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            mid = p + 0.5 * (t0 + t1) * (q - p)
+            on_b = bool(
+                np.any(
+                    core.on_segment(
+                        mid[0], mid[1],
+                        db.line_segs[:, 0], db.line_segs[:, 1],
+                        db.line_segs[:, 2], db.line_segs[:, 3],
+                    )
+                )
+            ) if len(db.line_segs) else False
+            if not on_b:
+                kept.append(
+                    Geom.linestring(np.vstack([p + t0 * (q - p), p + t1 * (q - p)]))
+                )
+    if not kept:
+        return Geom.empty(GeomType.LINESTRING)
+    return line_merge(Geom(GeomType.MULTILINESTRING, parts=kept))
 
 
 @_binary

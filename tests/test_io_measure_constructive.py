@@ -405,3 +405,24 @@ def test_buffer_erosion():
     assert constructive.buffer(g, -6.0).is_empty
     # erosion of non-areal input -> empty polygon (GEOS semantics)
     assert constructive.buffer(P("LINESTRING (0 0, 1 1)"), -1.0).is_empty
+
+
+def test_grid_size_precision():
+    # set_operations.py:52-57 — inputs snapped to the precision grid
+    a = P("POLYGON ((0.04 0.04, 3.96 0.04, 3.96 3.96, 0.04 3.96, 0.04 0.04))")
+    b = P("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    c = so.intersection(a, b, grid_size=1.0)
+    assert measure.area(c) == 4.0  # a snaps to the unit grid (0..4 square)
+
+
+def test_line_line_difference():
+    a = P("LINESTRING (0 0, 10 0)")
+    d = so.difference(a, P("LINESTRING (2 0, 6 0)"))
+    assert measure.length(d) == pytest.approx(6.0)  # 0-2 and 6-10
+    assert d.type_id == GeomType.MULTILINESTRING
+    # crossing (not collinear) removes nothing 1-D
+    d2 = so.difference(a, P("LINESTRING (5 -1, 5 1)"))
+    assert measure.length(d2) == pytest.approx(10.0)
+    # areal minus line keeps the area
+    sq = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert measure.area(so.difference(sq, a)) == 4.0
