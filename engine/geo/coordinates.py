@@ -29,8 +29,9 @@ def _walk_blocks(g: Geom):
             yield from _walk_blocks(p)
 
 
-def count_coordinates(geometry) -> int | np.ndarray:
-    """coordinates.py:289."""
+def count_coordinates(geometry) -> int:
+    """coordinates.py:289 — TOTAL coordinate pairs (array input sums
+    over all geometries, like the reference's C counter)."""
 
     def one(g):
         if g is None:
@@ -39,7 +40,7 @@ def count_coordinates(geometry) -> int | np.ndarray:
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry)
-    return np.array([one(g) for g in geometry], dtype=np.int64)
+    return int(sum(one(g) for g in geometry))
 
 
 def get_coordinates(geometry, return_index: bool = False):
