@@ -25,6 +25,7 @@ from engine.geo.coordinates import (  # noqa: F401
     count_coordinates, get_coordinates, get_exterior_ring, get_interior_ring,
     get_num_coordinates, get_num_geometries, get_num_interior_rings, get_parts,
     get_rings, get_type_id, get_x, get_y, set_coordinates, transform,
+    transform_coordseq,
 )
 from engine.geo.coverage import (  # noqa: F401
     coverage_invalid_edges, coverage_is_valid, coverage_simplify, get_srid,
@@ -69,7 +70,8 @@ from engine.geo.set_operations import (  # noqa: F401
 )
 from engine.geo.strtree import STRtree  # noqa: F401
 from engine.geo.triangulate import (  # noqa: F401
-    concave_hull, delaunay_triangles, voronoi_polygons,
+    concave_hull, constrained_delaunay_triangles, delaunay_triangles,
+    voronoi_polygons,
 )
 from engine.geo.validation import explain_validity, make_valid  # noqa: F401
 from engine.geo.wkb import from_wkb, to_wkb  # noqa: F401

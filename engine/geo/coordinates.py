@@ -105,6 +105,34 @@ def transform(geometry, transformation, include_z: bool = False):
     return np.array([one(g) for g in geometry], dtype=object)
 
 
+def transform_coordseq(geometry, transformation):
+    """coordinates.py:177 — like transform, but the function is applied
+    per coordinate SEQUENCE (one ring / one line at a time) instead of
+    one flat block per geometry."""
+
+    def one(g):
+        if g is None:
+            return None
+        from engine.geo.geom import Geom, GeomType
+
+        t = g.type_id
+        if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
+            if not len(g.coords):
+                return g
+            return Geom(t, coords=np.asarray(transformation(g.coords), dtype=np.float64))
+        if t == GeomType.POLYGON:
+            return Geom(t, rings=[np.asarray(transformation(r), dtype=np.float64) for r in g.rings])
+        if g.parts:
+            return Geom(t, parts=[one(p) for p in g.parts])
+        return g
+
+    from engine.geo.geom import Geom
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
 def get_parts(geometry, return_index: bool = False):
     """_geometry.py:646 — explode multi-parts one level (the Arrow list
     flatten of SURVEY.md §2.12)."""

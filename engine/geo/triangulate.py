@@ -114,6 +114,130 @@ def delaunay_triangles(geometry, tolerance: float = 0.0, only_edges: bool = Fals
     return np.array([one(g) for g in geometry], dtype=object)
 
 
+def _ear_clip(ring: np.ndarray) -> list[tuple[int, int, int]]:
+    """Ear clipping of a simple CCW ring (no holes) → triangle index
+    triples into ring[:-1]."""
+    n = len(ring) - 1
+    idx = list(range(n))
+    tris = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n * n:
+        guard += 1
+        ear_found = False
+        for k in range(len(idx)):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            a, b, c = ring[i0], ring[i1], ring[i2]
+            if core.orient(a[0], a[1], b[0], b[1], c[0], c[1]) <= 0:
+                continue  # reflex or collinear
+            # no other active vertex strictly inside the ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                p = ring[j]
+                if (
+                    core.orient(a[0], a[1], b[0], b[1], p[0], p[1]) > 0
+                    and core.orient(b[0], b[1], c[0], c[1], p[0], p[1]) > 0
+                    and core.orient(c[0], c[1], a[0], a[1], p[0], p[1]) > 0
+                ):
+                    ok = False
+                    break
+            if ok:
+                tris.append((i0, i1, i2))
+                idx.pop(k)
+                ear_found = True
+                break
+        if not ear_found:
+            break
+    if len(idx) == 3:
+        tris.append((idx[0], idx[1], idx[2]))
+    return tris
+
+
+def _lawson_flips(pts: np.ndarray, tris: list[tuple[int, int, int]],
+                  constrained: set) -> list[tuple[int, int, int]]:
+    """Flip non-constrained interior edges until locally Delaunay."""
+
+    def in_circum(t, p):
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        if d == 0:
+            return False
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        return (p[0] - ux) ** 2 + (p[1] - uy) ** 2 < r2 * (1 - 1e-12)
+
+    tris = [tuple(t) for t in tris]
+    for _ in range(len(tris) * len(tris) + 10):
+        edge_map: dict = {}
+        for ti, t in enumerate(tris):
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                edge_map.setdefault((min(e), max(e)), []).append(ti)
+        flipped = False
+        for e, owners in edge_map.items():
+            if len(owners) != 2 or e in constrained:
+                continue
+            t1, t2 = tris[owners[0]], tris[owners[1]]
+            o1 = next(v for v in t1 if v not in e)
+            o2 = next(v for v in t2 if v not in e)
+            if in_circum(t1, pts[o2]):
+                # flip e → (o1, o2)
+                n1 = (o1, e[0], o2)
+                n2 = (o1, o2, e[1])
+
+                def fix(t):
+                    a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+                    if core.orient(a[0], a[1], b[0], b[1], c[0], c[1]) < 0:
+                        return (t[0], t[2], t[1])
+                    return t
+
+                tris[owners[0]] = fix(n1)
+                tris[owners[1]] = fix(n2)
+                flipped = True
+                break
+        if not flipped:
+            break
+    return tris
+
+
+def constrained_delaunay_triangles(geometry):
+    """constructive.py:546 — triangulation of polygon interiors
+    respecting the boundary: ear clipping + Lawson flips on
+    non-constrained edges (= constrained Delaunay for simple rings;
+    polygons with holes triangulate shell-only and raise if holed)."""
+
+    def one(g):
+        if g is None:
+            return None
+        if g.type_id == GeomType.MULTIPOLYGON:
+            parts = []
+            for p in g.parts:
+                parts.extend(one(p).parts)
+            return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
+        if g.type_id != GeomType.POLYGON or g.is_empty:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        if len(g.rings) > 1:
+            raise NotImplementedError("CDT with holes (bridge insertion) TBD")
+        ring = g.rings[0]
+        if core.ring_signed_area(ring) < 0:
+            ring = ring[::-1].copy()
+        pts = ring[:-1]
+        tris = _ear_clip(ring)
+        n = len(pts)
+        constrained = {(min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)}
+        tris = _lawson_flips(pts, tris, constrained)
+        parts = []
+        for a, b, c in tris:
+            tri = np.array([pts[a], pts[b], pts[c], pts[a]])
+            parts.append(Geom(GeomType.POLYGON, rings=[tri]))
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
 def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
                      only_edges: bool = False):
     """constructive.py:1270 — cell per unique input point, clipped to the

@@ -141,3 +141,20 @@ def test_minimum_clearance_line_and_width():
     assert measure.length(line) == pytest.approx(2.0)
     w = linework.minimum_width(P("POLYGON ((0 0, 10 0, 10 3, 0 3, 0 0))"))
     assert measure.length(w) == pytest.approx(3.0)
+
+
+def test_constrained_delaunay():
+    # convex: must cover the polygon exactly
+    sq = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    tris = triangulate.constrained_delaunay_triangles(sq)
+    assert sum(measure.area(t) for t in tris.parts) == pytest.approx(16.0)
+    # concave: boundary respected (no triangle area outside the polygon)
+    conc = P("POLYGON ((0 0, 6 0, 6 6, 3 2, 0 6, 0 0))")
+    tris2 = triangulate.constrained_delaunay_triangles(conc)
+    assert sum(measure.area(t) for t in tris2.parts) == pytest.approx(measure.area(conc))
+    for t in tris2.parts:
+        cx, cy = t.rings[0][:3].mean(axis=0)
+        assert pred.covers(conc, Geom.point(cx, cy))
+    # non-areal input -> empty collection, None passthrough
+    assert triangulate.constrained_delaunay_triangles(P("POINT (0 0)")).is_empty
+    assert triangulate.constrained_delaunay_triangles(None) is None
