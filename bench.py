@@ -225,6 +225,38 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
+    if "--resume" in sys.argv:
+        # resumable-run evidence: full checkpointed run, then simulate a
+        # failure (drop one shard's manifest) and show the re-run only
+        # recomputes that shard
+        import shutil
+
+        from engine.rayds import ckpt
+        from engine.rayds.pipeline import run_tiles_checkpointed_ranges
+
+        out = "/tmp/ray_geo_resume_bench"
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            t0 = time.perf_counter()
+            r1 = run_tiles_checkpointed_ranges(SF_DIR, out, num_shards=4)
+            full_secs = time.perf_counter() - t0
+            os.remove(ckpt.manifest_path(out, 2))
+            shutil.rmtree(os.path.join(out, "shard=2"), ignore_errors=True)
+            t0 = time.perf_counter()
+            r2 = run_tiles_checkpointed_ranges(SF_DIR, out, num_shards=4)
+            resume_secs = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "checkpoint_resume",
+                "unit": "sec",
+                "full_run_secs": round(full_secs, 3),
+                "resume_secs": round(resume_secs, 3),
+                "first": r1, "second": r2,
+                "num_cpus": NUM_CPUS, "sf": SF_DIR,
+            }))
+        finally:
+            ray.shutdown()
+        return
+
     if "--skew" in sys.argv:
         try:
             print(json.dumps({"metric": "skew_ladder", "unit": "sec",

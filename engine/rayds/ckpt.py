@@ -97,3 +97,35 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def run_sharded_ranges(build_shard_ds, fingerprint_paths: list[str],
+                       out_dir: str, num_shards: int) -> dict:
+    """Resumable run with KEY-RANGE shards (single-file inputs).
+
+    ``build_shard_ds(shard_idx, num_shards) -> Dataset`` builds the
+    pipeline for one deterministic key-range slice (e.g. rows with
+    ``key % num_shards == shard_idx``).  Manifest fingerprint = input
+    files + the (shard, num_shards) slice — at 100 TB scale shards are
+    file groups and `run_sharded` applies instead."""
+    base_fp = shard_fingerprint(fingerprint_paths)
+    computed, skipped = [], []
+    for i in range(num_shards):
+        fp = f"{base_fp}:{i}/{num_shards}"
+        if shard_done(out_dir, i, fp):
+            skipped.append(i)
+            continue
+        t0 = time.perf_counter()
+        ds = build_shard_ds(i, num_shards)
+        dest = os.path.join(out_dir, f"shard={i}")
+        os.makedirs(dest, exist_ok=True)
+        ds.write_parquet(dest)
+        rows = sum(
+            _parquet_rows(os.path.join(dest, f))
+            for f in os.listdir(dest)
+            if f.endswith(".parquet")
+        )
+        write_manifest(out_dir, i, fp, rows, time.perf_counter() - t0,
+                       extra={"inputs": fingerprint_paths, "slice": [i, num_shards]})
+        computed.append(i)
+    return {"computed": computed, "skipped": skipped}

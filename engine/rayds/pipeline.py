@@ -148,6 +148,36 @@ def run_tiles_checkpointed(sf_dir: str, out_dir: str, num_shards: int = 4) -> di
                             num_shards=num_shards)
 
 
+def run_tiles_checkpointed_ranges(sf_dir: str, out_dir: str,
+                                  num_shards: int = 4) -> dict:
+    """Resumable flagship run over KEY-RANGE shards (event_id mod N) —
+    the single-input-file form of per-partition lineage; each shard is
+    an independently recomputable, manifest-tracked slice."""
+    import pyarrow as pa_mod
+    import ray.data
+
+    from engine.rayds.imagetab import derive_batch
+
+    layer = load_layer(sf_dir)
+
+    def build(shard_idx: int, n: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def pick(batch: pa_mod.Table) -> pa_mod.Table:
+            eid = batch["event_id"].to_numpy()
+            return batch.filter(pa_mod.array(eid % n == shard_idx))
+
+        imgs = ds.map_batches(pick, batch_format="pyarrow", batch_size=None).map_batches(
+            derive_batch, batch_format="pyarrow", batch_size=None
+        )
+        return tiles_dataset(sf_dir, layer=layer, ds=imgs)
+
+    return ckpt.run_sharded_ranges(build, [f"{sf_dir}/events.parquet"], out_dir,
+                                   num_shards=num_shards)
+
+
 def semi_anti_ids(sf_dir: str, anti: bool = False):
     """Images with ≥1 polygon match (semi) / no match (anti) — projection
     of the inner join per SURVEY.md §2.4, realized without a second

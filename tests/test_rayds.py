@@ -249,3 +249,24 @@ def test_cellpart_join_matches_broadcast(ray_ready):
         for r in pipeline.pairs_dataset(SF).select_columns(["image_id", "poly_id"]).take_all()
     }
     assert a == b
+
+
+def test_checkpoint_resume_ranges(ray_ready, tmp_path):
+    from engine.rayds import ckpt, pipeline
+
+    out = str(tmp_path / "ranges_out")
+    r1 = pipeline.run_tiles_checkpointed_ranges(SF, out, num_shards=3)
+    assert r1["computed"] == [0, 1, 2]
+    r2 = pipeline.run_tiles_checkpointed_ranges(SF, out, num_shards=3)
+    assert r2 == {"computed": [], "skipped": [0, 1, 2]}
+    os.remove(ckpt.manifest_path(out, 1))
+    r3 = pipeline.run_tiles_checkpointed_ranges(SF, out, num_shards=3)
+    assert r3 == {"computed": [1], "skipped": [0, 2]}
+    # union of shard outputs == unsharded tile rows
+    import pyarrow.parquet as pq
+    total = 0
+    for i in range(3):
+        d = os.path.join(out, f"shard={i}")
+        total += sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                     for f in os.listdir(d) if f.endswith(".parquet"))
+    assert total == pipeline.tiles_dataset(SF).count()
