@@ -80,7 +80,7 @@ def run_sharded(build_shard_ds, input_paths: list[str], out_dir: str,
         t0 = time.perf_counter()
         ds = build_shard_ds(paths)
         dest = os.path.join(out_dir, f"shard={i}")
-        os.makedirs(dest, exist_ok=True)
+        _fresh_dir(dest)  # idempotent per-shard output: replace, never append
         ds.write_parquet(dest)
         rows = sum(
             _parquet_rows(os.path.join(dest, f))
@@ -91,6 +91,13 @@ def run_sharded(build_shard_ds, input_paths: list[str], out_dir: str,
                        extra={"inputs": paths})
         computed.append(i)
     return {"computed": computed, "skipped": skipped}
+
+
+def _fresh_dir(dest: str) -> None:
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
 
 
 def _parquet_rows(path: str) -> int:
@@ -118,7 +125,7 @@ def run_sharded_ranges(build_shard_ds, fingerprint_paths: list[str],
         t0 = time.perf_counter()
         ds = build_shard_ds(i, num_shards)
         dest = os.path.join(out_dir, f"shard={i}")
-        os.makedirs(dest, exist_ok=True)
+        _fresh_dir(dest)  # idempotent per-shard output: replace, never append
         ds.write_parquet(dest)
         rows = sum(
             _parquet_rows(os.path.join(dest, f))
