@@ -154,6 +154,51 @@ def _ear_clip(ring: np.ndarray) -> list[tuple[int, int, int]]:
     return tris
 
 
+def _bridge_holes(shell: np.ndarray, holes: list[np.ndarray]) -> np.ndarray:
+    """Splice CW holes into a CCW shell with zero-width bridges (the
+    earcut approach): pick a mutually visible shell-vertex/hole-vertex
+    pair (segment crossing no edge of any ring) and duplicate both
+    endpoints, producing one simple weakly-closed ring."""
+    outer = shell[:-1]
+    remaining = sorted(holes, key=lambda h: -h[:, 0].max())
+    for hole in remaining:
+        hpts = hole[:-1]
+        hi = int(np.argmax(hpts[:, 0]))  # rightmost hole vertex
+        M = hpts[hi]
+        # all edges that a bridge must not cross: current outer + this hole
+        def edges_of(r):
+            rr = np.vstack([r, r[:1]])
+            return np.hstack([rr[:-1], rr[1:]])
+
+        segs = np.vstack([edges_of(outer)] + [edges_of(h[:-1]) for h in remaining])
+        best, best_d = None, np.inf
+        for pi in range(len(outer)):
+            P = outer[pi]
+            d2 = (P[0] - M[0]) ** 2 + (P[1] - M[1]) ** 2
+            if d2 >= best_d:
+                continue
+            inter = core.segments_intersect_bool(
+                M[0], M[1], P[0], P[1],
+                segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3],
+            )
+            # crossings touching only at M or P endpoints are fine
+            shares = (
+                ((segs[:, 0] == M[0]) & (segs[:, 1] == M[1]))
+                | ((segs[:, 2] == M[0]) & (segs[:, 3] == M[1]))
+                | ((segs[:, 0] == P[0]) & (segs[:, 1] == P[1]))
+                | ((segs[:, 2] == P[0]) & (segs[:, 3] == P[1]))
+            )
+            if not bool(np.any(inter & ~shares)):
+                best, best_d = pi, d2
+        if best is None:
+            raise NotImplementedError("no visible bridge vertex found (degenerate hole)")
+        pi = best
+        # splice: ...P, M, hole-cycle..., M, P, ...
+        cyc = np.vstack([hpts[hi:], hpts[:hi]])
+        outer = np.vstack([outer[: pi + 1], cyc, [M], [outer[pi]], outer[pi + 1:]])
+    return np.vstack([outer, outer[:1]])
+
+
 def _lawson_flips(pts: np.ndarray, tris: list[tuple[int, int, int]],
                   constrained: set) -> list[tuple[int, int, int]]:
     """Flip non-constrained interior edges until locally Delaunay."""
@@ -217,11 +262,15 @@ def constrained_delaunay_triangles(geometry):
             return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
         if g.type_id != GeomType.POLYGON or g.is_empty:
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
-        if len(g.rings) > 1:
-            raise NotImplementedError("CDT with holes (bridge insertion) TBD")
         ring = g.rings[0]
         if core.ring_signed_area(ring) < 0:
             ring = ring[::-1].copy()
+        if len(g.rings) > 1:
+            holes = []
+            for h in g.rings[1:]:
+                hh = h if core.ring_signed_area(h) < 0 else h[::-1].copy()
+                holes.append(hh)
+            ring = _bridge_holes(ring, holes)
         pts = ring[:-1]
         tris = _ear_clip(ring)
         n = len(pts)

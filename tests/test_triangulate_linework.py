@@ -158,3 +158,16 @@ def test_constrained_delaunay():
     # non-areal input -> empty collection, None passthrough
     assert triangulate.constrained_delaunay_triangles(P("POINT (0 0)")).is_empty
     assert triangulate.constrained_delaunay_triangles(None) is None
+
+
+def test_constrained_delaunay_with_holes():
+    donut = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3))")
+    tris = triangulate.constrained_delaunay_triangles(donut)
+    assert sum(measure.area(t) for t in tris.parts) == pytest.approx(84.0)
+    for t in tris.parts:
+        cx, cy = t.rings[0][:3].mean(axis=0)
+        assert pred.covers(donut, Geom.point(cx, cy))
+    two = P("POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0), "
+            "(2 2, 2 4, 4 4, 4 2, 2 2), (12 5, 12 8, 15 8, 15 5, 12 5))")
+    t2 = triangulate.constrained_delaunay_triangles(two)
+    assert sum(measure.area(t) for t in t2.parts) == pytest.approx(measure.area(two))
