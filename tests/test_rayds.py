@@ -270,3 +270,35 @@ def test_checkpoint_resume_ranges(ray_ready, tmp_path):
         total += sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
                      for f in os.listdir(d) if f.endswith(".parquet"))
     assert total == pipeline.tiles_dataset(SF).count()
+
+
+def test_flagship_on_real_input_hint_table(ray_ready, tmp_path):
+    """The engine must run directly on a REAL input_hint table (not just
+    the events-derived one): synth parquet -> source reader -> join ->
+    tiles, results matching the brute force over the same coordinates."""
+    from engine.img.synth import generate_table
+    from engine.rayds import pipeline
+    from engine.rayds.imagetab import load_layer
+    from engine.rayds.source import image_table_dataset
+
+    path = generate_table(1500, 11, cache_dir=str(tmp_path))
+    ds = image_table_dataset(path)  # bytes column projected away
+    assert "bytes" not in ds.schema().names
+    layer = load_layer(SF)
+    tiles = pipeline.tiles_dataset(SF, layer=layer, ds=ds)
+    rows = tiles.take_all()
+    # brute force over the synth table's coordinates
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["image_id", "x", "y"])
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    ids = t["image_id"].to_pylist()
+    want = set()
+    for i in range(len(layer.poly_ids)):
+        b = layer.bounds[i]
+        m = (x >= b[0]) & (x <= b[2]) & (y >= b[1]) & (y <= b[3])
+        for k in np.flatnonzero(m):
+            want.add((ids[k], int(layer.poly_ids[i])))
+    got = {(r["image_id"], int(r["poly_id"])) for r in rows}
+    assert got == want
