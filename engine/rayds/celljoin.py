@@ -98,12 +98,16 @@ def _join_cell_group(group: pa.Table) -> pa.Table:
 
 
 def cellpart_pairs(sf_dir: str, layer: Layer | None = None):
-    """Big-big join: co-partition by cell, join per group, dedupe pairs
-    that matched in several covering cells."""
+    """Big-big join: co-partition by cell, join per group.
+
+    NO pair-dedupe pass is needed: only the POLYGON side is exploded to
+    covering cells — each point lives in exactly one cell, so a
+    (point, polygon) pair can form in at most one group.  (A dedupe
+    `groupby((image_id, poly_id))` becomes necessary only when BOTH
+    sides are range-exploded, e.g. bbox×bbox joins.)"""
     import ray.data
 
     from engine.rayds.imagetab import image_dataset, load_layer
-    from engine.rayds.shuffle import grouped_count
 
     layer = layer or load_layer(sf_dir)
     pts = image_dataset(sf_dir).map_batches(
@@ -112,7 +116,4 @@ def cellpart_pairs(sf_dir: str, layer: Layer | None = None):
     )
     polys = ray.data.from_arrow(_layer_cover_table(layer))
     both = pts.union(polys)
-    pairs = both.groupby("cell").map_groups(_join_cell_group, batch_format="pyarrow")
-    # multi-cell dedupe: hash-partitioned count on the pair key, keys kept
-    deduped = grouped_count(pairs, ["image_id", "poly_id"], out_col="_n")
-    return deduped.select_columns(["image_id", "poly_id"])
+    return both.groupby("cell").map_groups(_join_cell_group, batch_format="pyarrow")
