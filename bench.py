@@ -183,11 +183,14 @@ def run_queries(sf_dir: str) -> dict:
 
     out = {}
     for name, fn in e.queries().items():
-        t0 = time.perf_counter()
-        res = fn(sf_dir)
-        if isinstance(res, ray.data.Dataset):
-            res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: same warm-steady-state policy as
+            t0 = time.perf_counter()  # the headline (noisy-neighbour VM)
+            res = fn(sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 
