@@ -327,15 +327,17 @@ def _embeddings(sf_dir):
 
 
 def _load_query_vecs(sf_dir, n=5):
+    """The n query vectors (driver-side INPUT, not a materialization:
+    the read is filter-pushed to the row groups holding vec_id < n)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = t["vec_id"].to_numpy()
-    mask = ids < n
-    mat = np.asarray(
-        [np.asarray(e, dtype=np.float64) for e, m in zip(t["embedding"].to_pylist(), mask) if m]
+    from engine.ops.dedup import _emb_matrix
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
     )
-    return mat, ids[mask]
+    return _emb_matrix(t["embedding"]), t["vec_id"].to_numpy()
 
 
 def _q_ann_topk(sf_dir):
@@ -346,26 +348,11 @@ def _q_ann_topk(sf_dir):
 
 
 def _q_embed_dedup(sf_dir):
-    import pyarrow.parquet as pq
-    import ray
+    """Exact cosine-threshold self-join as the distributed block-pair
+    plan (no driver read, no full-matrix broadcast)."""
+    from engine.ops.dedup import embed_dedup_pairs
 
-    from engine.ops.dedup import EmbeddingDedup
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mat = np.asarray([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
-    ids = t["vec_id"].to_numpy().astype(np.int64)
-    bundle = ray.put((mat, ids))
-
-    from engine.rayds.bcast import cached
-
-    def build(b):
-        m, i = b
-        return EmbeddingDedup(m, i, threshold=0.4)
-
-    def fn(batch):
-        return cached(bundle, build)(batch)
-
-    return _embeddings(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return embed_dedup_pairs(_embeddings(sf_dir), threshold=0.4, num_blocks=8)
 
 
 def _q_psnr_validate(sf_dir):
@@ -382,19 +369,14 @@ def _q_img_features(sf_dir):
 
 
 def _q_minhash_verified(sf_dir):
-    """MinHash candidates verified with EXACT n-gram Jaccard (the
-    adversarial-verify stage of the dedup pipeline)."""
-    import pyarrow.parquet as pq
-
+    """MinHash candidates verified with EXACT n-gram Jaccard — the
+    adversarial-verify stage, fully distributed (candidate pairs
+    hash-join the per-doc shingle-set table; verify in map_batches)."""
     from engine.ops import dedup
 
-    cand = _q_minhash_pairs(sf_dir).to_pandas()
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    tbl = pa.table({"a": pa.array(cand["a"], type=pa.int64()),
-                    "b": pa.array(cand["b"], type=pa.int64())})
-    out = dedup.jaccard_verify(tbl, texts, threshold=0.5)
-    return out.drop_columns(["jaccard"])
+    return dedup.minhash_verified_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5
+    )
 
 
 def _q_ann_topk_lsh(sf_dir):

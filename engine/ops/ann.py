@@ -35,10 +35,10 @@ class TopKScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.ops.dedup import _emb_matrix
+
         ids = batch["vec_id"].to_numpy()
-        emb = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        emb = _emb_matrix(batch["embedding"])
         sims = self.q @ _unit(emb).T  # (nq, nbatch)
         nq, nb = sims.shape
         kk = min(self.k, nb)
@@ -137,9 +137,9 @@ class LSHBucketer:
         self.planes = np.asarray(p, dtype=np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        from engine.ops.dedup import _emb_matrix
+
+        emb = _emb_matrix(batch["embedding"])
         signs = (emb @ self.planes.T) > 0
         bucket = np.zeros(len(emb), dtype=np.int64)
         for b in range(signs.shape[1]):

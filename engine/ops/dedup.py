@@ -6,87 +6,252 @@ Scale shapes (SURVEY.md §2.8 / task brief):
   scale) keeping the lowest doc_id — hash-partition + per-group first.
 - MinHash+LSH: shingle → 64 permutations → band buckets → candidate
   pairs via a bucket groupby (the all-to-all moves only (doc, band-hash)
-  keys, never documents) → exact-Jaccard verification per pair.
+  keys, never documents) → exact-Jaccard verification as a DISTRIBUTED
+  hash join (pairs ⋈ per-doc shingle sets) + vectorized verify inside
+  ``map_batches`` — nothing lands on the driver.
 - SimHash: 64-bit sign-hash of token hashes; banded into 4×16-bit keys
   so near pairs (Hamming ≤ k) collide in ≥1 band.
-- embedding cosine: per-batch normalized matmul against a broadcast
-  matrix (brute force — the testdata fits; the LSH path is the
-  scale story and shares the band-bucket machinery).
+- embedding cosine: EXACT threshold self-join as a block-pair plan
+  (each of the P(P+1)/2 block pairs is one vectorized matmul task —
+  O(N²/P²) work per task, O(P) replication, no driver materialization,
+  no full-matrix broadcast); the approximate scale path is the LSH
+  bucket pipeline sharing the ``ann.py`` hyperplane machinery.
+
+All map stages are vectorized over Arrow buffers (no per-doc Python
+loops): word hashing runs on the flat string byte buffer with
+``np.add.reduceat`` segment sums; shingles / signatures / band hashes
+are computed with segment reductions over doc offsets.
+
+Every candidate-generating bucket group is capped at ``MAX_BUCKET``
+members: a degenerate bucket (identical boilerplate docs) yields
+chunked intra-bucket pairs — O(n·MAX_BUCKET) instead of O(n²) — and
+exact duplicates are already caught by the exact-dedup pass.
 """
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 NUM_PERM = 64
 BANDS = 16  # 16 bands × 4 rows ≈ threshold ~0.5 Jaccard
-_MERSENNE = (1 << 61) - 1
+MAX_BUCKET = 1024  # cap on LSH bucket size before pair-generation chunking
+
 _rng = np.random.default_rng(1234)
-_PERM_A = _rng.integers(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
-_PERM_B = _rng.integers(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
+_PERM_A = _rng.integers(1, 1 << 62, size=NUM_PERM).astype(np.uint64) | np.uint64(1)
+_PERM_B = _rng.integers(0, 1 << 62, size=NUM_PERM).astype(np.uint64)
+
+_FNV_PRIME = np.uint64(1099511628211)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+# positional combine constants for word k-grams
+_GRAM_C = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB], dtype=np.uint64
+)
+SHINGLE_K = 3
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """crc32 hashes of word k-grams (deterministic, order-free set)."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.array(
-        sorted({zlib.crc32(g.encode()) for g in grams}), dtype=np.int64
+def _mix64(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= _MIX1
+    h ^= h >> np.uint64(29)
+    h *= _MIX2
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _flat_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 64-bit hash of every whitespace token of every doc.
+
+    Returns ``(hashes, doc_offsets)`` — ``hashes`` is the flat uint64
+    token-hash array, ``doc_offsets`` (n_docs+1,) delimits each doc's
+    tokens.  The whole computation runs on the Arrow string buffers:
+    a positional polynomial hash is evaluated per byte and segment-summed
+    with ``np.add.reduceat`` at word starts (wrapping uint64 arithmetic),
+    then avalanche-mixed.  No per-doc or per-word Python loop.
+    """
+    arr = texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern(arr, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off0 = words.offsets.to_numpy().astype(np.int64)
+    doc_off = off0 - off0[0]
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), doc_off
+    bo = flat.offset
+    voff = np.frombuffer(flat.buffers()[1], dtype=np.int32)[bo : bo + n + 1].astype(
+        np.int64
     )
+    lens = voff[1:] - voff[:-1]
+    total = int(lens.sum())
+    h = np.zeros(n, dtype=np.uint64)
+    if total > 0:
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+        starts = np.repeat(voff[:-1], lens)
+        cum = np.cumsum(lens) - lens
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+        b = data[starts + within].astype(np.uint64)
+        expo = np.repeat(lens, lens) - 1 - within
+        maxlen = int(lens.max())
+        # wrapping-uint64 powers of the FNV prime (array cumprod wraps
+        # silently; scalar loops would warn on every overflow)
+        powers = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            powers[1:] = np.cumprod(
+                np.full(maxlen - 1, _FNV_PRIME, dtype=np.uint64)
+            )
+        terms = (b + np.uint64(0x101)) * powers[expo]
+        nz = lens > 0
+        h[nz] = np.add.reduceat(terms, cum[nz])
+    return _mix64(h), doc_off
+
+
+def _doc_shingles(h: np.ndarray, doc_off: np.ndarray,
+                  k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED UNIQUE word-k-gram shingle hashes (flat + offsets).
+
+    Docs with ≥k words get a sliding window of positional combines; docs
+    with 1..k-1 words get one combined shingle of all their words; empty
+    docs get none.  Dedup/sort is one global lexsort over (doc, hash).
+    """
+    n_docs = len(doc_off) - 1
+    nw = doc_off[1:] - doc_off[:-1]
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+    pos = np.arange(len(h), dtype=np.int64) - np.repeat(doc_off[:-1], nw)
+    # sliding windows (docs with ≥ k words)
+    win = (pos <= np.repeat(nw, nw) - k)
+    ws = np.nonzero(win)[0]
+    sh_win = np.zeros(len(ws), dtype=np.uint64)
+    for j in range(k):
+        sh_win += h[ws + j] * _GRAM_C[j]
+    did_win = doc_of[ws]
+    # short docs (< k words): one combined shingle
+    short_doc = (nw > 0) & (nw < k)
+    termsS = h * _GRAM_C[np.minimum(pos, k - 1)]
+    idx = np.minimum(doc_off[:-1], len(h) - 1)
+    allsum = np.add.reduceat(termsS, idx)
+    sh_short = allsum[short_doc]
+    did_short = np.nonzero(short_doc)[0].astype(np.int64)
+
+    sh = np.concatenate([_mix64(sh_win), _mix64(sh_short)])
+    did = np.concatenate([did_win, did_short])
+    order = np.lexsort((sh, did))
+    sh, did = sh[order], did[order]
+    if len(sh):
+        keep = np.ones(len(sh), dtype=bool)
+        keep[1:] = (did[1:] != did[:-1]) | (sh[1:] != sh[:-1])
+        sh, did = sh[keep], did[keep]
+    counts = np.bincount(did, minlength=n_docs)
+    sh_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=sh_off[1:])
+    return sh, sh_off
+
+
+def _shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Single-doc shingle set (kernel-level convenience for tests)."""
+    h, doc_off = _flat_word_hashes(pa.array([text]))
+    sh, _ = _doc_shingles(h, doc_off, k)
+    return sh.view(np.int64)
 
 
 def minhash_batch(batch: pa.Table) -> pa.Table:
     """documents → one row per (doc_id, band, band_hash): the LSH explode.
 
-    Per doc: sig[p] = min((a_p * shingle + b_p) mod M); bands of
-    NUM_PERM/BANDS rows hashed to a bucket key.  The permutation min is
-    one vectorized (NUM_PERM × n_shingles) pass per doc.
+    Fully vectorized: per-perm minima via ``np.minimum.reduceat`` over the
+    flat shingle array at doc offsets; band hashes via a polynomial fold
+    over each band's rows.
     """
     ids = batch["doc_id"].to_numpy()
-    texts = batch["text"].to_pylist()
-    rows_doc, rows_band, rows_hash = [], [], []
-    per_band = NUM_PERM // BANDS
-    for did, text in zip(ids, texts):
-        sh = _shingles(text)
-        if len(sh) == 0:
-            continue
-        # (NUM_PERM, n) modular affine; int64 with explicit mod to avoid overflow
-        v = (_PERM_A[:, None] * (sh[None, :] % _MERSENNE)) % _MERSENNE
-        sig = ((v + _PERM_B[:, None]) % _MERSENNE).min(axis=1)
-        bands = sig.reshape(BANDS, per_band)
-        bh = np.array(
-            [zlib.crc32(bands[b].tobytes()) for b in range(BANDS)], dtype=np.int64
+    h, doc_off = _flat_word_hashes(batch["text"])
+    sh, sh_off = _doc_shingles(h, doc_off)
+    nsh = sh_off[1:] - sh_off[:-1]
+    ne = nsh > 0
+    nd = int(ne.sum())
+    if nd == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "band": pa.array([], type=pa.int64()),
+                "band_hash": pa.array([], type=pa.int64()),
+            }
         )
-        rows_doc.extend([did] * BANDS)
-        rows_band.extend(range(BANDS))
-        rows_hash.extend(bh.tolist())
+    segs = sh_off[:-1][ne]
+    sig = np.empty((nd, NUM_PERM), dtype=np.uint64)
+    for p in range(NUM_PERM):
+        v = sh * _PERM_A[p] + _PERM_B[p]
+        sig[:, p] = np.minimum.reduceat(v, segs)
+    per_band = NUM_PERM // BANDS
+    bsig = sig.reshape(nd, BANDS, per_band)
+    bh = np.zeros((nd, BANDS), dtype=np.uint64)
+    for r in range(per_band):
+        bh = bh * np.uint64(0x100000001B3) + bsig[:, :, r]
+    bh = _mix64(bh.reshape(-1)).reshape(nd, BANDS)
     return pa.table(
         {
-            "doc_id": pa.array(rows_doc, type=pa.int64()),
-            "band": pa.array(rows_band, type=pa.int64()),
-            "band_hash": pa.array(rows_hash, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids[ne], BANDS).astype(np.int64)),
+            "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int64), nd)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
         }
     )
 
 
+def shingle_sets(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, shingles:binary) — the narrow per-doc
+    shingle-set table that the distributed verify stage joins against.
+    The set is the raw little-endian uint64 byte string (Arrow's hash
+    join can't carry list<> payload columns; binary it can)."""
+    h, doc_off = _flat_word_hashes(batch["text"])
+    sh, sh_off = _doc_shingles(h, doc_off)
+    byte_off = (sh_off * 8).astype(np.int32)
+    ba = pa.Array.from_buffers(
+        pa.binary(), len(batch),
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(sh.tobytes())],
+    )
+    return pa.table({"doc_id": batch["doc_id"], "shingles": ba})
+
+
+def _chunked_triu_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (a<b) pairs of sorted ``ids``, chunked at MAX_BUCKET to bound
+    a degenerate bucket's blowup at O(n·MAX_BUCKET) pairs."""
+    if len(ids) <= MAX_BUCKET:
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return ids[ai], ids[bi]
+    outs_a, outs_b = [], []
+    for i in range(0, len(ids), MAX_BUCKET):
+        c = ids[i : i + MAX_BUCKET]
+        ai, bi = np.triu_indices(len(c), k=1)
+        outs_a.append(c[ai])
+        outs_b.append(c[bi])
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Within one (band, band_hash) bucket: all doc pairs (a < b)."""
+    """Within one (band, band_hash) bucket: doc pairs (a < b), capped."""
     ids = np.sort(group["doc_id"].to_numpy())
     if len(ids) < 2:
-        return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    a, b = _chunked_triu_pairs(ids)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def minhash_candidate_pairs(docs_ds):
     """Dataset pipeline: explode → bucket groupby → pair generation →
     global pair dedupe (pairs that collide in several bands appear once).
+
+    The pair dedupe uses the hash-shuffle plan: distinct-pair cardinality
+    grows with the corpus, so a tree-reduce into one block would funnel
+    every pair through a single task.
     """
     exploded = docs_ds.map_batches(
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -94,18 +259,208 @@ def minhash_candidate_pairs(docs_ds):
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
-    # dedupe (a, b): groupby + count, keep keys
     from engine.rayds.shuffle import grouped_count
 
-    return grouped_count(pairs, ["a", "b"], out_col="n_bands")
+    return grouped_count(pairs, ["a", "b"], out_col="n_bands", use_shuffle=True)
+
+
+def _list_to_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary (uint64-bytes) column → (flat int64 values, offsets)."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    bo = arr.offset
+    byte_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[bo : bo + n + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if byte_off[-1] > byte_off[0] else np.empty(0, np.uint8)
+    flat = data[byte_off[0] : byte_off[-1]].view(np.int64)
+    return flat, (byte_off - byte_off[0]) // 8
+
+
+def _verify_pairs_batch(threshold: float):
+    """Vectorized exact-Jaccard verify over (a, b, sh_a, sh_b) rows:
+    intersection sizes for ALL pairs in the batch come from one lexsort
+    over (pair_idx, value) — within a pair each side's values are unique,
+    so cross-side duplicates ARE the intersection."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        va, offa = _list_to_flat(batch["sh_a"])
+        vb, offb = _list_to_flat(batch["sh_b"])
+        na = offa[1:] - offa[:-1]
+        nb = offb[1:] - offb[:-1]
+        npair = len(a)
+        allv = np.concatenate([va, vb])
+        allp = np.concatenate(
+            [np.repeat(np.arange(npair, dtype=np.int64), na),
+             np.repeat(np.arange(npair, dtype=np.int64), nb)]
+        )
+        order = np.lexsort((allv, allp))
+        sv, sp = allv[order], allp[order]
+        eq = np.zeros(len(sv), dtype=bool)
+        if len(sv) > 1:
+            eq[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
+        inter = np.bincount(sp[eq], minlength=npair) if len(sv) else np.zeros(npair, np.int64)
+        union = na + nb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return fn
+
+
+def _attach_group(group: pa.Table) -> pa.Table:
+    """One hash partition of the pairs↔shingles cogroup: doc rows
+    (shingles non-null) merged onto pair rows by ``np.searchsorted`` —
+    a vectorized per-partition hash-join step (no per-row Python)."""
+    is_doc = group["shingles"].is_valid()
+    docs = group.filter(is_doc)
+    prs = group.filter(pc.invert(is_doc))
+    if len(prs) == 0 or len(docs) == 0:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "flip": pa.array([], type=pa.int64()),
+             "sh": pa.array([], type=pa.binary())}
+        )
+    did = docs["doc_id"].to_numpy()
+    order = np.argsort(did, kind="stable")
+    did = did[order]
+    want = prs["doc_id"].to_numpy()
+    pos = np.searchsorted(did, want)
+    pos = np.clip(pos, 0, len(did) - 1)
+    hit = did[pos] == want
+    take = pa.array(order[pos[hit]])
+    keep = pa.array(np.nonzero(hit)[0])
+    return pa.table(
+        {
+            "a": prs["a"].take(keep),
+            "b": prs["b"].take(keep),
+            "flip": prs["flip"].take(keep),
+            "sh": docs["shingles"].take(take),
+        }
+    )
+
+
+def _jaccard_group(threshold: float):
+    """One hash partition of (a, b, flip, sh) rows — each pair has its
+    flip=0 (side-a shingles) and flip=1 (side-b) rows co-located; sort by
+    (a, b, flip), pair adjacent rows, verify vectorized."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy()
+        b = group["b"].to_numpy()
+        flip = group["flip"].to_numpy()
+        order = np.lexsort((flip, b, a))
+        if len(order) % 2 != 0:
+            # a pair missing one side (doc absent) — drop the stragglers
+            keep = np.ones(len(order), dtype=bool)
+            sa, sb = a[order], b[order]
+            same_next = np.zeros(len(order), dtype=bool)
+            same_next[:-1] = (sa[:-1] == sa[1:]) & (sb[:-1] == sb[1:])
+            same_prev = np.zeros(len(order), dtype=bool)
+            same_prev[1:] = same_next[:-1]
+            keep = same_next | same_prev
+            order = order[keep]
+        if len(order) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        ev, od = order[0::2], order[1::2]
+        sh = group["sh"]
+        batch = pa.table(
+            {
+                "a": pa.array(a[ev]),
+                "b": pa.array(b[ev]),
+                "sh_a": sh.take(pa.array(ev)),
+                "sh_b": sh.take(pa.array(od)),
+            }
+        )
+        return _verify_pairs_batch(threshold)(batch).select(["a", "b"])
+
+    return fn
+
+
+def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
+                           num_partitions: int = 64):
+    """MinHash candidates verified with EXACT n-gram Jaccard — fully
+    distributed: candidate pairs cogroup with the per-doc shingle-set
+    table in hash partitions (union → groupby(part) → vectorized
+    searchsorted merge), then a second partition-wise pass pairs the two
+    sides and verifies.  No driver-side materialization; every exchange
+    moves narrow (ids + shingle-bytes) rows.  (Implemented as a manual
+    cogroup rather than ``Dataset.join``: Ray 2.49's hash join loses its
+    schema broadcast when an input's first block is empty — common for
+    join/groupby outputs — and crashes on chained joins.)"""
+    P = num_partitions
+    pairs = minhash_candidate_pairs(docs_ds).select_columns(["a", "b"])
+    shingled = docs_ds.map_batches(
+        shingle_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        doc = np.concatenate([a, b])
+        flip = np.concatenate(
+            [np.zeros(len(a), dtype=np.int64), np.ones(len(b), dtype=np.int64)]
+        )
+        return pa.table(
+            {
+                "part": pa.array(doc % P),
+                "doc_id": pa.array(doc),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "flip": pa.array(flip),
+                "shingles": pa.nulls(2 * len(a), type=pa.binary()),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy()
+        n = len(batch)
+        return pa.table(
+            {
+                "part": pa.array(did % P),
+                "doc_id": batch["doc_id"],
+                "a": pa.nulls(n, type=pa.int64()),
+                "b": pa.nulls(n, type=pa.int64()),
+                "flip": pa.nulls(n, type=pa.int64()),
+                "shingles": batch["shingles"],
+            }
+        )
+
+    side = pairs.map_batches(explode_pairs, batch_format="pyarrow", batch_size=None)
+    docs_tagged = shingled.map_batches(tag_docs, batch_format="pyarrow", batch_size=None)
+    attached = side.union(docs_tagged).groupby("part").map_groups(
+        _attach_group, batch_format="pyarrow"
+    )
+
+    def pair_part(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return batch.append_column(
+            "ppart", pa.array(((a * np.int64(1000003)) ^ b) % P)
+        )
+
+    keyed = attached.map_batches(pair_part, batch_format="pyarrow", batch_size=None)
+    return keyed.groupby("ppart").map_groups(
+        _jaccard_group(threshold), batch_format="pyarrow"
+    )
 
 
 def jaccard_verify(pairs_tbl: pa.Table, texts_by_id: dict[int, str],
                    threshold: float = 0.5) -> pa.Table:
-    """Exact word-3-gram Jaccard for candidate pairs (verification pass).
-
-    ``texts_by_id`` is the broadcast doc lookup (ray.put once, read in
-    every verify task — never re-shipped per batch)."""
+    """Exact word-3-gram Jaccard for candidate pairs — kernel-level form
+    over an in-memory pair table + text lookup (the distributed form is
+    ``minhash_verified_pairs``)."""
     a = pairs_tbl["a"].to_numpy()
     b = pairs_tbl["b"].to_numpy()
     jac = np.zeros(len(a))
@@ -126,22 +481,24 @@ def jaccard_verify(pairs_tbl: pa.Table, texts_by_id: dict[int, str],
 
 # ----------------------------------------------------------------- simhash
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """+ simhash:int64 — 64-bit sign-aggregated token-hash fingerprint."""
-    texts = batch["text"].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.array(
-            [zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32) for w in toks],
-            dtype=np.uint64,
-        )
-        bits = (hs[:, None] & bitcols[None, :]) != 0
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        out[i] = np.sum(bitcols[votes > 0], dtype=np.uint64)
+    """+ simhash:int64 — 64-bit sign-aggregated token-hash fingerprint.
+
+    Vectorized: token hashes from the flat string buffer, bit matrix via
+    ``np.unpackbits``, per-doc bit votes via ``np.add.reduceat``."""
+    h, doc_off = _flat_word_hashes(batch["text"])
+    n_docs = len(doc_off) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(h):
+        nw = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+        bits = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        idx = np.minimum(doc_off[:-1], len(h) - 1)
+        sums = np.add.reduceat(bits, idx, axis=0)
+        votes = 2 * sums - nw[:, None]
+        packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+        out = np.ascontiguousarray(packed).view(np.uint64).ravel().copy()
+        out[nw == 0] = 0
     return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
@@ -176,6 +533,9 @@ def _simhash_explode(batch: pa.Table) -> pa.Table:
     )
 
 
+_POPCNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
 def _simhash_bucket_pairs(max_ham: int):
     def fn(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
@@ -187,15 +547,25 @@ def _simhash_bucket_pairs(max_ham: int):
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
                  "hamming": pa.array([], type=pa.int64())}
             )
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = sh[ai] ^ sh[bi]
-        # vectorized popcount via byte-LUT
-        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
-        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
-        keep = ham <= max_ham
+        outs = []
+        for i in range(0, len(ids), MAX_BUCKET):
+            cid, csh = ids[i : i + MAX_BUCKET], sh[i : i + MAX_BUCKET]
+            if len(cid) < 2:
+                continue
+            ai, bi = np.triu_indices(len(cid), k=1)
+            x = csh[ai] ^ csh[bi]
+            ham = _POPCNT_LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+            keep = ham <= max_ham
+            outs.append((cid[ai][keep], cid[bi][keep], ham[keep]))
+        if not outs:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "hamming": pa.array([], type=pa.int64())}
+            )
         return pa.table(
-            {"a": pa.array(ids[ai][keep]), "b": pa.array(ids[bi][keep]),
-             "hamming": pa.array(ham[keep])}
+            {"a": pa.array(np.concatenate([o[0] for o in outs])),
+             "b": pa.array(np.concatenate([o[1] for o in outs])),
+             "hamming": pa.array(np.concatenate([o[2] for o in outs]))}
         )
 
     return fn
@@ -224,9 +594,99 @@ def simhash_near_pairs(docs_ds, max_ham: int = 8):
 
 
 # ------------------------------------------------------- embedding near-dup
+def _emb_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix, zero-copy from the
+    Arrow list value buffer (no per-row to_pylist)."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = pc.list_flatten(arr)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    flat = vals.to_numpy().astype(np.float64, copy=False)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0))
+    return flat.reshape(n, len(flat) // n)
+
+
+def _pair_group_sims(group: pa.Table, threshold: float) -> pa.Table:
+    """One block-pair group: matmul the two member blocks, emit (a<b)
+    pairs with round(cos, 6) ≥ threshold."""
+    ids = group["vec_id"].to_numpy()
+    side = group["_side"].to_numpy()
+    emb = _emb_matrix(group["embedding"])
+    norms = np.linalg.norm(emb, axis=1)
+    norms[norms == 0] = 1.0
+    unit = emb / norms[:, None]
+    left = side == 0
+    same_block = bool((~left).sum() == 0)
+    if same_block:
+        sims = unit @ unit.T
+        ai, bi = np.nonzero(np.round(sims, 6) >= threshold)
+        a_ids, b_ids = ids[ai], ids[bi]
+        keep = a_ids < b_ids  # each unordered pair appears twice; keep one
+        a_ids, b_ids = a_ids[keep], b_ids[keep]
+    else:
+        ul, ur = unit[left], unit[~left]
+        il, ir = ids[left], ids[~left]
+        sims = ul @ ur.T
+        ai, bi = np.nonzero(np.round(sims, 6) >= threshold)
+        a_ids, b_ids = il[ai], ir[bi]
+        # blocks don't order ids — normalize each (unique) cross pair
+        a_ids, b_ids = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+    return pa.table({"a": pa.array(a_ids), "b": pa.array(b_ids)})
+
+
+def embed_dedup_pairs(ds, threshold: float, num_blocks: int = 8):
+    """EXACT cosine-threshold self-join, distributed as block pairs.
+
+    Each vector is assigned block b = vec_id mod P and replicated into
+    the P unordered block-pair groups (min(b,p), max(b,p)); each group
+    is one vectorized matmul task over its two member blocks.  Work is
+    the unavoidable O(N²) of an exact dense similarity join but split
+    across P(P+1)/2 independent tasks with O(N/P) memory each —
+    no driver materialization, no full-matrix broadcast.  (The
+    approximate scale path is LSH bucketing via ``ann.make_planes``;
+    exact recall can't ride LSH, so the exact query uses this plan.)
+    """
+    P = num_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        emb = batch["embedding"]
+        blk = (ids % P).astype(np.int64)
+        tabs = []
+        for p in range(P):
+            lo = np.minimum(blk, p)
+            hi = np.maximum(blk, p)
+            g = lo * P + hi
+            side = (blk != lo).astype(np.int64)  # 0 = low block, 1 = high
+            tabs.append(
+                pa.table(
+                    {
+                        "g": pa.array(g),
+                        "_side": pa.array(side),
+                        "vec_id": batch["vec_id"],
+                        "embedding": emb,
+                    }
+                )
+            )
+        return pa.concat_tables(tabs)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True)
+
+    def group_fn(group: pa.Table) -> pa.Table:
+        return _pair_group_sims(group, threshold)
+
+    return exploded.groupby("g").map_groups(group_fn, batch_format="pyarrow")
+
+
 class EmbeddingDedup:
-    """Actor stage: per-batch cosine vs the broadcast full matrix; emits
-    (a, b) pairs with round(cos, 6) ≥ threshold and a < b."""
+    """Actor stage: per-batch cosine vs a broadcast matrix (kept for the
+    SMALL-side case where one side genuinely fits an object-store ref;
+    the self-join query path is ``embed_dedup_pairs``)."""
 
     def __init__(self, mat_ref, ids_ref, threshold: float):
         import ray
@@ -240,9 +700,7 @@ class EmbeddingDedup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        emb = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        emb = _emb_matrix(batch["embedding"])
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         sims = (emb / norms[:, None]) @ self.unit.T
@@ -250,3 +708,54 @@ class EmbeddingDedup:
         a_ids, b_ids = ids[ai], self.ids[bi]
         keep = a_ids < b_ids
         return pa.table({"a": pa.array(a_ids[keep]), "b": pa.array(b_ids[keep])})
+
+
+def embed_dedup_lsh(ds, threshold: float, nbits: int = 8, dim: int = 64,
+                    seed: int = 7):
+    """APPROXIMATE cosine near-dup: hyperplane-LSH bucket groupby +
+    in-bucket exact verify (recall < 1 — the 100-TB path; the exact
+    block-pair plan is ``embed_dedup_pairs``).  Buckets are capped at
+    MAX_BUCKET via chunked pair generation."""
+    from engine.ops.ann import make_planes
+
+    planes = make_planes(dim, nbits, seed)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch["embedding"])
+        signs = (emb @ planes.T) > 0
+        bucket = np.zeros(len(emb), dtype=np.int64)
+        for b in range(signs.shape[1]):
+            bucket |= signs[:, b].astype(np.int64) << b
+        return pa.table(
+            {"bucket": pa.array(bucket), "vec_id": batch["vec_id"],
+             "embedding": batch["embedding"]}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True)
+
+    def group_fn(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        emb = _emb_matrix(group["embedding"])
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        unit = emb / norms[:, None]
+        outs_a, outs_b = [], []
+        order = np.argsort(ids, kind="stable")
+        ids, unit = ids[order], unit[order]
+        for i in range(0, len(ids), MAX_BUCKET):
+            cid, cu = ids[i : i + MAX_BUCKET], unit[i : i + MAX_BUCKET]
+            sims = cu @ cu.T
+            ai, bi = np.nonzero(np.round(sims, 6) >= threshold)
+            keep = cid[ai] < cid[bi]
+            outs_a.append(cid[ai][keep])
+            outs_b.append(cid[bi][keep])
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)),
+             "b": pa.array(np.concatenate(outs_b))}
+        )
+
+    return bucketed.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")

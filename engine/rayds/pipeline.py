@@ -180,35 +180,46 @@ def run_tiles_checkpointed_ranges(sf_dir: str, out_dir: str,
 
 def semi_anti_ids(sf_dir: str, anti: bool = False):
     """Images with ≥1 polygon match (semi) / no match (anti) — projection
-    of the inner join per SURVEY.md §2.4, realized without a second
-    shuffle: matched ids come from the pair table (unique), anti = the
-    id-complement via a hash filter against the broadcast matched set.
+    of the inner join per SURVEY.md §2.4, fully distributed:
+
+    - semi: distinct matched ids via the hash-shuffle ``grouped_count``
+      (image_id cardinality grows with the input, so the tree-reduce
+      single-block merge is the wrong plan — ``use_shuffle=True``).
+    - anti: hash-partitioned COGROUP — per-block match-count partials
+      (combiner) unioned with the tagged full id column, one
+      ``groupby(image_id).sum`` exchange, keep ids whose match count is
+      zero.  Nothing ever lands on the driver; the only all-to-all moves
+      (image_id, int64) rows.
     """
-    import ray
+    import pyarrow.compute as pc
 
     pairs = pairs_dataset(sf_dir).select_columns(["image_id"])
-    matched = shuffle.grouped_count(pairs, ["image_id"], out_col="n_matches")
     if not anti:
-        return matched.select_columns(["image_id"])
-    # anti: broadcast the matched-id set (small relative to input at
-    # realistic selectivity) and filter the full table against it.
-    matched_ids = set(
-        matched.select_columns(["image_id"]).to_pandas()["image_id"]
+        return shuffle.grouped_count(
+            pairs, ["image_id"], out_col="n_matches", use_shuffle=True
+        ).select_columns(["image_id"])
+
+    def tag_zero(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "_m": pa.array(np.zeros(len(batch), dtype=np.int64)),
+            }
+        )
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["image_id"]).aggregate([([], "count_all")])
+        return t.rename_columns(["image_id", "_m"])
+
+    imgs = image_dataset(sf_dir).select_columns(["image_id"]).map_batches(
+        tag_zero, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    ref = ray.put(matched_ids)
-
-    class AntiFilter:
-        def __init__(self, ids_ref):
-            self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["image_id"].to_pylist()
-            mask = np.array([i not in self.ids for i in ids], dtype=bool)
-            return batch.filter(pa.array(mask)).select(["image_id"])
-
-    return image_dataset(sf_dir).map_batches(
-        AntiFilter,
-        fn_constructor_kwargs={"ids_ref": ref},
-        batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 4),
+    matched = pairs.map_batches(
+        match_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+    cog = imgs.union(matched).groupby("image_id").sum("_m")
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["sum(_m)"], 0)).select(["image_id"])
+
+    return cog.map_batches(keep_unmatched, batch_format="pyarrow", batch_size=None)
