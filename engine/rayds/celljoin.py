@@ -4,116 +4,193 @@ When the polygon layer is too large to broadcast, both sides are
 co-partitioned by planar grid cell and joined inside each cell group:
 
   points:   cell = grid_cell(x, y)                       (1 row each)
-  polygons: flat-map exploded to their COVERING cell set (≥1 row each)
-  union → groupby(cell) → map_groups vectorized bbox refinement
-  → pair table → pair-level dedupe (a pair can match in several cells)
+  polygons: flat-map exploded to their COVERING cell set (≥1 row each),
+            carrying the ragged ring geometry as a binary blob
+  union → groupby(cell) → map_groups: bbox prefilter + EXACT refinement
+  (PreparedPolygons point-in-polygon kernel) → pair table
 
-The only all-to-all moves (cell, narrow columns) — never payloads.  The
-refinement inside a group is the same vectorized kernel family as the
-broadcast path, so the two physical plans produce identical results
-(both are oracle-checked against the same SQL).
+The only all-to-all moves (cell, narrow columns + ring blobs) — never
+image payloads.  The in-group refinement is the same vectorized kernel
+as the broadcast path (prepared.py), so the two physical plans produce
+identical results for ARBITRARY polygons (both oracle-checked against
+the same SQL for the box layer; the dense-polygon parity test covers the
+general case).
+
+Skew: every cell key is salted — points get a deterministic per-batch
+round-robin salt, polygons are replicated across the salt range — so a
+hot cell's candidate work lands on ``salt`` reducers instead of one
+straggler (north_rule: "skewed hot cells split via salted
+groupby-aggregate shuffles").  Pass ``hot_cells`` (e.g. from
+``shuffle.detect_hot_keys`` on the encoded points) to restrict
+replication to the known-hot cells when the layer side is too large to
+replicate uniformly.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from engine.geo import cells
+from engine.geo.prepared import PreparedPolygons
+from engine.geo.ragged import PolygonArray
 from engine.rayds.imagetab import Layer
 
-# partition granularity: coarser than the prefilter cell — each group is
-# one shuffle task, so group count trades scheduling overhead against
-# candidate-set width (the in-group bbox refine is vectorized and cheap;
-# at cluster scale pick ~4-16 groups per reducer slot)
-PART_CELL = 20.0
+# partition granularity: groups ≈ 4-16 per reducer slot.  12.5 over the
+# [0,100)² world → 8×8 = 64 base cells (×salt → 128 groups), i.e. 4 per
+# slot at 32 local CPUs (measured optimum: sweep at sf0.1 put 6.25-50.0
+# all within noise once salted; 12.5/2 minimized).  At cluster scale
+# shrink PART_CELL so groups stay ≥4× total reducer slots.
+PART_CELL = 12.5
+SALT = 2
 
 
-def _points_with_cell(batch: pa.Table) -> pa.Table:
-    x = batch["x"].to_numpy()
-    y = batch["y"].to_numpy()
-    return pa.table(
-        {
-            "cell": pa.array(cells.grid_cell(x, y, PART_CELL)),
-            "image_id": batch["image_id"],
-            "x": x,
-            "y": y,
-            # tag: 0 = point row; polygon columns null
-            "poly_id": pa.nulls(len(batch), type=pa.int64()),
-            "xmin": pa.nulls(len(batch), type=pa.float64()),
-            "ymin": pa.nulls(len(batch), type=pa.float64()),
-            "xmax": pa.nulls(len(batch), type=pa.float64()),
-            "ymax": pa.nulls(len(batch), type=pa.float64()),
-        }
-    )
+def _poly_blobs(layer: Layer) -> list[bytes]:
+    """Per-polygon ring serialization: n_rings, ring lengths, coords."""
+    polys = layer.polys
+    out = []
+    for i in range(len(polys)):
+        r0, r1 = polys.poly_offsets[i], polys.poly_offsets[i + 1]
+        ring_lens = (
+            polys.ring_offsets[r0 + 1 : r1 + 1] - polys.ring_offsets[r0:r1]
+        ).astype(np.int64)
+        c0 = polys.ring_offsets[r0]
+        c1 = polys.ring_offsets[r1]
+        coords = polys.coords[c0:c1]
+        header = np.concatenate([[len(ring_lens)], ring_lens]).astype(np.int64)
+        out.append(header.tobytes() + np.ascontiguousarray(coords).tobytes())
+    return out
 
 
-def _layer_cover_table(layer: Layer) -> pa.Table:
-    """Polygon side, exploded to covering cells (flat_map equivalent)."""
+def _polys_from_blobs(blobs) -> PolygonArray:
+    """Rebuild a PolygonArray from per-polygon blobs (group-local)."""
+    coords_parts = []
+    ring_off = [0]
+    poly_off = [0]
+    n = 0
+    for blob in blobs:
+        buf = memoryview(blob)
+        n_rings = int(np.frombuffer(buf[:8], dtype=np.int64)[0])
+        ring_lens = np.frombuffer(buf[8 : 8 * (1 + n_rings)], dtype=np.int64)
+        coords = np.frombuffer(buf[8 * (1 + n_rings) :], dtype=np.float64).reshape(-1, 2)
+        coords_parts.append(coords)
+        for rl in ring_lens:
+            n += int(rl)
+            ring_off.append(n)
+        poly_off.append(len(ring_off) - 1)
+    c = np.vstack(coords_parts) if coords_parts else np.empty((0, 2))
+    return PolygonArray(c, np.asarray(ring_off), np.asarray(poly_off))
+
+
+def _points_with_cell(salt: int, hot_cells=None):
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        cell = cells.grid_cell(x, y, PART_CELL)
+        if salt > 1:
+            s = np.arange(len(x), dtype=np.int64) % salt
+            if hot_cells is not None:
+                s = np.where(np.isin(cell, hot_cells), s, 0)
+            key = cell * np.int64(64) + s
+        else:
+            key = cell * np.int64(64)
+        return pa.table(
+            {
+                "cell": pa.array(key),
+                "image_id": batch["image_id"],
+                "x": x,
+                "y": y,
+                "poly_id": pa.nulls(len(batch), type=pa.int64()),
+                "geom": pa.nulls(len(batch), type=pa.binary()),
+            }
+        )
+
+    return fn
+
+
+def _layer_cover_table(layer: Layer, salt: int, hot_cells=None) -> pa.Table:
+    """Polygon side, exploded to covering cells × salt replicas."""
     rows, cids = cells.grid_cover_many(layer.bounds, PART_CELL)
-    b = layer.bounds[rows]
+    blobs = _poly_blobs(layer)
+    if salt > 1:
+        if hot_cells is not None:
+            hot = np.isin(cids, hot_cells)
+            reps = np.where(hot, salt, 1).astype(np.int64)
+        else:
+            reps = np.full(len(cids), salt, dtype=np.int64)
+        rows2 = np.repeat(rows, reps)
+        cids2 = np.repeat(cids, reps)
+        # salt index within each replicated run: 0..reps-1
+        starts = np.cumsum(reps) - reps
+        sidx = np.arange(reps.sum(), dtype=np.int64) - np.repeat(starts, reps)
+        key = cids2 * np.int64(64) + sidx
+        rows = rows2
+    else:
+        key = cids * np.int64(64)
     return pa.table(
         {
-            "cell": pa.array(cids),
+            "cell": pa.array(key),
             "image_id": pa.nulls(len(rows), type=pa.string()),
             "x": pa.nulls(len(rows), type=pa.float64()),
             "y": pa.nulls(len(rows), type=pa.float64()),
             "poly_id": pa.array(layer.poly_ids[rows]),
-            "xmin": pa.array(b[:, 0]),
-            "ymin": pa.array(b[:, 1]),
-            "xmax": pa.array(b[:, 2]),
-            "ymax": pa.array(b[:, 3]),
+            "geom": pa.array([blobs[i] for i in rows], type=pa.binary()),
         }
     )
 
 
-def _join_cell_group(group: pa.Table) -> pa.Table:
-    """Inside one cell: candidate pairs = points × co-located polygons,
-    refined by the covers bbox test (vectorized)."""
-    is_poly = group["poly_id"].is_valid()
-    polys = group.filter(is_poly)
-    pts = group.filter(pa.compute.invert(is_poly))
-    if len(polys) == 0 or len(pts) == 0:
-        return pa.table({"image_id": pa.array([], type=pa.string()),
-                         "poly_id": pa.array([], type=pa.int64())})
-    x = pts["x"].to_numpy()
-    y = pts["y"].to_numpy()
-    xmin = polys["xmin"].to_numpy(zero_copy_only=False)
-    ymin = polys["ymin"].to_numpy(zero_copy_only=False)
-    xmax = polys["xmax"].to_numpy(zero_copy_only=False)
-    ymax = polys["ymax"].to_numpy(zero_copy_only=False)
-    hit = (
-        (x[:, None] >= xmin[None, :])
-        & (x[:, None] <= xmax[None, :])
-        & (y[:, None] >= ymin[None, :])
-        & (y[:, None] <= ymax[None, :])
-    )
-    pi, qi = np.nonzero(hit)
-    return pa.table(
-        {
-            "image_id": pts["image_id"].take(pa.array(pi)),
-            "poly_id": polys["poly_id"].take(pa.array(qi)),
-        }
-    )
+def _join_cell_group(predicate: str):
+    """Inside one (cell, salt) group: rebuild the co-located polygons,
+    run the EXACT prepared point-in-polygon kernel on the co-located
+    points (same kernel family as the broadcast path)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        is_poly = group["poly_id"].is_valid()
+        polys_t = group.filter(is_poly)
+        pts = group.filter(pc.invert(is_poly))
+        if len(polys_t) == 0 or len(pts) == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "poly_id": pa.array([], type=pa.int64())})
+        x = pts["x"].to_numpy()
+        y = pts["y"].to_numpy()
+        parr = _polys_from_blobs(polys_t["geom"].to_pylist())
+        pp = PreparedPolygons(parr)
+        pt, pl = pp.query_points(x, y, predicate)
+        return pa.table(
+            {
+                "image_id": pts["image_id"].take(pa.array(pt)),
+                "poly_id": polys_t["poly_id"].take(pa.array(pl)),
+            }
+        )
+
+    return fn
 
 
-def cellpart_pairs(sf_dir: str, layer: Layer | None = None):
-    """Big-big join: co-partition by cell, join per group.
+def cellpart_pairs(sf_dir: str, layer: Layer | None = None,
+                   predicate: str = "covers", salt: int = SALT,
+                   hot_cells=None, ds=None):
+    """Big-big join: co-partition by (cell, salt), exact-join per group.
 
     NO pair-dedupe pass is needed: only the POLYGON side is exploded to
-    covering cells — each point lives in exactly one cell, so a
-    (point, polygon) pair can form in at most one group.  (A dedupe
-    `groupby((image_id, poly_id))` becomes necessary only when BOTH
-    sides are range-exploded, e.g. bbox×bbox joins.)"""
+    covering cells (and salt replicas) — each point lives in exactly one
+    (cell, salt) group, so a (point, polygon) pair can form in at most
+    one group.  (A dedupe ``groupby((image_id, poly_id))`` becomes
+    necessary only when BOTH sides are range-exploded, e.g. bbox×bbox
+    joins.)"""
     import ray.data
 
     from engine.rayds.imagetab import image_dataset, load_layer
 
     layer = layer or load_layer(sf_dir)
-    pts = image_dataset(sf_dir).map_batches(
-        _points_with_cell, batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True,
+    if hot_cells is not None:
+        hot_cells = np.asarray(sorted(hot_cells), dtype=np.int64)
+    pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
+        _points_with_cell(salt, hot_cells), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
     )
-    polys = ray.data.from_arrow(_layer_cover_table(layer))
+    polys = ray.data.from_arrow(_layer_cover_table(layer, salt, hot_cells))
     both = pts.union(polys)
-    return both.groupby("cell").map_groups(_join_cell_group, batch_format="pyarrow")
+    return both.groupby("cell").map_groups(
+        _join_cell_group(predicate), batch_format="pyarrow"
+    )

@@ -251,6 +251,45 @@ def test_cellpart_join_matches_broadcast(ray_ready):
     assert a == b
 
 
+def test_cellpart_join_exact_on_dense_polygons(ray_ready):
+    """The in-group refinement must be the EXACT point-in-polygon kernel,
+    not a bbox test: on a layer of 32-gon footprints (bbox ⊃ polygon) the
+    cell-partitioned plan must still match the broadcast plan."""
+    from engine.rayds import pipeline
+    from engine.rayds.celljoin import cellpart_pairs
+    from engine.rayds.imagetab import make_dense_layer
+
+    layer = make_dense_layer(n_polys=200, verts=16, radius=4.0)
+    a = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in cellpart_pairs(SF, layer=layer).take_all()
+    }
+    b = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF, layer=layer)
+        .select_columns(["image_id", "poly_id"]).take_all()
+    }
+    assert len(b) > 0 and a == b
+
+
+def test_cellpart_join_hot_cell_salting(ray_ready):
+    """Restricting salt replication to a known-hot cell set must not
+    change the join output (salting is a physical-plan knob only)."""
+    from engine.geo import cells as C
+    from engine.rayds.celljoin import PART_CELL, cellpart_pairs
+
+    hot = [int(C.grid_cell(np.array([50.0]), np.array([50.0]), PART_CELL)[0])]
+    a = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in cellpart_pairs(SF, hot_cells=hot, salt=4).take_all()
+    }
+    b = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in cellpart_pairs(SF, salt=1).take_all()
+    }
+    assert a == b
+
+
 def test_checkpoint_resume_ranges(ray_ready, tmp_path):
     from engine.rayds import ckpt, pipeline
 
