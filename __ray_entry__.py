@@ -222,6 +222,22 @@ def _q_join_covers_cellpart(sf_dir):
     return cellpart_pairs(sf_dir)
 
 
+def _q_join_covers_s2part(sf_dir):
+    """Same join as join_covers, SHUFFLED ON S2 CELL IDS — the north
+    rule's S2 index as an actual partition key (exact cover via the
+    snapped-quantizer construction, celljoin.py)."""
+    from engine.rayds.celljoin import s2part_pairs
+
+    return s2part_pairs(sf_dir)
+
+
+def _q_join_covers_hexpart(sf_dir):
+    """Same join as join_covers, SHUFFLED ON HEX (H3-style res-7) IDS."""
+    from engine.rayds.celljoin import hexpart_pairs
+
+    return hexpart_pairs(sf_dir)
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -411,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "join_covers_cellpart": _q_join_covers_cellpart,
+        "join_covers_s2part": _q_join_covers_s2part,
+        "join_covers_hexpart": _q_join_covers_hexpart,
         "tile_mosaics": _q_tile_mosaics,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "affine_bounds": _q_affine_bounds,
@@ -504,6 +522,14 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "join_covers_cellpart": f"""
+            WITH {_IMGS}, {_LAYER}
+            SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
+        """,
+        "join_covers_s2part": f"""
+            WITH {_IMGS}, {_LAYER}
+            SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
+        """,
+        "join_covers_hexpart": f"""
             WITH {_IMGS}, {_LAYER}
             SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
         """,

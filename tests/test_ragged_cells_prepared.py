@@ -106,6 +106,79 @@ def test_s2_invariants():
     assert err.max() < 5e-3  # inside one level-20 cell
 
 
+def test_s2_spec_vectors():
+    """Spec-forced golden ids (no external library needed): the level-0
+    face cells are (face << 61) | (1 << 60) by the published id layout,
+    and the level-1 quadrant order on face 0 follows the canonical
+    pos→(i,j) table [0,1,3,2] for orientation 0."""
+    for lon, lat, f in [(0, 0, 0), (90, 0, 1), (0, 89.9, 2), (180, 0, 3),
+                        (-90, 0, 4), (0, -89.9, 5)]:
+        cid = cells.s2_cell(np.array([lon + 1e-9]), np.array([lat]), 0).view(np.uint64)[0]
+        assert cid == np.uint64((f << 61) | (1 << 60)), (lon, lat, f)
+    for lon, lat, pos in [(-10, -10, 0), (-10, 10, 1), (10, 10, 2), (10, -10, 3)]:
+        cid = cells.s2_cell(np.array([lon]), np.array([lat]), 1).view(np.uint64)[0]
+        assert cid == np.uint64((pos << 59) | (1 << 58)), (lon, lat, pos)
+
+
+def _s2_reference_id(lon: float, lat: float, level: int) -> int:
+    """Independent scalar S2 encoder straight from the published spec
+    (face cube + quadratic st + per-level Hilbert recursion) — no shared
+    code with engine.geo.cells (which uses 4-bit lookup tables)."""
+    import math
+
+    lam, phi = math.radians(lon), math.radians(lat)
+    x = math.cos(phi) * math.cos(lam)
+    y = math.cos(phi) * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x > 0 else 3
+    elif ay >= az:
+        face = 1 if y > 0 else 4
+    else:
+        face = 2 if z > 0 else 5
+    u, v = {
+        0: (y / x, z / x), 1: (-x / y, z / y), 2: (-x / z, -y / z),
+        3: (z / x, y / x), 4: (z / y, -x / y), 5: (-y / z, -x / z),
+    }[face]
+
+    def st(u):
+        return 0.5 * math.sqrt(1 + 3 * u) if u >= 0 else 1 - 0.5 * math.sqrt(1 - 3 * u)
+
+    max_size = 1 << 30
+    i = min(max_size - 1, max(0, int(st(u) * max_size)))
+    j = min(max_size - 1, max(0, int(st(v) * max_size)))
+    # published orientation tables (spec constants)
+    pos_to_ij = [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]]
+    pos_to_orient = [1, 0, 0, 3]  # swap, none, none, invert+swap
+    ij_to_pos = [[row.index(k) for k in range(4)] for row in pos_to_ij]
+    orient = face & 1  # kSwapMask bit of the face
+    n = 0
+    for k in range(29, -1, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        pos = ij_to_pos[orient][ij]
+        n = (n << 2) | pos
+        orient ^= pos_to_orient[pos]
+    cid = (face << 61) | (n << 1) | 1
+    lsb = 1 << (2 * (30 - level))
+    return (cid & ~(lsb - 1) & ~lsb) | lsb
+
+
+def test_s2_matches_independent_reference():
+    """The vectorized lookup-table encoder must agree bit-for-bit with a
+    scalar digit-by-digit reference across random points and levels."""
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    lat = rng.uniform(-89.9, 89.9, 200)
+    for level in (0, 1, 5, 12, 30):
+        got = cells.s2_cell(lon, lat, level).view(np.uint64)
+        want = np.array(
+            [_s2_reference_id(lo, la, level) for lo, la in zip(lon, lat)],
+            dtype=np.uint64,
+        )
+        assert np.array_equal(got, want), level
+
+
 def test_grid_cell_and_cover():
     ids = cells.grid_cell([0.5, 1.5, -0.5], [0.5, 0.5, -0.5], 1.0)
     assert ids[0] != ids[1] and ids[0] != ids[2]

@@ -272,6 +272,25 @@ def test_cellpart_join_exact_on_dense_polygons(ray_ready):
     assert len(b) > 0 and a == b
 
 
+def test_s2_and_hex_keyed_joins_match_broadcast(ray_ready):
+    """The S2- and hex-keyed physical plans must reproduce the broadcast
+    join exactly (the cell ids are real shuffle keys, not decoration)."""
+    from engine.rayds import pipeline
+    from engine.rayds.celljoin import hexpart_pairs, s2part_pairs
+
+    want = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF).select_columns(["image_id", "poly_id"]).take_all()
+    }
+    got_s2 = {
+        (r["image_id"], int(r["poly_id"])) for r in s2part_pairs(SF).take_all()
+    }
+    got_hex = {
+        (r["image_id"], int(r["poly_id"])) for r in hexpart_pairs(SF).take_all()
+    }
+    assert got_s2 == want and got_hex == want
+
+
 def test_cellpart_join_hot_cell_salting(ray_ready):
     """Restricting salt replication to a known-hot cell set must not
     change the join output (salting is a physical-plan knob only)."""
