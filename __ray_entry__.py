@@ -278,7 +278,9 @@ def _q_word_topk(sf_dir):
     words = _docs(sf_dir).select_columns(["text"]).map_batches(
         explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    counts = grouped_count(words, ["word"], out_col="cnt")
+    # word cardinality grows with the corpus: the sampled plan chooser
+    # switches the count to the hash-shuffle plan (no single-block merge)
+    counts = grouped_count(words, ["word"], out_col="cnt", use_shuffle="auto")
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(20)
 
 
@@ -404,12 +406,14 @@ def _q_ann_topk_lsh(sf_dir):
 
 
 def _q_doc_fingerprint(sf_dir):
+    """Oracle-checkable md5-prefix fingerprint (the crc fp64 variant
+    remains the cheap shuffle key inside exact dedup)."""
     from engine.ops import text
 
     return (
         _docs(sf_dir)
-        .map_batches(text.fingerprint, batch_format="pyarrow", batch_size=None)
-        .select_columns(["doc_id", "fp64"])
+        .map_batches(text.fingerprint_md5, batch_format="pyarrow", batch_size=None)
+        .select_columns(["doc_id", "fp_hex"])
     )
 
 
@@ -615,7 +619,43 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         """,
-        # lang_quality / minhash_pairs / simhash_pairs / psnr_validate:
-        # non-SQL-expressible (heuristic models, LSH, image codec) —
-        # rows-only check per the driver contract.
+        "lang_quality": """
+            WITH m AS (
+                SELECT
+                  (length(text) - length(replace(text, ' the ', ''))) / 5
+                + (length(text) - length(replace(text, ' and ', ''))) / 5
+                + (length(text) - length(replace(text, ' is ', '')))  / 4 AS s_en,
+                  (length(text) - length(replace(text, ' el ', '')))  / 4
+                + (length(text) - length(replace(text, ' la ', '')))  / 4
+                + (length(text) - length(replace(text, ' que ', ''))) / 5 AS s_es,
+                  (length(text) - length(replace(text, ' der ', ''))) / 5
+                + (length(text) - length(replace(text, ' und ', ''))) / 5
+                + (length(text) - length(replace(text, ' die ', ''))) / 5 AS s_de,
+                  (length(text) - length(replace(text, ' le ', '')))  / 4
+                + (length(text) - length(replace(text, ' et ', '')))  / 4
+                + (length(text) - length(replace(text, ' les ', ''))) / 5 AS s_fr
+                FROM documents
+            ),
+            lab AS (
+                SELECT CASE
+                    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+                FROM m
+            )
+            SELECT pred_lang, count(*) AS n_docs FROM lab GROUP BY 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex FROM documents
+        """,
+        "psnr_validate": f"""
+            WITH {_IMGS}
+            SELECT image_id, true AS psnr_ok FROM imgs
+        """,
+        # minhash_pairs / simhash_pairs / minhash_verified / ann_topk_lsh /
+        # img_features: non-SQL-expressible (LSH candidate generation,
+        # image codec) — rows-only check per the driver contract; their
+        # semantics are pinned by pytest recall/parity tests instead.
     }

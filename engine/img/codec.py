@@ -119,12 +119,31 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
     return (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
 
 
+def qraw_encode(img: np.ndarray, bits: int = 6) -> bytes:
+    """LOSSY toy codec: uniform quantization to ``bits`` bits/channel +
+    deflate.  With 6 bits the reconstruction error is ≤2/channel
+    (MSE = 1.5 → PSNR ≈ 46.4 dB), so the input_hint "PSNR≥40dB for
+    lossy" branch is exercised by a real lossy round-trip."""
+    shift = 8 - bits
+    q = (np.ascontiguousarray(img, dtype=np.uint8) >> shift)
+    return zlib.compress(q.tobytes(), 6)
+
+
+def qraw_decode(data: bytes, w: int, h: int, bits: int = 6) -> np.ndarray:
+    shift = 8 - bits
+    q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+    # mid-rise reconstruction: centre of each quantization bin
+    return ((q.astype(np.int32) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
 def encode_payload(image_id: str, w: int, h: int, fmt: str) -> bytes:
     img = synth_image(image_id, w, h)
     if fmt == "raw":
         return img.tobytes()
     if fmt == "png":
         return png_encode(img)
+    if fmt == "qraw":
+        return qraw_encode(img)
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
@@ -133,6 +152,8 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":
         return png_decode(data)
+    if fmt == "qraw":
+        return qraw_decode(data, w, h)
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 

@@ -92,6 +92,17 @@ def lang_id(batch: pa.Table) -> pa.Table:
     return batch.append_column("pred_lang", pa.array(pred.tolist(), type=pa.string()))
 
 
+def fingerprint_md5(batch: pa.Table) -> pa.Table:
+    """+ fp_hex: first 16 hex chars of md5(text) — the ORACLE-expressible
+    fingerprint (DuckDB: substr(md5(text), 1, 16)); ``fingerprint``'s
+    crc fp64 remains the cheaper shuffle key for exact dedup at scale."""
+    import hashlib
+
+    texts = batch["text"].to_pylist()
+    fps = [hashlib.md5(t.encode()).hexdigest()[:16] for t in texts]
+    return batch.append_column("fp_hex", pa.array(fps, type=pa.string()))
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """+ fp64: 64-bit content fingerprint (crc32 of two text halves packed)
     — cheap rolling-hash-style exact-dup key that avoids shuffling the

@@ -69,7 +69,9 @@ def derive_batch(batch: pa.Table) -> pa.Table:
     )
     w = (32 + (eid % 4) * 16).astype(np.int32)
     h = (32 + (eid % 3) * 16).astype(np.int32)
-    fmt = np.where(eid % 2 == 0, "raw", "png")
+    # format mix: lossless raw/png + the LOSSY qraw branch (so the
+    # input_hint "PSNR≥40dB for lossy" invariant is actually exercised)
+    fmt = np.where(eid % 2 == 0, "raw", np.where(eid % 4 == 1, "qraw", "png"))
     return pa.table(
         {
             "image_id": image_id,

@@ -32,9 +32,12 @@ class AddPayload:
         payloads, hashes = [], np.empty(len(ids), dtype=np.int64)
         for i, (iid, w, h, fmt) in enumerate(zip(ids, ws, hs, fmts)):
             img = codec.synth_image(iid, int(w), int(h))
-            payloads.append(
-                img.tobytes() if fmt == "raw" else codec.png_encode(img)
-            )
+            if fmt == "raw":
+                payloads.append(img.tobytes())
+            elif fmt == "png":
+                payloads.append(codec.png_encode(img))
+            else:
+                payloads.append(codec.qraw_encode(img))
             hashes[i] = codec.phash64(img)
         return batch.append_column("bytes", pa.array(payloads, type=pa.binary())) \
                     .append_column("phash", pa.array(hashes))

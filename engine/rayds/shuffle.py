@@ -29,8 +29,26 @@ def _merge_counts(keys: list[str]):
     return merge
 
 
+def choose_count_plan(ds, keys: list[str], sample: int = 8192,
+                      ratio_threshold: float = 0.25) -> bool:
+    """Sampled plan choice for grouped_count: True → hash-shuffle.
+
+    Probes the first ``sample`` rows (a streaming ``limit`` — executes
+    only the pipeline prefix) and switches to the hash-shuffle plan when
+    the distinct-key ratio says the final tree-reduce block would have
+    to hold a cardinality that grows with the input (e.g. words, ids)."""
+    try:
+        t = ds.limit(sample).take_batch(sample, batch_format="pyarrow")
+    except Exception:
+        return False
+    if t.num_rows == 0:
+        return False
+    distinct = t.select(keys).group_by(keys).aggregate([]).num_rows
+    return distinct / t.num_rows > ratio_threshold
+
+
 def grouped_count(ds, keys: list[str], out_col: str = "cnt",
-                  use_shuffle: bool = False):
+                  use_shuffle=False):
     """count(*) per key, combiner-first.
 
     Stage 1 (narrow): per-block ``pyarrow`` group_by → partial counts —
@@ -42,7 +60,11 @@ def grouped_count(ds, keys: list[str], out_col: str = "cnt",
     sort-based all-to-all entirely.  ``use_shuffle=True`` switches to the
     hash-shuffle ``groupby`` — the path for group cardinalities too large
     for one final block (then the exchange only moves partials).
+    ``use_shuffle="auto"`` probes a sample (``choose_count_plan``) and
+    picks the plan from the observed distinct-key ratio.
     """
+    if use_shuffle == "auto":
+        use_shuffle = choose_count_plan(ds, keys)
     partial = ds.map_batches(
         _partial_count_fn(keys), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )

@@ -62,6 +62,25 @@ def test_raw_roundtrip_and_phash_stability():
     assert np.iinfo(np.int64).min <= h1 <= np.iinfo(np.int64).max
 
 
+def test_qraw_lossy_psnr_above_40():
+    """The toy lossy codec must actually lose information (≠ exact) yet
+    reconstruct above the input_hint 40 dB bar (6-bit quantization →
+    ≈46.4 dB)."""
+    from engine.img import codec
+
+    img = codec.synth_image("imgq", 48, 32)
+    data = codec.qraw_encode(img)
+    out = codec.qraw_decode(data, 48, 32)
+    assert out.shape == img.shape
+    assert not np.array_equal(out, img)  # genuinely lossy
+    p = codec.psnr(img, out)
+    assert np.isfinite(p) and 40.0 <= p <= 60.0
+    # payload round-trip through the fmt dispatch
+    data2 = codec.encode_payload("imgq", 48, 32, "qraw")
+    out2 = codec.decode_payload(data2, 48, 32, "qraw")
+    assert np.array_equal(out, out2)
+
+
 def test_unknown_codec_stub():
     with pytest.raises(NotImplementedError):
         codec.encode_payload("a", 8, 8, "jpeg")

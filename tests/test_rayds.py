@@ -107,6 +107,32 @@ def test_grouped_count_shuffle_path(ray_ready):
     assert got == {5: 2, 7: 1}
 
 
+def test_choose_count_plan_by_cardinality(ray_ready):
+    """The sampled plan chooser must pick hash-shuffle for keys whose
+    cardinality grows with the input and tree-reduce for small key sets."""
+    import ray.data
+
+    from engine.rayds.shuffle import choose_count_plan, grouped_count
+
+    n = 20000
+    high = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(n) % (n // 2))})
+    )
+    low = ray.data.from_arrow(pa.table({"k": pa.array(np.arange(n) % 7)}))
+    assert choose_count_plan(high, ["k"]) is True
+    assert choose_count_plan(low, ["k"]) is False
+    # the auto plan must produce identical counts either way
+    a = sorted(
+        (r["k"], r["cnt"])
+        for r in grouped_count(low, ["k"], use_shuffle="auto").take_all()
+    )
+    b = sorted(
+        (r["k"], r["cnt"])
+        for r in grouped_count(low, ["k"], use_shuffle=True).take_all()
+    )
+    assert a == b
+
+
 def test_fused_tile_counts_match_staged(ray_ready):
     """The manually fused hot path must produce the same tile counts as
     the staged pipeline (tile_counts with salted shuffle)."""
