@@ -22,9 +22,10 @@ from engine.geo.constructive import (  # noqa: F401
     point_on_surface, remove_repeated_points, reverse, segmentize, simplify,
 )
 from engine.geo.coordinates import (  # noqa: F401
-    count_coordinates, get_coordinates, get_exterior_ring, get_interior_ring,
+    count_coordinates, get_coordinate_dimension, get_coordinates,
+    get_dimensions, get_exterior_ring, get_interior_ring, get_m,
     get_num_coordinates, get_num_geometries, get_num_interior_rings, get_parts,
-    get_rings, get_type_id, get_x, get_y, set_coordinates, transform,
+    get_rings, get_type_id, get_x, get_y, get_z, set_coordinates, transform,
     transform_coordseq,
 )
 from engine.geo.coverage import (  # noqa: F401
@@ -50,9 +51,9 @@ from engine.geo.measure import (  # noqa: F401
     minimum_bounding_radius, minimum_clearance, total_bounds,
 )
 from engine.geo.ops import (  # noqa: F401
-    force_2d, get_geometry, get_num_points, get_point, get_precision,
-    get_segments, maximum_inscribed_circle, nearest_points, set_precision,
-    split,
+    force_2d, force_3d, get_geometry, get_num_points, get_point,
+    get_precision, get_segments, maximum_inscribed_circle, nearest_points,
+    set_precision, split,
 )
 from engine.geo.predicates import (  # noqa: F401
     contains, contains_properly, contains_xy, covered_by, covers, crosses,

@@ -1,8 +1,8 @@
 """Coverage validation (reference shapely/_coverage.py: coverage_is_valid:12,
-coverage_invalid_edges:55, coverage_simplify:101) + 2-D dimension stubs
-(predicates.py has_z:46 / has_m:80 — this engine is strictly 2-D, like
-the reference's analysis plane, geometry/base.py:1-7) and SRID metadata
-(_geometry.py get_srid:207 / set_srid:239).
+coverage_invalid_edges:55, coverage_simplify:101) + coordinate-dimension
+predicates (predicates.py has_z:46 / has_m:80 — real flags; analysis
+kernels stay planar like GEOS) and SRID metadata (_geometry.py
+get_srid:207 / set_srid:239).
 """
 
 from __future__ import annotations
@@ -14,19 +14,25 @@ from engine.geo.geom import Geom
 
 
 def has_z(geometry):
-    """predicates.py:46 — always False (2-D engine; documented)."""
+    """predicates.py:46 — True for XYZ/XYZM geometries."""
 
     def one(g):
-        return False if g is not None else False
+        return bool(g is not None and g.has_z)
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry)
-    return np.zeros(len(geometry), dtype=bool)
+    return np.array([one(g) for g in geometry], dtype=bool)
 
 
 def has_m(geometry):
-    """predicates.py:80 — always False (no M support)."""
-    return has_z(geometry)
+    """predicates.py:80 — True for XYM/XYZM geometries."""
+
+    def one(g):
+        return bool(g is not None and g.has_m)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=bool)
 
 
 def get_srid(geometry):

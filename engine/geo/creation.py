@@ -18,16 +18,21 @@ def _coerce(coords) -> np.ndarray:
     return np.asarray(coords, dtype=np.float64)
 
 
-def points(coords, y=None, handle_nan: str = "allow"):
-    """creation.py:54."""
+def points(coords, y=None, z=None, handle_nan: str = "allow"):
+    """creation.py:54 — coords may be (n,2), (n,3) XYZ, or (n,4) XYZM."""
     if y is not None:
-        coords = np.column_stack([np.asarray(coords, dtype=np.float64), np.asarray(y, dtype=np.float64)])
+        cols = [np.asarray(coords, dtype=np.float64), np.asarray(y, dtype=np.float64)]
+        if z is not None:
+            cols.append(np.asarray(z, dtype=np.float64))
+        coords = np.column_stack(cols)
     c = _coerce(coords)
     if c.ndim == 1:
         c = c[None, :]
         scalar = True
     else:
         scalar = False
+    hz = c.shape[1] >= 3
+    hm = c.shape[1] == 4
     out = []
     for row in c:
         isnan = np.isnan(row).any()
@@ -38,9 +43,9 @@ def points(coords, y=None, handle_nan: str = "allow"):
                 out.append(None)
                 continue
             if np.isnan(row).all():
-                out.append(Geom.empty(GeomType.POINT))
+                out.append(Geom(GeomType.POINT, has_z=hz, has_m=hm))
                 continue
-        out.append(Geom.point(row[0], row[1]))
+        out.append(Geom(GeomType.POINT, coords=np.asarray([row]), has_z=hz, has_m=hm))
     if scalar:
         return out[0]
     return np.array(out, dtype=object)

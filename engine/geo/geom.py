@@ -45,48 +45,97 @@ _WKT_NAMES = {
 _NAME_TO_TYPE = {v: k for k, v in _WKT_NAMES.items()}
 
 
+def _as_coords(coords) -> np.ndarray:
+    """Normalize input to (n, w) float64 with w ∈ {2, 3, 4}; flat input
+    is interpreted as xy pairs (historical 2-D contract)."""
+    c = np.asarray(coords, dtype=np.float64)
+    if c.ndim != 2:
+        return c.reshape(-1, 2)
+    if c.shape[1] < 2 or c.shape[1] > 4:
+        raise ValueError(f"coordinates must have 2-4 columns, got {c.shape}")
+    return c
+
+
+def _dims_flags(c: np.ndarray, has_z=None, has_m=None) -> tuple[bool, bool]:
+    """Infer (has_z, has_m) from coord width: 3 → XYZ (XYM only when
+    has_m is forced, matching WKT 'M' qualifiers), 4 → XYZM."""
+    w = c.shape[1] if c.ndim == 2 else 2
+    if w == 2:
+        return False, False
+    if w == 3:
+        if has_m and not has_z:
+            return False, True
+        return True, False
+    return True, True
+
+
 @dataclass
 class Geom:
     """Scalar geometry.
 
-    - POINT: ``coords`` shape (1,2), or (0,2) for EMPTY
-    - LINESTRING / LINEARRING: ``coords`` shape (n,2)
-    - POLYGON: ``rings`` = list of closed (n,2) rings (first == last);
+    - POINT: ``coords`` shape (1,w), or (0,w) for EMPTY
+    - LINESTRING / LINEARRING: ``coords`` shape (n,w)
+    - POLYGON: ``rings`` = list of closed (n,w) rings (first == last);
       rings[0] is the shell, the rest holes.  Empty polygon: ``rings=[]``.
     - MULTI* / GEOMETRYCOLLECTION: ``parts`` = list of Geom.
+
+    Coordinate width w = 2 + has_z + has_m with column order x, y, [z],
+    [m] (XYM stores m in column 2 with has_z=False).  The ANALYSIS
+    decomposition (point_parts/line_parts/polygon_parts/all_coords)
+    always yields 2-D xy views — predicates/overlays/measures are planar,
+    matching the reference's GEOS semantics (shapely _geometry.py:274-362
+    exposes Z/M through accessors and IO, not through predicates).
     """
 
     type_id: GeomType
     coords: np.ndarray = field(default_factory=lambda: np.empty((0, 2)))
     rings: list = field(default_factory=list)
     parts: list = field(default_factory=list)
+    has_z: bool = False
+    has_m: bool = False
 
     # -- constructors -----------------------------------------------------
     @staticmethod
-    def point(x: float, y: float) -> "Geom":
-        return Geom(GeomType.POINT, np.array([[x, y]], dtype=np.float64))
+    def point(x: float, y: float, z: float | None = None,
+              m: float | None = None) -> "Geom":
+        row = [x, y]
+        if z is not None:
+            row.append(z)
+        if m is not None:
+            if z is None:
+                row.append(m)  # XYM: m in column 2
+            else:
+                row.append(m)
+        return Geom(
+            GeomType.POINT, np.array([row], dtype=np.float64),
+            has_z=z is not None, has_m=m is not None,
+        )
 
     @staticmethod
-    def linestring(coords) -> "Geom":
-        return Geom(GeomType.LINESTRING, np.asarray(coords, dtype=np.float64).reshape(-1, 2))
+    def linestring(coords, has_z=None, has_m=None) -> "Geom":
+        c = _as_coords(coords)
+        hz, hm = _dims_flags(c, has_z, has_m)
+        return Geom(GeomType.LINESTRING, c, has_z=hz, has_m=hm)
 
     @staticmethod
-    def linearring(coords) -> "Geom":
-        c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    def linearring(coords, has_z=None, has_m=None) -> "Geom":
+        c = _as_coords(coords)
+        hz, hm = _dims_flags(c, has_z, has_m)
         if len(c) and not np.array_equal(c[0], c[-1]):
             c = np.vstack([c, c[:1]])  # auto-close, as creation.py:236
-        return Geom(GeomType.LINEARRING, c)
+        return Geom(GeomType.LINEARRING, c, has_z=hz, has_m=hm)
 
     @staticmethod
-    def polygon(shell, holes=()) -> "Geom":
+    def polygon(shell, holes=(), has_z=None, has_m=None) -> "Geom":
         def close(r):
-            r = np.asarray(r, dtype=np.float64).reshape(-1, 2)
+            r = _as_coords(r)
             if len(r) and not np.array_equal(r[0], r[-1]):
                 r = np.vstack([r, r[:1]])
             return r
 
         rings = [close(shell)] + [close(h) for h in holes]
-        return Geom(GeomType.POLYGON, rings=rings)
+        hz, hm = _dims_flags(rings[0], has_z, has_m) if rings else (False, False)
+        return Geom(GeomType.POLYGON, rings=rings, has_z=hz, has_m=hm)
 
     @staticmethod
     def box(xmin, ymin, xmax, ymax, ccw: bool = True) -> "Geom":
@@ -99,11 +148,17 @@ class Geom:
 
     @staticmethod
     def multi(type_id: GeomType, parts: list) -> "Geom":
-        return Geom(type_id, parts=list(parts))
+        parts = list(parts)
+        hz = any(p.has_z for p in parts if p is not None)
+        hm = any(p.has_m for p in parts if p is not None)
+        return Geom(type_id, parts=parts, has_z=hz, has_m=hm)
 
     @staticmethod
     def collection(parts: list) -> "Geom":
-        return Geom(GeomType.GEOMETRYCOLLECTION, parts=list(parts))
+        parts = list(parts)
+        hz = any(p.has_z for p in parts if p is not None)
+        hm = any(p.has_m for p in parts if p is not None)
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts, has_z=hz, has_m=hm)
 
     @staticmethod
     def empty(type_id: GeomType = GeomType.GEOMETRYCOLLECTION) -> "Geom":
@@ -143,8 +198,13 @@ class Geom:
         return core.bbox_of(cs)
 
     def all_coords(self) -> np.ndarray:
+        """(n,2) xy coordinates (analysis view; Z/M stripped)."""
         if self.type_id == GeomType.POLYGON:
-            return np.vstack(self.rings) if self.rings else np.empty((0, 2))
+            return (
+                np.vstack([r[:, :2] for r in self.rings])
+                if self.rings
+                else np.empty((0, 2))
+            )
         if self.parts:
             arrs = [p.all_coords() for p in self.parts]
             arrs = [a for a in arrs if len(a)]
@@ -156,13 +216,14 @@ class Geom:
             GeomType.GEOMETRYCOLLECTION,
         ):
             return np.empty((0, 2))
-        return self.coords
+        return self.coords[:, :2]
 
-    # -- flattened views (decomposition used by relate + measures) --------
+    # -- flattened views (decomposition used by relate + measures; always
+    # 2-D xy views — predicates/overlays are planar like GEOS) -----------
     def point_parts(self) -> np.ndarray:
         """(k,2) coordinates of all point components."""
         if self.type_id == GeomType.POINT:
-            return self.coords
+            return self.coords[:, :2]
         out = []
         if self.type_id in (GeomType.MULTIPOINT, GeomType.GEOMETRYCOLLECTION):
             for p in self.parts:
@@ -174,7 +235,7 @@ class Geom:
     def line_parts(self) -> list[np.ndarray]:
         """List of (n,2) polylines (linestrings/rings-as-lines)."""
         if self.type_id in (GeomType.LINESTRING, GeomType.LINEARRING):
-            return [self.coords] if len(self.coords) else []
+            return [self.coords[:, :2]] if len(self.coords) else []
         out = []
         if self.type_id in (GeomType.MULTILINESTRING, GeomType.GEOMETRYCOLLECTION):
             for p in self.parts:
@@ -182,9 +243,9 @@ class Geom:
         return out
 
     def polygon_parts(self) -> list[list[np.ndarray]]:
-        """List of polygons; each polygon = list of closed rings."""
+        """List of polygons; each polygon = list of closed (n,2) rings."""
         if self.type_id == GeomType.POLYGON:
-            return [self.rings] if self.rings else []
+            return [[r[:, :2] for r in self.rings]] if self.rings else []
         out = []
         if self.type_id in (GeomType.MULTIPOLYGON, GeomType.GEOMETRYCOLLECTION):
             for p in self.parts:
@@ -363,91 +424,133 @@ class _P:
             raise ValueError(f"expected {t!r}, got {got!r}")
 
 
-def _parse_coords(p: _P) -> np.ndarray:
+def _parse_coords(p: _P, want: int | None) -> np.ndarray:
+    """Parse a parenthesized coordinate list.  ``want`` = declared vertex
+    width from a Z/M/ZM qualifier (None → infer from the first vertex,
+    matching GEOS "POINT (1 2 3)" → XYZ)."""
     p.expect("(")
     pts = []
+    w = want
     while True:
         xs = []
         while p.peek() not in (",", ")"):
             xs.append(float(p.next()))
-        pts.append(xs[:2])  # analysis is 2-D (geometry/base.py:1-7); drop Z/M
+        if w is None:
+            w = min(max(len(xs), 2), 4)
+        if len(xs) < w:
+            raise ValueError(f"vertex has {len(xs)} ordinates, expected {w}")
+        pts.append(xs[:w])
         if p.next() == ")":
             break
-    return np.asarray(pts, dtype=np.float64)
+    return np.asarray(pts, dtype=np.float64).reshape(-1, w or 2)
+
+
+def _flags_of(c: np.ndarray, hz: bool, hm: bool, had_tag: bool) -> tuple[bool, bool]:
+    if had_tag:
+        return hz, hm
+    w = c.shape[1]
+    return (w >= 3, w == 4)
 
 
 def _parse_geom(p: _P) -> Geom | None:
     name = p.next().upper()
     if name in ("Z", "M", "ZM"):
         name = p.next().upper()
-    # dimension qualifiers may follow the name too: "POINT Z (...)"
+    # dimension qualifiers follow the name: "POINT Z (...)"
+    hz = hm = had_tag = False
     while p.peek() is not None and p.peek().upper() in ("Z", "M", "ZM"):
-        p.next()
+        q = p.next().upper()
+        had_tag = True
+        hz |= "Z" in q
+        hm |= "M" in q
     t = _NAME_TO_TYPE[name]
+    want = (2 + hz + hm) if had_tag else None
+
+    def mk(tt, coords=None, rings=None, parts=None):
+        c0 = coords if coords is not None else (rings[0] if rings else None)
+        if c0 is not None:
+            fz, fm = _flags_of(c0, hz, hm, had_tag)
+        elif parts:
+            fz = any(pp.has_z for pp in parts)
+            fm = any(pp.has_m for pp in parts)
+        else:
+            fz, fm = (hz, hm)
+        return Geom(
+            tt,
+            coords=coords if coords is not None else np.empty((0, 2)),
+            rings=rings or [],
+            parts=parts or [],
+            has_z=fz,
+            has_m=fm,
+        )
+
     if p.peek() is not None and p.peek().upper() == "EMPTY":
         p.next()
-        return Geom(t)
+        return mk(t)
     if t == GeomType.POINT:
-        c = _parse_coords(p)
-        return Geom(t, c)
+        return mk(t, coords=_parse_coords(p, want))
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return Geom(t, _parse_coords(p))
+        return mk(t, coords=_parse_coords(p, want))
     if t == GeomType.POLYGON:
         p.expect("(")
         rings = []
         while True:
-            rings.append(_parse_coords(p))
+            rings.append(_parse_coords(p, want))
             if p.next() == ")":
                 break
-        return Geom(t, rings=rings)
+        return mk(t, rings=rings)
     if t == GeomType.MULTIPOINT:
         p.expect("(")
         parts = []
         while True:
             if p.peek() == "(":
-                c = _parse_coords(p)
-                parts.append(Geom(GeomType.POINT, c))
+                c = _parse_coords(p, want)
+                parts.append(mk(GeomType.POINT, coords=c))
             elif p.peek() is not None and p.peek().upper() == "EMPTY":
                 p.next()
-                parts.append(Geom(GeomType.POINT))
+                parts.append(mk(GeomType.POINT))
             else:
                 xs = []
                 while p.peek() not in (",", ")"):
                     xs.append(float(p.next()))
-                parts.append(Geom.point(xs[0], xs[1]))
+                w = want or min(max(len(xs), 2), 4)
+                parts.append(
+                    mk(GeomType.POINT,
+                       coords=np.asarray([xs[:w]], dtype=np.float64))
+                )
             if p.next() == ")":
                 break
-        return Geom(t, parts=parts)
+        return mk(t, parts=parts)
     if t == GeomType.MULTILINESTRING:
         p.expect("(")
         parts = []
         while True:
             if p.peek() is not None and p.peek().upper() == "EMPTY":
                 p.next()
-                parts.append(Geom(GeomType.LINESTRING))
+                parts.append(mk(GeomType.LINESTRING))
             else:
-                parts.append(Geom(GeomType.LINESTRING, _parse_coords(p)))
+                parts.append(mk(GeomType.LINESTRING, coords=_parse_coords(p, want)))
             if p.next() == ")":
                 break
-        return Geom(t, parts=parts)
+        return mk(t, parts=parts)
     if t == GeomType.MULTIPOLYGON:
         p.expect("(")
         parts = []
         while True:
             if p.peek() is not None and p.peek().upper() == "EMPTY":
                 p.next()
-                parts.append(Geom(GeomType.POLYGON))
+                parts.append(mk(GeomType.POLYGON))
             else:
                 p.expect("(")
                 rings = []
                 while True:
-                    rings.append(_parse_coords(p))
+                    rings.append(_parse_coords(p, want))
                     if p.next() == ")":
                         break
-                parts.append(Geom(GeomType.POLYGON, rings=rings))
+                parts.append(mk(GeomType.POLYGON, rings=rings))
             if p.next() == ")":
                 break
-        return Geom(t, parts=parts)
+        return mk(t, parts=parts)
     if t == GeomType.GEOMETRYCOLLECTION:
         p.expect("(")
         parts = []
@@ -455,7 +558,7 @@ def _parse_geom(p: _P) -> Geom | None:
             parts.append(_parse_geom(p))
             if p.next() == ")":
                 break
-        return Geom(t, parts=parts)
+        return mk(t, parts=parts)
     raise ValueError(f"unsupported WKT type {name}")
 
 
@@ -478,38 +581,49 @@ def _fmt_num(v: float) -> str:
 
 
 def _fmt_coords(c: np.ndarray) -> str:
-    return "(" + ", ".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in c) + ")"
+    return "(" + ", ".join(" ".join(_fmt_num(v) for v in row) for row in c) + ")"
+
+
+def _wkt_tag(g: Geom) -> str:
+    """' Z' / ' M' / ' ZM' dimension qualifier (GEOS ISO WKT writer)."""
+    if g.has_z and g.has_m:
+        return " ZM"
+    if g.has_z:
+        return " Z"
+    if g.has_m:
+        return " M"
+    return ""
 
 
 def to_wkt(g: Geom | None) -> str | None:
     """Write WKT (io.py:33 semantics, trim mode; None passes through)."""
     if g is None:
         return None
-    name = _WKT_NAMES[g.type_id]
+    name = _WKT_NAMES[g.type_id] + _wkt_tag(g)
     if g.is_empty:
         return f"{name} EMPTY"
     t = g.type_id
     if t == GeomType.POINT:
-        return f"POINT ({_fmt_num(g.coords[0,0])} {_fmt_num(g.coords[0,1])})"
+        return f"{name} ({' '.join(_fmt_num(v) for v in g.coords[0])})"
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
         return f"{name} {_fmt_coords(g.coords)}"
     if t == GeomType.POLYGON:
-        return "POLYGON (" + ", ".join(_fmt_coords(r) for r in g.rings) + ")"
+        return f"{name} (" + ", ".join(_fmt_coords(r) for r in g.rings) + ")"
     if t == GeomType.MULTIPOINT:
         # modern per-point parens, matching the reference's GEOS writer
         # (creation.py:536 docstring: MULTIPOINT ((1 1), (2 2)))
-        return "MULTIPOINT (" + ", ".join(
-            f"({_fmt_num(p.coords[0, 0])} {_fmt_num(p.coords[0, 1])})"
+        return f"{name} (" + ", ".join(
+            f"({' '.join(_fmt_num(v) for v in p.coords[0])})"
             if len(p.coords)
             else "EMPTY"
             for p in g.parts
         ) + ")"
     if t == GeomType.MULTILINESTRING:
-        return "MULTILINESTRING (" + ", ".join(_fmt_coords(p.coords) for p in g.parts) + ")"
+        return f"{name} (" + ", ".join(_fmt_coords(p.coords) for p in g.parts) + ")"
     if t == GeomType.MULTIPOLYGON:
-        return "MULTIPOLYGON (" + ", ".join(
+        return f"{name} (" + ", ".join(
             "(" + ", ".join(_fmt_coords(r) for r in p.rings) + ")" for p in g.parts
         ) + ")"
     if t == GeomType.GEOMETRYCOLLECTION:
-        return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(p) for p in g.parts) + ")"
+        return f"{name} (" + ", ".join(to_wkt(p) for p in g.parts) + ")"
     raise ValueError(str(t))

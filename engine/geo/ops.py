@@ -156,9 +156,58 @@ def get_segments(geometry):
     return np.concatenate([one(g) for g in geometry])
 
 
+def _map_blocks(g, fn, hz, hm):
+    """Rebuild a geometry with ``fn`` applied to every coord block."""
+    t = g.type_id
+    if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
+        return Geom(t, coords=fn(g.coords, g), has_z=hz, has_m=hm)
+    if t == GeomType.POLYGON:
+        return Geom(t, rings=[fn(r, g) for r in g.rings], has_z=hz, has_m=hm)
+    return Geom(t, parts=[_map_blocks(p, fn, hz, hm) for p in g.parts],
+                has_z=hz, has_m=hm)
+
+
 def force_2d(geometry):
-    """_geometry.py:952 — identity: the engine is strictly 2-D."""
-    return geometry
+    """_geometry.py:952 — drop Z/M coordinates."""
+
+    def one(g):
+        if g is None:
+            return None
+        if not (g.has_z or g.has_m):
+            return g
+        return _map_blocks(g, lambda c, _g: np.ascontiguousarray(c[:, :2]),
+                           False, False)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
+
+
+def force_3d(geometry, z: float = 0.0):
+    """_geometry.py:982 — 2-D geometries get the provided Z; existing Z
+    is unchanged.  NaN z is rejected like the reference."""
+    if np.isnan(z):
+        raise ValueError("It is not allowed to set the Z coordinate to NaN.")
+
+    def one(g):
+        if g is None:
+            return None
+        if g.has_z:
+            return g
+
+        def widen(c, gg):
+            out = np.empty((len(c), 3 + int(gg.has_m)))
+            out[:, :2] = c[:, :2]
+            out[:, 2] = z
+            if gg.has_m:
+                out[:, 3] = c[:, 2]  # XYM column shifts to the M slot
+            return out
+
+        return _map_blocks(g, widen, True, g.has_m)
+
+    if isinstance(geometry, Geom) or geometry is None:
+        return one(geometry)
+    return np.array([one(g) for g in geometry], dtype=object)
 
 
 def set_precision(geometry, grid_size: float, mode: str = "valid_output"):

@@ -24,9 +24,34 @@ def _offsets(counts: list[int], total: int) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(counts, dtype=np.int64)]).astype(_off_dtype(total))
 
 
-def to_ragged_array(geometries):
-    """Geometry array → (geometry_type, coords(n,2), offsets tuple)."""
+def to_ragged_array(geometries, include_z=None, include_m=None):
+    """Geometry array → (geometry_type, coords(n,2|3|4), offsets tuple).
+
+    ``include_z``/``include_m`` default to "any input geometry has that
+    dimension" (:279-285); geometries lacking a requested dimension get
+    NaN, and XYM m-columns land in the last output column."""
     geoms = [g for g in geometries]
+    if include_z is None:
+        include_z = any(
+            g is not None and not g.is_empty and g.has_z for g in geoms
+        )
+    if include_m is None:
+        include_m = any(
+            g is not None and not g.is_empty and g.has_m for g in geoms
+        )
+    width = 2 + int(include_z) + int(include_m)
+
+    def conv(g, c):
+        """Native block → (n, width) with NaN-padding for absent dims."""
+        if width == 2:
+            return np.ascontiguousarray(c[:, :2])
+        out = np.full((len(c), width), np.nan)
+        out[:, :2] = c[:, :2]
+        if include_z and g.has_z:
+            out[:, 2] = c[:, 2]
+        if include_m and g.has_m:
+            out[:, 2 + int(include_z)] = c[:, 2 + int(g.has_z)]
+        return out
     types = {g.type_id for g in geoms if g is not None and not g.is_empty}
     # empties participate in type inference like the reference
     types |= {g.type_id for g in geoms if g is not None}
@@ -58,20 +83,20 @@ def to_ragged_array(geometries):
     if fam == 0 and not multi and all(
         (g is None) or g.type_id == GeomType.POINT for g in geoms
     ):
-        coords = np.full((len(geoms), 2), np.nan)
+        coords = np.full((len(geoms), width), np.nan)
         for i, g in enumerate(geoms):
             if g is not None and not g.is_empty:
-                coords[i] = g.coords[0]
+                coords[i] = conv(g, g.coords[:1])[0]
         return GeomType.POINT, coords, ()
 
     if fam == 0:
         blocks, counts = [], []
         for g in geoms:
             ps = [] if g is None else parts_of(g)
-            pts = [p.coords[0] for p in ps if not p.is_empty]
+            pts = [conv(p, p.coords[:1])[0] for p in ps if not p.is_empty]
             counts.append(len(pts))
             blocks.extend(pts)
-        coords = np.vstack(blocks) if blocks else np.empty((0, 2))
+        coords = np.vstack(blocks) if blocks else np.empty((0, width))
         return GeomType.MULTIPOINT, coords, (_offsets(counts, len(coords)),)
 
     if fam == 1:
@@ -81,12 +106,12 @@ def to_ragged_array(geometries):
         blocks, line_counts, geom_counts = [], [], []
         for g in geoms:
             ps = [] if g is None else parts_of(g)
-            lines = [p.coords for p in ps if not p.is_empty]
+            lines = [(p, p.coords) for p in ps if not p.is_empty]
             geom_counts.append(len(lines))
-            for c in lines:
+            for p, c in lines:
                 line_counts.append(len(c))
-                blocks.append(c)
-        coords = np.vstack(blocks) if blocks else np.empty((0, 2))
+                blocks.append(conv(p, c))
+        coords = np.vstack(blocks) if blocks else np.empty((0, width))
         line_off = _offsets(line_counts, len(coords))
         if not multi:
             return GeomType.LINESTRING, coords, (line_off,)
@@ -104,8 +129,8 @@ def to_ragged_array(geometries):
             poly_counts.append(len(p.rings))
             for r in p.rings:
                 ring_counts.append(len(r))
-                blocks.append(r)
-    coords = np.vstack(blocks) if blocks else np.empty((0, 2))
+                blocks.append(conv(p, r))
+    coords = np.vstack(blocks) if blocks else np.empty((0, width))
     ring_off = _offsets(ring_counts, len(coords))
     poly_off = _offsets(poly_counts, len(ring_off) - 1)
     if not multi:
@@ -114,18 +139,26 @@ def to_ragged_array(geometries):
 
 
 def from_ragged_array(geometry_type, coords, offsets=()):
-    """(type, coords, offsets) → object array of Geom (:417)."""
+    """(type, coords, offsets) → object array of Geom (:417).  Coords may
+    be (n,2), (n,3) (XYZ) or (n,4) (XYZM)."""
     t = GeomType(geometry_type)
-    coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    coords = np.asarray(coords, dtype=np.float64)
+    if coords.ndim != 2:
+        coords = coords.reshape(-1, 2)
+    hz = coords.shape[1] >= 3
+    hm = coords.shape[1] == 4
     offs = [np.asarray(o, dtype=np.int64) for o in (offsets or ())]
+
+    def mkpoint(row):
+        return Geom(GeomType.POINT, coords=np.asarray([row]), has_z=hz, has_m=hm)
 
     if t == GeomType.POINT:
         out = []
         for row in coords:
             if np.isnan(row).all():
-                out.append(Geom.empty(GeomType.POINT))
+                out.append(Geom(GeomType.POINT, has_z=hz, has_m=hm))
             else:
-                out.append(Geom.point(row[0], row[1]))
+                out.append(mkpoint(row))
         return np.array(out, dtype=object)
 
     if t == GeomType.MULTIPOINT:
@@ -136,7 +169,9 @@ def from_ragged_array(geometry_type, coords, offsets=()):
             if len(pts) == 0:
                 out.append(Geom.empty(GeomType.MULTIPOINT))
             else:
-                out.append(Geom(GeomType.MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts]))
+                out.append(Geom(GeomType.MULTIPOINT,
+                                parts=[mkpoint(row) for row in pts],
+                                has_z=hz, has_m=hm))
         return np.array(out, dtype=object)
 
     if t == GeomType.LINESTRING:
@@ -155,13 +190,15 @@ def from_ragged_array(geometry_type, coords, offsets=()):
             for j in range(geom_off[i], geom_off[i + 1]):
                 parts.append(Geom.linestring(coords[line_off[j]: line_off[j + 1]]))
             out.append(
-                Geom(t, parts=parts) if parts else Geom.empty(t)
+                Geom(t, parts=parts, has_z=hz, has_m=hm) if parts else Geom.empty(t)
             )
         return np.array(out, dtype=object)
 
     def poly(ring_off, j0, j1):
         rings = [coords[ring_off[j]: ring_off[j + 1]] for j in range(j0, j1)]
-        return Geom(GeomType.POLYGON, rings=rings) if rings else Geom.empty(GeomType.POLYGON)
+        if not rings:
+            return Geom.empty(GeomType.POLYGON)
+        return Geom(GeomType.POLYGON, rings=rings, has_z=hz, has_m=hm)
 
     if t == GeomType.POLYGON:
         ring_off, poly_off = offs
@@ -178,7 +215,7 @@ def from_ragged_array(geometry_type, coords, offsets=()):
                 poly(ring_off, poly_off[j], poly_off[j + 1])
                 for j in range(geom_off[i], geom_off[i + 1])
             ]
-            out.append(Geom(t, parts=parts) if parts else Geom.empty(t))
+            out.append(Geom(t, parts=parts, has_z=hz, has_m=hm) if parts else Geom.empty(t))
         return np.array(out, dtype=object)
 
     raise ValueError(f"unsupported ragged type {t}")

@@ -3,11 +3,11 @@
 
 Implements the OGC WKB spec for the 8 2-D geometry types, both byte
 orders, hex output, and the reference's flavor distinction:
-- "iso": 2-D types use the plain 1..7 codes (Z would add +1000);
-- "extended": identical for 2-D geometries without SRID (EWKB differs
-  only in Z/M/SRID flag bits, which 2-D SRID-less output never sets) —
-  matching the reference's note that output differs only when Z/SRID
-  present (io.py:157-164).
+- "iso": type codes are base + 1000*Z + 2000*M (+3000 for ZM);
+- "extended": EWKB flag bits (Z=0x80000000, M=0x40000000) — identical to
+  "iso" for 2-D SRID-less output, differing exactly when Z/M present
+  (io.py:157-164).  Both variants (and the EWKB SRID flag) are accepted
+  on read.
 
 POINT EMPTY is written as POINT (NaN NaN) exactly like the reference
 (io.py:144-148); on read a NaN-NaN point becomes POINT EMPTY.
@@ -24,10 +24,23 @@ from engine.geo.geom import Geom, GeomType
 _TYPES_WITH_COORDSEQ = (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING)
 
 
-def _encode_geom(g: Geom, order: str) -> bytes:
+def _encode_geom(g: Geom, order: str, flavor: str = "iso") -> bytes:
     bo = "<" if order == "little" else ">"
     lead = b"\x01" if order == "little" else b"\x00"
     t = g.type_id
+    dim = 2 + int(g.has_z) + int(g.has_m)
+
+    def type_code(base: int) -> int:
+        if flavor == "extended":
+            # EWKB flag bits (PostGIS): Z=0x80000000, M=0x40000000
+            code = base
+            if g.has_z:
+                code |= 0x80000000
+            if g.has_m:
+                code |= 0x40000000
+            return code
+        # ISO offsets: +1000 Z, +2000 M, +3000 ZM (io.py:157 flavor note)
+        return base + 1000 * int(g.has_z) + 2000 * int(g.has_m)
 
     def u32(v):
         return struct.pack(bo + "I", v)
@@ -39,24 +52,24 @@ def _encode_geom(g: Geom, order: str) -> bytes:
         return arr.tobytes()
 
     if t == GeomType.POINT:
-        xy = g.coords if len(g.coords) else np.array([[np.nan, np.nan]])
-        return lead + u32(1) + coords(xy[0])
+        xy = g.coords if len(g.coords) else np.full((1, dim), np.nan)
+        return lead + u32(type_code(1)) + coords(xy[0])
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return lead + u32(2) + u32(len(g.coords)) + coords(g.coords)
+        return lead + u32(type_code(2)) + u32(len(g.coords)) + coords(g.coords)
     if t == GeomType.POLYGON:
         rings = [r for r in g.rings]
         body = u32(len(rings))
         for r in rings:
             body += u32(len(r)) + coords(r)
-        return lead + u32(3) + body
+        return lead + u32(type_code(3)) + body
     if t in (GeomType.MULTIPOINT, GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON,
              GeomType.GEOMETRYCOLLECTION):
         code = {GeomType.MULTIPOINT: 4, GeomType.MULTILINESTRING: 5,
                 GeomType.MULTIPOLYGON: 6, GeomType.GEOMETRYCOLLECTION: 7}[t]
         body = u32(len(g.parts))
         for p in g.parts:
-            body += _encode_geom(p, order)
-        return lead + u32(code) + body
+            body += _encode_geom(p, order, flavor)
+        return lead + u32(type_code(code)) + body
     raise ValueError(f"cannot encode {t}")
 
 
@@ -82,7 +95,7 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
         nonlocal pos
         arr = np.frombuffer(buf, dtype=order + "f8", count=n * dim, offset=pos)
         pos += n * dim * 8
-        return np.ascontiguousarray(arr.reshape(n, dim)[:, :2], dtype=np.float64)
+        return np.ascontiguousarray(arr.reshape(n, dim), dtype=np.float64)
 
     def u32():
         nonlocal pos
@@ -93,12 +106,14 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
     if code == 1:
         c = read_coords(1)
         if np.all(np.isnan(c)):
-            return Geom.empty(GeomType.POINT), pos
-        return Geom(GeomType.POINT, coords=c), pos
+            return Geom(GeomType.POINT, has_z=has_z, has_m=has_m), pos
+        return Geom(GeomType.POINT, coords=c, has_z=has_z, has_m=has_m), pos
     if code == 2:
         n = u32()
-        g = Geom(GeomType.LINESTRING, coords=read_coords(n)) if n else Geom.empty(
-            GeomType.LINESTRING
+        g = (
+            Geom(GeomType.LINESTRING, coords=read_coords(n), has_z=has_z, has_m=has_m)
+            if n
+            else Geom(GeomType.LINESTRING, has_z=has_z, has_m=has_m)
         )
         return g, pos
     if code == 3:
@@ -106,7 +121,11 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
         rings = []
         for _ in range(nrings):
             rings.append(read_coords(u32()))
-        g = Geom(GeomType.POLYGON, rings=rings) if rings else Geom.empty(GeomType.POLYGON)
+        g = (
+            Geom(GeomType.POLYGON, rings=rings, has_z=has_z, has_m=has_m)
+            if rings
+            else Geom(GeomType.POLYGON, has_z=has_z, has_m=has_m)
+        )
         return g, pos
     if code in (4, 5, 6, 7):
         t = {4: GeomType.MULTIPOINT, 5: GeomType.MULTILINESTRING,
@@ -117,8 +136,10 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
             p, pos = _decode_geom(buf, pos)
             parts.append(p)
         if not parts:
-            return Geom.empty(t), pos
-        return Geom(t, parts=parts), pos
+            return Geom(t, has_z=has_z, has_m=has_m), pos
+        return Geom(t, parts=parts,
+                    has_z=any(p.has_z for p in parts),
+                    has_m=any(p.has_m for p in parts)), pos
     raise ValueError(f"unsupported WKB type code {raw_code}")
 
 
@@ -163,7 +184,7 @@ def to_wkb(geometry, hex: bool = False, byte_order: int = 1, flavor: str = "iso"
     def enc(g):
         if g is None:
             return None
-        b = _encode_geom(g, order)
+        b = _encode_geom(g, order, flavor)
         return b.hex().upper() if hex else b
 
     if isinstance(geometry, Geom) or geometry is None:

@@ -34,10 +34,11 @@ def test_wkt_roundtrip(wkt):
     assert to_wkt(from_wkt(wkt)) == wkt
 
 
-def test_wkt_z_dropped():
-    # analysis is 2-D (geometry/base.py:1-7)
+def test_wkt_z_roundtrip():
+    # Z is preserved through WKT (analysis kernels stay planar)
     g = from_wkt("POINT Z (1 2 3)")
-    assert to_wkt(g) == "POINT (1 2)"
+    assert to_wkt(g) == "POINT Z (1 2 3)"
+    assert g.has_z and not g.has_m
 
 
 def test_area():
