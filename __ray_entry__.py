@@ -180,36 +180,55 @@ def _q_affine_bounds(sf_dir):
 
 def _q_tile_clip_area(sf_dir):
     """clip_by_rect kernel (constructive.py:380) over every layer-tile
-    rect against the window (10,10)-(60,60); oracle recomputes with
-    rectangle-intersection arithmetic."""
-    import pyarrow.compute as pc
+    rect against the window (10,10)-(60,60), as a Dataset pipeline: the
+    (poly, tile) grid is exploded driver-side (small) and the clip runs
+    inside map_batches; oracle recomputes with rectangle-intersection
+    arithmetic."""
+    import ray.data
 
-    from engine.geo.constructive import clip_by_rect
-    from engine.geo.geom import Geom
-    from engine.geo.measure import area as geo_area
     from engine.rayds.imagetab import TILE_N, load_layer
 
     layer = load_layer(sf_dir)
-    rows_p, rows_t, rows_a = [], [], []
-    for i, pid in enumerate(layer.poly_ids):
-        b = layer.bounds[i]
-        side4 = layer.sides[i] / TILE_N
-        for ty in range(TILE_N):
-            for tx in range(TILE_N):
-                rect = Geom.box(
-                    b[0] + tx * side4, b[1] + ty * side4,
-                    b[0] + (tx + 1) * side4, b[1] + (ty + 1) * side4,
-                )
-                clipped = clip_by_rect(rect, 10.0, 10.0, 60.0, 60.0)
-                rows_p.append(int(pid))
-                rows_t.append(ty * TILE_N + tx)
-                rows_a.append(0.0 if clipped.is_empty else float(geo_area(clipped)))
-    return pa.table(
+    n = len(layer.poly_ids)
+    tid = np.arange(TILE_N * TILE_N, dtype=np.int64)
+    grid = pa.table(
         {
-            "poly_id": pa.array(rows_p, type=pa.int64()),
-            "tile_id": pa.array(rows_t, type=pa.int64()),
-            "clip_area": pa.array(rows_a),
+            "poly_id": pa.array(np.repeat(layer.poly_ids, len(tid))),
+            "tile_id": pa.array(np.tile(tid, n)),
+            "xmin": pa.array(np.repeat(layer.bounds[:, 0], len(tid))),
+            "ymin": pa.array(np.repeat(layer.bounds[:, 1], len(tid))),
+            "side4": pa.array(np.repeat(layer.sides / TILE_N, len(tid))),
         }
+    )
+
+    def clip_batch(batch: pa.Table) -> pa.Table:
+        from engine.geo.constructive import clip_by_rect
+        from engine.geo.geom import Geom
+        from engine.geo.measure import area as geo_area
+
+        tids = batch["tile_id"].to_numpy()
+        tx = tids % TILE_N
+        ty = tids // TILE_N
+        x0 = batch["xmin"].to_numpy() + tx * batch["side4"].to_numpy()
+        y0 = batch["ymin"].to_numpy() + ty * batch["side4"].to_numpy()
+        s = batch["side4"].to_numpy()
+        areas = np.empty(len(batch))
+        for i in range(len(batch)):
+            clipped = clip_by_rect(
+                Geom.box(x0[i], y0[i], x0[i] + s[i], y0[i] + s[i]),
+                10.0, 10.0, 60.0, 60.0,
+            )
+            areas[i] = 0.0 if clipped.is_empty else float(geo_area(clipped))
+        return pa.table(
+            {
+                "poly_id": batch["poly_id"],
+                "tile_id": batch["tile_id"],
+                "clip_area": pa.array(areas),
+            }
+        )
+
+    return ray.data.from_arrow(grid).map_batches(
+        clip_batch, batch_format="pyarrow", batch_size=None
     )
 
 

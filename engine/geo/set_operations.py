@@ -15,8 +15,10 @@ Coverage (SURVEY.md §2.5):
   set_operations.py:525-530);
 - coverage_union(_all) concat semantics for non-overlapping mosaics.
 
-Remaining scope notes: line×line overlay (use linework.node /
-ops.split) and grid_size precision snapping are not implemented.
+Also covered: line×line overlay (shared linework via noded segment
+classification) and grid_size precision snapping (inputs and result
+snapped to the grid like GEOSIntersectionPrec).  Remaining edges:
+mixed-dimension combos inside GeometryCollections raise (documented).
 """
 
 from __future__ import annotations

@@ -152,11 +152,19 @@ def make_planes(dim: int, nbits: int = 8, seed: int = 7) -> np.ndarray:
 
 
 def topk_cosine_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-                    nbits: int = 6, dim: int = 64, concurrency=(1, 8)):
+                    nbits: int = 6, dim: int = 64, concurrency=(1, 8),
+                    multiprobe: int = 1):
     """LSH-restricted top-k: score only vectors whose bucket matches a
-    query bucket (approximate — recall < 1; the 100-TB path where the
-    brute-force matmul is infeasible).  Bucket assignment is an
-    actor-pool stage; the per-bucket filter runs before any scoring."""
+    query's probe set (approximate — recall < 1; the 100-TB path where
+    the brute-force matmul is infeasible).  Bucket assignment is an
+    actor-pool stage; the per-bucket filter runs before any scoring.
+
+    ``multiprobe`` = Hamming radius of extra probed buckets around each
+    query's bucket (standard multi-probe LSH): radius 1 probes 1+nbits
+    of the 2^nbits buckets and, on isotropic data, roughly doubles
+    recall for a proportional scan-cost increase."""
+    import itertools
+
     import ray
 
     planes = make_planes(dim, nbits)
@@ -169,6 +177,15 @@ def topk_cosine_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         for i, s in enumerate(row):
             b |= int(s) << i
         qbuckets.add(b)
+    if multiprobe > 0:
+        base = list(qbuckets)
+        for b in base:
+            for r in range(1, multiprobe + 1):
+                for flips in itertools.combinations(range(nbits), r):
+                    fb = b
+                    for f in flips:
+                        fb ^= 1 << f
+                    qbuckets.add(fb)
     bucketed = ds.map_batches(
         LSHBucketer,
         fn_constructor_kwargs={"planes_ref": pref},

@@ -220,32 +220,37 @@ def shingle_sets(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "shingles": ba})
 
 
-def _chunked_triu_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All (a<b) pairs of sorted ``ids``, chunked at MAX_BUCKET to bound
-    a degenerate bucket's blowup at O(n·MAX_BUCKET) pairs."""
-    if len(ids) <= MAX_BUCKET:
+def _chunked_triu_pairs(ids: np.ndarray,
+                        max_bucket: int = MAX_BUCKET) -> tuple[np.ndarray, np.ndarray]:
+    """All (a<b) pairs of sorted ``ids``, chunked at ``max_bucket`` to
+    bound a degenerate bucket's blowup at O(n·max_bucket) pairs."""
+    if len(ids) <= max_bucket:
         ai, bi = np.triu_indices(len(ids), k=1)
         return ids[ai], ids[bi]
     outs_a, outs_b = [], []
-    for i in range(0, len(ids), MAX_BUCKET):
-        c = ids[i : i + MAX_BUCKET]
+    for i in range(0, len(ids), max_bucket):
+        c = ids[i : i + max_bucket]
         ai, bi = np.triu_indices(len(c), k=1)
         outs_a.append(c[ai])
         outs_b.append(c[bi])
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
+def _bucket_pairs(max_bucket: int = MAX_BUCKET):
     """Within one (band, band_hash) bucket: doc pairs (a < b), capped."""
-    ids = np.sort(group["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64())})
-    a, b = _chunked_triu_pairs(ids)
-    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    def fn(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        a, b = _chunked_triu_pairs(ids, max_bucket)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    return fn
 
 
-def minhash_candidate_pairs(docs_ds):
+def minhash_candidate_pairs(docs_ds, max_bucket: int = MAX_BUCKET):
     """Dataset pipeline: explode → bucket groupby → pair generation →
     global pair dedupe (pairs that collide in several bands appear once).
 
@@ -257,7 +262,7 @@ def minhash_candidate_pairs(docs_ds):
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+        _bucket_pairs(max_bucket), batch_format="pyarrow"
     )
     from engine.rayds.shuffle import grouped_count
 

@@ -19,15 +19,57 @@ from engine.img import codec
 from engine.rayds.imagetab import TILE_N, Layer
 
 
-def _mosaic_group(group: pa.Table) -> pa.Table:
-    """One (poly_id, tile_id) group → one mosaic row.
+MAX_MEMBERS = 64  # mosaic shows at most 8×8 members (smallest image_ids)
+
+
+def _mosaic_partial(batch: pa.Table) -> pa.Table:
+    """COMBINER stage over join-pair batches: per (poly, tile) emit the
+    ≤64 smallest member ids (candidate rows, _pcnt=0) plus one partial
+    count row (image_id null, _pcnt=n).  The global 64 smallest are a
+    subset of the union of per-batch 64 smallest, so the shuffle moves
+    O(64 × groups × blocks) narrow rows instead of every pair — and the
+    finalize stage synthesizes payloads only for actual mosaic members."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "poly_id": batch["poly_id"].to_numpy(),
+            "tile_id": batch["tile_id"].to_numpy(),
+            "image_id": batch["image_id"].to_pandas(),
+        }
+    )
+    counts = (
+        df.groupby(["poly_id", "tile_id"], sort=False).size().reset_index(name="_pcnt")
+    )
+    counts["image_id"] = None
+    cand = (
+        df.sort_values("image_id", kind="stable")
+        .groupby(["poly_id", "tile_id"], sort=False)
+        .head(MAX_MEMBERS)
+    )
+    cand["_pcnt"] = 0
+    cols = ["poly_id", "tile_id", "image_id", "_pcnt"]
+    out = pd.concat([cand[cols], counts[cols]], ignore_index=True)
+    return pa.table(
+        {
+            "poly_id": pa.array(out["poly_id"].to_numpy(np.int64)),
+            "tile_id": pa.array(out["tile_id"].to_numpy(np.int64)),
+            "image_id": pa.array(out["image_id"], type=pa.string()),
+            "_pcnt": pa.array(out["_pcnt"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _mosaic_finalize(group: pa.Table) -> pa.Table:
+    """One (poly_id, tile_id) group of partials → one mosaic row.
 
     Mosaic = k×k grid (k = ceil(sqrt(n)), capped 8) of 8×8 mean-color
     patches, PNG-encoded.  Deterministic: members sorted by image_id."""
-    ids = sorted(group["image_id"].to_pylist())
     poly_id = int(group["poly_id"][0].as_py())
     tile_id = int(group["tile_id"][0].as_py())
-    k = min(8, int(np.ceil(np.sqrt(len(ids)))))
+    n = int(np.sum(group["_pcnt"].to_numpy()))
+    ids = sorted(i for i in group["image_id"].to_pylist() if i is not None)
+    k = min(8, int(np.ceil(np.sqrt(n))))
     cells = k * k
     patch = 8
     mosaic = np.zeros((k * patch, k * patch, 3), dtype=np.uint8)
@@ -41,7 +83,7 @@ def _mosaic_group(group: pa.Table) -> pa.Table:
         {
             "poly_id": pa.array([poly_id], type=pa.int64()),
             "tile_id": pa.array([tile_id], type=pa.int64()),
-            "n_images": pa.array([len(ids)], type=pa.int64()),
+            "n_images": pa.array([n], type=pa.int64()),
             "mosaic_png": pa.array([png], type=pa.binary()),
             "mosaic_w": pa.array([k * patch], type=pa.int32()),
             "mosaic_h": pa.array([k * patch], type=pa.int32()),
@@ -50,14 +92,19 @@ def _mosaic_group(group: pa.Table) -> pa.Table:
 
 
 def tile_mosaics(sf_dir: str, layer: Layer | None = None):
-    """Lazy Dataset of one mosaic per (poly_id, tile_id)."""
+    """Lazy Dataset of one mosaic per (poly_id, tile_id): combiner-first
+    (per-batch top-64 member + count partials), then a small groupby
+    finalize that renders the PNG from ≤64 synthesized patches."""
     from engine.rayds import pipeline
 
     tiles = pipeline.tiles_dataset(sf_dir, layer=layer).select_columns(
         ["image_id", "poly_id", "tile_id"]
     )
-    return tiles.groupby(["poly_id", "tile_id"]).map_groups(
-        _mosaic_group, batch_format="pyarrow"
+    partial = tiles.map_batches(
+        _mosaic_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return partial.groupby(["poly_id", "tile_id"]).map_groups(
+        _mosaic_finalize, batch_format="pyarrow"
     )
 
 

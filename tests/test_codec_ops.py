@@ -168,6 +168,64 @@ def test_simhash_near_pairs(ray_session):
     assert (10, 12) not in got
 
 
+def test_minhash_verified_recall_vs_exact(ray_session):
+    """The distributed verify pipeline must recover exactly the pairs an
+    exact all-pairs word-3-gram Jaccard (threshold 0.5) finds — on a
+    corpus of planted high-similarity near-dups (where the 16×4 LSH band
+    scheme has ~certain recall) plus unrelated documents."""
+    import ray.data
+
+    from engine.ops import dedup
+
+    rng = np.random.default_rng(9)
+    docs, texts = [], {}
+    for i in range(20):
+        words = [f"w{i}_{j}" for j in range(80)]
+        base = " ".join(words)
+        texts[2 * i] = base
+        # near-dup: change 3 of 80 words (Jaccard ≈ 0.87)
+        mut = words.copy()
+        for j in rng.choice(80, 3, replace=False):
+            mut[j] = f"x{i}_{j}"
+        texts[2 * i + 1] = " ".join(mut)
+    t = pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                  "text": [texts[k] for k in sorted(texts)]})
+    got = {
+        (int(r["a"]), int(r["b"]))
+        for r in dedup.minhash_verified_pairs(ray.data.from_arrow(t), 0.5).take_all()
+    }
+    # exact all-pairs oracle
+    sh = {k: set(dedup._shingles(v).tolist()) for k, v in texts.items()}
+    want = set()
+    ks = sorted(texts)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            a, b = sh[ks[i]], sh[ks[j]]
+            if a | b and len(a & b) / len(a | b) >= 0.5:
+                want.add((ks[i], ks[j]))
+    assert len(want) == 20  # the 20 planted pairs
+    assert got == want
+
+
+def test_bucket_cap_bounds_degenerate_blowup(ray_session):
+    """An adversarial all-identical corpus must complete with pair count
+    bounded by n·max_bucket (chunked intra-bucket generation), not n²."""
+    import ray.data
+
+    from engine.ops import dedup
+
+    n = 200
+    t = pa.table({"doc_id": pa.array(np.arange(n)),
+                  "text": ["same boilerplate text here every time"] * n})
+    pairs = dedup.minhash_candidate_pairs(
+        ray.data.from_arrow(t), max_bucket=32
+    ).take_all()
+    npairs = len(pairs)
+    # full cross-product would be C(200,2)=19900; chunked cap keeps it at
+    # ceil(200/32) chunks of C(32,2) = 7×496→ ≤ 3472 (minus tail rounding)
+    assert 0 < npairs < 4000
+
+
 # ------------------------------------------------------------------- ANN
 
 
@@ -208,6 +266,60 @@ def test_lsh_topk_subset_of_brute(ray_session):
     # every returned neighbor must share the query's LSH bucket by
     # construction; ranks must be 1..n
     assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+
+
+def test_lsh_topk_recall_vs_exact(ray_session):
+    """Measured recall of the LSH-bucketed top-k vs the exact path on
+    deterministic data (fixed plane seed): the approximate plan must
+    recover a meaningful fraction of the true neighbors."""
+    import ray.data
+
+    from engine.ops import ann
+
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((400, 64))
+    ids = np.arange(400)
+    t = pa.table({"vec_id": ids, "embedding": [list(map(float, r)) for r in mat]})
+    exact = ann.topk_cosine(ray.data.from_arrow(t), mat[:3], ids[:3], k=10).take_all()
+    approx = ann.topk_cosine_lsh(ray.data.from_arrow(t), mat[:3], ids[:3], k=10,
+                                 nbits=4, dim=64).take_all()
+    ew = {(r["query_id"], r["vec_id"]) for r in exact}
+    aw = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ew & aw) / len(ew)
+    assert recall >= 0.3, recall
+    # every approx hit must share the query's bucket by construction —
+    # and the approximate set must itself rank correctly (subset check
+    # is in test_lsh_topk_subset_of_brute)
+
+
+def test_embed_dedup_lsh_subset_of_exact(ray_session):
+    """embed_dedup_lsh candidates are exact-verified, so its pair set
+    must be a subset of the exact block-pair plan's output."""
+    import ray.data
+
+    from engine.ops import dedup
+
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((150, 32))
+    for i in range(5):
+        mat[100 + i] = mat[i] + 0.05 * rng.standard_normal(32)
+    ids = np.arange(150)
+    t = pa.table({"vec_id": ids, "embedding": [list(map(float, r)) for r in mat]})
+    exact = {
+        (int(r["a"]), int(r["b"]))
+        for r in dedup.embed_dedup_pairs(
+            ray.data.from_arrow(t), threshold=0.9, num_blocks=4
+        ).take_all()
+    }
+    approx = {
+        (int(r["a"]), int(r["b"]))
+        for r in dedup.embed_dedup_lsh(
+            ray.data.from_arrow(t), threshold=0.9, nbits=4, dim=32
+        ).take_all()
+    }
+    assert len(exact) >= 5
+    assert approx <= exact
+    assert len(approx) > 0
 
 
 def test_synth_table_generator(tmp_path):

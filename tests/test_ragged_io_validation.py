@@ -81,6 +81,59 @@ def test_explain_validity_and_make_valid():
     assert predicates.is_valid(fixed)
 
 
+def test_make_valid_reference_table():
+    """Ported reference expectations (tests/test_constructive.py:191-310):
+    bowtie → two triangles; zero-area L-polygon → linework
+    MULTILINESTRING / structure LINESTRING / structure-drop POLYGON EMPTY."""
+    from engine.geo.constructive import normalize
+    from engine.geo.geom import to_wkt
+
+    def norm(g):
+        return to_wkt(normalize(g))
+
+    bow = P("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    want = norm(P("MULTIPOLYGON (((1 1, 2 2, 2 0, 1 1)), ((0 0, 0 2, 1 1, 0 0)))"))
+    assert norm(validation.make_valid(bow)) == want
+    assert norm(validation.make_valid(bow, method="structure")) == want
+
+    L = P("POLYGON ((0 0, 1 1, 1 2, 1 1, 0 0))")
+    assert norm(validation.make_valid(L)) == norm(
+        P("MULTILINESTRING ((1 1, 1 2), (0 0, 1 1))")
+    )
+    assert to_wkt(validation.make_valid(L, method="structure")) == (
+        "LINESTRING (0 0, 1 1, 1 2, 1 1, 0 0)"
+    )
+    assert to_wkt(
+        validation.make_valid(L, method="structure", keep_collapsed=False)
+    ) == "POLYGON EMPTY"
+
+    # valid geometries pass through; None passes through
+    pt = P("POINT (2 3)")
+    assert validation.make_valid(pt) is pt
+    assert validation.make_valid(None) is None
+    # linework + keep_collapsed=False is rejected like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validation.make_valid(bow, method="linework", keep_collapsed=False)
+    with _pytest.raises(ValueError):
+        validation.make_valid(bow, method="nope")
+
+
+def test_make_valid_array_mixed():
+    from engine.geo import predicates
+
+    arr = [
+        P("POLYGON ((0 0, 2 2, 0 2, 0 0))"),  # valid
+        P("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"),  # bowtie
+        None,
+    ]
+    out = validation.make_valid(arr)
+    assert predicates.is_valid(out[0]) and predicates.is_valid(out[1])
+    assert out[1].type_id.name == "MULTIPOLYGON"
+    assert out[2] is None
+
+
 def test_vectorized_point_wkb():
     x = np.array([1.0, 2.5, -3.25])
     y = np.array([4.0, -5.5, 6.125])
