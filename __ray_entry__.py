@@ -314,19 +314,16 @@ def _q_dedup_exact(sf_dir):
         g = t.group_by(["key16"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
         return g.rename_columns(["key16", "_min_id", "_cnt"])
 
-    from ray.data.aggregate import Min, Sum
+    from engine.rayds.shuffle import hash_shuffle_agg
 
     part = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    agg = part.groupby("key16").aggregate(Min("_min_id"), Sum("_cnt"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.select(["key16", "min(_min_id)", "sum(_cnt)"]).rename_columns(
-            ["key16", "doc_id", "n_copies"]
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    merged = hash_shuffle_agg(
+        part, ["key16"], [("_min_id", "min"), ("_cnt", "sum")],
+        ["doc_id", "n_copies"],
+    )
+    return merged
 
 
 def _q_lang_quality(sf_dir):

@@ -99,10 +99,15 @@ def png_decode(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     rows = raw.reshape(-1, 1 + w * 3)
     h = rows.shape[0]
+    filters = rows[:, 0]
+    if not filters.any():
+        # all-filter-0 fast path (everything our own encoder emits):
+        # the pixel data is just the row bytes — zero per-row Python
+        return np.ascontiguousarray(rows[:, 1:]).reshape(h, w, 3)
     out = np.zeros((h, w * 3), dtype=np.uint8)
     for r in range(h):
         prev = out[r - 1] if r > 0 else np.zeros(w * 3, dtype=np.uint8)
-        out[r] = _unfilter_row(int(rows[r, 0]), rows[r, 1:], prev)
+        out[r] = _unfilter_row(int(filters[r]), rows[r, 1:], prev)
     return out.reshape(h, w, 3)
 
 
@@ -165,20 +170,27 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def phash64(img: np.ndarray) -> int:
-    """64-bit average-hash of an RGB image (8×8 grayscale mean grid)."""
+    """64-bit average-hash of an RGB image (8×8 grayscale mean grid).
+
+    Vectorized: the 64 block means come from a prefix-sum (integral
+    image) in four gathers; bit packing via a dot product."""
     gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
     ys = np.linspace(0, h, 9).astype(np.int64)
     xs = np.linspace(0, w, 9).astype(np.int64)
-    grid = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            grid[i, j] = gray[
-                ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
-            ].mean()
+    # degenerate tiny images: ensure non-empty blocks like the loop did
+    ys2 = np.maximum(ys[1:], ys[:-1] + 1)
+    xs2 = np.maximum(xs[1:], xs[:-1] + 1)
+    integ = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=integ[1:, 1:])
+    s = (
+        integ[ys2][:, xs2]
+        - integ[ys[:-1]][:, xs2]
+        - integ[ys2][:, xs[:-1]]
+        + integ[ys[:-1]][:, xs[:-1]]
+    )
+    area = (ys2 - ys[:-1])[:, None] * (xs2 - xs[:-1])[None, :]
+    grid = s / area
     bits = (grid > grid.mean()).reshape(-1)
-    h = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            h |= np.uint64(1) << np.uint64(i)
-    return int(h.view(np.int64))  # signed 64-bit (Arrow int64 column)
+    val = np.uint64(np.dot(bits.astype(np.uint64), 1 << np.arange(64, dtype=np.uint64)))
+    return int(val.view(np.int64))  # signed 64-bit (Arrow int64 column)

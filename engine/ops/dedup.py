@@ -495,11 +495,15 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(h):
         nw = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+        # int32 bit matrix: wide enough for any per-doc vote sum, 2× the
+        # uint8 footprint (bounded by batch_size), and lets reduceat run
+        # its fast same-dtype path (the dtype=int64 upcast variant is
+        # ~60× slower in numpy)
         bits = np.unpackbits(
             h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int64)
+        ).astype(np.int32)
         idx = np.minimum(doc_off[:-1], len(h) - 1)
-        sums = np.add.reduceat(bits, idx, axis=0)
+        sums = np.add.reduceat(bits, idx, axis=0).astype(np.int64)
         votes = 2 * sums - nw[:, None]
         packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
         out = np.ascontiguousarray(packed).view(np.uint64).ravel().copy()
@@ -580,22 +584,23 @@ def simhash_near_pairs(docs_ds, max_ham: int = 8):
     """SimHash near-dup pipeline: hash → 16-bit band explode → bucket
     groupby → in-bucket Hamming verify → global pair dedupe (Min over the
     per-band duplicates keeps one hamming value per pair)."""
-    hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=None,
-                                 zero_copy_batch=True)
+    # bounded batches: the bit matrix is n_words×64 bytes — 2048 docs of
+    # ~500 words ≈ 64 MB per batch, safely inside a worker heap
+    hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow",
+                                 batch_size=2048, zero_copy_batch=True)
     exploded = hashed.select_columns(["doc_id", "simhash"]).map_batches(
         _simhash_explode, batch_format="pyarrow", batch_size=None
     )
     pairs = exploded.groupby(["band_idx", "band_val"]).map_groups(
         _simhash_bucket_pairs(max_ham), batch_format="pyarrow"
     )
-    agg = pairs.groupby(["a", "b"]).min("hamming")
+    # pair dedupe (min hamming per pair) via the engine's own hash
+    # shuffle — Ray's groupby().min Aggregate costs ~20 s fixed overhead
+    from engine.rayds.shuffle import hash_shuffle_agg
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.select(["a", "b", "min(hamming)"]).rename_columns(
-            ["a", "b", "hamming"]
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    return hash_shuffle_agg(
+        pairs, ["a", "b"], [("hamming", "min")], ["hamming"]
+    )
 
 
 # ------------------------------------------------------- embedding near-dup

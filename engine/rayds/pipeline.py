@@ -195,8 +195,10 @@ def semi_anti_ids(sf_dir: str, anti: bool = False):
 
     pairs = pairs_dataset(sf_dir).select_columns(["image_id"])
     if not anti:
+        # matched-id cardinality depends on selectivity — let the sampled
+        # plan chooser pick tree-reduce vs hash-shuffle from the data
         return shuffle.grouped_count(
-            pairs, ["image_id"], out_col="n_matches", use_shuffle=True
+            pairs, ["image_id"], out_col="n_matches", use_shuffle="auto"
         ).select_columns(["image_id"])
 
     def tag_zero(batch: pa.Table) -> pa.Table:
@@ -217,9 +219,11 @@ def semi_anti_ids(sf_dir: str, anti: bool = False):
     matched = pairs.map_batches(
         match_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    cog = imgs.union(matched).groupby("image_id").sum("_m")
+    cog = shuffle.hash_shuffle_agg(
+        imgs.union(matched), ["image_id"], [("_m", "sum")], ["_m"]
+    )
 
     def keep_unmatched(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["sum(_m)"], 0)).select(["image_id"])
+        return batch.filter(pc.equal(batch["_m"], 0)).select(["image_id"])
 
     return cog.map_batches(keep_unmatched, batch_format="pyarrow", batch_size=None)

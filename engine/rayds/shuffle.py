@@ -29,6 +29,86 @@ def _merge_counts(keys: list[str]):
     return merge
 
 
+def _col_hash(col) -> np.ndarray:
+    """Vectorized uint64 hash of an Arrow column (int-like or string) —
+    the deterministic partition key for the engine's own hash shuffle."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t):
+        n = len(arr)
+        bo = arr.offset
+        width = np.int64 if pa.types.is_large_string(t) else np.int32
+        voff = np.frombuffer(arr.buffers()[1], dtype=width)[bo : bo + n + 1].astype(
+            np.int64
+        )
+        lens = voff[1:] - voff[:-1]
+        h = np.zeros(n, dtype=np.uint64)
+        total = int(lens.sum())
+        if total:
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            starts = np.repeat(voff[:-1], lens)
+            cum = np.cumsum(lens) - lens
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+            b = data[starts + within].astype(np.uint64)
+            powers = np.ones(int(lens.max()), dtype=np.uint64)
+            if len(powers) > 1:
+                powers[1:] = np.cumprod(
+                    np.full(len(powers) - 1, np.uint64(1099511628211), dtype=np.uint64)
+                )
+            terms = (b + np.uint64(0x101)) * powers[
+                np.repeat(lens, lens) - 1 - within
+            ]
+            nz = lens > 0
+            h[nz] = np.add.reduceat(terms, cum[nz])
+    else:
+        h = arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64).copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    return h
+
+
+HASH_PARTS = 64  # partitions of the engine's own hash-shuffle aggregate
+
+
+def add_hash_part(keys: list[str], num_parts: int = HASH_PARTS):
+    """Stage: + _part column = hash(keys) % num_parts."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(0x100000001B3) + _col_hash(batch[k])
+        return batch.append_column(
+            "_part", pa.array((h % np.uint64(num_parts)).view(np.int64))
+        )
+
+    return fn
+
+
+def hash_shuffle_agg(partial_ds, keys: list[str], merge_spec: list[tuple[str, str]],
+                     out_cols: list[str], num_parts: int = HASH_PARTS):
+    """The engine's hash-shuffle aggregate: partition the (already
+    combiner-reduced) partials by key hash, merge each partition with a
+    vectorized pyarrow ``group_by`` inside ``map_groups``.
+
+    This deliberately avoids Ray's ``groupby().sum/min`` Aggregate
+    operator, whose actor-pool hash shuffle costs ~20 s fixed overhead
+    per call in Ray 2.49 even on 10^5 rows — the sort-based ``map_groups``
+    exchange below is ~100× cheaper at these shapes and scales the same
+    way (per-partition merge, no single-block funnel)."""
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"]).group_by(keys).aggregate(merge_spec)
+        return t.rename_columns(keys + out_cols)
+
+    keyed = partial_ds.map_batches(
+        add_hash_part(keys, num_parts), batch_format="pyarrow", batch_size=None
+    )
+    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
 def choose_count_plan(ds, keys: list[str], sample: int = 8192,
                       ratio_threshold: float = 0.25) -> bool:
     """Sampled plan choice for grouped_count: True → hash-shuffle.
@@ -69,14 +149,12 @@ def grouped_count(ds, keys: list[str], out_col: str = "cnt",
         _partial_count_fn(keys), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     if use_shuffle:
-        agg = partial.groupby(keys).sum("_pcnt")
+        merged = hash_shuffle_agg(partial, keys, [("_pcnt", "sum")], ["_pcnt"])
 
         def rename(batch: pa.Table) -> pa.Table:
-            return batch.select(keys + ["sum(_pcnt)"]).rename_columns(
-                keys + [out_col]
-            )
+            return batch.rename_columns(keys + [out_col])
 
-        return agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+        return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
     merged = (
         partial.repartition(16)
