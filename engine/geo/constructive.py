@@ -594,9 +594,9 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
                  mitre_limit: float = 5.0):
     """constructive.py:272 — parallel offset of a line: positive =
     left side, negative = right.  Per-segment offset with round joins at
-    outward turns and intersection-trim at inward turns; global
-    self-intersection removal (tight hairpins) is out of scope and
-    documented."""
+    outward turns, span-clamped intersection-trim at inward turns, and
+    GLOBAL self-intersection removal for tight hairpins (node the raw
+    curve, drop pieces closer than |distance| to the input, merge)."""
 
     def one(g):
         if g is None:
@@ -635,20 +635,63 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
                 angs = a0 + sweep * np.linspace(0, 1, k + 1)
                 out.extend(vert + ad * np.column_stack([np.cos(angs), np.sin(angs)]))
             else:
-                # inward turn: intersect the two offset lines (trim)
+                # inward turn: intersect the two offset lines (trim) —
+                # but ONLY when the intersection stays within both
+                # segments' spans; a near-reversal would otherwise shoot
+                # a mitre spike to infinity.  Out-of-span corners emit
+                # both raw endpoints; the resulting self-crossing is
+                # cleaned by the global removal pass below.
                 den = v[i, 0] * v[i + 1, 1] - v[i, 1] * v[i + 1, 0]
+                trimmed = False
                 if den != 0:
                     tpar = ((e_next - e_prev) @ np.array([v[i + 1, 1], -v[i + 1, 0]])) / den
-                    out.append(e_prev + tpar * v[i])
-                else:
+                    x = e_prev + tpar * v[i]
+                    upar = ((x - e_next) @ v[i + 1]) / (L[i + 1] ** 2)
+                    if -1.0 <= tpar <= 0.5 and -0.5 <= upar <= 1.0:
+                        out.append(x)
+                        trimmed = True
+                if not trimmed:
                     out.append(e_prev)
+                    out.append(e_next)
         out.append(pts[-1] + ad * n[-1])
         coords = np.vstack(out)
         keep = np.ones(len(coords), dtype=bool)
         keep[1:] = (np.abs(np.diff(coords, axis=0)) > 1e-15).any(axis=1)
-        return Geom(GeomType.LINESTRING, coords=coords[keep])
+        raw = Geom(GeomType.LINESTRING, coords=coords[keep])
+        return _offset_remove_self_intersections(raw, g, ad)
 
     return _apply1(one, geometry)
+
+
+def _offset_remove_self_intersections(raw: Geom, src: Geom, ad: float) -> Geom:
+    """GLOBAL self-intersection removal (GEOS OffsetCurve semantics for
+    tight hairpins): when the raw per-segment offset crosses itself, node
+    it against itself and keep only the pieces that stay ≥ |distance|
+    from the input line, then merge.  Simple outputs pass through."""
+    from engine.geo import predicates
+
+    if len(raw.coords) < 3 or predicates.is_simple(raw):
+        return raw
+    from engine.geo.linear import line_merge
+    from engine.geo.linework import node
+    from engine.geo.measure import distance as geo_distance
+
+    noded = node(raw)
+    tol = ad - 1e-9 * max(1.0, ad)
+    kept = []
+    for piece in noded.parts:
+        if len(piece.coords) < 2:
+            continue
+        mid = piece.coords[len(piece.coords) // 2]
+        if len(piece.coords) % 2 == 0:
+            mid = 0.5 * (piece.coords[len(piece.coords) // 2 - 1]
+                         + piece.coords[len(piece.coords) // 2])
+        if geo_distance(Geom.point(mid[0], mid[1]), src) >= tol:
+            kept.append(piece)
+    if not kept:
+        return Geom(GeomType.LINESTRING)
+    merged = line_merge(Geom(GeomType.MULTILINESTRING, parts=kept))
+    return merged
 
 
 def _buffer_positive(g: Geom, dist: float, quad_segs: int) -> Geom:

@@ -279,6 +279,18 @@ def intersection(a, b):
         return _clip_line_by_area(b, a, inside=True)
     if ta in _LINE and tb in _LINE:
         return _line_line_intersection(a, b)
+    if ta == GeomType.GEOMETRYCOLLECTION or tb == GeomType.GEOMETRYCOLLECTION:
+        # (A ∪ B) ∩ C = (A ∩ C) ∪ (B ∩ C): decompose the collection into
+        # its single-dimension components and union the part results
+        gc, other = (a, b) if ta == GeomType.GEOMETRYCOLLECTION else (b, a)
+        parts = [intersection(p, other) for p in _dim_components(gc)]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        if not parts:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        out = parts[0]
+        for p in parts[1:]:
+            out = union(out, p)
+        return out
     raise NotImplementedError(f"intersection({ta}, {tb})")
 
 
@@ -368,6 +380,26 @@ def difference(a, b):
         return _line_line_difference(a, b)
     if a.type_id in _AREAL and b.type_id in _LINE + (GeomType.POINT, GeomType.MULTIPOINT):
         return a  # lower-dimensional subtrahend removes no area
+    if a.type_id in _LINE and b.type_id in (GeomType.POINT, GeomType.MULTIPOINT):
+        return a  # dim-0 subtrahend removes no length
+    if b.type_id == GeomType.GEOMETRYCOLLECTION:
+        # a − (B ∪ C) = (a − B) − C: subtract components sequentially
+        out = a
+        for comp in _dim_components(b):
+            out = difference(out, comp)
+            if out is None or out.is_empty:
+                return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        return out
+    if a.type_id == GeomType.GEOMETRYCOLLECTION:
+        # (A ∪ B) − C = (A − C) ∪ (B − C)
+        parts = [difference(p, b) for p in _dim_components(a)]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        if not parts:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        out = parts[0]
+        for p in parts[1:]:
+            out = union(out, p)
+        return out
     raise NotImplementedError("difference of these input dimensions (TBD)")
 
 
@@ -429,7 +461,81 @@ def union(a, b):
         if predicates.covers(b, a):
             return b
         return _polygon_overlay(a, b, lambda ia, ib: ia or ib)
-    raise NotImplementedError("union of mixed-dimension inputs (TBD)")
+    return _union_general(a, b)
+
+
+def _dim_components(g: Geom) -> list[Geom]:
+    """Single-dimension components of any geometry: one (multi)polygon,
+    one (multi)linestring, one (multi)point — whichever are non-empty."""
+    out = []
+    polys = [
+        Geom(GeomType.POLYGON, rings=[np.asarray(r) for r in rings])
+        for rings in g.polygon_parts()
+    ]
+    if polys:
+        out.append(polys[0] if len(polys) == 1
+                   else Geom(GeomType.MULTIPOLYGON, parts=polys))
+    lines = [Geom.linestring(l) for l in g.line_parts() if len(l) >= 2]
+    if lines:
+        out.append(lines[0] if len(lines) == 1
+                   else Geom(GeomType.MULTILINESTRING, parts=lines))
+    pts = g.point_parts()
+    if len(pts):
+        out.append(_points_geom(pts))
+    return out
+
+
+def _union_general(a: Geom, b: Geom) -> Geom:
+    """Mixed-dimension / GeometryCollection union (GEOS UnaryUnion
+    semantics): union per dimension, then keep each lower-dimensional
+    residue only where no higher-dimensional component covers it; a
+    single surviving dimension collapses out of the collection."""
+    from engine.geo.linear import line_merge
+    from engine.geo.linework import node
+
+    poly_parts, line_parts, pt_blocks = [], [], []
+    for g in (a, b):
+        for rings in g.polygon_parts():
+            poly_parts.append(
+                Geom(GeomType.POLYGON, rings=[np.asarray(r) for r in rings])
+            )
+        line_parts.extend(Geom.linestring(l) for l in g.line_parts() if len(l) >= 2)
+        pp = g.point_parts()
+        if len(pp):
+            pt_blocks.append(pp)
+    poly_u = None
+    if poly_parts:
+        poly_u = poly_parts[0]
+        for p in poly_parts[1:]:
+            poly_u = union(poly_u, p)
+    line_u = None
+    if line_parts:
+        # noding splits at crossings and dedupes collinear overlap —
+        # the lineal union; then subtract the areal interior
+        merged = line_merge(node(Geom(GeomType.MULTILINESTRING, parts=line_parts)))
+        if poly_u is not None and not merged.is_empty:
+            merged = difference(merged, poly_u)
+        if merged is not None and not merged.is_empty:
+            line_u = merged
+    pt_u = None
+    if pt_blocks:
+        uniq = np.unique(np.vstack(pt_blocks), axis=0)
+        keep = []
+        for p in uniq:
+            pg = Geom.point(p[0], p[1])
+            if poly_u is not None and predicates.intersects(poly_u, pg):
+                continue
+            if line_u is not None and predicates.intersects(line_u, pg):
+                continue
+            keep.append(p)
+        if keep:
+            pt_u = _points_geom(np.array(keep).reshape(-1, 2))
+    comps = [c for c in (poly_u, line_u, pt_u) if c is not None and not c.is_empty]
+    if not comps:
+        return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+    if len(comps) == 1:
+        return comps[0]
+    return Geom(GeomType.GEOMETRYCOLLECTION, parts=comps)
 
 
 def _reduce_all(fn, geometries, axis=None):
@@ -562,7 +668,16 @@ def symmetric_difference(a, b, grid_size=None):
         return union(a, b)
     if a.type_id in _AREAL and b.type_id in _AREAL:
         return _polygon_overlay(a, b, lambda ia, ib: ia != ib)
-    raise NotImplementedError("symmetric_difference of mixed-dimension inputs (TBD)")
+    # mixed dimensions / collections: (a − b) ∪ (b − a)
+    d1 = difference(a, b)
+    d2 = difference(b, a)
+    if d1 is None or d2 is None:
+        return None
+    if d1.is_empty:
+        return d2
+    if d2.is_empty:
+        return d1
+    return union(d1, d2)
 
 
 def symmetric_difference_all(geometries, axis=None):

@@ -54,3 +54,54 @@ def test_binary_all_types(op):
     for g in GEOMS:
         fn(g, probe)
         fn(probe, g)
+
+
+SET_OPS = ["intersection", "union", "difference", "symmetric_difference"]
+
+
+@pytest.mark.parametrize("op", SET_OPS)
+@pytest.mark.parametrize(
+    "probe_wkt",
+    ["POINT (2 3)", "LINESTRING (0 0, 1 0, 1 1)",
+     "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"],
+)
+def test_set_ops_all_types(op, probe_wkt):
+    """Reference tests/test_set_operations.py:56-60 pattern: every set
+    operation must accept every type pair (incl. collections and mixed
+    dimensions) and return a geometry."""
+    from engine.geo.geom import Geom
+
+    fn = getattr(sh, op)
+    probe = P(probe_wkt)
+    for g in GEOMS:
+        if g is None:
+            assert fn(g, probe) is None and fn(probe, g) is None
+            continue
+        r1 = fn(g, probe)
+        r2 = fn(probe, g)
+        assert isinstance(r1, Geom) and isinstance(r2, Geom), (op, sh.to_wkt(g))
+
+
+def test_mixed_union_semantics():
+    """Dimension-decomposed union: covered lower-dim parts collapse into
+    the higher-dim result; uncovered residues survive as a collection."""
+    poly = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert sh.to_wkt(sh.union(P("POINT (1 1)"), poly)) == sh.to_wkt(poly)
+    g = sh.union(P("POINT (9 9)"), poly)
+    assert g.type_id.name == "GEOMETRYCOLLECTION" and len(g.parts) == 2
+    # crossing line keeps only its outside pieces
+    g2 = sh.union(P("LINESTRING (-2 2, 6 2)"), poly)
+    assert g2.type_id.name == "GEOMETRYCOLLECTION"
+    assert sh.length(g2) == sh.length(poly) + 4.0  # 2 outside stubs of 2
+    # collinear overlapping lines dedupe
+    g3 = sh.union(P("LINESTRING (0 0, 2 0)"), P("LINESTRING (1 0, 3 0)"))
+    assert sh.length(g3) == 3.0
+
+
+def test_mixed_difference_and_symmetric():
+    line = P("LINESTRING (0 0, 4 0)")
+    gc = P("GEOMETRYCOLLECTION (POLYGON ((1 -1, 2 -1, 2 1, 1 1, 1 -1)))")
+    d = sh.difference(line, gc)
+    assert sh.length(d) == 3.0  # middle unit clipped out
+    s = sh.symmetric_difference(P("POINT (1 1)"), P("LINESTRING (0 0, 2 2)"))
+    assert sh.length(s) > 0  # point on the line vanishes, line survives
