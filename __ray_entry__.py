@@ -156,6 +156,26 @@ def _q_wkb_roundtrip(sf_dir):
     )
 
 
+def _q_wkbz_roundtrip(sf_dir):
+    """POINT Z WKB encode→decode over a derived elevation column — the
+    Z-coordinate path through the DATA PLANE (bit-exact x/y/z oracle)."""
+    from engine.rayds.geo_stages import wkb_pointz_decode, wkb_pointz_encode
+    from engine.rayds.imagetab import image_dataset
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        return batch.append_column("z", pa.array((x + y) / 2.0))
+
+    return (
+        image_dataset(sf_dir)
+        .map_batches(add_z, batch_format="pyarrow", batch_size=None)
+        .map_batches(wkb_pointz_encode, batch_format="pyarrow", batch_size=None)
+        .map_batches(wkb_pointz_decode, batch_format="pyarrow", batch_size=None)
+        .select_columns(["image_id", "x", "y", "z"])
+    )
+
+
 def _q_affine_bounds(sf_dir):
     """Affine transform stage (x+10.5, 2·y) then total-bounds aggregate
     (affinity family §2.13 + aggregate §2.6)."""
@@ -451,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_covers_hexpart": _q_join_covers_hexpart,
         "tile_mosaics": _q_tile_mosaics,
         "wkb_roundtrip": _q_wkb_roundtrip,
+        "wkbz_roundtrip": _q_wkbz_roundtrip,
         "affine_bounds": _q_affine_bounds,
         "tile_clip_area": _q_tile_clip_area,
         "token_stats": _q_token_stats,
@@ -568,6 +589,10 @@ def oracle_sql() -> dict[str, str]:
         "wkb_roundtrip": f"""
             WITH {_IMGS}
             SELECT image_id, x, y FROM imgs
+        """,
+        "wkbz_roundtrip": f"""
+            WITH {_IMGS}
+            SELECT image_id, x, y, (x + y) / 2.0 AS z FROM imgs
         """,
         "affine_bounds": f"""
             WITH {_IMGS}

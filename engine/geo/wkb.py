@@ -24,7 +24,8 @@ from engine.geo.geom import Geom, GeomType
 _TYPES_WITH_COORDSEQ = (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING)
 
 
-def _encode_geom(g: Geom, order: str, flavor: str = "iso") -> bytes:
+def _encode_geom(g: Geom, order: str, flavor: str = "iso",
+                 srid: int | None = None) -> bytes:
     bo = "<" if order == "little" else ">"
     lead = b"\x01" if order == "little" else b"\x00"
     t = g.type_id
@@ -32,18 +33,23 @@ def _encode_geom(g: Geom, order: str, flavor: str = "iso") -> bytes:
 
     def type_code(base: int) -> int:
         if flavor == "extended":
-            # EWKB flag bits (PostGIS): Z=0x80000000, M=0x40000000
+            # EWKB flag bits (PostGIS): Z=0x80000000, M=0x40000000,
+            # SRID=0x20000000 (top-level only)
             code = base
             if g.has_z:
                 code |= 0x80000000
             if g.has_m:
                 code |= 0x40000000
+            if srid is not None:
+                code |= 0x20000000
             return code
         # ISO offsets: +1000 Z, +2000 M, +3000 ZM (io.py:157 flavor note)
         return base + 1000 * int(g.has_z) + 2000 * int(g.has_m)
 
     def u32(v):
         return struct.pack(bo + "I", v)
+
+    srid_body = u32(srid) if srid is not None else b""
 
     def coords(c: np.ndarray) -> bytes:
         arr = np.ascontiguousarray(c, dtype=np.float64)
@@ -53,15 +59,15 @@ def _encode_geom(g: Geom, order: str, flavor: str = "iso") -> bytes:
 
     if t == GeomType.POINT:
         xy = g.coords if len(g.coords) else np.full((1, dim), np.nan)
-        return lead + u32(type_code(1)) + coords(xy[0])
+        return lead + u32(type_code(1)) + srid_body + coords(xy[0])
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return lead + u32(type_code(2)) + u32(len(g.coords)) + coords(g.coords)
+        return lead + u32(type_code(2)) + srid_body + u32(len(g.coords)) + coords(g.coords)
     if t == GeomType.POLYGON:
         rings = [r for r in g.rings]
         body = u32(len(rings))
         for r in rings:
             body += u32(len(r)) + coords(r)
-        return lead + u32(type_code(3)) + body
+        return lead + u32(type_code(3)) + srid_body + body
     if t in (GeomType.MULTIPOINT, GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON,
              GeomType.GEOMETRYCOLLECTION):
         code = {GeomType.MULTIPOINT: 4, GeomType.MULTILINESTRING: 5,
@@ -69,7 +75,7 @@ def _encode_geom(g: Geom, order: str, flavor: str = "iso") -> bytes:
         body = u32(len(g.parts))
         for p in g.parts:
             body += _encode_geom(p, order, flavor)
-        return lead + u32(type_code(code)) + body
+        return lead + u32(type_code(code)) + srid_body + body
     raise ValueError(f"cannot encode {t}")
 
 
@@ -80,7 +86,9 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
     # EWKB flag bits (Z/M/SRID) or ISO +1000/+2000/+3000 offsets
     has_z = bool(raw_code & 0x80000000)
     has_m = bool(raw_code & 0x40000000)
-    if raw_code & 0x20000000:  # EWKB SRID flag: skip srid
+    srid = None
+    if raw_code & 0x20000000:  # EWKB SRID flag: read srid
+        (srid,) = struct.unpack_from(order + "I", buf, pos)
         pos += 4
     base = raw_code & 0x1FFFFFFF
     if base >= 1000:  # ISO offsets: 1000=Z, 2000=M, 3000=ZM
@@ -143,6 +151,33 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
     raise ValueError(f"unsupported WKB type code {raw_code}")
 
 
+def points_to_wkb_z_np(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Vectorized little-endian ISO WKB for POINT Z columns → (n, 29)
+    uint8 (type code 1001) — the 3-D sibling of points_to_wkb_np."""
+    x = np.ascontiguousarray(x, dtype="<f8")
+    y = np.ascontiguousarray(y, dtype="<f8")
+    z = np.ascontiguousarray(z, dtype="<f8")
+    n = len(x)
+    buf = np.empty((n, 29), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1001), dtype=np.uint8)
+    buf[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+    buf[:, 21:29] = z.view(np.uint8).reshape(n, 8)
+    return buf
+
+
+def points_from_wkb_z_np(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of points_to_wkb_z_np for (n, 29) POINT Z WKB."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8).reshape(-1, 29)
+    if len(buf) and not (buf[0, 0] == 1 and int.from_bytes(buf[0, 1:5].tobytes(), "little") == 1001):
+        raise ValueError("not little-endian POINT Z WKB")
+    x = buf[:, 5:13].copy().view("<f8").reshape(-1)
+    y = buf[:, 13:21].copy().view("<f8").reshape(-1)
+    z = buf[:, 21:29].copy().view("<f8").reshape(-1)
+    return x.astype(np.float64), y.astype(np.float64), z.astype(np.float64)
+
+
 def points_to_wkb_np(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Vectorized little-endian WKB for point columns → (n, 21) uint8.
 
@@ -171,20 +206,28 @@ def points_from_wkb_np(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x.astype(np.float64), y.astype(np.float64)
 
 
-def to_wkb(geometry, hex: bool = False, byte_order: int = 1, flavor: str = "iso"):
+def to_wkb(geometry, hex: bool = False, byte_order: int = 1, flavor: str = "iso",
+           include_srid: bool = False):
     """Geometry (or array) → WKB bytes (io.py:119 semantics).
 
     byte_order: 1 = little (default, io.py:131), 0 = big, -1 = native.
     For 2-D SRID-less data "iso" and "extended" emit identical bytes.
+    include_srid=True (requires flavor="extended", io.py:167) writes the
+    EWKB SRID flag + value from the geometry's set_srid metadata.
     """
     if flavor not in ("iso", "extended"):
         raise ValueError(f"invalid flavor: {flavor!r}")
+    if include_srid and flavor != "extended":
+        raise ValueError("include_srid requires flavor='extended'")
     order = {1: "little", 0: "big", -1: "little"}[byte_order]
 
     def enc(g):
         if g is None:
             return None
-        b = _encode_geom(g, order, flavor)
+        srid = None
+        if include_srid:
+            srid = int(getattr(g, "_srid", 0))
+        b = _encode_geom(g, order, flavor, srid)
         return b.hex().upper() if hex else b
 
     if isinstance(geometry, Geom) or geometry is None:
@@ -203,7 +246,17 @@ def from_wkb(data, on_invalid: str = "raise"):
         try:
             if isinstance(b, str):
                 b = bytes.fromhex(b)
-            g, _ = _decode_geom(memoryview(b), 0)
+            mv = memoryview(b)
+            g, _ = _decode_geom(mv, 0)
+            if g is not None and len(b) >= 9:
+                (code,) = struct.unpack_from(
+                    ("<" if b[0] == 1 else ">") + "I", b, 1
+                )
+                if code & 0x20000000:
+                    (srid,) = struct.unpack_from(
+                        ("<" if b[0] == 1 else ">") + "I", b, 5
+                    )
+                    g._srid = int(srid)  # noqa: SLF001 (engine metadata)
             return g
         except Exception:
             if on_invalid == "raise":

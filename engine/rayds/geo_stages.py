@@ -42,6 +42,38 @@ def wkb_point_decode(batch: pa.Table) -> pa.Table:
     return out.append_column("x", pa.array(x)).append_column("y", pa.array(y))
 
 
+def wkb_pointz_encode(batch: pa.Table) -> pa.Table:
+    """+ wkb: fixed_size_binary(29) POINT Z WKB from (x, y, z) columns
+    (vectorized; the Z data-plane sibling of wkb_point_encode)."""
+    x = batch["x"].to_numpy()
+    y = batch["y"].to_numpy()
+    z = batch["z"].to_numpy()
+    buf = wkb_mod.points_to_wkb_z_np(x, y, z)
+    arr = pa.Array.from_buffers(
+        pa.binary(29), len(x), [None, pa.py_buffer(buf.tobytes())]
+    )
+    return batch.append_column("wkb", arr)
+
+
+def wkb_pointz_decode(batch: pa.Table) -> pa.Table:
+    """wkb POINT Z column → x/y/z columns (vectorized decode)."""
+    col = batch["wkb"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    raw = np.frombuffer(col.buffers()[1], dtype=np.uint8, count=n * 29).reshape(n, 29)
+    x, y, z = wkb_mod.points_from_wkb_z_np(raw)
+    out = batch.drop_columns(["wkb"])
+    for c in ("x", "y", "z"):
+        if c in out.column_names:
+            out = out.drop_columns([c])
+    return (
+        out.append_column("x", pa.array(x))
+        .append_column("y", pa.array(y))
+        .append_column("z", pa.array(z))
+    )
+
+
 def affine_xy(a=1.0, b=0.0, d=0.0, e=1.0, xoff=0.0, yoff=0.0):
     """Stateless affine stage over raw x/y columns (affinity.py:12
     equations, vectorized columnar form)."""

@@ -134,6 +134,34 @@ def test_make_valid_array_mixed():
     assert out[2] is None
 
 
+def test_vectorized_pointz_wkb_and_srid():
+    """POINT Z column kernels agree with the scalar encoder; EWKB SRID
+    round-trips through to_wkb(include_srid)/from_wkb into set_srid
+    metadata (reference io.py:124,167 semantics)."""
+    from engine.geo.coverage import get_srid, set_srid
+
+    x = np.array([1.0, 2.5])
+    y = np.array([4.0, -5.5])
+    z = np.array([7.0, 8.25])
+    buf = wkb.points_to_wkb_z_np(x, y, z)
+    assert buf.shape == (2, 29)
+    assert buf[0].tobytes() == wkb.to_wkb(P("POINT Z (1 4 7)"))
+    bx, by, bz = wkb.points_from_wkb_z_np(buf)
+    assert np.array_equal(bx, x) and np.array_equal(by, y) and np.array_equal(bz, z)
+
+    g = set_srid(P("POINT Z (1 2 3)"), 4326)
+    b = wkb.to_wkb(g, flavor="extended", include_srid=True)
+    back = wkb.from_wkb(b)
+    assert get_srid(back) == 4326
+    from engine.geo.geom import to_wkt
+
+    assert to_wkt(back) == "POINT Z (1 2 3)"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wkb.to_wkb(g, include_srid=True)  # iso flavor carries no SRID
+
+
 def test_vectorized_point_wkb():
     x = np.array([1.0, 2.5, -3.25])
     y = np.array([4.0, -5.5, 6.125])
