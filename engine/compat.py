@@ -37,6 +37,25 @@ from engine.geo.creation import (  # noqa: F401
     multipoints, multipolygons, points, polygons,
 )
 from engine.geo.geom import Geom, GeomType, from_wkt, to_wkt  # noqa: F401
+
+# reference enum surface (constructive.py:53,72; _geometry.py:42) —
+# GeometryType is the reference's name for the type-id enum
+GeometryType = GeomType
+
+
+import enum as _enum
+
+
+class BufferCapStyle(_enum.IntEnum):
+    round = 1
+    flat = 2
+    square = 3
+
+
+class BufferJoinStyle(_enum.IntEnum):
+    round = 1
+    mitre = 2
+    bevel = 3
 from engine.geo.io import from_geojson, to_geojson  # noqa: F401
 from engine.geo.linear import (  # noqa: F401
     line_interpolate_point, line_locate_point, line_merge, shortest_line,
