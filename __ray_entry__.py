@@ -422,6 +422,18 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_video_frames(sf_dir):
+    """Video frame-sampling stage (deterministic fake codec): one row
+    per sampled frame; the sampling arithmetic (n_frames = 4 + id%5,
+    every 3rd frame) is the oracle-checked part — the per-frame phash
+    is computed in the stage but projected out (not SQL-expressible)."""
+    from engine.rayds.imgstage import frames_dataset
+
+    return frames_dataset(sf_dir, every_n=3).select_columns(
+        ["image_id", "frame_idx"]
+    )
+
+
 def _q_minhash_verified(sf_dir):
     """MinHash candidates verified with EXACT n-gram Jaccard — the
     adversarial-verify stage, fully distributed (candidate pairs
@@ -484,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
+        "video_frames": _q_video_frames,
         "minhash_verified": _q_minhash_verified,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -694,6 +707,13 @@ def oracle_sql() -> dict[str, str]:
         "psnr_validate": f"""
             WITH {_IMGS}
             SELECT image_id, true AS psnr_ok FROM imgs
+        """,
+        "video_frames": """
+            SELECT 'img' || CAST(event_id AS VARCHAR) AS image_id,
+                   CAST(f AS BIGINT) AS frame_idx
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0, 9)) AS f)
+            WHERE f % 3 = 0 AND f < 4 + event_id % 5
         """,
         # minhash_pairs / simhash_pairs / minhash_verified / ann_topk_lsh /
         # img_features: non-SQL-expressible (LSH candidate generation,

@@ -162,6 +162,27 @@ def decode_payload(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"codec {fmt!r} not available in this sandbox")
 
 
+def synth_video(image_id: str, w: int, h: int, n_frames: int) -> np.ndarray:
+    """Deterministic fake video: (n_frames, h, w, 3) of per-frame synth
+    images keyed by (image_id, frame index) — no real video codec ships
+    in this sandbox, so the FRAME-SAMPLING plumbing runs on this
+    deterministic stand-in (task brief: multimodal decode may be a
+    deterministic fake; the Ray-side schema/stage shape is real)."""
+    return np.stack(
+        [synth_image(f"{image_id}#f{i}", w, h) for i in range(n_frames)]
+    )
+
+
+def video_encode(frames: np.ndarray) -> bytes:
+    """Fake video container: deflate of the raw frame stack."""
+    return zlib.compress(np.ascontiguousarray(frames, dtype=np.uint8).tobytes(), 1)
+
+
+def video_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    raw = np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+    return raw.reshape(-1, h, w, 3)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:

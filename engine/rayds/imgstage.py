@@ -102,20 +102,76 @@ class ResizeExtract:
         ).append_column("thumb_mean", pa.array(means))
 
 
-class FrameSample:
-    """STUB for video frame sampling (no video codec in this sandbox):
-    the Ray-side plumbing (schema, actor signature, batch sizing) is
-    real; calling it raises NotImplementedError per the documented
-    multimodal scope."""
-
-    def __init__(self, every_n: int = 30):
-        self.every_n = every_n
+class AddVideo:
+    """image rows → + (video_bytes, n_frames): attaches the deterministic
+    fake video container (codec.synth_video) — the video sibling of
+    AddPayload.  n_frames derives from the row key so the downstream
+    frame-sampling output is SQL-oracle-checkable."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decode unavailable in this sandbox (documented stub); "
-            "schema: (video_id, bytes, fmt) -> (video_id, frame_idx, frame_png)"
+        ids = batch["image_id"].to_pylist()
+        nf = batch["n_frames"].to_numpy()
+        payloads = []
+        for iid, n in zip(ids, nf):
+            payloads.append(codec.video_encode(codec.synth_video(iid, 8, 8, int(n))))
+        return batch.append_column("video_bytes", pa.array(payloads, type=pa.binary()))
+
+
+class FrameSample:
+    """Actor-pool stage: decode the (fake) video container, sample every
+    ``every_n``-th frame, emit one row per sampled frame with its phash.
+    The decode is a deterministic fake (no video codec in this sandbox,
+    documented); the Ray-side plumbing — payload-bounded batches, per-row
+    explode, per-frame featurization — is real and tested."""
+
+    def __init__(self, every_n: int = 3):
+        self.every_n = int(every_n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        data = batch["video_bytes"].to_pylist()
+        out_id, out_idx, out_ph = [], [], []
+        for iid, raw in zip(ids, data):
+            frames = codec.video_decode(raw, 8, 8)
+            for fi in range(0, len(frames), self.every_n):
+                out_id.append(iid)
+                out_idx.append(fi)
+                out_ph.append(codec.phash64(frames[fi]))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, type=pa.string()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_phash": pa.array(out_ph, type=pa.int64()),
+            }
         )
+
+
+def frames_dataset(sf_dir: str, every_n: int = 3):
+    """images → attach fake video → frame-sample explode (lazy)."""
+    from engine.rayds.imagetab import image_dataset
+
+    def add_nframes(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        eid = pa.compute.utf8_slice_codeunits(batch["image_id"], 3, 32)
+        n = _np.asarray(pa.compute.cast(eid, pa.int64()).to_numpy(
+            zero_copy_only=False
+        ))
+        return batch.append_column(
+            "n_frames", pa.array((4 + n % 5).astype(_np.int64))
+        )
+
+    _addv = AddVideo()
+    _fs = FrameSample(every_n)
+    return (
+        image_dataset(sf_dir)
+        .select_columns(["image_id"])
+        .map_batches(add_nframes, batch_format="pyarrow", batch_size=None)
+        .map_batches(lambda b: _addv(b), batch_format="pyarrow",
+                     batch_size=PAYLOAD_BATCH)
+        .map_batches(lambda b: _fs(b), batch_format="pyarrow",
+                     batch_size=PAYLOAD_BATCH)
+    )
 
 
 _ADD = AddPayload()

@@ -62,6 +62,31 @@ def test_raw_roundtrip_and_phash_stability():
     assert np.iinfo(np.int64).min <= h1 <= np.iinfo(np.int64).max
 
 
+def test_video_fake_codec_and_frame_sampling():
+    """Deterministic fake video: round-trip, per-frame identity with the
+    keyed synth, and FrameSample's every-n explode with phashes."""
+    import pyarrow as _pa
+
+    from engine.img import codec
+    from engine.rayds.imgstage import FrameSample
+
+    frames = codec.synth_video("imgv", 8, 8, 7)
+    assert frames.shape == (7, 8, 8, 3)
+    back = codec.video_decode(codec.video_encode(frames), 8, 8)
+    assert np.array_equal(back, frames)
+    assert np.array_equal(frames[3], codec.synth_image("imgv#f3", 8, 8))
+
+    batch = _pa.table(
+        {"image_id": ["imgv"],
+         "video_bytes": [codec.video_encode(frames)]}
+    )
+    out = FrameSample(every_n=3)(batch)
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    assert out["frame_phash"].to_pylist() == [
+        codec.phash64(frames[i]) for i in (0, 3, 6)
+    ]
+
+
 def test_qraw_lossy_psnr_above_40():
     """The toy lossy codec must actually lose information (≠ exact) yet
     reconstruct above the input_hint 40 dB bar (6-bit quantization →
