@@ -365,6 +365,13 @@ def _jaccard_group(threshold: float):
         b = group["b"].to_numpy()
         flip = group["flip"].to_numpy()
         order = np.lexsort((flip, b, a))
+        # dedupe (a, b, flip) — a pair colliding in several bands arrives
+        # once per band; duplicates carry identical shingle bytes
+        if len(order) > 1:
+            sa, sb, sf = a[order], b[order], flip[order]
+            keep = np.ones(len(order), dtype=bool)
+            keep[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]) | (sf[1:] != sf[:-1])
+            order = order[keep]
         if len(order) % 2 != 0:
             # a pair missing one side (doc absent) — drop the stragglers
             keep = np.ones(len(order), dtype=bool)
@@ -405,7 +412,15 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
     schema broadcast when an input's first block is empty — common for
     join/groupby outputs — and crashes on chained joins.)"""
     P = num_partitions
-    pairs = minhash_candidate_pairs(docs_ds).select_columns(["a", "b"])
+    # RAW candidate pairs (band duplicates kept): the per-pair dedupe
+    # aggregate would be a whole extra all-to-all — the verify cogroup
+    # dedupes (a, b, flip) rows for free during its sort
+    exploded = docs_ds.map_batches(
+        minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs(MAX_BUCKET), batch_format="pyarrow"
+    )
     shingled = docs_ds.map_batches(
         shingle_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
