@@ -102,17 +102,16 @@ def _q_knn_centers(sf_dir):
 
 
 def _q_total_bounds(sf_dir):
-    from ray.data.aggregate import Max, Min
-
     from engine.rayds.imagetab import image_dataset
+    from engine.rayds.shuffle import dataset_minmax
 
-    res = image_dataset(sf_dir).aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    mm = dataset_minmax(image_dataset(sf_dir), ["x", "y"])
     return pa.table(
         {
-            "xmin": [res["min(x)"]],
-            "xmax": [res["max(x)"]],
-            "ymin": [res["min(y)"]],
-            "ymax": [res["max(y)"]],
+            "xmin": [mm["x"][0]],
+            "xmax": [mm["x"][1]],
+            "ymin": [mm["y"][0]],
+            "ymax": [mm["y"][1]],
         }
     )
 
@@ -179,21 +178,20 @@ def _q_wkbz_roundtrip(sf_dir):
 def _q_affine_bounds(sf_dir):
     """Affine transform stage (x+10.5, 2·y) then total-bounds aggregate
     (affinity family §2.13 + aggregate §2.6)."""
-    from ray.data.aggregate import Max, Min
-
     from engine.rayds.geo_stages import affine_xy
     from engine.rayds.imagetab import image_dataset
+    from engine.rayds.shuffle import dataset_minmax
 
     ds = image_dataset(sf_dir).map_batches(
         affine_xy(e=2.0, xoff=10.5), batch_format="pyarrow", batch_size=None
     )
-    res = ds.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    mm = dataset_minmax(ds, ["x", "y"])
     return pa.table(
         {
-            "xmin": [res["min(x)"]],
-            "xmax": [res["max(x)"]],
-            "ymin": [res["min(y)"]],
-            "ymax": [res["max(y)"]],
+            "xmin": [mm["x"][0]],
+            "xmax": [mm["x"][1]],
+            "ymin": [mm["y"][0]],
+            "ymax": [mm["y"][1]],
         }
     )
 

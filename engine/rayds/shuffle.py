@@ -222,6 +222,32 @@ def salted_grouped_count(ds, keys: list[str], out_col: str = "cnt", salt: int = 
     return round2.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+def dataset_minmax(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """Global (min, max) per column — combiner-first: one tiny partial
+    row per block, final combine over ≤blocks rows (Ray's built-in
+    global Aggregate pays the same ~fixed actor-pool cost as its
+    groupby; this is one narrow map + a bounded take)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            out[f"{c}_min"] = [float(np.min(v))] if len(v) else [np.inf]
+            out[f"{c}_max"] = [float(np.max(v))] if len(v) else [-np.inf]
+        return pa.table(out)
+
+    rows = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    res = {}
+    for c in cols:
+        res[c] = (
+            min(r[f"{c}_min"] for r in rows),
+            max(r[f"{c}_max"] for r in rows),
+        )
+    return res
+
+
 def detect_hot_keys(ds, key: str, threshold_frac: float = 0.05, sample_blocks: int = 4):
     """Cheap skew probe: counts on a block sample; returns hot key values.
 
