@@ -99,36 +99,42 @@ from engine.geo.wkb import from_wkb, to_wkb  # noqa: F401
 
 # ---------------------------------------------------------- scalar classes
 def Point(*args):
-    """shapely.Point(x, y) / Point((x, y))."""
+    """shapely.Point(x, y[, z]) / Point((x, y[, z]))."""
     if len(args) == 1:
         args = tuple(args[0])
-    return Geom.point(float(args[0]), float(args[1]))
+    z = float(args[2]) if len(args) > 2 else None
+    return Geom.point(float(args[0]), float(args[1]), z)
 
 
 def LineString(coords=()):
     coords = np.asarray(list(coords), dtype=np.float64)
     if len(coords) == 0:
         return Geom.empty(GeomType.LINESTRING)
-    return Geom.linestring(coords[:, :2])
+    return Geom.linestring(coords)
 
 
 def LinearRing(coords=()):
     coords = np.asarray(list(coords), dtype=np.float64)
     if len(coords) == 0:
         return Geom.empty(GeomType.LINEARRING)
-    return Geom.linearring(coords[:, :2])
+    return Geom.linearring(coords)
 
 
 def Polygon(shell=(), holes=()):
     shell = np.asarray(list(shell), dtype=np.float64)
     if len(shell) == 0:
         return Geom.empty(GeomType.POLYGON)
-    return Geom.polygon(shell[:, :2], [np.asarray(list(h), dtype=np.float64)[:, :2] for h in holes or ()])
+    return Geom.polygon(
+        shell, [np.asarray(list(h), dtype=np.float64) for h in holes or ()]
+    )
 
 
 def MultiPoint(pts=()):
     parts = [Point(p) for p in pts]
-    return Geom(GeomType.MULTIPOINT, parts=parts) if parts else Geom.empty(GeomType.MULTIPOINT)
+    if not parts:
+        return Geom.empty(GeomType.MULTIPOINT)
+    return Geom(GeomType.MULTIPOINT, parts=parts,
+                has_z=any(p.has_z for p in parts))
 
 
 def MultiLineString(lines=()):
