@@ -451,6 +451,17 @@ def _q_ann_topk_lsh(sf_dir):
     return ann.topk_cosine_lsh(_embeddings(sf_dir), q, qids, k=10, nbits=4, dim=64)
 
 
+def _q_ann_topk_ivf(sf_dir):
+    """IVF (inverted-file) approximate top-k — the second ANN scale path
+    (coarse k-means lists + nprobe probing); recall measured vs the
+    exact plan in pytest (no SQL oracle: approximate by design)."""
+    from engine.ops import ann
+
+    q, qids = _load_query_vecs(sf_dir, 3)
+    return ann.topk_cosine_ivf(_embeddings(sf_dir), q, qids, k=10,
+                               n_lists=16, nprobe=4)
+
+
 def _q_doc_fingerprint(sf_dir):
     """Oracle-checkable md5-prefix fingerprint (the crc fp64 variant
     remains the cheap shuffle key inside exact dedup)."""
@@ -497,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "minhash_verified": _q_minhash_verified,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "doc_fingerprint": _q_doc_fingerprint,
     }
 

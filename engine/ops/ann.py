@@ -200,3 +200,76 @@ def topk_cosine_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         batch_format="pyarrow", batch_size=None,
     )
     return topk_cosine(filtered, queries, query_ids, k=k, concurrency=concurrency)
+
+
+# ------------------------------------------------------------- IVF variant
+def train_ivf_centroids(sample: np.ndarray, n_lists: int = 16,
+                        iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Deterministic spherical k-means on a SAMPLE (driver-side is fine:
+    the sample is bounded, not the dataset) → (n_lists, dim) unit
+    centroids.  The IVF coarse quantizer of the classic
+    inverted-file ANN index (Jégou et al., PAMI 2011)."""
+    x = _unit(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(n_lists, len(x)), replace=False)
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssign:
+    """+ ivf_list:int64 — nearest-centroid id per vector (actor-pool
+    stage holding the broadcast centroid matrix)."""
+
+    def __init__(self, cents_ref):
+        import ray
+
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        self.cents = _unit(np.asarray(c, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.ops.dedup import _emb_matrix
+
+        emb = _unit(_emb_matrix(batch["embedding"]))
+        assign = np.argmax(emb @ self.cents.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(assign))
+
+
+def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray,
+                    k: int = 10, n_lists: int = 16, nprobe: int = 4,
+                    sample_rows: int = 4096, concurrency=None):
+    """IVF top-k: coarse-quantize every vector to its nearest centroid
+    (one actor-pool pass), then score a query ONLY against the vectors
+    of its ``nprobe`` closest lists — the classic inverted-file ANN scale
+    path (≈ nprobe/n_lists of the data scanned; recall < 1).  Centroids
+    are trained on a bounded sample and broadcast once."""
+    import pyarrow.compute as pc
+    import ray
+
+    sample = ds.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    from engine.ops.dedup import _emb_matrix
+
+    cents = train_ivf_centroids(_emb_matrix(sample["embedding"]), n_lists)
+    cref = ray.put(cents)
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = pa.array(np.unique(probe_lists).astype(np.int64))
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"cents_ref": cref},
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        concurrency=concurrency or (1, 8),
+    )
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b["ivf_list"], value_set=wanted)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return topk_cosine(filtered, queries, query_ids, k=k)

