@@ -275,6 +275,53 @@ def _q_join_covers_hexpart(sf_dir):
     return hexpart_pairs(sf_dir)
 
 
+def _q_join_overlaps_range(sf_dir):
+    """RANGE JOIN: image footprints (squares of half-extent w/512) ×
+    polygon bboxes, intersects semantics — the both-sides-exploded cell
+    plan with its pair-dedupe exchange."""
+    from engine.rayds.celljoin import boxpart_pairs
+
+    return boxpart_pairs(sf_dir)
+
+
+def _q_window_agg(sf_dir):
+    """Tumbling 1-hour WINDOWED AGGREGATE over the raw event stream:
+    count + integer-cents value sum per (window, event_type) —
+    combiner-first, merged by the engine's own hash shuffle."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_shuffle_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
+        win = ts // 3_600_000_000
+        cents = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        t = pa.table(
+            {
+                "win": pa.array(win),
+                "event_type": batch["event_type"],
+                "_n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "_cents": pa.array(cents),
+            }
+        )
+        g = t.group_by(["win", "event_type"]).aggregate(
+            [("_n", "sum"), ("_cents", "sum")]
+        )
+        return g.rename_columns(["win", "event_type", "_n", "_cents"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    merged = hash_shuffle_agg(
+        part, ["win", "event_type"], [("_n", "sum"), ("_cents", "sum")],
+        ["n_events", "sum_cents"],
+    )
+    return merged
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -490,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_covers_cellpart": _q_join_covers_cellpart,
         "join_covers_s2part": _q_join_covers_s2part,
         "join_covers_hexpart": _q_join_covers_hexpart,
+        "join_overlaps_range": _q_join_overlaps_range,
+        "window_agg": _q_window_agg,
         "tile_mosaics": _q_tile_mosaics,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "wkbz_roundtrip": _q_wkbz_roundtrip,
@@ -596,6 +645,29 @@ def oracle_sql() -> dict[str, str]:
         "join_covers_hexpart": f"""
             WITH {_IMGS}, {_LAYER}
             SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
+        """,
+        "join_overlaps_range": f"""
+            WITH {_IMGS}, {_LAYER},
+            boxes AS (
+                SELECT image_id,
+                       x - (32 + (event_id % 4) * 16) / 512.0 AS ixmin,
+                       y - (32 + (event_id % 4) * 16) / 512.0 AS iymin,
+                       x + (32 + (event_id % 4) * 16) / 512.0 AS ixmax,
+                       y + (32 + (event_id % 4) * 16) / 512.0 AS iymax
+                FROM events
+                JOIN imgs ON imgs.image_id = 'img' || CAST(event_id AS VARCHAR)
+            )
+            SELECT image_id, poly_id
+            FROM boxes JOIN layer
+              ON ixmin <= xmax AND ixmax >= xmin
+             AND iymin <= ymax AND iymax >= ymin
+        """,
+        "window_agg": """
+            SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
         """,
         "tile_mosaics": f"""
             WITH {_IMGS}, {_LAYER},

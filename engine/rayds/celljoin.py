@@ -277,6 +277,106 @@ def hexpart_pairs(sf_dir: str, layer: Layer | None = None,
                         predicate, ds)
 
 
+def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
+    """RANGE JOIN (bbox × bbox intersects) — the both-sides-exploded
+    shape: every image footprint covers ≥1 cell, every polygon bbox
+    covers ≥1 cell, so a pair can form in MULTIPLE cell groups and a
+    pair-dedupe exchange is REQUIRED (the case ``cellpart_pairs``'s
+    single-cell point side avoids).  Footprint side = a square of planar
+    half-extent w/512 centred on the geotag (deterministic from the
+    row, mirrored in the SQL oracle)."""
+    import ray.data
+
+    from engine.rayds.imagetab import image_dataset, load_layer
+    from engine.rayds.shuffle import hash_shuffle_agg
+
+    layer = layer or load_layer(sf_dir)
+
+    def img_boxes(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        h = batch["w"].to_numpy().astype(np.float64) / 512.0
+        xmin, ymin, xmax, ymax = x - h, y - h, x + h, y + h
+        bounds = np.column_stack([xmin, ymin, xmax, ymax])
+        rows, cids = cells.grid_cover_many(bounds, PART_CELL)
+        ids = batch["image_id"].take(pa.array(rows))
+        return pa.table(
+            {
+                "cell": pa.array(cids),
+                "image_id": ids,
+                "ixmin": pa.array(xmin[rows]),
+                "iymin": pa.array(ymin[rows]),
+                "ixmax": pa.array(xmax[rows]),
+                "iymax": pa.array(ymax[rows]),
+                "poly_id": pa.nulls(len(rows), type=pa.int64()),
+                "pxmin": pa.nulls(len(rows), type=pa.float64()),
+                "pymin": pa.nulls(len(rows), type=pa.float64()),
+                "pxmax": pa.nulls(len(rows), type=pa.float64()),
+                "pymax": pa.nulls(len(rows), type=pa.float64()),
+            }
+        )
+
+    rows, cids = cells.grid_cover_many(layer.bounds, PART_CELL)
+    b = layer.bounds[rows]
+    polys_t = pa.table(
+        {
+            "cell": pa.array(cids),
+            "image_id": pa.nulls(len(rows), type=pa.string()),
+            "ixmin": pa.nulls(len(rows), type=pa.float64()),
+            "iymin": pa.nulls(len(rows), type=pa.float64()),
+            "ixmax": pa.nulls(len(rows), type=pa.float64()),
+            "iymax": pa.nulls(len(rows), type=pa.float64()),
+            "poly_id": pa.array(layer.poly_ids[rows]),
+            "pxmin": pa.array(b[:, 0]),
+            "pymin": pa.array(b[:, 1]),
+            "pxmax": pa.array(b[:, 2]),
+            "pymax": pa.array(b[:, 3]),
+        }
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        is_poly = group["poly_id"].is_valid()
+        polys = group.filter(is_poly)
+        imgs = group.filter(pc.invert(is_poly))
+        if len(polys) == 0 or len(imgs) == 0:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "poly_id": pa.array([], type=pa.int64())})
+        ix0 = imgs["ixmin"].to_numpy(zero_copy_only=False)
+        iy0 = imgs["iymin"].to_numpy(zero_copy_only=False)
+        ix1 = imgs["ixmax"].to_numpy(zero_copy_only=False)
+        iy1 = imgs["iymax"].to_numpy(zero_copy_only=False)
+        px0 = polys["pxmin"].to_numpy(zero_copy_only=False)
+        py0 = polys["pymin"].to_numpy(zero_copy_only=False)
+        px1 = polys["pxmax"].to_numpy(zero_copy_only=False)
+        py1 = polys["pymax"].to_numpy(zero_copy_only=False)
+        hit = (
+            (ix0[:, None] <= px1[None, :]) & (ix1[:, None] >= px0[None, :])
+            & (iy0[:, None] <= py1[None, :]) & (iy1[:, None] >= py0[None, :])
+        )
+        ii, pi = np.nonzero(hit)
+        return pa.table(
+            {
+                "image_id": imgs["image_id"].take(pa.array(ii)),
+                "poly_id": polys["poly_id"].take(pa.array(pi)),
+            }
+        )
+
+    imgs_ds = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
+        img_boxes, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    both = imgs_ds.union(ray.data.from_arrow(polys_t))
+    pairs = both.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+    # BOTH sides were range-exploded → dedupe (image_id, poly_id)
+    deduped = hash_shuffle_agg(
+        pairs.map_batches(
+            lambda t: t.append_column("_one", pa.array(np.ones(len(t), dtype=np.int64))),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["image_id", "poly_id"], [("_one", "min")], ["_one"],
+    )
+    return deduped.select_columns(["image_id", "poly_id"])
+
+
 def cellpart_pairs(sf_dir: str, layer: Layer | None = None,
                    predicate: str = "covers", salt: int = SALT,
                    hot_cells=None, ds=None):

@@ -298,6 +298,32 @@ def test_cellpart_join_exact_on_dense_polygons(ray_ready):
     assert len(b) > 0 and a == b
 
 
+def test_boxpart_range_join_matches_brute(ray_ready):
+    """bbox×bbox range join (both sides cell-exploded + pair dedupe)
+    against a driver-side brute force."""
+    from engine.rayds.celljoin import boxpart_pairs
+    from engine.rayds.imagetab import derive_xy, load_layer
+
+    eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_numpy()
+    x, y = derive_xy(eid)
+    w = 32 + (eid % 4) * 16
+    h = w / 512.0
+    layer = load_layer(SF)
+    want = set()
+    for i in range(len(layer.poly_ids)):
+        b = layer.bounds[i]
+        m = (x - h <= b[2]) & (x + h >= b[0]) & (y - h <= b[3]) & (y + h >= b[1])
+        for e in eid[m]:
+            want.add((f"img{e}", int(layer.poly_ids[i])))
+    got = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in boxpart_pairs(SF).take_all()
+    }
+    assert got == want
+
+
 def test_s2_and_hex_keyed_joins_match_broadcast(ray_ready):
     """The S2- and hex-keyed physical plans must reproduce the broadcast
     join exactly (the cell ids are real shuffle keys, not decoration)."""
