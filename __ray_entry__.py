@@ -322,6 +322,19 @@ def _q_window_agg(sf_dir):
     return merged
 
 
+def _q_asof_click_view(sf_dir):
+    """AS-OF join: for every 'click' event, the latest 'view' by the
+    same user at-or-before it (hash-partitioned vectorized sweep)."""
+    import ray.data
+
+    from engine.ops.asof import asof_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return asof_join(ds, "click", "view")
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -539,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_covers_hexpart": _q_join_covers_hexpart,
         "join_overlaps_range": _q_join_overlaps_range,
         "window_agg": _q_window_agg,
+        "asof_click_view": _q_asof_click_view,
         "tile_mosaics": _q_tile_mosaics,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "wkbz_roundtrip": _q_wkbz_roundtrip,
@@ -668,6 +682,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "asof_click_view": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+                 r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+                 m AS (
+                     SELECT l.event_id AS event_id, l.user_id, max(r.ts) AS mts
+                     FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+                     GROUP BY 1, 2
+                 )
+            SELECT m.event_id, r.event_id AS match_id
+            FROM m JOIN r ON r.user_id = m.user_id AND r.ts = m.mts
         """,
         "tile_mosaics": f"""
             WITH {_IMGS}, {_LAYER},

@@ -298,6 +298,36 @@ def test_cellpart_join_exact_on_dense_polygons(ray_ready):
     assert len(b) > 0 and a == b
 
 
+def test_asof_join_matches_brute(ray_ready):
+    """AS-OF join vs a driver-side brute force: for every click, the
+    latest same-user view at-or-before it (unmatched clicks drop)."""
+    import ray.data
+
+    from engine.ops.asof import asof_join
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "event_type"])
+    eid = t["event_id"].to_numpy()
+    uid = t["user_id"].to_numpy()
+    ts = t["ts"].cast("int64").to_numpy()
+    et = np.asarray(t["event_type"].to_pylist())
+    want = {}
+    for i in np.nonzero(et == "click")[0]:
+        best = None
+        for j in np.nonzero((et == "view") & (uid == uid[i]))[0]:
+            if ts[j] <= ts[i] and (best is None or ts[j] > ts[best]
+                                   or (ts[j] == ts[best] and eid[j] > eid[best])):
+                best = j
+        if best is not None:
+            want[int(eid[i])] = int(eid[best])
+    ds = ray.data.from_arrow(t)
+    got = {
+        int(r["event_id"]): int(r["match_id"])
+        for r in asof_join(ds, "click", "view").take_all()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_boxpart_range_join_matches_brute(ray_ready):
     """bbox×bbox range join (both sides cell-exploded + pair dedupe)
     against a driver-side brute force."""
