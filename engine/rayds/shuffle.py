@@ -209,15 +209,18 @@ def salted_grouped_count(ds, keys: list[str], out_col: str = "cnt", salt: int = 
         return t.rename_columns(keys + ["_salt", "_pcnt"])
 
     partial = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    round1 = partial.groupby(keys + ["_salt"]).sum("_pcnt")
+    round1 = hash_shuffle_agg(partial, keys + ["_salt"], [("_pcnt", "sum")], ["_pcnt"])
 
     def strip(batch: pa.Table) -> pa.Table:
-        return batch.select(keys + ["sum(_pcnt)"]).rename_columns(keys + ["_pcnt"])
+        return batch.select(keys + ["_pcnt"])
 
-    round2 = round1.map_batches(strip, batch_format="pyarrow", batch_size=None).groupby(keys).sum("_pcnt")
+    round2 = hash_shuffle_agg(
+        round1.map_batches(strip, batch_format="pyarrow", batch_size=None),
+        keys, [("_pcnt", "sum")], ["_pcnt"],
+    )
 
     def rename(batch: pa.Table) -> pa.Table:
-        return batch.select(keys + ["sum(_pcnt)"]).rename_columns(keys + [out_col])
+        return batch.rename_columns(keys + [out_col])
 
     return round2.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
