@@ -51,18 +51,32 @@ def grid_cover(xmin, ymin, xmax, ymax, cell_size: float) -> np.ndarray:
 
 
 def grid_cover_many(bounds: np.ndarray, cell_size: float):
-    """Covering cells for (n,4) bboxes -> (row_idx, cell_id) arrays."""
-    rows = []
-    cells = []
-    for i, (xmin, ymin, xmax, ymax) in enumerate(bounds):
-        if np.isnan(xmin):
-            continue
-        c = grid_cover(xmin, ymin, xmax, ymax, cell_size)
-        rows.append(np.full(len(c), i, dtype=np.int64))
-        cells.append(c)
-    if not rows:
+    """Covering cells for (n,4) bboxes -> (row_idx, cell_id) arrays.
+
+    Fully vectorized (segment arithmetic over per-row cover counts) —
+    the explode runs inside map_batches on every input row at scale, so
+    a per-row Python loop here would dominate the range-join map stage.
+    """
+    b = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    valid = ~np.isnan(b[:, 0])
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(rows), np.concatenate(cells)
+    ix0 = np.floor(b[idx, 0] / cell_size).astype(np.int64)
+    iy0 = np.floor(b[idx, 1] / cell_size).astype(np.int64)
+    ix1 = np.floor(b[idx, 2] / cell_size).astype(np.int64)
+    iy1 = np.floor(b[idx, 3] / cell_size).astype(np.int64)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    cnt = nx * ny
+    total = int(cnt.sum())
+    rep = np.repeat(np.arange(len(idx), dtype=np.int64), cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    ny_rep = ny[rep]
+    dx = within // ny_rep
+    dy = within % ny_rep
+    cids = (ix0[rep] + dx) * GRID_KEY + (iy0[rep] + dy)
+    return idx[rep], cids
 
 
 # ---------------------------------------------------------------------------
