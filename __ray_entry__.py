@@ -534,6 +534,17 @@ def _q_doc_fingerprint(sf_dir):
     )
 
 
+def _q_ngram_jaccard(sf_dir):
+    """Exact word-3-gram Jaccard for every consecutive doc pair — the
+    oracle-checkable form of the dedup verify kernel (one shuffle;
+    shingle-set bytes ride the exchange once per side)."""
+    from engine.ops import dedup
+
+    return dedup.consecutive_jaccard(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -573,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "doc_fingerprint": _q_doc_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
     }
 
 
@@ -810,6 +822,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3
+                            THEN list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]))
+                            ELSE [array_to_string(ws, chr(1))]
+                       END AS s
+                FROM w
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "psnr_validate": f"""
             WITH {_IMGS}

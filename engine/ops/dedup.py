@@ -476,6 +476,70 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
     )
 
 
+def consecutive_jaccard(docs_ds, num_partitions: int = 64):
+    """Exact word-3-gram Jaccard for every consecutive doc pair
+    (doc_id, doc_id+1) — the SQL-oracle-checkable form of the verify
+    kernel (reference semantics: shapely has no text ops; this is the
+    engine-level dedup addition from the task brief).
+
+    Scale shape: ONE shuffle.  Each doc's shingle-set bytes are emitted
+    twice — to pair key ``doc_id`` as side a and ``doc_id-1`` as side
+    b — then hash-partitioned on the pair key and verified per
+    partition with the same vectorized lexsort-intersection kernel the
+    MinHash verify stage uses.  No join, no driver materialization;
+    pairs missing a side (the last doc) drop out in the group stage.
+    """
+    P = num_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = shingle_sets(batch)
+        did = t["doc_id"].to_numpy()
+        sh = t["shingles"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        pair = np.concatenate([did, did - 1])
+        flip = np.concatenate(
+            [np.zeros(len(did), dtype=np.int64), np.ones(len(did), dtype=np.int64)]
+        )
+        out = pa.table(
+            {
+                "part": pa.array(pair % P),
+                "pair": pa.array(pair),
+                "flip": pa.array(flip),
+                "sh": pa.concat_arrays([sh, sh]),
+            }
+        )
+        return out.filter(pc.field("pair") >= 0)
+
+    def group_fn(group: pa.Table) -> pa.Table:
+        p = group["pair"].to_numpy()
+        f = group["flip"].to_numpy()
+        order = np.lexsort((f, p))
+        ps = p[order]
+        # complete pairs = adjacent equal pair keys (each (pair, flip)
+        # occurs at most once: doc_ids are unique)
+        first = np.zeros(len(ps), dtype=bool)
+        if len(ps) > 1:
+            first[:-1] = ps[:-1] == ps[1:]
+        ev = order[first]
+        od = order[np.roll(first, 1)]
+        sh = group["sh"]
+        batch = pa.table(
+            {
+                "a": pa.array(p[ev]),
+                "b": pa.array(p[ev] + 1),
+                "sh_a": sh.take(pa.array(ev)),
+                "sh_b": sh.take(pa.array(od)),
+            }
+        )
+        return _verify_pairs_batch(0.0)(batch)
+
+    exploded = docs_ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return exploded.groupby("part").map_groups(group_fn, batch_format="pyarrow")
+
+
 def jaccard_verify(pairs_tbl: pa.Table, texts_by_id: dict[int, str],
                    threshold: float = 0.5) -> pa.Table:
     """Exact word-3-gram Jaccard for candidate pairs — kernel-level form

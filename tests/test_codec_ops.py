@@ -380,3 +380,34 @@ def test_synth_table_generator(tmp_path):
                                    "caption", "phash", "x", "y"}
     # deterministic: same (rows, seed) -> same cached file
     assert generate_table(100, 3, cache_dir=str(tmp_path)) == p
+
+
+def test_consecutive_jaccard_matches_scalar_kernel(ray_session):
+    """consecutive_jaccard (one-shuffle distributed plan) must equal the
+    scalar shingle-set kernel on every (i, i+1) pair, including short
+    (<3-word) docs, identical docs (jaccard 1.0) and disjoint docs
+    (jaccard 0.0)."""
+    import ray.data
+
+    from engine.ops import dedup
+
+    texts = [
+        "a b c d e f",
+        "a b c d e g",          # near-dup of prev
+        "one two",               # short doc (single combined shingle)
+        "one two",               # identical short doc -> jaccard 1.0
+        "totally different words here now",
+        "x",                     # 1-word doc
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    rows = dedup.consecutive_jaccard(ray.data.from_arrow(t)).take_all()
+    got = {int(r["a"]): float(r["jaccard"]) for r in rows}
+    assert sorted(got) == list(range(len(texts) - 1))
+    for i in range(len(texts) - 1):
+        sa = set(dedup._shingles(texts[i]).tolist())
+        sb = set(dedup._shingles(texts[i + 1]).tolist())
+        want = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert got[i] == want, (i, got[i], want)
+    assert got[2] == 1.0
+    assert got[3] == 0.0
