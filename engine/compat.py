@@ -201,3 +201,154 @@ def _install_oo():
 
 
 _install_oo()
+
+
+# ------------------------------------------------ shapely.ops-level sugar
+# (reference shapely/ops.py:95-670 — thin aliases over the engine kernels)
+class GEOSException(Exception):
+    """Reference shapely.lib.GEOSException — raised by GEOS; this engine
+    raises it from the same user-facing failure points (invalid WKB/WKT,
+    impossible overlays)."""
+
+
+Geometry = Geom  # reference shapely.lib.Geometry base type alias
+
+
+def linemerge(lines, directed=False):
+    """shapely.ops.linemerge (ops.py:95): merge connected lines from a
+    MultiLineString / sequence of LineStrings."""
+    if isinstance(lines, Geom):
+        src = lines
+    else:
+        parts = [ls if isinstance(ls, Geom) else LineString(ls) for ls in lines]
+        src = Geom(GeomType.MULTILINESTRING, parts=parts)
+    return line_merge(src, directed=directed)
+
+
+def orient(geom, sign=1.0):
+    """shapely.ops.orient (ops.py:664): sign >= 0 -> CCW exteriors."""
+    return orient_polygons(geom, exterior_cw=sign < 0)
+
+
+def triangulate(geom, tolerance=0.0, edges=False):
+    """shapely.ops.triangulate (ops.py:133): returns a LIST of triangles
+    (or edge LineStrings)."""
+    gc = delaunay_triangles(geom, tolerance, only_edges=edges)
+    return list(get_parts(gc))
+
+
+def voronoi_diagram(geom, envelope=None, tolerance=0.0, edges=False):
+    """shapely.ops.voronoi_diagram (ops.py:152)."""
+    return voronoi_polygons(geom, tolerance, extend_to=envelope, only_edges=edges)
+
+
+def validate(geom):
+    """shapely.ops.validate (ops.py:211): the validity explanation."""
+    return is_valid_reason(geom)
+
+
+class PreparedGeometry:
+    """shapely.prepared.PreparedGeometry (prepared.py:8): predicate
+    delegation after prepare() — the engine's prepared cache makes the
+    repeated-predicate path fast."""
+
+    def __init__(self, context):
+        if isinstance(context, PreparedGeometry):
+            context = context.context
+        self.context = context
+        prepare(self.context)
+        self.prepared = True
+
+    def __repr__(self):
+        return f"<PreparedGeometry {self.context!r}>"
+
+
+def _install_prepared_predicates():
+    import engine.geo.predicates as _p
+
+    for name in ("contains", "contains_properly", "covers", "crosses",
+                 "disjoint", "intersects", "overlaps", "touches", "within"):
+        fn = getattr(_p, name)
+        setattr(PreparedGeometry, name,
+                (lambda f: lambda self, other: bool(f(self.context, other)))(fn))
+
+
+_install_prepared_predicates()
+
+
+def prep(ob):
+    """shapely.prepared.prep (prepared.py:72)."""
+    return PreparedGeometry(ob)
+
+
+def assert_geometries_equal(x, y, tolerance=1e-7, equal_none=True,
+                            equal_nan=True, normalize=False, err_msg="",
+                            verbose=True):
+    """shapely.testing.assert_geometries_equal (testing.py): elementwise
+    equals_exact + coordinate-dimension check; None equals None."""
+    xs = np.atleast_1d(np.asarray(x, dtype=object))
+    ys = np.atleast_1d(np.asarray(y, dtype=object))
+    xs, ys = np.broadcast_arrays(xs, ys)
+    from engine.geo.constructive import normalize as _norm
+
+    for i, (a, b) in enumerate(zip(xs.ravel(), ys.ravel())):
+        if a is None or b is None:
+            if not (equal_none and a is None and b is None):
+                raise AssertionError(f"{err_msg} element {i}: {a!r} != {b!r}")
+            continue
+        if normalize:
+            a, b = _norm(a), _norm(b)
+        if get_coordinate_dimension(a) != get_coordinate_dimension(b):
+            raise AssertionError(
+                f"{err_msg} element {i}: coordinate dimension "
+                f"{get_coordinate_dimension(a)} != {get_coordinate_dimension(b)}"
+            )
+        ok = bool(equals_exact(a, b, tolerance=tolerance))
+        if not ok and equal_nan:
+            ca = get_coordinates(a, include_z=True)
+            cb = get_coordinates(b, include_z=True)
+            ok = (ca.shape == cb.shape and bool(
+                np.all((ca == cb) | (np.isnan(ca) & np.isnan(cb)))
+            ) and get_type_id(a) == get_type_id(b))
+        if not ok:
+            raise AssertionError(f"{err_msg} element {i}: {a!r} != {b!r}")
+
+
+# ---------------------------------------- submodule-style namespaces
+# (reference shapely.wkt / shapely.wkb / shapely.ops / shapely.prepared /
+#  shapely.testing module surfaces, exposed as attribute namespaces)
+import types as _types
+
+
+def _ns(name, **attrs):
+    m = _types.ModuleType(f"engine.compat.{name}")
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+wkt = _ns(
+    "wkt",
+    loads=from_wkt,
+    dumps=lambda ob, trim=True, rounding_precision=-1, **kw: to_wkt(ob),
+    load=lambda fp: from_wkt(fp.read()),
+    dump=lambda ob, fp, **kw: fp.write(to_wkt(ob)),
+)
+wkb = _ns(
+    "wkb",
+    loads=lambda data, hex=False: from_wkb(data),
+    dumps=lambda ob, hex=False, **kw: to_wkb(ob, hex=hex),
+    load=lambda fp: from_wkb(fp.read()),
+    dump=lambda ob, fp, hex=False, **kw: fp.write(to_wkb(ob, hex=hex)),
+)
+ops = _ns(
+    "ops",
+    clip_by_rect=clip_by_rect, linemerge=linemerge,
+    nearest_points=nearest_points, orient=orient, polygonize=polygonize,
+    polygonize_full=polygonize_full, shared_paths=shared_paths, snap=snap,
+    split=split, substring=substring, transform=transform,
+    triangulate=triangulate, unary_union=unary_union, validate=validate,
+    voronoi_diagram=voronoi_diagram,
+)
+prepared = _ns("prepared", prep=prep, PreparedGeometry=PreparedGeometry)
+testing = _ns("testing", assert_geometries_equal=assert_geometries_equal)

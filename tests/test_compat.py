@@ -45,3 +45,49 @@ def test_multi_constructors():
     mp = MultiPoint([(0, 0), (1, 1)])
     assert shapely.get_num_geometries(mp) == 2
     assert shapely.to_wkt(mp) == "MULTIPOINT ((0 0), (1 1))"
+
+
+def test_ops_namespace_aliases():
+    """shapely.ops / wkt / wkb / prepared / testing module surfaces
+    (reference ops.py:95-670, prepared.py:8-74, testing.py, wkt.py,
+    wkb.py) resolve to real engine implementations."""
+    import engine.compat as shapely
+
+    p = shapely.prep(shapely.Polygon([(0, 0), (10, 0), (10, 10), (0, 10)]))
+    assert p.contains(shapely.Point(5, 5))
+    assert not p.contains(shapely.Point(15, 5))
+    assert p.intersects(shapely.Point(10, 5))  # boundary intersects
+    assert not p.contains_properly(shapely.Point(10, 5))
+
+    assert shapely.ops.validate(shapely.Point(1, 1)) == "Valid Geometry"
+    assert shapely.wkt.loads("POINT (1 2)").wkt == "POINT (1 2)"
+    assert shapely.wkb.loads(shapely.wkb.dumps(shapely.Point(3, 4))).wkt == "POINT (3 4)"
+
+    tris = shapely.triangulate(shapely.MultiPoint([(0, 0), (1, 0), (0, 1), (1, 1)]))
+    assert len(tris) == 2 and all(shapely.get_type_id(t) == 3 for t in tris)
+
+    lm = shapely.linemerge([[(0, 0), (1, 1)], [(1, 1), (2, 2)]])
+    assert lm.wkt == "LINESTRING (0 0, 1 1, 2 2)"
+
+    # orient: sign>=0 -> CCW exterior (reference ops.py:664)
+    from engine.geo.predicates import is_ccw
+    from engine.geo.coordinates import get_exterior_ring
+    out = shapely.orient(shapely.Polygon([(0, 0), (0, 1), (1, 1)]))
+    assert bool(is_ccw(get_exterior_ring(out)))
+    out_cw = shapely.orient(shapely.Polygon([(0, 0), (0, 1), (1, 1)]), sign=-1.0)
+    assert not bool(is_ccw(get_exterior_ring(out_cw)))
+
+    vd = shapely.voronoi_diagram(shapely.MultiPoint([(0, 0), (2, 0), (1, 2)]))
+    assert shapely.get_type_id(vd) == 7
+
+    shapely.testing.assert_geometries_equal(shapely.Point(1, 2), shapely.Point(1, 2))
+    import pytest
+    with pytest.raises(AssertionError):
+        shapely.testing.assert_geometries_equal(
+            shapely.Point(1, 2), shapely.Point(1, 3))
+    # equal_nan + None handling
+    shapely.testing.assert_geometries_equal(
+        [shapely.Point(float("nan"), 2), None],
+        [shapely.Point(float("nan"), 2), None])
+    assert shapely.Geometry is shapely.Geom
+    assert issubclass(shapely.GEOSException, Exception)
