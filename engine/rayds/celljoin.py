@@ -349,11 +349,22 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
         py0 = polys["pymin"].to_numpy(zero_copy_only=False)
         px1 = polys["pxmax"].to_numpy(zero_copy_only=False)
         py1 = polys["pymax"].to_numpy(zero_copy_only=False)
-        hit = (
-            (ix0[:, None] <= px1[None, :]) & (ix1[:, None] >= px0[None, :])
-            & (iy0[:, None] <= py1[None, :]) & (iy1[:, None] >= py0[None, :])
-        )
-        ii, pi = np.nonzero(hit)
+        # chunk the image side so the candidate matrix stays bounded
+        # (a hot cell with 20k×20k members would otherwise allocate
+        # n_i×n_p bools in one shot)
+        CHUNK = max(1, (4 << 20) // max(len(px0), 1))
+        outs_i, outs_p = [], []
+        for s in range(0, len(ix0), CHUNK):
+            e = s + CHUNK
+            hit = (
+                (ix0[s:e, None] <= px1[None, :]) & (ix1[s:e, None] >= px0[None, :])
+                & (iy0[s:e, None] <= py1[None, :]) & (iy1[s:e, None] >= py0[None, :])
+            )
+            ii, pi = np.nonzero(hit)
+            outs_i.append(ii + s)
+            outs_p.append(pi)
+        ii = np.concatenate(outs_i)
+        pi = np.concatenate(outs_p)
         return pa.table(
             {
                 "image_id": imgs["image_id"].take(pa.array(ii)),
