@@ -352,3 +352,47 @@ ops = _ns(
 )
 prepared = _ns("prepared", prep=prep, PreparedGeometry=PreparedGeometry)
 testing = _ns("testing", assert_geometries_equal=assert_geometries_equal)
+
+
+# ------------------------------------------- shapely.geometry.geo surface
+def _tupled(x):
+    if isinstance(x, list):
+        return tuple(_tupled(v) for v in x)
+    return x
+
+
+def mapping(ob):
+    """shapely.geometry.mapping (geometry/geo.py:121): GeoJSON-like dict
+    with tuple coordinates; accepts __geo_interface__ objects."""
+    import json as _json
+
+    if not isinstance(ob, Geom) and hasattr(ob, "__geo_interface__"):
+        return ob.__geo_interface__
+    d = _json.loads(to_geojson(ob))
+    if "coordinates" in d:
+        d["coordinates"] = _tupled(d["coordinates"])
+    if "geometries" in d:
+        for g in d["geometries"]:
+            if "coordinates" in g:
+                g["coordinates"] = _tupled(g["coordinates"])
+    return d
+
+
+def shape(context):
+    """shapely.geometry.shape (geometry/geo.py:54): GeoJSON-like dict /
+    __geo_interface__ object → engine geometry."""
+    import json as _json
+
+    ob = context.__geo_interface__ if hasattr(context, "__geo_interface__") else context
+    if isinstance(ob, Geom):
+        return ob
+    gt = ob.get("type", "").lower()
+    if gt == "feature":
+        ob = ob["geometry"]
+        gt = ob.get("type", "").lower()
+    if gt == "linearring":  # not valid GeoJSON; reference supports it
+        return LinearRing(ob["coordinates"])
+    return from_geojson(_json.dumps(ob))
+
+
+Geom.__geo_interface__ = property(lambda self: mapping(self))

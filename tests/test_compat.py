@@ -91,3 +91,33 @@ def test_ops_namespace_aliases():
         [shapely.Point(float("nan"), 2), None])
     assert shapely.Geometry is shapely.Geom
     assert issubclass(shapely.GEOSException, Exception)
+
+
+def test_shape_mapping_geo_interface():
+    """shapely.geometry.shape / mapping / __geo_interface__
+    (reference geometry/geo.py:54,121)."""
+    import engine.compat as shapely
+
+    g = shapely.shape({"type": "Point", "coordinates": [0, 1]})
+    assert g.wkt == "POINT (0 1)"
+    assert shapely.mapping(g) == {"type": "Point", "coordinates": (0.0, 1.0)}
+    # round-trip via __geo_interface__ (shape() of a geometry)
+    assert shapely.equals_exact(shapely.shape(g), g)
+    p = shapely.shape(
+        {"type": "Polygon",
+         "coordinates": [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)],
+                         [(0.5, 0.5), (1, 0.5), (1, 1), (0.5, 0.5)]]})
+    m = shapely.mapping(p)
+    assert m["type"] == "Polygon" and len(m["coordinates"]) == 2
+    f = shapely.shape({"type": "Feature", "properties": {},
+                       "geometry": {"type": "Point", "coordinates": [2, 3]}})
+    assert f.wkt == "POINT (2 3)"
+    lr = shapely.shape({"type": "LinearRing",
+                        "coordinates": [(0, 0), (1, 0), (1, 1), (0, 0)]})
+    assert shapely.get_type_id(lr) == 2
+    assert bool(shapely.is_empty(
+        shapely.shape({"type": "MultiPolygon", "coordinates": []})))
+    gc = shapely.shape({"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [1, 1]},
+        {"type": "LineString", "coordinates": [(0, 0), (1, 1)]}]})
+    assert shapely.get_num_geometries(gc) == 2
