@@ -396,3 +396,88 @@ def shape(context):
 
 
 Geom.__geo_interface__ = property(lambda self: mapping(self))
+
+
+# --------------------------------- OO properties (reference base.py surface)
+def _install_oo_properties():
+    from engine.geo import constructive as _c
+    from engine.geo import coordinates as _co
+    from engine.geo import linear as _lin
+    from engine.geo import measure as _m
+    from engine.geo import predicates as _p
+    from engine.geo.wkb import to_wkb as _to_wkb
+
+    _GEOM_TYPE_NAMES = {
+        GeomType.POINT: "Point", GeomType.LINESTRING: "LineString",
+        GeomType.LINEARRING: "LinearRing", GeomType.POLYGON: "Polygon",
+        GeomType.MULTIPOINT: "MultiPoint",
+        GeomType.MULTILINESTRING: "MultiLineString",
+        GeomType.MULTIPOLYGON: "MultiPolygon",
+        GeomType.GEOMETRYCOLLECTION: "GeometryCollection",
+    }
+
+    def _coord0(self, i):
+        if self.type_id != GeomType.POINT or _p.is_empty(self):
+            raise ValueError(f"no .x/.y/.z on {self!r}")
+        c = _co.get_coordinates(self, include_z=bool(self.has_z))
+        return float(c[0, i])
+
+    props = {
+        "geom_type": lambda self: _GEOM_TYPE_NAMES[GeomType(self.type_id)],
+        "x": lambda self: _coord0(self, 0),
+        "y": lambda self: _coord0(self, 1),
+        "z": lambda self: _coord0(self, 2),
+        "exterior": lambda self: _co.get_exterior_ring(self),
+        "interiors": lambda self: [
+            _co.get_interior_ring(self, i)
+            for i in range(int(_co.get_num_interior_rings(self)))
+        ],
+        "geoms": lambda self: list(_co.get_parts(self)),
+        "is_valid": lambda self: bool(_p.is_valid(self)),
+        "is_simple": lambda self: bool(_p.is_simple(self)),
+        "is_ring": lambda self: bool(_p.is_ring(self)),
+        "is_closed": lambda self: bool(_p.is_closed(self)),
+        "is_ccw": lambda self: bool(_p.is_ccw(self)),
+        "wkb": lambda self: _to_wkb(self),
+        "wkb_hex": lambda self: _to_wkb(self, hex=True),
+        "convex_hull": lambda self: _c.convex_hull(self),
+        "envelope": lambda self: _c.envelope(self),
+        "boundary": lambda self: _c.boundary(self),
+        "minimum_rotated_rectangle": lambda self: _c.oriented_envelope(self),
+        "oriented_envelope": lambda self: _c.oriented_envelope(self),
+    }
+    for name, fn in props.items():
+        if not hasattr(Geom, name):
+            setattr(Geom, name, property(fn))
+
+    methods = {
+        "representative_point": lambda self: _c.point_on_surface(self),
+        "point_on_surface": lambda self: _c.point_on_surface(self),
+        "interpolate": lambda self, distance, normalized=False:
+            _lin.line_interpolate_point(self, distance, normalized),
+        "project": lambda self, other, normalized=False:
+            _lin.line_locate_point(self, other, normalized),
+        "normalize": lambda self: _c.normalize(self),
+        "segmentize": lambda self, max_segment_length:
+            _c.segmentize(self, max_segment_length),
+        "reverse": lambda self: _c.reverse(self),
+        "hausdorff_distance": lambda self, other:
+            _m.hausdorff_distance(self, other),
+        "dwithin": lambda self, other, distance:
+            bool(_p.dwithin(self, other, distance)),
+        "equals_exact": lambda self, other, tolerance=0.0:
+            bool(_p.equals_exact(self, other, tolerance)),
+        "covered_by": lambda self, other: bool(_p.covered_by(self, other)),
+        "relate_pattern": lambda self, other, pattern:
+            bool(_p.relate_pattern(self, other, pattern)),
+        "line_interpolate_point": lambda self, distance, normalized=False:
+            _lin.line_interpolate_point(self, distance, normalized),
+        "line_locate_point": lambda self, other, normalized=False:
+            _lin.line_locate_point(self, other, normalized),
+    }
+    for name, fn in methods.items():
+        if not hasattr(Geom, name):
+            setattr(Geom, name, fn)
+
+
+_install_oo_properties()

@@ -451,7 +451,7 @@ def point_on_surface(geometry):
             return None
         if g.is_empty:
             return Geom.empty(GeomType.POINT)
-        x, y = g.representative_point()
+        x, y = g._representative_xy()
         return Geom.point(x, y)
 
     return _apply1(one, geometry)

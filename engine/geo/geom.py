@@ -337,7 +337,7 @@ class Geom:
                     segs.append(np.hstack([r[:-1], r[1:]]))
         return np.vstack(segs) if segs else np.empty((0, 4))
 
-    def representative_point(self) -> tuple[float, float]:
+    def _representative_xy(self) -> tuple[float, float]:
         """A point guaranteed in the interior (for areal) / on the geometry.
 
         Analogue of point_on_surface (constructive.py:822): scanline at a

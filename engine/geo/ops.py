@@ -73,7 +73,7 @@ def split(geometry: Geom, splitter: Geom) -> Geom:
 
 
 def _rep_point(p: Geom) -> Geom:
-    x, y = p.representative_point()
+    x, y = p._representative_xy()
     return Geom.point(x, y)
 
 
@@ -276,7 +276,7 @@ def maximum_inscribed_circle(geometry, tolerance: float | None = None):
         [core.point_in_rings(x, y, d.polys[0]) == 2 for x, y in zip(xs, ys)]
     )
     if not inside.any():
-        x0, y0 = g.representative_point()
+        x0, y0 = g._representative_xy()
         best = (np.array([x0]), np.array([y0]))
     else:
         best = (xs[inside], ys[inside])

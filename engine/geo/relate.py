@@ -117,7 +117,7 @@ class Decomp:
     def sample_interior_points(self) -> list[tuple[float, float]]:
         out = []
         for rings in self.polys:
-            out.append(Geom(GeomType.POLYGON, rings=rings).representative_point())
+            out.append(Geom(GeomType.POLYGON, rings=rings)._representative_xy())
         return out
 
 

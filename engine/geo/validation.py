@@ -60,7 +60,7 @@ def _faces_even_odd(rings: list[np.ndarray]):
     polys, cuts, dangles, _invalid = polygonize_full(lines)
     faces = []
     for f in polys.parts:
-        px, py = f.representative_point()
+        px, py = f._representative_xy()
         if _odd_parity(rings, px, py):
             faces.append(f)
     leftover = list(cuts.parts) + list(dangles.parts)

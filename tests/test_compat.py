@@ -121,3 +121,36 @@ def test_shape_mapping_geo_interface():
         {"type": "Point", "coordinates": [1, 1]},
         {"type": "LineString", "coordinates": [(0, 0), (1, 1)]}]})
     assert shapely.get_num_geometries(gc) == 2
+
+
+def test_oo_property_surface():
+    """Reference geometry/base.py property surface: .geom_type, .x/.y/.z,
+    .exterior/.interiors, .geoms, .wkb, .convex_hull/.envelope/.boundary,
+    .interpolate/.project/.representative_point."""
+    import engine.compat as shapely
+
+    g = shapely.Polygon([(0, 0), (2, 0), (2, 2), (0, 2)],
+                        holes=[[(0.5, 0.5), (1, 0.5), (1, 1), (0.5, 1)]])
+    assert g.geom_type == "Polygon"
+    assert g.exterior.geom_type == "LinearRing"
+    assert len(g.interiors) == 1
+    pt = shapely.Point(1, 2)
+    assert (pt.x, pt.y) == (1.0, 2.0)
+    assert shapely.Point(1, 2, 3).z == 3.0
+    mp = shapely.MultiPoint([(0, 0), (1, 1)])
+    assert [p.wkt for p in mp.geoms] == ["POINT (0 0)", "POINT (1 1)"]
+    assert g.is_valid
+    assert shapely.from_wkb(g.wkb).wkt == g.wkt
+    assert shapely.from_wkb(bytes.fromhex(g.wkb_hex)).wkt == g.wkt
+    assert g.convex_hull.geom_type == "Polygon"
+    assert g.envelope.geom_type == "Polygon"
+    ls = shapely.LineString([(0, 0), (10, 0)])
+    assert ls.interpolate(5).wkt == "POINT (5 0)"
+    assert ls.interpolate(0.5, normalized=True).wkt == "POINT (5 0)"
+    assert ls.project(shapely.Point(3, 4)) == 3.0
+    assert g.representative_point().geom_type == "Point"
+    assert shapely.contains(g, g.representative_point())
+    assert ls.is_simple and not ls.is_closed
+    import pytest
+    with pytest.raises(ValueError):
+        shapely.LineString([(0, 0), (1, 1)]).x

@@ -75,7 +75,7 @@ def test_centroid():
 def test_representative_point_in_interior():
     for g in [box(0, 0, 2, 2), polygon_with_hole,
               Polygon([(0, 0), (4, 0), (4, 4), (0, 4)], holes=[[(1, 1), (3, 1), (3, 3), (1, 3)]])]:
-        x, y = g.representative_point()
+        x, y = g._representative_xy()
         assert R.contains(g, Geom.point(x, y))
 
 
