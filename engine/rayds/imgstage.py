@@ -102,6 +102,54 @@ class ResizeExtract:
         ).append_column("thumb_mean", pa.array(means))
 
 
+class Transcode:
+    """Actor-pool stage: decode → re-encode every payload in ``to_fmt``.
+
+    The round-trip stage that makes the input_hint per-row invariant
+    testable end-to-end: decoded pixels of the transcoded payload must
+    stay allclose / PSNR≥40dB vs the original, and every non-payload
+    column (caption included) passes through byte-identical."""
+
+    def __init__(self, to_fmt: str = "qraw"):
+        self.to_fmt = to_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        data = batch["bytes"].to_pylist()
+        out = []
+        for w, h, fmt, raw in zip(ws, hs, fmts, data):
+            img = codec.decode_payload(raw, int(w), int(h), fmt)
+            if self.to_fmt == "png":
+                out.append(codec.png_encode(img))
+            elif self.to_fmt == "qraw":
+                out.append(codec.qraw_encode(img))
+            elif self.to_fmt == "raw":
+                out.append(img.tobytes())
+            else:
+                raise NotImplementedError(f"codec {self.to_fmt!r}")
+        i = batch.schema.get_field_index("bytes")
+        t = batch.set_column(i, "bytes", pa.array(out, type=pa.binary()))
+        j = t.schema.get_field_index("fmt")
+        return t.set_column(j, "fmt", pa.array([self.to_fmt] * len(t)))
+
+
+def transcode_dataset(sf_dir: str, to_fmt: str = "qraw", concurrency=None):
+    """payload table → transcoded payload table (same schema)."""
+    base = payload_dataset(sf_dir, concurrency)
+    if concurrency is not None:
+        return base.map_batches(
+            Transcode, fn_constructor_kwargs={"to_fmt": to_fmt},
+            batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
+            concurrency=concurrency,
+        )
+    tc = Transcode(to_fmt)
+    return base.map_batches(
+        lambda b: tc(b), batch_format="pyarrow", batch_size=PAYLOAD_BATCH
+    )
+
+
 class AddVideo:
     """image rows → + (video_bytes, n_frames): attaches the deterministic
     fake video container (codec.synth_video) — the video sibling of

@@ -442,3 +442,32 @@ def test_flagship_on_real_input_hint_table(ray_ready, tmp_path):
             want.add((ids[k], int(layer.poly_ids[i])))
     got = {(r["image_id"], int(r["poly_id"])) for r in rows}
     assert got == want
+
+
+def test_transcode_invariant_pixels_and_caption(ray_ready):
+    """input_hint per-row invariant, end-to-end: transcode (decode →
+    re-encode lossy qraw) must keep decoded pixels PSNR≥40dB vs the
+    original AND carry the caption column through byte-identical."""
+    from engine.img import codec
+    from engine.rayds.imgstage import payload_dataset, transcode_dataset
+
+    import pyarrow.compute as _pc
+
+    def first48(b):
+        n = _pc.utf8_slice_codeunits(b["image_id"], 3, 99)
+        keep = _pc.less(_pc.cast(n, "int64"), 48)
+        return b.filter(keep)
+
+    orig = {r["image_id"]: r
+            for r in payload_dataset(SF).map_batches(
+                first48, batch_format="pyarrow").take_all()}
+    rows = transcode_dataset(SF, to_fmt="qraw").map_batches(
+        first48, batch_format="pyarrow").take_all()
+    assert len(rows) == 48 == len(orig)
+    for r in rows:
+        o = orig[r["image_id"]]
+        assert r["fmt"] == "qraw"
+        assert r["caption"] == o["caption"]          # caption equality
+        a = codec.decode_payload(o["bytes"], o["w"], o["h"], o["fmt"])
+        b = codec.decode_payload(r["bytes"], r["w"], r["h"], "qraw")
+        assert codec.psnr(b, a) >= 40.0              # decoded-pixel invariant
