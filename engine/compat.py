@@ -481,3 +481,57 @@ def _install_oo_properties():
 
 
 _install_oo_properties()
+
+
+# ------------------------------------------------- shapely.errors surface
+class ShapelyError(GEOSException):
+    """Reference errors.py:31 — base error (subclasses GEOSException
+    there too)."""
+
+
+class UnsupportedGEOSVersionError(ShapelyError):
+    pass
+
+
+class DimensionError(ShapelyError):
+    pass
+
+
+class TopologicalError(ShapelyError):
+    pass
+
+
+class ShapelyDeprecationWarning(FutureWarning):
+    pass
+
+
+class EmptyPartError(ShapelyError):
+    pass
+
+
+class GeometryTypeError(ShapelyError):
+    pass
+
+
+errors = _ns(
+    "errors",
+    ShapelyError=ShapelyError, GEOSException=GEOSException,
+    UnsupportedGEOSVersionError=UnsupportedGEOSVersionError,
+    DimensionError=DimensionError, TopologicalError=TopologicalError,
+    ShapelyDeprecationWarning=ShapelyDeprecationWarning,
+    EmptyPartError=EmptyPartError, GeometryTypeError=GeometryTypeError,
+    setup_signal_checks=lambda interval=10000: None,
+)
+
+# reference geometry/base.py CAP_STYLE / JOIN_STYLE compat enums
+CAP_STYLE = BufferCapStyle
+JOIN_STYLE = BufferJoinStyle
+
+geometry = _ns(
+    "geometry",
+    Point=Point, LineString=LineString, LinearRing=LinearRing,
+    Polygon=Polygon, MultiPoint=MultiPoint, MultiLineString=MultiLineString,
+    MultiPolygon=MultiPolygon, GeometryCollection=GeometryCollection,
+    box=box, shape=shape, mapping=mapping, CAP_STYLE=CAP_STYLE,
+    JOIN_STYLE=JOIN_STYLE,
+)
