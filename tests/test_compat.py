@@ -154,3 +154,16 @@ def test_oo_property_surface():
     import pytest
     with pytest.raises(ValueError):
         shapely.LineString([(0, 0), (1, 1)]).x
+
+
+def test_errors_and_geometry_namespaces():
+    """shapely.errors / shapely.geometry namespace surfaces."""
+    import engine.compat as shapely
+
+    assert issubclass(shapely.errors.GeometryTypeError, shapely.GEOSException)
+    assert issubclass(shapely.errors.TopologicalError, shapely.errors.ShapelyError)
+    assert issubclass(shapely.ShapelyDeprecationWarning, FutureWarning)
+    assert shapely.geometry.Point(1, 2).wkt == "POINT (1 2)"
+    assert shapely.geometry.box(0, 0, 1, 1).geom_type == "Polygon"
+    assert shapely.geometry.shape({"type": "Point", "coordinates": [5, 6]}).x == 5.0
+    assert shapely.CAP_STYLE.flat == 2 and shapely.JOIN_STYLE.bevel == 3
