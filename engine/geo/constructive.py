@@ -729,10 +729,159 @@ def _buffer_positive(g: Geom, dist: float, quad_segs: int) -> Geom:
     return union_all(pieces)
 
 
-def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
-    """constructive.py:142 — round-join buffers: positive via union of
-    per-edge rectangles + per-vertex discs over the general overlay;
-    negative (erosion, areal inputs) via polygon − boundary band."""
+_CAP_NAMES = {1: "round", 2: "flat", 3: "square"}
+_JOIN_NAMES = {1: "round", 2: "mitre", 3: "bevel"}
+
+
+def _style_name(style, table, default):
+    if style is None:
+        return default
+    if isinstance(style, str):
+        return style
+    return table[int(style)]
+
+
+def _join_pieces(coords: np.ndarray, closed: bool, dist: float,
+                 quad_segs: int, join: str, mitre_limit: float) -> list:
+    """Join patches at the turn vertices of one part (both sides added —
+    the inner side's patch lands inside the union harmlessly, the outer
+    side's fills the notch between the two edge rectangles)."""
+    out = []
+    pts = coords[:-1] if closed else coords
+    n = len(pts)
+    idx = range(n) if closed else range(1, n - 1)
+    for i in idx:
+        p0 = pts[(i - 1) % n]
+        v = pts[i]
+        p1 = pts[(i + 1) % n]
+        d1, d2 = v - p0, p1 - v
+        L1, L2 = float(np.hypot(*d1)), float(np.hypot(*d2))
+        if L1 == 0 or L2 == 0:
+            out.append(_disc(v[0], v[1], dist, quad_segs))
+            continue
+        n1 = np.array([-d1[1], d1[0]]) / L1 * dist
+        n2 = np.array([-d2[1], d2[0]]) / L2 * dist
+        cross = d1[0] * d2[1] - d1[1] * d2[0]
+        if cross == 0:
+            continue  # collinear: edge rects already meet flush
+        for sgn in (1.0, -1.0):
+            a, b = v + sgn * n1, v + sgn * n2
+            if join == "bevel":
+                out.append(Geom(GeomType.POLYGON, rings=[np.vstack([v, a, b, v])]))
+            else:  # mitre (with limit fallback to bevel)
+                denom = d1[0] * d2[1] - d1[1] * d2[0]
+                w = b - a
+                t = (w[0] * d2[1] - w[1] * d2[0]) / denom
+                m = a + t * d1
+                if np.hypot(*(m - v)) <= mitre_limit * dist:
+                    out.append(
+                        Geom(GeomType.POLYGON, rings=[np.vstack([v, a, m, b, v])])
+                    )
+                else:
+                    out.append(
+                        Geom(GeomType.POLYGON, rings=[np.vstack([v, a, b, v])])
+                    )
+    return out
+
+
+def _cap_pieces(coords: np.ndarray, dist: float, quad_segs: int,
+                cap: str) -> list:
+    """End-cap patches for one OPEN line part."""
+    if cap == "flat":
+        return []
+    out = []
+    for e, o in ((coords[0], coords[1]), (coords[-1], coords[-2])):
+        d = e - o
+        L = float(np.hypot(*d))
+        if L == 0:
+            continue
+        u = d / L * dist
+        n = np.array([-u[1], u[0]])
+        if cap == "round":
+            out.append(_disc(e[0], e[1], dist, quad_segs))
+        else:  # square: extend dist beyond the endpoint
+            out.append(Geom(GeomType.POLYGON, rings=[
+                np.vstack([e + n, e + n + u, e - n + u, e - n, e + n])
+            ]))
+    return out
+
+
+def _buffer_styled(g: Geom, dist: float, quad_segs: int, cap: str,
+                   join: str, mitre_limit: float) -> Geom:
+    """Non-default cap/join buffer (GEOS constructive.py:142 semantics):
+    per-edge rectangles + style-specific vertex/end patches."""
+    from engine.geo.relate import Decomp
+    from engine.geo.set_operations import union_all
+
+    t = g.type_id
+    if g.is_empty:
+        return Geom.empty(GeomType.POLYGON)
+    if t in (GeomType.POINT, GeomType.MULTIPOINT):
+        pieces = []
+        for p in ([g] if t == GeomType.POINT else list(g.parts)):
+            x, y = p.coords[0][:2]
+            if cap == "round":
+                pieces.append(_disc(x, y, dist, quad_segs))
+            elif cap == "square":
+                pieces.append(Geom(GeomType.POLYGON, rings=[np.array(
+                    [[x - dist, y - dist], [x + dist, y - dist],
+                     [x + dist, y + dist], [x - dist, y + dist],
+                     [x - dist, y - dist]])]))
+            # flat cap on a point: GEOS yields POLYGON EMPTY
+        if not pieces:
+            return Geom.empty(GeomType.POLYGON)
+        return union_all(pieces)
+    if t == GeomType.GEOMETRYCOLLECTION:
+        from engine.geo.set_operations import union_all as _ua
+
+        parts = [_buffer_styled(p, dist, quad_segs, cap, join, mitre_limit)
+                 for p in g.parts]
+        parts = [p for p in parts if not p.is_empty]
+        return _ua(parts) if parts else Geom.empty(GeomType.POLYGON)
+    d = Decomp(g)
+    pieces = []
+    for s in d.segs:
+        a, b = s[:2], s[2:]
+        v = b - a
+        L = float(np.hypot(*v))
+        if L == 0:
+            continue
+        n = np.array([-v[1], v[0]]) / L * dist
+        ring = np.vstack([[a + n], [b + n], [b - n], [a - n], [a + n]])
+        pieces.append(Geom(GeomType.POLYGON, rings=[ring]))
+    for line in d.lines:
+        closed = np.array_equal(line[0], line[-1])
+        pieces += _join_pieces(line, closed, dist, quad_segs, join, mitre_limit)
+        if not closed:
+            pieces += _cap_pieces(line, dist, quad_segs, cap)
+    for rings in d.polys:
+        for r in rings:
+            pieces += _join_pieces(r, True, dist, quad_segs, join, mitre_limit)
+    if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        pieces = ([g] if t == GeomType.POLYGON else list(g.parts)) + pieces
+    if not pieces:
+        return Geom.empty(GeomType.POLYGON)
+    return union_all(pieces)
+
+
+def buffer(geometry, distance, quad_segs: int = 8, cap_style="round",
+           join_style="round", mitre_limit: float = 5.0,
+           single_sided: bool = False, **kwargs):
+    """constructive.py:142 — positive via union of per-edge rectangles +
+    per-vertex join patches over the general overlay (round joins use
+    one disc per distinct vertex; mitre/bevel use corner patches with
+    the GEOS mitre-limit fallback; flat/square caps per GEOS); negative
+    (erosion, areal inputs) via polygon − boundary band.
+    ``single_sided`` is not implemented (use offset_curve)."""
+    if single_sided:
+        raise NotImplementedError("single_sided buffer (use offset_curve)")
+    cap = _style_name(cap_style, _CAP_NAMES, "round")
+    join = _style_name(join_style, _JOIN_NAMES, "round")
+
+    def pos(g, dd):
+        if cap == "round" and join == "round":
+            return _buffer_positive(g, dd, quad_segs)
+        return _buffer_styled(g, dd, quad_segs, cap, join, float(mitre_limit))
 
     def one(g):
         if g is None:
@@ -744,8 +893,8 @@ def buffer(geometry, distance, quad_segs: int = 8, **kwargs):
         if distance < 0:
             from engine.geo.set_operations import difference
 
-            band = _buffer_positive(boundary(g), -distance, quad_segs)
+            band = pos(boundary(g), -distance)
             return difference(g, band)
-        return _buffer_positive(g, float(distance), quad_segs)
+        return pos(g, float(distance))
 
     return _apply1(one, geometry)

@@ -457,3 +457,46 @@ def test_line_line_difference():
     # areal minus line keeps the area
     sq = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
     assert measure.area(so.difference(sq, a)) == 4.0
+
+
+def test_buffer_cap_join_styles():
+    """GEOS buffer style semantics (reference constructive.py:142):
+    flat/square caps, mitre/bevel joins with exact areas on axis-aligned
+    inputs, mitre_limit fallback, styled negative buffer, enum styles."""
+    import engine.compat as shapely
+    from engine.geo.constructive import buffer
+    from engine.geo.creation import points
+    from engine.geo.measure import area
+
+    pt = shapely.Point(0, 0)
+    assert abs(area(buffer(pt, 2, cap_style="square")) - 16.0) < 1e-9
+    assert buffer(pt, 2, cap_style="flat").is_empty
+    ln = shapely.LineString([(0, 0), (10, 0)])
+    assert abs(area(buffer(ln, 1, cap_style="flat")) - 20.0) < 1e-9
+    assert abs(area(buffer(ln, 1, cap_style="square")) - 24.0) < 1e-9
+    # L-shaped line, flat caps: rect union 39; mitre fills the outer
+    # corner square (40.0 exact); bevel fills half of it (39.5 exact)
+    L = shapely.LineString([(0, 0), (10, 0), (10, 10)])
+    assert abs(area(buffer(L, 1, cap_style="flat", join_style="mitre")) - 40.0) < 1e-6
+    assert abs(area(buffer(L, 1, cap_style="flat", join_style="bevel")) - 39.5) < 1e-6
+    # polygon joins: unit square +1 mitre -> 3x3 square; bevel cuts the
+    # 4 corner triangles (area 0.5 each)
+    P = shapely.Polygon([(0, 0), (1, 0), (1, 1), (0, 1)])
+    assert abs(area(buffer(P, 1, join_style="mitre")) - 9.0) < 1e-9
+    assert abs(area(buffer(P, 1, join_style="bevel")) - 7.0) < 1e-9
+    # mitre_limit clamps the spike
+    S = shapely.LineString([(0, 0), (10, 0), (0, 0.5)])
+    a_lim = area(buffer(S, 1, cap_style="flat", join_style="mitre", mitre_limit=1.5))
+    a_big = area(buffer(S, 1, cap_style="flat", join_style="mitre", mitre_limit=50))
+    assert 0 < a_lim < a_big
+    # styled negative buffer: 4x4 square -1 mitre -> 2x2
+    big = shapely.Polygon([(0, 0), (4, 0), (4, 4), (0, 4)])
+    assert abs(area(buffer(big, -1, join_style="mitre")) - 4.0) < 1e-9
+    # enum style inputs + default path untouched
+    import numpy as np
+    assert abs(area(buffer(P, 1, cap_style=shapely.CAP_STYLE.round,
+                           join_style=shapely.JOIN_STYLE.mitre)) - 9.0) < 1e-9
+    assert abs(area(buffer(pt, 1)) - np.pi) < 0.03  # 32-gon disc
+    import pytest
+    with pytest.raises(NotImplementedError):
+        buffer(ln, 1, single_sided=True)
