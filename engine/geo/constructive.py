@@ -864,6 +864,84 @@ def _buffer_styled(g: Geom, dist: float, quad_segs: int, cap: str,
     return union_all(pieces)
 
 
+def _sector(v, n1, n2, quad_segs: int) -> Geom:
+    """Circular-sector fan at ``v`` sweeping (the short way) from
+    direction n1 to n2 (both length = radius)."""
+    r = float(np.hypot(*n1))
+    a0 = np.arctan2(n1[1], n1[0])
+    a1 = np.arctan2(n2[1], n2[0])
+    sweep = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
+    k = max(1, int(np.ceil(abs(sweep) / (np.pi / (2 * max(1, quad_segs))))))
+    angs = a0 + sweep * np.linspace(0, 1, k + 1)
+    arc = v + r * np.column_stack([np.cos(angs), np.sin(angs)])
+    ring = np.vstack([v, arc, v])
+    return Geom(GeomType.POLYGON, rings=[ring])
+
+
+def _buffer_single_sided(g: Geom, dist: float, quad_segs: int, join: str,
+                         mitre_limit: float) -> Geom:
+    """GEOS single-sided buffer (constructive.py:142, lineal inputs):
+    the region between the line and its one-side offset — one-sided edge
+    rectangles + offset-side join patches, flat ends."""
+    from engine.geo.set_operations import union_all
+
+    t = g.type_id
+    if t == GeomType.MULTILINESTRING:
+        parts = [_buffer_single_sided(p, dist, quad_segs, join, mitre_limit)
+                 for p in g.parts]
+        parts = [p for p in parts if not p.is_empty]
+        return union_all(parts) if parts else Geom.empty(GeomType.POLYGON)
+    if t not in (GeomType.LINESTRING, GeomType.LINEARRING):
+        raise TypeError("single_sided buffer requires lineal input")
+    c = g.coords[:, :2]
+    if len(c) < 2:
+        return Geom.empty(GeomType.POLYGON)
+    side = 1.0 if dist > 0 else -1.0
+    ad = abs(float(dist))
+    closed = np.array_equal(c[0], c[-1])
+    v = np.diff(c, axis=0)
+    L = np.hypot(v[:, 0], v[:, 1])
+    keep = L > 0
+    v, L = v[keep], L[keep]
+    pts = np.vstack([c[:1], c[1:][keep]])
+    if len(v) == 0:
+        return Geom.empty(GeomType.POLYGON)
+    n = np.column_stack([-v[:, 1], v[:, 0]]) / L[:, None] * side * ad
+    pieces = []
+    for i in range(len(v)):
+        a, b = pts[i], pts[i + 1]
+        ring = np.vstack([a, b, b + n[i], a + n[i], a])
+        pieces.append(Geom(GeomType.POLYGON, rings=[ring]))
+    njoin = len(v) if closed else len(v) - 1
+    for j in range(njoin):
+        i2 = (j + 1) % len(v)
+        vert = pts[j + 1]
+        turn = core.orient(0, 0, v[j, 0], v[j, 1], v[i2, 0], v[i2, 1])
+        if turn * side >= 0:
+            continue  # inward turn on the offset side: rects overlap
+        n1, n2 = n[j], n[i2]
+        a, b = vert + n1, vert + n2
+        if join == "round":
+            pieces.append(_sector(vert, n1, n2, quad_segs))
+        elif join == "bevel":
+            pieces.append(Geom(GeomType.POLYGON, rings=[np.vstack([vert, a, b, vert])]))
+        else:  # mitre
+            d1, d2 = v[j], v[i2]
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            w = b - a
+            tpar = (w[0] * d2[1] - w[1] * d2[0]) / denom
+            m = a + tpar * d1
+            if np.hypot(*(m - vert)) <= mitre_limit * ad:
+                pieces.append(
+                    Geom(GeomType.POLYGON, rings=[np.vstack([vert, a, m, b, vert])])
+                )
+            else:
+                pieces.append(
+                    Geom(GeomType.POLYGON, rings=[np.vstack([vert, a, b, vert])])
+                )
+    return union_all(pieces)
+
+
 def buffer(geometry, distance, quad_segs: int = 8, cap_style="round",
            join_style="round", mitre_limit: float = 5.0,
            single_sided: bool = False, **kwargs):
@@ -872,11 +950,26 @@ def buffer(geometry, distance, quad_segs: int = 8, cap_style="round",
     one disc per distinct vertex; mitre/bevel use corner patches with
     the GEOS mitre-limit fallback; flat/square caps per GEOS); negative
     (erosion, areal inputs) via polygon − boundary band.
-    ``single_sided`` is not implemented (use offset_curve)."""
-    if single_sided:
-        raise NotImplementedError("single_sided buffer (use offset_curve)")
+    ``single_sided`` buffers lineal inputs on the left (positive
+    distance) / right (negative) with flat ends."""
     cap = _style_name(cap_style, _CAP_NAMES, "round")
     join = _style_name(join_style, _JOIN_NAMES, "round")
+    if single_sided:
+        def one_ss(g):
+            if g is None:
+                return None
+            if distance == 0:
+                return Geom.empty(GeomType.POLYGON)
+            if g.type_id in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+                # GEOS: single_sided is meaningful for lines; areal
+                # inputs fall back to the ordinary buffer
+                return buffer(g, distance, quad_segs, cap_style, join_style,
+                              mitre_limit)
+            return _buffer_single_sided(
+                g, float(distance), quad_segs, join, float(mitre_limit)
+            )
+
+        return _apply1(one_ss, geometry)
 
     def pos(g, dd):
         if cap == "round" and join == "round":

@@ -497,6 +497,17 @@ def test_buffer_cap_join_styles():
     assert abs(area(buffer(P, 1, cap_style=shapely.CAP_STYLE.round,
                            join_style=shapely.JOIN_STYLE.mitre)) - 9.0) < 1e-9
     assert abs(area(buffer(pt, 1)) - np.pi) < 0.03  # 32-gon disc
-    import pytest
-    with pytest.raises(NotImplementedError):
-        buffer(ln, 1, single_sided=True)
+    # single-sided: left for +distance, right for -distance, flat ends
+    import numpy as np
+    from engine.geo.measure import bounds
+    sl = buffer(ln, 1, single_sided=True)
+    assert abs(area(sl) - 10.0) < 1e-9 and list(bounds(sl)) == [0, 0, 10, 1]
+    sr = buffer(ln, -1, single_sided=True)
+    assert abs(area(sr) - 10.0) < 1e-9 and list(bounds(sr)) == [0, -1, 10, 0]
+    # L-shape: inward side needs no join (19 exact); outward side gets a
+    # quarter round / mitre square / bevel half-square corner
+    Lr = buffer(L, -1, single_sided=True)
+    assert abs(area(buffer(L, 1, single_sided=True)) - 19.0) < 1e-9
+    assert abs(area(Lr) - (20 + np.pi / 4)) < 0.02
+    assert abs(area(buffer(L, -1, single_sided=True, join_style="mitre")) - 21.0) < 1e-9
+    assert abs(area(buffer(L, -1, single_sided=True, join_style="bevel")) - 20.5) < 1e-9
