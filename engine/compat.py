@@ -535,3 +535,46 @@ geometry = _ns(
     box=box, shape=shape, mapping=mapping, CAP_STYLE=CAP_STYLE,
     JOIN_STYLE=JOIN_STYLE,
 )
+
+
+# ------------------- legacy shapely.vectorized / shapely.algorithms
+def _vectorized_contains(geometry, x, y):
+    """Reference vectorized/__init__.py:24 — boolean array."""
+    return np.asarray(contains_xy(geometry, np.asarray(x, dtype=np.float64),
+                                  np.asarray(y, dtype=np.float64)))
+
+
+def _vectorized_touches(geometry, x, y):
+    """Reference vectorized/__init__.py:58."""
+    xs = np.asarray(x, dtype=np.float64).ravel()
+    ys = np.asarray(y, dtype=np.float64).ravel()
+    out = np.array([bool(touches(geometry, Point(xi, yi)))
+                    for xi, yi in zip(xs, ys)])
+    return out.reshape(np.asarray(x).shape)
+
+
+def signed_area(ring):
+    """Reference algorithms/cga.py:8 — shoelace signed area of a ring
+    (positive = CCW)."""
+    c = get_coordinates(ring)
+    xs, ys = c[:, 0], c[:, 1]
+    return float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]) / 2.0)
+
+
+def polylabel(polygon, tolerance=1.0):
+    """Reference algorithms/polylabel.py:7 — pole of inaccessibility =
+    center of the maximum inscribed circle."""
+    from engine.geo.ops import maximum_inscribed_circle
+
+    line = maximum_inscribed_circle(polygon, tolerance)
+    c = get_coordinates(line)
+    return Point(c[0, 0], c[0, 1])
+
+
+vectorized = _ns("vectorized", contains=_vectorized_contains,
+                 touches=_vectorized_touches)
+algorithms = _ns(
+    "algorithms",
+    cga=_ns("algorithms.cga", signed_area=signed_area),
+    polylabel=_ns("algorithms.polylabel", polylabel=polylabel),
+)

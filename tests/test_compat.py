@@ -167,3 +167,23 @@ def test_errors_and_geometry_namespaces():
     assert shapely.geometry.box(0, 0, 1, 1).geom_type == "Polygon"
     assert shapely.geometry.shape({"type": "Point", "coordinates": [5, 6]}).x == 5.0
     assert shapely.CAP_STYLE.flat == 2 and shapely.JOIN_STYLE.bevel == 3
+
+
+def test_vectorized_and_algorithms_namespaces():
+    """Legacy shapely.vectorized / shapely.algorithms surfaces."""
+    import numpy as np
+
+    import engine.compat as shapely
+
+    g = shapely.Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    x = np.array([1.0, 15.0, 5.0])
+    y = np.array([1.0, 5.0, 5.0])
+    assert shapely.vectorized.contains(g, x, y).tolist() == [True, False, True]
+    assert shapely.vectorized.touches(
+        g, np.array([0.0, 5.0]), np.array([5.0, 5.0])).tolist() == [True, False]
+    ccw = shapely.LinearRing([(0, 0), (1, 0), (1, 1), (0, 1)])
+    cw = shapely.LinearRing([(0, 0), (0, 1), (1, 1), (1, 0)])
+    assert shapely.algorithms.cga.signed_area(ccw) == 1.0
+    assert shapely.algorithms.cga.signed_area(cw) == -1.0
+    pl = shapely.algorithms.polylabel.polylabel(g, 0.1)
+    assert 4 < pl.x < 6 and 4 < pl.y < 6
