@@ -578,3 +578,28 @@ algorithms = _ns(
     cga=_ns("algorithms.cga", signed_area=signed_area),
     polylabel=_ns("algorithms.polylabel", polylabel=polylabel),
 )
+
+
+# ----------------------------------------------- version / geos metadata
+# Feature-parity declaration: no GEOS is linked — the engine's from-
+# scratch kernels target GEOS 3.12 semantics (reference geos.py surface;
+# version gates in user code resolve as if that GEOS were present).
+__version__ = "2.0-rayengine"
+geos_version = (3, 12, 0)
+geos_version_string = "3.12.0-compat (no GEOS linked; native kernels)"
+geos_capi_version = geos_version
+geos_capi_version_string = geos_version_string
+
+
+def _plotting_stub(*a, **kw):
+    raise ImportError(
+        "shapely.plotting requires matplotlib, which is not available "
+        "in this environment"
+    )
+
+
+plotting = _ns(
+    "plotting",
+    plot_polygon=_plotting_stub, plot_line=_plotting_stub,
+    plot_points=_plotting_stub, patch_from_polygon=_plotting_stub,
+)
