@@ -81,6 +81,21 @@ def _expanded_images(sf_dir: str, mult: int):
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+
+def _bandwidth_probe() -> dict:
+    """One-shot DRAM-bandwidth probe (this VM intermittently collapses
+    to ~1% memory bandwidth; numbers taken in that state are garbage —
+    record the state so a slow run is attributable)."""
+    import numpy as np
+
+    t0 = time.time()
+    x = np.arange(20_000_000)
+    _ = x * 3 + 1
+    secs = time.time() - t0
+    state = "HEALTHY" if secs < 1.0 else ("SLOW" if secs < 10 else "DEGRADED")
+    return {"probe_secs": round(secs, 2), "state": state}
+
+
 def run_headline(sf_dir: str, mult: int) -> dict:
     """Full pipeline: derive → broadcast join vs dense polygon layer →
     tile assign → combiner-first tile-count shuffle.
@@ -298,6 +313,7 @@ def main():
             "rows": head["rows"],
             "rows_per_sec": round(head["rows_per_sec"], 1),
             "tile_groups": head["groups"],
+            "mem_bandwidth": _bandwidth_probe(),
         }))
     finally:
         ray.shutdown()
