@@ -603,3 +603,18 @@ plotting = _ns(
     plot_polygon=_plotting_stub, plot_line=_plotting_stub,
     plot_points=_plotting_stub, patch_from_polygon=_plotting_stub,
 )
+
+
+# ----------------------------------------------- coords .xy (coords.py)
+def _xy(self):
+    """Reference coords.py CoordinateSequence.xy / base.py .xy — separate
+    x and y arrays of the geometry's own vertices (point/line/ring)."""
+    import array as _array
+
+    c = get_coordinates(self)
+    return (_array.array("d", c[:, 0].tolist()),
+            _array.array("d", c[:, 1].tolist()))
+
+
+if not hasattr(Geom, "xy"):
+    Geom.xy = property(_xy)
