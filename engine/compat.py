@@ -398,6 +398,50 @@ def shape(context):
 Geom.__geo_interface__ = property(lambda self: mapping(self))
 
 
+class CollectionOperator:
+    """shapely.ops.CollectionOperator (ops.py:44): adapter-accepting
+    polygonize/polygonize_full/linemerge/unary_union over sequences of
+    geometries, coordinate lists, or __geo_interface__ objects."""
+
+    def shapeup(self, ob):
+        if isinstance(ob, Geom):
+            return ob
+        try:
+            return shape(ob)
+        except (ValueError, AttributeError, KeyError, TypeError):
+            return LineString(ob)
+
+    def _lines(self, lines):
+        source = getattr(lines, "geoms", None) or lines
+        try:
+            source = iter(source)
+        except TypeError:
+            source = [source]
+        return [self.shapeup(line) for line in source]
+
+    def polygonize(self, lines):
+        """Polygons from a source of lines — returns the collection's
+        geoms (reference ops.py:56 yields, we return the list)."""
+        return list(get_parts(polygonize(self._lines(lines))))
+
+    def polygonize_full(self, lines):
+        return polygonize_full(self._lines(lines))
+
+    def linemerge(self, lines, directed=False):
+        return linemerge(lines, directed=directed)
+
+    def unary_union(self, geoms):
+        return union_all(list(geoms))
+
+
+operator = CollectionOperator()
+ops.operator = operator
+ops.CollectionOperator = CollectionOperator
+
+
+from engine.geo.geom import CoordinateSequence  # noqa: F401  (reference coords surface)
+
+
 # --------------------------------- OO properties (reference base.py surface)
 def _install_oo_properties():
     from engine.geo import constructive as _c
@@ -445,6 +489,7 @@ def _install_oo_properties():
         "boundary": lambda self: _c.boundary(self),
         "minimum_rotated_rectangle": lambda self: _c.oriented_envelope(self),
         "oriented_envelope": lambda self: _c.oriented_envelope(self),
+        "minimum_clearance": lambda self: float(_m.minimum_clearance(self)),
     }
     for name, fn in props.items():
         if not hasattr(Geom, name):

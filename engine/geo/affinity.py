@@ -22,10 +22,10 @@ def _interpret_origin(geometry, origin) -> tuple[float, float]:
         return ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)
     if origin == "centroid":
         g = geometry if isinstance(geometry, Geom) else geometry[0]
-        c = g.centroid()
-        return (float(c.coords[0, 0]), float(c.coords[0, 1]))
+        c = g.centroid
+        return (float(c.xys[0, 0]), float(c.xys[0, 1]))
     if isinstance(origin, Geom):
-        return (float(origin.coords[0, 0]), float(origin.coords[0, 1]))
+        return (float(origin.xys[0, 0]), float(origin.xys[0, 1]))
     return (float(origin[0]), float(origin[1]))
 
 

@@ -37,7 +37,7 @@ def envelope(geometry):
             return None
         if g.is_empty:
             return g
-        b = g.bounds()
+        b = g.bounds
         if b[0] == b[2] and b[1] == b[3]:
             return Geom.point(b[0], b[1])
         if b[0] == b[2] or b[1] == b[3]:
@@ -59,7 +59,7 @@ def centroid(geometry):
             return None
         if g.is_empty:
             return Geom.empty(GeomType.POINT)
-        c = g.centroid()
+        c = g.centroid
         return c
 
     return _apply1(one, geometry)
@@ -196,7 +196,7 @@ def clip_by_rect(geometry, xmin, ymin, xmax, ymax):
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
         t = g.type_id
         if t == GeomType.POINT:
-            x, y = g.coords[0]
+            x, y = g.xys[0]
             if xmin <= x <= xmax and ymin <= y <= ymax:
                 return g
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
@@ -258,7 +258,7 @@ def simplify(geometry, tolerance, preserve_topology: bool = True):
         if t == GeomType.POINT:
             return g
         if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-            return Geom(t, coords=_dp(g.coords, tolerance))
+            return Geom(t, xys=_dp(g.xys, tolerance))
         if t == GeomType.POLYGON:
             rings = []
             for i, r in enumerate(g.rings):
@@ -286,7 +286,7 @@ def reverse(geometry):
             return None
         t = g.type_id
         if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-            return Geom(t, coords=g.coords[::-1].copy())
+            return Geom(t, xys=g.xys[::-1].copy())
         if t == GeomType.POLYGON:
             return Geom(t, rings=[r[::-1].copy() for r in g.rings])
         if g.parts:
@@ -395,10 +395,10 @@ def remove_repeated_points(geometry, tolerance: float = 0.0):
             return None
         t = g.type_id
         if t == GeomType.LINESTRING:
-            out = dedupe(g.coords, 2)
+            out = dedupe(g.xys, 2)
             if len(out) == 1:
                 out = np.vstack([out, out])
-            return Geom(t, coords=out)
+            return Geom(t, xys=out)
         if t == GeomType.POLYGON:
             rings = []
             for r in g.rings:
@@ -433,7 +433,7 @@ def segmentize(geometry, max_segment_length):
             return None
         t = g.type_id
         if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-            return Geom(t, coords=seg_line(g.coords))
+            return Geom(t, xys=seg_line(g.xys))
         if t == GeomType.POLYGON:
             return Geom(t, rings=[seg_line(r) for r in g.rings])
         if g.parts:
@@ -606,9 +606,9 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
             if t == GeomType.MULTILINESTRING:
                 return Geom(t, parts=[one(p) for p in g.parts])
             raise TypeError("offset_curve requires lineal input")
-        c = g.coords
+        c = g.xys
         if len(c) < 2 or distance == 0:
-            return Geom(t, coords=c.copy())
+            return Geom(t, xys=c.copy())
         d = float(distance)
         side = 1.0 if d > 0 else -1.0
         ad = abs(d)
@@ -657,7 +657,7 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
         coords = np.vstack(out)
         keep = np.ones(len(coords), dtype=bool)
         keep[1:] = (np.abs(np.diff(coords, axis=0)) > 1e-15).any(axis=1)
-        raw = Geom(GeomType.LINESTRING, coords=coords[keep])
+        raw = Geom(GeomType.LINESTRING, xys=coords[keep])
         return _offset_remove_self_intersections(raw, g, ad)
 
     return _apply1(one, geometry)
@@ -670,7 +670,7 @@ def _offset_remove_self_intersections(raw: Geom, src: Geom, ad: float) -> Geom:
     from the input line, then merge.  Simple outputs pass through."""
     from engine.geo import predicates
 
-    if len(raw.coords) < 3 or predicates.is_simple(raw):
+    if len(raw.xys) < 3 or predicates.is_simple(raw):
         return raw
     from engine.geo.linear import line_merge
     from engine.geo.linework import node
@@ -680,12 +680,12 @@ def _offset_remove_self_intersections(raw: Geom, src: Geom, ad: float) -> Geom:
     tol = ad - 1e-9 * max(1.0, ad)
     kept = []
     for piece in noded.parts:
-        if len(piece.coords) < 2:
+        if len(piece.xys) < 2:
             continue
-        mid = piece.coords[len(piece.coords) // 2]
-        if len(piece.coords) % 2 == 0:
-            mid = 0.5 * (piece.coords[len(piece.coords) // 2 - 1]
-                         + piece.coords[len(piece.coords) // 2])
+        mid = piece.xys[len(piece.xys) // 2]
+        if len(piece.xys) % 2 == 0:
+            mid = 0.5 * (piece.xys[len(piece.xys) // 2 - 1]
+                         + piece.xys[len(piece.xys) // 2])
         if geo_distance(Geom.point(mid[0], mid[1]), src) >= tol:
             kept.append(piece)
     if not kept:
@@ -702,10 +702,10 @@ def _buffer_positive(g: Geom, dist: float, quad_segs: int) -> Geom:
     if g.is_empty:
         return Geom.empty(GeomType.POLYGON)
     if t == GeomType.POINT:
-        x, y = g.coords[0]
+        x, y = g.xys[0]
         return _disc(x, y, dist, quad_segs)
     if t == GeomType.MULTIPOINT:
-        return union_all([_disc(p.coords[0, 0], p.coords[0, 1], dist, quad_segs)
+        return union_all([_disc(p.xys[0, 0], p.xys[0, 1], dist, quad_segs)
                           for p in g.parts])
     d = Decomp(g)
     # one rectangle per edge + ONE disc per distinct vertex: every
@@ -819,7 +819,7 @@ def _buffer_styled(g: Geom, dist: float, quad_segs: int, cap: str,
     if t in (GeomType.POINT, GeomType.MULTIPOINT):
         pieces = []
         for p in ([g] if t == GeomType.POINT else list(g.parts)):
-            x, y = p.coords[0][:2]
+            x, y = p.xys[0][:2]
             if cap == "round":
                 pieces.append(_disc(x, y, dist, quad_segs))
             elif cap == "square":
@@ -893,7 +893,7 @@ def _buffer_single_sided(g: Geom, dist: float, quad_segs: int, join: str,
         return union_all(parts) if parts else Geom.empty(GeomType.POLYGON)
     if t not in (GeomType.LINESTRING, GeomType.LINEARRING):
         raise TypeError("single_sided buffer requires lineal input")
-    c = g.coords[:, :2]
+    c = g.xys[:, :2]
     if len(c) < 2:
         return Geom.empty(GeomType.POLYGON)
     side = 1.0 if dist > 0 else -1.0

@@ -19,8 +19,8 @@ def _walk_blocks(g: Geom):
     """Yield mutable coord blocks of a geometry in canonical order."""
     t = g.type_id
     if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
-        if len(g.coords):
-            yield g.coords
+        if len(g.xys):
+            yield g.xys
     elif t == GeomType.POLYGON:
         for r in g.rings:
             yield r
@@ -91,9 +91,9 @@ def _rebuild(g: Geom, it, w: int) -> Geom:
     hz = g.has_z if w == 2 else (w >= 3)
     hm = g.has_m if w == 2 else (w == 4)
     if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
-        if not len(g.coords):
+        if not len(g.xys):
             return g
-        return Geom(t, coords=block(len(g.coords), g.coords), has_z=hz, has_m=hm)
+        return Geom(t, xys=block(len(g.xys), g.xys), has_z=hz, has_m=hm)
     if t == GeomType.POLYGON:
         return Geom(t, rings=[block(len(r), r) for r in g.rings], has_z=hz, has_m=hm)
     parts = [_rebuild(p, it, w) for p in g.parts]
@@ -164,9 +164,9 @@ def transform_coordseq(geometry, transformation):
 
         t = g.type_id
         if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
-            if not len(g.coords):
+            if not len(g.xys):
                 return g
-            return Geom(t, coords=np.asarray(transformation(g.coords), dtype=np.float64))
+            return Geom(t, xys=np.asarray(transformation(g.xys), dtype=np.float64))
         if t == GeomType.POLYGON:
             return Geom(t, rings=[np.asarray(transformation(r), dtype=np.float64) for r in g.rings])
         if g.parts:
@@ -216,7 +216,7 @@ def get_rings(geometry, return_index: bool = False):
         if g is None or g.type_id != GeomType.POLYGON:
             continue
         for r in g.rings:
-            rings.append(Geom(GeomType.LINEARRING, coords=r.copy()))
+            rings.append(Geom(GeomType.LINEARRING, xys=r.copy()))
             idx.append(i)
     out = np.array(rings, dtype=object)
     if return_index:
@@ -234,7 +234,7 @@ def get_x(point):
     def one(g):
         if g is None or g.is_empty or g.type_id != GeomType.POINT:
             return np.nan
-        return float(g.coords[0, 0])
+        return float(g.xys[0, 0])
 
     if isinstance(point, Geom) or point is None:
         return one(point)
@@ -247,7 +247,7 @@ def get_y(point):
     def one(g):
         if g is None or g.is_empty or g.type_id != GeomType.POINT:
             return np.nan
-        return float(g.coords[0, 1])
+        return float(g.xys[0, 1])
 
     if isinstance(point, Geom) or point is None:
         return one(point)
@@ -261,7 +261,7 @@ def get_z(point):
     def one(g):
         if g is None or g.is_empty or g.type_id != GeomType.POINT or not g.has_z:
             return np.nan
-        return float(g.coords[0, 2])
+        return float(g.xys[0, 2])
 
     if isinstance(point, Geom) or point is None:
         return one(point)
@@ -275,7 +275,7 @@ def get_m(point):
     def one(g):
         if g is None or g.is_empty or g.type_id != GeomType.POINT or not g.has_m:
             return np.nan
-        return float(g.coords[0, 2 + int(g.has_z)])
+        return float(g.xys[0, 2 + int(g.has_z)])
 
     if isinstance(point, Geom) or point is None:
         return one(point)
@@ -349,7 +349,7 @@ def get_exterior_ring(polygon):
     def one(g):
         if g is None or g.type_id != GeomType.POLYGON or g.is_empty:
             return None
-        return Geom(GeomType.LINEARRING, coords=g.rings[0].copy())
+        return Geom(GeomType.LINEARRING, xys=g.rings[0].copy())
 
     if isinstance(polygon, Geom) or polygon is None:
         return one(polygon)
@@ -365,7 +365,7 @@ def get_interior_ring(polygon, index):
         holes = g.rings[1:]
         if i < 0 or i >= len(holes):
             return None
-        return Geom(GeomType.LINEARRING, coords=holes[i].copy())
+        return Geom(GeomType.LINEARRING, xys=holes[i].copy())
 
     if isinstance(polygon, Geom) or polygon is None:
         return one(polygon, index)

@@ -76,8 +76,8 @@ def coverage_invalid_edges(geometries, gap_width: float = 0.0):
     geoms = list(geometries)
     out: list = [None] * len(geoms)
     for i, j in _overlapping_pairs(geoms):
-        bi = geoms[i].bounds()
-        bj = geoms[j].bounds()
+        bi = geoms[i].bounds
+        bj = geoms[j].bounds
         xmin, ymin = max(bi[0], bj[0]), max(bi[1], bj[1])
         xmax, ymax = min(bi[2], bj[2]), min(bi[3], bj[3])
         seg = Geom.linestring(np.array([[xmin, ymin], [xmax, ymax]]))
@@ -90,7 +90,7 @@ def _overlapping_pairs(geometries):
     geoms = [g for g in geometries]
     n = len(geoms)
     bounds = np.array(
-        [g.bounds() if g is not None and not g.is_empty else [np.nan] * 4 for g in geoms]
+        [g.bounds if g is not None and not g.is_empty else [np.nan] * 4 for g in geoms]
     )
     pairs = []
     for i in range(n):

@@ -45,7 +45,7 @@ def points(coords, y=None, z=None, handle_nan: str = "allow"):
             if np.isnan(row).all():
                 out.append(Geom(GeomType.POINT, has_z=hz, has_m=hm))
                 continue
-        out.append(Geom(GeomType.POINT, coords=np.asarray([row]), has_z=hz, has_m=hm))
+        out.append(Geom(GeomType.POINT, xys=np.asarray([row]), has_z=hz, has_m=hm))
     if scalar:
         return out[0]
     return np.array(out, dtype=object)
@@ -92,7 +92,7 @@ def polygons(shells, holes=None, indices=None):
 
     def ring_coords(r):
         if isinstance(r, Geom):
-            return r.coords
+            return r.xys
         return _coerce(r)
 
     if isinstance(shells, Geom) or (

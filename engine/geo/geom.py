@@ -45,6 +45,42 @@ _WKT_NAMES = {
 _NAME_TO_TYPE = {v: k for k, v in _WKT_NAMES.items()}
 
 
+class CoordinateSequence:
+    """Reference coords.py:10 surface: iterable/indexable sequence of
+    coordinate tuples with an ``.xy`` array-pair accessor."""
+
+    def __init__(self, coords: np.ndarray):
+        self._coords = np.asarray(coords, dtype=np.float64)
+
+    def __len__(self):
+        return int(self._coords.shape[0])
+
+    def __iter__(self):
+        for row in self._coords:
+            yield tuple(float(v) for v in row)
+
+    def __getitem__(self, key):
+        if isinstance(key, (int, np.integer)):
+            return tuple(float(v) for v in self._coords[key])
+        return [tuple(float(v) for v in row) for row in self._coords[key]]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._coords
+        return a.astype(dtype) if dtype is not None else a
+
+    @property
+    def xy(self):
+        import array as _array
+
+        return (
+            _array.array("d", self._coords[:, 0]),
+            _array.array("d", self._coords[:, 1]),
+        )
+
+    def __repr__(self):
+        return f"<CoordinateSequence {list(self)!r}>"
+
+
 def _as_coords(coords) -> np.ndarray:
     """Normalize input to (n, w) float64 with w ∈ {2, 3, 4}; flat input
     is interpreted as xy pairs (historical 2-D contract)."""
@@ -88,7 +124,7 @@ class Geom:
     """
 
     type_id: GeomType
-    coords: np.ndarray = field(default_factory=lambda: np.empty((0, 2)))
+    xys: np.ndarray = field(default_factory=lambda: np.empty((0, 2)))
     rings: list = field(default_factory=list)
     parts: list = field(default_factory=list)
     has_z: bool = False
@@ -176,7 +212,7 @@ class Geom:
             GeomType.GEOMETRYCOLLECTION,
         ):
             return len(self.parts) == 0 or all(p.is_empty for p in self.parts)
-        return len(self.coords) == 0
+        return len(self.xys) == 0
 
     @property
     def dimension(self) -> int:
@@ -192,10 +228,26 @@ class Geom:
             return max((p.dimension for p in self.parts), default=-1)
         return -1
 
+    @property
     def bounds(self) -> np.ndarray:
         """(xmin, ymin, xmax, ymax); NaN for empty (measurement.py:85)."""
         cs = self.all_coords()
         return core.bbox_of(cs)
+
+    @property
+    def coords(self) -> "CoordinateSequence":
+        """Reference base.py:329 ``.coords``: coordinate sequence of a
+        Point/LineString/LinearRing; polygons raise (their rings have
+        sequences, the polygon does not)."""
+        if self.type_id not in (
+            GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING
+        ):
+            raise NotImplementedError(
+                "Component rings have coordinate sequences, "
+                "but the polygon does not"
+            )
+        w = 2 + (1 if self.has_z else 0)
+        return CoordinateSequence(self.xys[:, :w])
 
     def all_coords(self) -> np.ndarray:
         """(n,2) xy coordinates (analysis view; Z/M stripped)."""
@@ -216,14 +268,14 @@ class Geom:
             GeomType.GEOMETRYCOLLECTION,
         ):
             return np.empty((0, 2))
-        return self.coords[:, :2]
+        return self.xys[:, :2]
 
     # -- flattened views (decomposition used by relate + measures; always
     # 2-D xy views — predicates/overlays are planar like GEOS) -----------
     def point_parts(self) -> np.ndarray:
         """(k,2) coordinates of all point components."""
         if self.type_id == GeomType.POINT:
-            return self.coords[:, :2]
+            return self.xys[:, :2]
         out = []
         if self.type_id in (GeomType.MULTIPOINT, GeomType.GEOMETRYCOLLECTION):
             for p in self.parts:
@@ -235,7 +287,7 @@ class Geom:
     def line_parts(self) -> list[np.ndarray]:
         """List of (n,2) polylines (linestrings/rings-as-lines)."""
         if self.type_id in (GeomType.LINESTRING, GeomType.LINEARRING):
-            return [self.coords[:, :2]] if len(self.coords) else []
+            return [self.xys[:, :2]] if len(self.xys) else []
         out = []
         if self.type_id in (GeomType.MULTILINESTRING, GeomType.GEOMETRYCOLLECTION):
             for p in self.parts:
@@ -253,6 +305,7 @@ class Geom:
         return out
 
     # -- measures ---------------------------------------------------------
+    @property
     def area(self) -> float:
         """Unsigned area (measurement.py:24); holes subtract."""
         total = 0.0
@@ -264,6 +317,7 @@ class Geom:
                 total -= abs(core.ring_signed_area(h))
         return total
 
+    @property
     def length(self) -> float:
         """Sum of line lengths + polygon ring perimeters (measurement.py:167)."""
         total = sum(core.polyline_length(line) for line in self.line_parts())
@@ -272,6 +326,7 @@ class Geom:
                 total += core.polyline_length(r)
         return total
 
+    @property
     def centroid(self) -> "Geom":
         """Area-weighted centroid; falls back to lines then points.
 
@@ -477,7 +532,7 @@ def _parse_geom(p: _P) -> Geom | None:
             fz, fm = (hz, hm)
         return Geom(
             tt,
-            coords=coords if coords is not None else np.empty((0, 2)),
+            xys=coords if coords is not None else np.empty((0, 2)),
             rings=rings or [],
             parts=parts or [],
             has_z=fz,
@@ -604,22 +659,22 @@ def to_wkt(g: Geom | None) -> str | None:
         return f"{name} EMPTY"
     t = g.type_id
     if t == GeomType.POINT:
-        return f"{name} ({' '.join(_fmt_num(v) for v in g.coords[0])})"
+        return f"{name} ({' '.join(_fmt_num(v) for v in g.xys[0])})"
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return f"{name} {_fmt_coords(g.coords)}"
+        return f"{name} {_fmt_coords(g.xys)}"
     if t == GeomType.POLYGON:
         return f"{name} (" + ", ".join(_fmt_coords(r) for r in g.rings) + ")"
     if t == GeomType.MULTIPOINT:
         # modern per-point parens, matching the reference's GEOS writer
         # (creation.py:536 docstring: MULTIPOINT ((1 1), (2 2)))
         return f"{name} (" + ", ".join(
-            f"({' '.join(_fmt_num(v) for v in p.coords[0])})"
-            if len(p.coords)
+            f"({' '.join(_fmt_num(v) for v in p.xys[0])})"
+            if len(p.xys)
             else "EMPTY"
             for p in g.parts
         ) + ")"
     if t == GeomType.MULTILINESTRING:
-        return f"{name} (" + ", ".join(_fmt_coords(p.coords) for p in g.parts) + ")"
+        return f"{name} (" + ", ".join(_fmt_coords(p.xys) for p in g.parts) + ")"
     if t == GeomType.MULTIPOLYGON:
         return f"{name} (" + ", ".join(
             "(" + ", ".join(_fmt_coords(r) for r in p.rings) + ")" for p in g.parts

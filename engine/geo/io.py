@@ -50,9 +50,9 @@ def _geom_to_obj(g: Geom) -> dict:
     if t == GeomType.POINT:
         if g.is_empty:
             return {"type": "Point", "coordinates": []}
-        return {"type": "Point", "coordinates": [_num(g.coords[0, 0]), _num(g.coords[0, 1])]}
+        return {"type": "Point", "coordinates": [_num(g.xys[0, 0]), _num(g.xys[0, 1])]}
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return {"type": "LineString", "coordinates": _coords_json(g.coords)}
+        return {"type": "LineString", "coordinates": _coords_json(g.xys)}
     if t == GeomType.POLYGON:
         return {"type": "Polygon", "coordinates": [_coords_json(r) for r in g.rings]}
     if t == GeomType.GEOMETRYCOLLECTION:
@@ -62,9 +62,9 @@ def _geom_to_obj(g: Geom) -> dict:
         }
     name = _GJ_NAME[t]
     if t == GeomType.MULTIPOINT:
-        coords = [[_num(p.coords[0, 0]), _num(p.coords[0, 1])] for p in g.parts if not p.is_empty]
+        coords = [[_num(p.xys[0, 0]), _num(p.xys[0, 1])] for p in g.parts if not p.is_empty]
     elif t == GeomType.MULTILINESTRING:
-        coords = [_coords_json(p.coords) for p in g.parts]
+        coords = [_coords_json(p.xys) for p in g.parts]
     else:
         coords = [[_coords_json(r) for r in p.rings] for p in g.parts]
     return {"type": name, "coordinates": coords}

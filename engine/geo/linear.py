@@ -27,9 +27,9 @@ def _line_coords(g: Geom) -> np.ndarray | None:
     lineal iff all their non-empty parts are."""
     t = g.type_id
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return g.coords
+        return g.xys
     if t == GeomType.MULTILINESTRING:
-        runs = [p.coords for p in g.parts if len(p.coords)]
+        runs = [p.xys for p in g.parts if len(p.xys)]
         return np.vstack(runs) if runs else np.empty((0, 2))
     if t == GeomType.GEOMETRYCOLLECTION:
         # only DIRECT LineString/LinearRing members count; an empty GC is
@@ -42,7 +42,7 @@ def _line_coords(g: Geom) -> np.ndarray | None:
         ]
         if not lines:
             return None
-        runs = [p.coords for p in lines if len(p.coords)]
+        runs = [p.xys for p in lines if len(p.xys)]
         return np.vstack(runs) if runs else np.empty((0, 2))
     return None
 
@@ -97,7 +97,7 @@ def line_locate_point(line, other, normalized: bool = False):
         if len(c) == 0 or p.is_empty:
             return np.nan
         cl = _seg_cumlen(c)
-        px, py = p.coords[0]
+        px, py = p.xys[0]
         ax, ay = c[:-1, 0], c[:-1, 1]
         bx, by = c[1:, 0], c[1:, 1]
         dx, dy = bx - ax, by - ay
@@ -127,7 +127,7 @@ def line_merge(line, directed: bool = False):
             return None
         if g.type_id != GeomType.MULTILINESTRING:
             return g
-        parts = [p.coords.copy() for p in g.parts if len(p.coords) >= 2]
+        parts = [p.xys.copy() for p in g.parts if len(p.xys) >= 2]
         if not parts:
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
         merged = True
@@ -208,7 +208,7 @@ def substring(line, start_dist, end_dist, normalized: bool = False):
     inputs yield reversed substring; equal → point (ops semantics)."""
     if line is None or line.type_id != GeomType.LINESTRING:
         raise ValueError("substring requires a LineString")
-    c = line.coords
+    c = line.xys
     cl = _seg_cumlen(c)
     total = cl[-1]
 

@@ -34,11 +34,11 @@ def _apply2(fn, a, b, dtype=np.float64):
 
 def area(geometry):
     """measurement.py:24 — 0.0 for non-areal; nan for missing."""
-    return _apply1(lambda g: np.nan if g is None else g.area(), geometry)
+    return _apply1(lambda g: np.nan if g is None else g.area, geometry)
 
 
 def length(geometry):
-    return _apply1(lambda g: np.nan if g is None else g.length(), geometry)
+    return _apply1(lambda g: np.nan if g is None else g.length, geometry)
 
 
 def distance(a, b):
@@ -52,7 +52,7 @@ def bounds(geometry):
     def one(g):
         if g is None or g.is_empty:
             return np.full(4, np.nan)
-        return g.bounds()
+        return g.bounds
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry)

@@ -43,7 +43,7 @@ def split(geometry: Geom, splitter: Geom) -> Geom:
     if t == GeomType.LINESTRING:
         # split line at intersection points with the splitter (ops.py:350)
         d_split = Decomp(splitter)
-        c = geometry.coords
+        c = geometry.xys
         out_parts = []
         cur = [c[0]]
         for i in range(len(c) - 1):
@@ -85,8 +85,8 @@ def nearest_points(a: Geom, b: Geom) -> tuple[Geom, Geom]:
     if line is None:
         raise ValueError("nearest_points on None")
     return (
-        Geom.point(line.coords[0, 0], line.coords[0, 1]),
-        Geom.point(line.coords[1, 0], line.coords[1, 1]),
+        Geom.point(line.xys[0, 0], line.xys[0, 1]),
+        Geom.point(line.xys[1, 0], line.xys[1, 1]),
     )
 
 
@@ -97,10 +97,10 @@ def get_point(line, index):
     def one(g, i):
         if g is None or g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING):
             return None
-        n = len(g.coords)
+        n = len(g.xys)
         if i < -n or i >= n:
             return None
-        return Geom.point(g.coords[i, 0], g.coords[i, 1])
+        return Geom.point(g.xys[i, 0], g.xys[i, 1])
 
     if isinstance(line, Geom) or line is None:
         return one(line, index)
@@ -113,7 +113,7 @@ def get_num_points(line):
     def one(g):
         if g is None or g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING):
             return 0
-        return len(g.coords)
+        return len(g.xys)
 
     if isinstance(line, Geom) or line is None:
         return one(line)
@@ -160,7 +160,7 @@ def _map_blocks(g, fn, hz, hm):
     """Rebuild a geometry with ``fn`` applied to every coord block."""
     t = g.type_id
     if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
-        return Geom(t, coords=fn(g.coords, g), has_z=hz, has_m=hm)
+        return Geom(t, xys=fn(g.xys, g), has_z=hz, has_m=hm)
     if t == GeomType.POLYGON:
         return Geom(t, rings=[fn(r, g) for r in g.rings], has_z=hz, has_m=hm)
     return Geom(t, parts=[_map_blocks(p, fn, hz, hm) for p in g.parts],
@@ -258,7 +258,7 @@ def maximum_inscribed_circle(geometry, tolerance: float | None = None):
         return None if g is None else Geom.empty(GeomType.LINESTRING)
     d = Decomp(g)
     segs = d.segs
-    b = g.bounds()
+    b = g.bounds
     tol = tolerance or max(b[2] - b[0], b[3] - b[1]) / 1000.0
 
     def boundary_dist(xs, ys):

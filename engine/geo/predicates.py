@@ -61,7 +61,7 @@ def _is_ccw(g) -> bool:
     """predicates.py:113 — False for non-linear or <4 points."""
     if g is None or g.type_id not in _LINEAR:
         return False
-    c = g.coords
+    c = g.xys
     if len(c) < 4:
         return False
     ring = c if np.array_equal(c[0], c[-1]) else np.vstack([c, c[:1]])
@@ -73,7 +73,7 @@ def _is_closed(g) -> bool:
     if g is None:
         return False
     if g.type_id in _LINEAR:
-        c = g.coords
+        c = g.xys
         return len(c) >= 2 and bool(np.array_equal(c[0], c[-1]))
     if g.type_id == GeomType.MULTILINESTRING:
         return len(g.parts) > 0 and all(_is_closed(p) for p in g.parts)
@@ -210,7 +210,7 @@ def _is_valid(g) -> bool:
     if t == GeomType.GEOMETRYCOLLECTION:
         return all(_is_valid(p) for p in g.parts)
     if t in _LINEAR:
-        return len(g.coords) != 1
+        return len(g.xys) != 1
     return True
 
 
@@ -380,9 +380,9 @@ def _coords_equal_exact(a: Geom, b: Geom, tol: float) -> bool:
         if len(a.parts) != len(b.parts):
             return False
         return all(_coords_equal_exact(pa, pb, tol) for pa, pb in zip(a.parts, b.parts))
-    if a.coords.shape != b.coords.shape:
+    if a.xys.shape != b.xys.shape:
         return False
-    return bool(np.allclose(a.coords, b.coords, rtol=0, atol=tol, equal_nan=True))
+    return bool(np.allclose(a.xys, b.xys, rtol=0, atol=tol, equal_nan=True))
 
 
 def equals_exact(a, b, tolerance=0.0):

@@ -86,14 +86,14 @@ def to_ragged_array(geometries, include_z=None, include_m=None):
         coords = np.full((len(geoms), width), np.nan)
         for i, g in enumerate(geoms):
             if g is not None and not g.is_empty:
-                coords[i] = conv(g, g.coords[:1])[0]
+                coords[i] = conv(g, g.xys[:1])[0]
         return GeomType.POINT, coords, ()
 
     if fam == 0:
         blocks, counts = [], []
         for g in geoms:
             ps = [] if g is None else parts_of(g)
-            pts = [conv(p, p.coords[:1])[0] for p in ps if not p.is_empty]
+            pts = [conv(p, p.xys[:1])[0] for p in ps if not p.is_empty]
             counts.append(len(pts))
             blocks.extend(pts)
         coords = np.vstack(blocks) if blocks else np.empty((0, width))
@@ -106,7 +106,7 @@ def to_ragged_array(geometries, include_z=None, include_m=None):
         blocks, line_counts, geom_counts = [], [], []
         for g in geoms:
             ps = [] if g is None else parts_of(g)
-            lines = [(p, p.coords) for p in ps if not p.is_empty]
+            lines = [(p, p.xys) for p in ps if not p.is_empty]
             geom_counts.append(len(lines))
             for p, c in lines:
                 line_counts.append(len(c))
@@ -150,7 +150,7 @@ def from_ragged_array(geometry_type, coords, offsets=()):
     offs = [np.asarray(o, dtype=np.int64) for o in (offsets or ())]
 
     def mkpoint(row):
-        return Geom(GeomType.POINT, coords=np.asarray([row]), has_z=hz, has_m=hm)
+        return Geom(GeomType.POINT, xys=np.asarray([row]), has_z=hz, has_m=hm)
 
     if t == GeomType.POINT:
         out = []

@@ -314,7 +314,7 @@ def _line_line_intersection(a: Geom, b: Geom) -> Geom:
     # drop points lying on a shared piece (they're part of dim-1 output)
     def on_piece(x, y):
         for pc in pieces:
-            c = pc.coords
+            c = pc.xys
             if bool(np.any(core.on_segment(x, y, c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]))):
                 return True
         return False

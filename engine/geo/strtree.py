@@ -61,7 +61,7 @@ class STRtree:
         for i, g in enumerate(self.geometries):
             if g is None or g.is_empty:
                 continue
-            b = g.bounds()
+            b = g.bounds
             if np.isnan(b).any():
                 continue
             boxes.append(b)
@@ -177,7 +177,7 @@ class STRtree:
         for ii, g in enumerate(geoms):
             if g is None or g.is_empty:
                 continue
-            qb = g.bounds()
+            qb = g.bounds
             if np.isnan(qb).any():
                 continue
             if predicate == "dwithin":
@@ -215,7 +215,7 @@ class STRtree:
         Returns (tree item indices of all matches sorted ascending, dist)."""
         if not self._levels:
             return [], np.inf
-        qb = g.bounds()
+        qb = g.bounds
         best = np.inf if max_distance is None else float(max_distance)
         strict_cap = max_distance is not None
         matches: list[int] = []

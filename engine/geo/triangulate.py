@@ -300,7 +300,7 @@ def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
         if len(pts) == 0:
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
         b = (
-            extend_to.bounds()
+            extend_to.bounds
             if isinstance(extend_to, Geom)
             else np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
         )

@@ -58,10 +58,10 @@ def _encode_geom(g: Geom, order: str, flavor: str = "iso",
         return arr.tobytes()
 
     if t == GeomType.POINT:
-        xy = g.coords if len(g.coords) else np.full((1, dim), np.nan)
+        xy = g.xys if len(g.xys) else np.full((1, dim), np.nan)
         return lead + u32(type_code(1)) + srid_body + coords(xy[0])
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return lead + u32(type_code(2)) + srid_body + u32(len(g.coords)) + coords(g.coords)
+        return lead + u32(type_code(2)) + srid_body + u32(len(g.xys)) + coords(g.xys)
     if t == GeomType.POLYGON:
         rings = [r for r in g.rings]
         body = u32(len(rings))
@@ -115,11 +115,11 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
         c = read_coords(1)
         if np.all(np.isnan(c)):
             return Geom(GeomType.POINT, has_z=has_z, has_m=has_m), pos
-        return Geom(GeomType.POINT, coords=c, has_z=has_z, has_m=has_m), pos
+        return Geom(GeomType.POINT, xys=c, has_z=has_z, has_m=has_m), pos
     if code == 2:
         n = u32()
         g = (
-            Geom(GeomType.LINESTRING, coords=read_coords(n), has_z=has_z, has_m=has_m)
+            Geom(GeomType.LINESTRING, xys=read_coords(n), has_z=has_z, has_m=has_m)
             if n
             else Geom(GeomType.LINESTRING, has_z=has_z, has_m=has_m)
         )

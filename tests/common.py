@@ -80,7 +80,7 @@ def buffer(point_geom: Geom, radius: float, quad_segs: int = 8) -> Geom:
     reference's EPS-guarded STRtree fixtures (test_strtree.py:43-49) keep
     their designed hit/miss margins.
     """
-    cx, cy = float(point_geom.coords[0, 0]), float(point_geom.coords[0, 1])
+    cx, cy = float(point_geom.xys[0, 0]), float(point_geom.xys[0, 1])
     n = 4 * quad_segs
     ang = np.arange(n) * (2.0 * np.pi / n)
     ring = np.empty((n + 1, 2))

@@ -43,33 +43,33 @@ def test_wkt_z_roundtrip():
 
 def test_area():
     # measurement.py:24 docstring values
-    assert from_wkt("POLYGON ((0 0, 10 10, 10 0, 0 0))").area() == 50.0
-    assert polygon_with_hole.area() == 100.0 - 4.0
-    assert Point(0, 0).area() == 0.0
+    assert from_wkt("POLYGON ((0 0, 10 10, 10 0, 0 0))").area == 50.0
+    assert polygon_with_hole.area == 100.0 - 4.0
+    assert Point(0, 0).area == 0.0
     assert from_wkt(
         "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 4 2, 4 4, 2 4, 2 2)))"
-    ).area() == 5.0
+    ).area == 5.0
 
 
 def test_length():
-    assert LineString([(0, 0), (3, 4)]).length() == 5.0
-    assert box(0, 0, 2, 2).length() == 8.0
+    assert LineString([(0, 0), (3, 4)]).length == 5.0
+    assert box(0, 0, 2, 2).length == 8.0
 
 
 def test_bounds():
     np.testing.assert_array_equal(
-        LineString([(0, 0), (3, 4)]).bounds(), [0, 0, 3, 4]
+        LineString([(0, 0), (3, 4)]).bounds, [0, 0, 3, 4]
     )
-    assert np.isnan(Point().bounds()).all()
+    assert np.isnan(Point().bounds).all()
 
 
 def test_centroid():
-    c = box(0, 0, 2, 2).centroid()
-    np.testing.assert_allclose(c.coords[0], [1, 1])
-    c = LineString([(0, 0), (2, 0)]).centroid()
-    np.testing.assert_allclose(c.coords[0], [1, 0])
-    c = Geom.multi(GeomType.MULTIPOINT, [Point(0, 0), Point(2, 2)]).centroid()
-    np.testing.assert_allclose(c.coords[0], [1, 1])
+    c = box(0, 0, 2, 2).centroid
+    np.testing.assert_allclose(c.xys[0], [1, 1])
+    c = LineString([(0, 0), (2, 0)]).centroid
+    np.testing.assert_allclose(c.xys[0], [1, 0])
+    c = Geom.multi(GeomType.MULTIPOINT, [Point(0, 0), Point(2, 2)]).centroid
+    np.testing.assert_allclose(c.xys[0], [1, 1])
 
 
 def test_representative_point_in_interior():

@@ -20,7 +20,7 @@ def test_offset_curve_hairpin_self_intersection_removed():
     u = from_wkt("LINESTRING (0 0, 10 0, 10 10, 5 10, 5 2, 0 2)")
     r = offset_curve(u, 1.5)
     assert predicates.is_simple(r)
-    cs = np.vstack([p.coords for p in r.parts]) if r.parts else r.coords
+    cs = np.vstack([p.xys for p in r.parts]) if r.parts else r.xys
     dmin = min(distance(Geom.point(x, y), u) for x, y in cs)
     # junction vertices where removed loops were cut sit marginally
     # inside the exact radius (same as GEOS's noded output)
@@ -186,9 +186,9 @@ def test_simplify():
     # constructive.py docstring: line with small bump simplified
     g = P("LINESTRING (0 0, 1 0.1, 2 0, 3 0.1, 4 0)")
     s = constructive.simplify(g, 0.5)
-    assert len(s.coords) == 2
+    assert len(s.xys) == 2
     s2 = constructive.simplify(g, 0.01)
-    assert len(s2.coords) == 5
+    assert len(s2.xys) == 5
 
 
 def test_orientation_helpers():
@@ -208,9 +208,9 @@ def test_vertex_editing():
     u = constructive.extract_unique_points(P("POLYGON ((0 0, 1 0, 1 1, 0 0))"))
     assert len(u.parts) == 3
     rr = constructive.remove_repeated_points(P("LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)"))
-    assert len(rr.coords) == 3
+    assert len(rr.xys) == 3
     sg = constructive.segmentize(P("LINESTRING (0 0, 10 0)"), 3.0)
-    assert len(sg.coords) == 5  # 4 segments of 2.5
+    assert len(sg.xys) == 5  # 4 segments of 2.5
     ps = constructive.point_on_surface(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
     from engine.geo import predicates as pred
 
@@ -275,7 +275,7 @@ def test_linear_referencing():
     assert to_wkt(linear.line_interpolate_point(line, -2)) == "POINT (8 0)"
     assert linear.line_locate_point(line, P("POINT (3 5)")) == 3.0
     m = linear.line_merge(P("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))"))
-    assert m.type_id == GeomType.LINESTRING and len(m.coords) == 3
+    assert m.type_id == GeomType.LINESTRING and len(m.xys) == 3
     sl = linear.shortest_line(P("POINT (0 5)"), P("LINESTRING (0 0, 10 0)"))
     assert to_wkt(sl) == "LINESTRING (0 5, 0 0)"
     sub = linear.substring(P("LINESTRING (0 0, 10 0)"), 2, 6)
@@ -292,7 +292,7 @@ def test_creation_constructors():
                               indices=np.array([0, 0, 1]))
     assert to_wkt(ls[0]) == "LINESTRING (0 0, 1 1)"
     lr = creation.linearrings(np.array([[0, 0], [1, 0], [1, 1]], dtype=float))
-    assert lr.is_ring if hasattr(lr, "is_ring") else np.array_equal(lr.coords[0], lr.coords[-1])
+    assert lr.is_ring if hasattr(lr, "is_ring") else np.array_equal(lr.xys[0], lr.xys[-1])
     bx = creation.box(0, 0, 2, 2)
     assert measure.area(bx) == 4.0
     mp = creation.multipoints([P("POINT (0 0)"), P("POINT (1 1)")])

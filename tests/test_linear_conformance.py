@@ -24,7 +24,7 @@ def test_line_interpolate_point_geom_array():
     )
     assert to_wkt(actual[0]) == "POINT (1 0)"
     assert to_wkt(actual[1]) == "POINT (0 1)"
-    c = actual[2].coords[0]
+    c = actual[2].xys[0]
     assert c[0] == pytest.approx(0.5528, abs=1e-3)
     assert c[1] == pytest.approx(1.1056, abs=1e-3)
 

@@ -57,5 +57,5 @@ def test_maximum_inscribed_circle():
     g = P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
     line = ops.maximum_inscribed_circle(g, tolerance=0.01)
     assert measure.length(line) == pytest.approx(5.0, abs=0.1)
-    cx, cy = line.coords[0]
+    cx, cy = line.xys[0]
     assert abs(cx - 5) < 0.2 and abs(cy - 5) < 0.2

@@ -62,9 +62,9 @@ def test_polygon_array_measures_match_scalar():
     perims = arr.perimeter()
     bnds = arr.bounds()
     for i, g in enumerate(geoms):
-        assert areas[i] == pytest.approx(g.area())
-        assert perims[i] == pytest.approx(g.length())
-        np.testing.assert_allclose(bnds[i], g.bounds())
+        assert areas[i] == pytest.approx(g.area)
+        assert perims[i] == pytest.approx(g.length)
+        np.testing.assert_allclose(bnds[i], g.bounds)
 
 
 def test_polygon_array_empty_rows():
