@@ -137,6 +137,78 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
     return (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
 
 
+def synth_seeds(image_ids) -> np.ndarray:
+    """crc32 seeds for a list of image_ids (the scalar synth seed rule)."""
+    return np.array(
+        [zlib.crc32(i.encode()) & 0xFFFFFFFF for i in image_ids], dtype=np.uint64
+    )
+
+
+def _synth_hash_batch(seeds: np.ndarray, n: int, lo: int, hi: int) -> np.ndarray:
+    """(k,) seeds → (k, n) uint8 streams; bit-identical to _synth_hash
+    per row (same SplitMix64 lane arithmetic, vectorized over images)."""
+    x = (np.arange(n, dtype=np.uint64)[None, :] + seeds[:, None]) * _SYNTH_MIX
+    x ^= x >> np.uint64(31)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    return (lo + (x % np.uint64(hi - lo))).astype(np.uint8)
+
+
+def synth_image_batch(image_ids, w: int, h: int) -> np.ndarray:
+    """Batched synth_image for images sharing one (w, h): (k, h, w, 3).
+
+    Bit-identical to stacking synth_image per id — the per-image loops in
+    the payload stages group rows by (w, h) (only a handful of distinct
+    sizes) and call this instead."""
+    seeds = synth_seeds(image_ids)
+    base = _synth_hash_batch(seeds, 48, 0, 224).reshape(-1, 4, 4, 3)
+    yi = (np.arange(h) * 4 // max(h, 1)).clip(0, 3)
+    xi = (np.arange(w) * 4 // max(w, 1)).clip(0, 3)
+    img = base[:, yi[:, None], xi[None, :]]
+    noise = _synth_hash_batch(
+        seeds ^ np.uint64(0x5A5A5A5A), h * w, 0, 32
+    ).reshape(-1, h, w, 1)
+    return (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(k,h,w,3) vs (k,h,w,3) → (k,) PSNR dB (inf where identical)."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = np.mean(d * d, axis=(1, 2, 3))
+    out = np.full(len(mse), np.inf)
+    nz = mse > 0
+    out[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz])
+    return out
+
+
+def phash64_batch(imgs: np.ndarray) -> np.ndarray:
+    """Batched phash64 over (k, h, w, 3) same-size images → (k,) int64.
+
+    Identical arithmetic to the scalar (per-image cumsum rows are
+    independent, mean order per image unchanged)."""
+    k, h, w, _ = imgs.shape
+    gray = imgs.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = np.linspace(0, h, 9).astype(np.int64)
+    xs = np.linspace(0, w, 9).astype(np.int64)
+    ys2 = np.maximum(ys[1:], ys[:-1] + 1)
+    xs2 = np.maximum(xs[1:], xs[:-1] + 1)
+    integ = np.zeros((k, h + 1, w + 1))
+    np.cumsum(np.cumsum(gray, axis=1), axis=2, out=integ[:, 1:, 1:])
+    s = (
+        integ[:, ys2][:, :, xs2]
+        - integ[:, ys[:-1]][:, :, xs2]
+        - integ[:, ys2][:, :, xs[:-1]]
+        + integ[:, ys[:-1]][:, :, xs[:-1]]
+    )
+    area = (ys2 - ys[:-1])[:, None] * (xs2 - xs[:-1])[None, :]
+    grid = s / area
+    bits = grid > grid.mean(axis=(1, 2), keepdims=True)
+    vals = bits.reshape(k, 64).astype(np.uint64) @ (
+        np.uint64(1) << np.arange(64, dtype=np.uint64)
+    )
+    return vals.view(np.int64)
+
+
 def qraw_encode(img: np.ndarray, bits: int = 6) -> bytes:
     """LOSSY toy codec: uniform quantization to ``bits`` bits/channel +
     deflate.  With 6 bits the reconstruction error is ≤2/channel

@@ -18,8 +18,28 @@ from engine.img import codec
 PAYLOAD_BATCH = 256  # bytes-carrying batches stay small (MB budget, not rows)
 
 
+_WH_CHUNK = 16  # images per vectorized chunk: keeps the float64
+# intermediates (gray/integral ~0.5 MB per 32×80×80 chunk) cache-resident
+# instead of streaming multi-MB arrays through DRAM
+
+
+def _wh_groups(ws: np.ndarray, hs: np.ndarray):
+    """Row indices grouped by (w, h) — the image table has only a few
+    distinct sizes, so per-group batched numpy beats per-image Python.
+    Yields (idx, w, h) chunks (≤ _WH_CHUNK rows) in ascending row order."""
+    key = ws.astype(np.int64) * 100_000 + hs.astype(np.int64)
+    for k in np.unique(key):
+        idx = np.nonzero(key == k)[0]
+        w, h = int(ws[idx[0]]), int(hs[idx[0]])
+        for s in range(0, len(idx), _WH_CHUNK):
+            yield idx[s : s + _WH_CHUNK], w, h
+
+
 class AddPayload:
-    """image rows → + (bytes, phash): completes the input_hint schema."""
+    """image rows → + (bytes, phash): completes the input_hint schema.
+
+    Synth + phash run batched per (w, h) group (vectorized over all
+    images of one size); only the per-payload zlib encode stays a loop."""
 
     def __init__(self):
         pass  # codec is stateless; __init__ kept for actor-pool symmetry
@@ -28,17 +48,20 @@ class AddPayload:
         ids = batch["image_id"].to_pylist()
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
-        fmts = batch["fmt"].to_pylist()
-        payloads, hashes = [], np.empty(len(ids), dtype=np.int64)
-        for i, (iid, w, h, fmt) in enumerate(zip(ids, ws, hs, fmts)):
-            img = codec.synth_image(iid, int(w), int(h))
-            if fmt == "raw":
-                payloads.append(img.tobytes())
-            elif fmt == "png":
-                payloads.append(codec.png_encode(img))
-            else:
-                payloads.append(codec.qraw_encode(img))
-            hashes[i] = codec.phash64(img)
+        fmts = np.asarray(batch["fmt"].to_pylist())
+        payloads = [None] * len(ids)
+        hashes = np.empty(len(ids), dtype=np.int64)
+        for idx, w, h in _wh_groups(ws, hs):
+            imgs = codec.synth_image_batch([ids[i] for i in idx], w, h)
+            hashes[idx] = codec.phash64_batch(imgs)
+            for j, i in enumerate(idx):
+                f = fmts[i]
+                if f == "raw":
+                    payloads[i] = imgs[j].tobytes()
+                elif f == "png":
+                    payloads[i] = codec.png_encode(imgs[j])
+                else:
+                    payloads[i] = codec.qraw_encode(imgs[j])
         return batch.append_column("bytes", pa.array(payloads, type=pa.binary())) \
                     .append_column("phash", pa.array(hashes))
 
@@ -59,12 +82,14 @@ class DecodeValidate:
         data = batch["bytes"].to_pylist()
         ok = np.zeros(len(ids), dtype=bool)
         mean_px = np.zeros(len(ids))
-        for i, (iid, w, h, fmt, raw) in enumerate(zip(ids, ws, hs, fmts, data)):
-            img = codec.decode_payload(raw, int(w), int(h), fmt)
-            ref = codec.synth_image(iid, int(w), int(h))
-            p = codec.psnr(img, ref)
-            ok[i] = p >= 40.0
-            mean_px[i] = float(img.mean())
+        for idx, w, h in _wh_groups(ws, hs):
+            # zlib decode stays per-payload; ref synth + PSNR + mean batch
+            imgs = np.stack(
+                [codec.decode_payload(data[i], w, h, fmts[i]) for i in idx]
+            )
+            refs = codec.synth_image_batch([ids[i] for i in idx], w, h)
+            ok[idx] = codec.psnr_batch(imgs, refs) >= 40.0
+            mean_px[idx] = imgs.reshape(len(idx), -1).mean(axis=1)
         return batch.drop_columns(["bytes"]).append_column(
             "psnr_ok", pa.array(ok)
         ).append_column("mean_px", pa.array(mean_px))
@@ -90,13 +115,15 @@ class ResizeExtract:
         t = self.thumb
         hashes = np.empty(len(ids), dtype=np.int64)
         means = np.empty(len(ids))
-        for i, (iid, w, h, fmt, raw) in enumerate(zip(ids, ws, hs, fmts, data)):
-            img = codec.decode_payload(raw, int(w), int(h), fmt)
-            yi = (np.arange(t) * img.shape[0] // t).clip(0, img.shape[0] - 1)
-            xi = (np.arange(t) * img.shape[1] // t).clip(0, img.shape[1] - 1)
-            thumb = img[yi[:, None], xi[None, :]]
-            hashes[i] = codec.phash64(thumb)
-            means[i] = float(thumb.mean())
+        for idx, w, h in _wh_groups(ws, hs):
+            imgs = np.stack(
+                [codec.decode_payload(data[i], w, h, fmts[i]) for i in idx]
+            )
+            yi = (np.arange(t) * h // t).clip(0, h - 1)
+            xi = (np.arange(t) * w // t).clip(0, w - 1)
+            thumbs = imgs[:, yi[:, None], xi[None, :]]
+            hashes[idx] = codec.phash64_batch(thumbs)
+            means[idx] = thumbs.reshape(len(idx), -1).mean(axis=1)
         return batch.drop_columns(["bytes"]).append_column(
             "thumb_phash", pa.array(hashes)
         ).append_column("thumb_mean", pa.array(means))
@@ -159,9 +186,14 @@ class AddVideo:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         nf = batch["n_frames"].to_numpy()
-        payloads = []
-        for iid, n in zip(ids, nf):
-            payloads.append(codec.video_encode(codec.synth_video(iid, 8, 8, int(n))))
+        # one batched synth for EVERY frame of every row, then split
+        frame_ids = [f"{iid}#f{i}" for iid, n in zip(ids, nf) for i in range(int(n))]
+        frames = codec.synth_image_batch(frame_ids, 8, 8)
+        ends = np.cumsum(nf.astype(np.int64))
+        payloads = [
+            codec.video_encode(frames[s:e])
+            for s, e in zip(np.concatenate([[0], ends[:-1]]), ends)
+        ]
         return batch.append_column("video_bytes", pa.array(payloads, type=pa.binary()))
 
 
@@ -178,18 +210,23 @@ class FrameSample:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         data = batch["video_bytes"].to_pylist()
-        out_id, out_idx, out_ph = [], [], []
+        out_id, out_idx, sampled = [], [], []
         for iid, raw in zip(ids, data):
             frames = codec.video_decode(raw, 8, 8)
-            for fi in range(0, len(frames), self.every_n):
-                out_id.append(iid)
-                out_idx.append(fi)
-                out_ph.append(codec.phash64(frames[fi]))
+            sel = range(0, len(frames), self.every_n)
+            out_id.extend([iid] * len(sel))
+            out_idx.extend(sel)
+            sampled.append(frames[:: self.every_n])
+        phashes = (
+            codec.phash64_batch(np.concatenate(sampled))
+            if sampled
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
                 "image_id": pa.array(out_id, type=pa.string()),
                 "frame_idx": pa.array(out_idx, type=pa.int64()),
-                "frame_phash": pa.array(out_ph, type=pa.int64()),
+                "frame_phash": pa.array(phashes),
             }
         )
 

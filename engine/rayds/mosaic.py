@@ -73,11 +73,13 @@ def _mosaic_finalize(group: pa.Table) -> pa.Table:
     cells = k * k
     patch = 8
     mosaic = np.zeros((k * patch, k * patch, 3), dtype=np.uint8)
-    for i, iid in enumerate(ids[:cells]):
-        img = codec.synth_image(iid, 16, 16)  # payload re-derived by key
-        mean = img.reshape(-1, 3).mean(axis=0).astype(np.uint8)
-        r, c = divmod(i, k)
-        mosaic[r * patch : (r + 1) * patch, c * patch : (c + 1) * patch] = mean
+    members = ids[:cells]
+    if members:
+        imgs = codec.synth_image_batch(members, 16, 16)  # re-derived by key
+        means = imgs.reshape(len(members), -1, 3).mean(axis=1).astype(np.uint8)
+        for i in range(len(members)):
+            r, c = divmod(i, k)
+            mosaic[r * patch : (r + 1) * patch, c * patch : (c + 1) * patch] = means[i]
     png = codec.png_encode(mosaic)
     return pa.table(
         {

@@ -411,3 +411,25 @@ def test_consecutive_jaccard_matches_scalar_kernel(ray_session):
         assert got[i] == want, (i, got[i], want)
     assert got[2] == 1.0
     assert got[3] == 0.0
+
+
+def test_batch_codec_kernels_bit_identical_to_scalar():
+    """synth_image_batch / phash64_batch / psnr_batch are the hot-stage
+    kernels; they must match the scalar definitions bit for bit."""
+    import numpy as np
+
+    from engine.img import codec
+
+    ids = [f"img{i * 37}" for i in range(23)]
+    for (w, h) in [(32, 32), (48, 64), (80, 32), (7, 5)]:
+        batch = codec.synth_image_batch(ids, w, h)
+        for j, iid in enumerate(ids):
+            np.testing.assert_array_equal(batch[j], codec.synth_image(iid, w, h))
+        ph = codec.phash64_batch(batch)
+        for j in range(len(ids)):
+            assert ph[j] == codec.phash64(batch[j])
+        other = codec.synth_image_batch([i + "x" for i in ids], w, h)
+        pb = codec.psnr_batch(batch, other)
+        for j in range(len(ids)):
+            assert pb[j] == codec.psnr(batch[j], other[j])
+        assert np.isinf(codec.psnr_batch(batch, batch)).all()
