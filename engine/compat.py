@@ -663,3 +663,79 @@ def _xy(self):
 
 if not hasattr(Geom, "xy"):
     Geom.xy = property(_xy)
+
+
+# ------------------------------------- remaining reference submodule
+# surfaces (shapely.<mod> import style), mapped onto the engine modules
+import engine.geo.affinity as affinity  # noqa: F401,E402
+import engine.geo.coordinates as coordinates  # noqa: F401,E402
+import engine.geo.creation as creation  # noqa: F401,E402
+import engine.geo.constructive as constructive  # noqa: F401,E402
+import engine.geo.predicates as predicates  # noqa: F401,E402
+import engine.geo.set_operations as set_operations  # noqa: F401,E402
+
+from engine.geo.geom import CoordinateSequence  # noqa: F401,E402
+
+coords = _ns("coords", CoordinateSequence=CoordinateSequence)
+strtree = _ns("strtree", STRtree=STRtree)
+validation = _ns(
+    "validation", explain_validity=explain_validity, make_valid=make_valid
+)
+measurement = _ns(
+    "measurement",
+    area=area, bounds=bounds, distance=distance, length=length,
+    hausdorff_distance=hausdorff_distance, frechet_distance=frechet_distance,
+    minimum_clearance=minimum_clearance,
+    minimum_bounding_radius=minimum_bounding_radius, total_bounds=total_bounds,
+)
+linear = _ns(
+    "linear",
+    line_interpolate_point=line_interpolate_point,
+    line_locate_point=line_locate_point, line_merge=line_merge,
+    shared_paths=shared_paths, shortest_line=shortest_line,
+)
+io = _ns(
+    "io",
+    from_wkt=from_wkt, to_wkt=to_wkt, from_wkb=from_wkb, to_wkb=to_wkb,
+    from_geojson=from_geojson, to_geojson=to_geojson,
+    from_ragged_array=from_ragged_array, to_ragged_array=to_ragged_array,
+)
+coverage = _ns(
+    "coverage",
+    coverage_is_valid=coverage_is_valid,
+    coverage_invalid_edges=coverage_invalid_edges,
+    coverage_simplify=coverage_simplify,
+)
+geos = _ns(
+    "geos",
+    geos_version=geos_version, geos_version_string=geos_version_string,
+    geos_capi_version=geos_capi_version,
+    geos_capi_version_string=geos_capi_version_string,
+)
+
+
+def _identity_decorator(*dargs, **dkw):
+    """Reference decorators.py surface: version gates / GIL toggles are
+    no-ops here (no GEOS, no C extension)."""
+    if len(dargs) == 1 and callable(dargs[0]) and not dkw:
+        return dargs[0]
+
+    def wrap(fn):
+        return fn
+
+    return wrap
+
+
+decorators = _ns(
+    "decorators",
+    multithreading_enabled=_identity_decorator,
+    requires_geos=_identity_decorator,
+    deprecate_positional=_identity_decorator,
+)
+
+# shapely.geometry.base surface (BaseGeometry isinstance checks in user code)
+geometry.base = _ns(
+    "geometry.base",
+    BaseGeometry=Geom, BaseMultipartGeometry=Geom,
+    CAP_STYLE=BufferCapStyle, JOIN_STYLE=BufferJoinStyle,
+)

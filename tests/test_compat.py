@@ -187,3 +187,42 @@ def test_vectorized_and_algorithms_namespaces():
     assert shapely.algorithms.cga.signed_area(cw) == -1.0
     pl = shapely.algorithms.polylabel.polylabel(g, 0.1)
     assert 4 < pl.x < 6 and 4 < pl.y < 6
+
+
+def test_submodule_namespace_surfaces():
+    """Reference shapely.<mod> import surfaces all resolve (switch-over
+    claim: every `from shapely.X import Y` in user code has a target)."""
+    import engine.compat as sh
+
+    assert sh.strtree.STRtree is sh.STRtree
+    assert isinstance(sh.Point(0, 0), sh.geometry.base.BaseGeometry)
+    assert sh.measurement.area(sh.Polygon([(0, 0), (2, 0), (2, 2), (0, 2)])) == 4.0
+    assert sh.coords.CoordinateSequence is type(sh.LineString([(0, 0), (1, 1)]).coords)
+    assert sh.io.from_wkt("POINT (1 2)").x == 1.0
+    assert sh.linear.line_merge is sh.line_merge
+    assert sh.validation.make_valid is sh.make_valid
+    assert sh.affinity.rotate is sh.rotate
+    assert sh.geos.geos_version == sh.geos_version
+
+    @sh.decorators.requires_geos("3.10")
+    def gated():
+        return 42
+
+    assert gated() == 42
+
+
+def test_collection_operator_surface():
+    """shapely.ops.operator adapter (reference ops.py:44-130)."""
+    import engine.compat as sh
+
+    op = sh.ops.operator
+    polys = op.polygonize(
+        [[(0, 0), (1, 0), (1, 1)], [(1, 1), (0, 1), (0, 0)], [(0, 0), (1, 1)]]
+    )
+    assert len(polys) == 2 and all(p.geom_type == "Polygon" for p in polys)
+    assert abs(sum(p.area for p in polys) - 1.0) < 1e-12
+    merged = op.linemerge([[(0, 0), (1, 1)], [(1, 1), (2, 2)]])
+    assert merged.geom_type == "LineString" and len(merged.coords) == 3
+    u = op.unary_union([sh.Point(0, 0).buffer(1), sh.Point(0.5, 0).buffer(1)])
+    assert u.area > 3.2
+    assert op.shapeup({"type": "Point", "coordinates": [1, 2]}).x == 1.0
