@@ -152,7 +152,7 @@ def make_planes(dim: int, nbits: int = 8, seed: int = 7) -> np.ndarray:
 
 
 def topk_cosine_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-                    nbits: int = 6, dim: int = 64, concurrency=(1, 8),
+                    nbits: int = 6, dim: int = 64, concurrency=None,
                     multiprobe: int = 1):
     """LSH-restricted top-k: score only vectors whose bucket matches a
     query's probe set (approximate — recall < 1; the 100-TB path where
@@ -186,13 +186,26 @@ def topk_cosine_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                     for f in flips:
                         fb ^= 1 << f
                     qbuckets.add(fb)
-    bucketed = ds.map_batches(
-        LSHBucketer,
-        fn_constructor_kwargs={"planes_ref": pref},
-        batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        bucketed = ds.map_batches(
+            LSHBucketer,
+            fn_constructor_kwargs={"planes_ref": pref},
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    else:
+        # task-based with a per-worker cached bucketer: same broadcast
+        # semantics, no actor-pool spawn latency
+        from engine.rayds.bcast import cached
+
+        def bucket_fn(batch):
+            return cached(pref, LSHBucketer)(batch)
+
+        bucketed = ds.map_batches(
+            bucket_fn, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
     import pyarrow.compute as pc
 
     filtered = bucketed.map_batches(
@@ -262,12 +275,23 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray,
     q = _unit(np.asarray(queries, dtype=np.float64))
     probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
     wanted = pa.array(np.unique(probe_lists).astype(np.int64))
-    assigned = ds.map_batches(
-        IVFAssign,
-        fn_constructor_kwargs={"cents_ref": cref},
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        concurrency=concurrency or (1, 8),
-    )
+    if concurrency is not None:
+        assigned = ds.map_batches(
+            IVFAssign,
+            fn_constructor_kwargs={"cents_ref": cref},
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    else:
+        from engine.rayds.bcast import cached
+
+        def assign_fn(batch):
+            return cached(cref, IVFAssign)(batch)
+
+        assigned = ds.map_batches(
+            assign_fn, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
     filtered = assigned.map_batches(
         lambda b: b.filter(pc.is_in(b["ivf_list"], value_set=wanted)),
         batch_format="pyarrow", batch_size=None,
