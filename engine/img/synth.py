@@ -34,14 +34,19 @@ def generate_table(rows: int = 10_000, seed: int = 42,
     h = (32 + (eid % 3) * 16).astype(np.int32)
     fmt = np.where(eid % 2 == 0, "raw", "png")
     kinds = np.array(["aerial", "street", "satellite", "drone"])
-    payloads, hashes, ids, captions = [], [], [], []
-    for i in range(rows):
-        iid = f"img{eid[i]}"
-        img = codec.synth_image(iid, int(w[i]), int(h[i]))
-        payloads.append(img.tobytes() if fmt[i] == "raw" else codec.png_encode(img))
-        hashes.append(codec.phash64(img))
-        ids.append(iid)
-        captions.append(f"{kinds[eid[i] % 4]} scene #{eid[i]}")
+    ids = [f"img{e}" for e in eid]
+    captions = [f"{kinds[e % 4]} scene #{e}" for e in eid]
+    payloads = [None] * rows
+    hashes = np.empty(rows, dtype=np.int64)
+    from engine.rayds.imgstage import _wh_groups
+
+    for idx, wi, hi in _wh_groups(w, h):
+        imgs = codec.synth_image_batch([ids[i] for i in idx], wi, hi)
+        hashes[idx] = codec.phash64_batch(imgs)
+        for j, i in enumerate(idx):
+            payloads[i] = (
+                imgs[j].tobytes() if fmt[i] == "raw" else codec.png_encode(imgs[j])
+            )
     table = pa.table(
         {
             "image_id": pa.array(ids, type=pa.string()),
