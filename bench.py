@@ -96,6 +96,23 @@ def _bandwidth_probe() -> dict:
     return {"probe_secs": round(secs, 2), "state": state}
 
 
+def _wait_for_bandwidth(max_wait_s: float = 240.0, interval_s: float = 20.0) -> dict:
+    """If the VM is in its degraded-bandwidth state, wait (bounded) for a
+    healthy window before measuring — degraded-state numbers are garbage.
+    Returns the probe record annotated with how long we waited."""
+    first = _bandwidth_probe()
+    probe = first
+    waited = 0.0
+    while probe["state"] != "HEALTHY" and waited < max_wait_s:
+        time.sleep(interval_s)
+        waited += interval_s
+        probe = _bandwidth_probe()
+    probe = dict(probe)
+    probe["initial_state"] = first["state"]
+    probe["waited_secs"] = round(waited, 1)
+    return probe
+
+
 def run_headline(sf_dir: str, mult: int) -> dict:
     """Full pipeline: derive → broadcast join vs dense polygon layer →
     tile assign → combiner-first tile-count shuffle.
@@ -301,6 +318,7 @@ def main():
             ray.shutdown()
         return
     try:
+        probe = _wait_for_bandwidth()
         head = run_headline(SF_DIR, MULT)
         queries = {} if headline_only else run_queries(SF_DIR)
         print(json.dumps({
@@ -313,7 +331,7 @@ def main():
             "rows": head["rows"],
             "rows_per_sec": round(head["rows_per_sec"], 1),
             "tile_groups": head["groups"],
-            "mem_bandwidth": _bandwidth_probe(),
+            "mem_bandwidth": {**probe, "after": _bandwidth_probe()},
         }))
     finally:
         ray.shutdown()
