@@ -82,7 +82,7 @@ def png_decode(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, 0
-    idat = b""
+    idat = []
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -93,10 +93,13 @@ def png_decode(data: bytes) -> np.ndarray:
             if bit != 8 or color != 2 or interlace != 0:
                 raise NotImplementedError("only 8-bit RGB non-interlaced")
         elif tag == b"IDAT":
-            idat += payload
+            idat.append(payload)
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    raw = np.frombuffer(
+        zlib.decompress(idat[0] if len(idat) == 1 else b"".join(idat)),
+        dtype=np.uint8,
+    )
     rows = raw.reshape(-1, 1 + w * 3)
     h = rows.shape[0]
     filters = rows[:, 0]

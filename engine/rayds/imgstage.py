@@ -18,6 +18,20 @@ from engine.img import codec
 PAYLOAD_BATCH = 256  # bytes-carrying batches stay small (MB budget, not rows)
 
 
+def _binary_views(col) -> list:
+    """Zero-copy per-row memoryviews of a binary column (no bytes-object
+    copies; zlib/np.frombuffer accept the buffer protocol directly)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return []
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                         count=len(col) + 1, offset=col.offset * 4)
+    data = memoryview(col.buffers()[2]).cast("B")  # unsigned: so slice
+    # content comparisons against bytes literals behave like bytes
+    return [data[offs[i]: offs[i + 1]] for i in range(len(col))]
+
+
 _WH_CHUNK = 16  # images per vectorized chunk: keeps the float64
 # intermediates (gray/integral ~0.5 MB per 32×80×80 chunk) cache-resident
 # instead of streaming multi-MB arrays through DRAM
@@ -79,7 +93,7 @@ class DecodeValidate:
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
-        data = batch["bytes"].to_pylist()
+        data = _binary_views(batch["bytes"])
         ok = np.zeros(len(ids), dtype=bool)
         mean_px = np.zeros(len(ids))
         for idx, w, h in _wh_groups(ws, hs):
@@ -111,7 +125,7 @@ class ResizeExtract:
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
-        data = batch["bytes"].to_pylist()
+        data = _binary_views(batch["bytes"])
         t = self.thumb
         hashes = np.empty(len(ids), dtype=np.int64)
         means = np.empty(len(ids))
@@ -144,7 +158,7 @@ class Transcode:
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
-        data = batch["bytes"].to_pylist()
+        data = _binary_views(batch["bytes"])
         out = []
         for w, h, fmt, raw in zip(ws, hs, fmts, data):
             img = codec.decode_payload(raw, int(w), int(h), fmt)
@@ -209,7 +223,7 @@ class FrameSample:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
-        data = batch["video_bytes"].to_pylist()
+        data = _binary_views(batch["video_bytes"])
         out_id, out_idx, sampled = [], [], []
         for iid, raw in zip(ids, data):
             frames = codec.video_decode(raw, 8, 8)
