@@ -32,7 +32,7 @@ def _binary_views(col) -> list:
     return [data[offs[i]: offs[i + 1]] for i in range(len(col))]
 
 
-_WH_CHUNK = 16  # images per vectorized chunk: keeps the float64
+_WH_CHUNK = 64  # images per vectorized chunk: keeps the float64
 # intermediates (gray/integral ~0.5 MB per 32×80×80 chunk) cache-resident
 # instead of streaming multi-MB arrays through DRAM
 
