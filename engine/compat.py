@@ -99,38 +99,126 @@ from engine.geo.wkb import from_wkb, to_wkb  # noqa: F401
 
 # ---------------------------------------------------------- scalar classes
 def Point(*args):
-    """shapely.Point(x, y[, z]) / Point((x, y[, z]))."""
+    """shapely.Point(x, y[, z]) / Point((x, y[, z])) / Point(Point) /
+    Point(np.array) / Point() empty — reference geometry/point.py:40-85
+    accepted forms (incl. 1-size-vector args, shapely-1.8 compat)."""
+    if len(args) == 0:
+        return Geom.empty(GeomType.POINT)
+    if len(args) > 3:
+        raise TypeError(f"Point() takes at most 3 arguments ({len(args)} given)")
     if len(args) == 1:
-        args = tuple(args[0])
+        ob = args[0]
+        if isinstance(ob, Geom):
+            if ob.type_id != GeomType.POINT:
+                raise ValueError("Invalid values passed to Point constructor")
+            return ob
+        if hasattr(ob, "__array__"):
+            ob = np.asarray(ob)
+        coords = np.atleast_1d(np.asarray(list(ob) if not isinstance(ob, np.ndarray) else ob, dtype=np.float64))
+        if coords.ndim == 2:
+            if coords.shape[0] != 1:
+                raise ValueError(
+                    "Point() takes only scalar or 1-size vector arguments"
+                )
+            coords = coords[0]
+        args = tuple(coords.tolist())
+    else:
+        vals = []
+        for a in args:
+            arr = np.asarray(a, dtype=np.float64)
+            if arr.ndim > 0:
+                if arr.size != 1:
+                    raise ValueError(
+                        "Point() takes only scalar or 1-size vector arguments"
+                    )
+                arr = arr.reshape(())
+            vals.append(float(arr))
+        args = tuple(vals)
+    if len(args) < 2:
+        raise ValueError("Invalid values passed to Point constructor")
     z = float(args[2]) if len(args) > 2 else None
     return Geom.point(float(args[0]), float(args[1]), z)
 
 
-def LineString(coords=()):
-    coords = np.asarray(list(coords), dtype=np.float64)
-    if len(coords) == 0:
+def _line_coords(coords):
+    """Reference linestring.py:54-69 input adaptation: LineString /
+    LinearRing passthrough, numeric ndarray, or per-element Point/tuple."""
+    if hasattr(coords, "__array__") and not isinstance(coords, Geom):
+        coords = np.asarray(coords)
+    if isinstance(coords, np.ndarray) and np.issubdtype(coords.dtype, np.number):
+        return np.asarray(coords, dtype=np.float64)
+
+    def one(o):
+        if isinstance(o, Geom):
+            if o.type_id != GeomType.POINT:
+                raise ValueError("sequence elements must be points or coordinates")
+            return tuple(o.coords[0])
+        return tuple(float(c) for c in o)
+
+    return np.asarray([one(o) for o in coords], dtype=np.float64)
+
+
+def LineString(coords=None):
+    if coords is None:
         return Geom.empty(GeomType.LINESTRING)
-    return Geom.linestring(coords)
+    if isinstance(coords, Geom):
+        if coords.type_id == GeomType.LINESTRING:
+            return coords
+        if coords.type_id == GeomType.LINEARRING:
+            return Geom.linestring(coords.xys.copy(), has_z=coords.has_z,
+                                   has_m=coords.has_m)
+        raise ValueError("Invalid values passed to LineString constructor")
+    c = _line_coords(coords)
+    if len(c) == 0:
+        return Geom.empty(GeomType.LINESTRING)
+    if len(c) == 1:
+        raise ValueError("Invalid values passed to LineString constructor")
+    return Geom.linestring(c)
 
 
-def LinearRing(coords=()):
-    coords = np.asarray(list(coords), dtype=np.float64)
-    if len(coords) == 0:
+def LinearRing(coords=None):
+    if coords is None:
         return Geom.empty(GeomType.LINEARRING)
-    return Geom.linearring(coords)
+    if isinstance(coords, Geom):
+        if coords.type_id in (GeomType.LINEARRING, GeomType.LINESTRING):
+            coords = coords.xys.copy()
+        else:
+            raise ValueError("Invalid values passed to LinearRing constructor")
+    c = _line_coords(coords)
+    if len(c) == 0:
+        return Geom.empty(GeomType.LINEARRING)
+    return Geom.linearring(c)
 
 
-def Polygon(shell=(), holes=()):
-    shell = np.asarray(list(shell), dtype=np.float64)
+def Polygon(shell=None, holes=None):
+    if shell is None:
+        return Geom.empty(GeomType.POLYGON)
+    if isinstance(shell, Geom):
+        if shell.type_id == GeomType.POLYGON:
+            if holes is None:
+                return shell
+            shell = shell.rings[0]
+        elif shell.type_id in (GeomType.LINEARRING, GeomType.LINESTRING):
+            shell = shell.xys.copy()
+        else:
+            raise ValueError("Invalid values passed to Polygon constructor")
+    else:
+        shell = _line_coords(shell)
     if len(shell) == 0:
         return Geom.empty(GeomType.POLYGON)
-    return Geom.polygon(
-        shell, [np.asarray(list(h), dtype=np.float64) for h in holes or ()]
-    )
+    hs = []
+    for h in holes or ():
+        if isinstance(h, Geom):
+            hs.append(h.xys.copy())
+        else:
+            hs.append(_line_coords(h))
+    return Geom.polygon(shell, hs)
 
 
 def MultiPoint(pts=()):
-    parts = [Point(p) for p in pts]
+    parts = [p if isinstance(p, Geom) else Point(p) for p in pts]
+    if any(p.type_id != GeomType.POINT for p in parts):
+        raise ValueError("Invalid values passed to MultiPoint constructor")
     if not parts:
         return Geom.empty(GeomType.MULTIPOINT)
     return Geom(GeomType.MULTIPOINT, parts=parts,
@@ -460,17 +548,26 @@ def _install_oo_properties():
         GeomType.GEOMETRYCOLLECTION: "GeometryCollection",
     }
 
-    def _coord0(self, i):
+    def _coord0(self, i, name):
+        # DimensionError at call time (class defined later in this module)
         if self.type_id != GeomType.POINT or _p.is_empty(self):
-            raise ValueError(f"no .x/.y/.z on {self!r}")
+            raise ValueError(f"no .{name} on {self!r}")
+        if i == 2 and not self.has_z:
+            raise DimensionError(f"This point has no {name} coordinate.")
+        if i == 3 or (i == 2 and name == "m"):
+            if not self.has_m:
+                raise DimensionError(f"This point has no {name} coordinate.")
+            c = _co.get_coordinates(self, include_z=self.has_z, include_m=True)
+            return float(c[0, -1])
         c = _co.get_coordinates(self, include_z=bool(self.has_z))
         return float(c[0, i])
 
     props = {
         "geom_type": lambda self: _GEOM_TYPE_NAMES[GeomType(self.type_id)],
-        "x": lambda self: _coord0(self, 0),
-        "y": lambda self: _coord0(self, 1),
-        "z": lambda self: _coord0(self, 2),
+        "x": lambda self: _coord0(self, 0, "x"),
+        "y": lambda self: _coord0(self, 1, "y"),
+        "z": lambda self: _coord0(self, 2, "z"),
+        "m": lambda self: _coord0(self, 3, "m"),
         "exterior": lambda self: _co.get_exterior_ring(self),
         "interiors": lambda self: [
             _co.get_interior_ring(self, i)

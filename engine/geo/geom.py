@@ -105,7 +105,7 @@ def _dims_flags(c: np.ndarray, has_z=None, has_m=None) -> tuple[bool, bool]:
     return True, True
 
 
-@dataclass
+@dataclass(eq=False)
 class Geom:
     """Scalar geometry.
 
@@ -199,6 +199,35 @@ class Geom:
     @staticmethod
     def empty(type_id: GeomType = GeomType.GEOMETRYCOLLECTION) -> "Geom":
         return Geom(type_id)
+
+    # -- identity (reference src/pygeom.c:240-300: __eq__ is
+    # equals_identical — same type/dims/coords in order, NaN == NaN;
+    # __hash__ is the WKB hash, so geometries work in sets/dicts) -------
+    def __eq__(self, other):
+        if not isinstance(other, Geom):
+            return NotImplemented
+        if self.has_z != other.has_z or self.has_m != other.has_m:
+            return False
+        from engine.geo.predicates import equals_identical
+
+        return bool(equals_identical(self, other))
+
+    def __hash__(self):
+        from engine.geo.wkb import to_wkb
+
+        return hash(to_wkb(self)) ^ 374761393
+
+    def __bool__(self):
+        return not self.is_empty
+
+    def __str__(self):
+        return to_wkt(self)
+
+    def __repr__(self):
+        w = to_wkt(self)
+        if len(w) > 62:
+            w = w[:59] + "..."
+        return f"<Geom {w}>"
 
     # -- basic properties -------------------------------------------------
     @property
@@ -434,10 +463,6 @@ class Geom:
         if len(pts):
             return (float(pts[0, 0]), float(pts[0, 1]))
         raise ValueError("empty geometry has no representative point")
-
-    def __repr__(self) -> str:  # pragma: no cover
-        return f"<Geom {to_wkt(self)}>"
-
 
 # ---------------------------------------------------------------------------
 # WKT I/O  (reference: shapely/io.py:33 to_wkt, io.py:269 from_wkt)
