@@ -142,3 +142,60 @@ def test_overlay_concave_star_identities():
         assert abs(measure.area(so.union(a, b)) - (aa + ab - ai)) < 1e-6
         assert abs(measure.area(so.difference(a, b)) - (aa - ai)) < 1e-6
         assert abs(measure.area(so.symmetric_difference(a, b)) - (aa + ab - 2 * ai)) < 1e-6
+
+
+# ---------------------------------------------------- identity semantics
+@st.composite
+def any_geoms(draw):
+    """Small random geometry of varied type (incl. Z and empties)."""
+    kind = draw(st.integers(0, 5))
+    cs = lambda n: [(draw(coord), draw(coord)) for _ in range(n)]
+    if kind == 0:
+        if draw(st.booleans()):
+            return Geom.point(draw(coord), draw(coord), draw(coord))
+        return Geom.point(draw(coord), draw(coord))
+    if kind == 1:
+        return Geom.linestring(np.asarray(cs(draw(st.integers(2, 5)))))
+    if kind == 2:
+        x0, y0 = draw(coord), draw(coord)
+        return Geom.box(x0, y0, x0 + 1 + draw(coord), y0 + 1 + draw(coord))
+    if kind == 3:
+        return Geom.multi(
+            GeomType.MULTIPOINT,
+            [Geom.point(x, y) for x, y in cs(draw(st.integers(1, 4)))],
+        )
+    if kind == 4:
+        return Geom.empty(
+            draw(st.sampled_from([GeomType.POINT, GeomType.LINESTRING,
+                                  GeomType.POLYGON,
+                                  GeomType.GEOMETRYCOLLECTION]))
+        )
+    return Geom.collection(
+        [Geom.point(draw(coord), draw(coord)),
+         Geom.linestring(np.asarray(cs(2)))]
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(any_geoms())
+def test_identity_roundtrip_eq_hash(g):
+    """WKB and WKT round-trips preserve __eq__/hash; eq implies equal
+    hash (set/dict contract)."""
+    from engine.geo.geom import from_wkt, to_wkt
+    from engine.geo.wkb import from_wkb, to_wkb
+
+    g2 = from_wkb(to_wkb(g))
+    assert g == g2
+    assert hash(g) == hash(g2)
+    g3 = from_wkt(to_wkt(g))
+    assert g == g3, (to_wkt(g), to_wkt(g3))
+    assert hash(g) == hash(g3)
+    assert (g != g2) is False
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_geoms(), any_geoms())
+def test_identity_symmetry(a, b):
+    assert (a == b) == (b == a)
+    if a == b:
+        assert hash(a) == hash(b)
