@@ -345,6 +345,16 @@ def _q_tile_mosaics(sf_dir):
     )
 
 
+def _q_tile_region_vectors(sf_dir):
+    """RASTER→VECTOR: per-polygon lit-tile raster vectorized to its
+    union polygon (engine overlay); integer invariants measured on the
+    vector form (area / edge-length quantization) against a pure-SQL
+    grid-adjacency oracle."""
+    from engine.rayds.mosaic import tile_region_vectors
+
+    return tile_region_vectors(sf_dir)
+
+
 # -------------------------------------------------------------- text queries
 def _docs(sf_dir):
     import ray.data
@@ -565,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "asof_click_view": _q_asof_click_view,
         "tile_mosaics": _q_tile_mosaics,
+        "tile_region_vectors": _q_tile_region_vectors,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "wkbz_roundtrip": _q_wkbz_roundtrip,
         "affine_bounds": _q_affine_bounds,
@@ -615,6 +626,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT poly_id, {_TILE} AS tile_id, count(*) AS n_images
             FROM imgs JOIN layer ON {_COVERS}
             GROUP BY 1, 2
+        """,
+        "tile_region_vectors": f"""
+            WITH {_IMGS}, {_LAYER},
+            t AS (
+                SELECT poly_id, {_TILE} AS tile_id, count(*) AS n_images
+                FROM imgs JOIN layer ON {_COVERS}
+                GROUP BY 1, 2
+            ),
+            m AS (SELECT poly_id, avg(n_images) AS mu FROM t GROUP BY 1),
+            lit AS (
+                SELECT t.poly_id, t.tile_id FROM t
+                JOIN m ON t.poly_id = m.poly_id
+                WHERE t.n_images >= 0.9 * m.mu
+            ),
+            adj AS (
+                SELECT a.poly_id, count(*) AS shared2
+                FROM lit a JOIN lit b ON a.poly_id = b.poly_id AND (
+                    (abs(a.tile_id % 4 - b.tile_id % 4) = 1
+                     AND a.tile_id // 4 = b.tile_id // 4)
+                    OR (abs(a.tile_id // 4 - b.tile_id // 4) = 1
+                        AND a.tile_id % 4 = b.tile_id % 4))
+                GROUP BY 1
+            )
+            SELECT lit.poly_id AS poly_id, count(*) AS n_lit,
+                   4 * count(*) - coalesce(max(adj.shared2), 0) AS boundary_edges
+            FROM lit LEFT JOIN adj ON lit.poly_id = adj.poly_id
+            GROUP BY 1
         """,
         "dwithin_pairs": f"""
             WITH {_IMGS}, {_LAYER}

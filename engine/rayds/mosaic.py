@@ -118,3 +118,72 @@ def write_tile_mosaics(sf_dir: str, out_dir: str) -> int:
     import os
 
     return sum(len(files) for _, _, files in os.walk(out_dir))
+
+
+# ------------------------------------------------- raster -> vector
+def _region_vectorize(layer_lookup):
+    """Per-polygon group fn: lit-tile RASTER (n_images >= 0.9 x the
+    polygon's own mean — scale-free threshold) → VECTOR union polygon
+    via the overlay engine → integer invariants re-derived FROM the
+    vector form (area / edge-length quantization), so the output proves
+    the raster→vector path ran."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        from engine.geo.set_operations import union_all
+        from engine.geo.geom import Geom
+
+        poly_id = int(group["poly_id"][0].as_py())
+        tid = group["tile_id"].to_numpy()
+        n = group["n_images"].to_numpy()
+        mu = n.mean()
+        lit = tid[n >= 0.9 * mu]
+        xmin, ymin, side = layer_lookup(poly_id)
+        s4 = side / TILE_N
+        tx = lit % TILE_N
+        ty = lit // TILE_N
+        boxes = [
+            Geom.box(xmin + x * s4, ymin + y * s4,
+                     xmin + (x + 1) * s4, ymin + (y + 1) * s4)
+            for x, y in zip(tx, ty)
+        ]
+        u = union_all(boxes)
+        n_lit = int(round(u.area / (s4 * s4)))
+        boundary_edges = int(round(u.length / s4))
+        return pa.table(
+            {
+                "poly_id": pa.array([poly_id], type=pa.int64()),
+                "n_lit": pa.array([n_lit], type=pa.int64()),
+                "boundary_edges": pa.array([boundary_edges], type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def tile_region_vectors(sf_dir: str, layer: Layer | None = None):
+    """RASTER→VECTOR (north_rule "raster↔vector"): vectorize each
+    polygon's lit-tile raster into its union polygon (holes and
+    multi-part regions fall out of the overlay), reporting integer
+    invariants measured on the vector form.
+
+    Scale shape: rides the combiner-first tile counts (output ≤ P×16
+    narrow rows), broadcast layer for tile-box geometry, one ≤16-box
+    union per group."""
+    import ray
+
+    from engine.rayds import bcast, pipeline
+    from engine.rayds.imagetab import load_layer
+
+    layer = layer or load_layer(sf_dir)
+    ref = ray.put(
+        {int(p): (float(b[0]), float(b[1]), float(s))
+         for p, b, s in zip(layer.poly_ids, layer.bounds, layer.sides)}
+    )
+    counts = pipeline.tile_counts(sf_dir)
+
+    def lookup(poly_id):
+        return bcast.cached(ref)[poly_id]
+
+    return counts.groupby("poly_id").map_groups(
+        _region_vectorize(lookup), batch_format="pyarrow"
+    )

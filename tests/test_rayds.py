@@ -471,3 +471,39 @@ def test_transcode_invariant_pixels_and_caption(ray_ready):
         a = codec.decode_payload(o["bytes"], o["w"], o["h"], o["fmt"])
         b = codec.decode_payload(r["bytes"], r["w"], r["h"], "qraw")
         assert codec.psnr(b, a) >= 40.0              # decoded-pixel invariant
+
+
+def test_region_vectorize_holes_and_parts():
+    """Raster→vector group kernel: an 8-ring with unlit centre must
+    vectorize to a polygon WITH A HOLE (boundary = 12 outer + 4 inner
+    edges); two diagonal tiles make a 2-part region (8 edges)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.rayds.mosaic import _region_vectorize
+
+    def lookup(pid):
+        return (0.0, 0.0, 4.0)  # side 4 -> unit tiles
+
+    fn = _region_vectorize(lookup)
+    # ring: tiles (tx,ty) around centre (1,1) in the 3x3 corner of 4x4
+    ring = [(0, 0), (1, 0), (2, 0), (0, 1), (2, 1), (0, 2), (1, 2), (2, 2)]
+    tid = np.array([ty * 4 + tx for tx, ty in ring], dtype=np.int64)
+    # counts: lit tiles get 10, add one unlit (centre) with count 1
+    g = pa.table({
+        "poly_id": pa.array([7] * 9, type=pa.int64()),
+        "tile_id": pa.array(np.concatenate([tid, [1 * 4 + 1]])),
+        "n_images": pa.array(np.array([10] * 8 + [1], dtype=np.int64)),
+    })
+    out = fn(g)
+    assert out["n_lit"][0].as_py() == 8
+    assert out["boundary_edges"][0].as_py() == 16  # 12 outer + 4 hole
+    # two isolated diagonal tiles -> multipart, 8 edges
+    g2 = pa.table({
+        "poly_id": pa.array([9, 9], type=pa.int64()),
+        "tile_id": pa.array(np.array([0, 5], dtype=np.int64)),
+        "n_images": pa.array(np.array([10, 10], dtype=np.int64)),
+    })
+    out2 = fn(g2)
+    assert out2["n_lit"][0].as_py() == 2
+    assert out2["boundary_edges"][0].as_py() == 8
