@@ -345,6 +345,29 @@ def _q_tile_mosaics(sf_dir):
     )
 
 
+def _q_sample_images(sf_dir):
+    """Deterministic content-hash sampling (the eval-set / holdout split
+    op of a training-data pipeline): keep rows whose md5(image_id) first
+    nibble < 4 — an exact, order-independent 4/16 sample, reproducible
+    on any cluster size."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from engine.rayds.imagetab import image_dataset
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        keep = [hashlib.md5(i.encode()).hexdigest()[0] < "4" for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return (
+        image_dataset(sf_dir)
+        .map_batches(flt, batch_format="pyarrow", batch_size=None)
+        .select_columns(["image_id", "x", "y"])
+    )
+
+
 def _q_tile_region_vectors(sf_dir):
     """RASTER→VECTOR: per-polygon lit-tile raster vectorized to its
     union polygon (engine overlay); integer invariants measured on the
@@ -576,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_view": _q_asof_click_view,
         "tile_mosaics": _q_tile_mosaics,
         "tile_region_vectors": _q_tile_region_vectors,
+        "sample_images": _q_sample_images,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "wkbz_roundtrip": _q_wkbz_roundtrip,
         "affine_bounds": _q_affine_bounds,
@@ -626,6 +650,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT poly_id, {_TILE} AS tile_id, count(*) AS n_images
             FROM imgs JOIN layer ON {_COVERS}
             GROUP BY 1, 2
+        """,
+        "sample_images": f"""
+            WITH {_IMGS}
+            SELECT image_id, x, y FROM imgs
+            WHERE substr(md5(image_id), 1, 1) < '4'
         """,
         "tile_region_vectors": f"""
             WITH {_IMGS}, {_LAYER},
