@@ -368,6 +368,48 @@ def _q_sample_images(sf_dir):
     )
 
 
+def _q_lang_topwords(sf_dir):
+    """Per-GROUP top-k (windowed ranking): top-5 words per detected
+    language — combiner-first (lang, word) counts then a tiny per-lang
+    ranking group; the SQL oracle uses row_number() over partitions."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from engine.ops import text
+    from engine.rayds.shuffle import grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = text.lang_id(batch)
+        words = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lang = np.repeat(np.asarray(t["pred_lang"].to_pylist(), dtype=object), n)
+        return pa.table(
+            {"lang": pa.array(lang.tolist(), type=pa.string()),
+             "word": pc.list_flatten(words)}
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    counts = grouped_count(ds, ["lang", "word"], out_col="cnt", use_shuffle="auto")
+
+    def top5(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cnt = group["cnt"].to_numpy()
+        words = np.asarray(group["word"].to_pylist(), dtype=object)
+        order = np.lexsort((words, -cnt))[:5]
+        return pa.table(
+            {
+                "lang": group["lang"].take(order.tolist()),
+                "word": pa.array(words[order].tolist(), type=pa.string()),
+                "cnt": pa.array(cnt[order]),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(top5, batch_format="pyarrow")
+
+
 def _q_tile_region_vectors(sf_dir):
     """RASTER→VECTOR: per-polygon lit-tile raster vectorized to its
     union polygon (engine overlay); integer invariants measured on the
@@ -600,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_mosaics": _q_tile_mosaics,
         "tile_region_vectors": _q_tile_region_vectors,
         "sample_images": _q_sample_images,
+        "lang_topwords": _q_lang_topwords,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "wkbz_roundtrip": _q_wkbz_roundtrip,
         "affine_bounds": _q_affine_bounds,
@@ -655,6 +698,45 @@ def oracle_sql() -> dict[str, str]:
             WITH {_IMGS}
             SELECT image_id, x, y FROM imgs
             WHERE substr(md5(image_id), 1, 1) < '4'
+        """,
+        "lang_topwords": """
+            WITH s AS (
+                SELECT text,
+                  (length(text) - length(replace(text, ' the ', ''))) / 5
+                + (length(text) - length(replace(text, ' and ', ''))) / 5
+                + (length(text) - length(replace(text, ' is ', '')))  / 4 AS s_en,
+                  (length(text) - length(replace(text, ' el ', '')))  / 4
+                + (length(text) - length(replace(text, ' la ', '')))  / 4
+                + (length(text) - length(replace(text, ' que ', ''))) / 5 AS s_es,
+                  (length(text) - length(replace(text, ' der ', ''))) / 5
+                + (length(text) - length(replace(text, ' und ', ''))) / 5
+                + (length(text) - length(replace(text, ' die ', ''))) / 5 AS s_de,
+                  (length(text) - length(replace(text, ' le ', '')))  / 4
+                + (length(text) - length(replace(text, ' et ', '')))  / 4
+                + (length(text) - length(replace(text, ' les ', ''))) / 5 AS s_fr
+                FROM documents
+            ),
+            lab AS (
+                SELECT text, CASE
+                    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang
+                FROM s
+            ),
+            w AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS word FROM lab
+            ),
+            c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+            r AS (
+                SELECT lang, word, cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, word
+                       ) AS rn
+                FROM c
+            )
+            SELECT lang, word, cnt FROM r WHERE rn <= 5
         """,
         "tile_region_vectors": f"""
             WITH {_IMGS}, {_LAYER},
