@@ -18,8 +18,17 @@ def _coerce(coords) -> np.ndarray:
     return np.asarray(coords, dtype=np.float64)
 
 
-def points(coords, y=None, z=None, handle_nan: str = "allow"):
-    """creation.py:54 — coords may be (n,2), (n,3) XYZ, or (n,4) XYZM."""
+def points(coords, y=None, z=None, indices=None, handle_nan: str = "allow"):
+    """creation.py:54 — coords may be (n,2), (n,3) XYZ, or (n,4) XYZM;
+    ``indices`` scatters point i to output slot indices[i] (reference
+    creation.py:58-120 indices form, one coord per output slot)."""
+    if indices is not None:
+        base = points(coords, y=y, z=z, handle_nan=handle_nan)
+        base = np.atleast_1d(base)
+        idx = np.asarray(indices, dtype=np.int64)
+        out = np.full(int(idx.max()) + 1 if len(idx) else 0, None, dtype=object)
+        out[idx] = base
+        return out
     if y is not None:
         cols = [np.asarray(coords, dtype=np.float64), np.asarray(y, dtype=np.float64)]
         if z is not None:
