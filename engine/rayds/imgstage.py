@@ -25,8 +25,11 @@ def _binary_views(col) -> list:
         col = col.combine_chunks()
     if len(col) == 0:
         return []
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
-                         count=len(col) + 1, offset=col.offset * 4)
+    wide = pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type)
+    odt = np.int64 if wide else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt,
+                         count=len(col) + 1,
+                         offset=col.offset * np.dtype(odt).itemsize)
     data = memoryview(col.buffers()[2]).cast("B")  # unsigned: so slice
     # content comparisons against bytes literals behave like bytes
     return [data[offs[i]: offs[i + 1]] for i in range(len(col))]
