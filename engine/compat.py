@@ -836,3 +836,21 @@ geometry.base = _ns(
     BaseGeometry=Geom, BaseMultipartGeometry=Geom,
     CAP_STYLE=BufferCapStyle, JOIN_STYLE=BufferJoinStyle,
 )
+# per-type geometry submodules (reference `from shapely.geometry.polygon
+# import orient` style imports)
+geometry.polygon = _ns(
+    "geometry.polygon",
+    Polygon=Polygon, LinearRing=LinearRing, orient=orient,
+    signed_area=signed_area,
+)
+geometry.point = _ns("geometry.point", Point=Point)
+geometry.linestring = _ns("geometry.linestring", LineString=LineString)
+geometry.multipoint = _ns("geometry.multipoint", MultiPoint=MultiPoint)
+geometry.multilinestring = _ns(
+    "geometry.multilinestring", MultiLineString=MultiLineString
+)
+geometry.multipolygon = _ns("geometry.multipolygon", MultiPolygon=MultiPolygon)
+geometry.collection = _ns(
+    "geometry.collection", GeometryCollection=GeometryCollection
+)
+geometry.geo = _ns("geometry.geo", shape=shape, mapping=mapping, box=box)
