@@ -199,3 +199,25 @@ def test_identity_symmetry(a, b):
     assert (a == b) == (b == a)
     if a == b:
         assert hash(a) == hash(b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sets(st.tuples(st.integers(0, 3), st.integers(0, 3)),
+               min_size=1, max_size=16))
+def test_grid_box_union_exact_invariants(cells):
+    """Union of unit grid boxes (the raster→vector kernel's shape): area
+    = cell count and perimeter = 4n − 2·(shared edges), exactly — holes
+    and multi-part regions included."""
+    from engine.geo.set_operations import union_all
+
+    boxes = [Geom.box(x, y, x + 1, y + 1) for x, y in cells]
+    u = union_all(boxes)
+    n = len(cells)
+    shared = sum(
+        1
+        for (x, y) in cells
+        for d in ((1, 0), (0, 1))
+        if (x + d[0], y + d[1]) in cells
+    )
+    assert u.area == float(n)
+    assert u.length == float(4 * n - 2 * shared)
