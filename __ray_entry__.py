@@ -433,7 +433,7 @@ def _q_token_stats(sf_dir):
     return (
         _docs(sf_dir)
         .map_batches(text.token_stats, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .select_columns(["doc_id", "n_tokens", "n_chars_calc"])
+        .select_columns(["doc_id", "n_tokens", "n_bpe_tokens", "n_chars_calc"])
     )
 
 
@@ -902,6 +902,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                       AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_calc
             FROM documents
         """,

@@ -16,13 +16,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# BPE-ish pre-tokenizer: runs of letters / digits / other-non-space —
+# the GPT-2-style coarse split a byte-pair tokenizer starts from.  RE2
+# syntax on both sides (pyarrow and DuckDB embed RE2), so the SQL oracle
+# counts the identical matches.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
     """+ n_tokens (single-space split, = count(' ')+1 — the SQL-mirrorable
-    definition), + n_chars_calc."""
+    definition), + n_bpe_tokens (BPE-ish regex pre-tokens), + n_chars_calc."""
     text = batch["text"]
     spaces = pc.count_substring(text, " ")
     n_tokens = pc.add(spaces, 1)
+    n_bpe = pc.count_substring_regex(text, BPE_SPLIT_RE)
     return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64())) \
+                .append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64())) \
                 .append_column("n_chars_calc", pc.cast(pc.utf8_length(text), pa.int64()))
 
 
