@@ -106,18 +106,32 @@ def dwithin_dataset(sf_dir: str, distance: float, layer: Layer | None = None):
     )
 
 
-def knn_centers_dataset(sf_dir: str, layer: Layer | None = None):
+def knn_centers_dataset(sf_dir: str, layer: Layer | None = None,
+                        use_actors: bool = False):
     import ray
+
+    from engine.rayds.bcast import cached
 
     layer = layer or load_layer(sf_dir)
     ref = ray.put(layer)
+    if use_actors:
+        return image_dataset(sf_dir).map_batches(
+            NearestCenterStage,
+            fn_constructor_kwargs={"layer_ref": ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=JOIN_BATCH,
+            concurrency=_join_concurrency(),
+        )
+
+    # default: task pool with per-worker cached centre matrix (same
+    # prepared-state semantics as the join's task form, no spawn cost)
+    def knn_fn(batch):
+        return cached(ref, NearestCenterStage)(batch)
+
     return image_dataset(sf_dir).map_batches(
-        NearestCenterStage,
-        fn_constructor_kwargs={"layer_ref": ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        knn_fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=JOIN_BATCH,
-        concurrency=_join_concurrency(),
     )
 
 
