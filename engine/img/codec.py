@@ -175,10 +175,18 @@ def synth_image_batch(image_ids, w: int, h: int) -> np.ndarray:
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(k,h,w,3) vs (k,h,w,3) → (k,) PSNR dB (inf where identical)."""
-    d = a.astype(np.float64) - b.astype(np.float64)
-    mse = np.mean(d * d, axis=(1, 2, 3))
-    out = np.full(len(mse), np.inf)
+    """(k,h,w,3) vs (k,h,w,3) → (k,) PSNR dB (inf where identical).
+
+    Integer path: per-pixel squared diffs fit int32 and their per-image
+    sums fit int64 exactly, and every partial sum is < 2^53, so the
+    float64 mse equals the float path bit for bit at 1/4 the memory
+    traffic."""
+    d = a.astype(np.int16) - b.astype(np.int16)
+    d32 = d.astype(np.int32)
+    k = d32.shape[0]
+    sums = (d32 * d32).reshape(k, -1).sum(axis=1, dtype=np.int64)
+    mse = sums / float(d32[0].size if k else 1)
+    out = np.full(k, np.inf)
     nz = mse > 0
     out[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz])
     return out

@@ -32,7 +32,8 @@ def _binary_views(col) -> list:
                          offset=col.offset * np.dtype(odt).itemsize)
     data = memoryview(col.buffers()[2]).cast("B")  # unsigned: so slice
     # content comparisons against bytes literals behave like bytes
-    return [data[offs[i]: offs[i + 1]] for i in range(len(col))]
+    o = offs.tolist()  # python ints: numpy-scalar slice indices are slow
+    return [data[o[i]: o[i + 1]] for i in range(len(o) - 1)]
 
 
 _WH_CHUNK = 64  # images per vectorized chunk: keeps the float64
@@ -65,7 +66,7 @@ class AddPayload:
         ids = batch["image_id"].to_pylist()
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
-        fmts = np.asarray(batch["fmt"].to_pylist())
+        fmts = batch["fmt"].to_pylist()
         payloads = [None] * len(ids)
         hashes = np.empty(len(ids), dtype=np.int64)
         for idx, w, h in _wh_groups(ws, hs):
