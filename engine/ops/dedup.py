@@ -236,6 +236,48 @@ def _chunked_triu_pairs(ids: np.ndarray,
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
+def partitioned_buckets(exploded, key_cols, bucket_fn, num_parts: int = 64):
+    """Run a per-bucket fn over every bucket WITHOUT a fine-grained
+    groupby: hash-partition rows on the bucket key (the all-to-all sorts
+    64 small ints instead of the full (band, hash) key space), then
+    inside each partition lexsort once and slice bucket runs.
+
+    Same outputs as ``groupby(key_cols).map_groups(bucket_fn)``; the
+    cost moves from Ray's sort of the fine key to one cheap partition
+    exchange — the shape every LSH pair stage here shares."""
+    import pyarrow as _pa
+
+    from engine.rayds.shuffle import add_hash_part
+
+    key_cols = list(key_cols)
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        cols = [g[c].to_numpy() for c in key_cols]
+        order = np.lexsort(tuple(reversed(cols)))
+        gs = g.take(_pa.array(order))
+        cs = [c[order] for c in cols]
+        n = len(order)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in cs:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        outs = [
+            bucket_fn(gs.slice(s, e - s)) for s, e in zip(starts, ends) if e - s >= 2
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return bucket_fn(gs.slice(0, 0))
+        return _pa.concat_tables(outs)
+
+    keyed = exploded.map_batches(
+        add_hash_part(key_cols, num_parts), batch_format="pyarrow", batch_size=None
+    )
+    return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+
+
 def _bucket_pairs(max_bucket: int = MAX_BUCKET):
     """Within one (band, band_hash) bucket: doc pairs (a < b), capped."""
 
@@ -261,8 +303,8 @@ def minhash_candidate_pairs(docs_ds, max_bucket: int = MAX_BUCKET):
     exploded = docs_ds.map_batches(
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs(max_bucket), batch_format="pyarrow"
+    pairs = partitioned_buckets(
+        exploded, ("band", "band_hash"), _bucket_pairs(max_bucket)
     )
     from engine.rayds.shuffle import grouped_count
 
@@ -418,8 +460,8 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
     exploded = docs_ds.map_batches(
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs(MAX_BUCKET), batch_format="pyarrow"
+    pairs = partitioned_buckets(
+        exploded, ("band", "band_hash"), _bucket_pairs(MAX_BUCKET)
     )
     shingled = docs_ds.map_batches(
         shingle_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -670,8 +712,8 @@ def simhash_near_pairs(docs_ds, max_ham: int = 8):
     exploded = hashed.select_columns(["doc_id", "simhash"]).map_batches(
         _simhash_explode, batch_format="pyarrow", batch_size=None
     )
-    pairs = exploded.groupby(["band_idx", "band_val"]).map_groups(
-        _simhash_bucket_pairs(max_ham), batch_format="pyarrow"
+    pairs = partitioned_buckets(
+        exploded, ("band_idx", "band_val"), _simhash_bucket_pairs(max_ham)
     )
     # pair dedupe (min hamming per pair) via the engine's own hash
     # shuffle — Ray's groupby().min Aggregate costs ~20 s fixed overhead
