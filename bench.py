@@ -99,17 +99,18 @@ def _bandwidth_probe() -> dict:
 def _wait_for_bandwidth(max_wait_s: float = 240.0, interval_s: float = 20.0) -> dict:
     """If the VM is in its degraded-bandwidth state, wait (bounded) for a
     healthy window before measuring — degraded-state numbers are garbage.
-    Returns the probe record annotated with how long we waited."""
+    The bound covers TOTAL wall time including probe cost (a probe itself
+    takes ~1 min when deeply degraded).  Returns the probe record
+    annotated with how long we waited."""
+    t0 = time.time()
     first = _bandwidth_probe()
     probe = first
-    waited = 0.0
-    while probe["state"] != "HEALTHY" and waited < max_wait_s:
+    while probe["state"] != "HEALTHY" and time.time() - t0 < max_wait_s:
         time.sleep(interval_s)
-        waited += interval_s
         probe = _bandwidth_probe()
     probe = dict(probe)
     probe["initial_state"] = first["state"]
-    probe["waited_secs"] = round(waited, 1)
+    probe["waited_secs"] = round(time.time() - t0, 1)
     return probe
 
 
