@@ -222,28 +222,30 @@ def MultiPoint(pts=()):
     if not parts:
         return Geom.empty(GeomType.MULTIPOINT)
     return Geom(GeomType.MULTIPOINT, parts=parts,
-                has_z=any(p.has_z for p in parts))
+                has_z=any(p.has_z for p in parts),
+                has_m=any(p.has_m for p in parts))
+
+
+def _collection(type_id, parts):
+    if not parts:
+        return Geom.empty(type_id)
+    return Geom(type_id, parts=parts,
+                has_z=any(p.has_z for p in parts),
+                has_m=any(p.has_m for p in parts))
 
 
 def MultiLineString(lines=()):
     parts = [ls if isinstance(ls, Geom) else LineString(ls) for ls in lines]
-    return Geom(GeomType.MULTILINESTRING, parts=parts) if parts else Geom.empty(
-        GeomType.MULTILINESTRING
-    )
+    return _collection(GeomType.MULTILINESTRING, parts)
 
 
 def MultiPolygon(polys=()):
     parts = [p if isinstance(p, Geom) else Polygon(*p) for p in polys]
-    return Geom(GeomType.MULTIPOLYGON, parts=parts) if parts else Geom.empty(
-        GeomType.MULTIPOLYGON
-    )
+    return _collection(GeomType.MULTIPOLYGON, parts)
 
 
 def GeometryCollection(geoms=()):
-    parts = list(geoms)
-    return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts) if parts else Geom.empty(
-        GeomType.GEOMETRYCOLLECTION
-    )
+    return _collection(GeomType.GEOMETRYCOLLECTION, list(geoms))
 
 
 # --------------------------------------------- OO sugar on the scalar type
@@ -293,10 +295,11 @@ _install_oo()
 
 # ------------------------------------------------ shapely.ops-level sugar
 # (reference shapely/ops.py:95-670 — thin aliases over the engine kernels)
-class GEOSException(Exception):
-    """Reference shapely.lib.GEOSException — raised by GEOS; this engine
-    raises it from the same user-facing failure points (invalid WKB/WKT,
-    impossible overlays)."""
+from engine.geo.errors import (  # noqa: F401
+    GEOSException, ShapelyError, UnsupportedGEOSVersionError, DimensionError,
+    TopologicalError, ShapelyDeprecationWarning, EmptyPartError,
+    GeometryTypeError,
+)
 
 
 Geometry = Geom  # reference shapely.lib.Geometry base type alias
@@ -626,33 +629,9 @@ _install_oo_properties()
 
 
 # ------------------------------------------------- shapely.errors surface
-class ShapelyError(GEOSException):
-    """Reference errors.py:31 — base error (subclasses GEOSException
-    there too)."""
-
-
-class UnsupportedGEOSVersionError(ShapelyError):
-    pass
-
-
-class DimensionError(ShapelyError):
-    pass
-
-
-class TopologicalError(ShapelyError):
-    pass
-
-
-class ShapelyDeprecationWarning(FutureWarning):
-    pass
-
-
-class EmptyPartError(ShapelyError):
-    pass
-
-
-class GeometryTypeError(ShapelyError):
-    pass
+def setup_signal_checks(interval=10000):
+    """Reference errors.py:8 — installs GEOS interrupt checks; this
+    engine has no C extension to interrupt, so it is a no-op."""
 
 
 errors = _ns(
@@ -662,8 +641,26 @@ errors = _ns(
     DimensionError=DimensionError, TopologicalError=TopologicalError,
     ShapelyDeprecationWarning=ShapelyDeprecationWarning,
     EmptyPartError=EmptyPartError, GeometryTypeError=GeometryTypeError,
-    setup_signal_checks=lambda interval=10000: None,
+    setup_signal_checks=setup_signal_checks,
 )
+
+
+def _speedups_noop():
+    """Reference speedups.py:24,33 — deprecated toggles, warn-and-ignore."""
+    import warnings
+
+    warnings.warn(
+        "This function has no longer any effect, and will be removed in a "
+        "future release.", FutureWarning, stacklevel=2,
+    )
+
+
+speedups = _ns(
+    "speedups",
+    available=True, enabled=True,
+    enable=_speedups_noop, disable=_speedups_noop,
+)
+
 
 # reference geometry/base.py CAP_STYLE / JOIN_STYLE compat enums
 CAP_STYLE = BufferCapStyle
@@ -809,6 +806,47 @@ geos = _ns(
     geos_capi_version=geos_capi_version,
     geos_capi_version_string=geos_capi_version_string,
 )
+
+# shapely.lib surface (reference C-extension module; user code and the
+# reference test-suite reach into it for the Geometry type, version
+# tuples, and the scalar-optimized predicate variants — here the
+# vectorized kernels serve both forms).
+lib = _ns(
+    "lib",
+    Geometry=Geom, GEOSException=GEOSException, ShapelyError=ShapelyError,
+    geos_version=geos_version, geos_version_string=geos_version_string,
+    geos_capi_version=geos_capi_version,
+    geos_capi_version_string=geos_capi_version_string,
+    registry=[None, Geom],
+    _setup_signal_checks=lambda interval, thread_ident: None,
+)
+def _as_py_scalar(f):
+    """The reference lib's *_scalar fast paths return plain Python bools
+    (tests assert ``is True``); coerce numpy bool scalars accordingly."""
+    import functools
+
+    @functools.wraps(f)
+    def wrapped(*a, **kw):
+        r = f(*a, **kw)
+        return bool(r) if isinstance(r, np.bool_) else r
+
+    return wrapped
+
+
+for _fn_name in (
+    "contains_xy", "intersects_xy", "dwithin", "is_geometry", "is_missing",
+    "is_valid_input", "is_prepared", "prepare", "destroy_prepared",
+    "shortest_line", "equals_exact",
+):
+    _f = globals().get(_fn_name)
+    if _f is not None:
+        setattr(lib, _fn_name, _f)
+        setattr(lib, _fn_name + "_scalar", _as_py_scalar(_f))
+for _fn_name in ("set_precision", "oriented_envelope", "coverage_invalid_edges"):
+    _f = globals().get(_fn_name)
+    if _f is not None:
+        setattr(lib, _fn_name, _f)
+del _fn_name, _f
 
 
 def _identity_decorator(*dargs, **dkw):

@@ -349,6 +349,19 @@ def normalize(geometry):
 
             parts.sort(key=lambda p: to_wkt(p))
             return Geom(t, parts=parts)
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING) and len(g.xys) > 1:
+            # GEOS LineString::normalize — reverse so the smaller endpoint
+            # (first differing coordinate pair from the two ends) is first
+            c = g.xys
+            n = len(c)
+            for i in range(n // 2):
+                a, b = tuple(c[i]), tuple(c[n - 1 - i])
+                if a != b:
+                    if a > b:
+                        return Geom(t, xys=c[::-1].copy(),
+                                    has_z=g.has_z, has_m=g.has_m)
+                    break
+            return g
         return g
 
     return _apply1(one, geometry)

@@ -140,12 +140,21 @@ def transform(geometry, transformation, include_z: bool = False):
             out = np.asarray(transformation(c), dtype=np.float64)
             if not g.has_z:
                 out = out[:, :2]
-            return set_coordinates(g, out)
-        from engine.geo.ops import force_2d
+            res = set_coordinates(g, out)
+        else:
+            from engine.geo.ops import force_2d
 
-        c = get_coordinates(g)
-        out = np.asarray(transformation(c), dtype=np.float64)
-        return set_coordinates(force_2d(g), out)
+            c = get_coordinates(g)
+            out = np.asarray(transformation(c), dtype=np.float64)
+            res = set_coordinates(force_2d(g), out)
+        if res is g:
+            # transform always returns a NEW geometry (reference
+            # coordinates.py:28 — prepare-with-copy idioms rely on it)
+            import copy as _copy
+
+            res = _copy.copy(g)
+            res._prepared = False
+        return res
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry)

@@ -13,26 +13,18 @@ from engine.geo import core, predicates
 from engine.geo.geom import Geom
 
 
-def has_z(geometry):
+def has_z(geometry, out=None):
     """predicates.py:46 — True for XYZ/XYZM geometries."""
-
-    def one(g):
-        return bool(g is not None and g.has_z)
-
-    if isinstance(geometry, Geom) or geometry is None:
-        return one(geometry)
-    return np.array([one(g) for g in geometry], dtype=bool)
+    return predicates._apply1(
+        lambda g: bool(g is not None and g.has_z), geometry, out=out
+    )
 
 
-def has_m(geometry):
+def has_m(geometry, out=None):
     """predicates.py:80 — True for XYM/XYZM geometries."""
-
-    def one(g):
-        return bool(g is not None and g.has_m)
-
-    if isinstance(geometry, Geom) or geometry is None:
-        return one(geometry)
-    return np.array([one(g) for g in geometry], dtype=bool)
+    return predicates._apply1(
+        lambda g: bool(g is not None and g.has_m), geometry, out=out
+    )
 
 
 def get_srid(geometry):

@@ -29,7 +29,9 @@ def points(coords, y=None, z=None, indices=None, handle_nan: str = "allow"):
         out = np.full(int(idx.max()) + 1 if len(idx) else 0, None, dtype=object)
         out[idx] = base
         return out
+    scalar = False
     if y is not None:
+        scalar = np.asarray(coords).ndim == 0
         cols = [np.asarray(coords, dtype=np.float64), np.asarray(y, dtype=np.float64)]
         if z is not None:
             cols.append(np.asarray(z, dtype=np.float64))
@@ -38,8 +40,6 @@ def points(coords, y=None, z=None, indices=None, handle_nan: str = "allow"):
     if c.ndim == 1:
         c = c[None, :]
         scalar = True
-    else:
-        scalar = False
     hz = c.shape[1] >= 3
     hm = c.shape[1] == 4
     out = []
@@ -134,6 +134,14 @@ def box(xmin, ymin, xmax, ymax, ccw: bool = True):
     return out[0] if scalars else np.array(out, dtype=object)
 
 
+def _zm(parts):
+    """Z/M flags of a collection follow its members (GEOS GEOSHasZ
+    semantics: any member with the dimension marks the collection)."""
+    return dict(
+        has_z=any(p.has_z for p in parts), has_m=any(p.has_m for p in parts)
+    )
+
+
 def _multi(type_id, sub_ctor):
     def ctor(geometries, indices=None):
         if indices is not None:
@@ -141,12 +149,13 @@ def _multi(type_id, sub_ctor):
             gs = list(geometries)
             out = []
             for i in range(idx.max() + 1 if len(idx) else 0):
-                out.append(Geom(type_id, parts=[gs[j] for j in np.flatnonzero(idx == i)]))
+                ps = [gs[j] for j in np.flatnonzero(idx == i)]
+                out.append(Geom(type_id, parts=ps, **_zm(ps)))
             return np.array(out, dtype=object)
         parts = [g if isinstance(g, Geom) else sub_ctor(g) for g in geometries]
         if not parts:
             return Geom.empty(type_id)
-        return Geom(type_id, parts=parts)
+        return Geom(type_id, parts=parts, **_zm(parts))
 
     return ctor
 

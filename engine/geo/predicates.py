@@ -17,6 +17,7 @@ import numpy as np
 
 from engine.geo import core
 from engine.geo import relate as R
+from engine.geo.errors import GEOSException
 from engine.geo.geom import Geom, GeomType
 
 __all__ = [
@@ -32,28 +33,72 @@ __all__ = [
 _LINEAR = (GeomType.LINESTRING, GeomType.LINEARRING)
 
 
-def _apply1(fn, geometry, dtype=bool):
-    if geometry is None or isinstance(geometry, Geom):
-        return fn(geometry)
+def _geomlike(g) -> bool:
+    return g is None or isinstance(g, Geom)
+
+
+def _type_error(value):
+    return TypeError(
+        "One of the arguments is of incorrect type. "
+        f"Provided value: {value!r}"
+    )
+
+
+def _box(res, out, dtype):
+    """Ufunc-style scalar return (reference predicates are np ufuncs:
+    scalars come back as numpy scalars, and ``out=`` writes in place)."""
+    if out is not None:
+        out[...] = res
+        return out
+    if dtype is bool:
+        return np.bool_(res)
+    return res
+
+
+def _objarr(x, is_scalar):
+    if is_scalar:
+        a = np.empty((), dtype=object)
+        a[()] = x
+        return a
+    return np.asarray(x, dtype=object)
+
+
+def _apply1(fn, geometry, dtype=bool, out=None, check=True):
+    if _geomlike(geometry) or not isinstance(geometry, (list, tuple, np.ndarray)):
+        if check and not _geomlike(geometry):
+            raise _type_error(geometry)
+        return _box(fn(geometry), out, dtype)
     arr = np.asarray(geometry, dtype=object)
-    out = np.empty(arr.shape, dtype=dtype)
+    res = np.empty(arr.shape, dtype=dtype)
     for idx in np.ndindex(arr.shape):
-        out[idx] = fn(arr[idx])
-    return out
+        g = arr[idx]
+        if check and not _geomlike(g):
+            raise _type_error(g)
+        res[idx] = fn(g)
+    if out is not None:
+        out[...] = res
+        return out
+    return res
 
 
-def _apply2(fn, a, b, dtype=bool):
-    a_scalar = a is None or isinstance(a, Geom)
-    b_scalar = b is None or isinstance(b, Geom)
+def _apply2(fn, a, b, dtype=bool, out=None, check=True):
+    a_scalar = _geomlike(a) or not isinstance(a, (list, tuple, np.ndarray))
+    b_scalar = _geomlike(b) or not isinstance(b, (list, tuple, np.ndarray))
     if a_scalar and b_scalar:
-        return fn(a, b)
-    aa = np.asarray(a if not a_scalar else [a], dtype=object)
-    bb = np.asarray(b if not b_scalar else [b], dtype=object)
-    aa, bb = np.broadcast_arrays(aa, bb)
-    out = np.empty(aa.shape, dtype=dtype)
+        if check and not (_geomlike(a) and _geomlike(b)):
+            raise _type_error(a if not _geomlike(a) else b)
+        return _box(fn(a, b), out, dtype)
+    aa, bb = np.broadcast_arrays(_objarr(a, a_scalar), _objarr(b, b_scalar))
+    res = np.empty(aa.shape, dtype=dtype)
     for idx in np.ndindex(aa.shape):
-        out[idx] = fn(aa[idx], bb[idx])
-    return out
+        x, y = aa[idx], bb[idx]
+        if check and not (_geomlike(x) and _geomlike(y)):
+            raise _type_error(x if not _geomlike(x) else y)
+        res[idx] = fn(x, y)
+    if out is not None:
+        out[...] = res
+        return out
+    return res
 
 
 # ---------------------------------------------------------------- unary
@@ -227,48 +272,51 @@ def _is_valid_reason(g):
     return "Invalid Geometry"
 
 
-def is_ccw(geometry):
-    return _apply1(_is_ccw, geometry)
+def is_ccw(geometry, out=None):
+    return _apply1(_is_ccw, geometry, out=out)
 
 
-def is_closed(geometry):
-    return _apply1(_is_closed, geometry)
+def is_closed(geometry, out=None):
+    return _apply1(_is_closed, geometry, out=out)
 
 
-def is_empty(geometry):
-    return _apply1(lambda g: g is not None and g.is_empty, geometry)
+def is_empty(geometry, out=None):
+    return _apply1(lambda g: g is not None and g.is_empty, geometry, out=out)
 
 
-def is_geometry(geometry):
-    return _apply1(lambda g: isinstance(g, Geom), geometry)
+def is_geometry(geometry, out=None):
+    return _apply1(lambda g: isinstance(g, Geom), geometry, out=out, check=False)
 
 
-def is_missing(geometry):
-    return _apply1(lambda g: g is None, geometry)
+def is_missing(geometry, out=None):
+    return _apply1(lambda g: g is None, geometry, out=out, check=False)
 
 
-def is_valid_input(geometry):
-    return _apply1(lambda g: g is None or isinstance(g, Geom), geometry)
+def is_valid_input(geometry, out=None):
+    return _apply1(_geomlike, geometry, out=out, check=False)
 
 
-def is_prepared(geometry):
-    return _apply1(lambda g: g is not None and getattr(g, "_prepared", False), geometry)
+def is_prepared(geometry, out=None):
+    return _apply1(
+        lambda g: g is not None and getattr(g, "_prepared", False),
+        geometry, out=out,
+    )
 
 
-def is_ring(geometry):
-    return _apply1(_is_ring, geometry)
+def is_ring(geometry, out=None):
+    return _apply1(_is_ring, geometry, out=out)
 
 
-def is_simple(geometry):
-    return _apply1(_is_simple, geometry)
+def is_simple(geometry, out=None):
+    return _apply1(_is_simple, geometry, out=out)
 
 
-def is_valid(geometry):
-    return _apply1(_is_valid, geometry)
+def is_valid(geometry, out=None):
+    return _apply1(_is_valid, geometry, out=out)
 
 
-def is_valid_reason(geometry):
-    return _apply1(_is_valid_reason, geometry, dtype=object)
+def is_valid_reason(geometry, out=None):
+    return _apply1(_is_valid_reason, geometry, dtype=object, out=out)
 
 
 def prepare(geometry):
@@ -296,155 +344,262 @@ def destroy_prepared(geometry):
 
 
 # ---------------------------------------------------------------- binary
-def crosses(a, b):
-    return _apply2(R.crosses, a, b)
+def crosses(a, b, out=None):
+    return _apply2(R.crosses, a, b, out=out)
 
 
-def contains(a, b):
-    return _apply2(R.contains, a, b)
+def contains(a, b, out=None):
+    return _apply2(R.contains, a, b, out=out)
 
 
-def contains_properly(a, b):
-    return _apply2(R.contains_properly, a, b)
+def contains_properly(a, b, out=None):
+    return _apply2(R.contains_properly, a, b, out=out)
 
 
-def covered_by(a, b):
-    return _apply2(R.covered_by, a, b)
+def covered_by(a, b, out=None):
+    return _apply2(R.covered_by, a, b, out=out)
 
 
-def covers(a, b):
-    return _apply2(R.covers, a, b)
+def covers(a, b, out=None):
+    return _apply2(R.covers, a, b, out=out)
 
 
-def disjoint(a, b):
-    return _apply2(R.disjoint, a, b)
+def disjoint(a, b, out=None):
+    return _apply2(R.disjoint, a, b, out=out)
 
 
-def equals(a, b):
-    return _apply2(R.equals, a, b)
+def equals(a, b, out=None):
+    return _apply2(R.equals, a, b, out=out)
 
 
-def intersects(a, b):
-    return _apply2(R.intersects, a, b)
+def intersects(a, b, out=None):
+    return _apply2(R.intersects, a, b, out=out)
 
 
-def overlaps(a, b):
-    return _apply2(R.overlaps, a, b)
+def overlaps(a, b, out=None):
+    return _apply2(R.overlaps, a, b, out=out)
 
 
-def touches(a, b):
-    return _apply2(R.touches, a, b)
+def touches(a, b, out=None):
+    return _apply2(R.touches, a, b, out=out)
 
 
-def within(a, b):
-    return _apply2(R.within, a, b)
+def within(a, b, out=None):
+    return _apply2(R.within, a, b, out=out)
 
 
-def relate(a, b):
-    return _apply2(R.relate, a, b, dtype=object)
+def relate(a, b, out=None):
+    return _apply2(R.relate, a, b, dtype=object, out=out)
 
 
-def relate_pattern(a, b, pattern):
-    return _apply2(lambda x, y: R.relate_pattern(x, y, pattern), a, b)
+def relate_pattern(a, b, pattern, out=None):
+    """predicates.py:~600 — pattern must be a scalar 9-char DE-9IM
+    string (TypeError / ValueError / GEOSException parity with the
+    reference's C argument checks)."""
+    if isinstance(pattern, (list, tuple, np.ndarray)):
+        raise ValueError("only supports scalar pattern values")
+    if not isinstance(pattern, str):
+        raise TypeError(f"expected string, got {pattern!r}")
+    if len(pattern) != 9:
+        raise GEOSException(
+            f'IllegalArgumentException: Should be length 9, is "{pattern}" '
+            f"instead"
+        )
+    return _apply2(lambda x, y: R.relate_pattern(x, y, pattern), a, b, out=out)
 
 
-def dwithin(a, b, distance):
+def _dwithin_one(x, y, d: float) -> bool:
+    if np.isnan(d):
+        return False
+    return R.dwithin(x, y, d)
+
+
+def dwithin(a, b, distance, out=None):
     d_scalar = np.isscalar(distance)
     if d_scalar:
-        return _apply2(lambda x, y: R.dwithin(x, y, float(distance)), a, b)
-    aa = np.asarray(a if not isinstance(a, Geom) and a is not None else [a], dtype=object)
-    bb = np.asarray(b if not isinstance(b, Geom) and b is not None else [b], dtype=object)
+        return _apply2(
+            lambda x, y: _dwithin_one(x, y, float(distance)), a, b, out=out
+        )
+    a_scalar = _geomlike(a) or not isinstance(a, (list, tuple, np.ndarray))
+    b_scalar = _geomlike(b) or not isinstance(b, (list, tuple, np.ndarray))
     dd = np.asarray(distance, dtype=np.float64)
-    aa, bb, dd = np.broadcast_arrays(aa, bb, dd)
-    out = np.empty(aa.shape, dtype=bool)
+    aa, bb, dd = np.broadcast_arrays(
+        _objarr(a, a_scalar), _objarr(b, b_scalar), dd
+    )
+    res = np.empty(aa.shape, dtype=bool)
     for idx in np.ndindex(aa.shape):
-        out[idx] = R.dwithin(aa[idx], bb[idx], float(dd[idx]))
-    return out
+        x, y = aa[idx], bb[idx]
+        if not (_geomlike(x) and _geomlike(y)):
+            raise _type_error(x if not _geomlike(x) else y)
+        res[idx] = _dwithin_one(x, y, float(dd[idx]))
+    if out is not None:
+        out[...] = res
+        return out
+    return res
 
 
-def distance(a, b):
-    return _apply2(R.distance, a, b, dtype=np.float64)
+def distance(a, b, out=None):
+    return _apply2(R.distance, a, b, dtype=np.float64, out=out)
 
 
-def _coords_equal_exact(a: Geom, b: Geom, tol: float) -> bool:
+def _arr_close(pa: np.ndarray, pb: np.ndarray, tol: float, xy_only: bool,
+               equal_nan: bool) -> bool:
+    if xy_only:
+        pa, pb = pa[:, :2], pb[:, :2]
+    if pa.shape != pb.shape:
+        return False
+    return bool(
+        np.allclose(pa, pb, rtol=0, atol=tol, equal_nan=equal_nan)
+    )
+
+
+def _coords_equal_exact(a: Geom, b: Geom, tol: float, xy_only: bool = True,
+                        equal_nan: bool = False) -> bool:
     if a.type_id != b.type_id:
         return False
     if a.type_id == GeomType.POLYGON:
         if len(a.rings) != len(b.rings):
             return False
         return all(
-            ra.shape == rb.shape and np.allclose(ra, rb, rtol=0, atol=tol, equal_nan=True)
+            _arr_close(ra, rb, tol, xy_only, equal_nan)
             for ra, rb in zip(a.rings, b.rings)
         )
     if a.parts or b.parts:
         if len(a.parts) != len(b.parts):
             return False
-        return all(_coords_equal_exact(pa, pb, tol) for pa, pb in zip(a.parts, b.parts))
-    if a.xys.shape != b.xys.shape:
-        return False
-    return bool(np.allclose(a.xys, b.xys, rtol=0, atol=tol, equal_nan=True))
+        return all(
+            _coords_equal_exact(pa, pb, tol, xy_only, equal_nan)
+            for pa, pb in zip(a.parts, b.parts)
+        )
+    return _arr_close(a.xys, b.xys, tol, xy_only, equal_nan)
 
 
-def equals_exact(a, b, tolerance=0.0):
-    """predicates.py:1081 — structural equality within tolerance."""
+def equals_exact(a, b, tolerance=0.0, normalize=False, out=None):
+    """predicates.py:1081 — structural XY equality within tolerance
+    (ignores Z/M; NaN != NaN; ``normalize=True`` canonicalizes both
+    sides first, predicates.py:1104)."""
+    if normalize:
+        from engine.geo.constructive import normalize as _norm
+
+        a = _apply1(lambda g: None if g is None else _norm(g), a,
+                    dtype=object, check=False)
+        b = _apply1(lambda g: None if g is None else _norm(g), b,
+                    dtype=object, check=False)
+
+    def one(x, y, tol):
+        if x is None or y is None or np.isnan(tol):
+            return False
+        return _coords_equal_exact(x, y, tol)
+
+    if np.isscalar(tolerance):
+        return _apply2(
+            lambda x, y: one(x, y, float(tolerance)), a, b, out=out
+        )
+    a_scalar = _geomlike(a) or not isinstance(a, (list, tuple, np.ndarray))
+    b_scalar = _geomlike(b) or not isinstance(b, (list, tuple, np.ndarray))
+    tt = np.asarray(tolerance, dtype=np.float64)
+    aa, bb, tt = np.broadcast_arrays(
+        _objarr(a, a_scalar), _objarr(b, b_scalar), tt
+    )
+    res = np.empty(aa.shape, dtype=bool)
+    for idx in np.ndindex(aa.shape):
+        x, y = aa[idx], bb[idx]
+        if not (_geomlike(x) and _geomlike(y)):
+            raise _type_error(x if not _geomlike(x) else y)
+        res[idx] = one(x, y, float(tt[idx]))
+    if out is not None:
+        out[...] = res
+        return out
+    return res
+
+
+def equals_identical(a, b, out=None):
+    """predicates.py:1149 — pointwise identical: same type, same Z/M
+    presence, all coordinate dimensions equal with NaN == NaN."""
     return _apply2(
         lambda x, y: (
             False
             if x is None or y is None
-            else _coords_equal_exact(x, y, float(tolerance))
+            else (
+                x.has_z == y.has_z and x.has_m == y.has_m
+                and _coords_equal_exact(x, y, 0.0, xy_only=False,
+                                        equal_nan=True)
+            )
         ),
         a,
         b,
+        out=out,
     )
 
 
-def equals_identical(a, b):
-    """predicates.py:1149 — pointwise identical (NaN == NaN)."""
-    return equals_exact(a, b, 0.0)
-
-
 # ------------------------------------------------- xy fast predicates
-def contains_xy(geom, x, y=None):
+def _xy_one(geom, x: np.ndarray, y: np.ndarray, boundary: bool) -> np.ndarray:
+    """Bool mask for ONE geometry over 1-D coordinate arrays — the
+    vectorized batch kernel (ray casting over all rings at once)."""
+    if geom is None:
+        return np.zeros(len(x), dtype=bool)
+    polys = geom.polygon_parts()
+    if polys and not geom.line_parts() and not len(geom.point_parts()):
+        res = np.zeros(len(x), dtype=bool)
+        for rings in polys:
+            loc = core.points_in_rings(x, y, rings)
+            res |= loc > 0 if boundary else loc == 2
+        res &= ~(np.isnan(x) | np.isnan(y))
+        return res
+    pred = R.intersects if boundary else R.contains
+    return np.array([
+        False if (np.isnan(xi) or np.isnan(yi))
+        else pred(geom, Geom.point(xi, yi))
+        for xi, yi in zip(x, y)
+    ], dtype=bool)
+
+
+def _xy_apply(geom, x, y, boundary: bool, out=None):
+    if y is None:
+        xy = np.asarray(x, dtype=np.float64)
+        x, y = xy[..., 0], xy[..., 1]
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    g_scalar = _geomlike(geom)
+    if not g_scalar and not isinstance(geom, (list, tuple, np.ndarray)):
+        raise _type_error(geom)
+    if g_scalar:
+        scalar = x.ndim == 0 and y.ndim == 0
+        xb, yb = np.broadcast_arrays(np.atleast_1d(x), np.atleast_1d(y))
+        res = _xy_one(geom, xb.ravel(), yb.ravel(), boundary).reshape(xb.shape)
+        if scalar:
+            return _box(bool(res[0]), out, bool)
+        if out is not None:
+            out[...] = res
+            return out
+        return res
+    # geometry array: broadcast geoms against coords, per-element kernel
+    gg, xb, yb = np.broadcast_arrays(np.asarray(geom, dtype=object), x, y)
+    res = np.empty(gg.shape, dtype=bool)
+    for idx in np.ndindex(gg.shape):
+        g = gg[idx]
+        if not _geomlike(g):
+            raise _type_error(g)
+        res[idx] = _xy_one(
+            g, np.atleast_1d(xb[idx]), np.atleast_1d(yb[idx]), boundary
+        )[0]
+    if out is not None:
+        out[...] = res
+        return out
+    return res
+
+
+def contains_xy(geom, x, y=None, out=None):
     """predicates.py:1311 — point-in-geometry from raw coordinates.
 
     Vectorized over (x, y); uses the batch ray-casting kernel for
     polygons (the auto-prepare semantics of predicates.py:1361-1363 are
-    inherent here: the ring arrays *are* the prepared form).
+    inherent here: the ring arrays *are* the prepared form).  Also
+    broadcasts over arrays of geometries (ufunc parity).
     """
-    if y is None:
-        xy = np.asarray(x, dtype=np.float64)
-        x, y = xy[..., 0], xy[..., 1]
-    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
-    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
-    scalar = x.shape == (1,) and np.isscalar(geom) is False
-    if geom is None:
-        out = np.zeros(np.broadcast(x, y).shape, dtype=bool)
-        return bool(out[0]) if out.shape == (1,) else out
-    polys = geom.polygon_parts()
-    if polys and not geom.line_parts() and not len(geom.point_parts()):
-        out = np.zeros(len(x), dtype=bool)
-        for rings in polys:
-            out |= core.points_in_rings(x, y, rings) == 2
-        return bool(out[0]) if len(out) == 1 else out
-    res = np.array([R.contains(geom, Geom.point(xi, yi)) for xi, yi in zip(x, y)])
-    return bool(res[0]) if len(res) == 1 else res
+    return _xy_apply(geom, x, y, boundary=False, out=out)
 
 
-def intersects_xy(geom, x, y=None):
+def intersects_xy(geom, x, y=None, out=None):
     """predicates.py:1367 — like contains_xy but boundary counts."""
-    if y is None:
-        xy = np.asarray(x, dtype=np.float64)
-        x, y = xy[..., 0], xy[..., 1]
-    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
-    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
-    if geom is None:
-        out = np.zeros(np.broadcast(x, y).shape, dtype=bool)
-        return bool(out[0]) if out.shape == (1,) else out
-    polys = geom.polygon_parts()
-    if polys and not geom.line_parts() and not len(geom.point_parts()):
-        out = np.zeros(len(x), dtype=bool)
-        for rings in polys:
-            out |= core.points_in_rings(x, y, rings) > 0
-        return bool(out[0]) if len(out) == 1 else out
-    res = np.array([R.intersects(geom, Geom.point(xi, yi)) for xi, yi in zip(x, y)])
-    return bool(res[0]) if len(res) == 1 else res
+    return _xy_apply(geom, x, y, boundary=True, out=out)

@@ -169,6 +169,24 @@ def test_errors_and_geometry_namespaces():
     assert shapely.CAP_STYLE.flat == 2 and shapely.JOIN_STYLE.bevel == 3
 
 
+def test_speedups_and_signal_checks():
+    """Deprecated shapely.speedups toggles (reference speedups.py) and
+    top-level setup_signal_checks (reference __init__.py:7,36)."""
+    import warnings
+
+    import engine.compat as shapely
+
+    assert shapely.speedups.available is True
+    assert shapely.speedups.enabled is True
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        shapely.speedups.enable()
+        shapely.speedups.disable()
+    assert len(caught) == 2
+    assert all(issubclass(w.category, FutureWarning) for w in caught)
+    assert shapely.setup_signal_checks(interval=5000) is None
+
+
 def test_vectorized_and_algorithms_namespaces():
     """Legacy shapely.vectorized / shapely.algorithms surfaces."""
     import numpy as np

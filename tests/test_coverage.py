@@ -40,7 +40,8 @@ def test_coverage_simplify_pins_shared_vertices():
 
 def test_has_z_m_srid():
     g = P("POINT (1 2)")
-    assert coverage.has_z(g) is False and coverage.has_m(g) is False
+    # ufunc parity: scalars come back as numpy bools (reference behavior)
+    assert not coverage.has_z(g) and not coverage.has_m(g)
     assert coverage.get_srid(g) == 0
     g2 = coverage.set_srid(g, 4326)
     assert coverage.get_srid(g2) == 4326
