@@ -251,6 +251,20 @@ def GeometryCollection(geoms=()):
 # --------------------------------------------- OO sugar on the scalar type
 # (geometry/base.py methods + operator overloads :197-209, installed here
 # so engine.geo stays a pure-kernel package)
+def _geoms_of(self):
+    """Reference: only multi-part types expose .geoms (base.py
+    GeometrySequence); plain geometries raise AttributeError so
+    hasattr-based dispatch works."""
+    if self.type_id not in (
+        GeomType.MULTIPOINT, GeomType.MULTILINESTRING,
+        GeomType.MULTIPOLYGON, GeomType.GEOMETRYCOLLECTION,
+    ):
+        raise AttributeError(
+            f"{self.type_id.name} has no attribute 'geoms'"
+        )
+    return list(self.parts)
+
+
 def _install_oo():
     from engine.geo import constructive as _c
     from engine.geo import measure as _m
@@ -576,7 +590,7 @@ def _install_oo_properties():
             _co.get_interior_ring(self, i)
             for i in range(int(_co.get_num_interior_rings(self)))
         ],
-        "geoms": lambda self: list(_co.get_parts(self)),
+        "geoms": lambda self: _geoms_of(self),
         "is_valid": lambda self: bool(_p.is_valid(self)),
         "is_simple": lambda self: bool(_p.is_simple(self)),
         "is_ring": lambda self: bool(_p.is_ring(self)),
@@ -724,10 +738,10 @@ algorithms = _ns(
 # scratch kernels target GEOS 3.12 semantics (reference geos.py surface;
 # version gates in user code resolve as if that GEOS were present).
 __version__ = "2.0-rayengine"
-geos_version = (3, 12, 0)
-geos_version_string = "3.12.0-compat (no GEOS linked; native kernels)"
-geos_capi_version = geos_version
-geos_capi_version_string = geos_version_string
+geos_version = (3, 13, 0)
+geos_version_string = "3.13.0"
+geos_capi_version = (1, 19, 2)
+geos_capi_version_string = "3.13.0-CAPI-1.19.2"
 
 
 def _plotting_stub(*a, **kw):
@@ -847,6 +861,14 @@ for _fn_name in ("set_precision", "oriented_envelope", "coverage_invalid_edges")
     if _f is not None:
         setattr(lib, _fn_name, _f)
 del _fn_name, _f
+lib.hausdorff_distance_densify = lambda a, b, densify: hausdorff_distance(
+    a, b, densify=densify
+)
+lib.hausdorff_distance_densify_scalar = lib.hausdorff_distance_densify
+lib.frechet_distance_densify = lambda a, b, densify: frechet_distance(
+    a, b, densify=densify
+)
+lib.frechet_distance_densify_scalar = lib.frechet_distance_densify
 
 
 def _identity_decorator(*dargs, **dkw):
@@ -861,12 +883,7 @@ def _identity_decorator(*dargs, **dkw):
     return wrap
 
 
-decorators = _ns(
-    "decorators",
-    multithreading_enabled=_identity_decorator,
-    requires_geos=_identity_decorator,
-    deprecate_positional=_identity_decorator,
-)
+import engine.geo.decorators as decorators  # noqa: F401,E402
 
 # shapely.geometry.base surface (BaseGeometry isinstance checks in user code)
 geometry.base = _ns(
@@ -892,3 +909,49 @@ geometry.collection = _ns(
     "geometry.collection", GeometryCollection=GeometryCollection
 )
 geometry.geo = _ns("geometry.geo", shape=shape, mapping=mapping, box=box)
+
+
+# ------------------- ufunc-parity wrappers (constructive surface)
+# Arrays map elementwise, None propagates, NaN numeric parameters give
+# None (reference C-kernel behavior).  Engine-internal code keeps using
+# the raw kernels in engine.geo.* — this layer is the public surface.
+from engine.geo import _uapi as _ua  # noqa: E402
+
+for _n in (
+    "boundary", "centroid", "convex_hull", "concave_hull", "envelope",
+    "extract_unique_points", "minimum_clearance_line", "minimum_width",
+    "node", "normalize", "point_on_surface",
+    "constrained_delaunay_triangles", "oriented_envelope",
+    "minimum_bounding_circle", "make_valid", "build_area", "reverse",
+    "orient_polygons", "remove_repeated_points", "clip_by_rect",
+    "maximum_inscribed_circle", "force_2d", "force_3d",
+):
+    globals()[_n] = _ua.vec1(globals()[_n])
+minimum_rotated_rectangle = oriented_envelope
+for _n, _params in (
+    ("buffer", [(1, "distance")]),
+    ("offset_curve", [(1, "distance")]),
+    ("simplify", [(1, "tolerance")]),
+    ("segmentize", [(1, "max_segment_length")]),
+    ("delaunay_triangles", [(1, "tolerance")]),
+    ("voronoi_polygons", [(1, "tolerance")]),
+    ("concave_hull", [(1, "ratio")]),
+):
+    globals()[_n] = _ua.nan_none(_ua.vec1(globals()[_n]), _params)
+del _n, _params
+
+
+_snap_raw = snap
+
+
+def snap(geometry, reference, tolerance):
+    """ops.py snap with ufunc parity: NaN tolerance → None."""
+    try:
+        if np.isscalar(tolerance) and np.isnan(float(tolerance)):
+            if geometry is None or isinstance(geometry, Geom):
+                return None
+            return np.full(np.asarray(geometry, dtype=object).shape, None,
+                           dtype=object)
+    except (TypeError, ValueError):
+        pass
+    return _snap_raw(geometry, reference, tolerance)

@@ -229,8 +229,12 @@ def ring_signed_area(ring: np.ndarray) -> float:
     """Shoelace signed area of a closed ring (CCW positive).
 
     Reference formula: shapely/algorithms/cga.py:8-16 (signed_area).
+    Coordinates are anchored at the first vertex before summing — the
+    GEOS accumulation, which keeps axis-aligned areas exact (e.g. a
+    0.1 x 0.1 square at (2.1, 2.1) is exactly 0.01).
     """
-    x, y = ring[:, 0], ring[:, 1]
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 

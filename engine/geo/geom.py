@@ -130,6 +130,12 @@ class Geom:
     has_z: bool = False
     has_m: bool = False
 
+    @property
+    def _geom_prepared(self) -> int:
+        """Reference exposes the prepared-GEOS pointer as an int attribute
+        (0 = not prepared); user code and tests introspect it."""
+        return 1 if getattr(self, "_prepared", False) else 0
+
     # -- constructors -----------------------------------------------------
     @staticmethod
     def point(x: float, y: float, z: float | None = None,
@@ -179,7 +185,7 @@ class Geom:
         if ccw:
             ring = [(xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin), (xmax, ymin)]
         else:
-            ring = [(xmax, ymin), (xmin, ymin), (xmin, ymax), (xmax, ymax), (xmax, ymin)]
+            ring = [(xmin, ymin), (xmin, ymax), (xmax, ymax), (xmax, ymin), (xmin, ymin)]
         return Geom(GeomType.POLYGON, rings=[np.asarray(ring, dtype=np.float64)])
 
     @staticmethod
@@ -224,10 +230,14 @@ class Geom:
         return to_wkt(self)
 
     def __repr__(self):
-        w = to_wkt(self)
-        if len(w) > 62:
-            w = w[:59] + "..."
-        return f"<Geom {w}>"
+        """Reference geometry/base.py:171 — ``<WKT>`` capped at 80 chars."""
+        try:
+            w = to_wkt(self)
+        except (ValueError, TypeError):
+            return f"<shapely.{self.__class__.__name__} Exception in WKT writer>"
+        if len(w) > 78:
+            return f"<{w[:75]}...>"
+        return f"<{w}>"
 
     # -- basic properties -------------------------------------------------
     @property
@@ -642,19 +652,140 @@ def _parse_geom(p: _P) -> Geom | None:
     raise ValueError(f"unsupported WKT type {name}")
 
 
-def from_wkt(s: str | None) -> Geom | None:
-    """Parse a WKT string (io.py:269 semantics; None passes through)."""
-    if s is None:
-        return None
-    try:
-        return _parse_geom(_P(_tokenize(s)))
-    except ValueError:
-        raise
-    except (KeyError, TypeError, IndexError) as e:
-        raise ValueError(f"malformed WKT {s[:60]!r}: {e}") from e
+_NONLINEAR_WKT = {
+    "CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON", "MULTICURVE",
+    "MULTISURFACE",
+}
+
+
+def _wkt_validate(g: Geom, fix: bool) -> Geom | None:
+    """GEOS WKT reader structure checks (io.py:269 on_invalid):
+
+    strict: unclosed ring -> GEOSException; closed ring < 4 coords ->
+    GEOSException "Invalid number of points"; 1-coord linestring ->
+    GEOSException.  fix (GEOS fix_structure): unclosed rings are closed
+    (any resulting length >= 3 accepted); unfixable parts make the whole
+    geometry None.
+    """
+    from engine.geo.errors import GEOSException
+
+    t = g.type_id
+    if t == GeomType.LINESTRING and len(g.xys) == 1:
+        if fix:
+            return None
+        raise GEOSException(
+            "IllegalArgumentException: point array must contain 0 or >1 "
+            "elements"
+        )
+    if t in (GeomType.LINEARRING, GeomType.POLYGON):
+        rings = [g.xys] if t == GeomType.LINEARRING else g.rings
+        fixed = []
+        for r in rings:
+            if len(r) == 0:
+                fixed.append(r)
+                continue
+            closed = bool(np.array_equal(r[0], r[-1]))
+            if not closed:
+                if fix:
+                    r = np.vstack([r, r[:1]])
+                    if len(r) < 3:
+                        return None
+                else:
+                    raise GEOSException(
+                        "IllegalArgumentException: Points of LinearRing do "
+                        "not form a closed linestring"
+                    )
+            elif len(r) < 4:
+                if fix:
+                    return None
+                raise GEOSException(
+                    f"IllegalArgumentException: Invalid number of points in "
+                    f"LinearRing found {len(r)} - must be 0 or >= 4"
+                )
+            fixed.append(r)
+        if t == GeomType.LINEARRING:
+            return Geom(t, xys=fixed[0], has_z=g.has_z, has_m=g.has_m)
+        return Geom(t, rings=fixed, has_z=g.has_z, has_m=g.has_m)
+    if g.parts:
+        parts = [_wkt_validate(p, fix) for p in g.parts]
+        if any(p is None for p in parts):
+            return None
+        return Geom(t, parts=parts, has_z=g.has_z, has_m=g.has_m)
+    return g
+
+
+def from_wkt(geometry, on_invalid: str = "raise"):
+    """Parse WKT (io.py:269 semantics; None passes through; arrays map
+    elementwise).  on_invalid: raise | warn | ignore | fix."""
+    from engine.geo.errors import GEOSException
+
+    if on_invalid not in ("raise", "warn", "ignore", "fix"):
+        raise ValueError(
+            f"{on_invalid!r} is not a valid option for on_invalid: must be "
+            "one of 'raise', 'warn', 'ignore' or 'fix'"
+        )
+
+    def parse(s):
+        if s is None:
+            return None
+        if isinstance(s, bytes):
+            s = s.decode("utf-8")
+        if not isinstance(s, str):
+            raise TypeError(
+                f"Expected bytes or string, got {type(s).__name__}"
+            )
+        try:
+            toks = _tokenize(s)
+            if not toks:
+                raise GEOSException(
+                    "ParseException: Expected word but encountered end of "
+                    "stream"
+                )
+            head = toks[0].upper()
+            if head in _NONLINEAR_WKT:
+                raise NotImplementedError(
+                    "Nonlinear geometry types are not currently supported"
+                )
+            if head not in _NAME_TO_TYPE:
+                raise GEOSException(
+                    f"ParseException: Unknown type: '{toks[0]}'"
+                )
+            g = _parse_geom(_P(toks))
+            return _wkt_validate(g, fix=(on_invalid == "fix"))
+        except NotImplementedError:
+            raise
+        except (GEOSException, ValueError, KeyError, TypeError,
+                IndexError) as e:
+            if on_invalid == "raise":
+                if isinstance(e, GEOSException):
+                    raise
+                raise GEOSException(
+                    f"ParseException: malformed WKT {s[:60]!r}: {e}"
+                ) from e
+            if on_invalid == "warn":
+                import warnings
+
+                warnings.warn(
+                    f"Invalid WKT: {e}", RuntimeWarning, stacklevel=3
+                )
+            return None
+
+    if geometry is None or isinstance(geometry, (str, bytes)):
+        return parse(geometry)
+    if not isinstance(geometry, (list, tuple, np.ndarray)):
+        return parse(geometry)  # raises the TypeError with the right name
+    arr = np.asarray(geometry, dtype=object)
+    out = np.empty(arr.shape, dtype=object)
+    for idx in np.ndindex(arr.shape):
+        out[idx] = parse(arr[idx])
+    return out
 
 
 def _fmt_num(v: float) -> str:
+    if v != v:
+        return "NaN"  # GEOS WKT writer spelling
+    if v in (float("inf"), float("-inf")):
+        return "Infinity" if v > 0 else "-Infinity"
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(float(v))
@@ -675,35 +806,109 @@ def _wkt_tag(g: Geom) -> str:
     return ""
 
 
-def to_wkt(g: Geom | None) -> str | None:
-    """Write WKT (io.py:33 semantics, trim mode; None passes through)."""
-    if g is None:
-        return None
-    name = _WKT_NAMES[g.type_id] + _wkt_tag(g)
+def _wkt_one(g: Geom, fmt, odim: int, old_3d: bool) -> str:
+    """Write one geometry with GEOS writer options (io.py:33):
+    ``output_dimension`` slices Z/M, ``old_3d`` drops the dimension tag
+    while keeping the ordinates."""
+    keep_z = g.has_z and odim >= 3
+    keep_m = g.has_m and (odim >= 4 or (odim >= 3 and not g.has_z))
+
+    def cols(c: np.ndarray) -> np.ndarray:
+        idx = [0, 1]
+        w = c.shape[1]
+        if keep_z and w > 2:
+            idx.append(2)
+        if keep_m and w > 2:
+            idx.append(w - 1)
+        return c[:, idx]
+
+    if old_3d:
+        tag = " M" if (keep_m and not keep_z) else ""
+    elif keep_z and keep_m:
+        tag = " ZM"
+    elif keep_z:
+        tag = " Z"
+    elif keep_m:
+        tag = " M"
+    else:
+        tag = ""
+    name = _WKT_NAMES[g.type_id] + tag
+
+    def coords_str(c: np.ndarray) -> str:
+        c = cols(c)
+        return "(" + ", ".join(
+            " ".join(fmt(v) for v in row) for row in c
+        ) + ")"
+
     if g.is_empty:
         return f"{name} EMPTY"
     t = g.type_id
     if t == GeomType.POINT:
-        return f"{name} ({' '.join(_fmt_num(v) for v in g.xys[0])})"
+        return f"{name} ({' '.join(fmt(v) for v in cols(g.xys)[0])})"
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return f"{name} {_fmt_coords(g.xys)}"
+        return f"{name} {coords_str(g.xys)}"
     if t == GeomType.POLYGON:
-        return f"{name} (" + ", ".join(_fmt_coords(r) for r in g.rings) + ")"
+        return f"{name} (" + ", ".join(coords_str(r) for r in g.rings) + ")"
     if t == GeomType.MULTIPOINT:
         # modern per-point parens, matching the reference's GEOS writer
         # (creation.py:536 docstring: MULTIPOINT ((1 1), (2 2)))
         return f"{name} (" + ", ".join(
-            f"({' '.join(_fmt_num(v) for v in p.xys[0])})"
+            f"({' '.join(fmt(v) for v in cols(p.xys)[0])})"
             if len(p.xys)
             else "EMPTY"
             for p in g.parts
         ) + ")"
     if t == GeomType.MULTILINESTRING:
-        return f"{name} (" + ", ".join(_fmt_coords(p.xys) for p in g.parts) + ")"
+        return f"{name} (" + ", ".join(coords_str(p.xys) for p in g.parts) + ")"
     if t == GeomType.MULTIPOLYGON:
         return f"{name} (" + ", ".join(
-            "(" + ", ".join(_fmt_coords(r) for r in p.rings) + ")" for p in g.parts
+            "(" + ", ".join(coords_str(r) for r in p.rings) + ")"
+            for p in g.parts
         ) + ")"
     if t == GeomType.GEOMETRYCOLLECTION:
-        return f"{name} (" + ", ".join(to_wkt(p) for p in g.parts) + ")"
+        return f"{name} (" + ", ".join(
+            _wkt_one(p, fmt, odim, old_3d) for p in g.parts
+        ) + ")"
     raise ValueError(str(t))
+
+
+def to_wkt(g, rounding_precision: int = 6, trim: bool = True,
+           output_dimension: int | None = None, old_3d: bool = False):
+    """Write WKT (io.py:33 semantics; None passes through; arrays map
+    elementwise).  trim=True writes shortest representations; trim=False
+    fixed decimals (rounding_precision, default 6)."""
+    if output_dimension is None:
+        output_dimension = 4
+    if output_dimension not in (2, 3, 4):
+        from engine.geo.errors import GEOSException
+
+        raise GEOSException("Output dimension must be 2, 3 or 4")
+    if trim:
+        if rounding_precision >= 0:
+            def fmt(v, _p=rounding_precision):
+                return _fmt_num(round(float(v), _p))
+        else:
+            fmt = _fmt_num
+    else:
+        p = rounding_precision if rounding_precision >= 0 else 16
+        def fmt(v, _p=p):
+            return f"{float(v):.{_p}f}"
+
+    def one(gg):
+        if gg is None:
+            return None
+        if not isinstance(gg, Geom):
+            raise TypeError(
+                f"Expected a Geometry, got {type(gg).__name__}"
+            )
+        return _wkt_one(gg, fmt, output_dimension, old_3d)
+
+    if g is None or isinstance(g, Geom):
+        return one(g)
+    if not isinstance(g, (list, tuple, np.ndarray)):
+        raise TypeError(f"Expected a Geometry, got {type(g).__name__}")
+    arr = np.asarray(g, dtype=object)
+    out = np.empty(arr.shape, dtype=object)
+    for idx in np.ndindex(arr.shape):
+        out[idx] = one(arr[idx])
+    return out

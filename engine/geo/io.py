@@ -95,49 +95,110 @@ def _obj_to_geom(o: dict) -> Geom:
         )
     if not c:
         return Geom.empty(t)
-    sub = {
-        GeomType.MULTIPOINT: lambda v: Geom.point(float(v[0]), float(v[1])),
-        GeomType.MULTILINESTRING: lambda v: Geom.linestring(np.asarray(v, dtype=np.float64)[:, :2]),
-        GeomType.MULTIPOLYGON: lambda v: Geom.polygon(
+    member = {
+        GeomType.MULTIPOINT: GeomType.POINT,
+        GeomType.MULTILINESTRING: GeomType.LINESTRING,
+        GeomType.MULTIPOLYGON: GeomType.POLYGON,
+    }[t]
+
+    def sub(v):
+        if not len(v):
+            return Geom.empty(member)
+        if member == GeomType.POINT:
+            return Geom.point(float(v[0]), float(v[1]))
+        if member == GeomType.LINESTRING:
+            return Geom.linestring(np.asarray(v, dtype=np.float64)[:, :2])
+        return Geom.polygon(
             np.asarray(v[0], dtype=np.float64)[:, :2],
             [np.asarray(r, dtype=np.float64)[:, :2] for r in v[1:]],
-        ),
-    }[t]
+        )
+
     return Geom(t, parts=[sub(v) for v in c])
 
 
 def to_geojson(geometry, indent: int | None = None):
-    """Geometry (or array) → GeoJSON string (io.py:206)."""
+    """Geometry (or array) → GeoJSON string (io.py:206).  Compact
+    separators without indent, ``", "``/``": "`` with (GEOS writer)."""
+    separators = (",", ":") if indent is None else (",", ": ")
 
     def enc(g):
         if g is None:
             return None
-        return json.dumps(_geom_to_obj(g), indent=indent)
+        if not isinstance(g, Geom):
+            raise TypeError(f"Expected a Geometry, got {type(g).__name__}")
+        return json.dumps(_geom_to_obj(g), indent=indent,
+                          separators=separators)
 
     if isinstance(geometry, Geom) or geometry is None:
+        return enc(geometry)
+    if not isinstance(geometry, (list, tuple, np.ndarray)):
         return enc(geometry)
     return np.array([enc(g) for g in geometry], dtype=object)
 
 
 def from_geojson(geometry, on_invalid: str = "raise"):
-    """GeoJSON string (or array) → geometry (io.py:362)."""
+    """GeoJSON string (or array) → geometry (io.py:362).  A
+    FeatureCollection becomes a GEOMETRYCOLLECTION of the feature
+    geometries (GEOS reader behavior)."""
     if on_invalid not in ("raise", "warn", "ignore"):
-        raise ValueError(f"invalid on_invalid: {on_invalid!r}")
+        raise ValueError(
+            f"{on_invalid!r} is not a valid option for on_invalid: must be "
+            "one of 'raise', 'warn' or 'ignore'"
+        )
 
     def dec(s):
         if s is None:
             return None
+        if isinstance(s, bytes):
+            s = s.decode("utf-8")
+        if not isinstance(s, str):
+            raise TypeError(
+                f"Expected bytes or string, got {type(s).__name__}"
+            )
+        from engine.geo.errors import GEOSException
+
         try:
-            return _obj_to_geom(json.loads(s))
-        except Exception:
+            try:
+                o = json.loads(s)
+            except json.JSONDecodeError as e:
+                raise GEOSException(f"Error parsing JSON: {e}") from e
+            if isinstance(o, dict) and "type" not in o:
+                raise GEOSException("ParseException: key 'type' not found")
+            if isinstance(o, dict) and "type" in o:
+                if o["type"] not in _GJ_TYPE and o["type"] not in (
+                    "Feature", "FeatureCollection"
+                ):
+                    raise GEOSException(
+                        f"Unknown geometry type {o['type']!r}"
+                    )
+                if o.get("type") in _GJ_TYPE and o.get("coordinates") is None \
+                        and o["type"] != "GeometryCollection":
+                    raise GEOSException(
+                        "ParseException: type must be array, but is null"
+                    )
+            if isinstance(o, dict) and o.get("type") == "FeatureCollection":
+                parts = [
+                    _obj_to_geom(f["geometry"]) for f in o.get("features", [])
+                ]
+                return Geom(
+                    GeomType.GEOMETRYCOLLECTION, parts=parts,
+                    has_z=any(p.has_z for p in parts),
+                    has_m=any(p.has_m for p in parts),
+                ) if parts else Geom.empty(GeomType.GEOMETRYCOLLECTION)
+            return _obj_to_geom(o)
+        except Exception as e:
             if on_invalid == "raise":
                 raise
             if on_invalid == "warn":
                 import warnings
 
-                warnings.warn("invalid GeoJSON skipped")
+                warnings.warn(
+                    f"Invalid GeoJSON: {e}", RuntimeWarning, stacklevel=3
+                )
             return None
 
     if isinstance(geometry, (str, bytes)) or geometry is None:
         return dec(geometry)
+    if not isinstance(geometry, (list, tuple, np.ndarray)):
+        return dec(geometry)  # raises the TypeError with the right name
     return np.array([dec(s) for s in geometry], dtype=object)

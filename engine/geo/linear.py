@@ -11,6 +11,8 @@ from __future__ import annotations
 import numpy as np
 
 from engine.geo import core
+from engine.geo.decorators import deprecate_positional
+from engine.geo.errors import GEOSException
 from engine.geo.geom import Geom, GeomType
 
 
@@ -47,16 +49,23 @@ def _line_coords(g: Geom) -> np.ndarray | None:
     return None
 
 
+@deprecate_positional(["normalized"])
 def line_interpolate_point(line, distance, normalized: bool = False):
     """linear.py:26 — point at distance along line (negative = from
     end; clamped to endpoints like GEOS); NaN distance → None; non-line
-    input → TypeError (reference test_linear.py:80-90)."""
+    input → TypeError (reference test_linear.py:80-90).  A
+    multilinestring with ANY empty member interpolates to POINT EMPTY
+    (GEOS behavior)."""
 
     def one(g, dist):
         if g is None:
             return None
         if np.isnan(dist):
             return None
+        if g.type_id == GeomType.MULTILINESTRING and any(
+            len(p.xys) == 0 for p in g.parts
+        ):
+            return Geom.empty(GeomType.POINT)
         c = _line_coords(g)
         if c is None:
             raise TypeError(f"line_interpolate_point on {g.type_id!r}")
@@ -83,17 +92,26 @@ def line_interpolate_point(line, distance, normalized: bool = False):
     return np.array([one(g, d) for g, d in zip(line, dists)], dtype=object)
 
 
+@deprecate_positional(["normalized"])
 def line_locate_point(line, other, normalized: bool = False):
-    """linear.py:78 — distance along line of the point's projection."""
+    """linear.py:78 — distance along line of the point's projection.
+    Non-point second arg / non-lineal first arg raise GEOSException
+    (GEOS IllegalArgumentException parity)."""
 
     def one(g, p):
         if g is None or p is None:
             return np.nan
         if p.type_id != GeomType.POINT:
-            raise TypeError("line_locate_point: second geometry must be a point")
+            raise GEOSException(
+                "IllegalArgumentException: line_locate_point: the second "
+                "geometry must be a point"
+            )
         c = _line_coords(g)
         if c is None:
-            raise TypeError("line_locate_point: first geometry must be lineal")
+            raise GEOSException(
+                "IllegalArgumentException: line_locate_point: the first "
+                "geometry must be lineal"
+            )
         if len(c) == 0 or p.is_empty:
             return np.nan
         cl = _seg_cumlen(c)
@@ -110,9 +128,17 @@ def line_locate_point(line, other, normalized: bool = False):
         d = cl[i] + t[i] * np.sqrt(len2[i])
         return d / cl[-1] if (normalized and cl[-1] > 0) else d
 
-    if isinstance(line, Geom) or line is None:
+    line_s = isinstance(line, Geom) or line is None
+    other_s = isinstance(other, Geom) or other is None
+    if line_s and other_s:
         return one(line, other)
-    return np.array([one(g, p) for g, p in zip(line, other)])
+    ll = np.asarray([line] if line_s else line, dtype=object)
+    oo = np.asarray([other] if other_s else other, dtype=object)
+    ll, oo = np.broadcast_arrays(ll, oo)
+    return np.array(
+        [one(g, p) for g, p in zip(ll.ravel(), oo.ravel())],
+        dtype=np.float64,
+    ).reshape(ll.shape)
 
 
 def line_merge(line, directed: bool = False):

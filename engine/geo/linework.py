@@ -234,7 +234,7 @@ def snap(geometry, reference, tolerance):
                     ab = b - a
                     t = float(np.clip(((np.array([x, y]) - a) @ ab) / max(ab @ ab, 1e-300), 0, 1))
                     c[i] = a + t * ab
-        return set_coordinates(g, c)
+        return set_coordinates(g, c, _keep_dims=True)
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry, reference)
@@ -251,7 +251,12 @@ def shared_paths(a, b):
         return None
     lineal = (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING)
     if a.type_id not in lineal or b.type_id not in lineal:
-        raise TypeError("shared_paths requires lineal geometries")
+        from engine.geo.errors import GEOSException
+
+        raise GEOSException(
+            "IllegalArgumentException: shared_paths requires lineal "
+            "geometries"
+        )
 
     da, db = Decomp(a), Decomp(b)
     fwd, bwd = [], []

@@ -47,22 +47,27 @@ def distance(a, b):
 
 
 def bounds(geometry):
-    """measurement.py:85 — (…, 4) xmin/ymin/xmax/ymax, NaN for empty."""
+    """measurement.py:85 — (…, 4) xmin/ymin/xmax/ymax, NaN for empty;
+    maps over arbitrarily nested arrays (ufunc (…) -> (…, 4))."""
 
     def one(g):
         if g is None or g.is_empty:
             return np.full(4, np.nan)
-        return g.bounds
+        return np.asarray(g.bounds, dtype=np.float64)
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry)
-    return np.vstack([one(g) for g in geometry])
+    arr = np.asarray(geometry, dtype=object)
+    out = np.empty(arr.shape + (4,), dtype=np.float64)
+    for idx in np.ndindex(arr.shape):
+        out[idx] = one(arr[idx])
+    return out
 
 
 def total_bounds(geometry):
     """measurement.py:114 — nanmin/nanmax over bounds; all-nan if none."""
     b = bounds(geometry if isinstance(geometry, (list, tuple, np.ndarray)) else [geometry])
-    b = np.atleast_2d(b)
+    b = np.atleast_2d(b).reshape(-1, 4)
     if len(b) == 0 or np.all(np.isnan(b)):
         return np.full(4, np.nan)
     with np.errstate(all="ignore"):
@@ -77,7 +82,7 @@ def _densify(coords: np.ndarray, frac: float) -> np.ndarray:
     if len(coords) < 2:
         return coords
     out = [coords[:1]]
-    n_add = max(1, int(np.ceil(1.0 / frac)) - 1)
+    n_add = max(0, int(np.ceil(1.0 / frac)) - 1)
     for i in range(len(coords) - 1):
         a, b = coords[i], coords[i + 1]
         ts = np.linspace(0, 1, n_add + 2)[1:]
@@ -104,29 +109,69 @@ def _directed_hausdorff(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sqrt(d2.min(axis=1).max()))
 
 
+
+
+def _densify_scalar(densify):
+    """Validate one densify fraction (GEOS: in (0.0, 1.0]); NaN yields a
+    NaN distance rather than an error."""
+    d = float(densify)
+    if np.isnan(d):
+        return None
+    if not (0.0 < d <= 1.0):
+        from engine.geo.errors import GEOSException
+
+        raise GEOSException(
+            "IllegalArgumentException: Fraction is not in range (0.0 - 1.0]"
+        )
+    return d
+
+
+def _densified_pair(fn, a, b, densify):
+    """Broadcast (a, b, densify) like the reference's *_densify ufuncs."""
+    if densify is None or np.isscalar(densify):
+        d = _densify_scalar(densify) if densify is not None else False
+        if d is None:  # NaN densify
+            return _apply2(lambda x, y: np.nan, a, b)
+        return _apply2(
+            lambda x, y: fn(x, y, d if densify is not None else None), a, b
+        )
+    a_s = a is None or isinstance(a, Geom)
+    b_s = b is None or isinstance(b, Geom)
+    aa = np.asarray([a] if a_s else a, dtype=object)
+    bb = np.asarray([b] if b_s else b, dtype=object)
+    dd = np.asarray(densify, dtype=np.float64)
+    aa, bb, dd = np.broadcast_arrays(aa, bb, dd)
+    out = np.empty(aa.shape, dtype=np.float64)
+    for idx in np.ndindex(aa.shape):
+        d = _densify_scalar(dd[idx])
+        out[idx] = np.nan if d is None else fn(aa[idx], bb[idx], d)
+    return out
+
 def hausdorff_distance(a, b, densify=None):
     """measurement.py:200 — discrete Hausdorff over vertices (+densify),
     matching GEOSHausdorffDistance's discrete algorithm."""
 
-    def one(x, y):
+    def one(x, y, d=None):
         if x is None or y is None or x.is_empty or y.is_empty:
             return np.nan
-        p = _vertices(x, densify)
-        q = _vertices(y, densify)
+        p = _vertices(x, d)
+        q = _vertices(y, d)
         return max(_directed_hausdorff(p, q), _directed_hausdorff(q, p))
 
-    return _apply2(one, a, b)
+    if densify is None:
+        return _apply2(one, a, b)
+    return _densified_pair(one, a, b, densify)
 
 
 def frechet_distance(a, b, densify=None):
     """measurement.py:245 — discrete Fréchet distance (dp over vertex
     sequences of the line parts)."""
 
-    def one(x, y):
+    def one(x, y, d=None):
         if x is None or y is None or x.is_empty or y.is_empty:
             return np.nan
-        p = _vertices(x, densify)
-        q = _vertices(y, densify)
+        p = _vertices(x, d)
+        q = _vertices(y, d)
         n, m = len(p), len(q)
         d = np.sqrt(
             (p[:, None, 0] - q[None, :, 0]) ** 2 + (p[:, None, 1] - q[None, :, 1]) ** 2
@@ -145,7 +190,9 @@ def frechet_distance(a, b, densify=None):
                 ca[i, j] = max(prev, d[i, j])
         return float(ca[-1, -1])
 
-    return _apply2(one, a, b)
+    if densify is None:
+        return _apply2(one, a, b)
+    return _densified_pair(one, a, b, densify)
 
 
 def minimum_bounding_radius(geometry):

@@ -91,20 +91,41 @@ def nearest_points(a: Geom, b: Geom) -> tuple[Geom, Geom]:
 
 
 # ------------------------------------------------------ structural accessors
+def _broadcast_geom_index(one, geometry, index):
+    """Ufunc-style broadcast of (geometry, integer index) pairs — the
+    reference accessors accept ranges/arrays for either argument."""
+    g_scalar = isinstance(geometry, Geom) or geometry is None
+    i_scalar = np.isscalar(index) and not isinstance(index, range)
+    if g_scalar and i_scalar:
+        return one(geometry, index)
+    if g_scalar:
+        gg = np.empty((), dtype=object)
+        gg[()] = geometry
+    else:
+        gg = np.asarray(geometry, dtype=object)
+    ii = np.asarray(
+        list(index) if isinstance(index, range) else index, dtype=np.int64
+    )
+    gg, ii = np.broadcast_arrays(gg, ii)
+    out = np.empty(gg.shape, dtype=object)
+    for idx in np.ndindex(gg.shape):
+        out[idx] = one(gg[idx], ii[idx])
+    return out
+
+
 def get_point(line, index):
     """_geometry.py:400 — nth vertex of a linestring (None out of range)."""
 
     def one(g, i):
         if g is None or g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING):
             return None
+        i = int(i)
         n = len(g.xys)
         if i < -n or i >= n:
             return None
         return Geom.point(g.xys[i, 0], g.xys[i, 1])
 
-    if isinstance(line, Geom) or line is None:
-        return one(line, index)
-    return np.array([one(g, index) for g in line], dtype=object)
+    return _broadcast_geom_index(one, line, index)
 
 
 def get_num_points(line):
@@ -124,36 +145,56 @@ def get_geometry(geometry, index):
     """_geometry.py:595 — nth part of a collection (the geometry itself
     for simple types at index 0/-1)."""
 
+    _MULTI = (GeomType.MULTIPOINT, GeomType.MULTILINESTRING,
+              GeomType.MULTIPOLYGON, GeomType.GEOMETRYCOLLECTION)
+
     def one(g, i):
         if g is None:
             return None
-        parts = g.parts if g.parts else ([g] if not g.is_empty else [])
+        i = int(i)
+        parts = g.parts if g.type_id in _MULTI else [g]
         n = len(parts)
         if i < -n or i >= n:
             return None
         return parts[i]
 
-    if isinstance(geometry, Geom) or geometry is None:
-        return one(geometry, index)
-    return np.array([one(g, index) for g in geometry], dtype=object)
+    return _broadcast_geom_index(one, geometry, index)
 
 
-def get_segments(geometry):
+def get_segments(geometry, *, include_z: bool = False,
+                 return_index: bool = False):
     """_geometry.py:1020 (new in 2.2) — per-segment two-point
-    linestrings of the line parts."""
-    from engine.geo.relate import Decomp
+    linestrings of LineString/LinearRing inputs ONLY (Multi* and other
+    types raise, GEOS parity); include_z pads NaN z for 2-D inputs."""
+    from engine.geo.coordinates import _explode_input
 
-    def one(g):
+    geoms = _explode_input(geometry, "get_segments")
+    segs = []
+    idx = []
+    for i, g in enumerate(geoms):
         if g is None:
-            return np.array([], dtype=object)
-        segs = Decomp(g).line_segs
-        return np.array(
-            [Geom.linestring(np.array([s[:2], s[2:]])) for s in segs], dtype=object
-        )
-
-    if isinstance(geometry, Geom) or geometry is None:
-        return one(geometry)
-    return np.concatenate([one(g) for g in geometry])
+            continue
+        if g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING):
+            raise ValueError(
+                f"Geometry type is not supported: {g.type_id.name}"
+            )
+        c = g.xys
+        if len(c) < 2:
+            continue
+        if include_z:
+            block = np.full((len(c), 3), np.nan)
+            block[:, :2] = c[:, :2]
+            if g.has_z and c.shape[1] > 2:
+                block[:, 2] = c[:, 2]
+        else:
+            block = c[:, :2]
+        for k in range(len(block) - 1):
+            segs.append(Geom.linestring(block[k:k + 2].copy()))
+            idx.append(i)
+    out = np.array(segs, dtype=object)
+    if return_index:
+        return out, np.array(idx, dtype=np.int64)
+    return out
 
 
 def _map_blocks(g, fn, hz, hm):
@@ -211,21 +252,104 @@ def force_3d(geometry, z: float = 0.0):
 
 
 def set_precision(geometry, grid_size: float, mode: str = "valid_output"):
-    """_geometry.py:868 — snap coordinates to the grid; collapsed
-    segments removed (pointwise mode keeps them)."""
-    from engine.geo.constructive import remove_repeated_points
-    from engine.geo.coordinates import get_coordinates, set_coordinates
+    """_geometry.py:868 — snap coordinates to the grid.
+
+    Collapse rules per GEOS GeometryPrecisionReducer:
+    - valid_output (default): collapsed lines/rings/polygons become the
+      EMPTY geometry of their type; self-intersections introduced by
+      snapping are re-noded into valid polygons.
+    - pointwise: coordinates snapped in place, nothing removed.
+    - keep_collapsed: collapsed linestrings keep their snapped (equal)
+      endpoints; a collapsed ring degrades to a 3-point LINESTRING
+      (GEOS ticket 1135); collapsed polygons become EMPTY.
+    NaN grid_size returns None.
+    """
+    if mode not in ("valid_output", "pointwise", "keep_collapsed"):
+        raise ValueError(f"Invalid mode: {mode!r}")
+
+    def snap_block(c):
+        return np.round(np.asarray(c, dtype=np.float64) / grid_size) * grid_size
+
+    def dedup(c):
+        if len(c) == 0:
+            return c
+        keep = np.ones(len(c), dtype=bool)
+        keep[1:] = ~np.all(c[1:, :2] == c[:-1, :2], axis=1)
+        return c[keep]
+
+    def one_line(g):
+        c = dedup(snap_block(g.xys[:, :2]))
+        if len(c) < 2:  # collapsed
+            if mode == "keep_collapsed":
+                p = snap_block(g.xys[:1, :2])
+                return Geom(GeomType.LINESTRING,
+                            xys=np.repeat(p, 2, axis=0))
+            return Geom.empty(GeomType.LINESTRING)
+        return Geom(GeomType.LINESTRING, xys=c)
+
+    def one_ring(g):
+        c = dedup(snap_block(g.xys[:, :2]))
+        if len(c) < 4:  # collapsed (closure included)
+            if mode == "keep_collapsed":
+                p = snap_block(g.xys[:1, :2])
+                return Geom(GeomType.LINESTRING,
+                            xys=np.repeat(p, 3, axis=0))
+            return Geom.empty(GeomType.LINEARRING)
+        return Geom(GeomType.LINEARRING, xys=c)
+
+    def one_poly(g):
+        rings = []
+        for k, r in enumerate(g.rings):
+            c = dedup(snap_block(r[:, :2]))
+            if len(c) < 4 or abs(core.ring_signed_area(c)) == 0:
+                if k == 0:
+                    return Geom.empty(GeomType.POLYGON)
+                continue  # collapsed hole dropped
+            rings.append(c)
+        out = Geom(GeomType.POLYGON, rings=rings)
+        # snapping can introduce self-intersections; re-node for a
+        # valid result (both valid_output and keep_collapsed)
+        from engine.geo.predicates import is_valid
+        from engine.geo.validation import make_valid
+
+        try:
+            if not is_valid(out):
+                fixed = make_valid(out)
+                if fixed is not None:
+                    return fixed
+        except Exception:
+            pass
+        return out
 
     def one(g):
         if g is None:
             return None
+        if np.isnan(grid_size):
+            return None
         if grid_size == 0:
             return g
-        c = get_coordinates(g)
-        snapped = np.round(c / grid_size) * grid_size
-        out = set_coordinates(g, snapped)
-        if mode != "pointwise":
-            out = remove_repeated_points(out, 0.0)
+        if mode == "pointwise":
+            from engine.geo.coordinates import get_coordinates, set_coordinates
+
+            c = get_coordinates(g)
+            out = set_coordinates(g, snap_block(c), _keep_dims=True)
+        elif g.is_empty:
+            out = g
+        elif g.type_id == GeomType.LINESTRING:
+            out = one_line(g)
+        elif g.type_id == GeomType.LINEARRING:
+            out = one_ring(g)
+        elif g.type_id == GeomType.POLYGON:
+            out = one_poly(g)
+        elif g.parts:
+            parts = [one(p) for p in g.parts]
+            parts = [p for p in parts if p is not None]
+            out = Geom(g.type_id, parts=parts) if parts else Geom.empty(g.type_id)
+        else:  # POINT
+            from engine.geo.coordinates import get_coordinates, set_coordinates
+
+            c = get_coordinates(g)
+            out = set_coordinates(g, snap_block(c), _keep_dims=True)
         out._precision = grid_size  # noqa: SLF001 (engine-side metadata)
         return out
 

@@ -319,28 +319,29 @@ def is_valid_reason(geometry, out=None):
     return _apply1(_is_valid_reason, geometry, dtype=object, out=out)
 
 
-def prepare(geometry):
+def prepare(geometry, out=None):
     """creation.py:735 — in our engine preparation is an actor-side
     acceleration structure (engine.geo.prepared); on scalars it is a
-    no-op flag kept for API parity."""
+    flag kept for API parity.  Returns True where a geometry was newly
+    prepared, False for missing/already-prepared (reference contract)."""
 
     def _prep(g):
-        if g is not None:
-            g._prepared = True
+        if g is None or getattr(g, "_prepared", False):
+            return False
+        g._prepared = True
         return True
 
-    _apply1(_prep, geometry)
-    return geometry
+    return _apply1(_prep, geometry, out=out)
 
 
-def destroy_prepared(geometry):
+def destroy_prepared(geometry, out=None):
     def _unprep(g):
-        if g is not None and hasattr(g, "_prepared"):
-            g._prepared = False
+        if g is None or not getattr(g, "_prepared", False):
+            return False
+        g._prepared = False
         return True
 
-    _apply1(_unprep, geometry)
-    return geometry
+    return _apply1(_unprep, geometry, out=out)
 
 
 # ---------------------------------------------------------------- binary

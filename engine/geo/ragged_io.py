@@ -56,7 +56,7 @@ def to_ragged_array(geometries, include_z=None, include_m=None):
     # empties participate in type inference like the reference
     types |= {g.type_id for g in geoms if g is not None}
     if GeomType.LINEARRING in types:
-        types = (types - {GeomType.LINEARRING}) | {GeomType.LINESTRING}
+        raise ValueError("LinearRings are not supported")
     if not types:
         types = {GeomType.POINT}
     if GeomType.GEOMETRYCOLLECTION in types:
@@ -103,6 +103,18 @@ def to_ragged_array(geometries, include_z=None, include_m=None):
         multi = multi or any(
             g is not None and g.type_id == GeomType.MULTILINESTRING for g in geoms
         )
+        if not multi:
+            # one linestring per input; None/EMPTY entries repeat the
+            # running offset (zero-length — arrow-null semantics)
+            blocks, line_counts = [], []
+            for g in geoms:
+                if g is None or g.is_empty:
+                    line_counts.append(0)
+                    continue
+                line_counts.append(len(g.xys))
+                blocks.append(conv(g, g.xys))
+            coords = np.vstack(blocks) if blocks else np.empty((0, width))
+            return GeomType.LINESTRING, coords, (_offsets(line_counts, len(coords)),)
         blocks, line_counts, geom_counts = [], [], []
         for g in geoms:
             ps = [] if g is None else parts_of(g)
@@ -113,13 +125,24 @@ def to_ragged_array(geometries, include_z=None, include_m=None):
                 blocks.append(conv(p, c))
         coords = np.vstack(blocks) if blocks else np.empty((0, width))
         line_off = _offsets(line_counts, len(coords))
-        if not multi:
-            return GeomType.LINESTRING, coords, (line_off,)
         return GeomType.MULTILINESTRING, coords, (line_off, _offsets(geom_counts, len(line_off) - 1))
 
     multi = multi or any(
         g is not None and g.type_id == GeomType.MULTIPOLYGON for g in geoms
     )
+    if not multi:
+        blocks, ring_counts, poly_counts = [], [], []
+        for g in geoms:
+            if g is None or g.is_empty:
+                poly_counts.append(0)
+                continue
+            poly_counts.append(len(g.rings))
+            for r in g.rings:
+                ring_counts.append(len(r))
+                blocks.append(conv(g, r))
+        coords = np.vstack(blocks) if blocks else np.empty((0, width))
+        ring_off = _offsets(ring_counts, len(coords))
+        return GeomType.POLYGON, coords, (ring_off, _offsets(poly_counts, len(ring_off) - 1))
     blocks, ring_counts, poly_counts, geom_counts = [], [], [], []
     for g in geoms:
         ps = [] if g is None else parts_of(g)
@@ -133,8 +156,6 @@ def to_ragged_array(geometries, include_z=None, include_m=None):
     coords = np.vstack(blocks) if blocks else np.empty((0, width))
     ring_off = _offsets(ring_counts, len(coords))
     poly_off = _offsets(poly_counts, len(ring_off) - 1)
-    if not multi:
-        return GeomType.POLYGON, coords, (ring_off, poly_off)
     return GeomType.MULTIPOLYGON, coords, (ring_off, poly_off, _offsets(geom_counts, len(poly_off) - 1))
 
 
@@ -148,6 +169,68 @@ def from_ragged_array(geometry_type, coords, offsets=()):
     hz = coords.shape[1] >= 3
     hm = coords.shape[1] == 4
     offs = [np.asarray(o, dtype=np.int64) for o in (offsets or ())]
+    _N_OFFSETS = {
+        GeomType.POINT: 0, GeomType.MULTIPOINT: 1, GeomType.LINESTRING: 1,
+        GeomType.MULTILINESTRING: 2, GeomType.POLYGON: 2,
+        GeomType.MULTIPOLYGON: 3,
+    }
+    need = _N_OFFSETS.get(t)
+    if need is not None:
+        if need and len(offs) < need:
+            raise ValueError(
+                f"'offsets' must be provided for geometry type {t.name} "
+                f"({need} levels expected)"
+            )
+        if need == 0 and len(offs):
+            raise ValueError(
+                f"'offsets' should not be provided for geometry type {t.name}"
+            )
+        offs = offs[:need]
+    # bounds validation (segfault guards of the reference 2.1.1)
+    if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        ring_o = offs[0]
+        part_o = offs[1]
+        if len(part_o) and part_o[-1] > len(ring_o) - 1:
+            which = "geometry" if t == GeomType.POLYGON else "part"
+            raise ValueError(
+                f"Number of rings indicated by the {which} offsets "
+                f"({int(part_o[-1])}) exceeds the ring offsets "
+                f"({len(ring_o) - 1})"
+            )
+        if t == GeomType.MULTIPOLYGON and len(offs[2]) and \
+                offs[2][-1] > len(part_o) - 1:
+            raise ValueError(
+                "Number of geometry parts indicated by the geometry "
+                f"offsets ({int(offs[2][-1])}) exceeds the part offsets "
+                f"({len(part_o) - 1})"
+            )
+    if t in (GeomType.LINESTRING, GeomType.MULTILINESTRING, GeomType.POLYGON,
+             GeomType.MULTIPOLYGON):
+        lin_o = offs[0]
+        if len(lin_o) and lin_o[-1] > len(coords):
+            raise ValueError(
+                f"Number of coordinates indicated by the linear offsets "
+                f"({int(lin_o[-1])}) exceeds the coordinates ({len(coords)})"
+            )
+
+    def _check_ring(c):
+        """GEOS ring rules on read (tests/test_ragged_array.py:540+)."""
+        from engine.geo.errors import GEOSException
+
+        if len(c) == 0:
+            return c
+        if not np.array_equal(c[0], c[-1]):
+            if not np.isfinite(c[0]).all():
+                raise GEOSException(
+                    "IllegalArgumentException: Points of LinearRing do not "
+                    "form a closed linestring"
+                )
+            c = np.vstack([c, c[:1]])  # auto-close (GEOS reader)
+        if len(c) < 4:
+            raise ValueError(
+                "A linearring requires at least 4 coordinates."
+            )
+        return c
 
     def mkpoint(row):
         return Geom(GeomType.POINT, xys=np.asarray([row]), has_z=hz, has_m=hm)
@@ -195,7 +278,10 @@ def from_ragged_array(geometry_type, coords, offsets=()):
         return np.array(out, dtype=object)
 
     def poly(ring_off, j0, j1):
-        rings = [coords[ring_off[j]: ring_off[j + 1]] for j in range(j0, j1)]
+        rings = [
+            _check_ring(coords[ring_off[j]: ring_off[j + 1]])
+            for j in range(j0, j1)
+        ]
         if not rings:
             return Geom.empty(GeomType.POLYGON)
         return Geom(GeomType.POLYGON, rings=rings, has_z=hz, has_m=hm)

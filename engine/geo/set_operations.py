@@ -244,11 +244,33 @@ def _binary(fn):
 
 
 @_binary
+def _overlay_precision(a, b):
+    """GEOS keeps the finest precision grid of the operands through an
+    overlay (reference test_geometry.py:593-606)."""
+    pa = float(getattr(a, "_precision", 0.0) or 0.0)
+    pb = float(getattr(b, "_precision", 0.0) or 0.0)
+    grids = [p for p in (pa, pb) if p > 0]
+    return min(grids) if grids else 0.0
+
+
 def intersection(a, b):
     """set_operations.py:114 — exact for point inputs, box/convex
-    polygon clips; NotImplementedError otherwise."""
+    polygon clips; NotImplementedError otherwise.  When an operand
+    carries a precision grid (set_precision), the result is computed on
+    and tagged with the finest grid."""
     if a is None or b is None:
         return None
+    grid = _overlay_precision(a, b)
+    if grid > 0:
+        from engine.geo.ops import set_precision
+
+        a2 = set_precision(a, grid)
+        b2 = set_precision(b, grid)
+        a2._precision = b2._precision = 0.0  # avoid recursion
+        out = intersection(a2, b2)
+        if out is not None:
+            out = set_precision(out, grid)
+        return out
     if a.is_empty or b.is_empty:
         return Geom.empty(GeomType.GEOMETRYCOLLECTION)
     ta, tb = a.type_id, b.type_id
@@ -267,11 +289,21 @@ def intersection(a, b):
             and _is_convex(rb[0]) and _is_convex(ra[0])
         ):
             out = _clip_convex(ra[0], rb[0])
-            if len(out) == 0:
-                return Geom.empty(GeomType.POLYGON)
-            return Geom(GeomType.POLYGON, rings=[out])
+            if len(out) and abs(core.ring_signed_area(out)) > 0:
+                return Geom(GeomType.POLYGON, rings=[out])
+            # empty or degenerate (boundary-contact only): fall through
+            # to the general branch for the lower-dimension result
     if ta in _AREAL and tb in _AREAL:
-        return _polygon_overlay(a, b, lambda ia, ib: ia and ib)
+        out = _polygon_overlay(a, b, lambda ia, ib: ia and ib)
+        if out.is_empty and predicates.intersects(a, b):
+            # polygons touching along boundary only: GEOS returns the
+            # lower-dimension contact (shared edges / touch points)
+            from engine.geo.constructive import boundary
+
+            contact = _line_line_intersection(boundary(a), boundary(b))
+            if contact is not None and not contact.is_empty:
+                return contact
+        return out
     _LINE = (GeomType.LINESTRING, GeomType.LINEARRING, GeomType.MULTILINESTRING)
     if ta in _LINE and tb in _AREAL:
         return _clip_line_by_area(a, b, inside=True)
@@ -684,12 +716,50 @@ def symmetric_difference_all(geometries, axis=None):
     return _reduce_all(symmetric_difference, geometries)
 
 
+def _effective_types(g) -> set:
+    """Single-geometry type names, collections flattened (GEOS 3.12
+    CoverageUnion input rule)."""
+    if g.parts and not g.is_empty:
+        out = set()
+        for p in g.parts:
+            out |= _effective_types(p)
+        return out
+    name = {
+        GeomType.POINT: "Point", GeomType.LINESTRING: "LineString",
+        GeomType.LINEARRING: "LineString", GeomType.POLYGON: "Polygon",
+        GeomType.MULTIPOINT: "Point", GeomType.MULTILINESTRING: "LineString",
+        GeomType.MULTIPOLYGON: "Polygon",
+        GeomType.GEOMETRYCOLLECTION: "GeometryCollection",
+    }[g.type_id]
+    return {name}
+
+
 def coverage_union(a, b):
     """set_operations.py:560 — fast union ASSUMING non-overlap: ring
-    concatenation, no topology (the per-cell tile-mosaic path)."""
+    concatenation, no topology (the per-cell tile-mosaic path).  GEOS
+    3.12 rules: inputs must share ONE effective simple type; mixed
+    dimensions raise GEOSException."""
     if a is None or b is None:
         return None
+    from engine.geo.errors import GEOSException
+
+    ta, tb = _effective_types(a), _effective_types(b)
+    if len(ta | tb) != 1 or "GeometryCollection" in (ta | tb):
+        raise GEOSException(
+            "IllegalArgumentException: Overlay input is mixed-dimension"
+        )
+    kind = (ta | tb).pop()
     parts = (a.parts or ([] if a.is_empty else [a])) + (b.parts or ([] if b.is_empty else [b]))
+    if kind == "Point":
+        parts = [p for p in parts if not p.is_empty]
+        if not parts:
+            return Geom.empty(GeomType.MULTIPOINT)
+        return Geom(GeomType.MULTIPOINT, parts=parts, **_zm_of(parts))
+    if kind == "LineString":
+        parts = [p for p in parts if not p.is_empty]
+        if not parts:
+            return Geom.empty(GeomType.MULTILINESTRING)
+        return Geom(GeomType.MULTILINESTRING, parts=parts, **_zm_of(parts))
     if not parts:
         return Geom.empty(GeomType.GEOMETRYCOLLECTION)
     if all(p.type_id == GeomType.POLYGON for p in parts):
@@ -709,3 +779,199 @@ def disjoint_subset_union(a, b):
 
 def disjoint_subset_union_all(geometries, axis=None):
     return _reduce_all(disjoint_subset_union, geometries)
+
+
+def _zm_of(parts):
+    return dict(has_z=any(p.has_z for p in parts),
+                has_m=any(p.has_m for p in parts))
+
+
+# ---------------------------------------------------- public ufunc API layer
+# (reference set_operations.py signatures: array broadcasting, grid_size
+# fixed-precision overlays, axis= reduction, positional deprecations)
+_intersection_scalar = intersection
+_union_scalar = union
+_difference_scalar = difference
+_symmetric_difference_scalar = symmetric_difference
+_coverage_union_scalar = coverage_union
+_disjoint_subset_union_scalar = disjoint_subset_union
+
+
+def _grid_value(grid_size):
+    if grid_size is None:
+        return None
+    if not np.isscalar(grid_size):
+        raise ValueError("grid_size parameter only accepts scalar values")
+    g = float(grid_size)
+    return None if g == 0 else g
+
+
+def _empty_dims(out, a, b):
+    """GEOS >= 3.12 keeps the coordinate dimension of empty results
+    (reference test_set_operations.py:437)."""
+    if out is not None and out.is_empty and not out.parts:
+        hz = bool(getattr(a, "has_z", False)) or bool(getattr(b, "has_z", False))
+        hm = bool(getattr(a, "has_m", False)) or bool(getattr(b, "has_m", False))
+        if hz != out.has_z or hm != out.has_m:
+            return Geom(out.type_id, has_z=hz, has_m=hm)
+    return out
+
+
+def _precise_pair(scalar_fn, x, y, g: float):
+    from engine.geo.ops import set_precision
+
+    if np.isnan(g):
+        return None
+    x2 = None if x is None else set_precision(x, g)
+    y2 = None if y is None else set_precision(y, g)
+    for q in (x2, y2):
+        if q is not None:
+            q._precision = 0.0  # the wrapper owns the grid here
+    out = scalar_fn(x2, y2)
+    if out is not None:
+        out = set_precision(out, g)
+    return out
+
+
+def _binary_api(scalar_fn, name, supports_grid=True):
+    def api(a, b, *args, grid_size=None):
+        if args:
+            import warnings
+
+            warnings.warn(
+                f"positional argument `grid_size` for `{name}` is "
+                "deprecated. Please use a keyword argument instead.",
+                DeprecationWarning, stacklevel=2,
+            )
+            grid_size = args[0]
+        g = _grid_value(grid_size) if supports_grid else None
+
+        def one(x, y):
+            if g is not None:
+                return _precise_pair(scalar_fn, x, y, g)
+            return _empty_dims(scalar_fn(x, y), x, y)
+
+        a_s = a is None or isinstance(a, Geom)
+        b_s = b is None or isinstance(b, Geom)
+        if a_s and b_s:
+            return one(a, b)
+        if a_s:
+            aa = np.empty((), dtype=object)
+            aa[()] = a
+        else:
+            aa = np.asarray(a, dtype=object)
+        if b_s:
+            bb = np.empty((), dtype=object)
+            bb[()] = b
+        else:
+            bb = np.asarray(b, dtype=object)
+        aa, bb = np.broadcast_arrays(aa, bb)
+        out = np.empty(aa.shape, dtype=object)
+        for idx in np.ndindex(aa.shape):
+            out[idx] = one(aa[idx], bb[idx])
+        return out
+
+    api.__name__ = name
+    api.__qualname__ = name
+    api.__doc__ = scalar_fn.__doc__
+    return api
+
+
+intersection = _binary_api(_intersection_scalar, "intersection")
+union = _binary_api(_union_scalar, "union")
+difference = _binary_api(_difference_scalar, "difference")
+symmetric_difference = _binary_api(
+    _symmetric_difference_scalar, "symmetric_difference"
+)
+coverage_union = _binary_api(_coverage_union_scalar, "coverage_union",
+                             supports_grid=False)
+disjoint_subset_union = _binary_api(
+    _disjoint_subset_union_scalar, "disjoint_subset_union",
+    supports_grid=False,
+)
+
+
+def _union_core(gs):
+    """n-ary union over a flat list (None already removed): all-areal
+    inputs take the single-pass arrangement union."""
+    live = [g for g in gs if not g.is_empty]
+    if live and all(g.type_id in _AREAL for g in live):
+        flat = []
+        for g in live:
+            flat.extend(g.parts or [g])
+        return _nary_union_areal(flat)
+    return _reduce_all(_union_scalar, gs)
+
+
+def _reduce_api(pair_fn, name, core=None, supports_grid=False,
+                positional_names=("axis",)):
+    def reduce_one(gs, g):
+        if g is not None and np.isnan(g):
+            return None
+        gs = [x for x in gs if x is not None]
+        if g is not None:
+            from engine.geo.ops import set_precision
+
+            gs = [set_precision(x, g) for x in gs]
+            for x in gs:
+                x._precision = 0.0
+        if not gs:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        out = core(gs) if core is not None else _reduce_all(pair_fn, gs)
+        if g is not None and out is not None:
+            from engine.geo.ops import set_precision
+
+            out = set_precision(out, g)
+        return out
+
+    def api(geometries, *args, grid_size=None, axis=None):
+        if args:
+            import warnings
+
+            used = [f"`{n}`" for n in positional_names[: len(args)]]
+            if len(used) == 1:
+                msg = (f"positional argument {used[0]} for `{name}` is "
+                       "deprecated. Please use a keyword argument instead.")
+            else:
+                msg = (f"positional arguments {' and '.join(used)} for "
+                       f"`{name}` are deprecated. Please use keyword "
+                       "arguments instead.")
+            warnings.warn(msg, DeprecationWarning, stacklevel=2)
+            if positional_names[0] == "grid_size":
+                grid_size = args[0]
+                if len(args) > 1:
+                    axis = args[1]
+            else:
+                axis = args[0]
+        g = _grid_value(grid_size) if supports_grid else None
+        if grid_size is not None and not supports_grid:
+            raise TypeError(f"{name}() got an unexpected keyword "
+                            "argument 'grid_size'")
+        arr = np.asarray(geometries, dtype=object)
+        if axis is None:
+            return reduce_one(list(arr.ravel()), g)
+        moved = np.moveaxis(arr, axis, -1)
+        out = np.empty(moved.shape[:-1], dtype=object)
+        for idx in np.ndindex(moved.shape[:-1]):
+            out[idx] = reduce_one(list(moved[idx]), g)
+        return out
+
+    api.__name__ = name
+    api.__qualname__ = name
+    return api
+
+
+union_all = _reduce_api(_union_scalar, "union_all", core=_union_core,
+                        supports_grid=True,
+                        positional_names=("grid_size", "axis"))
+unary_union = _reduce_api(_union_scalar, "unary_union", core=_union_core,
+                          supports_grid=True,
+                          positional_names=("grid_size", "axis"))
+intersection_all = _reduce_api(_intersection_scalar, "intersection_all")
+symmetric_difference_all = _reduce_api(
+    _symmetric_difference_scalar, "symmetric_difference_all"
+)
+coverage_union_all = _reduce_api(_coverage_union_scalar, "coverage_union_all")
+disjoint_subset_union_all = _reduce_api(
+    _disjoint_subset_union_scalar, "disjoint_subset_union_all"
+)

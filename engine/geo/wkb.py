@@ -96,6 +96,10 @@ def _decode_geom(buf: memoryview, pos: int) -> tuple[Geom, int]:
         has_z = has_z or iso in (1, 3)
         has_m = has_m or iso in (2, 3)
         base = base % 1000
+    if base in (8, 9, 10, 11, 12):  # CircularString..MultiSurface
+        raise NotImplementedError(
+            "Nonlinear geometry types are not currently supported"
+        )
     code = base
     dim = 2 + int(has_z) + int(has_m)
 
@@ -206,48 +210,123 @@ def points_from_wkb_np(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x.astype(np.float64), y.astype(np.float64)
 
 
-def to_wkb(geometry, hex: bool = False, byte_order: int = 1, flavor: str = "iso",
-           include_srid: bool = False):
+def _slice_geom(g: Geom, odim: int) -> Geom:
+    """Drop Z/M columns beyond output_dimension (GEOS writer rule:
+    3 keeps Z, or M when there is no Z; 4 keeps everything)."""
+    keep_z = g.has_z and odim >= 3
+    keep_m = g.has_m and (odim >= 4 or (odim >= 3 and not g.has_z))
+    if keep_z == g.has_z and keep_m == g.has_m:
+        return g
+
+    def cols(c):
+        idx = [0, 1]
+        w = c.shape[1]
+        if keep_z and w > 2:
+            idx.append(2)
+        if keep_m and w > 2:
+            idx.append(w - 1)
+        return np.ascontiguousarray(c[:, idx])
+
+    if g.parts:
+        return Geom(g.type_id, parts=[_slice_geom(p, odim) for p in g.parts],
+                    has_z=keep_z, has_m=keep_m)
+    if g.rings:
+        return Geom(g.type_id, rings=[cols(r) for r in g.rings],
+                    has_z=keep_z, has_m=keep_m)
+    return Geom(g.type_id, xys=cols(g.xys) if len(g.xys) else g.xys,
+                has_z=keep_z, has_m=keep_m)
+
+
+def to_wkb(geometry, hex: bool = False, output_dimension: int | None = None,
+           byte_order: int = -1, include_srid: bool = False,
+           flavor: str = "extended"):
     """Geometry (or array) → WKB bytes (io.py:119 semantics).
 
-    byte_order: 1 = little (default, io.py:131), 0 = big, -1 = native.
-    For 2-D SRID-less data "iso" and "extended" emit identical bytes.
+    byte_order: 1 = little, 0 = big, -1 = native (little here).
+    flavor "extended" (default, EWKB flag bits) or "iso" (+1000/+2000
+    type offsets) — identical bytes for 2-D SRID-less data.
     include_srid=True (requires flavor="extended", io.py:167) writes the
     EWKB SRID flag + value from the geometry's set_srid metadata.
+    output_dimension (default 4) slices Z/M like the GEOS writer.
     """
+    from engine.geo.errors import GEOSException
+
     if flavor not in ("iso", "extended"):
         raise ValueError(f"invalid flavor: {flavor!r}")
     if include_srid and flavor != "extended":
-        raise ValueError("include_srid requires flavor='extended'")
+        raise ValueError(
+            "flavor='iso' and include_srid=True cannot be used together"
+        )
+    if output_dimension is None:
+        output_dimension = 4
+    if output_dimension not in (2, 3, 4):
+        raise GEOSException("Output dimension must be 2, 3 or 4")
     order = {1: "little", 0: "big", -1: "little"}[byte_order]
 
     def enc(g):
         if g is None:
             return None
+        if not isinstance(g, Geom):
+            raise TypeError(
+                f"Expected a Geometry, got {type(g).__name__}"
+            )
         srid = None
         if include_srid:
             srid = int(getattr(g, "_srid", 0))
-        b = _encode_geom(g, order, flavor, srid)
+        b = _encode_geom(_slice_geom(g, output_dimension), order, flavor, srid)
         return b.hex().upper() if hex else b
 
     if isinstance(geometry, Geom) or geometry is None:
         return enc(geometry)
+    if not isinstance(geometry, (list, tuple, np.ndarray)):
+        return enc(geometry)  # raises the TypeError with the right name
     return np.array([enc(g) for g in geometry], dtype=object)
 
 
 def from_wkb(data, on_invalid: str = "raise"):
-    """WKB bytes/hex (or array) → geometry (io.py:313 semantics)."""
-    if on_invalid not in ("raise", "warn", "ignore"):
-        raise ValueError(f"invalid on_invalid: {on_invalid!r}")
+    """WKB bytes/hex (or array) → geometry (io.py:313 semantics).
+
+    on_invalid: raise | warn | ignore | fix — same structure rules as
+    the WKT reader (unclosed rings close under "fix", raise otherwise).
+    """
+    from engine.geo.errors import GEOSException
+    from engine.geo.geom import _wkt_validate
+
+    if on_invalid not in ("raise", "warn", "ignore", "fix"):
+        raise ValueError(
+            f"{on_invalid!r} is not a valid option for on_invalid: must be "
+            "one of 'raise', 'warn', 'ignore' or 'fix'"
+        )
 
     def dec(b):
         if b is None:
             return None
+        if not isinstance(b, (bytes, str)):
+            raise TypeError(
+                f"Expected bytes or string, got {type(b).__name__}"
+            )
         try:
             if isinstance(b, str):
+                if b == "":
+                    raise GEOSException(
+                        "ParseException: Unexpected EOF parsing WKB"
+                    )
                 b = bytes.fromhex(b)
+            elif len(b) and b[0] not in (0, 1):
+                # hex passed as ASCII bytes (GEOS sniffs the first byte)
+                try:
+                    b = bytes.fromhex(b.decode("ascii"))
+                except (UnicodeDecodeError, ValueError):
+                    pass
+            if len(b) == 0:
+                raise GEOSException(
+                    "ParseException: Unexpected EOF parsing WKB"
+                )
             mv = memoryview(b)
-            g, _ = _decode_geom(mv, 0)
+            try:
+                g, _ = _decode_geom(mv, 0)
+            except (struct.error, ValueError, IndexError) as e:
+                raise GEOSException(f"ParseException: {e}") from e
             if g is not None and len(b) >= 9:
                 (code,) = struct.unpack_from(
                     ("<" if b[0] == 1 else ">") + "I", b, 1
@@ -257,16 +336,22 @@ def from_wkb(data, on_invalid: str = "raise"):
                         ("<" if b[0] == 1 else ">") + "I", b, 5
                     )
                     g._srid = int(srid)  # noqa: SLF001 (engine metadata)
-            return g
-        except Exception:
+            return _wkt_validate(g, fix=(on_invalid == "fix"))
+        except NotImplementedError:
+            raise
+        except Exception as e:
             if on_invalid == "raise":
                 raise
             if on_invalid == "warn":
                 import warnings
 
-                warnings.warn("invalid WKB skipped")
+                warnings.warn(
+                    f"Invalid WKB: {e}", RuntimeWarning, stacklevel=3
+                )
             return None
 
     if isinstance(data, (bytes, str)) or data is None:
         return dec(data)
+    if not isinstance(data, (list, tuple, np.ndarray)):
+        return dec(data)  # raises the TypeError with the right name
     return np.array([dec(b) for b in data], dtype=object)

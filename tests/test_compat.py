@@ -222,7 +222,7 @@ def test_submodule_namespace_surfaces():
     assert sh.affinity.rotate is sh.rotate
     assert sh.geos.geos_version == sh.geos_version
 
-    @sh.decorators.requires_geos("3.10")
+    @sh.decorators.requires_geos("3.10.0")
     def gated():
         return 42
 

@@ -12,7 +12,8 @@ def test_valid_tile_coverage():
     tiles = [P(f"POLYGON (({x} 0, {x+1} 0, {x+1} 1, {x} 1, {x} 0))") for x in range(4)]
     assert coverage.coverage_is_valid(tiles)
     edges = coverage.coverage_invalid_edges(tiles)
-    assert all(e is None for e in edges)
+    # reference semantics: clean entries are LINESTRING EMPTY
+    assert all(e.is_empty for e in edges)
 
 
 def test_overlapping_coverage_invalid():

@@ -288,9 +288,10 @@ def test_linear_referencing():
 def test_creation_constructors():
     pts = creation.points(np.array([[0.0, 1.0], [2.0, 3.0]]))
     assert to_wkt(pts[1]) == "POINT (2 3)"
-    ls = creation.linestrings(np.array([[0, 0], [1, 1], [2, 2]], dtype=float),
-                              indices=np.array([0, 0, 1]))
+    ls = creation.linestrings(np.array([[0, 0], [1, 1], [2, 2], [3, 3]], dtype=float),
+                              indices=np.array([0, 0, 1, 1]))
     assert to_wkt(ls[0]) == "LINESTRING (0 0, 1 1)"
+    assert to_wkt(ls[1]) == "LINESTRING (2 2, 3 3)"
     lr = creation.linearrings(np.array([[0, 0], [1, 0], [1, 1]], dtype=float))
     assert lr.is_ring if hasattr(lr, "is_ring") else np.array_equal(lr.xys[0], lr.xys[-1])
     bx = creation.box(0, 0, 2, 2)
@@ -299,7 +300,8 @@ def test_creation_constructors():
     assert mp.type_id == GeomType.MULTIPOINT
     poly = creation.polygons(np.array([[0, 0], [4, 0], [4, 4]], dtype=float))
     assert measure.area(poly) == 8.0
-    assert creation.points(np.array([np.nan, np.nan]), handle_nan="skip") is None
+    # reference semantics: skip makes an EMPTY point, not None
+    assert creation.points(np.array([np.nan, np.nan]), handle_nan="skip").is_empty
 
 
 # ------------------------------------------------------------------- set ops

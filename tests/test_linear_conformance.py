@@ -60,11 +60,9 @@ def test_line_interpolate_point_float_array():
 def test_line_interpolate_point_empty(wkt, normalized):
     g = P(wkt)
     out = linear.line_interpolate_point(g, 0.2, normalized=normalized)
-    # non-empty second part of the mixed multi gives a real point
-    if "0 0" in wkt:
-        assert out.type_id == GeomType.POINT and not out.is_empty
-    else:
-        assert out.is_empty
+    # GEOS: ANY empty member makes the interpolation empty
+    # (reference test_linear.py:46-61)
+    assert out.is_empty
 
 
 def test_line_interpolate_gc_with_empty_line():

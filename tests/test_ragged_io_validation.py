@@ -145,7 +145,7 @@ def test_vectorized_pointz_wkb_and_srid():
     z = np.array([7.0, 8.25])
     buf = wkb.points_to_wkb_z_np(x, y, z)
     assert buf.shape == (2, 29)
-    assert buf[0].tobytes() == wkb.to_wkb(P("POINT Z (1 4 7)"))
+    assert buf[0].tobytes() == wkb.to_wkb(P("POINT Z (1 4 7)"), flavor="iso")
     bx, by, bz = wkb.points_from_wkb_z_np(buf)
     assert np.array_equal(bx, x) and np.array_equal(by, y) and np.array_equal(bz, z)
 
@@ -159,7 +159,8 @@ def test_vectorized_pointz_wkb_and_srid():
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        wkb.to_wkb(g, include_srid=True)  # iso flavor carries no SRID
+        # iso flavor carries no SRID (default flavor is now "extended")
+        wkb.to_wkb(g, include_srid=True, flavor="iso")
 
 
 def test_vectorized_point_wkb():

@@ -137,9 +137,9 @@ def test_wkb_iso_code_offsets():
     # ISO codes: +1000 Z, +2000 M, +3000 ZM (io.py:157)
     from engine.geo.wkb import to_wkb
 
-    assert to_wkb(from_wkt("POINT Z (1 2 3)"))[1:5] == (1001).to_bytes(4, "little")
-    assert to_wkb(from_wkt("POINT M (1 2 3)"))[1:5] == (2001).to_bytes(4, "little")
-    assert to_wkb(from_wkt("POINT ZM (1 2 3 4)"))[1:5] == (3001).to_bytes(4, "little")
+    assert to_wkb(from_wkt("POINT Z (1 2 3)"), flavor="iso")[1:5] == (1001).to_bytes(4, "little")
+    assert to_wkb(from_wkt("POINT M (1 2 3)"), flavor="iso")[1:5] == (2001).to_bytes(4, "little")
+    assert to_wkb(from_wkt("POINT ZM (1 2 3 4)"), flavor="iso")[1:5] == (3001).to_bytes(4, "little")
 
 
 # --------------------------------------------------------- coordinates
@@ -154,10 +154,16 @@ def test_get_coordinates_include_z():
     assert got[0][0] == 1 and got[0][1] == 2 and np.isnan(got[0][2])
 
 
-def test_set_coordinates_preserves_z_for_xy_input():
+def test_set_coordinates_xy_input_forces_2d():
+    # reference coordinates.py:398-404: width-2 coords make the output
+    # 2-D; width-3 preserves each geometry's own dimensionality
     ls = from_wkt("LINESTRING Z (0 1 2, 3 4 5)")
     out = shapely.set_coordinates(ls, np.array([[9.0, 9.0], [8.0, 8.0]]))
-    assert to_wkt(out) == "LINESTRING Z (9 9 2, 8 8 5)"
+    assert to_wkt(out) == "LINESTRING (9 9, 8 8)"
+    out3 = shapely.set_coordinates(
+        ls, np.array([[9.0, 9.0, 7.0], [8.0, 8.0, 6.0]])
+    )
+    assert to_wkt(out3) == "LINESTRING Z (9 9 7, 8 8 6)"
 
 
 def test_transform_include_z():
