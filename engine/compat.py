@@ -98,7 +98,7 @@ from engine.geo.wkb import from_wkb, to_wkb  # noqa: F401
 
 
 # ---------------------------------------------------------- scalar classes
-def Point(*args):
+def _Point_ctor(*args):
     """shapely.Point(x, y[, z]) / Point((x, y[, z])) / Point(Point) /
     Point(np.array) / Point() empty — reference geometry/point.py:40-85
     accepted forms (incl. 1-size-vector args, shapely-1.8 compat)."""
@@ -158,7 +158,7 @@ def _line_coords(coords):
     return np.asarray([one(o) for o in coords], dtype=np.float64)
 
 
-def LineString(coords=None):
+def _LineString_ctor(coords=None):
     if coords is None:
         return Geom.empty(GeomType.LINESTRING)
     if isinstance(coords, Geom):
@@ -176,7 +176,7 @@ def LineString(coords=None):
     return Geom.linestring(c)
 
 
-def LinearRing(coords=None):
+def _LinearRing_ctor(coords=None):
     if coords is None:
         return Geom.empty(GeomType.LINEARRING)
     if isinstance(coords, Geom):
@@ -190,7 +190,7 @@ def LinearRing(coords=None):
     return Geom.linearring(c)
 
 
-def Polygon(shell=None, holes=None):
+def _Polygon_ctor(shell=None, holes=None):
     if shell is None:
         return Geom.empty(GeomType.POLYGON)
     if isinstance(shell, Geom):
@@ -215,7 +215,7 @@ def Polygon(shell=None, holes=None):
     return Geom.polygon(shell, hs)
 
 
-def MultiPoint(pts=()):
+def _MultiPoint_ctor(pts=()):
     parts = [p if isinstance(p, Geom) else Point(p) for p in pts]
     if any(p.type_id != GeomType.POINT for p in parts):
         raise ValueError("Invalid values passed to MultiPoint constructor")
@@ -234,18 +234,92 @@ def _collection(type_id, parts):
                 has_m=any(p.has_m for p in parts))
 
 
-def MultiLineString(lines=()):
+def _MultiLineString_ctor(lines=()):
     parts = [ls if isinstance(ls, Geom) else LineString(ls) for ls in lines]
     return _collection(GeomType.MULTILINESTRING, parts)
 
 
-def MultiPolygon(polys=()):
+def _MultiPolygon_ctor(polys=()):
     parts = [p if isinstance(p, Geom) else Polygon(*p) for p in polys]
     return _collection(GeomType.MULTIPOLYGON, parts)
 
 
-def GeometryCollection(geoms=()):
+def _GeometryCollection_ctor(geoms=()):
     return _collection(GeomType.GEOMETRYCOLLECTION, list(geoms))
+
+
+# ------------------------- geometry classes (isinstance-capable surface)
+# The reference's Point/LineString/... are classes; user code does
+# ``isinstance(geom, LineString)``.  Engine geometries are plain Geom
+# instances, so the classes use a metaclass whose __instancecheck__
+# matches on type_id (LinearRing counts as a LineString, like the
+# reference subclassing).  Calling the class still runs the constructor.
+class _GeomTypeMeta(type):
+    def __instancecheck__(cls, obj):
+        return isinstance(obj, Geom) and obj.type_id in cls._type_ids
+
+    def __subclasscheck__(cls, sub):
+        ids = getattr(sub, "_type_ids", None)
+        if ids is None:
+            return sub is Geom
+        return set(ids) <= set(cls._type_ids)
+
+
+class Point(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.POINT,)
+
+    def __new__(cls, *args):
+        return _Point_ctor(*args)
+
+
+class LineString(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.LINESTRING, GeomType.LINEARRING)
+
+    def __new__(cls, coords=None):
+        return _LineString_ctor(coords)
+
+
+class LinearRing(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.LINEARRING,)
+
+    def __new__(cls, coords=None):
+        return _LinearRing_ctor(coords)
+
+
+class Polygon(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.POLYGON,)
+
+    def __new__(cls, shell=None, holes=None):
+        return _Polygon_ctor(shell, holes)
+
+
+class MultiPoint(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.MULTIPOINT,)
+
+    def __new__(cls, pts=()):
+        return _MultiPoint_ctor(pts)
+
+
+class MultiLineString(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.MULTILINESTRING,)
+
+    def __new__(cls, lines=()):
+        return _MultiLineString_ctor(lines)
+
+
+class MultiPolygon(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.MULTIPOLYGON,)
+
+    def __new__(cls, polys=()):
+        return _MultiPolygon_ctor(polys)
+
+
+class GeometryCollection(metaclass=_GeomTypeMeta):
+    _type_ids = (GeomType.GEOMETRYCOLLECTION,)
+
+    def __new__(cls, geoms=()):
+        return _GeometryCollection_ctor(geoms)
+
 
 
 # --------------------------------------------- OO sugar on the scalar type
@@ -955,3 +1029,12 @@ def snap(geometry, reference, tolerance):
     except (TypeError, ValueError):
         pass
     return _snap_raw(geometry, reference, tolerance)
+
+
+# Namespace modules built above captured pre-wrap callables; re-point the
+# few affected names so `shapely.validation.make_valid is shapely.make_valid`
+# etc. hold like the reference's aliasing.
+validation.make_valid = make_valid
+ops.clip_by_rect = clip_by_rect
+ops.snap = snap
+lib.oriented_envelope = oriented_envelope

@@ -185,9 +185,89 @@ def _clip_ring_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
     return arr
 
 
+def _clip_line_rect(c: np.ndarray, xmin, ymin, xmax, ymax):
+    """Liang–Barsky clip of a polyline to the rect.  Segments lying ON
+    the rectangle boundary are dropped (GEOS clip_by_rect semantics);
+    consecutive kept pieces are stitched back together."""
+    runs = []
+    cur = []
+    for i in range(len(c) - 1):
+        (x1, y1), (x2, y2) = c[i, :2], c[i + 1, :2]
+        dx, dy = x2 - x1, y2 - y1
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in ((-dx, x1 - xmin), (dx, xmax - x1),
+                     (-dy, y1 - ymin), (dy, ymax - y1)):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+                continue
+            r = q / p
+            if p < 0:
+                if r > t1:
+                    ok = False
+                    break
+                t0 = max(t0, r)
+            else:
+                if r < t0:
+                    ok = False
+                    break
+                t1 = min(t1, r)
+        if not ok or t1 <= t0:
+            if cur:
+                runs.append(cur)
+                cur = []
+            continue
+        a = (x1 + t0 * dx, y1 + t0 * dy)
+        b = (x1 + t1 * dx, y1 + t1 * dy)
+        # drop pieces collinear with a boundary edge (clip is open)
+        if (a[0] == b[0] and a[0] in (xmin, xmax)) or (
+            a[1] == b[1] and a[1] in (ymin, ymax)
+        ):
+            if cur:
+                runs.append(cur)
+                cur = []
+            continue
+        if cur and cur[-1] == a:
+            cur.append(b)
+        else:
+            if cur:
+                runs.append(cur)
+            cur = [a, b]
+    if cur:
+        runs.append(cur)
+    return runs
+
+
+def _canon_clip_ring(r: np.ndarray, want_ccw: bool) -> np.ndarray:
+    """Rotate a clipped ring to its smallest vertex with the requested
+    orientation (GEOS clip_by_rect emits canonical rings)."""
+    body = r[:-1]
+    k = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+    body = np.vstack([body[k:], body[:k]])
+    ccw = core.ring_signed_area(np.vstack([body, body[:1]])) > 0
+    if ccw != want_ccw:
+        body = np.vstack([body[:1], body[1:][::-1]])
+    return np.vstack([body, body[:1]])
+
+
 def clip_by_rect(geometry, xmin, ymin, xmax, ymax):
-    """constructive.py:380 — clip to rectangle (polygon rings clipped by
-    Sutherland–Hodgman; points/lines filtered/split to the rect)."""
+    """constructive.py:380 — clip to the OPEN rectangle (GEOS
+    GEOSClipByRect): boundary-only contact yields EMPTY; polygons that
+    interact with the rect boundary go through the exact overlay and
+    come back with canonical rings."""
+
+    def keep_pt(x, y):
+        return xmin < x < xmax and ymin < y < ymax
+
+    def lines_result(runs):
+        if not runs:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        parts = [Geom.linestring(np.asarray(r, dtype=np.float64)) for r in runs]
+        if len(parts) == 1:
+            return parts[0]
+        return Geom(GeomType.MULTILINESTRING, parts=parts)
 
     def one(g):
         if g is None:
@@ -196,18 +276,46 @@ def clip_by_rect(geometry, xmin, ymin, xmax, ymax):
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
         t = g.type_id
         if t == GeomType.POINT:
-            x, y = g.xys[0]
-            if xmin <= x <= xmax and ymin <= y <= ymax:
+            x, y = g.xys[0, :2]
+            if keep_pt(x, y):
                 return g
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
-        if t == GeomType.POLYGON:
-            rings = [_clip_ring_rect(r, xmin, ymin, xmax, ymax) for r in g.rings]
-            shell = rings[0] if rings else np.empty((0, 2))
-            if len(shell) == 0:
+        if t == GeomType.MULTIPOINT:
+            kept = [p for p in g.parts
+                    if not p.is_empty and keep_pt(*p.xys[0, :2])]
+            if not kept:
                 return Geom.empty(GeomType.GEOMETRYCOLLECTION)
-            holes = [r for r in rings[1:] if len(r)]
-            return Geom(GeomType.POLYGON, rings=[shell] + holes)
-        if t in (GeomType.MULTIPOLYGON, GeomType.GEOMETRYCOLLECTION, GeomType.MULTIPOINT):
+            if len(kept) == 1:
+                return kept[0]
+            return Geom(GeomType.MULTIPOINT, parts=kept)
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+            return lines_result(_clip_line_rect(g.xys, xmin, ymin, xmax, ymax))
+        if t == GeomType.MULTILINESTRING:
+            runs = []
+            for p in g.parts:
+                runs.extend(_clip_line_rect(p.xys, xmin, ymin, xmax, ymax))
+            return lines_result(runs)
+        if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+            b = g.bounds
+            if xmin <= b[0] and b[2] <= xmax and ymin <= b[1] and b[3] <= ymax:
+                return g  # fully inside: unchanged, like GEOS
+            from engine.geo import set_operations as _so
+
+            box = Geom.box(xmin, ymin, xmax, ymax)
+            out = _so._polygon_overlay(g, box, lambda ia, ib: ia and ib)
+            if out is None or out.is_empty:
+                return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+            polys = [out] if out.type_id == GeomType.POLYGON else list(out.parts)
+            canon = [
+                Geom(GeomType.POLYGON,
+                     rings=[_canon_clip_ring(r, k == 0)
+                            for k, r in enumerate(p.rings)])
+                for p in polys
+            ]
+            if len(canon) == 1:
+                return canon[0]
+            return Geom(GeomType.MULTIPOLYGON, parts=canon)
+        if t == GeomType.GEOMETRYCOLLECTION:
             parts = [one(p) for p in g.parts]
             parts = [p for p in parts if p is not None and not p.is_empty]
             if not parts:
@@ -427,7 +535,14 @@ def remove_repeated_points(geometry, tolerance: float = 0.0):
 
 def segmentize(geometry, max_segment_length):
     """constructive.py:1070 — add vertices so no segment exceeds the
-    given length."""
+    given length; non-positive lengths raise (GEOS rule)."""
+    if np.isscalar(max_segment_length) and not np.isnan(max_segment_length) \
+            and float(max_segment_length) <= 0:
+        from engine.geo.errors import GEOSException
+
+        raise GEOSException(
+            "IllegalArgumentException: segment length must be positive"
+        )
 
     def seg_line(c):
         if len(c) < 2:
