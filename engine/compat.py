@@ -716,6 +716,89 @@ def _install_oo_properties():
 _install_oo_properties()
 
 
+# ------------------------------------------------- SVG surface (base.py:284,
+# point.py:123, linestring.py:86, polygon.py:281, multi*.py, base.py:1149)
+def _svg(self, scale_factor=1.0, fill_color=None, opacity=None,
+         stroke_color=None, color=None):
+    col = next((c for c in (fill_color, stroke_color, color) if c is not None),
+               None)
+    if self.is_empty:
+        return "<g />"
+    if col is None:
+        col = "#66cc99" if self.is_valid else "#ff3333"
+    t = self.type_id
+    if t == GeomType.POINT:
+        op = 0.6 if opacity is None else opacity
+        return (
+            f'<circle cx="{self.x}" cy="{self.y}" r="{3.0 * scale_factor}" '
+            f'stroke="#555555" stroke-width="{1.0 * scale_factor}" '
+            f'fill="{col}" opacity="{op}" />'
+        )
+    if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+        op = 0.8 if opacity is None else opacity
+        pnts = " ".join("{},{}".format(*c) for c in self.coords)
+        return (
+            f'<polyline fill="none" stroke="{col}" '
+            f'stroke-width="{2.0 * scale_factor}" '
+            f'points="{pnts}" opacity="{op}" />'
+        )
+    if t == GeomType.POLYGON:
+        op = 0.6 if opacity is None else opacity
+        ring_coords = [["{},{}".format(*c) for c in self.exterior.coords]] + [
+            ["{},{}".format(*c) for c in hole.coords] for hole in self.interiors
+        ]
+        path = " ".join(
+            "M {} L {} z".format(cs[0], " L ".join(cs[1:])) for cs in ring_coords
+        )
+        return (
+            f'<path fill-rule="evenodd" fill="{col}" stroke="#555555" '
+            f'stroke-width="{2.0 * scale_factor}" opacity="{op}" d="{path}" />'
+        )
+    # multiparts: group of member elements (GC members take only color)
+    if t == GeomType.GEOMETRYCOLLECTION:
+        inner = "".join(p.svg(scale_factor, col) for p in self.geoms)
+    else:
+        inner = "".join(p.svg(scale_factor, col, opacity) for p in self.geoms)
+    return "<g>" + inner + "</g>"
+
+
+def _repr_svg(self):
+    """base.py:288 — SVG document for notebook display."""
+    svg_top = (
+        '<svg xmlns="http://www.w3.org/2000/svg" '
+        'xmlns:xlink="http://www.w3.org/1999/xlink" '
+    )
+    if self.is_empty:
+        return svg_top + "/>"
+    xmin, ymin, xmax, ymax = self.bounds
+    if xmin == xmax and ymin == ymax:
+        xmin, ymin, xmax, ymax = xmin - 1.0, ymin - 1.0, xmax + 1.0, ymax + 1.0
+    else:
+        expand_amount = max(xmax - xmin, ymax - ymin) * 0.04
+        xmin -= expand_amount
+        ymin -= expand_amount
+        xmax += expand_amount
+        ymax += expand_amount
+    dx, dy = xmax - xmin, ymax - ymin
+    width = min(max(100.0, dx), 300)
+    height = min(max(100.0, dy), 300)
+    try:
+        scale_factor = max(dx, dy) / max(width, height)
+    except ZeroDivisionError:
+        scale_factor = 1.0
+    view_box = f"{xmin} {ymin} {dx} {dy}"
+    transform = f"matrix(1,0,0,-1,0,{ymax + ymin})"
+    return (
+        f'{svg_top}width="{width}" height="{height}" viewBox="{view_box}" '
+        'preserveAspectRatio="xMinYMin meet">'
+        f'<g transform="{transform}">{self.svg(scale_factor)}</g></svg>'
+    )
+
+
+Geom.svg = _svg
+Geom._repr_svg_ = _repr_svg
+
+
 # ------------------------------------------------- shapely.errors surface
 def setup_signal_checks(interval=10000):
     """Reference errors.py:8 — installs GEOS interrupt checks; this

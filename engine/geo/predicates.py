@@ -252,10 +252,13 @@ def _is_valid(g) -> bool:
                 ) or R.contains(g.parts[j], g.parts[i]):
                     return False
         return True
-    if t == GeomType.GEOMETRYCOLLECTION:
+    if t in (GeomType.GEOMETRYCOLLECTION, GeomType.MULTILINESTRING):
         return all(_is_valid(p) for p in g.parts)
     if t in _LINEAR:
-        return len(g.xys) != 1
+        # GEOS: a line needs >= 2 DISTINCT points (zero-length lines and
+        # single-vertex lines are invalid).
+        xy = g.xys[:, :2]
+        return len(xy) > 1 and bool((xy != xy[0]).any())
     return True
 
 
@@ -269,6 +272,8 @@ def _is_valid_reason(g):
             if len(r) < 4:
                 return "Too few points in geometry component"
         return "Self-intersection"
+    if g.type_id in _LINEAR or g.type_id == GeomType.MULTILINESTRING:
+        return "Too few points in geometry component"
     return "Invalid Geometry"
 
 

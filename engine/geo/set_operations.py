@@ -542,11 +542,30 @@ def _union_general(a: Geom, b: Geom) -> Geom:
             poly_u = union(poly_u, p)
     line_u = None
     if line_parts:
-        # noding splits at crossings and dedupes collinear overlap —
-        # the lineal union; then subtract the areal interior
-        merged = line_merge(node(Geom(GeomType.MULTILINESTRING, parts=line_parts)))
-        if poly_u is not None and not merged.is_empty:
-            merged = difference(merged, poly_u)
+        # GEOS keeps zero-length lines as-is; the noder would drop them
+        degen = [l for l in line_parts if not (l.xys[:, :2] != l.xys[0, :2]).any()]
+        line_parts = [l for l in line_parts if l not in degen]
+        merged = None
+        if line_parts:
+            # noding splits at crossings and dedupes collinear overlap —
+            # the lineal union; then subtract the areal interior
+            merged = line_merge(node(Geom(GeomType.MULTILINESTRING, parts=line_parts)))
+            if poly_u is not None and not merged.is_empty:
+                merged = difference(merged, poly_u)
+            if merged is not None and merged.is_empty:
+                merged = None
+        if degen:
+            seen, keep = set(), []
+            for l in degen:
+                k = (l.xys[0, 0], l.xys[0, 1])
+                if k not in seen:
+                    seen.add(k)
+                    keep.append(l)
+            mparts = ([] if merged is None else
+                      (list(merged.parts) if merged.parts else [merged]))
+            mparts += keep
+            merged = mparts[0] if len(mparts) == 1 else Geom(
+                GeomType.MULTILINESTRING, parts=mparts)
         if merged is not None and not merged.is_empty:
             line_u = merged
     pt_u = None
@@ -562,7 +581,8 @@ def _union_general(a: Geom, b: Geom) -> Geom:
             keep.append(p)
         if keep:
             pt_u = _points_geom(np.array(keep).reshape(-1, 2))
-    comps = [c for c in (poly_u, line_u, pt_u) if c is not None and not c.is_empty]
+    # GEOS emits union collections in ascending dimension order
+    comps = [c for c in (pt_u, line_u, poly_u) if c is not None and not c.is_empty]
     if not comps:
         return Geom.empty(GeomType.GEOMETRYCOLLECTION)
     if len(comps) == 1:

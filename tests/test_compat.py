@@ -244,3 +244,40 @@ def test_collection_operator_surface():
     u = op.unary_union([sh.Point(0, 0).buffer(1), sh.Point(0.5, 0).buffer(1)])
     assert u.area > 3.2
     assert op.shapeup({"type": "Point", "coordinates": [1, 2]}).x == 1.0
+
+
+def test_svg_surface():
+    """geom.svg()/_repr_svg_ element strings (reference base.py:284,
+    point.py:123, linestring.py:86, polygon.py:281, legacy/test_svg.py)."""
+    import engine.compat as sh
+
+    assert sh.Point().svg() == "<g />"
+    assert sh.Point(6, 7).svg() == (
+        '<circle cx="6.0" cy="7.0" r="3.0" stroke="#555555" '
+        'stroke-width="1.0" fill="#66cc99" opacity="0.6" />'
+    )
+    assert sh.LineString([(0, 0), (0, 0)]).svg() == (
+        '<polyline fill="none" stroke="#ff3333" stroke-width="2.0" '
+        'points="0.0,0.0 0.0,0.0" opacity="0.8" />'
+    )
+    g = sh.Polygon([(35, 10), (45, 45), (15, 40), (10, 20), (35, 10)],
+                   [[(20, 30), (35, 35), (30, 20), (20, 30)]])
+    assert g.svg(5).startswith(
+        '<path fill-rule="evenodd" fill="#66cc99" stroke="#555555" '
+        'stroke-width="10.0" opacity="0.6" d="M 35.0,10.0 L ')
+    doc = sh.Point(6, 7)._repr_svg_()
+    assert doc.startswith('<svg xmlns="http://www.w3.org/2000/svg"')
+    assert 'viewBox="5.0 6.0 2.0 2.0"' in doc
+
+
+def test_degenerate_line_validity_and_union():
+    """GEOS parity: zero-length lines are invalid; union keeps them as
+    collection members, ascending-dimension order (legacy/test_svg.py)."""
+    import engine.compat as sh
+
+    assert not sh.LineString([(0, 0), (0, 0)]).is_valid
+    assert not sh.MultiLineString([[(2, 3), (2, 3)], [(2, 8), (9, 1)]]).is_valid
+    assert sh.LineString([(0, 0), (1, 1)]).is_valid
+    u = sh.Point(7, 3).union(sh.LineString([(4, 2), (4, 2)]))
+    assert sh.to_wkt(u) == "GEOMETRYCOLLECTION (POINT (7 3), LINESTRING (4 2, 4 2))"
+    assert not u.is_valid

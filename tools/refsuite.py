@@ -39,8 +39,11 @@ for _name in ("wkt", "wkb", "ops", "prepared", "testing", "errors",
     _m = getattr(_c, _name, None)
     if _m is not None:
         sys.modules[f"shapely.{{_name}}"] = _m
-sys.modules["shapely.geometry.base"] = _c.geometry.base
-sys.modules["shapely.geometry.polygon"] = _c.geometry.polygon
+for _name in ("base", "collection", "geo", "linestring", "multilinestring",
+              "multipoint", "multipolygon", "point", "polygon"):
+    _m = getattr(_c.geometry, _name, None)
+    if _m is not None:
+        sys.modules[f"shapely.geometry.{{_name}}"] = _m
 __version__ = getattr(_c, "__version__", "2.1.0")
 geos_version = _c.geos_version
 geos_version_string = _c.geos_version_string
@@ -108,7 +111,9 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     setup()
     files = sorted(
-        f for f in os.listdir(REF_TESTS)
+        os.path.relpath(os.path.join(root, f), REF_TESTS)
+        for root, _dirs, names in os.walk(REF_TESTS)
+        for f in names
         if f.startswith("test_") and f.endswith(".py")
     )
     if args:
