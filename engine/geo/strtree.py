@@ -59,7 +59,13 @@ class STRtree:
         boxes = []
         idxs = []
         for i, g in enumerate(self.geometries):
-            if g is None or g.is_empty:
+            if g is None:
+                continue
+            if not isinstance(g, Geom):
+                raise TypeError(
+                    f"Array should contain geometry objects, got {type(g)}"
+                )
+            if g.is_empty:
                 continue
             b = g.bounds
             if np.isnan(b).any():
