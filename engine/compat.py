@@ -1094,7 +1094,10 @@ for _n, _params in (
     ("voronoi_polygons", [(1, "tolerance")]),
     ("concave_hull", [(1, "ratio")]),
 ):
-    globals()[_n] = _ua.nan_none(_ua.vec1(globals()[_n]), _params)
+    globals()[_n] = _ua.bcast_param(
+        _ua.nan_none(_ua.vec1(globals()[_n]), _params),
+        _params[0][0], _params[0][1],
+    )
 del _n, _params
 
 

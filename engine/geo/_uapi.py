@@ -34,7 +34,19 @@ def vec1(fn):
         if isinstance(geometry, Geom):
             return fn(geometry, *a, **k)
         if not isinstance(geometry, (list, tuple, np.ndarray)):
-            check(geometry)
+            # numpy ufunc dispatch protocol: let array-like containers
+            # unwrap their payload and wrap the result themselves
+            auf = getattr(type(geometry), "__array_ufunc__", None)
+            if auf is not None:
+                res = geometry.__array_ufunc__(wrapped, "__call__",
+                                               geometry, *a, **k)
+                if res is NotImplemented:
+                    check(geometry)
+                return res
+            if hasattr(geometry, "__array__"):
+                geometry = np.asarray(geometry)
+            else:
+                check(geometry)
         arr = np.asarray(geometry, dtype=object)
         if arr.ndim == 0:
             g = check(arr[()])
@@ -43,6 +55,47 @@ def vec1(fn):
         for idx in np.ndindex(arr.shape):
             g = check(arr[idx])
             out[idx] = None if g is None else fn(g, *a, **k)
+        return out
+
+    return wrapped
+
+
+def bcast_param(fn, idx, name):
+    """Broadcast one numeric parameter with the geometry argument
+    (ufunc semantics: ``offset_curve([g, g], [-2, -3])`` pairs
+    elementwise).  ``fn`` is the fully-wrapped scalar-parameter form;
+    it is invoked once per broadcast element so NaN→None handling
+    applies elementwise."""
+
+    @functools.wraps(fn)
+    def wrapped(geometry, *a, **k):
+        if name in k:
+            v = k[name]
+        elif len(a) >= idx:
+            v = a[idx - 1]
+        else:
+            v = None
+        if v is None or np.isscalar(v) or isinstance(v, Geom):
+            return fn(geometry, *a, **k)
+        varr = np.asarray(v, dtype=float)
+        if varr.ndim == 0:
+            return fn(geometry, *a, **k)
+        if geometry is None or isinstance(geometry, Geom):
+            garr = np.empty((), dtype=object)
+            garr[()] = geometry
+        else:
+            garr = np.asarray(geometry, dtype=object)
+        gb, vb = np.broadcast_arrays(garr, varr)
+        out = np.empty(gb.shape, dtype=object)
+        for pos in np.ndindex(gb.shape):
+            if name in k:
+                kk = dict(k)
+                kk[name] = float(vb[pos])
+                out[pos] = fn(gb[pos], *a, **kk)
+            else:
+                aa = list(a)
+                aa[idx - 1] = float(vb[pos])
+                out[pos] = fn(gb[pos], *aa, **k)
         return out
 
     return wrapped

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from engine.geo import core
+from engine.geo.decorators import deprecate_positional
 from engine.geo.geom import Geom, GeomType
 
 
@@ -352,6 +353,7 @@ def _dp(coords: np.ndarray, tol: float) -> np.ndarray:
     return coords[keep]
 
 
+@deprecate_positional(["preserve_topology"])
 def simplify(geometry, tolerance, preserve_topology: bool = True):
     """constructive.py:1118 — Douglas–Peucker; with preserve_topology we
     keep rings that would collapse (fallback to original ring) — the
@@ -416,6 +418,8 @@ def orient_polygons(geometry, exterior_cw: bool = False):
             return None
         t = g.type_id
         if t == GeomType.POLYGON:
+            if not g.rings:
+                return g
             rings = [fix_ring(g.rings[0], not exterior_cw)] + [
                 fix_ring(r, exterior_cw) for r in g.rings[1:]
             ]
@@ -644,9 +648,9 @@ def minimum_bounding_circle(geometry):
         cx, cy, r = _welzl_circle(Decomp(g).vertices)
         if r == 0:
             return Geom.point(cx, cy)
-        ang = np.linspace(0, 2 * np.pi, 65)
-        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
-        return Geom(GeomType.POLYGON, rings=[ring])
+        # GEOS returns center.buffer(radius) with default quad_segs — use
+        # the same disc construction so the vertices agree exactly
+        return buffer(Geom.point(cx, cy), r)
 
     return _apply1(one, geometry)
 
@@ -678,7 +682,9 @@ def oriented_envelope(geometry):
             xmin, ymin = pts.min(axis=0)
             xmax, ymax = pts.max(axis=0)
             area = (xmax - xmin) * (ymax - ymin)
-            if best is None or area < best[0]:
+            # GEOS ≥ 3.12 MinimumAreaRectangle updates on ties, so the
+            # last tied hull edge (CCW scan) supplies the rectangle
+            if best is None or area <= best[0] * (1 + 1e-12):
                 best = (area, a, rot, xmin, ymin, xmax, ymax)
         _, a, rot, xmin, ymin, xmax, ymax = best
         corners = np.array(
@@ -718,13 +724,37 @@ def _capsule(a: np.ndarray, b: np.ndarray, d: float, quad_segs: int) -> Geom:
     return Geom(GeomType.POLYGON, rings=[ring])
 
 
+@deprecate_positional(["quad_segs", "join_style", "mitre_limit"])
 def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
                  mitre_limit: float = 5.0):
     """constructive.py:272 — parallel offset of a line: positive =
     left side, negative = right.  Per-segment offset with round joins at
     outward turns, span-clamped intersection-trim at inward turns, and
     GLOBAL self-intersection removal for tight hairpins (node the raw
-    curve, drop pieces closer than |distance| to the input, merge)."""
+    curve, drop pieces closer than |distance| to the input, merge).
+    Non-lineal inputs follow GEOS ≥ 3.11: points/empties map to
+    LINESTRING EMPTY, polygon boundaries are offset ring-wise, and
+    collections flat-map per component.  ``distance`` broadcasts over a
+    geometry array."""
+    for _name, _val in (("quad_segs", quad_segs),
+                        ("join_style", join_style),
+                        ("mitre_limit", mitre_limit)):
+        if not np.isscalar(_val):
+            raise TypeError(f"{_name} only accepts scalar values")
+    _style_name(join_style, _JOIN_NAMES, "round")
+
+    if not (isinstance(geometry, Geom) or geometry is None) \
+            and not np.isscalar(distance):
+        dists = np.asarray(distance, dtype=float)
+        geoms = np.asarray(geometry, dtype=object)
+        db = np.broadcast_to(dists, geoms.shape)
+        out = np.empty(geoms.shape, dtype=object)
+        flat_g, flat_d, flat_o = geoms.ravel(), db.ravel(), out.ravel()
+        for i in range(flat_g.size):
+            flat_o[i] = offset_curve(
+                flat_g[i], float(flat_d[i]), quad_segs=quad_segs,
+                join_style=join_style, mitre_limit=mitre_limit)
+        return out
 
     def one(g):
         if g is None:
@@ -733,6 +763,26 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
         if t not in (GeomType.LINESTRING, GeomType.LINEARRING):
             if t == GeomType.MULTILINESTRING:
                 return Geom(t, parts=[one(p) for p in g.parts])
+            if t == GeomType.POINT or g.is_empty:
+                return Geom(GeomType.LINESTRING)
+            if t == GeomType.POLYGON:
+                curves = [one(Geom(GeomType.LINESTRING, xys=r.copy()))
+                          for r in g.rings]
+                curves = [c for c in curves if not c.is_empty]
+                if not curves:
+                    return Geom(GeomType.LINESTRING)
+                if len(curves) == 1:
+                    return curves[0]
+                return Geom(GeomType.MULTILINESTRING, parts=curves)
+            if t in (GeomType.MULTIPOLYGON, GeomType.MULTIPOINT,
+                     GeomType.GEOMETRYCOLLECTION):
+                curves = [one(p) for p in g.parts]
+                curves = [c for c in curves if c is not None and not c.is_empty]
+                if not curves:
+                    return Geom(GeomType.LINESTRING)
+                if len(curves) == 1:
+                    return curves[0]
+                return Geom(GeomType.GEOMETRYCOLLECTION, parts=curves)
             raise TypeError("offset_curve requires lineal input")
         c = g.xys
         if len(c) < 2 or distance == 0:
@@ -865,6 +915,12 @@ def _style_name(style, table, default):
     if style is None:
         return default
     if isinstance(style, str):
+        if style not in table.values():
+            raise ValueError(
+                "'{}' is not a valid option, must be one of '{}'".format(
+                    style, "', '".join(table.values())
+                )
+            )
         return style
     return table[int(style)]
 
@@ -1070,6 +1126,9 @@ def _buffer_single_sided(g: Geom, dist: float, quad_segs: int, join: str,
     return union_all(pieces)
 
 
+@deprecate_positional(
+    ["quad_segs", "cap_style", "join_style", "mitre_limit", "single_sided"]
+)
 def buffer(geometry, distance, quad_segs: int = 8, cap_style="round",
            join_style="round", mitre_limit: float = 5.0,
            single_sided: bool = False, **kwargs):
@@ -1080,6 +1139,12 @@ def buffer(geometry, distance, quad_segs: int = 8, cap_style="round",
     (erosion, areal inputs) via polygon − boundary band.
     ``single_sided`` buffers lineal inputs on the left (positive
     distance) / right (negative) with flat ends."""
+    for _name, _val in (("quad_segs", quad_segs), ("cap_style", cap_style),
+                        ("join_style", join_style),
+                        ("mitre_limit", mitre_limit),
+                        ("single_sided", single_sided)):
+        if not np.isscalar(_val):
+            raise TypeError(f"{_name} only accepts scalar values")
     cap = _style_name(cap_style, _CAP_NAMES, "round")
     join = _style_name(join_style, _JOIN_NAMES, "round")
     if single_sided:

@@ -117,9 +117,11 @@ def _minimal_rings(pieces) -> list[np.ndarray]:
     return rings
 
 
-def polygonize(geometries):
-    """constructive.py:884 — GEOMETRYCOLLECTION of polygons formed by
-    the (noded) linework's minimal rings."""
+def polygonize_noded(geometries):
+    """Noding variant (internal): node the linework first, then extract
+    minimal rings.  Used by split()/make_valid(), whose inputs
+    self-intersect; the PUBLIC polygonize below follows GEOS and does
+    NOT node."""
     geoms = [geometries] if isinstance(geometries, Geom) else [g for g in geometries]
     segs = _all_segments(geoms)
     pieces = _noded_pieces(segs)
@@ -151,11 +153,10 @@ def _nest_rings(rings: list[np.ndarray]) -> list[Geom]:
     return polys
 
 
-def polygonize_full(geometries):
-    """constructive.py:939 — (polygons, cut_edges, dangles, invalid).
-
-    Dangles = noded pieces not part of any ring; cut edges = pieces
-    whose both endpoints touch rings but the piece itself is unused."""
+def polygonize_full_noded(geometries):
+    """Noding variant of polygonize_full (internal — see
+    polygonize_noded).  (polygons, cut_edges, dangles, invalid); cut /
+    dangle outputs are MULTILINESTRINGs of noded pieces."""
     geoms = [geometries] if isinstance(geometries, Geom) else [g for g in geometries]
     segs = _all_segments(geoms)
     pieces = _noded_pieces(segs)
@@ -190,16 +191,295 @@ def polygonize_full(geometries):
     )
 
 
+# --------------------------------------------------------------- polygonize
+# GEOS/JTS Polygonizer semantics (reference constructive.py:884,939):
+# the input linework is NOT noded — nodes exist only at linestring
+# endpoints.  Dangles are pruned from coordinate-sorted degree-1 nodes
+# (LIFO), cut edges are edges traversed twice by the same face walk, and
+# faces are traced with the interior on the RIGHT (next outgoing edge =
+# first one counter-clockwise of the reversed incoming edge), which
+# yields each bounded face as a clockwise ring whose start vertex and
+# discovery order follow the input edge order — matching GEOS output
+# coordinate-for-coordinate.
+
+
+def _extract_linework(geoms, include_rings: bool):
+    """Coordinate arrays of the lineal components.  ``include_rings``
+    adds polygon rings (BuildArea extracts all linework; Polygonizer
+    extracts only LineString components)."""
+    out = []
+
+    def walk(g):
+        if g is None or g.is_empty:
+            return
+        t = g.type_id
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+            c = np.asarray(g.xys, dtype=float)[:, :2]
+            if len(c) >= 2:
+                out.append(c)
+        elif t == GeomType.POLYGON and include_rings:
+            for r in g.rings:
+                r = np.asarray(r, dtype=float)[:, :2]
+                if len(r) >= 2:
+                    out.append(r)
+        elif t in (GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON,
+                   GeomType.MULTIPOINT, GeomType.GEOMETRYCOLLECTION):
+            for p in g.parts:
+                walk(p)
+
+    for g in geoms:
+        walk(g)
+    return out
+
+
+class _PolyGraph:
+    def __init__(self, lines):
+        self.lines = []
+        for c in lines:
+            # drop consecutive duplicate coordinates (angles need them)
+            keep = np.ones(len(c), dtype=bool)
+            keep[1:] = (np.diff(c, axis=0) != 0).any(axis=1)
+            c = c[keep]
+            if len(c) >= 2:
+                self.lines.append(c)
+        n = len(self.lines)
+        self.alive = [True] * n
+        self.start = [tuple(c[0]) for c in self.lines]
+        self.end = [tuple(c[-1]) for c in self.lines]
+        self.at: dict[tuple, list[tuple[int, bool]]] = {}
+        for i in range(n):
+            self.at.setdefault(self.start[i], []).append((i, True))
+            self.at.setdefault(self.end[i], []).append((i, False))
+
+    def _angle(self, de):
+        i, fwd = de
+        c = self.lines[i]
+        a, b = (c[0], c[1]) if fwd else (c[-1], c[-2])
+        return np.arctan2(b[1] - a[1], b[0] - a[0])
+
+    def _deg(self, v):
+        return sum(1 for i, _ in self.at.get(v, ()) if self.alive[i])
+
+    def delete_dangles(self):
+        stack = sorted(v for v in self.at if self._deg(v) == 1)
+        dangles = []
+        while stack:
+            v = stack.pop()
+            if self._deg(v) != 1:
+                continue
+            i = next(i for i, _ in self.at[v] if self.alive[i])
+            self.alive[i] = False
+            dangles.append(i)
+            w = self.end[i] if v == self.start[i] else self.start[i]
+            if self._deg(w) == 1:
+                stack.append(w)
+        return dangles
+
+    def _next(self, de):
+        """Face-walk successor: first outgoing dirEdge CCW of the
+        reversed incoming edge (interior stays on the right)."""
+        i, fwd = de
+        v = self.end[i] if fwd else self.start[i]
+        back = (i, not fwd)
+        ref = self._angle(back)
+        best, best_key = None, None
+        for cand in self.at[v]:
+            if not self.alive[cand[0]] or cand == back:
+                continue
+            delta = (self._angle(cand) - ref) % (2 * np.pi)
+            if delta == 0:
+                # coincident duplicate edge: full turn, chosen last
+                delta = 2 * np.pi
+            if best_key is None or delta < best_key:
+                best, best_key = cand, delta
+        return best if best is not None else back
+
+    def _walk_rings(self):
+        """All face walks over live edges, in dirEdge order.  Returns a
+        list of (ring coords, [dirEdges])."""
+        used = set()
+        rings = []
+        dir_order = []
+        for i in range(len(self.lines)):
+            dir_order.append((i, True))
+            dir_order.append((i, False))
+        limit = 2 * len(self.lines) + 4
+        for e0 in dir_order:
+            if e0 in used or not self.alive[e0[0]]:
+                continue
+            path = []
+            e = e0
+            for _ in range(limit):
+                used.add(e)
+                path.append(e)
+                e = self._next(e)
+                if e == e0:
+                    break
+            rings.append(path)
+        return rings
+
+    def ring_coords(self, path):
+        pts = []
+        for i, fwd in path:
+            c = self.lines[i] if fwd else self.lines[i][::-1]
+            pts.append(c[:-1])
+        pts.append(self.lines[path[0][0]][:1] if path[0][1]
+                   else self.lines[path[0][0]][-1:])
+        return np.vstack(pts)
+
+    def delete_cut_edges(self):
+        label = {}
+        for rid, path in enumerate(self._walk_rings()):
+            for de in path:
+                label[de] = rid
+        cuts = []
+        for i in range(len(self.lines)):
+            if self.alive[i] and label.get((i, True)) == label.get((i, False)):
+                self.alive[i] = False
+                cuts.append(i)
+        return cuts
+
+
+def _polygonize_faces(lines):
+    """Shared JTS-polygonizer core.  Returns (shells, dangle_idx,
+    cut_idx, invalid_rings, graph) where shells = [(shell_ring,
+    [hole_rings], area)] in discovery order."""
+    g = _PolyGraph(lines)
+    dangle_idx = g.delete_dangles()
+    cut_idx = g.delete_cut_edges()
+    shells, holes, invalid = [], [], []
+    for path in g._walk_rings():
+        ring = g.ring_coords(path)
+        if len(np.unique(ring[:-1], axis=0)) < 3:
+            invalid.append(ring)
+            continue
+        area = core.ring_signed_area(ring)
+        if area < 0:
+            shells.append([ring, [], -area])
+        elif area > 0:
+            holes.append(ring)
+    # assign each CCW ring as a hole of the smallest shell that properly
+    # contains it (a hole vertex not on the shell must be interior);
+    # unassigned CCW rings bound the unbounded face and are dropped
+    for h in holes:
+        hx0, hy0 = h[:, 0].min(), h[:, 1].min()
+        hx1, hy1 = h[:, 0].max(), h[:, 1].max()
+        best = None
+        for s in shells:
+            ring = s[0]
+            if (ring[:, 0].min() > hx0 or ring[:, 1].min() > hy0
+                    or ring[:, 0].max() < hx1 or ring[:, 1].max() < hy1):
+                continue
+            shell_pts = {tuple(p) for p in ring[:-1]}
+            probe = next(
+                (p for p in h[:-1] if tuple(p) not in shell_pts), None
+            )
+            if probe is None:
+                continue
+            if core.point_in_rings(probe[0], probe[1], [ring]) != 2:
+                continue
+            if best is None or s[2] < best[2]:
+                best = s
+        if best is not None:
+            best[1].append(h)
+    return shells, dangle_idx, cut_idx, invalid, g
+
+
+def _shell_polys(shells):
+    return [
+        Geom(GeomType.POLYGON, rings=[s[0]] + s[1]) for s in shells
+    ]
+
+
+def _gc(parts):
+    return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts) if parts \
+        else Geom.empty(GeomType.GEOMETRYCOLLECTION)
+
+
+def _apply_lastaxis(fn, geometries, axis=None):
+    """GEOS polygonize is a generalized ufunc reducing one axis
+    (default the last): scalars / 1-D collapse to a scalar result."""
+    if isinstance(geometries, Geom) or geometries is None:
+        return fn([geometries])
+    arr = np.asarray(geometries, dtype=object)
+    if arr.ndim <= 1:
+        return fn(list(arr))
+    arr = np.moveaxis(arr, -1 if axis is None else axis, -1)
+    out = np.empty(arr.shape[:-1], dtype=object)
+    for idx in np.ndindex(out.shape):
+        out[idx] = fn(list(arr[idx]))
+    return out
+
+
+def polygonize(geometries, axis=None):
+    """constructive.py:884 — GEOMETRYCOLLECTION of the faces of the
+    (pre-noded) linework, GEOS Polygonizer semantics and ordering."""
+
+    def one(geoms):
+        lines = _extract_linework(geoms, include_rings=False)
+        shells, *_ = _polygonize_faces(lines)
+        return _gc(_shell_polys(shells))
+
+    return _apply_lastaxis(one, geometries, axis)
+
+
+def polygonize_full(geometries, axis=None):
+    """constructive.py:939 — (polygons, cut_edges, dangles, invalid),
+    each a GEOMETRYCOLLECTION, GEOS Polygonizer semantics/ordering."""
+
+    def one(geoms):
+        lines = _extract_linework(geoms, include_rings=False)
+        shells, dangle_idx, cut_idx, invalid, g = _polygonize_faces(lines)
+        return (
+            _gc(_shell_polys(shells)),
+            _gc([Geom.linestring(g.lines[i]) for i in sorted(cut_idx)]),
+            _gc([Geom.linestring(g.lines[i]) for i in dangle_idx]),
+            _gc([Geom.linestring(r) for r in invalid]),
+        )
+
+    res = _apply_lastaxis(one, geometries, axis)
+    if isinstance(res, tuple):
+        return res
+    # array form: transpose the array of 4-tuples into a 4-tuple of arrays
+    outs = []
+    for k in range(4):
+        o = np.empty(res.shape, dtype=object)
+        for idx in np.ndindex(res.shape):
+            o[idx] = res[idx][k]
+        outs.append(o)
+    return tuple(outs)
+
+
 def build_area(geometry):
-    """constructive.py:654 — areal geometry from a collection's linework
-    (polygonize + hole nesting; adjacent shells kept separate)."""
-    coll = polygonize(geometry)
-    parts = coll.parts
-    if not parts:
-        return Geom.empty(GeomType.POLYGON)
-    if len(parts) == 1:
-        return parts[0]
-    return Geom(GeomType.MULTIPOLYGON, parts=parts)
+    """constructive.py:654 — areal geometry from ALL linework (polygon
+    rings included): polygonize the arrangement, keep faces at even
+    containment depth (GEOS BuildArea)."""
+    geoms = [geometry] if isinstance(geometry, Geom) or geometry is None \
+        else list(geometry)
+    lines = _extract_linework(geoms, include_rings=True)
+    shells, *_ = _polygonize_faces(lines)
+    kept = []
+    for i, s in enumerate(shells):
+        depth = 0
+        for j, t in enumerate(shells):
+            if i == j:
+                continue
+            other_pts = {tuple(p) for p in t[0][:-1]}
+            probe = next(
+                (p for p in s[0][:-1] if tuple(p) not in other_pts), None
+            )
+            if probe is not None and core.point_in_rings(
+                probe[0], probe[1], [t[0]]
+            ) == 2:
+                depth += 1
+        if depth % 2 == 0:
+            kept.append(s)
+    polys = _shell_polys(kept)
+    if not polys:
+        return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+    if len(polys) == 1:
+        return polys[0]
+    return Geom(GeomType.MULTIPOLYGON, parts=polys)
 
 
 def snap(geometry, reference, tolerance):

@@ -22,7 +22,7 @@ from engine.geo.linear import substring  # noqa: F401
 def split(geometry: Geom, splitter: Geom) -> Geom:
     """ops.py:311 — GEOMETRYCOLLECTION of the split parts."""
     from engine.geo.constructive import boundary
-    from engine.geo.linework import _noded_pieces, polygonize
+    from engine.geo.linework import _noded_pieces, polygonize_noded
     from engine.geo.relate import Decomp
 
     t = geometry.type_id
@@ -33,7 +33,7 @@ def split(geometry: Geom, splitter: Geom) -> Geom:
         # polygonize(boundary ∪ splitter), keep faces whose representative
         # point lies in the original polygon (ops.py:320-332)
         union_lines = [boundary(geometry), splitter]
-        faces = polygonize(union_lines)
+        faces = polygonize_noded(union_lines)
         keep = [
             p
             for p in faces.parts
@@ -374,12 +374,26 @@ def get_precision(geometry):
 def maximum_inscribed_circle(geometry, tolerance: float | None = None):
     """constructive.py:1473 — two-point LINESTRING (center → nearest
     boundary point).  Grid-refinement search (GEOS uses the same
-    successive-refinement idea); tolerance defaults to diameter/1000."""
+    successive-refinement idea); tolerance defaults to diameter/1000.
+    GEOS-parity errors: non-polygonal input and empty input raise
+    GEOSException; negative tolerance raises ValueError."""
+    from engine.geo.errors import GEOSException
     from engine.geo.relate import Decomp
 
     g = geometry
-    if g is None or g.is_empty:
-        return None if g is None else Geom.empty(GeomType.LINESTRING)
+    if g is None:
+        return None
+    if tolerance is not None and np.isscalar(tolerance) and tolerance < 0:
+        raise ValueError("'tolerance' should be positive")
+    if g.type_id not in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        raise GEOSException(
+            "IllegalArgumentException: Input geometry must be a Polygon or "
+            "MultiPolygon"
+        )
+    if g.is_empty:
+        raise GEOSException(
+            "IllegalArgumentException: Empty input geometry is not supported"
+        )
     d = Decomp(g)
     segs = d.segs
     b = g.bounds
@@ -392,13 +406,15 @@ def maximum_inscribed_circle(geometry, tolerance: float | None = None):
         ).min(axis=1)
         return np.sqrt(d2)
 
-    # coarse seed grid, keep interior points only
-    n = 24
+    def _interior(x, y):
+        return any(core.point_in_rings(x, y, p) == 2 for p in d.polys)
+
+    # coarse seed grid (odd count so the envelope center is a seed —
+    # symmetric inputs then resolve exactly), keep interior points only
+    n = 25
     xs, ys = np.meshgrid(np.linspace(b[0], b[2], n), np.linspace(b[1], b[3], n))
     xs, ys = xs.reshape(-1), ys.reshape(-1)
-    inside = np.array(
-        [core.point_in_rings(x, y, d.polys[0]) == 2 for x, y in zip(xs, ys)]
-    )
+    inside = np.array([_interior(x, y) for x, y in zip(xs, ys)])
     if not inside.any():
         x0, y0 = g._representative_xy()
         best = (np.array([x0]), np.array([y0]))
@@ -413,7 +429,7 @@ def maximum_inscribed_circle(geometry, tolerance: float | None = None):
         step /= 2
         gx, gy = np.meshgrid(cx + np.linspace(-step, step, 5), cy + np.linspace(-step, step, 5))
         gx, gy = gx.reshape(-1), gy.reshape(-1)
-        ok = np.array([core.point_in_rings(x, y, d.polys[0]) == 2 for x, y in zip(gx, gy)])
+        ok = np.array([_interior(x, y) for x, y in zip(gx, gy)])
         if not ok.any():
             continue
         dd = boundary_dist(gx[ok], gy[ok])

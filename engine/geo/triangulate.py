@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from engine.geo import core
+from engine.geo.decorators import deprecate_positional
 from engine.geo.geom import Geom, GeomType
 
 
@@ -287,16 +288,29 @@ def constrained_delaunay_triangles(geometry):
     return np.array([one(g) for g in geometry], dtype=object)
 
 
+@deprecate_positional(["extend_to", "only_edges", "ordered"])
 def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
-                     only_edges: bool = False):
+                     only_edges: bool = False, ordered: bool = False):
     """constructive.py:1270 — cell per unique input point, clipped to the
-    (expanded) envelope; GEOMETRYCOLLECTION in input order."""
+    (expanded) envelope.  Default cell order is lexicographic by (x, y)
+    (GEOS order); ``ordered=True`` returns cells in input first-appearance
+    order (GEOS ≥ 3.12 semantics)."""
     from engine.geo.set_operations import _clip_convex
 
     def one(g):
         if g is None:
             return None
-        pts = _unique_vertices(g)
+        if ordered:
+            from engine.geo.relate import Decomp
+
+            vs = Decomp(g).vertices
+            if len(vs):
+                _, first = np.unique(vs, axis=0, return_index=True)
+                pts = vs[np.sort(first)]
+            else:
+                pts = vs
+        else:
+            pts = _unique_vertices(g)
         if len(pts) == 0:
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
         b = (

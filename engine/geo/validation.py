@@ -52,12 +52,12 @@ def _odd_parity(rings: list[np.ndarray], x: float, y: float) -> bool:
 def _faces_even_odd(rings: list[np.ndarray]):
     """Polygonize the rings' noded arrangement; return (kept faces,
     leftover line pieces).  Faces kept by even-odd parity vs ``rings``."""
-    from engine.geo.linework import polygonize_full
+    from engine.geo.linework import polygonize_full_noded
 
     lines = [Geom.linestring(r) for r in rings if len(r) >= 2]
     if not lines:
         return [], []
-    polys, cuts, dangles, _invalid = polygonize_full(lines)
+    polys, cuts, dangles, _invalid = polygonize_full_noded(lines)
     faces = []
     for f in polys.parts:
         px, py = f._representative_xy()

@@ -402,8 +402,11 @@ def test_offset_curve():
     assert to_wkt(inner) == "LINESTRING (0 1, 4 1, 4 5)"
     outer = constructive.offset_curve(l_shape, -1)
     assert measure.length(outer) == pytest.approx(10 + np.pi / 2, rel=0.01)
-    with pytest.raises(TypeError):
-        constructive.offset_curve(P("POINT (0 0)"), 1)
+    # GEOS >= 3.11: non-lineal input maps to LINESTRING EMPTY
+    assert constructive.offset_curve(P("POINT (0 0)"), 1).is_empty
+    # polygon boundaries offset ring-wise
+    sq = constructive.offset_curve(P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), 1)
+    assert not sq.is_empty
 
 
 def test_line_line_intersection():
