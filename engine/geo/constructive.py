@@ -259,6 +259,9 @@ def clip_by_rect(geometry, xmin, ymin, xmax, ymax):
     interact with the rect boundary go through the exact overlay and
     come back with canonical rings."""
 
+    if not all(np.isscalar(v) for v in (xmin, ymin, xmax, ymax)):
+        raise TypeError("xmin/ymin/xmax/ymax only accepts scalar values")
+
     def keep_pt(x, y):
         return xmin < x < xmax and ymin < y < ymax
 
@@ -307,9 +310,13 @@ def clip_by_rect(geometry, xmin, ymin, xmax, ymax):
             if out is None or out.is_empty:
                 return Geom.empty(GeomType.GEOMETRYCOLLECTION)
             polys = [out] if out.type_id == GeomType.POLYGON else list(out.parts)
+            # GEOS keeps the INPUT shell orientation in the clip output
+            first = g.rings[0] if g.type_id == GeomType.POLYGON else g.parts[0].rings[0]
+            shell_ccw = core.ring_signed_area(first) > 0
             canon = [
                 Geom(GeomType.POLYGON,
-                     rings=[_canon_clip_ring(r, k == 0)
+                     rings=[_canon_clip_ring(r, shell_ccw if k == 0
+                                             else not shell_ccw)
                             for k, r in enumerate(p.rings)])
                 for p in polys
             ]
@@ -431,9 +438,33 @@ def orient_polygons(geometry, exterior_cw: bool = False):
     return _apply1(one, geometry)
 
 
+_NORMALIZE_RANK = {
+    GeomType.POINT: 0, GeomType.MULTIPOINT: 1, GeomType.LINESTRING: 2,
+    GeomType.LINEARRING: 3, GeomType.MULTILINESTRING: 4,
+    GeomType.POLYGON: 5, GeomType.MULTIPOLYGON: 6,
+    GeomType.GEOMETRYCOLLECTION: 7,
+}
+
+
+def _normalize_sort_key(g):
+    """JTS Geometry.compareTo key: type rank, then coordinate sequences
+    (shell then holes for polygons; child keys for collections)."""
+    t = g.type_id
+    rank = _NORMALIZE_RANK[t]
+    if t in (GeomType.POINT, GeomType.LINESTRING, GeomType.LINEARRING):
+        return (rank, tuple(map(tuple, g.xys)))
+    if t == GeomType.POLYGON:
+        return (
+            rank,
+            tuple(map(tuple, g.rings[0])) if g.rings else (),
+            tuple(tuple(map(tuple, r)) for r in g.rings[1:]),
+        )
+    return (rank, tuple(_normalize_sort_key(p) for p in g.parts))
+
+
 def normalize(geometry):
     """constructive.py:794 — canonical form: GEOS convention (shells CW,
-    holes CCW, rings start at min coord, multi-parts sorted)."""
+    holes CCW, rings start at min coord, multi-parts sorted descending)."""
 
     def canon_ring(r, want_ccw):
         r = r[:-1]
@@ -457,9 +488,9 @@ def normalize(geometry):
             return Geom(t, rings=rings)
         if g.parts:
             parts = [one(p) for p in g.parts]
-            from engine.geo.geom import to_wkt
-
-            parts.sort(key=lambda p: to_wkt(p))
+            # GEOS collection normalize: components sorted DESCENDING by
+            # the JTS compareTo order (type rank, then coord sequences)
+            parts.sort(key=_normalize_sort_key, reverse=True)
             return Geom(t, parts=parts)
         if t in (GeomType.LINESTRING, GeomType.LINEARRING) and len(g.xys) > 1:
             # GEOS LineString::normalize — reverse so the smaller endpoint
@@ -519,16 +550,25 @@ def remove_repeated_points(geometry, tolerance: float = 0.0):
         if g is None:
             return None
         t = g.type_id
-        if t == GeomType.LINESTRING:
+        if t in (GeomType.LINESTRING, GeomType.LINEARRING):
             out = dedupe(g.xys, 2)
             if len(out) == 1:
                 out = np.vstack([out, out])
             return Geom(t, xys=out)
         if t == GeomType.POLYGON:
+            from engine.geo.errors import GEOSException
+
             rings = []
             for r in g.rings:
                 rr = dedupe(r[:-1], 3)
-                rings.append(np.vstack([rr, rr[:1]]))
+                closed = np.vstack([rr, rr[:1]])
+                if 0 < len(closed) < 4:
+                    raise GEOSException(
+                        "IllegalArgumentException: Invalid number of "
+                        f"points in LinearRing found {len(closed)} - "
+                        "must be 0 or >= 4"
+                    )
+                rings.append(closed)
             return Geom(t, rings=rings)
         if g.parts:
             return Geom(t, parts=[one(p) for p in g.parts])

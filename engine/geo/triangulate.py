@@ -429,20 +429,58 @@ def concave_hull(geometry, ratio: float = 0.0, allow_holes: bool = False):
                 if not long_border:
                     continue
                 # removing t must not orphan a vertex or pinch the shape:
-                # the vertex opposite the border edge must stay used
+                # every vertex of t must stay used by another triangle
+                if any(vcnt[v] <= 1 for v in t):
+                    continue
                 tris.remove(t)
                 if not _edges_form_single_ring(border_edges(tris)):
                     tris.add(t)
                     continue
                 changed = True
                 break
+        if allow_holes:
+            # carve interior cavities: drop any triangle whose longest
+            # edge exceeds the threshold as long as no vertex is
+            # orphaned and every boundary vertex stays degree-2 (simple)
+            changed = True
+            while changed:
+                changed = False
+                for t in sorted(
+                    tris,
+                    key=lambda t: -max(elen((t[0], t[1])),
+                                       elen((t[1], t[2])),
+                                       elen((t[2], t[0]))),
+                ):
+                    if max(elen((t[0], t[1])), elen((t[1], t[2])),
+                           elen((t[2], t[0]))) <= threshold:
+                        break
+                    vcnt: dict[int, int] = {}
+                    for tt in tris:
+                        for v in tt:
+                            vcnt[v] = vcnt.get(v, 0) + 1
+                    if any(vcnt[v] <= 1 for v in t):
+                        continue
+                    tris.remove(t)
+                    be = border_edges(tris)
+                    deg: dict[int, int] = {}
+                    for u, v in be:
+                        deg[u] = deg.get(u, 0) + 1
+                        deg[v] = deg.get(v, 0) + 1
+                    if any(d != 2 for d in deg.values()):
+                        tris.add(t)
+                        continue
+                    changed = True
+                    break
         ring_edges = border_edges(tris)
-        ring = _edges_to_ring(ring_edges, pts)
-        if ring is None:
+        rings = _edges_to_rings(ring_edges, pts)
+        if not rings:
             return convex_hull(g)
-        if core.ring_signed_area(ring) < 0:
-            ring = ring[::-1]
-        return Geom(GeomType.POLYGON, rings=[ring])
+        rings.sort(key=lambda r: -abs(core.ring_signed_area(r)))
+        shell = rings[0] if core.ring_signed_area(rings[0]) > 0 else rings[0][::-1]
+        holes = [
+            r if core.ring_signed_area(r) < 0 else r[::-1] for r in rings[1:]
+        ]
+        return Geom(GeomType.POLYGON, rings=[shell] + holes)
 
     if isinstance(geometry, Geom) or geometry is None:
         return one(geometry)
@@ -469,6 +507,35 @@ def _edges_form_single_ring(edges) -> bool:
                 seen.add(v)
                 stack.append(v)
     return len(seen) == len(adj)
+
+
+def _edges_to_rings(edges, pts) -> list[np.ndarray]:
+    """Split a degree-2 boundary edge set into its connected rings."""
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    if any(len(vs) != 2 for vs in adj.values()):
+        one = _edges_to_ring(edges, pts)
+        return [one] if one is not None else []
+    rings = []
+    visited: set[int] = set()
+    for start in adj:
+        if start in visited:
+            continue
+        path = [start]
+        visited.add(start)
+        prev, cur = None, start
+        while True:
+            nxt = adj[cur][0] if adj[cur][0] != prev else adj[cur][1]
+            if nxt == start:
+                break
+            path.append(nxt)
+            visited.add(nxt)
+            prev, cur = cur, nxt
+        if len(path) >= 3:
+            rings.append(np.vstack([pts[path], pts[path[:1]]]))
+    return rings
 
 
 def _edges_to_ring(edges, pts) -> np.ndarray | None:

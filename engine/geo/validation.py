@@ -121,8 +121,22 @@ def _repair_structure(g: Geom, keep_collapsed: bool) -> Geom:
     return area
 
 
+def _copy_geom(g: Geom) -> Geom:
+    if g.parts:
+        return Geom(g.type_id, parts=[_copy_geom(p) for p in g.parts],
+                    has_z=g.has_z, has_m=g.has_m)
+    if g.rings:
+        return Geom(g.type_id, rings=[r.copy() for r in g.rings],
+                    has_z=g.has_z, has_m=g.has_m)
+    return Geom(g.type_id, xys=g.xys.copy(), has_z=g.has_z, has_m=g.has_m)
+
+
 def make_valid(geometry, method: str = "linework", keep_collapsed: bool = True):
     """validation.py:30 / constructive.py:680 — both GEOS methods."""
+    if not np.isscalar(method):
+        raise TypeError("method only accepts scalar values")
+    if not np.isscalar(keep_collapsed):
+        raise TypeError("keep_collapsed only accepts scalar values")
     if method == "linework":
         if not keep_collapsed:
             raise ValueError(
@@ -135,7 +149,8 @@ def make_valid(geometry, method: str = "linework", keep_collapsed: bool = True):
         if g is None:
             return None
         if predicates.is_valid(g):
-            return g
+            # GEOS returns a new geometry even when already valid
+            return _copy_geom(g)
         t = g.type_id
         if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
             # cheap repairs first: close rings, drop repeats, reorient

@@ -107,9 +107,10 @@ def test_make_valid_reference_table():
         validation.make_valid(L, method="structure", keep_collapsed=False)
     ) == "POLYGON EMPTY"
 
-    # valid geometries pass through; None passes through
+    # valid geometries come back as a NEW equal geometry (GEOS copies)
     pt = P("POINT (2 3)")
-    assert validation.make_valid(pt) is pt
+    out = validation.make_valid(pt)
+    assert out is not pt and to_wkt(out) == "POINT (2 3)"
     assert validation.make_valid(None) is None
     # linework + keep_collapsed=False is rejected like the reference
     import pytest as _pytest
