@@ -43,19 +43,7 @@ from engine.geo.geom import Geom, GeomType, from_wkt, to_wkt  # noqa: F401
 GeometryType = GeomType
 
 
-import enum as _enum
-
-
-class BufferCapStyle(_enum.IntEnum):
-    round = 1
-    flat = 2
-    square = 3
-
-
-class BufferJoinStyle(_enum.IntEnum):
-    round = 1
-    mitre = 2
-    bevel = 3
+from engine.geo.constructive import BufferCapStyle, BufferJoinStyle  # noqa: F401,E402
 from engine.geo.io import from_geojson, to_geojson  # noqa: F401
 from engine.geo.linear import (  # noqa: F401
     line_interpolate_point, line_locate_point, line_merge, shortest_line,
@@ -346,8 +334,46 @@ def _install_oo():
     from engine.geo import set_operations as _s
     from engine.geo.geom import to_wkt as _to_wkt
 
+    def _oo_buffer(self, distance, quad_segs=8, cap_style="round",
+                   join_style="round", mitre_limit=5.0, single_sided=False,
+                   **kwargs):
+        """geometry/base.py:500 — OO buffer with the reference's
+        deprecation shims and argument validation."""
+        import warnings
+
+        quadsegs = kwargs.pop("quadsegs", None)
+        if quadsegs is not None:
+            warnings.warn(
+                "The `quadsegs` argument is deprecated. Use `quad_segs` "
+                "instead.", FutureWarning, stacklevel=2,
+            )
+            quad_segs = quadsegs
+        resolution = kwargs.pop("resolution", None)
+        if resolution is not None:
+            warnings.warn(
+                "The 'resolution' argument is deprecated. Use 'quad_segs' "
+                "instead", DeprecationWarning, stacklevel=2,
+            )
+            quad_segs = resolution
+        if kwargs:
+            kwarg = list(kwargs.keys())[0]
+            raise TypeError(
+                f"buffer() got an unexpected keyword argument '{kwarg}'"
+            )
+        if mitre_limit == 0.0:
+            raise ValueError(
+                "Cannot compute offset from zero-length line segment"
+            )
+        if not np.isfinite(distance).all():
+            raise ValueError("buffer distance must be finite")
+        return _c.buffer(
+            self, distance, quad_segs, cap_style=cap_style,
+            join_style=join_style, mitre_limit=mitre_limit,
+            single_sided=single_sided,
+        )
+
     sugar = {
-        "buffer": lambda self, d, quad_segs=8, **kw: _c.buffer(self, d, quad_segs, **kw),
+        "buffer": _oo_buffer,
         "simplify": lambda self, tol, preserve_topology=True: _c.simplify(self, tol, preserve_topology),
         "intersects": lambda self, other: _p.intersects(self, other),
         "contains": lambda self, other: _p.contains(self, other),
@@ -557,6 +583,34 @@ def mapping(ob):
     return d
 
 
+def _is_coordinates_empty(coordinates):
+    """geometry/geo.py:15 — coordinates (or all nested subsets) empty."""
+    if coordinates is None:
+        return True
+    if isinstance(coordinates, (list, tuple, np.ndarray)):
+        if len(coordinates) == 0:
+            return True
+        return all(map(_is_coordinates_empty, coordinates))
+    return False
+
+
+_EMPTY_SHAPE = {
+    "point": lambda: Point(), "multipoint": lambda: MultiPoint(),
+    "linestring": lambda: LineString(),
+    "multilinestring": lambda: MultiLineString(),
+    "polygon": lambda: Polygon(), "multipolygon": lambda: MultiPolygon(),
+    "linearring": lambda: LinearRing(),
+}
+
+
+def _delist(x):
+    if isinstance(x, np.ndarray):
+        return [_delist(v) for v in x.tolist()] if x.ndim else x.item()
+    if isinstance(x, (list, tuple)):
+        return [_delist(v) for v in x]
+    return float(x) if isinstance(x, (np.floating, np.integer)) else x
+
+
 def shape(context):
     """shapely.geometry.shape (geometry/geo.py:54): GeoJSON-like dict /
     __geo_interface__ object → engine geometry."""
@@ -569,8 +623,15 @@ def shape(context):
     if gt == "feature":
         ob = ob["geometry"]
         gt = ob.get("type", "").lower()
+    if "coordinates" in ob and _is_coordinates_empty(ob["coordinates"]):
+        # geometry/geo.py:98 — empty counterpart for missing coordinates
+        if gt in _EMPTY_SHAPE:
+            return _EMPTY_SHAPE[gt]()
     if gt == "linearring":  # not valid GeoJSON; reference supports it
         return LinearRing(ob["coordinates"])
+    if "coordinates" in ob and isinstance(ob["coordinates"],
+                                          (np.ndarray, list, tuple)):
+        ob = {**ob, "coordinates": _delist(ob["coordinates"])}
     return from_geojson(_json.dumps(ob))
 
 
@@ -616,6 +677,12 @@ class CollectionOperator:
 operator = CollectionOperator()
 ops.operator = operator
 ops.CollectionOperator = CollectionOperator
+# reference ops.py:109-112 — module-level names are the adapter's bound
+# methods, so ops.polygonize(seq-of-adaptables) yields polygons
+ops.polygonize = operator.polygonize
+ops.polygonize_full = operator.polygonize_full
+ops.linemerge = operator.linemerge
+ops.unary_union = operator.unary_union
 
 
 from engine.geo.geom import CoordinateSequence  # noqa: F401  (reference coords surface)
@@ -1043,10 +1110,28 @@ def _identity_decorator(*dargs, **dkw):
 import engine.geo.decorators as decorators  # noqa: F401,E402
 
 # shapely.geometry.base surface (BaseGeometry isinstance checks in user code)
+def dump_coords(geom):
+    """geometry/base.py:56 — nested coordinate dump in packing order."""
+    if not isinstance(geom, Geom):
+        raise ValueError(
+            "Must be instance of a geometry class; found "
+            + geom.__class__.__name__
+        )
+    t = geom.geom_type
+    if t in ("Point", "LineString", "LinearRing"):
+        return geom.coords[:]
+    if t == "Polygon":
+        return geom.exterior.coords[:] + [
+            i.coords[:] for i in geom.interiors
+        ]
+    return [dump_coords(part) for part in geom.geoms]
+
+
 geometry.base = _ns(
     "geometry.base",
     BaseGeometry=Geom, BaseMultipartGeometry=Geom,
     CAP_STYLE=BufferCapStyle, JOIN_STYLE=BufferJoinStyle,
+    dump_coords=dump_coords,
 )
 # per-type geometry submodules (reference `from shapely.geometry.polygon
 # import orient` style imports)
@@ -1065,7 +1150,10 @@ geometry.multipolygon = _ns("geometry.multipolygon", MultiPolygon=MultiPolygon)
 geometry.collection = _ns(
     "geometry.collection", GeometryCollection=GeometryCollection
 )
-geometry.geo = _ns("geometry.geo", shape=shape, mapping=mapping, box=box)
+geometry.geo = _ns(
+    "geometry.geo", shape=shape, mapping=mapping, box=box,
+    _is_coordinates_empty=_is_coordinates_empty,
+)
 
 
 # ------------------- ufunc-parity wrappers (constructive surface)

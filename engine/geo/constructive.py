@@ -438,6 +438,25 @@ def orient_polygons(geometry, exterior_cw: bool = False):
     return _apply1(one, geometry)
 
 
+import enum as _enum
+
+
+class BufferCapStyle(_enum.IntEnum):
+    """constructive.py:53 — buffer cap style parameter enum."""
+
+    round = 1
+    flat = 2
+    square = 3
+
+
+class BufferJoinStyle(_enum.IntEnum):
+    """constructive.py:72 — buffer join style parameter enum."""
+
+    round = 1
+    mitre = 2
+    bevel = 3
+
+
 _NORMALIZE_RANK = {
     GeomType.POINT: 0, GeomType.MULTIPOINT: 1, GeomType.LINESTRING: 2,
     GeomType.LINEARRING: 3, GeomType.MULTILINESTRING: 4,
@@ -912,6 +931,99 @@ def _offset_remove_self_intersections(raw: Geom, src: Geom, ad: float) -> Geom:
     return merged
 
 
+def _fillet_cw(cx, cy, a0, a1, r, quad_segs):
+    """Interior points of a CLOCKWISE circular fillet from angle a0 to
+    a1 around (cx, cy) — GEOS OffsetSegmentGenerator::addDirectedFillet
+    (fillet quantum = pi/2 / quad_segs, endpoints NOT emitted)."""
+    total = a0 - a1
+    while total < 0:
+        total += 2 * np.pi
+    while total > 2 * np.pi:
+        total -= 2 * np.pi
+    quantum = (np.pi / 2) / quad_segs
+    nsegs = int(total / quantum + 0.5)
+    if nsegs < 1:
+        return np.empty((0, 2))
+    inc = total / nsegs
+    ang = a0 - inc * np.arange(1, nsegs)
+    return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+
+def _geos_point_fan(x, y, r, quad_segs):
+    """GEOS createCircle: start at (x+r, y), clockwise full circle."""
+    n = 4 * quad_segs
+    ang = -(2 * np.pi / n) * np.arange(n)
+    pts = np.column_stack([x + r * np.cos(ang), y + r * np.sin(ang)])
+    return Geom(GeomType.POLYGON, rings=[np.vstack([pts, pts[:1]])])
+
+
+def _geos_segment_capsule(p0, p1, r, quad_segs):
+    """GEOS computeLineBufferCurve emission order for a 2-point line
+    with round caps: left-offset end, round cap at p1, right side,
+    round cap at p0, close."""
+    d = p1 - p0
+    L = float(np.hypot(*d))
+    if L == 0:
+        return _geos_point_fan(p0[0], p0[1], r, quad_segs)
+    u = d / L
+    left = np.array([-u[1], u[0]]) * r
+    ang = float(np.arctan2(u[1], u[0]))
+    pts = [p1 + left]
+    pts.extend(_fillet_cw(p1[0], p1[1], ang + np.pi / 2, ang - np.pi / 2,
+                          r, quad_segs))
+    pts.append(p1 - left)
+    pts.append(p0 - left)
+    pts.extend(_fillet_cw(p0[0], p0[1], ang - np.pi / 2, ang - 3 * np.pi / 2,
+                          r, quad_segs))
+    pts.append(p0 + left)
+    pts.append(p1 + left)
+    return Geom(GeomType.POLYGON, rings=[np.asarray(pts, dtype=float)])
+
+
+def _geos_convex_ring_buffer(g: Geom, r, quad_segs):
+    """GEOS computeRingBufferCurve emission order for a CONVEX
+    single-ring polygon (outside offset curve is provably simple).
+    Returns None when the fast path does not apply."""
+    if len(g.rings) != 1:
+        return None
+    ring = g.rings[0][:, :2]
+    pts = ring[:-1]
+    if len(pts) < 3:
+        return None
+    if core.ring_signed_area(ring) > 0:  # GEOS traverses shells CW,
+        # keeping the original start vertex when reversing
+        pts = np.vstack([pts[:1], pts[1:][::-1]])
+    n = len(pts)
+    nxt = np.roll(pts, -1, axis=0)
+    prv = np.roll(pts, 1, axis=0)
+    cross = (pts[:, 0] - prv[:, 0]) * (nxt[:, 1] - pts[:, 1]) - (
+        pts[:, 1] - prv[:, 1]) * (nxt[:, 0] - pts[:, 0])
+    if np.any(cross > 1e-12):  # inside turn → not convex → fall back
+        return None
+    segs = np.hstack([pts, nxt])  # seg i: pts[i] → pts[i+1 mod n]
+    d = segs[:, 2:] - segs[:, :2]
+    L = np.hypot(d[:, 0], d[:, 1])
+    if np.any(L == 0):
+        return None
+    u = d / L[:, None]
+    normal = np.column_stack([-u[:, 1], u[:, 0]]) * r  # left normal
+    nang = np.arctan2(normal[:, 1], normal[:, 0])
+    out = []
+    # join at vertex pts[i] between seg i-1 and seg i; GEOS starts at
+    # vertex pts[0] (initSideSegments on the closing seg) and skips the
+    # incoming offset end only there (addStartPoint = i != 1)
+    for i in range(n):
+        jprev = (i - 1) % n
+        if i != 0:
+            out.append(pts[i] + normal[jprev])
+        out.extend(_fillet_cw(pts[i][0], pts[i][1], nang[jprev], nang[i],
+                              r, quad_segs))
+        out.append(pts[i] + normal[i])
+    out.append(pts[0] + normal[n - 1])  # addLastSegment: closing seg end
+    out.append(out[0])
+    return Geom(GeomType.POLYGON, rings=[np.asarray(out, dtype=float)])
+
+
 def _buffer_positive(g: Geom, dist: float, quad_segs: int) -> Geom:
     from engine.geo.relate import Decomp
     from engine.geo.set_operations import union_all
@@ -921,7 +1033,16 @@ def _buffer_positive(g: Geom, dist: float, quad_segs: int) -> Geom:
         return Geom.empty(GeomType.POLYGON)
     if t == GeomType.POINT:
         x, y = g.xys[0]
-        return _disc(x, y, dist, quad_segs)
+        return _geos_point_fan(x, y, dist, quad_segs)
+    if t == GeomType.LINESTRING and len(g.xys) == 2:
+        return _geos_segment_capsule(
+            g.xys[0, :2].astype(float), g.xys[1, :2].astype(float),
+            dist, quad_segs,
+        )
+    if t == GeomType.POLYGON:
+        fast = _geos_convex_ring_buffer(g, dist, quad_segs)
+        if fast is not None:
+            return fast
     if t == GeomType.MULTIPOINT:
         return union_all([_disc(p.xys[0, 0], p.xys[0, 1], dist, quad_segs)
                           for p in g.parts])
@@ -1122,6 +1243,17 @@ def _buffer_single_sided(g: Geom, dist: float, quad_segs: int, join: str,
         return Geom.empty(GeomType.POLYGON)
     side = 1.0 if dist > 0 else -1.0
     ad = abs(float(dist))
+    if len(c) == 2 and not np.array_equal(c[0], c[1]):
+        # GEOS computeSingleSidedBufferCurve emission for one segment:
+        # the input line traversed against the offset side, then the
+        # offset side returned, closed (left: p1,p0,p0+n,p1+n)
+        vv = c[1] - c[0]
+        nn = np.array([-vv[1], vv[0]]) / float(np.hypot(*vv)) * side * ad
+        if side > 0:
+            ring = np.vstack([c[1], c[0], c[0] + nn, c[1] + nn, c[1]])
+        else:
+            ring = np.vstack([c[0], c[1], c[1] + nn, c[0] + nn, c[0]])
+        return Geom(GeomType.POLYGON, rings=[ring.astype(float)])
     closed = np.array_equal(c[0], c[-1])
     v = np.diff(c, axis=0)
     L = np.hypot(v[:, 0], v[:, 1])
@@ -1193,11 +1325,12 @@ def buffer(geometry, distance, quad_segs: int = 8, cap_style="round",
                 return None
             if distance == 0:
                 return Geom.empty(GeomType.POLYGON)
-            if g.type_id in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
-                # GEOS: single_sided is meaningful for lines; areal
+            if g.type_id not in (GeomType.LINESTRING, GeomType.LINEARRING,
+                                 GeomType.MULTILINESTRING):
+                # GEOS: single_sided is meaningful for lines; other
                 # inputs fall back to the ordinary buffer
-                return buffer(g, distance, quad_segs, cap_style, join_style,
-                              mitre_limit)
+                return buffer(g, distance, quad_segs, cap_style,
+                              join_style, mitre_limit)
             return _buffer_single_sided(
                 g, float(distance), quad_segs, join, float(mitre_limit)
             )

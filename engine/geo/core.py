@@ -61,11 +61,16 @@ def on_segment(px, py, ax, ay, bx, by, eps=EPS):
     px, py, ax, ay, bx, by = np.broadcast_arrays(px, py, ax, ay, bx, by)
     cross = orient(ax, ay, bx, by, px, py)
     seg_len2 = (bx - ax) ** 2 + (by - ay) ** 2
-    # distance from line squared = cross^2 / len2; compare to eps^2
-    near_line = cross * cross <= eps * eps * np.maximum(seg_len2, 1.0)
+    # distance from line = |cross| / len; want distance <= eps, uniformly
+    # in the segment length (a sub-eps segment must NOT become a huge
+    # slab — tolerance slabs are per unit length, so scale by len²).
+    near_line = cross * cross <= eps * eps * np.maximum(seg_len2, eps * eps)
     dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
-    within = (dot >= -eps) & (dot <= seg_len2 + eps)
-    degen = seg_len2 == 0
+    seg_len = np.sqrt(seg_len2)
+    tol = eps * np.maximum(seg_len, 1.0)
+    within = (dot >= -tol) & (dot <= seg_len2 + tol)
+    # (near-)degenerate segment: treat as the point a
+    degen = seg_len2 <= eps * eps
     at_a = (np.abs(px - ax) <= eps) & (np.abs(py - ay) <= eps)
     return np.where(degen, at_a, near_line & within)
 

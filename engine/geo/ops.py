@@ -399,43 +399,60 @@ def maximum_inscribed_circle(geometry, tolerance: float | None = None):
     b = g.bounds
     tol = tolerance or max(b[2] - b[0], b[3] - b[1]) / 1000.0
 
-    def boundary_dist(xs, ys):
+    def signed_dist(xs, ys):
+        """Distance to the boundary, NEGATIVE outside the polygon
+        (GEOS MaximumInscribedCircle::distanceToBoundary)."""
+        xs = np.atleast_1d(np.asarray(xs, dtype=float))
+        ys = np.atleast_1d(np.asarray(ys, dtype=float))
         d2 = core.point_seg_dist2(
             xs[:, None], ys[:, None],
             segs[None, :, 0], segs[None, :, 1], segs[None, :, 2], segs[None, :, 3],
         ).min(axis=1)
-        return np.sqrt(d2)
+        dist = np.sqrt(d2)
+        inside = np.array([
+            any(core.point_in_rings(x, y, p) == 2 for p in d.polys)
+            for x, y in zip(xs, ys)
+        ])
+        return np.where(inside, dist, -dist)
 
-    def _interior(x, y):
-        return any(core.point_in_rings(x, y, p) == 2 for p in d.polys)
+    # GEOS 3.12+ branch-and-bound: ONE initial cell at the envelope
+    # centre with half-side max(w,h)/2, priority queue ordered by the
+    # cell's maximum potential distance (d + h*sqrt2), split-by-4 until
+    # no cell can beat the incumbent by more than tolerance.
+    import heapq
+    import math
 
-    # coarse seed grid (odd count so the envelope center is a seed —
-    # symmetric inputs then resolve exactly), keep interior points only
-    n = 25
-    xs, ys = np.meshgrid(np.linspace(b[0], b[2], n), np.linspace(b[1], b[3], n))
-    xs, ys = xs.reshape(-1), ys.reshape(-1)
-    inside = np.array([_interior(x, y) for x, y in zip(xs, ys)])
-    if not inside.any():
-        x0, y0 = g._representative_xy()
-        best = (np.array([x0]), np.array([y0]))
-    else:
-        best = (xs[inside], ys[inside])
-    bx, by = best
-    dist = boundary_dist(bx, by)
-    i = int(np.argmax(dist))
-    cx, cy, r = bx[i], by[i], dist[i]
-    step = max(b[2] - b[0], b[3] - b[1]) / n
-    while step > tol:
-        step /= 2
-        gx, gy = np.meshgrid(cx + np.linspace(-step, step, 5), cy + np.linspace(-step, step, 5))
-        gx, gy = gx.reshape(-1), gy.reshape(-1)
-        ok = np.array([_interior(x, y) for x, y in zip(gx, gy)])
-        if not ok.any():
-            continue
-        dd = boundary_dist(gx[ok], gy[ok])
-        j = int(np.argmax(dd))
-        if dd[j] > r:
-            cx, cy, r = gx[ok][j], gy[ok][j], dd[j]
+    SQRT2 = math.sqrt(2.0)
+    cx0, cy0 = (b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0
+    h0 = max(b[2] - b[0], b[3] - b[1]) / 2.0
+    # incumbent: the interior point (GEOS createInteriorPointCell)
+    ix, iy = g._representative_xy()
+    cx, cy, r = ix, iy, float(signed_dist(ix, iy)[0])
+    heap: list = []
+    counter = 0
+    d0 = float(signed_dist(cx0, cy0)[0])
+    heapq.heappush(heap, (-(d0 + h0 * SQRT2), counter, cx0, cy0, h0, d0))
+    diam = math.hypot(b[2] - b[0], b[3] - b[1])
+    factor = max(1, int(math.log(diam / tol))) if diam > 0 and tol > 0 else 1
+    max_iter = 2000 + 2000 * factor
+    it = 0
+    while heap and it < max_iter:
+        negmax, _cnt, x, y, h, dist = heapq.heappop(heap)
+        if dist > r:
+            cx, cy, r = x, y, dist
+        if (-negmax) - r > tol:  # may contain a better centre → split
+            it += 1
+            h2 = h / 2.0
+            child_x = np.array([x - h2, x + h2, x - h2, x + h2])
+            child_y = np.array([y - h2, y - h2, y + h2, y + h2])
+            dd = signed_dist(child_x, child_y)
+            for k in range(4):
+                counter += 1
+                heapq.heappush(
+                    heap,
+                    (-(dd[k] + h2 * SQRT2), counter,
+                     float(child_x[k]), float(child_y[k]), h2, float(dd[k])),
+                )
     # nearest boundary point from the center
     d2 = core.point_seg_dist2(cx, cy, segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
     k = int(np.argmin(d2))

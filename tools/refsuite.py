@@ -39,11 +39,15 @@ for _name in ("wkt", "wkb", "ops", "prepared", "testing", "errors",
     _m = getattr(_c, _name, None)
     if _m is not None:
         sys.modules[f"shapely.{{_name}}"] = _m
-for _name in ("base", "collection", "geo", "linestring", "multilinestring",
-              "multipoint", "multipolygon", "point", "polygon"):
-    _m = getattr(_c.geometry, _name, None)
-    if _m is not None:
-        sys.modules[f"shapely.geometry.{{_name}}"] = _m
+import types as _types
+for _parent in ("geometry", "algorithms"):
+    _pm = getattr(_c, _parent, None)
+    if _pm is None:
+        continue
+    for _name in dir(_pm):
+        _m = getattr(_pm, _name)
+        if isinstance(_m, _types.ModuleType) and not _name.startswith("__"):
+            sys.modules[f"shapely.{{_parent}}.{{_name}}"] = _m
 __version__ = getattr(_c, "__version__", "2.1.0")
 geos_version = _c.geos_version
 geos_version_string = _c.geos_version_string
@@ -88,6 +92,9 @@ def run_file(rel: str, timeout: int = 900) -> dict:
              "-q", "-p", "no:cacheprovider", "--no-header",
              "--continue-on-collection-errors"],
             cwd=SCRATCH, capture_output=True, text=True, timeout=timeout,
+            env={**os.environ,
+                 "PYTHONPATH": SCRATCH + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")},
         )
     except subprocess.TimeoutExpired:
         return {"file": rel, "passed": 0, "failed": 0, "skipped": 0,
