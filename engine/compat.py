@@ -134,7 +134,13 @@ def _line_coords(coords):
     if hasattr(coords, "__array__") and not isinstance(coords, Geom):
         coords = np.asarray(coords)
     if isinstance(coords, np.ndarray) and np.issubdtype(coords.dtype, np.number):
-        return np.asarray(coords, dtype=np.float64)
+        coords = np.asarray(coords, dtype=np.float64)
+        if coords.ndim == 2 and coords.shape[1] not in (2, 3):
+            raise ValueError(
+                "The ordinate (last) dimension should be 2 or 3, got "
+                f"{coords.shape[1]}"
+            )
+        return coords
 
     def one(o):
         if isinstance(o, Geom):
@@ -143,7 +149,14 @@ def _line_coords(coords):
             return tuple(o.coords[0])
         return tuple(float(c) for c in o)
 
-    return np.asarray([one(o) for o in coords], dtype=np.float64)
+    out = np.asarray([one(o) for o in coords], dtype=np.float64)
+    if out.ndim == 2 and out.shape[1] not in (2, 3):
+        # creation ufunc parity (_geometry_helpers.pyx)
+        raise ValueError(
+            "The ordinate (last) dimension should be 2 or 3, got "
+            f"{out.shape[1]}"
+        )
+    return out
 
 
 def _LineString_ctor(coords=None):
@@ -160,7 +173,11 @@ def _LineString_ctor(coords=None):
     if len(c) == 0:
         return Geom.empty(GeomType.LINESTRING)
     if len(c) == 1:
-        raise ValueError("Invalid values passed to LineString constructor")
+        # GEOS: IllegalArgumentException (test_linestring.py:104)
+        raise GEOSException(
+            "IllegalArgumentException: point array must contain 0 or >1 "
+            "elements"
+        )
     return Geom.linestring(c)
 
 
@@ -168,13 +185,26 @@ def _LinearRing_ctor(coords=None):
     if coords is None:
         return Geom.empty(GeomType.LINEARRING)
     if isinstance(coords, Geom):
-        if coords.type_id in (GeomType.LINEARRING, GeomType.LINESTRING):
+        if coords.type_id == GeomType.LINEARRING:
+            return coords
+        if coords.type_id == GeomType.LINESTRING:
+            # polygon.py:72 — an input LineString must be valid
+            from engine.geo.errors import TopologicalError
+            from engine.geo.predicates import is_valid as _isv
+
+            if not _isv(coords):
+                raise TopologicalError("An input LineString must be valid.")
             coords = coords.xys.copy()
         else:
             raise ValueError("Invalid values passed to LinearRing constructor")
     c = _line_coords(coords)
     if len(c) == 0:
         return Geom.empty(GeomType.LINEARRING)
+    closed = len(c) > 1 and bool(np.all(c[0] == c[-1]))
+    n_closed = len(c) if closed else len(c) + 1
+    if n_closed < 4:
+        # _geometry_helpers.pyx:123 / src/geos.h:141
+        raise ValueError("A linearring requires at least 4 coordinates.")
     return Geom.linearring(c)
 
 
@@ -194,6 +224,9 @@ def _Polygon_ctor(shell=None, holes=None):
         shell = _line_coords(shell)
     if len(shell) == 0:
         return Geom.empty(GeomType.POLYGON)
+    closed = len(shell) > 1 and bool(np.all(shell[0] == shell[-1]))
+    if (len(shell) if closed else len(shell) + 1) < 4:
+        raise ValueError("A linearring requires at least 4 coordinates.")
     hs = []
     for h in holes or ():
         if isinstance(h, Geom):
@@ -203,15 +236,28 @@ def _Polygon_ctor(shell=None, holes=None):
     return Geom.polygon(shell, hs)
 
 
-def _MultiPoint_ctor(pts=()):
-    parts = [p if isinstance(p, Geom) else Point(p) for p in pts]
-    if any(p.type_id != GeomType.POINT for p in parts):
-        raise ValueError("Invalid values passed to MultiPoint constructor")
-    if not parts:
+def _MultiPoint_ctor(points=None):
+    """multipoint.py:44 — accepted forms incl. MultiPoint passthrough;
+    empty components rejected with EmptyPartError."""
+    from engine.geo.errors import EmptyPartError
+
+    if points is None:
         return Geom.empty(GeomType.MULTIPOINT)
-    return Geom(GeomType.MULTIPOINT, parts=parts,
-                has_z=any(p.has_z for p in parts),
-                has_m=any(p.has_m for p in parts))
+    if isinstance(points, Geom) and points.type_id == GeomType.MULTIPOINT:
+        return points
+    points = list(points)
+    if len(points) == 0:
+        return Geom.empty(GeomType.MULTIPOINT)
+    parts = []
+    for item in points:
+        p = Point(item)
+        if p.is_empty:
+            raise EmptyPartError(
+                "Can't create MultiPoint with empty component")
+        if p.type_id != GeomType.POINT:
+            raise ValueError("Invalid values passed to MultiPoint constructor")
+        parts.append(p)
+    return _collection(GeomType.MULTIPOINT, parts)
 
 
 def _collection(type_id, parts):
@@ -222,13 +268,59 @@ def _collection(type_id, parts):
                 has_m=any(p.has_m for p in parts))
 
 
-def _MultiLineString_ctor(lines=()):
-    parts = [ls if isinstance(ls, Geom) else LineString(ls) for ls in lines]
+def _MultiLineString_ctor(lines=None):
+    """multilinestring.py:38 — MultiLineString passthrough, .geoms
+    unwrapping, per-item LineString adaptation, EmptyPartError."""
+    from engine.geo.errors import EmptyPartError
+
+    if lines is None:
+        return Geom.empty(GeomType.MULTILINESTRING)
+    if isinstance(lines, Geom):
+        if lines.type_id == GeomType.MULTILINESTRING:
+            return lines
+        lines = getattr(lines, "geoms", lines)
+    items = list(lines)
+    if len(items) == 0:
+        return Geom.empty(GeomType.MULTILINESTRING)
+    parts = []
+    for item in items:
+        line = LineString(item)
+        if line.is_empty:
+            raise EmptyPartError(
+                "Can't create MultiLineString with empty component")
+        parts.append(line)
     return _collection(GeomType.MULTILINESTRING, parts)
 
 
-def _MultiPolygon_ctor(polys=()):
-    parts = [p if isinstance(p, Geom) else Polygon(*p) for p in polys]
+def _MultiPolygon_ctor(polygons=None):
+    """multipolygon.py:48 — MultiPolygon passthrough, None/empty parts
+    dropped, (shell, holes) tuples, typed ValueErrors."""
+    if polygons is None:
+        return Geom.empty(GeomType.MULTIPOLYGON)
+    if isinstance(polygons, Geom):
+        if polygons.type_id == GeomType.MULTIPOLYGON:
+            return polygons
+        polygons = getattr(polygons, "geoms", [polygons])
+    polygons = [p for p in polygons if p is not None and
+                not (isinstance(p, Geom) and p.is_empty)]
+    if len(polygons) == 0:
+        return Geom.empty(GeomType.MULTIPOLYGON)
+    if any(isinstance(p, Geom) and p.type_id == GeomType.MULTIPOLYGON
+           for p in polygons):
+        raise ValueError("Sequences of multi-polygons are not valid arguments")
+    parts = []
+    for ob in polygons:
+        if isinstance(ob, Geom):
+            if ob.type_id != GeomType.POLYGON:
+                raise ValueError(
+                    "Input must be valid Polygon objects or sequences of "
+                    f"(shell, holes) tuples, got a {ob.geom_type}"
+                )
+            parts.append(ob)
+        else:
+            shell = ob[0]
+            holes = ob[1] if len(ob) > 1 else None
+            parts.append(_Polygon_ctor(shell, holes))
     return _collection(GeomType.MULTIPOLYGON, parts)
 
 
@@ -280,26 +372,31 @@ class Polygon(metaclass=_GeomTypeMeta):
     def __new__(cls, shell=None, holes=None):
         return _Polygon_ctor(shell, holes)
 
+    @classmethod
+    def from_bounds(cls, xmin, ymin, xmax, ymax):
+        """polygon.py:317 — CCW ring consistent with shapely.box()."""
+        return cls([(xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)])
+
 
 class MultiPoint(metaclass=_GeomTypeMeta):
     _type_ids = (GeomType.MULTIPOINT,)
 
-    def __new__(cls, pts=()):
-        return _MultiPoint_ctor(pts)
+    def __new__(cls, points=None):
+        return _MultiPoint_ctor(points)
 
 
 class MultiLineString(metaclass=_GeomTypeMeta):
     _type_ids = (GeomType.MULTILINESTRING,)
 
-    def __new__(cls, lines=()):
+    def __new__(cls, lines=None):
         return _MultiLineString_ctor(lines)
 
 
 class MultiPolygon(metaclass=_GeomTypeMeta):
     _type_ids = (GeomType.MULTIPOLYGON,)
 
-    def __new__(cls, polys=()):
-        return _MultiPolygon_ctor(polys)
+    def __new__(cls, polygons=None):
+        return _MultiPolygon_ctor(polygons)
 
 
 class GeometryCollection(metaclass=_GeomTypeMeta):
@@ -416,7 +513,7 @@ from engine.geo.errors import (  # noqa: F401
 )
 
 
-Geometry = Geom  # reference shapely.lib.Geometry base type alias
+Geometry = Geom  # re-bound to the non-callable base class at module end
 
 
 def linemerge(lines, directed=False):
@@ -566,21 +663,43 @@ def _tupled(x):
     return x
 
 
+def _ring_tuples(arr, width):
+    return tuple(tuple(float(v) for v in row[:width]) for row in arr)
+
+
 def mapping(ob):
     """shapely.geometry.mapping (geometry/geo.py:121): GeoJSON-like dict
-    with tuple coordinates; accepts __geo_interface__ objects."""
-    import json as _json
-
+    with the per-type container shapes of the reference geometry classes
+    (tuples; MultiPolygon coordinates is a LIST; z included)."""
     if not isinstance(ob, Geom) and hasattr(ob, "__geo_interface__"):
         return ob.__geo_interface__
-    d = _json.loads(to_geojson(ob))
-    if "coordinates" in d:
-        d["coordinates"] = _tupled(d["coordinates"])
-    if "geometries" in d:
-        for g in d["geometries"]:
-            if "coordinates" in g:
-                g["coordinates"] = _tupled(g["coordinates"])
-    return d
+    g = ob
+    t = g.type_id
+    w = 3 if g.has_z else 2
+
+    def poly_coords(p):
+        return tuple(_ring_tuples(r, w) for r in p.rings)
+
+    if t == GeomType.POINT:
+        c = _ring_tuples(g.xys, w)
+        return {"type": "Point", "coordinates": c[0] if c else ()}
+    if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+        return {"type": "LineString", "coordinates": _ring_tuples(g.xys, w)}
+    if t == GeomType.POLYGON:
+        return {"type": "Polygon", "coordinates": poly_coords(g)}
+    if t == GeomType.MULTIPOINT:
+        return {"type": "MultiPoint",
+                "coordinates": tuple(_ring_tuples(p.xys, w)[0]
+                                     for p in g.parts if not p.is_empty)}
+    if t == GeomType.MULTILINESTRING:
+        return {"type": "MultiLineString",
+                "coordinates": tuple(_ring_tuples(p.xys, w) for p in g.parts)}
+    if t == GeomType.MULTIPOLYGON:
+        # multipolygon.py:93 — the reference property builds a LIST here
+        return {"type": "MultiPolygon",
+                "coordinates": [poly_coords(p) for p in g.parts]}
+    return {"type": "GeometryCollection",
+            "geometries": [mapping(p) for p in g.parts]}
 
 
 def _is_coordinates_empty(coordinates):
@@ -613,26 +732,36 @@ def _delist(x):
 
 def shape(context):
     """shapely.geometry.shape (geometry/geo.py:54): GeoJSON-like dict /
-    __geo_interface__ object → engine geometry."""
-    import json as _json
-
+    __geo_interface__ object -> engine geometry (via the class
+    constructors, so Z coordinates survive)."""
     ob = context.__geo_interface__ if hasattr(context, "__geo_interface__") else context
     if isinstance(ob, Geom):
         return ob
-    gt = ob.get("type", "").lower()
-    if gt == "feature":
+    geom_type = ob.get("type", "").lower()
+    if geom_type == "feature":
         ob = ob["geometry"]
-        gt = ob.get("type", "").lower()
+        geom_type = ob.get("type", "").lower()
     if "coordinates" in ob and _is_coordinates_empty(ob["coordinates"]):
-        # geometry/geo.py:98 — empty counterpart for missing coordinates
-        if gt in _EMPTY_SHAPE:
-            return _EMPTY_SHAPE[gt]()
-    if gt == "linearring":  # not valid GeoJSON; reference supports it
+        if geom_type in _EMPTY_SHAPE:
+            return _EMPTY_SHAPE[geom_type]()
+        raise GeometryTypeError(f"Unknown geometry type: {geom_type!r}")
+    if geom_type == "point":
+        return Point(ob["coordinates"])
+    if geom_type == "linestring":
+        return LineString(ob["coordinates"])
+    if geom_type == "linearring":
         return LinearRing(ob["coordinates"])
-    if "coordinates" in ob and isinstance(ob["coordinates"],
-                                          (np.ndarray, list, tuple)):
-        ob = {**ob, "coordinates": _delist(ob["coordinates"])}
-    return from_geojson(_json.dumps(ob))
+    if geom_type == "polygon":
+        return Polygon(ob["coordinates"][0], ob["coordinates"][1:])
+    if geom_type == "multipoint":
+        return MultiPoint(ob["coordinates"])
+    if geom_type == "multilinestring":
+        return MultiLineString(ob["coordinates"])
+    if geom_type == "multipolygon":
+        return MultiPolygon([[c[0], list(c[1:])] for c in ob["coordinates"]])
+    if geom_type == "geometrycollection":
+        return GeometryCollection([shape(g) for g in ob.get("geometries", [])])
+    raise GeometryTypeError(f"Unknown geometry type: {geom_type!r}")
 
 
 Geom.__geo_interface__ = property(lambda self: mapping(self))
@@ -726,7 +855,14 @@ def _install_oo_properties():
         "y": lambda self: _coord0(self, 1, "y"),
         "z": lambda self: _coord0(self, 2, "z"),
         "m": lambda self: _coord0(self, 3, "m"),
-        "exterior": lambda self: _co.get_exterior_ring(self),
+        # reference polygon.py: the empty polygon's exterior is an
+        # empty LinearRing, not None
+        "exterior": lambda self: (
+            Geom.empty(GeomType.LINEARRING)
+            if self.type_id == GeomType.POLYGON and self.is_empty
+            else _co.get_exterior_ring(self)
+        ),
+        "_ndim": lambda self: 3 if self.has_z else 2,
         "interiors": lambda self: [
             _co.get_interior_ring(self, i)
             for i in range(int(_co.get_num_interior_rings(self)))
@@ -1212,3 +1348,253 @@ validation.make_valid = make_valid
 ops.clip_by_rect = clip_by_rect
 ops.snap = snap
 lib.oriented_envelope = oriented_envelope
+
+
+# --------------------------- final OO method surface (geometry/base.py)
+# Installed LAST so every method delegates to the module-level callables
+# above (array arguments, python-scalar returns, grid_size) with the
+# reference's positional-argument deprecations.
+def _install_oo_final():
+    import engine.geo.decorators as _dec
+
+    _mod = globals()
+
+    def _dp(names):
+        return lambda f: _dec.deprecate_positional(names)(f)
+
+    @_dp(["cap_style", "join_style", "mitre_limit", "single_sided"])
+    def buffer(self, distance, quad_segs=8, cap_style="round",
+               join_style="round", mitre_limit=5.0, single_sided=False,
+               **kwargs):
+        import warnings as _w
+
+        quadsegs = kwargs.pop("quadsegs", None)
+        if quadsegs is not None:
+            _w.warn("The `quadsegs` argument is deprecated. Use `quad_segs` "
+                    "instead.", FutureWarning, stacklevel=2)
+            quad_segs = quadsegs
+        resolution = kwargs.pop("resolution", None)
+        if resolution is not None:
+            _w.warn("The 'resolution' argument is deprecated. Use "
+                    "'quad_segs' instead", DeprecationWarning, stacklevel=2)
+            quad_segs = resolution
+        if kwargs:
+            raise TypeError("buffer() got an unexpected keyword argument "
+                            f"'{list(kwargs)[0]}'")
+        if mitre_limit == 0.0:
+            raise ValueError(
+                "Cannot compute offset from zero-length line segment")
+        if not np.isfinite(distance).all():
+            raise ValueError("buffer distance must be finite")
+        return _mod["buffer"](
+            self, distance, quad_segs=quad_segs, cap_style=cap_style,
+            join_style=join_style, mitre_limit=mitre_limit,
+            single_sided=single_sided,
+        )
+
+    @_dp(["preserve_topology"])
+    def simplify(self, tolerance, preserve_topology=True):
+        return _mod["simplify"](
+            self, tolerance, preserve_topology=preserve_topology)
+
+    def segmentize(self, max_segment_length):
+        return _mod["segmentize"](self, max_segment_length)
+
+    def _unpack(result):
+        """geometry/base.py _maybe_unpack: numpy 0-d / scalar → python
+        scalar; arrays pass through."""
+        if isinstance(result, np.generic):
+            return result.item()
+        if isinstance(result, np.ndarray) and result.ndim == 0:
+            return result.item()
+        return result
+
+    def _pred(name):
+        def method(self, other, **kw):
+            return _unpack(_mod[name](self, other, **kw))
+
+        method.__name__ = name
+        return method
+
+    @_dp(["normalized"])
+    def line_locate_point(self, other, normalized=False):
+        return _unpack(_mod["line_locate_point"](
+            self, other, normalized=normalized))
+
+    @_dp(["normalized"])
+    def project(self, other, normalized=False):
+        return _unpack(_mod["line_locate_point"](
+            self, other, normalized=normalized))
+
+    @_dp(["normalized"])
+    def line_interpolate_point(self, distance, normalized=False):
+        return _mod["line_interpolate_point"](
+            self, distance, normalized=normalized)
+
+    @_dp(["normalized"])
+    def interpolate(self, distance, normalized=False):
+        return _mod["line_interpolate_point"](
+            self, distance, normalized=normalized)
+
+    def dwithin(self, other, distance):
+        return _unpack(_mod["dwithin"](self, other, distance))
+
+    def equals_exact(self, other, tolerance=0.0, normalize=False):
+        return _unpack(_mod["equals_exact"](
+            self, other, tolerance=tolerance, normalize=normalize))
+
+    def relate_pattern(self, other, pattern):
+        return _unpack(_mod["relate_pattern"](self, other, pattern))
+
+    @_dp(["quad_segs", "join_style", "mitre_limit"])
+    def offset_curve(self, distance, quad_segs=8, join_style="round",
+                     mitre_limit=5.0):
+        return _mod["offset_curve"](
+            self, distance, quad_segs=quad_segs, join_style=join_style,
+            mitre_limit=mitre_limit)
+
+    def hausdorff_distance(self, other, densify=None):
+        if densify is None:
+            return _unpack(_mod["hausdorff_distance"](self, other))
+        return _unpack(_mod["hausdorff_distance"](self, other, densify=densify))
+
+    methods = {
+        "buffer": buffer, "simplify": simplify, "segmentize": segmentize,
+        "line_locate_point": line_locate_point, "project": project,
+        "line_interpolate_point": line_interpolate_point,
+        "interpolate": interpolate, "dwithin": dwithin,
+        "equals_exact": equals_exact, "relate_pattern": relate_pattern,
+        "hausdorff_distance": hausdorff_distance,
+        "offset_curve": offset_curve,
+    }
+    # set-op methods get grid_size + positional deprecation (rename
+    # BEFORE decorating so the warning text carries the method name)
+    for name in ("intersection", "union", "difference",
+                 "symmetric_difference"):
+        def _raw(self, other, grid_size=None, _name=name):
+            return _mod[_name](self, other, grid_size=grid_size)
+
+        _raw.__name__ = name
+        methods[name] = _dec.deprecate_positional(["grid_size"])(_raw)
+    for name in ("intersects", "contains", "contains_properly", "within",
+                 "touches", "crosses", "overlaps", "covers", "covered_by",
+                 "disjoint", "equals", "distance"):
+        methods[name] = _pred(name)
+    for name, fn in methods.items():
+        setattr(Geom, name, fn)
+
+    import re as _re
+
+    _FMT_RE = _re.compile(r"(?:0?\.(?P<prec>[0-9]+))?(?P<fmt_code>[fFgGxX]?)")
+
+    def _format(self, format_spec):
+        """geometry/base.py:126 __format__ — WKT with precision control,
+        x/X hex WKB."""
+        if not format_spec:
+            return _mod["to_wkt"](self, rounding_precision=-1)
+        if format_spec == "x":
+            return _mod["to_wkb"](self, hex=True).lower()
+        if format_spec == "X":
+            return _mod["to_wkb"](self, hex=True)
+        match = _FMT_RE.fullmatch(format_spec)
+        if match is None:
+            raise ValueError(f"invalid format specifier: {format_spec}")
+        prec, fmt_code = match.groups()
+        prec = int(prec) if prec else -1
+        if not fmt_code:
+            fmt_code = "g"
+        if fmt_code in ("x", "X"):
+            raise ValueError("hex representation does not specify precision")
+        res = _mod["to_wkt"](self, rounding_precision=prec,
+                             trim=fmt_code in ("g", "G"))
+        return res.upper() if fmt_code.isupper() else res
+
+    Geom.__format__ = _format
+    # base.py wkt property / str(): FULL precision (GEOS trim, -1)
+    Geom.wkt = property(
+        lambda self: _mod["to_wkt"](self, rounding_precision=-1))
+    Geom.__str__ = lambda self: _mod["to_wkt"](self, rounding_precision=-1)
+
+    # reference deprecated aliases (geometry/base.py geometryType/type)
+    def _geometry_type_deprecated(self):
+        import warnings as _w
+
+        _w.warn(
+            "The 'GeometryType()' method is deprecated, and will be removed "
+            "in the future. You can use the 'geom_type' attribute instead.",
+            ShapelyDeprecationWarning, stacklevel=2,
+        )
+        return self.geom_type
+
+    Geom.geometryType = _geometry_type_deprecated
+    Geom.type = property(lambda self: _geometry_type_deprecated(self))
+
+    # immutability: only dataclass fields and engine-internal metadata
+    # slots (underscore-prefixed) may be assigned (src/pygeom.c objects
+    # reject arbitrary attributes)
+    _fields = {"type_id", "xys", "rings", "parts", "has_z", "has_m"}
+
+    def _guarded_setattr(self, name, value):
+        if name in _fields or name.startswith("_"):
+            object.__setattr__(self, name, value)
+            return
+        raise AttributeError(
+            f"'{type(self).__name__}' object has no attribute '{name}'")
+
+    Geom.__setattr__ = _guarded_setattr
+
+
+_install_oo_final()
+
+
+class Geometry(metaclass=_GeomTypeMeta):
+    """shapely.Geometry base type: isinstance matches every engine
+    geometry; direct instantiation is rejected (src/pygeom.c)."""
+
+    _type_ids = tuple(GeomType)
+
+    def __new__(cls, *args, **kwargs):
+        raise TypeError(
+            "Directly calling the base class 'Geometry' is not possible; "
+            "use a subclass or shapely.from_wkt/from_wkb instead."
+        )
+
+
+class BaseGeometry(Geometry):
+    """geometry/base.py:103 — deprecated direct construction returns
+    GEOMETRYCOLLECTION EMPTY with a FutureWarning."""
+
+    def __new__(cls, *args, **kwargs):
+        import warnings as _w
+
+        _w.warn(
+            "Directly calling the base class 'BaseGeometry()' is "
+            "deprecated, and will raise an error in the future. To create "
+            "an empty geometry, use one of the subclasses instead, for "
+            "example 'GeometryCollection()'.",
+            ShapelyDeprecationWarning, stacklevel=2,
+        )
+        return from_wkt("GEOMETRYCOLLECTION EMPTY")
+
+
+geometry.base.BaseGeometry = BaseGeometry
+geometry.base.BaseMultipartGeometry = BaseGeometry
+
+
+class EmptyGeometry:
+    """geometry/base.py:1214 — deprecated empty-geometry constructor."""
+
+    def __new__(cls):
+        import warnings as _w
+
+        _w.warn(
+            "The 'EmptyGeometry()' constructor to create an empty geometry "
+            "is deprecated, and will raise an error in the future. Use one "
+            "of the geometry subclasses instead, for example "
+            "'GeometryCollection()'.",
+            ShapelyDeprecationWarning, stacklevel=2,
+        )
+        return from_wkt("GEOMETRYCOLLECTION EMPTY")
+
+
+geometry.base.EmptyGeometry = EmptyGeometry

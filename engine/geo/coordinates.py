@@ -538,7 +538,8 @@ def get_exterior_ring(polygon):
     def one(g):
         if g is None or g.type_id != GeomType.POLYGON or g.is_empty:
             return None
-        return Geom(GeomType.LINEARRING, xys=g.rings[0].copy())
+        return Geom(GeomType.LINEARRING, xys=g.rings[0].copy(),
+                    has_z=g.has_z, has_m=g.has_m)
 
     if isinstance(polygon, Geom) or polygon is None:
         return one(polygon)

@@ -62,6 +62,8 @@ class CoordinateSequence:
     def __getitem__(self, key):
         if isinstance(key, (int, np.integer)):
             return tuple(float(v) for v in self._coords[key])
+        if not isinstance(key, slice):
+            raise TypeError("key must be an index or slice")
         return [tuple(float(v) for v in row) for row in self._coords[key]]
 
     def __array__(self, dtype=None, copy=None):
@@ -212,6 +214,10 @@ class Geom:
     def __eq__(self, other):
         if not isinstance(other, Geom):
             return NotImplemented
+        if self.type_id == other.type_id and self.is_empty and other.is_empty:
+            # reference base.py:1135 — empty comparisons ignore Z/M flags
+            # (an empty coordinate sequence equals an empty sequence)
+            return True
         if self.has_z != other.has_z or self.has_m != other.has_m:
             return False
         from engine.geo.predicates import equals_identical
@@ -268,10 +274,11 @@ class Geom:
         return -1
 
     @property
-    def bounds(self) -> np.ndarray:
-        """(xmin, ymin, xmax, ymax); NaN for empty (measurement.py:85)."""
+    def bounds(self) -> tuple:
+        """(xmin, ymin, xmax, ymax) TUPLE like the reference base.py:377
+        property; NaN for empty (measurement.py:85)."""
         cs = self.all_coords()
-        return core.bbox_of(cs)
+        return tuple(float(v) for v in core.bbox_of(cs))
 
     @property
     def coords(self) -> "CoordinateSequence":
@@ -285,7 +292,9 @@ class Geom:
                 "Component rings have coordinate sequences, "
                 "but the polygon does not"
             )
-        w = 2 + (1 if self.has_z else 0)
+        # GEOS 3.12+ coordinate sequences carry M as well (XYM → (x, y,
+        # m), XYZM → (x, y, z, m))
+        w = 2 + (1 if self.has_z else 0) + (1 if self.has_m else 0)
         return CoordinateSequence(self.xys[:, :w])
 
     def all_coords(self) -> np.ndarray:
@@ -892,7 +901,11 @@ def to_wkt(g, rounding_precision: int = 6, trim: bool = True,
     else:
         p = rounding_precision if rounding_precision >= 0 else 16
         def fmt(v, _p=p):
-            return f"{float(v):.{_p}f}"
+            s = f"{float(v):.{_p}f}"
+            # GEOS 3.13+ normalizes negative zero after rounding
+            if s.lstrip("-").strip("0.") == "" and s.startswith("-"):
+                s = s[1:]
+            return s
 
     def one(gg):
         if gg is None:

@@ -89,7 +89,11 @@ def test_ops_namespace_aliases():
     shapely.testing.assert_geometries_equal(
         [shapely.Point(float("nan"), 2), None],
         [shapely.Point(float("nan"), 2), None])
-    assert shapely.Geometry is shapely.Geom
+    # Geometry is the non-callable base type (reference pygeom.c): every
+    # engine geometry is an instance, direct construction raises
+    assert isinstance(shapely.Point(0, 0), shapely.Geometry)
+    with pytest.raises(TypeError):
+        shapely.Geometry("POINT (1 1)")
     assert issubclass(shapely.GEOSException, Exception)
 
 

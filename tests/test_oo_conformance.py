@@ -78,7 +78,11 @@ def test_linestring_forms():
     assert ls2.geom_type == "LineString"
     assert ls2.coords[0] == ls2.coords[-1]
     assert sh.LineString().is_empty
-    with pytest.raises(ValueError):
+    # reference test_linestring.py:104 — 1-coordinate input is a GEOS
+    # IllegalArgumentException, not a ValueError
+    from engine.geo.errors import GEOSException
+
+    with pytest.raises(GEOSException):
         sh.LineString([(0, 0)])
 
 
