@@ -324,7 +324,13 @@ def _MultiPolygon_ctor(polygons=None):
     return _collection(GeomType.MULTIPOLYGON, parts)
 
 
-def _GeometryCollection_ctor(geoms=()):
+def _GeometryCollection_ctor(geoms=None):
+    """collection.py:34 — a passed geometry contributes its .geoms
+    (multi-part split) or itself."""
+    if geoms is None:
+        return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+    if isinstance(geoms, Geom):
+        geoms = list(geoms.parts) if geoms.parts else [geoms]
     return _collection(GeomType.GEOMETRYCOLLECTION, list(geoms))
 
 
@@ -402,7 +408,7 @@ class MultiPolygon(metaclass=_GeomTypeMeta):
 class GeometryCollection(metaclass=_GeomTypeMeta):
     _type_ids = (GeomType.GEOMETRYCOLLECTION,)
 
-    def __new__(cls, geoms=()):
+    def __new__(cls, geoms=None):
         return _GeometryCollection_ctor(geoms)
 
 
@@ -431,7 +437,7 @@ def _install_oo():
     from engine.geo import set_operations as _s
     from engine.geo.geom import to_wkt as _to_wkt
 
-    def _oo_buffer(self, distance, quad_segs=8, cap_style="round",
+    def _oo_buffer(self, distance, quad_segs=16, cap_style="round",
                    join_style="round", mitre_limit=5.0, single_sided=False,
                    **kwargs):
         """geometry/base.py:500 — OO buffer with the reference's
@@ -514,6 +520,36 @@ from engine.geo.errors import (  # noqa: F401
 
 
 Geometry = Geom  # re-bound to the non-callable base class at module end
+
+
+def _ops_transform(func, geom):
+    """shapely.ops.transform (ops.py:216) — apply func to all
+    coordinates; accepts both vectorized f(xs, ys[, zs]) and per-point
+    f(x, y[, z]) callables; deprecated in 2.2."""
+    import warnings as _w
+
+    _w.warn(
+        "The 'ops.transform()' function is deprecated. "
+        "Use 'transform()' or 'transform_coordseq()' instead.",
+        ShapelyDeprecationWarning, stacklevel=2,
+    )
+
+    def _func_wrapped(*args):
+        coords = [
+            tuple(x.tolist()) if isinstance(x, np.ndarray) else x.item()
+            for x in args
+        ]
+        try:
+            return func(*coords)
+        except TypeError:
+            return list(zip(*[func(*c) for c in zip(*coords)]))
+
+    try:
+        return transform_coordseq(
+            geom, _func_wrapped, include_z=None, interleaved=False
+        )
+    except TypeError as e:
+        raise GeometryTypeError(str(e))
 
 
 def linemerge(lines, directed=False):
@@ -648,7 +684,7 @@ ops = _ns(
     clip_by_rect=clip_by_rect, linemerge=linemerge,
     nearest_points=nearest_points, orient=orient, polygonize=polygonize,
     polygonize_full=polygonize_full, shared_paths=shared_paths, snap=snap,
-    split=split, substring=substring, transform=transform,
+    split=split, substring=substring, transform=_ops_transform,
     triangulate=triangulate, unary_union=unary_union, validate=validate,
     voronoi_diagram=voronoi_diagram,
 )
@@ -800,6 +836,8 @@ class CollectionOperator:
         return linemerge(lines, directed=directed)
 
     def unary_union(self, geoms):
+        if isinstance(geoms, Geom):
+            return unary_union(geoms)
         return union_all(list(geoms))
 
 
@@ -1363,7 +1401,7 @@ def _install_oo_final():
         return lambda f: _dec.deprecate_positional(names)(f)
 
     @_dp(["cap_style", "join_style", "mitre_limit", "single_sided"])
-    def buffer(self, distance, quad_segs=8, cap_style="round",
+    def buffer(self, distance, quad_segs=16, cap_style="round",
                join_style="round", mitre_limit=5.0, single_sided=False,
                **kwargs):
         import warnings as _w

@@ -47,15 +47,35 @@ def _node_segs(segs: np.ndarray) -> Geom:
 
 
 def _noded_pieces(segs: np.ndarray) -> list[tuple]:
-    """Unique noded (p, q) pieces from raw segments."""
+    """Unique noded (p, q) pieces from raw segments.
+
+    Bbox-prefiltered: each segment is only cut against segments whose
+    bounding boxes overlap its own (vectorized candidate mask — the
+    all-pairs form copied the whole array per segment and went
+    quadratic in real work, not just in cheap comparisons)."""
+    n = len(segs)
+    if n == 0:
+        return []
+    xmin = np.minimum(segs[:, 0], segs[:, 2])
+    xmax = np.maximum(segs[:, 0], segs[:, 2])
+    ymin = np.minimum(segs[:, 1], segs[:, 3])
+    ymax = np.maximum(segs[:, 1], segs[:, 3])
+    pad = 1e-12
     out = set()
-    for i in range(len(segs)):
+    idx = np.arange(n)
+    for i in range(n):
         p = segs[i, :2]
         q = segs[i, 2:]
-        if np.array_equal(p, q):
+        if p[0] == q[0] and p[1] == q[1]:
             continue
-        others = np.delete(segs, i, axis=0)
-        cuts = core.seg_cut_params(p, q, others)
+        cand = (
+            (xmin <= xmax[i] + pad) & (xmax >= xmin[i] - pad)
+            & (ymin <= ymax[i] + pad) & (ymax >= ymin[i] - pad)
+            & (idx != i)
+        )
+        others = segs[cand]
+        cuts = (core.seg_cut_params(p, q, others) if len(others)
+                else np.empty(0))
         ts = np.unique(np.concatenate([[0.0, 1.0], cuts]))
         for t0, t1 in zip(ts[:-1], ts[1:]):
             if t1 - t0 <= 1e-12:
@@ -75,7 +95,51 @@ def _minimal_rings(pieces) -> list[np.ndarray]:
     from incoming (u→v) continue with the neighbor immediately CLOCKWISE
     of the reverse edge in v's angular order.  Bounded faces come out
     with positive signed area; the single unbounded face is negative and
-    is dropped."""
+    is dropped.  Dangles (degree-1 chains) and cut edges / bridges
+    (edges traversed twice within one face) are removed first, like the
+    GEOS polygonizer classifies and drops them."""
+    pieces = [tuple(sorted((a, b))) for a, b in pieces]
+    pieces = list(dict.fromkeys(pieces))
+    while True:
+        pieces = _prune_dangles(pieces)
+        if not pieces:
+            return []
+        paths = _face_walk_paths(pieces)
+        spurs = set()
+        for path in paths:
+            seen = set()
+            n = len(path)
+            for i in range(n):
+                u, v = path[i], path[(i + 1) % n]
+                if (v, u) in seen:
+                    spurs.add(tuple(sorted((u, v))))
+                seen.add((u, v))
+        if not spurs:
+            break
+        pieces = [e for e in pieces if e not in spurs]
+    rings = []
+    for path in paths:
+        if len(path) < 3:
+            continue
+        arr = np.vstack([path, path[:1]])
+        if core.ring_signed_area(arr) > 1e-15:
+            rings.append(arr)
+    return rings
+
+
+def _prune_dangles(pieces):
+    while True:
+        deg: dict[tuple, int] = {}
+        for a, b in pieces:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        kept = [e for e in pieces if deg[e[0]] > 1 and deg[e[1]] > 1]
+        if len(kept) == len(pieces):
+            return pieces
+        pieces = kept
+
+
+def _face_walk_paths(pieces) -> list[list]:
     adj: dict[tuple, list[tuple]] = {}
     for a, b in pieces:
         adj.setdefault(a, []).append(b)
@@ -90,17 +154,17 @@ def _minimal_rings(pieces) -> list[np.ndarray]:
         dir_edges.add((a, b))
         dir_edges.add((b, a))
     used: set = set()
-    rings = []
+    paths = []
     max_steps = 4 * len(dir_edges) + 8
     for e0 in sorted(dir_edges):
         if e0 in used:
             continue
-        ring = []
+        path = []
         e = e0
         for _ in range(max_steps):
             used.add(e)
             u, v = e
-            ring.append(u)
+            path.append(u)
             ns = adj[v]
             i = ang_index[v][u]
             w = ns[(i - 1) % len(ns)]
@@ -109,24 +173,67 @@ def _minimal_rings(pieces) -> list[np.ndarray]:
                 break
         else:
             continue  # open walk (shouldn't happen on a closed graph)
-        if len(ring) < 3:
-            continue
-        arr = np.vstack([ring, ring[:1]])
-        if core.ring_signed_area(arr) > 1e-15:
-            rings.append(arr)
-    return rings
+        paths.append(path)
+    return paths
 
 
 def polygonize_noded(geometries):
     """Noding variant (internal): node the linework first, then extract
-    minimal rings.  Used by split()/make_valid(), whose inputs
+    the planar FACES like the GEOS polygonizer — every CCW cycle is a
+    face shell and every CW cycle except the unbounded one is the hole
+    of the smallest shell containing it.  Used by split(), whose inputs
     self-intersect; the PUBLIC polygonize below follows GEOS and does
     NOT node."""
     geoms = [geometries] if isinstance(geometries, Geom) else [g for g in geometries]
     segs = _all_segments(geoms)
     pieces = _noded_pieces(segs)
-    rings = _minimal_rings(pieces)
-    polys = _nest_rings(rings)
+    pieces = [tuple(sorted((a, b))) for a, b in pieces]
+    pieces = list(dict.fromkeys(pieces))
+    paths = None
+    while True:
+        pieces = _prune_dangles(pieces)
+        if not pieces:
+            return Geom.empty(GeomType.GEOMETRYCOLLECTION)
+        paths = _face_walk_paths(pieces)
+        spurs = set()
+        for path in paths:
+            seen = set()
+            n = len(path)
+            for i in range(n):
+                u, v = path[i], path[(i + 1) % n]
+                if (v, u) in seen:
+                    spurs.add(tuple(sorted((u, v))))
+                seen.add((u, v))
+        if not spurs:
+            break
+        pieces = [e for e in pieces if e not in spurs]
+    pos, neg = [], []
+    for path in paths:
+        if len(path) < 3:
+            continue
+        arr = np.vstack([path, path[:1]])
+        sa = core.ring_signed_area(arr)
+        if sa > 1e-15:
+            pos.append(arr)
+        elif sa < -1e-15:
+            neg.append(arr)
+    shells = [[r] for r in pos]
+    areas = [abs(core.ring_signed_area(r)) for r in pos]
+    for n_ring in neg:
+        rx, ry = Geom(GeomType.POLYGON,
+                      rings=[n_ring[::-1]])._representative_xy()
+        n_area = abs(core.ring_signed_area(n_ring))
+        best, best_area = None, np.inf
+        for k, r in enumerate(pos):
+            # the owning face shell must be strictly larger than the
+            # hole cycle (faces INSIDE the hole region are not owners)
+            if (areas[k] > n_area and areas[k] < best_area
+                    and core.point_in_rings(rx, ry, [r]) == 2):
+                best, best_area = k, areas[k]
+        if best is not None:
+            shells[best].append(n_ring[::-1])
+        # no container → the unbounded face's cycle → dropped
+    polys = [Geom(GeomType.POLYGON, rings=s) for s in shells]
     return Geom(GeomType.GEOMETRYCOLLECTION, parts=polys)
 
 

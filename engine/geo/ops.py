@@ -19,57 +19,145 @@ from engine.geo.geom import Geom, GeomType
 from engine.geo.linear import substring  # noqa: F401
 
 
-def split(geometry: Geom, splitter: Geom) -> Geom:
-    """ops.py:311 — GEOMETRYCOLLECTION of the split parts."""
+def _split_polygon_with_line(poly: Geom, splitter: Geom) -> list:
+    """ops.py:313 — polygonize(boundary ∪ splitter), keep faces whose
+    representative point lies in the original polygon."""
     from engine.geo.constructive import boundary
-    from engine.geo.linework import _noded_pieces, polygonize_noded
+    from engine.geo.errors import GeometryTypeError
+    from engine.geo.linework import polygonize_noded
+
+    if splitter.type_id not in (GeomType.LINESTRING,
+                                GeomType.MULTILINESTRING):
+        raise GeometryTypeError(
+            "Second argument must be a (Multi)LineString")
+    faces = polygonize_noded([boundary(poly), splitter])
+    return [p for p in faces.parts
+            if predicates.contains(poly, _rep_point(p))]
+
+
+def _split_line_with_line(line: Geom, splitter: Geom) -> list:
+    """ops.py:335 — DE-9IM gated cut at every interior intersection
+    point; linear overlap raises ValueError."""
+    from engine.geo.constructive import boundary
     from engine.geo.relate import Decomp
 
-    t = geometry.type_id
-    if t == GeomType.POLYGON and splitter.type_id in (
-        GeomType.LINESTRING,
-        GeomType.MULTILINESTRING,
-    ):
-        # polygonize(boundary ∪ splitter), keep faces whose representative
-        # point lies in the original polygon (ops.py:320-332)
-        union_lines = [boundary(geometry), splitter]
-        faces = polygonize_noded(union_lines)
-        keep = [
-            p
-            for p in faces.parts
-            if predicates.contains(geometry, _rep_point(p))
-        ]
-        return Geom(GeomType.GEOMETRYCOLLECTION, parts=keep)
-    if t == GeomType.LINESTRING:
-        # split line at intersection points with the splitter (ops.py:350)
-        d_split = Decomp(splitter)
-        c = geometry.xys
-        out_parts = []
-        cur = [c[0]]
-        for i in range(len(c) - 1):
-            p, q = c[i], c[i + 1]
-            cuts = core.seg_cut_params(p, q, d_split.segs) if len(d_split.segs) else np.empty(0)
-            if len(d_split.pts):
-                on = core.on_segment(
-                    d_split.pts[:, 0], d_split.pts[:, 1], p[0], p[1], q[0], q[1]
-                )
-                if on.any():
-                    r = q - p
-                    len2 = float(r @ r)
-                    tt = ((d_split.pts[on] - p) @ r) / max(len2, 1e-300)
-                    cuts = np.concatenate([cuts, np.clip(tt, 0, 1)])
-            for tcut in np.unique(cuts):
-                if tcut <= 1e-12 or tcut >= 1 - 1e-12:
-                    continue
-                pt = p + tcut * (q - p)
-                cur.append(pt)
+    if splitter.type_id in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+        splitter = boundary(splitter)
+    relation = predicates.relate(splitter, line)
+    if relation[0] == "1":
+        raise ValueError(
+            "Input geometry segment overlaps with the splitter.")
+    if not (relation[0] == "0" or relation[3] == "0"):
+        return [line]
+    d_split = Decomp(splitter)
+    c = line.xys[:, :2]
+    out_parts = []
+    cur = [c[0]]
+    for i in range(len(c) - 1):
+        p, q = c[i], c[i + 1]
+        cuts = (core.seg_cut_params(p, q, d_split.segs)
+                if len(d_split.segs) else np.empty(0))
+        for tcut in np.unique(cuts):
+            if tcut <= 1e-12 or tcut >= 1 - 1e-12:
+                continue
+            pt = p + tcut * (q - p)
+            cur.append(pt)
+            out_parts.append(np.vstack(cur))
+            cur = [pt]
+        cur.append(q)
+        # a splitter endpoint or vertex exactly ON this vertex also cuts
+        if i + 1 < len(c) - 1:
+            vx, vy = q
+            hit = core.on_segment(
+                vx, vy, d_split.segs[:, 0], d_split.segs[:, 1],
+                d_split.segs[:, 2], d_split.segs[:, 3],
+            ) if len(d_split.segs) else np.zeros(0, dtype=bool)
+            if len(hit) and bool(np.any(hit)):
                 out_parts.append(np.vstack(cur))
-                cur = [pt]
-            cur.append(q)
-        out_parts.append(np.vstack(cur))
-        parts = [Geom.linestring(seg) for seg in out_parts if len(seg) >= 2]
+                cur = [q]
+    out_parts.append(np.vstack(cur))
+    parts = [Geom.linestring(seg) for seg in out_parts if len(seg) >= 2]
+    return parts if parts else [line]
+
+
+def _split_line_with_point(line: Geom, splitter: Geom) -> list:
+    """ops.py:369 — exact interior-point split via linear referencing."""
+    if not predicates.relate_pattern(line, splitter, "0********"):
+        return [line]
+    c = line.xys[:, :2]
+    if (c[0] == splitter.xys[0, :2]).all():
+        # closed ring: the relate test does not behave as desired
+        return [line]
+    from engine.geo.linear import line_locate_point
+
+    distance_on_line = float(line_locate_point(line, splitter))
+    current = 0.0
+    for i in range(len(c) - 1):
+        seg = float(np.hypot(*(c[i] - c[i + 1])))
+        current += seg
+        if distance_on_line == current:
+            return [Geom.linestring(c[: i + 2].copy()),
+                    Geom.linestring(c[i + 1:].copy())]
+        if distance_on_line < current:
+            pt = splitter.xys[0, :2]
+            return [
+                Geom.linestring(np.vstack([c[: i + 1], pt])),
+                Geom.linestring(np.vstack([pt, c[i + 1:]])),
+            ]
+    return [line]
+
+
+_SPLIT_TYPE_NAMES = {
+    GeomType.POINT: "Point", GeomType.LINESTRING: "LineString",
+    GeomType.LINEARRING: "LinearRing", GeomType.POLYGON: "Polygon",
+    GeomType.MULTIPOINT: "MultiPoint",
+    GeomType.MULTILINESTRING: "MultiLineString",
+    GeomType.MULTIPOLYGON: "MultiPolygon",
+    GeomType.GEOMETRYCOLLECTION: "GeometryCollection",
+}
+
+
+def split(geometry: Geom, splitter: Geom) -> Geom:
+    """ops.py:311 SplitOp.split — GEOMETRYCOLLECTION of the parts;
+    reference dispatch incl. multi-part recursion and typed errors."""
+    from engine.geo.errors import GeometryTypeError
+
+    t = geometry.type_id
+    if t in (GeomType.MULTILINESTRING, GeomType.MULTIPOLYGON):
+        parts = [p for part in geometry.parts
+                 for p in split(part, splitter).parts]
         return Geom(GeomType.GEOMETRYCOLLECTION, parts=parts)
-    raise NotImplementedError(f"split({t}, {splitter.type_id})")
+    if t in (GeomType.LINESTRING, GeomType.LINEARRING):
+        st = splitter.type_id
+        if st in (GeomType.LINESTRING, GeomType.MULTILINESTRING,
+                  GeomType.POLYGON, GeomType.MULTIPOLYGON):
+            out = _split_line_with_line(geometry, splitter)
+        elif st == GeomType.POINT:
+            out = _split_line_with_point(geometry, splitter)
+        elif st == GeomType.MULTIPOINT:
+            out = [geometry]
+            for pt in splitter.parts:
+                out = [seg for chunk in out if not chunk.is_empty
+                       for seg in _split_line_with_point(chunk, pt)]
+        else:
+            raise GeometryTypeError(
+                f"Splitting a LineString with a {_SPLIT_TYPE_NAMES[splitter.type_id]} is "
+                "not supported"
+            )
+    elif t == GeomType.POLYGON:
+        if splitter.type_id in (GeomType.LINESTRING,
+                                GeomType.MULTILINESTRING):
+            out = _split_polygon_with_line(geometry, splitter)
+        else:
+            raise GeometryTypeError(
+                f"Splitting a Polygon with a {_SPLIT_TYPE_NAMES[splitter.type_id]} is not "
+                "supported"
+            )
+    else:
+        raise GeometryTypeError(
+            f"Splitting {_SPLIT_TYPE_NAMES[geometry.type_id]} geometry is not supported"
+        )
+    return Geom(GeomType.GEOMETRYCOLLECTION, parts=list(out))
 
 
 def _rep_point(p: Geom) -> Geom:

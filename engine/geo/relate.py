@@ -86,6 +86,62 @@ class Decomp:
             return 0
         return _F
 
+    def inside_many(self, xs: np.ndarray, ys: np.ndarray,
+                    eps=core.EPS) -> np.ndarray:
+        """Vectorized strict-interior test (locate(...) == I) for an
+        array of probe points against the AREAL parts — bbox-cropped
+        even-odd parity minus an on-boundary belt of half-width eps.
+        Chunked so the (points × segments) broadcast stays bounded."""
+        n = len(xs)
+        inside = np.zeros(n, dtype=bool)
+        if not self.polys or n == 0:
+            return inside
+        s = self.ring_segs
+        bx0 = np.minimum(s[:, 0], s[:, 2]).min() - eps
+        bx1 = np.maximum(s[:, 0], s[:, 2]).max() + eps
+        by0 = np.minimum(s[:, 1], s[:, 3]).min() - eps
+        by1 = np.maximum(s[:, 1], s[:, 3]).max() + eps
+        sel = (xs >= bx0) & (xs <= bx1) & (ys >= by0) & (ys <= by1)
+        if not sel.any():
+            return inside
+        pxs, pys = xs[sel], ys[sel]
+        m = len(pxs)
+        res = np.zeros(m, dtype=bool)
+        CH = max(1, int(4e6 // max(len(s), 1)))
+        ax, ay, bx, by = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+        dy = by - ay
+        dy_safe = np.where(dy == 0, 1e-300, dy)
+        seg_len2 = (bx - ax) ** 2 + (by - ay) ** 2
+        for rings in self.polys:
+            # per-polygon even-odd over its rings (matches locate())
+            rs = np.vstack([np.hstack([r[:-1], r[1:]])
+                            for r in rings if len(r) >= 2])
+            rax, ray, rbx, rby = rs[:, 0], rs[:, 1], rs[:, 2], rs[:, 3]
+            rdy = rby - ray
+            rdys = np.where(rdy == 0, 1e-300, rdy)
+            for lo in range(0, m, CH):
+                hi = min(lo + CH, m)
+                P = pxs[lo:hi, None]
+                Q = pys[lo:hi, None]
+                cond = (ray[None, :] > Q) != (rby[None, :] > Q)
+                xint = rax[None, :] + (Q - ray[None, :]) * (
+                    rbx[None, :] - rax[None, :]) / rdys[None, :]
+                parity = (np.sum(cond & (xint > P), axis=1) % 2) == 1
+                res[lo:hi] |= parity
+        # subtract the boundary belt (locate returns B there, not I)
+        for lo in range(0, m, CH):
+            hi = min(lo + CH, m)
+            if not res[lo:hi].any():
+                continue
+            P = pxs[lo:hi, None]
+            Q = pys[lo:hi, None]
+            d2 = core.point_seg_dist2(P, Q, ax[None, :], ay[None, :],
+                                      bx[None, :], by[None, :])
+            onb = (d2 <= eps * eps).any(axis=1)
+            res[lo:hi] &= ~onb
+        inside[sel] = res
+        return inside
+
     def locate(self, px: float, py: float, eps=core.EPS) -> int:
         """0 = Interior, 1 = Boundary, 2 = Exterior of the point vs self."""
         best = E

@@ -624,26 +624,22 @@ def _nary_union_areal(geoms: list[Geom]) -> Geom:
     if not segs:
         return Geom.empty(GeomType.POLYGON)
     pieces = _noded_pieces(np.vstack(segs))
-
-    def inside_any(x, y):
-        from engine.geo.relate import I
-
-        return any(d.locate(x, y) == I for d in decomps)
-
-    border = []
-    for p, q in pieces:
-        px, py = p
-        qx, qy = q
-        L = np.hypot(qx - px, qy - py)
-        if L == 0:
-            continue
-        ux, uy = (qx - px) / L, (qy - py) / L
-        eps = max(L * 1e-6, 1e-9)
-        mx, my = (px + qx) / 2.0, (py + qy) / 2.0
-        kl = inside_any(mx - uy * eps, my + ux * eps)
-        kr = inside_any(mx + uy * eps, my - ux * eps)
-        if kl != kr:
-            border.append((p, q))
+    arr = np.asarray(pieces, dtype=np.float64).reshape(-1, 2, 2)
+    P, Q = arr[:, 0], arr[:, 1]
+    L = np.hypot(*(Q - P).T)
+    ok = L > 0
+    U = (Q[ok] - P[ok]) / L[ok, None]
+    eps = np.maximum(L[ok] * 1e-6, 1e-9)
+    M = (P[ok] + Q[ok]) / 2.0
+    lpt = M + np.column_stack([-U[:, 1], U[:, 0]]) * eps[:, None]
+    rpt = M - np.column_stack([-U[:, 1], U[:, 0]]) * eps[:, None]
+    kl = np.zeros(len(M), dtype=bool)
+    kr = np.zeros(len(M), dtype=bool)
+    for d in decomps:
+        kl |= d.inside_many(lpt[:, 0], lpt[:, 1])
+        kr |= d.inside_many(rpt[:, 0], rpt[:, 1])
+    keep_idx = np.flatnonzero(ok)[kl != kr]
+    border = [pieces[i] for i in keep_idx]
     if not border:
         return Geom.empty(GeomType.POLYGON)
     rings2 = _minimal_rings(border)
@@ -661,9 +657,13 @@ def _nary_union_areal(geoms: list[Geom]) -> Geom:
         if len(rr) >= 4 and abs(core.ring_signed_area(rr)) > min_area:
             cleaned.append(rr)
     shells, holes = [], []
-    for r in cleaned:
-        x, y = _face_interior_point(r)
-        if inside_any(x, y):
+    face_pts = np.array([_face_interior_point(r) for r in cleaned],
+                        dtype=np.float64).reshape(-1, 2)
+    face_in = np.zeros(len(cleaned), dtype=bool)
+    for d in decomps:
+        face_in |= d.inside_many(face_pts[:, 0], face_pts[:, 1])
+    for r, (x, y), ins in zip(cleaned, face_pts, face_in):
+        if ins:
             shells.append(r)
         else:
             holes.append((r[::-1].copy(), (x, y)))
@@ -924,11 +924,24 @@ def _union_core(gs):
 
 
 def _reduce_api(pair_fn, name, core=None, supports_grid=False,
-                positional_names=("axis",)):
+                positional_names=("axis",), flatten_collections=False):
+    def _flatten(x, out):
+        if x.type_id == GeomType.GEOMETRYCOLLECTION and x.parts:
+            for p in x.parts:
+                _flatten(p, out)
+        else:
+            out.append(x)
+
     def reduce_one(gs, g):
         if g is not None and np.isnan(g):
             return None
         gs = [x for x in gs if x is not None]
+        if flatten_collections:
+            # GEOS unary union dissolves GEOMETRYCOLLECTION members
+            flat: list = []
+            for x in gs:
+                _flatten(x, flat)
+            gs = flat
         if g is not None:
             from engine.geo.ops import set_precision
 
@@ -983,10 +996,12 @@ def _reduce_api(pair_fn, name, core=None, supports_grid=False,
 
 union_all = _reduce_api(_union_scalar, "union_all", core=_union_core,
                         supports_grid=True,
-                        positional_names=("grid_size", "axis"))
+                        positional_names=("grid_size", "axis"),
+                        flatten_collections=True)
 unary_union = _reduce_api(_union_scalar, "unary_union", core=_union_core,
                           supports_grid=True,
-                          positional_names=("grid_size", "axis"))
+                          positional_names=("grid_size", "axis"),
+                          flatten_collections=True)
 intersection_all = _reduce_api(_intersection_scalar, "intersection_all")
 symmetric_difference_all = _reduce_api(
     _symmetric_difference_scalar, "symmetric_difference_all"
