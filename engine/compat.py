@@ -225,7 +225,10 @@ def _Polygon_ctor(shell=None, holes=None):
     if len(shell) == 0:
         return Geom.empty(GeomType.POLYGON)
     closed = len(shell) > 1 and bool(np.all(shell[0] == shell[-1]))
-    if (len(shell) if closed else len(shell) + 1) < 4:
+    distinct = len(np.unique(np.asarray(shell, dtype=np.float64), axis=0))
+    if (len(shell) if closed else len(shell) + 1) < 4 and distinct > 1:
+        # all-identical degenerate rings ARE accepted (GEOS closes and
+        # pads them; legacy/test_singularity.py pins this)
         raise ValueError("A linearring requires at least 4 coordinates.")
     hs = []
     for h in holes or ():
@@ -576,8 +579,20 @@ def triangulate(geom, tolerance=0.0, edges=False):
 
 
 def voronoi_diagram(geom, envelope=None, tolerance=0.0, edges=False):
-    """shapely.ops.voronoi_diagram (ops.py:152)."""
-    return voronoi_polygons(geom, tolerance, extend_to=envelope, only_edges=edges)
+    """shapely.ops.voronoi_diagram (ops.py:152) — GEOSException becomes
+    ValueError; a non-collection result is wrapped in a collection."""
+    try:
+        result = voronoi_polygons(
+            geom, tolerance=tolerance, extend_to=envelope, only_edges=edges)
+    except GEOSException as err:
+        errstr = ("Could not create Voronoi Diagram with the specified "
+                  f"inputs ({err!s}).")
+        if tolerance:
+            errstr += " Try running again with default tolerance value."
+        raise ValueError(errstr) from err
+    if result.type_id != GeomType.GEOMETRYCOLLECTION:
+        return Geom(GeomType.GEOMETRYCOLLECTION, parts=[result])
+    return result
 
 
 def validate(geom):
@@ -665,25 +680,53 @@ def _ns(name, **attrs):
     return m
 
 
+def _wkt_dumps(ob, trim=False, rounding_precision=-1, **kw):
+    """shapely.wkt.dumps (wkt.py:42) — full-precision fixed by default."""
+    return to_wkt(ob, rounding_precision=rounding_precision, trim=trim, **kw)
+
+
 wkt = _ns(
     "wkt",
     loads=from_wkt,
-    dumps=lambda ob, trim=True, rounding_precision=-1, **kw: to_wkt(ob),
+    dumps=_wkt_dumps,
     load=lambda fp: from_wkt(fp.read()),
-    dump=lambda ob, fp, **kw: fp.write(to_wkt(ob)),
+    dump=lambda ob, fp, **kw: fp.write(_wkt_dumps(ob, **kw)),
 )
+def _wkb_dumps(ob, hex=False, srid=None, **kw):
+    """shapely.wkb.dumps (wkb.py:36) — srid / big_endian translation."""
+    if srid is not None:
+        ob = set_srid(ob, int(srid))
+        kw["include_srid"] = True
+        kw.setdefault("flavor", "extended")
+    if "big_endian" in kw:
+        kw["byte_order"] = 0 if kw.pop("big_endian") else 1
+    return to_wkb(ob, hex=hex, **kw)
+
+
 wkb = _ns(
     "wkb",
     loads=lambda data, hex=False: from_wkb(data),
-    dumps=lambda ob, hex=False, **kw: to_wkb(ob, hex=hex),
-    load=lambda fp: from_wkb(fp.read()),
-    dump=lambda ob, fp, hex=False, **kw: fp.write(to_wkb(ob, hex=hex)),
+    dumps=_wkb_dumps,
+    load=lambda fp, hex=False: from_wkb(fp.read()),
+    dump=lambda ob, fp, hex=False, **kw: fp.write(_wkb_dumps(ob, hex=hex, **kw)),
 )
+def _ops_shared_paths(g1, g2):
+    """shapely.ops.shared_paths (ops.py:287) — non-lineal inputs raise
+    GeometryTypeError."""
+    if not (isinstance(g1, Geom)
+            and g1.type_id in (GeomType.LINESTRING, GeomType.LINEARRING)):
+        raise GeometryTypeError("First geometry must be a LineString")
+    if not (isinstance(g2, Geom)
+            and g2.type_id in (GeomType.LINESTRING, GeomType.LINEARRING)):
+        raise GeometryTypeError("Second geometry must be a LineString")
+    return shared_paths(g1, g2)
+
+
 ops = _ns(
     "ops",
     clip_by_rect=clip_by_rect, linemerge=linemerge,
     nearest_points=nearest_points, orient=orient, polygonize=polygonize,
-    polygonize_full=polygonize_full, shared_paths=shared_paths, snap=snap,
+    polygonize_full=polygonize_full, shared_paths=_ops_shared_paths, snap=snap,
     split=split, substring=substring, transform=_ops_transform,
     triangulate=triangulate, unary_union=unary_union, validate=validate,
     voronoi_diagram=voronoi_diagram,
@@ -1090,9 +1133,15 @@ geometry = _ns(
 
 # ------------------- legacy shapely.vectorized / shapely.algorithms
 def _vectorized_contains(geometry, x, y):
-    """Reference vectorized/__init__.py:24 — boolean array."""
-    return np.asarray(contains_xy(geometry, np.asarray(x, dtype=np.float64),
-                                  np.asarray(y, dtype=np.float64)))
+    """Reference vectorized/__init__.py:24 — boolean array preserving
+    the input arrays' memory order (ufunc behavior)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    out = np.asarray(contains_xy(geometry, x, y))
+    if (x.ndim > 1 and x.flags["F_CONTIGUOUS"]
+            and not x.flags["C_CONTIGUOUS"]):
+        out = np.asfortranarray(out)
+    return out
 
 
 def _vectorized_touches(geometry, x, y):
@@ -1382,7 +1431,15 @@ def snap(geometry, reference, tolerance):
 # Namespace modules built above captured pre-wrap callables; re-point the
 # few affected names so `shapely.validation.make_valid is shapely.make_valid`
 # etc. hold like the reference's aliasing.
-validation.make_valid = make_valid
+def _validation_make_valid(ob):
+    """shapely.validation.make_valid (validation.py:30): identity for
+    already-valid input, else the GEOS MakeValid repair."""
+    if is_valid(ob):
+        return ob
+    return make_valid(ob)
+
+
+validation.make_valid = _validation_make_valid
 ops.clip_by_rect = clip_by_rect
 ops.snap = snap
 lib.oriented_envelope = oriented_envelope
@@ -1485,11 +1542,22 @@ def _install_oo_final():
         return _unpack(_mod["relate_pattern"](self, other, pattern))
 
     @_dp(["quad_segs", "join_style", "mitre_limit"])
-    def offset_curve(self, distance, quad_segs=8, join_style="round",
+    def offset_curve(self, distance, quad_segs=16, join_style="round",
                      mitre_limit=5.0):
+        if not np.isfinite(distance).all():
+            raise ValueError("offset_curve distance must be finite")
         return _mod["offset_curve"](
             self, distance, quad_segs=quad_segs, join_style=join_style,
             mitre_limit=mitre_limit)
+
+    def parallel_offset(self, distance, side="right", resolution=16,
+                        join_style="round", mitre_limit=5.0):
+        """linestring.py:185 — deprecated offset_curve alias (side
+        keyword instead of signed distance)."""
+        if side == "right":
+            distance = distance * -1
+        return offset_curve(self, distance, quad_segs=resolution,
+                            join_style=join_style, mitre_limit=mitre_limit)
 
     def hausdorff_distance(self, other, densify=None):
         if densify is None:
@@ -1504,6 +1572,7 @@ def _install_oo_final():
         "equals_exact": equals_exact, "relate_pattern": relate_pattern,
         "hausdorff_distance": hausdorff_distance,
         "offset_curve": offset_curve,
+        "parallel_offset": parallel_offset,
     }
     # set-op methods get grid_size + positional deprecation (rename
     # BEFORE decorating so the warning text carries the method name)

@@ -849,28 +849,47 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
         d = float(distance)
         side = 1.0 if d > 0 else -1.0
         ad = abs(d)
+        join = _style_name(join_style, _JOIN_NAMES, "round")
         # per-segment unit normals (left of travel × side)
         v = np.diff(c, axis=0)
         L = np.hypot(v[:, 0], v[:, 1])
         keepseg = L > 0
         v, L = v[keepseg], L[keepseg]
         pts = np.vstack([c[:1], c[1:][keepseg]])
+        closed = len(v) >= 2 and bool(np.all(pts[0] == pts[-1]))
         n = np.column_stack([-v[:, 1], v[:, 0]]) / L[:, None] * side
-        out = [pts[0] + ad * n[0]]
-        for i in range(len(v) - 1):
-            vert = pts[i + 1]
+
+        def emit_join(i, j, vert, out):
+            """Join between segment i and segment j at vertex vert."""
             e_prev = vert + ad * n[i]
-            e_next = vert + ad * n[i + 1]
-            turn = core.orient(0, 0, v[i, 0], v[i, 1], v[i + 1, 0], v[i + 1, 1])
+            e_next = vert + ad * n[j]
+            turn = core.orient(0, 0, v[i, 0], v[i, 1], v[j, 0], v[j, 1])
             outward = turn * side < 0  # turning away from the offset side
             if outward:
-                # round join: arc from e_prev to e_next around vert
-                a0 = np.arctan2(n[i, 1], n[i, 0])
-                a1 = np.arctan2(n[i + 1, 1], n[i + 1, 0])
-                sweep = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
-                k = max(1, int(np.ceil(abs(sweep) / (np.pi / (2 * quad_segs)))))
-                angs = a0 + sweep * np.linspace(0, 1, k + 1)
-                out.extend(vert + ad * np.column_stack([np.cos(angs), np.sin(angs)]))
+                den = v[i, 0] * v[j, 1] - v[i, 1] * v[j, 0]
+                mitre = None
+                if join in ("mitre", "bevel") and den != 0:
+                    tpar = ((e_next - e_prev)
+                            @ np.array([v[j, 1], -v[j, 0]])) / den
+                    mitre = e_prev + tpar * v[i]
+                if (join == "mitre" and mitre is not None
+                        and np.hypot(*(mitre - vert)) <= mitre_limit * ad):
+                    # GEOS mitre: the single intersection point REPLACES
+                    # both offset endpoints
+                    out.append(mitre)
+                elif join in ("mitre", "bevel"):
+                    out.append(e_prev)  # bevel / mitre-limit fallback
+                    out.append(e_next)
+                else:
+                    # round join: arc from e_prev to e_next around vert
+                    a0 = np.arctan2(n[i, 1], n[i, 0])
+                    a1 = np.arctan2(n[j, 1], n[j, 0])
+                    sweep = (a1 - a0 + np.pi) % (2 * np.pi) - np.pi
+                    k = max(1, int(np.ceil(
+                        abs(sweep) / (np.pi / (2 * quad_segs)))))
+                    angs = a0 + sweep * np.linspace(0, 1, k + 1)
+                    out.extend(vert + ad * np.column_stack(
+                        [np.cos(angs), np.sin(angs)]))
             else:
                 # inward turn: intersect the two offset lines (trim) —
                 # but ONLY when the intersection stays within both
@@ -878,19 +897,32 @@ def offset_curve(geometry, distance, quad_segs: int = 8, join_style="round",
                 # a mitre spike to infinity.  Out-of-span corners emit
                 # both raw endpoints; the resulting self-crossing is
                 # cleaned by the global removal pass below.
-                den = v[i, 0] * v[i + 1, 1] - v[i, 1] * v[i + 1, 0]
+                den = v[i, 0] * v[j, 1] - v[i, 1] * v[j, 0]
                 trimmed = False
                 if den != 0:
-                    tpar = ((e_next - e_prev) @ np.array([v[i + 1, 1], -v[i + 1, 0]])) / den
+                    tpar = ((e_next - e_prev)
+                            @ np.array([v[j, 1], -v[j, 0]])) / den
                     x = e_prev + tpar * v[i]
-                    upar = ((x - e_next) @ v[i + 1]) / (L[i + 1] ** 2)
+                    upar = ((x - e_next) @ v[j]) / (L[j] ** 2)
                     if -1.0 <= tpar <= 0.5 and -0.5 <= upar <= 1.0:
                         out.append(x)
                         trimmed = True
                 if not trimmed:
                     out.append(e_prev)
                     out.append(e_next)
-        out.append(pts[-1] + ad * n[-1])
+
+        out = []
+        if closed:
+            # ring offset (GEOS computeRingBufferCurve order): one join
+            # per vertex starting at pts[0], then close
+            for i in range(len(v)):
+                emit_join((i - 1) % len(v), i, pts[i], out)
+            out.append(out[0])
+        else:
+            out.append(pts[0] + ad * n[0])
+            for i in range(len(v) - 1):
+                emit_join(i, i + 1, pts[i + 1], out)
+            out.append(pts[-1] + ad * n[-1])
         coords = np.vstack(out)
         keep = np.ones(len(coords), dtype=bool)
         keep[1:] = (np.abs(np.diff(coords, axis=0)) > 1e-15).any(axis=1)

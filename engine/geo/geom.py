@@ -229,6 +229,43 @@ class Geom:
 
         return hash(to_wkb(self)) ^ 374761393
 
+    def __reduce__(self):
+        """geometry/base.py:190 — pickle as EWKB bytes (LinearRings via
+        a ring-restoring loader; WKB has no LINEARRING type)."""
+        from engine.geo.wkb import _from_wkb_linearring, from_wkb, to_wkb
+
+        payload = to_wkb(self, flavor="extended", include_srid=True)
+        if self.type_id == GeomType.LINEARRING:
+            return (_from_wkb_linearring, (payload,))
+        return (from_wkb, (payload,))
+
+    def __setstate__(self, state):
+        """src/pygeom.c:304 — accept shapely<2.0 pickles (ctor + WKB
+        bytes state) with the compatibility UserWarning."""
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+            return
+        if not isinstance(state, (bytes, bytearray)):
+            raise TypeError(
+                f"Expected bytes, found {type(state).__name__}")
+        import warnings
+
+        warnings.warn(
+            "Unpickling a shapely <2.0 geometry object. Please save the "
+            "pickle again as this compatibility may be removed in a "
+            "future version of shapely.", UserWarning, stacklevel=2,
+        )
+        from engine.geo.wkb import from_wkb
+
+        g = from_wkb(bytes(state))
+        if (self.type_id == GeomType.LINEARRING
+                and g.type_id == GeomType.LINESTRING):
+            # pygeom.c:326 restores ring-ness from the class registry
+            g = Geom(GeomType.LINEARRING, xys=g.xys, has_z=g.has_z,
+                     has_m=g.has_m)
+        for f in ("type_id", "xys", "rings", "parts", "has_z", "has_m"):
+            object.__setattr__(self, f, getattr(g, f))
+
     def __bool__(self):
         return not self.is_empty
 
@@ -530,12 +567,21 @@ def _parse_coords(p: _P, want: int | None) -> np.ndarray:
     p.expect("(")
     pts = []
     w = want
+    inferred = want is None
     while True:
         xs = []
         while p.peek() not in (",", ")"):
             xs.append(float(p.next()))
         if w is None:
             w = min(max(len(xs), 2), 4)
+        if inferred and len(xs) != w:
+            # GEOS >= 3.12 rejects mixed dimensionality inside one
+            # coordinate list (shapely#1541)
+            from engine.geo.errors import GEOSException
+
+            raise GEOSException(
+                "ParseException: Inconsistent coordinate dimensionality"
+            )
         if len(xs) < w:
             raise ValueError(f"vertex has {len(xs)} ordinates, expected {w}")
         pts.append(xs[:w])
@@ -613,6 +659,17 @@ def _parse_geom(p: _P) -> Geom | None:
                 while p.peek() not in (",", ")"):
                     xs.append(float(p.next()))
                 w = want or min(max(len(xs), 2), 4)
+                if want is None and parts and len(parts[0].xys) and (
+                    parts[0].xys.shape[1] != w
+                ):
+                    # GEOS >= 3.12 rejects mixed member dimensionality
+                    # in the bare MULTIPOINT form (shapely#1541)
+                    from engine.geo.errors import GEOSException
+
+                    raise GEOSException(
+                        "ParseException: Inconsistent coordinate "
+                        "dimensionality"
+                    )
                 parts.append(
                     mk(GeomType.POINT,
                        coords=np.asarray([xs[:w]], dtype=np.float64))

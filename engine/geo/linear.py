@@ -21,32 +21,36 @@ def _seg_cumlen(c: np.ndarray) -> np.ndarray:
     return np.concatenate([[0.0], np.cumsum(d)])
 
 
-def _line_coords(g: Geom) -> np.ndarray | None:
-    """Concatenated vertex run of a lineal geometry; None if not lineal.
-
-    MultiLineString interpolation operates on the concatenated parts
-    (reference test_linear.py:21-27 expected values); collections are
-    lineal iff all their non-empty parts are."""
+def _line_runs(g: Geom) -> list | None:
+    """Per-part coordinate runs of a lineal geometry; None if not
+    lineal.  Linear referencing over multi-part inputs accumulates the
+    TRUE part lengths — no phantom segment joins the parts (GEOS
+    LengthIndexedLine semantics; legacy/test_linear_referencing.py)."""
     t = g.type_id
     if t in (GeomType.LINESTRING, GeomType.LINEARRING):
-        return g.xys
+        return [g.xys]
     if t == GeomType.MULTILINESTRING:
-        runs = [p.xys for p in g.parts if len(p.xys)]
-        return np.vstack(runs) if runs else np.empty((0, 2))
+        return [p.xys for p in g.parts if len(p.xys)]
     if t == GeomType.GEOMETRYCOLLECTION:
         # only DIRECT LineString/LinearRing members count; an empty GC is
         # lineal-empty, a GC with members but no line member is invalid
         if not g.parts:
-            return np.empty((0, 2))
+            return []
         lines = [
             p for p in g.parts
             if p.type_id in (GeomType.LINESTRING, GeomType.LINEARRING)
         ]
         if not lines:
             return None
-        runs = [p.xys for p in lines if len(p.xys)]
-        return np.vstack(runs) if runs else np.empty((0, 2))
+        return [p.xys for p in lines if len(p.xys)]
     return None
+
+
+def _line_coords(g: Geom) -> np.ndarray | None:
+    runs = _line_runs(g)
+    if runs is None:
+        return None
+    return np.vstack(runs) if runs else np.empty((0, 2))
 
 
 @deprecate_positional(["normalized"])
@@ -66,22 +70,31 @@ def line_interpolate_point(line, distance, normalized: bool = False):
             len(p.xys) == 0 for p in g.parts
         ):
             return Geom.empty(GeomType.POINT)
-        c = _line_coords(g)
-        if c is None:
-            raise TypeError(f"line_interpolate_point on {g.type_id!r}")
-        if len(c) == 0:
+        runs = _line_runs(g)
+        if runs is None:
+            raise TypeError(
+                "One of the Geometry inputs is of incorrect geometry type.")
+        runs = [r for r in runs if len(r) >= 2]
+        if not runs:
             return Geom.empty(GeomType.POINT)
-        cl = _seg_cumlen(c)
-        total = cl[-1]
+        lens = [float(_seg_cumlen(r)[-1]) for r in runs]
+        total = sum(lens)
         d = float(dist) * total if normalized else float(dist)
         if d < 0:
             d = total + d
         d = min(max(d, 0.0), total)
-        i = int(np.searchsorted(cl, d, side="right") - 1)
-        i = min(i, len(c) - 2)
-        seg = cl[i + 1] - cl[i]
-        t = 0.0 if seg == 0 else (d - cl[i]) / seg
-        p = c[i] + t * (c[i + 1] - c[i])
+        for c, ln in zip(runs, lens):
+            if d > ln:
+                d -= ln
+                continue
+            cl = _seg_cumlen(c)
+            i = int(np.searchsorted(cl, d, side="right") - 1)
+            i = min(i, len(c) - 2)
+            seg = cl[i + 1] - cl[i]
+            t = 0.0 if seg == 0 else (d - cl[i]) / seg
+            p = c[i] + t * (c[i + 1] - c[i])
+            return Geom.point(p[0], p[1])
+        p = runs[-1][-1]
         return Geom.point(p[0], p[1])
 
     if isinstance(line, Geom) or line is None:
@@ -106,27 +119,39 @@ def line_locate_point(line, other, normalized: bool = False):
                 "IllegalArgumentException: line_locate_point: the second "
                 "geometry must be a point"
             )
-        c = _line_coords(g)
-        if c is None:
+        runs = _line_runs(g)
+        if runs is None:
             raise GEOSException(
                 "IllegalArgumentException: line_locate_point: the first "
                 "geometry must be lineal"
             )
-        if len(c) == 0 or p.is_empty:
+        runs = [r for r in runs if len(r) >= 2]
+        if not runs or p.is_empty:
             return np.nan
-        cl = _seg_cumlen(c)
         px, py = p.xys[0]
-        ax, ay = c[:-1, 0], c[:-1, 1]
-        bx, by = c[1:, 0], c[1:, 1]
-        dx, dy = bx - ax, by - ay
-        len2 = dx * dx + dy * dy
-        t = np.where(len2 > 0, ((px - ax) * dx + (py - ay) * dy) / np.where(len2 == 0, 1, len2), 0)
-        t = np.clip(t, 0, 1)
-        qx, qy = ax + t * dx, ay + t * dy
-        d2 = (px - qx) ** 2 + (py - qy) ** 2
-        i = int(np.argmin(d2))
-        d = cl[i] + t[i] * np.sqrt(len2[i])
-        return d / cl[-1] if (normalized and cl[-1] > 0) else d
+        best_d2, best_pos = np.inf, 0.0
+        offset = 0.0
+        total = 0.0
+        for c in runs:
+            cl = _seg_cumlen(c)
+            ax, ay = c[:-1, 0], c[:-1, 1]
+            bx, by = c[1:, 0], c[1:, 1]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            t = np.where(
+                len2 > 0,
+                ((px - ax) * dx + (py - ay) * dy)
+                / np.where(len2 == 0, 1, len2), 0)
+            t = np.clip(t, 0, 1)
+            qx, qy = ax + t * dx, ay + t * dy
+            d2 = (px - qx) ** 2 + (py - qy) ** 2
+            i = int(np.argmin(d2))
+            if d2[i] < best_d2:
+                best_d2 = float(d2[i])
+                best_pos = offset + float(cl[i] + t[i] * np.sqrt(len2[i]))
+            offset += float(cl[-1])
+            total += float(cl[-1])
+        return best_pos / total if (normalized and total > 0) else best_pos
 
     line_s = isinstance(line, Geom) or line is None
     other_s = isinstance(other, Geom) or other is None
@@ -178,6 +203,13 @@ def line_merge(line, directed: bool = False):
                         break
                 if merged:
                     break
+        if not directed:
+            # JTS LineMerger starts edge strings at the terminal node
+            # that sorts FIRST by coordinate (nodes live in a TreeMap) —
+            # orient each open chain accordingly
+            for k, p in enumerate(parts):
+                if not np.array_equal(p[0], p[-1]) and tuple(p[-1]) < tuple(p[0]):
+                    parts[k] = p[::-1]
         if len(parts) == 1:
             return Geom.linestring(parts[0])
         return Geom(GeomType.MULTILINESTRING, parts=[Geom.linestring(p) for p in parts])
@@ -233,7 +265,9 @@ def substring(line, start_dist, end_dist, normalized: bool = False):
     """ops.py:509 — sub-linestring between two distances; reversed
     inputs yield reversed substring; equal → point (ops semantics)."""
     if line is None or line.type_id != GeomType.LINESTRING:
-        raise ValueError("substring requires a LineString")
+        from engine.geo.errors import GeometryTypeError
+
+        raise GeometryTypeError("substring requires a LineString")
     c = line.xys
     cl = _seg_cumlen(c)
     total = cl[-1]

@@ -61,6 +61,28 @@ def _noded_pieces(segs: np.ndarray) -> list[tuple]:
     ymin = np.minimum(segs[:, 1], segs[:, 3])
     ymax = np.maximum(segs[:, 1], segs[:, 3])
     pad = 1e-12
+    # vertex snapper: intersection points computed from two different
+    # segments' parametrizations differ by ~ulp·extent; an absolute
+    # 12-decimal round splits such twins across a rounding boundary and
+    # DISCONNECTS the noded graph.  Snap to the first-seen vertex within
+    # an extent-relative tolerance instead (exact inputs pass through).
+    extent = max(float(xmax.max() - xmin.min()),
+                 float(ymax.max() - ymin.min()), 1.0)
+    tol = max(1e-12, extent * 1e-13)
+    grid: dict = {}
+
+    def snap(pt):
+        gx, gy = round(pt[0] / tol), round(pt[1] / tol)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                v = grid.get((gx + dx, gy + dy))
+                if v is not None and abs(v[0] - pt[0]) <= tol \
+                        and abs(v[1] - pt[1]) <= tol:
+                    return v
+        v = (float(pt[0]), float(pt[1]))
+        grid[(gx, gy)] = v
+        return v
+
     out = set()
     idx = np.arange(n)
     for i in range(n):
@@ -80,10 +102,12 @@ def _noded_pieces(segs: np.ndarray) -> list[tuple]:
         for t0, t1 in zip(ts[:-1], ts[1:]):
             if t1 - t0 <= 1e-12:
                 continue
-            a = p + t0 * (q - p)
-            b = p + t1 * (q - p)
-            key = (tuple(np.round(a, 12)), tuple(np.round(b, 12)))
-            rkey = (key[1], key[0])
+            a = snap(p + t0 * (q - p))
+            b = snap(p + t1 * (q - p))
+            if a == b:
+                continue
+            key = (a, b)
+            rkey = (b, a)
             if rkey in out:
                 continue
             out.add(key)
@@ -271,7 +295,7 @@ def polygonize_full_noded(geometries):
     ring_edges = set()
     for r in rings:
         for k in range(len(r) - 1):
-            e = (tuple(np.round(r[k], 12)), tuple(np.round(r[k + 1], 12)))
+            e = (tuple(r[k]), tuple(r[k + 1]))
             ring_edges.add(e)
             ring_edges.add((e[1], e[0]))
     ring_verts = {v for e in ring_edges for v in e}

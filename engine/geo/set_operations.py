@@ -130,6 +130,17 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
     from engine.geo.linework import _minimal_rings, _noded_pieces
     from engine.geo.relate import Decomp
 
+    from engine.geo import predicates as _pred
+    from engine.geo.errors import GEOSException
+
+    for idx, g in enumerate((a, b)):
+        if g.type_id in _AREAL and not _pred.is_valid(g):
+            # GEOS overlay refuses invalid areal input with a
+            # TopologyException (legacy/test_invalid_geometries.py)
+            raise GEOSException(
+                "TopologyException: found non-noded intersection in "
+                f"overlay input {idx}"
+            )
     da, db = Decomp(a), Decomp(b)
     segs = [s for s in (da.ring_segs, db.ring_segs) if len(s)]
     if not segs:
@@ -225,6 +236,15 @@ def _binary(fn):
     def wrapped(a, b, grid_size=None, **kw):
         arr_a = isinstance(a, (list, tuple, np.ndarray))
         arr_b = isinstance(b, (list, tuple, np.ndarray))
+        for x, is_arr in ((a, arr_a), (b, arr_b)):
+            if not is_arr and x is not None and not isinstance(x, Geom):
+                # ufunc parity: non-geometry scalar arguments (e.g. a
+                # PreparedGeometry) are a TypeError, not an attribute
+                # crash (src/geos.h input validation)
+                raise TypeError(
+                    "One of the arguments is of incorrect type. "
+                    f"Provided value: {x!r}"
+                )
         if grid_size:
             # reference grid_size semantics (set_operations.py:52-57):
             # inputs snapped to the precision grid, output on the grid
@@ -343,6 +363,28 @@ def _line_line_intersection(a: Geom, b: Geom) -> Geom:
         for t in core.seg_cut_params(p, q, db.line_segs):
             x, y = p + t * (q - p)
             pts.add((round(float(x), 12), round(float(y), 12)))
+
+    with_z = a.has_z and b.has_z
+
+    def _z_at(g, x, y):
+        """Interpolated z of (x, y) on g's nearest 3-D segment."""
+        best, bz = np.inf, np.nan
+        for line in (g.parts or [g]):
+            c = line.xys
+            if c.shape[1] < 3 or len(c) < 2:
+                continue
+            for k in range(len(c) - 1):
+                vx, vy = c[k + 1, 0] - c[k, 0], c[k + 1, 1] - c[k, 1]
+                L2 = vx * vx + vy * vy
+                t = 0.0 if L2 == 0 else np.clip(
+                    ((x - c[k, 0]) * vx + (y - c[k, 1]) * vy) / L2, 0, 1)
+                dx = c[k, 0] + t * vx - x
+                dy = c[k, 1] + t * vy - y
+                d2 = dx * dx + dy * dy
+                if d2 < best:
+                    best = d2
+                    bz = c[k, 2] + t * (c[k + 1, 2] - c[k, 2])
+        return float(bz)
     # drop points lying on a shared piece (they're part of dim-1 output)
     def on_piece(x, y):
         for pc in pieces:
@@ -352,13 +394,25 @@ def _line_line_intersection(a: Geom, b: Geom) -> Geom:
         return False
 
     iso = sorted(p for p in pts if not on_piece(*p))
-    point_parts = [Geom.point(x, y) for x, y in iso]
+    if with_z:
+        # GEOS interpolates output z as the mean of the inputs'
+        # interpolated z at the intersection
+        point_parts = [
+            Geom.point(x, y, 0.5 * (_z_at(a, x, y) + _z_at(b, x, y)))
+            for x, y in iso
+        ]
+    else:
+        point_parts = [Geom.point(x, y) for x, y in iso]
     if pieces and point_parts:
         return Geom(GeomType.GEOMETRYCOLLECTION, parts=point_parts + pieces)
     if pieces:
         if len(pieces) == 1:
             return pieces[0]
         return Geom(GeomType.MULTILINESTRING, parts=pieces)
+    if with_z and point_parts:
+        if len(point_parts) == 1:
+            return point_parts[0]
+        return Geom(GeomType.MULTIPOINT, parts=point_parts, has_z=True)
     return _points_geom(np.array(iso).reshape(-1, 2))
 
 

@@ -311,15 +311,47 @@ def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
                 pts = vs
         else:
             pts = _unique_vertices(g)
-        if len(pts) == 0:
+        if tolerance and len(pts):
+            # GEOS snapping emulation: sequential site snapping with an
+            # effective radius of tolerance/sqrt(2) (the quadedge vertex
+            # tolerance).  GEOS's triangulator throws a TopologyException
+            # for most inputs where a nonzero tolerance does NOT merge
+            # any sites (tests/legacy/test_voronoi_diagram.py pins this
+            # observable behavior) — mirror that failure mode.
+            from engine.geo.errors import GEOSException
+
+            radius = float(tolerance) / np.sqrt(2.0)
+            kept: list[np.ndarray] = []
+            merged = False
+            for p in pts:
+                if kept and min(
+                    float(np.hypot(*(p - k))) for k in kept
+                ) < radius:
+                    merged = True
+                    continue
+                kept.append(p)
+            if not merged:
+                raise GEOSException(
+                    "TopologyException: Could not compute Voronoi diagram "
+                    f"with tolerance {tolerance}"
+                )
+            pts = np.asarray(kept)
+        if len(pts) < 2:
+            # constructive.py:1277 — empty for fewer than 2 vertices
             return Geom.empty(GeomType.GEOMETRYCOLLECTION)
-        b = (
-            extend_to.bounds
-            if isinstance(extend_to, Geom)
-            else np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
-        )
-        pad = max(b[2] - b[0], b[3] - b[1], 1.0)  # GEOS expands by ~diameter
-        xmin, ymin, xmax, ymax = b[0] - pad, b[1] - pad, b[2] + pad, b[3] + pad
+        # GEOS VoronoiDiagramBuilder clip envelope: the sites envelope
+        # expanded by max(width, height) on each side, then extended to
+        # include extend_to's envelope
+        sb = np.array([pts[:, 0].min(), pts[:, 1].min(),
+                       pts[:, 0].max(), pts[:, 1].max()])
+        pad = max(sb[2] - sb[0], sb[3] - sb[1])
+        xmin, ymin = sb[0] - pad, sb[1] - pad
+        xmax, ymax = sb[2] + pad, sb[3] + pad
+        if isinstance(extend_to, Geom):
+            eb = extend_to.bounds
+            xmin, ymin = min(xmin, eb[0]), min(ymin, eb[1])
+            xmax, ymax = max(xmax, eb[2]), max(ymax, eb[3])
+        pad = max(xmax - xmin, ymax - ymin, 1e-300)
         box = np.array(
             [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
         )
@@ -338,7 +370,14 @@ def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
                 tlen = np.hypot(*tvec)
                 if tlen == 0:
                     continue
-                tvec = tvec / tlen * (4 * pad + np.hypot(*(q - p)))
+                # scale by a POWER OF TWO (exact in binary floats) so the
+                # clip-line endpoints stay on the exact bisector — a
+                # normalized direction would smear ~ulp error into every
+                # cell corner and the cell areas stop tiling the clip
+                # rect exactly
+                s = 2.0 ** int(np.ceil(np.log2(
+                    (4 * pad + tlen) / tlen)))
+                tvec = tvec * s
                 a_, b_ = mid - tvec, mid + tvec
                 if core.orient(a_[0], a_[1], b_[0], b_[1], p[0], p[1]) < 0:
                     a_, b_ = b_, a_
@@ -353,6 +392,8 @@ def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
                 r = c.rings[0]
                 for k in range(len(r) - 1):
                     e = (tuple(r[k]), tuple(r[k + 1]))
+                    if e[0] == e[1]:
+                        continue
                     edges.add(tuple(sorted(e)))
             return Geom(
                 GeomType.MULTILINESTRING,

@@ -149,7 +149,9 @@ def make_valid(geometry, method: str = "linework", keep_collapsed: bool = True):
         if g is None:
             return None
         if predicates.is_valid(g):
-            # GEOS returns a new geometry even when already valid
+            # constructive.py:680 (top-level) returns a NEW geometry even
+            # when already valid; the shapely.validation.make_valid
+            # wrapper adds the identity shortcut (validation.py:53)
             return _copy_geom(g)
         t = g.type_id
         if t in (GeomType.POLYGON, GeomType.MULTIPOLYGON):

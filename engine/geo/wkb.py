@@ -327,7 +327,10 @@ def from_wkb(data, on_invalid: str = "raise"):
                 g, _ = _decode_geom(mv, 0)
             except (struct.error, ValueError, IndexError) as e:
                 raise GEOSException(f"ParseException: {e}") from e
-            if g is not None and len(b) >= 9:
+            out = _wkt_validate(g, fix=(on_invalid == "fix"))
+            if out is not None and len(b) >= 9:
+                # assign AFTER validation: ring/collection validation
+                # rebuilds the object and would drop the metadata slot
                 (code,) = struct.unpack_from(
                     ("<" if b[0] == 1 else ">") + "I", b, 1
                 )
@@ -335,8 +338,8 @@ def from_wkb(data, on_invalid: str = "raise"):
                     (srid,) = struct.unpack_from(
                         ("<" if b[0] == 1 else ">") + "I", b, 5
                     )
-                    g._srid = int(srid)  # noqa: SLF001 (engine metadata)
-            return _wkt_validate(g, fix=(on_invalid == "fix"))
+                    out._srid = int(srid)  # noqa: SLF001 (engine metadata)
+            return out
         except NotImplementedError:
             raise
         except Exception as e:
@@ -355,3 +358,17 @@ def from_wkb(data, on_invalid: str = "raise"):
     if not isinstance(data, (list, tuple, np.ndarray)):
         return dec(data)  # raises the TypeError with the right name
     return np.array([dec(b) for b in data], dtype=object)
+
+
+def _from_wkb_linearring(data):
+    """Unpickle helper: restore ring-ness lost in WKB (no LINEARRING
+    type code exists); keeps the SRID metadata slot."""
+    g = from_wkb(data)
+    from engine.geo.geom import Geom, GeomType
+
+    out = Geom(GeomType.LINEARRING, xys=g.xys, has_z=g.has_z,
+               has_m=g.has_m)
+    srid = getattr(g, "_srid", 0)
+    if srid:
+        out._srid = int(srid)
+    return out

@@ -222,7 +222,11 @@ def test_submodule_namespace_surfaces():
     assert sh.coords.CoordinateSequence is type(sh.LineString([(0, 0), (1, 1)]).coords)
     assert sh.io.from_wkt("POINT (1 2)").x == 1.0
     assert sh.linear.line_merge is sh.line_merge
-    assert sh.validation.make_valid is sh.make_valid
+    # shapely.validation.make_valid is the wrapper with the is_valid
+    # identity shortcut (validation.py:30), NOT the top-level kernel
+    pt = sh.Point(1, 2)
+    assert sh.validation.make_valid(pt) is pt
+    assert sh.make_valid(pt) is not pt
     assert sh.affinity.rotate is sh.rotate
     assert sh.geos.geos_version == sh.geos_version
 

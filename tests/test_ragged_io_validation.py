@@ -107,7 +107,8 @@ def test_make_valid_reference_table():
         validation.make_valid(L, method="structure", keep_collapsed=False)
     ) == "POLYGON EMPTY"
 
-    # valid geometries come back as a NEW equal geometry (GEOS copies)
+    # top-level make_valid returns a NEW equal geometry even when valid
+    # (the shapely.validation wrapper adds the identity shortcut)
     pt = P("POINT (2 3)")
     out = validation.make_valid(pt)
     assert out is not pt and to_wkt(out) == "POINT (2 3)"
