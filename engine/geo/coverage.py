@@ -57,10 +57,11 @@ def set_srid(geometry, srid: int):
     return np.array([one(g) for g in geometry], dtype=object)
 
 
-def _poly_rings(g, want_ccw_shell=True):
+def _poly_rings(g, want_ccw_shell=True, normalize=True):
     """Closed 2-D rings of a (multi)polygon, shells normalized CCW and
     holes CW so matched shared edges of a VALID coverage are traversed
-    anti-parallel by the two adjacent polygons."""
+    anti-parallel by the two adjacent polygons.  normalize=False keeps
+    the input traversal direction."""
     from engine.geo.geom import GeomType
 
     out = []
@@ -77,10 +78,11 @@ def _poly_rings(g, want_ccw_shell=True):
             r = np.asarray(r, dtype=np.float64)[:, :2]
             if len(r) < 4:
                 continue
-            ccw = core.ring_signed_area(r) > 0
-            want = want_ccw_shell if k == 0 else not want_ccw_shell
-            if ccw != want:
-                r = r[::-1]
+            if normalize:
+                ccw = core.ring_signed_area(r) > 0
+                want = want_ccw_shell if k == 0 else not want_ccw_shell
+                if ccw != want:
+                    r = r[::-1]
             out.append(r)
     return out
 
@@ -203,7 +205,12 @@ def _invalid_segment_sets(geoms, gap_width: float):
                             bad[i].add(s)
                             for t in chain:
                                 bad[j].add(t)
-    return seglists, bad
+    # report flagged segments in the INPUT ring direction (GEOS output
+    # direction; the normalized direction above is analysis-only)
+    seglists_in = [_segments(_poly_rings(g, normalize=False))
+                   for g in geoms]
+    bad_undirected = [{frozenset(s) for s in b} for b in bad]
+    return seglists_in, bad_undirected
 
 
 def _stitch(seglist, badset) -> Geom:
@@ -213,7 +220,7 @@ def _stitch(seglist, badset) -> Geom:
     runs = []
     cur = []
     for s in seglist:
-        if s in badset:
+        if frozenset(s) in badset:
             if cur and cur[-1] == s[0]:
                 cur.append(s[1])
             else:
@@ -391,11 +398,12 @@ def coverage_simplify(geometries, tolerance: float,
             else:
                 ck = chain_key(chain)
                 if ck not in chain_cache:
+                    # simplify in FIRST-ENCOUNTER direction (the owning
+                    # ring's traversal) — GEOS TPVW pops the first of
+                    # equal-area candidates in that order, and the
+                    # surviving vertex of a tie depends on it
                     chain_cache[ck] = [
-                        tuple(p[:2]) for p in simplify_chain(
-                            chain if ck == tuple(tuple(p[:2]) for p in chain)
-                            else chain[::-1]
-                        )
+                        tuple(p[:2]) for p in simplify_chain(chain)
                     ]
                 simp_c = chain_cache[ck]
                 if simp_c[0] != tuple(chain[0][:2]):
