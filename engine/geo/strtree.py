@@ -27,8 +27,9 @@ import heapq
 
 import numpy as np
 
+from engine.geo import core
 from engine.geo import relate as R
-from engine.geo.geom import Geom
+from engine.geo.geom import Geom, GeomType
 
 _PREDICATES = {
     "intersects": R.intersects,
@@ -41,6 +42,41 @@ _PREDICATES = {
     "covered_by": R.covered_by,
     "contains_properly": R.contains_properly,
 }
+
+# Predicates where "tree of points vs one valid polygonal query" reduces to
+# a single vectorized ray-casting locate (2 interior / 1 boundary / 0 out).
+_PT_FAST = {
+    "intersects": lambda loc: loc > 0,
+    "covers": lambda loc: loc > 0,
+    "contains": lambda loc: loc == 2,
+    "contains_properly": lambda loc: loc == 2,
+    "touches": lambda loc: loc == 1,
+}
+
+
+def _coerce_geoms(geometry):
+    """Validate query input exactly like the reference's ufunc layer.
+
+    Returns (scalar, list_of_geom_or_None).  Non-geometry scalars raise
+    TypeError; nested / multi-dimensional arrays raise TypeError
+    ("Array should be one dimensional"); non-geometry elements raise
+    TypeError (reference tests test_strtree.py:150-170, 1644)."""
+    if isinstance(geometry, Geom) or geometry is None:
+        return True, [geometry]
+    arr = np.asarray(geometry, dtype=object)
+    if arr.ndim == 0:
+        raise TypeError(
+            f"Only Geometry objects are supported, got {type(geometry)}"
+        )
+    if arr.ndim != 1:
+        raise TypeError("Array should be one dimensional")
+    geoms = list(arr)
+    for g in geoms:
+        if g is not None and not isinstance(g, Geom):
+            raise TypeError(
+                f"Array should contain geometry objects, got {type(g)}"
+            )
+    return False, geoms
 
 
 def _bounds_min_dist2(b: np.ndarray, boxes: np.ndarray) -> np.ndarray:
@@ -76,6 +112,15 @@ class STRtree:
         self._item_boxes = (
             np.asarray(boxes, dtype=np.float64) if boxes else np.empty((0, 4))
         )
+        # Tree-of-points fast path: for point items the bbox min IS the
+        # coordinate, so polygon-predicate refinement can run as one
+        # vectorized ray-casting locate per query geometry.
+        if len(self._item_idx) and all(
+            self.geometries[i].type_id == GeomType.POINT for i in self._item_idx
+        ):
+            self._pts_xy = self._item_boxes[:, :2]
+        else:
+            self._pts_xy = None
         self._build()
 
     def __len__(self) -> int:
@@ -134,6 +179,16 @@ class STRtree:
         if not self._levels:
             return np.empty(0, dtype=np.int64)
         xmin, ymin, xmax, ymax = qb[0] - pad, qb[1] - pad, qb[2] + pad, qb[3] + pad
+        if len(self._item_boxes) <= 65536:
+            # One vectorized scan beats a Python node walk at this size.
+            b = self._item_boxes
+            hit = ~(
+                (b[:, 0] > xmax)
+                | (b[:, 2] < xmin)
+                | (b[:, 1] > ymax)
+                | (b[:, 3] < ymin)
+            )
+            return np.nonzero(hit)[0].astype(np.int64)
         top_boxes, _ = self._levels[-1]
         stack = [(len(self._levels) - 1, i) for i in range(len(top_boxes))]
         out = []
@@ -165,26 +220,40 @@ class STRtree:
         [input_idx; tree_idx], ordered by input index, tree indices
         ascending within each input (deterministic superset of the
         reference's traversal order; its tests compare sorted)."""
-        scalar = isinstance(geometry, Geom) or geometry is None
-        geoms = [geometry] if scalar else list(geometry)
+        scalar, geoms = _coerce_geoms(geometry)
         if predicate == "dwithin":
             if distance is None:
                 raise ValueError(
                     "distance parameter must be provided for dwithin predicate"
                 )
-            dist_arr = np.broadcast_to(
-                np.asarray(distance, dtype=np.float64), (len(geoms),)
-            )
+            darr = np.asarray(distance, dtype=np.float64)
+            if darr.ndim > 1:
+                raise ValueError("Distance array should be one dimensional")
+            try:
+                dist_arr = np.broadcast_to(darr, (len(geoms),))
+            except ValueError:
+                raise ValueError(
+                    "Could not broadcast distance to match geometry"
+                ) from None
         elif predicate is not None and predicate not in _PREDICATES:
-            raise ValueError(f"invalid predicate: {predicate!r}")
+            raise ValueError(
+                f"'{predicate}' is not a valid option, must be one of "
+                f"{sorted(_PREDICATES)}"
+            )
 
-        in_idx: list[int] = []
-        tr_idx: list[int] = []
+        in_chunks: list[np.ndarray] = []
+        tr_chunks: list[np.ndarray] = []
         for ii, g in enumerate(geoms):
             if g is None or g.is_empty:
                 continue
             qb = g.bounds
             if np.isnan(qb).any():
+                keep = np.asarray(
+                    self._query_nan_geom(g, predicate), dtype=np.int64
+                )
+                if len(keep):
+                    in_chunks.append(np.full(len(keep), ii, dtype=np.int64))
+                    tr_chunks.append(keep)
                 continue
             if predicate == "dwithin":
                 d = float(dist_arr[ii])
@@ -193,20 +262,102 @@ class STRtree:
                 cand = self._query_box(qb)
             if len(cand) == 0:
                 continue
-            cand = np.sort(self._item_idx[cand])
+            cand = np.sort(cand)  # positions; _item_idx is monotonic
             if predicate is None:
-                keep = cand
-            elif predicate == "dwithin":
-                keep = [t for t in cand if R.dwithin(g, self.geometries[t], float(dist_arr[ii]))]
+                keep = self._item_idx[cand]
             else:
-                fn = _PREDICATES[predicate]
-                keep = [t for t in cand if fn(g, self.geometries[t])]
-            for t in keep:
-                in_idx.append(ii)
-                tr_idx.append(int(t))
+                fast = self._refine_points_fast(g, cand, predicate)
+                if fast is not None:
+                    keep = self._item_idx[cand[fast]]
+                elif predicate == "dwithin":
+                    d = float(dist_arr[ii])
+                    keep = np.asarray([
+                        t for t in self._item_idx[cand]
+                        if R.dwithin(g, self.geometries[t], d)
+                    ], dtype=np.int64)
+                else:
+                    fn = _PREDICATES[predicate]
+                    keep = np.asarray([
+                        t for t in self._item_idx[cand]
+                        if fn(g, self.geometries[t])
+                    ], dtype=np.int64)
+            if len(keep):
+                in_chunks.append(np.full(len(keep), ii, dtype=np.int64))
+                tr_chunks.append(np.asarray(keep, dtype=np.int64))
+        tr = (
+            np.concatenate(tr_chunks) if tr_chunks
+            else np.empty(0, dtype=np.int64)
+        )
         if scalar:
-            return np.asarray(tr_idx, dtype=np.int64)
-        return np.array([in_idx, tr_idx], dtype=np.int64)
+            return tr
+        ins = (
+            np.concatenate(in_chunks) if in_chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        return np.array([ins, tr], dtype=np.int64)
+
+    def _poly_valid_fast(self, g) -> bool:
+        """Validity gate for the even-odd PIP fast paths; single-ring
+        triangles are valid iff they have area (skips the generic
+        simplicity walk — the hot case in bulk random-triangle queries)."""
+        parts = g.polygon_parts()
+        if (
+            g.type_id == GeomType.POLYGON
+            and len(parts) == 1
+            and len(parts[0]) == 1
+            and len(parts[0][0]) == 4
+        ):
+            return abs(core.ring_signed_area(parts[0][0])) != 0.0
+        from engine.geo import predicates as P
+
+        return bool(P.is_valid(g))
+
+    def _refine_points_fast(self, g, cand: np.ndarray, predicate: str):
+        """Vectorized predicate refinement for a tree of points vs one
+        valid purely-polygonal query geometry.  Returns a boolean mask
+        over ``cand`` (positions), or None when inapplicable."""
+        if self._pts_xy is None or predicate not in _PT_FAST:
+            return None
+        if g.type_id not in (GeomType.POLYGON, GeomType.MULTIPOLYGON):
+            return None
+        if not self._poly_valid_fast(g):
+            return None
+        parts = g.polygon_parts()
+        px = self._pts_xy[cand, 0]
+        py = self._pts_xy[cand, 1]
+        loc = np.zeros(len(cand), dtype=np.int8)
+        for rings in parts:
+            loc = np.maximum(loc, core.points_in_rings(px, py, rings))
+        return _PT_FAST[predicate](loc)
+
+    def _query_nan_geom(self, g, predicate):
+        """GEOS-3.13 semantics for query geometries with NaN coordinates
+        (reference test_strtree.py:383 test_query_predicate_errors): the
+        finite vertices still hit via 'intersects' and 'crosses'; every
+        other predicate (and the plain bbox query) returns nothing."""
+        if predicate not in ("intersects", "crosses"):
+            return []
+        from engine.geo import coordinates as C
+
+        xy = np.asarray(C.get_coordinates(g), dtype=np.float64)
+        if xy.size == 0:
+            return []
+        finite = np.isfinite(xy).all(axis=1)
+        if not finite.any():
+            return []
+        fx, fy = xy[finite, 0], xy[finite, 1]
+        qb = np.array([fx.min(), fy.min(), fx.max(), fy.max()])
+        cand = np.sort(self._query_box(qb))
+        keep = []
+        for pos in cand:
+            t = int(self._item_idx[pos])
+            tg = self.geometries[t]
+            if any(
+                R.intersects(Geom.point(float(x), float(y)), tg)
+                for x, y in zip(fx, fy)
+            ):
+                keep.append(t)
+        return keep
 
     # ---------------------------------------------------------------- nearest
     def _nearest_one(
@@ -275,8 +426,7 @@ class STRtree:
         Raises on None/empty input (strtree.py:376-380)."""
         if len(self._item_idx) == 0:
             return None
-        scalar = isinstance(geometry, Geom) or geometry is None
-        geoms = [geometry] if scalar else list(geometry)
+        scalar, geoms = _coerce_geoms(geometry)
         out = np.empty(len(geoms), dtype=np.int64)
         for i, g in enumerate(geoms):
             if g is None or g.is_empty:
@@ -299,10 +449,22 @@ class STRtree:
         """All nearest tree geometries per input (strtree.py:350-542).
 
         None/empty inputs are omitted from the output (not an error)."""
-        if max_distance is not None and max_distance <= 0:
-            raise ValueError("max_distance must be greater than 0")
-        scalar = isinstance(geometry, Geom) or geometry is None
-        geoms = [geometry] if scalar else list(geometry)
+        if max_distance is not None:
+            if not np.isscalar(max_distance):
+                raise ValueError(
+                    "max_distance parameter only accepts scalar values"
+                )
+            if max_distance <= 0:
+                raise ValueError("max_distance must be greater than 0")
+        if not np.isscalar(exclusive):
+            raise ValueError("exclusive parameter only accepts scalar values")
+        if exclusive not in {True, False}:
+            raise ValueError("exclusive parameter must be boolean")
+        if not np.isscalar(all_matches):
+            raise ValueError("all_matches parameter only accepts scalar values")
+        if all_matches not in {True, False}:
+            raise ValueError("all_matches parameter must be boolean")
+        scalar, geoms = _coerce_geoms(geometry)
         in_idx: list[int] = []
         tr_idx: list[int] = []
         dists: list[float] = []

@@ -21,6 +21,7 @@ from tests.common import (
     LineString,
     MultiPoint,
     Point,
+    Polygon,
     box,
     buffer,
     empty,
@@ -783,3 +784,96 @@ def test_query_nearest_all_matches(tree):
     assert_array_equal(tree.query_nearest(Point(0.5, 0.5), all_matches=True), [0, 1])
     idx = tree.query_nearest(Point(0.5, 0.5), all_matches=False)
     assert np.array_equal(idx, [0]) or np.array_equal(idx, [1])
+
+
+# ----------------------------------------------------------------- round-2
+# Validation + fast-path behaviors added for full reference-suite parity
+# (reference test_strtree.py:150-170, 332, 1332-1345, 1644, 1821-1908).
+
+
+class TestInputValidation:
+    def test_query_non_geometry_scalar(self, tree):
+        with pytest.raises(TypeError):
+            tree.query("I am not a geometry")
+
+    def test_query_non_geometry_element(self, tree):
+        with pytest.raises(TypeError):
+            tree.query([Point(0, 0), "still not a geometry"])
+
+    def test_query_nested_array(self, tree):
+        with pytest.raises(TypeError, match="one dimensional"):
+            tree.query([[Point(0.5, 0.5)]])
+
+    def test_query_invalid_predicate_message(self, tree):
+        with pytest.raises(ValueError, match="is not a valid option"):
+            tree.query(Point(1, 1), predicate="disjoint")
+
+    def test_dwithin_distance_broadcast_error(self, tree):
+        with pytest.raises(ValueError, match="Could not broadcast distance"):
+            tree.query(Point(0, 0), predicate="dwithin", distance=[0, 1])
+        with pytest.raises(ValueError, match="one dimensional"):
+            tree.query(Point(0, 0), predicate="dwithin", distance=[[1.0]])
+
+    def test_nearest_non_geometry(self, tree):
+        with pytest.raises(TypeError):
+            tree.nearest("I am not a geometry")
+
+    def test_query_nearest_scalar_params(self, tree):
+        with pytest.raises(ValueError, match="only accepts scalar"):
+            tree.query_nearest(Point(0.5, 0.5), max_distance=[1])
+        with pytest.raises(ValueError):
+            tree.query_nearest(Point(1, 1), exclusive="invalid")
+        with pytest.raises(ValueError):
+            tree.query_nearest([Point(1, 1)], all_matches=[False])
+
+
+class TestPointTreeFastPath:
+    """The vectorized point-tree refinement must agree exactly with the
+    generic per-candidate predicate loop."""
+
+    @pytest.mark.parametrize(
+        "predicate",
+        ["intersects", "contains", "contains_properly", "covers", "touches"],
+    )
+    def test_fast_path_matches_loop(self, predicate):
+        rng = np.random.default_rng(42)
+        pts = [Point(x, y) for x, y in rng.uniform(-2, 2, size=(500, 2))]
+        tree = STRtree(pts)
+        tris = [Polygon(t) for t in rng.normal(size=(40, 3, 2))]
+        # one query point exactly on a triangle vertex => boundary case
+        v = tris[0].polygon_parts()[0][0][0]
+        tree_b = STRtree(pts + [Point(v[0], v[1])])
+        fast = tree_b.query(tris, predicate=predicate)
+        # force generic path by masking the cached point coords
+        saved = tree_b._pts_xy
+        tree_b._pts_xy = None
+        slow = tree_b.query(tris, predicate=predicate)
+        tree_b._pts_xy = saved
+        assert_array_equal(fast, slow)
+        assert tree.query(tris, predicate=predicate).shape[0] == 2
+
+    def test_invalid_polygon_falls_back(self):
+        pts = [Point(x * 0.25, y * 0.25) for x in range(9) for y in range(9)]
+        tree = STRtree(pts)
+        bowtie = Polygon([(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)])
+        fast = tree.query([bowtie], predicate="contains")
+        saved = tree._pts_xy
+        tree._pts_xy = None
+        slow = tree.query([bowtie], predicate="contains")
+        tree._pts_xy = saved
+        assert_array_equal(fast, slow)
+
+
+def test_query_nan_geometry_geos313(tree):
+    """NaN-coordinate query geometries: GEOS 3.13 observed results
+    (reference test_strtree.py:383) — finite vertices still hit via
+    intersects/crosses, every other predicate returns nothing."""
+    from engine.geo.creation import linestrings
+
+    with np.errstate(invalid="ignore"):
+        line_nan = linestrings([1, 1], [1, float("nan")])
+    assert_array_equal(tree.query(line_nan, predicate="intersects"), [1])
+    assert_array_equal(tree.query(line_nan, predicate="crosses"), [1])
+    for pred in ("within", "contains", "overlaps", "touches", "covers",
+                 "covered_by", "contains_properly"):
+        assert_array_equal(tree.query(line_nan, predicate=pred), [])

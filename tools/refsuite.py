@@ -62,13 +62,17 @@ import pytest
 
 @pytest.fixture(autouse=True)
 def _per_test_alarm():
-    """Bound every reference test at 20 s — a hang is a FAIL, not a stall."""
+    """Bound every reference test at 90 s — a hang is a FAIL, not a stall.
+
+    90 s (not 20) because this sandbox VM intermittently degrades to a
+    few percent of normal DRAM bandwidth (tools/memprobe.py); the bound
+    exists to catch genuine hangs, not to benchmark."""
 
     def handler(signum, frame):
         raise TimeoutError("per-test timeout (refsuite)")
 
     old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(20)
+    signal.alarm(90)
     yield
     signal.alarm(0)
     signal.signal(signal.SIGALRM, old)
