@@ -38,6 +38,83 @@ NUM_PERM = 64
 BANDS = 16  # 16 bands × 4 rows ≈ threshold ~0.5 Jaccard
 MAX_BUCKET = 1024  # cap on LSH bucket size before pair-generation chunking
 
+# Bloom semi-join prefilter (verify stage): candidate doc ids are a tiny
+# fraction of the corpus, so the docs side of the pairs⋈shingles cogroup
+# is filtered through a fixed-size Bloom bitmap of the candidate-id set
+# before it is shingled or shuffled — shuffle volume drops from O(corpus)
+# to O(candidates + FP).  False positives only add doc rows that match no
+# pair in the attach stage; the verified output is exactly unchanged.
+BLOOM_BITS = 1 << 23  # 1 MiB packed; ~2e-3 FP rate at 10^5 keys (k=2)
+_BLOOM_SHIFT = np.uint64(64 - 23)
+_BLOOM_SALTS = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
+_BLOOM_CACHE: dict = {}
+
+
+def _bloom_positions(ids: np.ndarray):
+    u = ids.astype(np.uint64)
+    return [((u * salt) >> _BLOOM_SHIFT).astype(np.int64)
+            for salt in _BLOOM_SALTS]
+
+
+def pairs_bloom(pairs_ds) -> bytes:
+    """OR-reduce per-block Bloom partials of the candidate doc-id set.
+    The driver holds ≤ blocks × 1 MiB transiently — bounded by block
+    count, never by row count (the 100-TB-safe broadcast-build shape)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [batch["a"].to_numpy(), batch["b"].to_numpy()]
+        )
+        pos = np.unique(np.concatenate(_bloom_positions(ids))) if len(ids) \
+            else np.empty(0, dtype=np.int64)
+        if pos.nbytes * 8 <= BLOOM_BITS:
+            # small block: ship the set positions, not a full bitmap
+            payload = b"P" + pos.tobytes()
+        else:
+            bm = np.zeros(BLOOM_BITS, dtype=bool)
+            bm[pos] = True
+            payload = b"B" + np.packbits(bm).tobytes()
+        return pa.table({"bm": pa.array([payload], type=pa.binary())})
+
+    rows = pairs_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    acc = np.zeros(BLOOM_BITS, dtype=bool)
+    for r in rows:
+        raw = r["bm"]
+        if raw[:1] == b"P":
+            acc[np.frombuffer(raw[1:], dtype=np.int64)] = True
+        else:
+            acc |= np.unpackbits(
+                np.frombuffer(raw[1:], dtype=np.uint8)
+            ).view(bool)
+    return np.packbits(acc).tobytes()
+
+
+def make_bloom_filter_fn(bloom_ref, col: str = "doc_id"):
+    """Row filter against a broadcast Bloom bitmap (``ray.put`` once,
+    unpacked once per worker via the module cache)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = bloom_ref.hex() if hasattr(bloom_ref, "hex") else str(id(bloom_ref))
+        bm = _BLOOM_CACHE.get(key)
+        if bm is None:
+            if hasattr(bloom_ref, "hex"):
+                import ray
+
+                raw = ray.get(bloom_ref)
+            else:
+                raw = bloom_ref
+            bm = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).view(bool)
+            _BLOOM_CACHE[key] = bm
+        ids = batch[col].to_numpy()
+        keep = np.ones(len(ids), dtype=bool)
+        for pos in _bloom_positions(ids):
+            keep &= bm[pos]
+        return batch.filter(pa.array(keep))
+
+    return fn
+
 _rng = np.random.default_rng(1234)
 _PERM_A = _rng.integers(1, 1 << 62, size=NUM_PERM).astype(np.uint64) | np.uint64(1)
 _PERM_B = _rng.integers(0, 1 << 62, size=NUM_PERM).astype(np.uint64)
@@ -442,15 +519,37 @@ def _jaccard_group(threshold: float):
     return fn
 
 
+BLOOM_MIN_CORPUS = 2_000_000  # docs; below this the overlapped plan wins
+
+
 def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
-                           num_partitions: int = 64):
+                           num_partitions: int = 64,
+                           bloom_prefilter: bool | None = None):
     """MinHash candidates verified with EXACT n-gram Jaccard — fully
     distributed: candidate pairs cogroup with the per-doc shingle-set
     table in hash partitions (union → groupby(part) → vectorized
     searchsorted merge), then a second partition-wise pass pairs the two
     sides and verifies.  No driver-side materialization; every exchange
-    moves narrow (ids + shingle-bytes) rows.  (Implemented as a manual
-    cogroup rather than ``Dataset.join``: Ray 2.49's hash join loses its
+    moves narrow (ids + shingle-bytes) rows.
+
+    ``bloom_prefilter`` picks between two scale shapes (None = auto by
+    corpus size):
+
+    - **False** (small corpus): one fully-overlapped streaming graph —
+      every doc's shingle set rides the attach exchange, but all three
+      all-to-alls hide under the candidate stage's critical path.
+    - **True** (large corpus): the candidate pair table is materialized
+      first (it is narrow: two int64s per pair, bucket-capped), a Bloom
+      bitmap of the candidate doc ids is OR-reduced from per-block
+      partials and broadcast, and the docs side is filtered through it
+      BEFORE shingling or shuffling — attach-exchange volume drops from
+      O(corpus) to O(candidates + FP).  False positives only add rows
+      that match no pair; the verified output is identical.  The barrier
+      costs ~2-3 s of lost overlap at sf0.1, which is why it is not the
+      small-corpus default.
+
+    (Implemented as a manual cogroup rather than ``Dataset.join``:
+    Ray 2.49's hash join loses its
     schema broadcast when an input's first block is empty — common for
     join/groupby outputs — and crashes on chained joins.)"""
     P = num_partitions
@@ -463,7 +562,23 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
     pairs = partitioned_buckets(
         exploded, ("band", "band_hash"), _bucket_pairs(MAX_BUCKET)
     )
-    shingled = docs_ds.map_batches(
+    if bloom_prefilter is None:
+        try:  # parquet-metadata count; no execution for read→project plans
+            bloom_prefilter = docs_ds.count() >= BLOOM_MIN_CORPUS
+        except Exception:
+            bloom_prefilter = False
+    docs_side = docs_ds
+    if bloom_prefilter:
+        # Bloom semi-join: only candidate(-ish) docs get shingled+shuffled.
+        import ray
+
+        pairs = pairs.materialize()  # narrow (a, b) table, consumed twice
+        bloom_ref = ray.put(pairs_bloom(pairs))
+        docs_side = docs_ds.map_batches(
+            make_bloom_filter_fn(bloom_ref),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+    shingled = docs_side.map_batches(
         shingle_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 

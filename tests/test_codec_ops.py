@@ -231,6 +231,40 @@ def test_minhash_verified_recall_vs_exact(ray_session):
     assert len(want) == 20  # the 20 planted pairs
     assert got == want
 
+    # the Bloom-semi-join plan (the large-corpus scale shape) must give
+    # the IDENTICAL verified pair set
+    got_bloom = {
+        (int(r["a"]), int(r["b"]))
+        for r in dedup.minhash_verified_pairs(
+            ray.data.from_arrow(t), 0.5, bloom_prefilter=True
+        ).take_all()
+    }
+    assert got_bloom == want
+
+
+def test_pairs_bloom_membership(ray_session):
+    """Bloom build/test round-trip: every inserted id tests positive and
+    the bitmap OR-reduce merges position- and bitmap-form partials."""
+    import ray.data
+
+    from engine.ops import dedup
+
+    a = np.arange(0, 5000, dtype=np.int64)
+    b = np.arange(10_000, 15_000, dtype=np.int64)
+    pairs = ray.data.from_arrow(pa.table({"a": a, "b": b}))
+    bm = np.unpackbits(
+        np.frombuffer(dedup.pairs_bloom(pairs), dtype=np.uint8)
+    ).view(bool)
+    ids = np.concatenate([a, b])
+    for pos in dedup._bloom_positions(ids):
+        assert bm[pos].all()
+    # absent ids: false-positive rate stays tiny at this fill
+    probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    hit = np.ones(len(probe), dtype=bool)
+    for pos in dedup._bloom_positions(probe):
+        hit &= bm[pos]
+    assert hit.mean() < 0.01
+
 
 def test_bucket_cap_bounds_degenerate_blowup(ray_session):
     """An adversarial all-identical corpus must complete with pair count
