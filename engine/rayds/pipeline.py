@@ -20,9 +20,14 @@ from engine.rayds.stages import (
     DwithinRefiner,
     JoinRefiner,
     NearestCenterStage,
+    _resolve,
     cell_encode,
     make_tile_assign,
 )
+
+# Broadcast budget for the anti-join matched-id set (~tens of MB of ids;
+# past this the exact cogroup fallback takes over).
+ANTI_BROADCAST_MAX_IDS = 2_000_000
 
 # actor-pool sizing: autoscale up to ~half the cluster CPUs (measured
 # optimum at 32 CPUs — leaves headroom for the fused read/derive tasks
@@ -199,11 +204,15 @@ def semi_anti_ids(sf_dir: str, anti: bool = False):
     - semi: distinct matched ids via the hash-shuffle ``grouped_count``
       (image_id cardinality grows with the input, so the tree-reduce
       single-block merge is the wrong plan — ``use_shuffle=True``).
-    - anti: hash-partitioned COGROUP — per-block match-count partials
-      (combiner) unioned with the tagged full id column, one
-      ``groupby(image_id).sum`` exchange, keep ids whose match count is
-      zero.  Nothing ever lands on the driver; the only all-to-all moves
-      (image_id, int64) rows.
+    - anti: the DISTINCT matched-id table (small: bounded by join
+      selectivity) is materialized; when it fits the broadcast budget it
+      is shipped once via ``ray.put`` and every image block filters
+      locally with Arrow's hashed ``is_in`` — no all-to-all at all.
+      Past the budget, the exact fallback is the hash-partitioned
+      COGROUP: per-block match-count partials (combiner) unioned with
+      the tagged full id column, one ``groupby(image_id).sum`` exchange,
+      keep ids whose match count is zero.  Either way the result is
+      exact and nothing unbounded lands on the driver.
     """
     import pyarrow.compute as pc
 
@@ -214,6 +223,28 @@ def semi_anti_ids(sf_dir: str, anti: bool = False):
         return shuffle.grouped_count(
             pairs, ["image_id"], out_col="n_matches", use_shuffle="auto"
         ).select_columns(["image_id"])
+
+    matched_ids = shuffle.grouped_count(
+        pairs, ["image_id"], out_col="n_matches", use_shuffle="auto"
+    ).select_columns(["image_id"]).materialize()
+    if matched_ids.count() <= ANTI_BROADCAST_MAX_IDS:
+        import ray
+
+        vs = pa.concat_tables(
+            matched_ids.iter_batches(batch_format="pyarrow")
+        )["image_id"].combine_chunks()
+        vs_ref = ray.put(vs)
+
+        def filter_unmatched(batch: pa.Table) -> pa.Table:
+            val = _resolve(vs_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch["image_id"], value_set=val))
+            )
+
+        return image_dataset(sf_dir).select_columns(["image_id"]).map_batches(
+            filter_unmatched, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
 
     def tag_zero(batch: pa.Table) -> pa.Table:
         return pa.table(
