@@ -139,6 +139,14 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+# per-band XOR salts: folding the band index into the bucket key keeps
+# the LSH explode's exchange rows at one int64 key (see minhash_batch)
+_BAND_SALTS = _mix64(
+    (np.arange(BANDS, dtype=np.uint64) + np.uint64(1))
+    * np.uint64(0x9E3779B97F4A7C15)
+)
+
+
 def _flat_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized 64-bit hash of every whitespace token of every doc.
 
@@ -242,7 +250,12 @@ def _shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
 
 
 def minhash_batch(batch: pa.Table) -> pa.Table:
-    """documents → one row per (doc_id, band, band_hash): the LSH explode.
+    """documents → one row per (doc_id, bucket): the LSH explode, with
+    the band index FOLDED into the bucket key (band-salted XOR) so the
+    exchange moves one int64 key instead of two — 25% narrower rows
+    through the biggest all-to-all.  A pair colliding in k bands still
+    yields k distinct bucket keys (band salts differ), so per-band
+    collision counts are preserved.
 
     Fully vectorized: per-perm minima via ``np.minimum.reduceat`` over the
     flat shingle array at doc offsets; band hashes via a polynomial fold
@@ -258,8 +271,7 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
-                "band": pa.array([], type=pa.int64()),
-                "band_hash": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
             }
         )
     segs = sh_off[:-1][ne]
@@ -273,11 +285,11 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
     for r in range(per_band):
         bh = bh * np.uint64(0x100000001B3) + bsig[:, :, r]
     bh = _mix64(bh.reshape(-1)).reshape(nd, BANDS)
+    bucket = bh ^ _BAND_SALTS[None, :]
     return pa.table(
         {
             "doc_id": pa.array(np.repeat(ids[ne], BANDS).astype(np.int64)),
-            "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int64), nd)),
-            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "bucket": pa.array(bucket.reshape(-1).view(np.int64)),
         }
     )
 
@@ -356,7 +368,7 @@ def partitioned_buckets(exploded, key_cols, bucket_fn, num_parts: int = 64):
 
 
 def _bucket_pairs(max_bucket: int = MAX_BUCKET):
-    """Within one (band, band_hash) bucket: doc pairs (a < b), capped."""
+    """Within one band-salted bucket: doc pairs (a < b), capped."""
 
     def fn(group: pa.Table) -> pa.Table:
         ids = np.sort(group["doc_id"].to_numpy())
@@ -381,7 +393,7 @@ def minhash_candidate_pairs(docs_ds, max_bucket: int = MAX_BUCKET):
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     pairs = partitioned_buckets(
-        exploded, ("band", "band_hash"), _bucket_pairs(max_bucket)
+        exploded, ("bucket",), _bucket_pairs(max_bucket)
     )
     from engine.rayds.shuffle import grouped_count
 
@@ -560,7 +572,7 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     pairs = partitioned_buckets(
-        exploded, ("band", "band_hash"), _bucket_pairs(MAX_BUCKET)
+        exploded, ("bucket",), _bucket_pairs(MAX_BUCKET)
     )
     if bloom_prefilter is None:
         try:  # parquet-metadata count; no execution for read→project plans
@@ -760,18 +772,23 @@ def simhash_band_cols(batch: pa.Table) -> pa.Table:
 
 
 def _simhash_explode(batch: pa.Table) -> pa.Table:
-    """(doc_id, simhash) → 4 rows (band_idx, band_val, doc_id, simhash)."""
+    """(doc_id, simhash) → 4 rows (bucket, doc_id, simhash); the 2-bit
+    band index and 16-bit band value pack exactly into one int64 bucket
+    key (band_idx<<16 | band_val) — one key column through the
+    exchange, zero collision risk."""
     sh = batch["simhash"].to_numpy().view(np.uint64)
     ids = batch["doc_id"].to_numpy()
     n = len(ids)
-    band_idx = np.repeat(np.arange(4, dtype=np.int64), n)
-    band_val = np.concatenate(
-        [((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64) for b in range(4)]
+    bucket = np.concatenate(
+        [
+            (np.int64(b) << np.int64(16))
+            | ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64)
+            for b in range(4)
+        ]
     )
     return pa.table(
         {
-            "band_idx": pa.array(band_idx),
-            "band_val": pa.array(band_val),
+            "bucket": pa.array(bucket),
             "doc_id": pa.array(np.tile(ids, 4)),
             "simhash": pa.array(np.tile(sh.view(np.int64), 4)),
         }
@@ -828,7 +845,7 @@ def simhash_near_pairs(docs_ds, max_ham: int = 8):
         _simhash_explode, batch_format="pyarrow", batch_size=None
     )
     pairs = partitioned_buckets(
-        exploded, ("band_idx", "band_val"), _simhash_bucket_pairs(max_ham)
+        exploded, ("bucket",), _simhash_bucket_pairs(max_ham)
     )
     # pair dedupe (min hamming per pair) via the engine's own hash
     # shuffle — Ray's groupby().min Aggregate costs ~20 s fixed overhead
