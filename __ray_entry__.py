@@ -561,6 +561,36 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_session_agg(sf_dir):
+    """SESSION-WINDOW aggregate: per user, events split into sessions at
+    >30-minute gaps; count + integer-cents sum per session.  One hash
+    exchange on user_id; per-partition sessionization fully vectorized
+    (lexsort + gap diff + reduceat)."""
+    import ray.data
+
+    from engine.rayds.shuffle import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return sessionize(proj, "user_id", "ts_us", gap_us=1_800_000_000,
+                      sum_col="cents")
+
+
 def _q_video_frames(sf_dir):
     """Video frame-sampling stage (deterministic fake codec): one row
     per sampled frame; the sampling arithmetic (n_frames = 4 + id%5,
@@ -663,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
+        "session_agg": _q_session_agg,
         "video_frames": _q_video_frames,
         "minhash_verified": _q_minhash_verified,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -849,6 +880,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "session_agg": """
+            WITH e AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), marked AS (
+                SELECT *,
+                       CASE WHEN LAG(ts_us) OVER w IS NULL
+                                 OR ts_us - LAG(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ), sess AS (
+                SELECT *,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   MIN(ts_us) AS session_start_us,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM sess GROUP BY user_id, sid
         """,
         "asof_click_view": """
             WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -266,3 +266,53 @@ def detect_hot_keys(ds, key: str, threshold_frac: float = 0.05, sample_blocks: i
         return []
     hot = counts[counts["cnt"] > threshold_frac * total]
     return list(hot[key])
+
+
+def sessionize(ds, key: str, ts_col: str, gap_us: int,
+               sum_col: str | None = None, num_parts: int = HASH_PARTS):
+    """SESSION-WINDOW aggregate: per ``key``, events ordered by ``ts_col``
+    split into sessions wherever the gap to the previous event exceeds
+    ``gap_us``; one output row per (key, session) with the session start,
+    event count and (optionally) an int64 sum of ``sum_col``.
+
+    Scale shape: ONE hash exchange on the key (same partitioned-cogroup
+    primitive as the LSH stages); inside each partition the whole
+    sessionization is vectorized — lexsort by (key, ts), gap diff,
+    boundary cumsum for session ids, ``np.add.reduceat`` segment
+    aggregates.  Session state never crosses partitions because a key
+    lives in exactly one partition; no per-key Python loop anywhere.
+    """
+    cols = [key, ts_col] + ([sum_col] if sum_col else [])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy()
+        order = np.lexsort((ts, k))
+        k, ts = k[order], ts[order]
+        n = len(k)
+        if n == 0:
+            out = {key: k, "session_start_us": ts,
+                   "n_events": np.empty(0, dtype=np.int64)}
+            if sum_col:
+                out["sum_cents"] = np.empty(0, dtype=np.int64)
+            return pa.table(out)
+        new_s = np.ones(n, dtype=bool)
+        same_key = k[1:] == k[:-1]
+        new_s[1:] = ~same_key | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.nonzero(new_s)[0]
+        counts = np.diff(np.append(starts, n))
+        out = {
+            key: k[starts],
+            "session_start_us": ts[starts],
+            "n_events": counts.astype(np.int64),
+        }
+        if sum_col:
+            v = g[sum_col].to_numpy()[order]
+            out["sum_cents"] = np.add.reduceat(v, starts).astype(np.int64)
+        return pa.table(out)
+
+    keyed = ds.select_columns(cols).map_batches(
+        add_hash_part([key], num_parts), batch_format="pyarrow", batch_size=None
+    )
+    return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")

@@ -507,3 +507,45 @@ def test_region_vectorize_holes_and_parts():
     out2 = fn(g2)
     assert out2["n_lit"][0].as_py() == 2
     assert out2["boundary_edges"][0].as_py() == 8
+
+
+def test_sessionize_matches_brute(ray_ready):
+    """Session-window aggregate vs a driver-side brute force: strict
+    >gap boundaries, ties at identical timestamps, keys spread over
+    many partitions, and per-session count/sum integrity."""
+    import ray.data
+
+    from engine.rayds.shuffle import sessionize
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    users = rng.integers(0, 200, size=n)
+    ts = np.sort(rng.integers(0, 10_000, size=n)).astype(np.int64)
+    # force ties and exact-gap edges
+    ts[1::50] = ts[0::50][: len(ts[1::50])]
+    cents = rng.integers(-50, 100, size=n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(users), "ts_us": pa.array(ts),
+                  "cents": pa.array(cents)})
+    GAP = 100
+    got = {
+        (int(r["user_id"]), int(r["session_start_us"])):
+            (int(r["n_events"]), int(r["sum_cents"]))
+        for r in sessionize(ray.data.from_arrow(t), "user_id", "ts_us",
+                            gap_us=GAP, sum_col="cents").take_all()
+    }
+    # brute force
+    want = {}
+    for u in np.unique(users):
+        uts = np.sort(ts[users == u], kind="stable")
+        uc = cents[users == u][np.argsort(ts[users == u], kind="stable")]
+        start, cnt, tot = int(uts[0]), 0, 0
+        prev = None
+        for tt, cc in zip(uts, uc):
+            if prev is not None and tt - prev > GAP:
+                want[(int(u), start)] = (cnt, tot)
+                start, cnt, tot = int(tt), 0, 0
+            cnt += 1
+            tot += int(cc)
+            prev = tt
+        want[(int(u), start)] = (cnt, tot)
+    assert got == want
