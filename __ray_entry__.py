@@ -561,6 +561,22 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_distinct_users(sf_dir):
+    """Per-event-type exact COUNT(DISTINCT user): per-block (type, user)
+    dedup combiner → one hash exchange on the type key → per-partition
+    distinct count.  The approximate scale path (per-block HyperLogLog
+    register partials, np.maximum tree-merge, 4 KB per partial) lives in
+    engine/ops/sketch.py and is pinned by an error-bound pytest."""
+    import ray.data
+
+    from engine.ops.sketch import distinct_count_exact
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count_exact(ds, "event_type", "user_id")
+
+
 def _q_session_agg(sf_dir):
     """SESSION-WINDOW aggregate: per user, events split into sessions at
     >30-minute gaps; count + integer-cents sum per session.  One hash
@@ -693,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
+        "distinct_users": _q_distinct_users,
         "session_agg": _q_session_agg,
         "video_frames": _q_video_frames,
         "minhash_verified": _q_minhash_verified,
@@ -880,6 +897,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "session_agg": """
             WITH e AS (

@@ -1,0 +1,137 @@
+"""Mergeable sketches + exact distinct-count plans.
+
+- ``distinct_count_exact``: per-group COUNT(DISTINCT value) with the
+  combiner-first shape — per-block dedup of (group, value) pairs (the
+  narrow combiner), ONE hash exchange on the group key, per-partition
+  exact distinct count.  Matches SQL exactly (the ★ oracle path).
+- ``hll_sketch`` / ``hll_merge`` / ``hll_count``: HyperLogLog with
+  2^P registers — the fixed-memory scale path when per-group value
+  cardinality is too large to exchange even deduped pairs.  Registers
+  are np.maximum-mergeable across blocks/partitions, so the whole
+  reduction is a tree of tiny fixed-size arrays regardless of input
+  size.  Error ≈ 1.04/sqrt(2^P) (~1.6% at P=12).
+
+No external sketch library: plain numpy over 64-bit mixed hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HLL_M = 1 << HLL_P
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    h = h.astype(np.uint64).copy()
+    h ^= h >> np.uint64(33)
+    h *= _MIX1
+    h ^= h >> np.uint64(29)
+    h *= _MIX2
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _hash_any(values) -> np.ndarray:
+    """uint64 hash of an int/string numpy-ish column."""
+    v = np.asarray(values)
+    if v.dtype.kind in "iu":
+        return _mix64(v.astype(np.uint64))
+    # strings/objects: stable per-value 64-bit FNV over utf-8 bytes
+    out = np.empty(len(v), dtype=np.uint64)
+    for i, s in enumerate(v):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in str(s).encode():
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+        out[i] = h
+    return _mix64(out)
+
+
+def hll_sketch(values) -> np.ndarray:
+    """(n,) values → (2^P,) uint8 register array (rank-of-first-one)."""
+    h = _hash_any(values)
+    reg = np.zeros(_HLL_M, dtype=np.uint8)
+    if len(h) == 0:
+        return reg
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of `rest` + 1, vectorized via bit length
+    lz = np.zeros(len(h), dtype=np.uint8)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += np.uint8(shift)
+        x[mask] <<= np.uint64(shift)
+    rank = lz + 1
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_count(reg: np.ndarray) -> float:
+    """Standard HLL estimate with small-range (linear counting) and
+    large-range corrections."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -reg.astype(np.float64))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    if est > (1 << 32) / 30.0:
+        return -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)
+
+
+def hll_distinct(ds, col: str) -> float:
+    """Approximate global COUNT(DISTINCT col): per-block fixed-size
+    register partials, np.maximum tree-merge on the driver (each partial
+    is 4 KB — driver cost bounded by block count, never rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = hll_sketch(batch[col].to_numpy(zero_copy_only=False))
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    acc = np.zeros(_HLL_M, dtype=np.uint8)
+    for r in rows:
+        acc = hll_merge(acc, np.frombuffer(r["reg"], dtype=np.uint8))
+    return hll_count(acc)
+
+
+def distinct_count_exact(ds, group_col: str, val_col: str,
+                         out_col: str = "n_distinct", num_parts: int = 64):
+    """Per-group exact COUNT(DISTINCT val): per-block (group, val) dedup
+    combiner → one hash exchange on the group key → per-partition
+    pyarrow group_by distinct count.  Exchange volume is the deduped
+    pair count, not the row count."""
+    from engine.rayds.shuffle import add_hash_part
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, val_col]).group_by(
+            [group_col, val_col]
+        ).aggregate([])
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"]).group_by(
+            [group_col, val_col]
+        ).aggregate([])
+        t = t.group_by([group_col]).aggregate([(val_col, "count")])
+        return t.rename_columns([group_col, out_col])
+
+    deduped = ds.select_columns([group_col, val_col]).map_batches(
+        dedup_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    keyed = deduped.map_batches(
+        add_hash_part([group_col], num_parts),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")

@@ -549,3 +549,45 @@ def test_sessionize_matches_brute(ray_ready):
             prev = tt
         want[(int(u), start)] = (cnt, tot)
     assert got == want
+
+
+def test_hll_error_bound_and_merge(ray_ready):
+    """HyperLogLog: estimate within ~5σ of exact on 100k distinct values;
+    register merge is associative/commutative and equals the one-shot
+    sketch; the Dataset plan matches the in-process sketch."""
+    import ray.data
+
+    from engine.ops import sketch
+
+    vals = np.arange(100_000, dtype=np.int64) * 7919 + 13
+    reg = sketch.hll_sketch(vals)
+    est = sketch.hll_count(reg)
+    assert abs(est - 100_000) / 100_000 < 0.05
+    # merge of halves == whole
+    r1 = sketch.hll_sketch(vals[:50_000])
+    r2 = sketch.hll_sketch(vals[50_000:])
+    merged = sketch.hll_merge(r1, r2)
+    assert np.array_equal(merged, reg)
+    # distributed plan: per-block partials + driver tree merge
+    t = pa.table({"v": pa.array(np.repeat(vals, 2))})  # dups collapse
+    est_ds = sketch.hll_distinct(ray.data.from_arrow(t), "v")
+    assert abs(est_ds - 100_000) / 100_000 < 0.05
+
+
+def test_distinct_count_exact_matches_brute(ray_ready):
+    import ray.data
+
+    from engine.ops import sketch
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 7, size=20_000)
+    v = rng.integers(0, 500, size=20_000)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    got = {
+        int(r["g"]): int(r["n_distinct"])
+        for r in sketch.distinct_count_exact(
+            ray.data.from_arrow(t), "g", "v"
+        ).take_all()
+    }
+    want = {int(k): len(np.unique(v[g == k])) for k in np.unique(g)}
+    assert got == want
