@@ -561,6 +561,33 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_value_quantiles(sf_dir):
+    """Per-event-type EXACT discrete quantiles of integer cents via
+    distributed counting (exchange volume = distinct (type, cents)
+    pairs, not rows — the 100-TB-exact-quantile shape)."""
+    import ray.data
+
+    from engine.ops.sketch import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": pa.array(
+                    np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    proj = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return grouped_quantiles(proj, "event_type", "cents")
+
+
 def _q_distinct_users(sf_dir):
     """Per-event-type exact COUNT(DISTINCT user): per-block (type, user)
     dedup combiner → one hash exchange on the type key → per-partition
@@ -709,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
+        "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
         "session_agg": _q_session_agg,
         "video_frames": _q_video_frames,
@@ -897,6 +925,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "value_quantiles": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS c
+                       FROM events)
+            SELECT event_type, 0.25 AS q,
+                   CAST(quantile_disc(c, 0.25) AS BIGINT) AS cents FROM e GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.5, CAST(quantile_disc(c, 0.5) AS BIGINT) FROM e GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.75, CAST(quantile_disc(c, 0.75) AS BIGINT) FROM e GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.95, CAST(quantile_disc(c, 0.95) AS BIGINT) FROM e GROUP BY 1
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct

@@ -135,3 +135,68 @@ def distinct_count_exact(ds, group_col: str, val_col: str,
         batch_format="pyarrow", batch_size=None,
     )
     return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, group_col: str, val_col: str,
+                      qs=(0.25, 0.5, 0.75, 0.95), num_parts: int = 64):
+    """Per-group EXACT discrete quantiles over an integer-valued column
+    by distributed counting: per-block (group, value) count combiner →
+    one hash exchange on the group key → per-partition sort + cumsum +
+    rank pick (rank = ceil(q·n), 1-indexed — SQL ``quantile_disc``
+    semantics).  Exchange volume is the distinct (group, value) pair
+    count — bounded by the value domain, not the row count, which is
+    what makes exact quantiles feasible at 100 TB on discretized
+    columns (cents, ms latencies, token counts…).
+
+    Output: one row per (group, q): (group_col, q, val_col)."""
+    from engine.rayds.shuffle import add_hash_part
+
+    qs = list(qs)
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, val_col]).group_by(
+            [group_col, val_col]
+        ).aggregate([([], "count_all")])
+        return t.rename_columns([group_col, val_col, "_cnt"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"]).group_by(
+            [group_col, val_col]
+        ).aggregate([("_cnt", "sum")])
+        t = t.rename_columns([group_col, val_col, "_cnt"])
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy()
+        c = t["_cnt"].to_numpy()
+        order = np.lexsort((v, g))
+        g, v, c = g[order], v[order], c[order]
+        new_g = np.ones(len(g), dtype=bool)
+        if len(g):
+            new_g[1:] = g[1:] != g[:-1]
+        starts = np.nonzero(new_g)[0]
+        out_g, out_q, out_v = [], [], []
+        for si, s in enumerate(starts):
+            e = starts[si + 1] if si + 1 < len(starts) else len(g)
+            cum = np.cumsum(c[s:e])
+            n = cum[-1]
+            for q in qs:
+                rank = int(np.ceil(q * n - 1e-9))
+                rank = max(1, min(rank, int(n)))
+                idx = int(np.searchsorted(cum, rank, side="left"))
+                out_g.append(g[s])
+                out_q.append(q)
+                out_v.append(v[s + idx])
+        return pa.table({
+            group_col: pa.array(out_g, type=t[group_col].type),
+            "q": pa.array(out_q, type=pa.float64()),
+            val_col: pa.array(np.asarray(out_v, dtype=np.int64)),
+        })
+
+    counted = ds.select_columns([group_col, val_col]).map_batches(
+        count_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    keyed = counted.map_batches(
+        add_hash_part([group_col], num_parts),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")

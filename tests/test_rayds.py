@@ -591,3 +591,30 @@ def test_distinct_count_exact_matches_brute(ray_ready):
     }
     want = {int(k): len(np.unique(v[g == k])) for k in np.unique(g)}
     assert got == want
+
+
+def test_grouped_quantiles_matches_brute(ray_ready):
+    """Exact counting-based quantiles vs numpy brute force under SQL
+    quantile_disc rank semantics (rank = ceil(q*n), 1-indexed)."""
+    import ray.data
+
+    from engine.ops.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 5, size=30_000)
+    v = rng.integers(-100, 100, size=30_000).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    got = {
+        (int(r["g"]), float(r["q"])): int(r["v"])
+        for r in grouped_quantiles(
+            ray.data.from_arrow(t), "g", "v"
+        ).take_all()
+    }
+    want = {}
+    for k in np.unique(g):
+        vs = np.sort(v[g == k])
+        n = len(vs)
+        for q in (0.25, 0.5, 0.75, 0.95):
+            rank = max(1, int(np.ceil(q * n - 1e-9)))
+            want[(int(k), q)] = int(vs[rank - 1])
+    assert got == want
