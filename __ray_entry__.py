@@ -561,6 +561,66 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_rasterize_cover(sf_dir):
+    """VECTOR→RASTER: burn every layer polygon onto the global 5-unit
+    grid — one row per (poly, cell) with the EXACT coverage area
+    (vectorized interval arithmetic; per-poly covering cell ranges via
+    floor bounds + repeat/arange explode, no Python loop per cell).
+    Completes the raster↔vector pair with tile_region_vectors."""
+    import ray.data
+
+    from engine.rayds.imagetab import load_layer
+
+    CELL = 5.0
+    layer = load_layer(sf_dir)
+    polys = pa.table(
+        {
+            "poly_id": pa.array(layer.poly_ids),
+            "xmin": pa.array(layer.bounds[:, 0]),
+            "ymin": pa.array(layer.bounds[:, 1]),
+            "xmax": pa.array(layer.bounds[:, 2]),
+            "ymax": pa.array(layer.bounds[:, 3]),
+        }
+    )
+
+    def burn(batch: pa.Table) -> pa.Table:
+        pid = batch["poly_id"].to_numpy()
+        x0 = batch["xmin"].to_numpy()
+        y0 = batch["ymin"].to_numpy()
+        x1 = batch["xmax"].to_numpy()
+        y1 = batch["ymax"].to_numpy()
+        ix0 = np.floor(x0 / CELL).astype(np.int64)
+        ix1 = np.ceil(x1 / CELL).astype(np.int64)  # exclusive
+        iy0 = np.floor(y0 / CELL).astype(np.int64)
+        iy1 = np.ceil(y1 / CELL).astype(np.int64)
+        nx = ix1 - ix0
+        ny = iy1 - iy0
+        per = nx * ny
+        total = int(per.sum())
+        rep = np.repeat(np.arange(len(pid), dtype=np.int64), per)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(per) - per, per
+        )
+        cx = ix0[rep] + within % nx[rep]
+        cy = iy0[rep] + within // nx[rep]
+        w = np.minimum(x1[rep], (cx + 1) * CELL) - np.maximum(x0[rep], cx * CELL)
+        h = np.minimum(y1[rep], (cy + 1) * CELL) - np.maximum(y0[rep], cy * CELL)
+        area = np.clip(w, 0, None) * np.clip(h, 0, None)
+        keep = area > 0
+        return pa.table(
+            {
+                "poly_id": pa.array(pid[rep][keep]),
+                "cell_x": pa.array(cx[keep]),
+                "cell_y": pa.array(cy[keep]),
+                "cover_area": pa.array(area[keep]),
+            }
+        )
+
+    return ray.data.from_arrow(polys).map_batches(
+        burn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_value_quantiles(sf_dir):
     """Per-event-type EXACT discrete quantiles of integer cents via
     distributed counting (exchange volume = distinct (type, cents)
@@ -736,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
+        "rasterize_cover": _q_rasterize_cover,
         "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
         "session_agg": _q_session_agg,
@@ -925,6 +986,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "rasterize_cover": f"""
+            WITH {_LAYER},
+            gx AS (SELECT unnest(range(0, 20)) AS cx),
+            gy AS (SELECT unnest(range(0, 20)) AS cy)
+            SELECT poly_id, CAST(cx AS BIGINT) AS cell_x,
+                   CAST(cy AS BIGINT) AS cell_y,
+                   (least(xmax, (cx + 1) * 5.0) - greatest(xmin, cx * 5.0)) *
+                   (least(ymax, (cy + 1) * 5.0) - greatest(ymin, cy * 5.0))
+                       AS cover_area
+            FROM layer, gx, gy
+            WHERE least(xmax, (cx + 1) * 5.0) > greatest(xmin, cx * 5.0)
+              AND least(ymax, (cy + 1) * 5.0) > greatest(ymin, cy * 5.0)
         """,
         "value_quantiles": """
             WITH e AS (SELECT event_type,
