@@ -561,6 +561,48 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_order_revenue(sf_dir):
+    """Generic distributed EQUI-JOIN showcase (TPC-H-shaped): orders ⋈
+    lineitem on orderkey through the engine's one-exchange tagged-union
+    hash join, then revenue (exact basis-point int64) per order
+    priority via the hash-shuffle aggregate."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_equi_join, hash_shuffle_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_equi_join(
+        orders, lineitem, "o_orderkey", "l_orderkey",
+        ["o_orderpriority"], ["l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bp = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0
+        ).astype(np.int64)
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "_bp": pa.array(bp),
+             "_n": pa.array(np.ones(len(batch), dtype=np.int64))}
+        )
+        t = t.group_by(["o_orderpriority"]).aggregate(
+            [("_bp", "sum"), ("_n", "sum")]
+        )
+        return t.rename_columns(["o_orderpriority", "_bp", "_n"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return hash_shuffle_agg(
+        partials, ["o_orderpriority"], [("_bp", "sum"), ("_n", "sum")],
+        ["revenue_bp", "n_items"],
+    )
+
+
 def _q_rasterize_cover(sf_dir):
     """VECTOR→RASTER: burn every layer polygon onto the global 5-unit
     grid — one row per (poly, cell) with the EXACT coverage area
@@ -796,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": _q_embed_dedup,
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
+        "order_revenue": _q_order_revenue,
         "rasterize_cover": _q_rasterize_cover,
         "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
@@ -986,6 +1029,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "order_revenue": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                       * 10000.0) AS BIGINT)) AS BIGINT)
+                       AS revenue_bp,
+                   count(*) AS n_items
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "rasterize_cover": f"""
             WITH {_LAYER},

@@ -316,3 +316,59 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
         add_hash_part([key], num_parts), batch_format="pyarrow", batch_size=None
     )
     return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+
+
+def hash_equi_join(left, right, left_on: str, right_on: str,
+                   left_cols: list[str], right_cols: list[str],
+                   num_parts: int = HASH_PARTS):
+    """Generic distributed EQUI-JOIN (inner): both sides are tagged and
+    hash-partitioned on the join key in ONE union exchange; inside each
+    partition the two sides are split back out and joined with pyarrow's
+    vectorized hash join.  (Manual cogroup instead of ``Dataset.join``
+    for the Ray 2.49 empty-first-block schema bug — see
+    engine/ops/dedup.py docstring.)
+
+    Key co-location is by hash, so no partition ever needs the other's
+    rows; exchange volume is the two projected inputs, once each.
+    """
+    lcols, rcols = list(left_cols), list(right_cols)
+    # resolve output column types once from the input schemas (closure
+    # state — serialized with the tag fns, safe under concurrent joins)
+    types = {}
+    ls, rs = left.schema(), right.schema()
+    for c in lcols:
+        types[c] = ls.base_schema.field(c).type
+    for c in rcols:
+        types[c] = rs.base_schema.field(c).type
+
+    def tag(side: int, on: str, keep: list[str], other: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {"_k": batch[on], "_side": pa.array(np.full(n, side, dtype=np.int8))}
+            for c in keep:
+                cols[c] = batch[c]
+            for c in other:
+                cols[c] = pa.nulls(n, type=types[c])
+            return pa.table(cols)
+        return fn
+
+    lt = left.select_columns([left_on] + lcols).map_batches(
+        tag(0, left_on, lcols, rcols), batch_format="pyarrow", batch_size=None
+    )
+    rt = right.select_columns([right_on] + rcols).map_batches(
+        tag(1, right_on, rcols, lcols), batch_format="pyarrow", batch_size=None
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        side = g["_side"].to_numpy()
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        ltab = g.take(pa.array(li)).select(["_k"] + lcols)
+        rtab = g.take(pa.array(ri)).select(["_k"] + rcols)
+        return ltab.join(rtab, keys=["_k"], join_type="inner")
+
+    keyed = lt.union(rt).map_batches(
+        add_hash_part(["_k"], num_parts), batch_format="pyarrow", batch_size=None
+    )
+    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")

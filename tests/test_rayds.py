@@ -618,3 +618,31 @@ def test_grouped_quantiles_matches_brute(ray_ready):
             rank = max(1, int(np.ceil(q * n - 1e-9)))
             want[(int(k), q)] = int(vs[rank - 1])
     assert got == want
+
+
+def test_hash_equi_join_matches_brute(ray_ready):
+    """Generic tagged-union hash join vs a driver brute force, incl.
+    duplicate keys on both sides (cartesian within key) and unmatched
+    keys dropping (inner semantics)."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_equi_join
+
+    rng = np.random.default_rng(5)
+    lk = rng.integers(0, 50, size=2000)
+    rk = rng.integers(25, 75, size=1500)
+    lt = pa.table({"k": pa.array(lk), "a": pa.array(np.arange(2000))})
+    rt = pa.table({"j": pa.array(rk), "b": pa.array(np.arange(1500) * 10)})
+    got = sorted(
+        (int(r["_k"]), int(r["a"]), int(r["b"]))
+        for r in hash_equi_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            "k", "j", ["a"], ["b"]
+        ).take_all()
+    )
+    want = sorted(
+        (int(k), int(a), int(b * 10))
+        for i, (k, a) in enumerate(zip(lk, np.arange(2000)))
+        for b, kk in zip(np.arange(1500), rk) if kk == k
+    )
+    assert got == want and len(got) > 0
