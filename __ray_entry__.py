@@ -568,7 +568,7 @@ def _q_order_revenue(sf_dir):
     priority via the hash-shuffle aggregate."""
     import ray.data
 
-    from engine.rayds.shuffle import hash_equi_join, hash_shuffle_agg
+    from engine.rayds.shuffle import equi_join
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
@@ -577,7 +577,7 @@ def _q_order_revenue(sf_dir):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    joined = hash_equi_join(
+    joined = equi_join(
         orders, lineitem, "o_orderkey", "l_orderkey",
         ["o_orderpriority"], ["l_extendedprice", "l_discount"],
     )
@@ -596,10 +596,25 @@ def _q_order_revenue(sf_dir):
         )
         return t.rename_columns(["o_orderpriority", "_bp", "_n"])
 
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["o_orderpriority"]).aggregate(
+            [("_bp", "sum"), ("_n", "sum")]
+        )
+        return t.rename_columns(["o_orderpriority", "_bp", "_n"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        return merge(batch).rename_columns(
+            ["o_orderpriority", "revenue_bp", "n_items"]
+        )
+
+    # o_orderpriority has constant (5-value) cardinality — tree reduce,
+    # no exchange (the hash-shuffle merge is for unbounded key spaces)
     partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    return hash_shuffle_agg(
-        partials, ["o_orderpriority"], [("_bp", "sum"), ("_n", "sum")],
-        ["revenue_bp", "n_items"],
+    return (
+        partials.repartition(8)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -372,3 +372,58 @@ def hash_equi_join(left, right, left_on: str, right_on: str,
         add_hash_part(["_k"], num_parts), batch_format="pyarrow", batch_size=None
     )
     return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
+BROADCAST_JOIN_MAX_ROWS = 1_000_000  # small-side budget for the map-side plan
+
+
+def broadcast_equi_join(small, large, small_on: str, large_on: str,
+                        small_cols: list[str], large_cols: list[str]):
+    """Map-side EQUI-JOIN (inner): the small side is collected once
+    (bounded by the caller's budget), shipped via ``ray.put`` and joined
+    against every large-side block inside ``map_batches`` with pyarrow's
+    hash join — the large side never shuffles at all."""
+    import ray
+
+    st = pa.concat_tables(
+        small.select_columns([small_on] + small_cols)
+        .iter_batches(batch_format="pyarrow")
+    ).rename_columns(["_k"] + small_cols)
+    ref = ray.put(st.combine_chunks())
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+        tab = _BCAST_CACHE.get(key)
+        if tab is None:
+            tab = ray.get(ref) if hasattr(ref, "hex") else ref
+            _BCAST_CACHE[key] = tab
+        lt = batch.select([large_on] + large_cols).rename_columns(
+            ["_k"] + large_cols
+        )
+        return tab.join(lt, keys=["_k"], join_type="inner")
+
+    return large.select_columns([large_on] + large_cols).map_batches(
+        join_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+_BCAST_CACHE: dict = {}
+
+
+def equi_join(left, right, left_on: str, right_on: str,
+              left_cols: list[str], right_cols: list[str],
+              num_parts: int = HASH_PARTS):
+    """Adaptive inner equi-join: broadcast the left side map-side when it
+    fits ``BROADCAST_JOIN_MAX_ROWS`` (the small-dimension-table case —
+    zero shuffles), else the generic tagged-union hash join (big-big)."""
+    try:
+        n = left.count()
+    except Exception:
+        n = None
+    if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+        return broadcast_equi_join(
+            left, right, left_on, right_on, left_cols, right_cols
+        )
+    return hash_equi_join(
+        left, right, left_on, right_on, left_cols, right_cols, num_parts
+    )

@@ -646,3 +646,30 @@ def test_hash_equi_join_matches_brute(ray_ready):
         for b, kk in zip(np.arange(1500), rk) if kk == k
     )
     assert got == want and len(got) > 0
+
+
+def test_broadcast_equi_join_matches_hash(ray_ready):
+    """Map-side broadcast join ≡ tagged-union hash join on the same data
+    (the adaptive equi_join picks between them by small-side size)."""
+    import ray.data
+
+    from engine.rayds.shuffle import broadcast_equi_join, hash_equi_join
+
+    rng = np.random.default_rng(6)
+    lk = rng.integers(0, 40, size=300)
+    rk = rng.integers(20, 60, size=4000)
+    lt = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk), "a": pa.array(np.arange(300))})
+    )
+    rt = ray.data.from_arrow(
+        pa.table({"j": pa.array(rk), "b": pa.array(np.arange(4000))})
+    )
+    b = sorted(
+        (int(r["_k"]), int(r["a"]), int(r["b"]))
+        for r in broadcast_equi_join(lt, rt, "k", "j", ["a"], ["b"]).take_all()
+    )
+    h = sorted(
+        (int(r["_k"]), int(r["a"]), int(r["b"]))
+        for r in hash_equi_join(lt, rt, "k", "j", ["a"], ["b"]).take_all()
+    )
+    assert b == h and len(b) > 0
