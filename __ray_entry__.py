@@ -805,6 +805,31 @@ def _q_doc_fingerprint(sf_dir):
     )
 
 
+def _q_dedup_clusters(sf_dir):
+    """CONNECTED COMPONENTS over the similarity graph (every
+    consecutive pair with exact 3-gram Jaccard ≥ 0.01 — the synthetic
+    corpus has no true near-dup runs, so the low threshold makes a
+    real multi-hop graph): doc → cluster representative (min doc id),
+    via iterative hash-min label propagation + pointer jumping
+    (engine/ops/graph.py)."""
+    import pyarrow.compute as pc
+
+    from engine.ops import dedup
+    from engine.ops.graph import connected_components
+
+    pairs = dedup.consecutive_jaccard(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["jaccard"], 0.01)).select(
+            ["a", "b"]
+        )
+
+    edges = pairs.map_batches(thresh, batch_format="pyarrow", batch_size=None)
+    return connected_components(edges)
+
+
 def _q_ngram_jaccard(sf_dir):
     """Exact word-3-gram Jaccard for every consecutive doc pair — the
     oracle-checkable form of the dedup verify kernel (one shuffle;
@@ -864,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "doc_fingerprint": _q_doc_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1238,6 +1264,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex FROM documents
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE ej AS (
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3
+                            THEN list_distinct(list_transform(
+                                 generate_series(1, len(ws) - 2),
+                                 i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2]))
+                            ELSE [array_to_string(ws, chr(1))]
+                       END AS s
+                FROM w
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ),
+            e1 AS (SELECT a, b FROM ej WHERE jaccard >= 0.01),
+            e2 AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+            nodes AS (SELECT DISTINCT a AS n FROM e2),
+            reach(src, dst) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e2 e ON e.a = r.dst
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "ngram_jaccard": """
             WITH w AS (

@@ -673,3 +673,48 @@ def test_broadcast_equi_join_matches_hash(ray_ready):
         for r in hash_equi_join(lt, rt, "k", "j", ["a"], ["b"]).take_all()
     )
     assert b == h and len(b) > 0
+
+
+def test_connected_components_plans_agree(ray_ready):
+    """Single-task vectorized CC ≡ iterative distributed hash-min +
+    pointer-jumping rounds, on a random graph with chains, cliques and
+    singleton edges; both match a brute-force union-find."""
+    import ray.data
+
+    from engine.ops.graph import connected_components
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 400, size=600).astype(np.int64)
+    b = rng.integers(0, 400, size=600).astype(np.int64)
+    keep = a != b
+    t = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+    small = sorted(
+        (int(r["doc_id"]), int(r["cluster_id"]))
+        for r in connected_components(ray.data.from_arrow(t)).take_all()
+    )
+    # iterative distributed rounds: a tiny multi-component graph (chain +
+    # triangle + pair) — each round costs real exchanges, so the big
+    # random graph above stays on the single-task plan
+    t2 = pa.table({"a": pa.array([5, 6, 7, 20, 21, 20, 30], type=pa.int64()),
+                   "b": pa.array([6, 7, 8, 21, 22, 22, 31], type=pa.int64())})
+    big = sorted(
+        (int(r["doc_id"]), int(r["cluster_id"]))
+        for r in connected_components(
+            ray.data.from_arrow(t2), small_graph_rows=0
+        ).take_all()
+    )
+    assert big == [(5, 5), (6, 5), (7, 5), (8, 5), (20, 20), (21, 20),
+                   (22, 20), (30, 30), (31, 30)]
+    # brute union-find
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for x, y in zip(a[keep], b[keep]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = sorted((n, find(n)) for n in parent)
+    assert small == want
