@@ -374,6 +374,48 @@ def _q_sample_images(sf_dir):
     )
 
 
+def _q_stratified_sample(sf_dir):
+    """STRATIFIED deterministic sampling: the 50 events with smallest
+    md5(event_id) per event_type — the per-class train/eval split of a
+    training-data pipeline, reproducible on any cluster size.  Scale
+    shape: per-block local top-K per group (combiner) → one exchange on
+    the group key → per-group final top-K."""
+    import hashlib
+
+    import ray.data
+
+    from engine.rayds.shuffle import add_hash_part
+
+    K = 50
+
+    def topk_tbl(tbl: pa.Table) -> pa.Table:
+        ids = tbl["event_id"].to_numpy()
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        h = np.asarray(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        keep: list[int] = []
+        for t in np.unique(et):
+            idx = np.nonzero(et == t)[0]
+            order = np.lexsort((ids[idx], h[idx]))[:K]
+            keep.extend(idx[order].tolist())
+        keep_arr = np.sort(np.asarray(keep, dtype=np.int64))
+        return tbl.take(pa.array(keep_arr))
+
+    def final(group: pa.Table) -> pa.Table:
+        return topk_tbl(group.drop_columns(["_part"]))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
+    )
+    local = ds.map_batches(topk_tbl, batch_format="pyarrow", batch_size=None)
+    keyed = local.map_batches(
+        add_hash_part(["event_type"]), batch_format="pyarrow", batch_size=None
+    )
+    return keyed.groupby("_part").map_groups(final, batch_format="pyarrow")
+
+
 def _q_lang_topwords(sf_dir):
     """Per-GROUP top-k (windowed ranking): top-5 words per detected
     language — combiner-first (lang, word) counts then a tiny per-lang
@@ -864,6 +906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_region_vectors": _q_tile_region_vectors,
         "sample_images": _q_sample_images,
         "lang_topwords": _q_lang_topwords,
+        "stratified_sample": _q_stratified_sample,
         "wkb_roundtrip": _q_wkb_roundtrip,
         "wkbz_roundtrip": _q_wkbz_roundtrip,
         "affine_bounds": _q_affine_bounds,
@@ -920,6 +963,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT poly_id, {_TILE} AS tile_id, count(*) AS n_images
             FROM imgs JOIN layer ON {_COVERS}
             GROUP BY 1, 2
+        """,
+        "stratified_sample": """
+            WITH r AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_type, event_id FROM r WHERE rn <= 50
         """,
         "sample_images": f"""
             WITH {_IMGS}

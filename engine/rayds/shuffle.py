@@ -281,6 +281,12 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
     boundary cumsum for session ids, ``np.add.reduceat`` segment
     aggregates.  Session state never crosses partitions because a key
     lives in exactly one partition; no per-key Python loop anywhere.
+
+    Skew assumption (shared with every per-key windowed operator): ONE
+    key's events must fit a partition.  A pathological hot key (10^9
+    events for one user) needs a time-range pre-split with boundary
+    stitching — not implemented; detect with
+    ``detect_hot_keys`` and pre-filter or split upstream.
     """
     cols = [key, ts_col] + ([sum_col] if sum_col else [])
 
