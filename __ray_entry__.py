@@ -603,6 +603,60 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_cust_urgent(sf_dir):
+    """LEFT OUTER equi-join showcase: customers ⋈ urgent orders — per
+    market segment, total joined rows and how many customers have NO
+    urgent order (null right side).  Outer joins always take the
+    tagged-union hash plan (key co-location makes pyarrow's outer join
+    partition-local)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import hash_equi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderpriority"],
+    )
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey", "o_orderkey"])
+
+    joined = hash_equi_join(
+        cust, orders.map_batches(urgent, batch_format="pyarrow", batch_size=None),
+        "c_custkey", "o_custkey", ["c_mktsegment"], ["o_orderkey"],
+        join_type="left outer",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nulls = pc.is_null(batch["o_orderkey"])
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "_n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "_un": pa.array(nulls.to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            }
+        )
+        t = t.group_by(["c_mktsegment"]).aggregate([("_n", "sum"), ("_un", "sum")])
+        return t.rename_columns(["c_mktsegment", "_n", "_un"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["c_mktsegment"]).aggregate([("_n", "sum"), ("_un", "sum")])
+        return t.rename_columns(["c_mktsegment", "n_rows", "n_unmatched"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_order_revenue(sf_dir):
     """Generic distributed EQUI-JOIN showcase (TPC-H-shaped): orders ⋈
     lineitem on orderkey through the engine's one-exchange tagged-union
@@ -922,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psnr_validate": _q_psnr_validate,
         "img_features": _q_img_features,
         "order_revenue": _q_order_revenue,
+        "cust_urgent": _q_cust_urgent,
         "rasterize_cover": _q_rasterize_cover,
         "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
@@ -1124,6 +1179,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "cust_urgent": """
+            SELECT c_mktsegment,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unmatched
+            FROM customer LEFT JOIN
+                 (SELECT o_custkey, o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT') o
+              ON o.o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "order_revenue": """
             SELECT o_orderpriority,

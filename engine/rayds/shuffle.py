@@ -326,8 +326,10 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
 
 def hash_equi_join(left, right, left_on: str, right_on: str,
                    left_cols: list[str], right_cols: list[str],
-                   num_parts: int = HASH_PARTS):
-    """Generic distributed EQUI-JOIN (inner): both sides are tagged and
+                   num_parts: int = HASH_PARTS, join_type: str = "inner"):
+    """Generic distributed EQUI-JOIN (inner / left outer / right outer /
+    full outer — key co-location by hash makes every pyarrow join type
+    partition-local): both sides are tagged and
     hash-partitioned on the join key in ONE union exchange; inside each
     partition the two sides are split back out and joined with pyarrow's
     vectorized hash join.  (Manual cogroup instead of ``Dataset.join``
@@ -372,7 +374,7 @@ def hash_equi_join(left, right, left_on: str, right_on: str,
         ri = np.nonzero(side == 1)[0]
         ltab = g.take(pa.array(li)).select(["_k"] + lcols)
         rtab = g.take(pa.array(ri)).select(["_k"] + rcols)
-        return ltab.join(rtab, keys=["_k"], join_type="inner")
+        return ltab.join(rtab, keys=["_k"], join_type=join_type)
 
     keyed = lt.union(rt).map_batches(
         add_hash_part(["_k"], num_parts), batch_format="pyarrow", batch_size=None
@@ -418,18 +420,23 @@ _BCAST_CACHE: dict = {}
 
 def equi_join(left, right, left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
-              num_parts: int = HASH_PARTS):
-    """Adaptive inner equi-join: broadcast the left side map-side when it
-    fits ``BROADCAST_JOIN_MAX_ROWS`` (the small-dimension-table case —
-    zero shuffles), else the generic tagged-union hash join (big-big)."""
-    try:
-        n = left.count()
-    except Exception:
-        n = None
-    if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
-        return broadcast_equi_join(
-            left, right, left_on, right_on, left_cols, right_cols
-        )
+              num_parts: int = HASH_PARTS, join_type: str = "inner"):
+    """Adaptive equi-join: broadcast the left side map-side when the join
+    is inner and the left side fits ``BROADCAST_JOIN_MAX_ROWS`` (the
+    small-dimension-table case — zero shuffles), else the generic
+    tagged-union hash join (big-big; all pyarrow join types — outer
+    joins always take this path, since a per-batch broadcast join would
+    emit unmatched preserved rows once per batch)."""
+    if join_type == "inner":
+        try:
+            n = left.count()
+        except Exception:
+            n = None
+        if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+            return broadcast_equi_join(
+                left, right, left_on, right_on, left_cols, right_cols
+            )
     return hash_equi_join(
-        left, right, left_on, right_on, left_cols, right_cols, num_parts
+        left, right, left_on, right_on, left_cols, right_cols, num_parts,
+        join_type=join_type,
     )

@@ -718,3 +718,37 @@ def test_connected_components_plans_agree(ray_ready):
             parent[max(rx, ry)] = min(rx, ry)
     want = sorted((n, find(n)) for n in parent)
     assert small == want
+
+
+def test_hash_equi_join_outer_types(ray_ready):
+    """left/right/full outer joins vs brute force (unmatched rows keep
+    nulls on the other side; key co-location makes them partition-local)."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_equi_join
+
+    lt = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 5], type=pa.int64()),
+                  "a": pa.array([10, 20, 21, 50], type=pa.int64())})
+    )
+    rt = ray.data.from_arrow(
+        pa.table({"j": pa.array([2, 3], type=pa.int64()),
+                  "b": pa.array([200, 300], type=pa.int64())})
+    )
+
+    def rows(jt):
+        return sorted(
+            (int(r["_k"]),
+             None if r["a"] is None else int(r["a"]),
+             None if r["b"] is None else int(r["b"]))
+            for r in hash_equi_join(lt, rt, "k", "j", ["a"], ["b"],
+                                    join_type=jt).take_all()
+        )
+
+    assert rows("left outer") == [(1, 10, None), (2, 20, 200),
+                                  (2, 21, 200), (5, 50, None)]
+    assert rows("right outer") == [(2, 20, 200), (2, 21, 200),
+                                   (3, None, 300)]
+    assert rows("full outer") == [(1, 10, None), (2, 20, 200),
+                                  (2, 21, 200), (3, None, 300),
+                                  (5, 50, None)]
