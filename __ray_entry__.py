@@ -606,13 +606,14 @@ def _q_img_features(sf_dir):
 def _q_cust_urgent(sf_dir):
     """LEFT OUTER equi-join showcase: customers ⋈ urgent orders — per
     market segment, total joined rows and how many customers have NO
-    urgent order (null right side).  Outer joins always take the
-    tagged-union hash plan (key co-location makes pyarrow's outer join
-    partition-local)."""
+    urgent order (null right side).  The adaptive plan streams the
+    preserved (left) side and broadcasts the small right side; past the
+    broadcast budget the tagged-union hash plan takes over (key
+    co-location makes pyarrow's outer join partition-local)."""
     import pyarrow.compute as pc
     import ray.data
 
-    from engine.rayds.shuffle import hash_equi_join
+    from engine.rayds.shuffle import equi_join
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -627,7 +628,7 @@ def _q_cust_urgent(sf_dir):
             pc.equal(batch["o_orderpriority"], "1-URGENT")
         ).select(["o_custkey", "o_orderkey"])
 
-    joined = hash_equi_join(
+    joined = equi_join(
         cust, orders.map_batches(urgent, batch_format="pyarrow", batch_size=None),
         "c_custkey", "o_custkey", ["c_mktsegment"], ["o_orderkey"],
         join_type="left outer",

@@ -386,11 +386,19 @@ BROADCAST_JOIN_MAX_ROWS = 1_000_000  # small-side budget for the map-side plan
 
 
 def broadcast_equi_join(small, large, small_on: str, large_on: str,
-                        small_cols: list[str], large_cols: list[str]):
-    """Map-side EQUI-JOIN (inner): the small side is collected once
-    (bounded by the caller's budget), shipped via ``ray.put`` and joined
-    against every large-side block inside ``map_batches`` with pyarrow's
-    hash join — the large side never shuffles at all."""
+                        small_cols: list[str], large_cols: list[str],
+                        preserve_large: bool = False):
+    """Map-side EQUI-JOIN: the small side is collected once (bounded by
+    the caller's budget), shipped via ``ray.put`` and joined against
+    every large-side block inside ``map_batches`` with pyarrow's hash
+    join — the large side never shuffles at all.
+
+    ``preserve_large=False`` → inner join.  ``preserve_large=True`` →
+    the STREAMED (large) side is outer-preserved: each large row appears
+    once, with nulls where the broadcast side has no match — valid
+    per-batch because the preserved side is the streamed side (the
+    broadcast side can never be outer-preserved map-side: its unmatched
+    rows would be re-emitted by every batch)."""
     import ray
 
     st = pa.concat_tables(
@@ -408,6 +416,10 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
         lt = batch.select([large_on] + large_cols).rename_columns(
             ["_k"] + large_cols
         )
+        if preserve_large:
+            return lt.join(tab, keys=["_k"], join_type="left outer").select(
+                ["_k"] + list(small_cols) + list(large_cols)
+            )
         return tab.join(lt, keys=["_k"], join_type="inner")
 
     return large.select_columns([large_on] + large_cols).map_batches(
@@ -427,14 +439,33 @@ def equi_join(left, right, left_on: str, right_on: str,
     tagged-union hash join (big-big; all pyarrow join types — outer
     joins always take this path, since a per-batch broadcast join would
     emit unmatched preserved rows once per batch)."""
-    if join_type == "inner":
+    def _count(ds):
         try:
-            n = left.count()
+            return ds.count()
         except Exception:
-            n = None
+            return None
+
+    if join_type == "inner":
+        n = _count(left)
         if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
             return broadcast_equi_join(
                 left, right, left_on, right_on, left_cols, right_cols
+            )
+    elif join_type == "left outer":
+        # the preserved side must be the STREAMED one — broadcast the
+        # right side when it fits
+        n = _count(right)
+        if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+            return broadcast_equi_join(
+                right, left, right_on, left_on, right_cols, left_cols,
+                preserve_large=True,
+            )
+    elif join_type == "right outer":
+        n = _count(left)
+        if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+            return broadcast_equi_join(
+                left, right, left_on, right_on, left_cols, right_cols,
+                preserve_large=True,
             )
     return hash_equi_join(
         left, right, left_on, right_on, left_cols, right_cols, num_parts,

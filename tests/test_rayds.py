@@ -752,3 +752,34 @@ def test_hash_equi_join_outer_types(ray_ready):
     assert rows("full outer") == [(1, 10, None), (2, 20, 200),
                                   (2, 21, 200), (3, None, 300),
                                   (5, 50, None)]
+
+
+def test_equi_join_broadcast_outer_matches_hash(ray_ready):
+    """Adaptive broadcast outer plans ≡ hash-exchange outer plans."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, hash_equi_join
+
+    rng = np.random.default_rng(17)
+    lt = ray.data.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 30, size=500), type=pa.int64()),
+        "a": pa.array(np.arange(500), type=pa.int64())}))
+    rt = ray.data.from_arrow(pa.table({
+        "j": pa.array(rng.integers(15, 45, size=200), type=pa.int64()),
+        "b": pa.array(np.arange(200), type=pa.int64())}))
+    for jt in ("left outer", "right outer"):
+        adaptive = sorted(
+            (int(r["_k"]),
+             None if r["a"] is None else int(r["a"]),
+             None if r["b"] is None else int(r["b"]))
+            for r in equi_join(lt, rt, "k", "j", ["a"], ["b"],
+                               join_type=jt).take_all()
+        )
+        hashed = sorted(
+            (int(r["_k"]),
+             None if r["a"] is None else int(r["a"]),
+             None if r["b"] is None else int(r["b"]))
+            for r in hash_equi_join(lt, rt, "k", "j", ["a"], ["b"],
+                                    join_type=jt).take_all()
+        )
+        assert adaptive == hashed and len(adaptive) > 0
