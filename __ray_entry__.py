@@ -603,6 +603,64 @@ def _q_img_features(sf_dir):
     return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
 
 
+def _q_pricing_summary(sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem: per
+    (returnflag, linestatus) the exact integer-scaled sums — quantity,
+    base price cents, discounted price basis points, charge at 1e-6
+    scale — plus row count.  Combiner-first per block, tree reduce
+    (constant 4-group key cardinality)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy()
+        d = batch["l_discount"].to_numpy()
+        tx = batch["l_tax"].to_numpy()
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "_q": pa.array(np.floor(batch["l_quantity"].to_numpy())
+                               .astype(np.int64)),
+                "_b": pa.array(np.floor(ep * 100.0).astype(np.int64)),
+                "_d": pa.array(np.floor(ep * (1.0 - d) * 10000.0)
+                               .astype(np.int64)),
+                "_c": pa.array(np.floor(ep * (1.0 - d) * (1.0 + tx)
+                                        * 1000000.0).astype(np.int64)),
+                "_n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        t = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("_q", "sum"), ("_b", "sum"), ("_d", "sum"), ("_c", "sum"),
+             ("_n", "sum")]
+        )
+        return t.rename_columns(
+            ["l_returnflag", "l_linestatus", "_q", "_b", "_d", "_c", "_n"]
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("_q", "sum"), ("_b", "sum"), ("_d", "sum"), ("_c", "sum"),
+             ("_n", "sum")]
+        )
+        return t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+             "sum_disc_bp", "sum_charge_6", "count_order"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_cust_urgent(sf_dir):
     """LEFT OUTER equi-join showcase: customers ⋈ urgent orders — per
     market segment, total joined rows and how many customers have NO
@@ -978,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_features": _q_img_features,
         "order_revenue": _q_order_revenue,
         "cust_urgent": _q_cust_urgent,
+        "pricing_summary": _q_pricing_summary,
         "rasterize_cover": _q_rasterize_cover,
         "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
@@ -1180,6 +1239,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                       * 10000.0) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_bp,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                       * (1.0 + l_tax) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS sum_charge_6,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "cust_urgent": """
             SELECT c_mktsegment,
