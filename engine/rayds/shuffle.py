@@ -342,12 +342,16 @@ def hash_equi_join(left, right, left_on: str, right_on: str,
     lcols, rcols = list(left_cols), list(right_cols)
     # resolve output column types once from the input schemas (closure
     # state — serialized with the tag fns, safe under concurrent joins)
+    # a side whose schema can't be resolved is EMPTY (Ray 2.49 drops the
+    # schema of all-empty-block datasets) — default that side's nulls to
+    # int64; its rows contribute nothing to the join output anyway
     types = {}
-    ls, rs = left.schema(), right.schema()
+    ls = left.schema(fetch_if_missing=True)
+    rs = right.schema(fetch_if_missing=True)
     for c in lcols:
-        types[c] = ls.base_schema.field(c).type
+        types[c] = ls.base_schema.field(c).type if ls is not None else pa.int64()
     for c in rcols:
-        types[c] = rs.base_schema.field(c).type
+        types[c] = rs.base_schema.field(c).type if rs is not None else pa.int64()
 
     def tag(side: int, on: str, keep: list[str], other: list[str]):
         def fn(batch: pa.Table) -> pa.Table:

@@ -783,3 +783,32 @@ def test_equi_join_broadcast_outer_matches_hash(ray_ready):
                                     join_type=jt).take_all()
         )
         assert adaptive == hashed and len(adaptive) > 0
+
+
+def test_hash_equi_join_empty_side(ray_ready):
+    """Empty (schema-less in Ray 2.49) sides must not crash the join:
+    inner → empty; left outer → left preserved with nulls."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    from engine.rayds.shuffle import hash_equi_join
+
+    lt = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                  "a": pa.array([10, 20], type=pa.int64())})
+    )
+    # empty via a filter that drops every row (schema lost downstream)
+    rt = ray.data.from_arrow(
+        pa.table({"j": pa.array([9], type=pa.int64()),
+                  "b": pa.array([90], type=pa.int64())})
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["j"], -1)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    assert hash_equi_join(lt, rt, "k", "j", ["a"], ["b"]).count() == 0
+    lo = sorted(
+        (int(r["_k"]), int(r["a"]), r["b"])
+        for r in hash_equi_join(lt, rt, "k", "j", ["a"], ["b"],
+                                join_type="left outer").take_all()
+    )
+    assert lo == [(1, 10, None), (2, 20, None)]
