@@ -355,16 +355,15 @@ def _q_sample_images(sf_dir):
     """Deterministic content-hash sampling (the eval-set / holdout split
     op of a training-data pipeline): keep rows whose md5(image_id) first
     nibble < 4 — an exact, order-independent 4/16 sample, reproducible
-    on any cluster size."""
-    import hashlib
-
+    on any cluster size.  MD5 is vectorized over the Arrow string buffer
+    (engine/ops/vhash.py) — no per-row hashlib loop."""
     import pyarrow as pa
 
+    from engine.ops.vhash import md5_first_nibble
     from engine.rayds.imagetab import image_dataset
 
     def flt(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
-        keep = [hashlib.md5(i.encode()).hexdigest()[0] < "4" for i in ids]
+        keep = md5_first_nibble(batch["image_id"]) < 4
         return batch.filter(pa.array(keep))
 
     return (
@@ -379,11 +378,13 @@ def _q_stratified_sample(sf_dir):
     md5(event_id) per event_type — the per-class train/eval split of a
     training-data pipeline, reproducible on any cluster size.  Scale
     shape: per-block local top-K per group (combiner) → one exchange on
-    the group key → per-group final top-K."""
-    import hashlib
-
+    the group key → per-group final top-K.  MD5 rank keys are computed
+    vectorized (engine/ops/vhash.py) — no per-row hashlib loop; the
+    per-class slice loop below runs over ≤ n_event_types entries, not
+    rows."""
     import ray.data
 
+    from engine.ops.vhash import md5_hex
     from engine.rayds.shuffle import add_hash_part
 
     K = 50
@@ -391,10 +392,7 @@ def _q_stratified_sample(sf_dir):
     def topk_tbl(tbl: pa.Table) -> pa.Table:
         ids = tbl["event_id"].to_numpy()
         et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
-        h = np.asarray(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
-            dtype=object,
-        )
+        h = md5_hex(ids.astype(str))
         keep: list[int] = []
         for t in np.unique(et):
             idx = np.nonzero(et == t)[0]

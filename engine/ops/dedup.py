@@ -106,6 +106,10 @@ def make_bloom_filter_fn(bloom_ref, col: str = "doc_id"):
             else:
                 raw = bloom_ref
             bm = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).view(bool)
+            # one bitmap per worker: a bloom only needs to survive the
+            # batches of one verify run — evict on key change so long-
+            # lived workers don't pin every past run's 1 MiB bitmap
+            _BLOOM_CACHE.clear()
             _BLOOM_CACHE[key] = bm
         ids = batch[col].to_numpy()
         keep = np.ones(len(ids), dtype=bool)

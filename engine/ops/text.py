@@ -9,8 +9,6 @@ loops.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -104,24 +102,22 @@ def lang_id(batch: pa.Table) -> pa.Table:
 def fingerprint_md5(batch: pa.Table) -> pa.Table:
     """+ fp_hex: first 16 hex chars of md5(text) — the ORACLE-expressible
     fingerprint (DuckDB: substr(md5(text), 1, 16)); ``fingerprint``'s
-    crc fp64 remains the cheaper shuffle key for exact dedup at scale."""
-    import hashlib
+    fp64 remains the cheaper shuffle key for exact dedup at scale.
+    MD5 is computed vectorized over the Arrow string buffer
+    (engine/ops/vhash.py) — no per-row hashlib loop."""
+    from engine.ops.vhash import md5_hex
 
-    texts = batch["text"].to_pylist()
-    fps = [hashlib.md5(t.encode()).hexdigest()[:16] for t in texts]
+    fps = md5_hex(batch["text"], prefix=16)
     return batch.append_column("fp_hex", pa.array(fps, type=pa.string()))
 
 
 def fingerprint(batch: pa.Table) -> pa.Table:
-    """+ fp64: 64-bit content fingerprint (crc32 of two text halves packed)
-    — cheap rolling-hash-style exact-dup key that avoids shuffling the
-    full text at scale."""
-    texts = batch["text"].to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = t.encode()
-        half = len(b) // 2
-        fps[i] = np.uint64(zlib.crc32(b[:half])) << np.uint64(32) | np.uint64(
-            zlib.crc32(b[half:])
-        )
+    """+ fp64: 64-bit content fingerprint — cheap exact-dup key that
+    avoids shuffling the full text at scale.  Vectorized positional
+    polynomial hash over the flat Arrow string buffer (the same
+    ``reduceat`` machinery as the engine's shuffle-key hash; the old
+    per-row crc32 loop was the banned row-loop shape)."""
+    from engine.rayds.shuffle import _col_hash
+
+    fps = _col_hash(batch["text"])
     return batch.append_column("fp64", pa.array(fps.view(np.int64)))

@@ -10,12 +10,18 @@ in this sandbox, and pool sizing is a knob nobody sizes right)."""
 
 from __future__ import annotations
 
-_CACHE: dict = {}
+from collections import OrderedDict
+
+# small LRU: a long-lived worker serving many queries (each ray.put-ing
+# its own layer/center ref) must not pin every past broadcast + built
+# index for the process lifetime — keep the few most recent only
+_CACHE: OrderedDict = OrderedDict()
+_CACHE_MAX = 4
 
 
 def cached(ref, build=None):
     """Return build(ray.get(ref)) (or the raw object), memoized per
-    worker process keyed by (object ref, build fn)."""
+    worker process keyed by (object ref, build fn) — LRU-bounded."""
     key = (ref.hex() if hasattr(ref, "hex") else id(ref),
            getattr(build, "__qualname__", None))
     hit = _CACHE.get(key)
@@ -25,4 +31,8 @@ def cached(ref, build=None):
         obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         hit = build(obj) if build is not None else obj
         _CACHE[key] = hit
+        while len(_CACHE) > _CACHE_MAX:
+            _CACHE.popitem(last=False)
+    else:
+        _CACHE.move_to_end(key)
     return hit

@@ -28,34 +28,40 @@ def _mosaic_partial(batch: pa.Table) -> pa.Table:
     count row (image_id null, _pcnt=n).  The global 64 smallest are a
     subset of the union of per-batch 64 smallest, so the shuffle moves
     O(64 × groups × blocks) narrow rows instead of every pair — and the
-    finalize stage synthesizes payloads only for actual mosaic members."""
-    import pandas as pd
+    finalize stage synthesizes payloads only for actual mosaic members.
 
-    df = pd.DataFrame(
-        {
-            "poly_id": batch["poly_id"].to_numpy(),
-            "tile_id": batch["tile_id"].to_numpy(),
-            "image_id": batch["image_id"].to_pandas(),
-        }
-    )
-    counts = (
-        df.groupby(["poly_id", "tile_id"], sort=False).size().reset_index(name="_pcnt")
-    )
-    counts["image_id"] = None
-    cand = (
-        df.sort_values("image_id", kind="stable")
-        .groupby(["poly_id", "tile_id"], sort=False)
-        .head(MAX_MEMBERS)
-    )
-    cand["_pcnt"] = 0
-    cols = ["poly_id", "tile_id", "image_id", "_pcnt"]
-    out = pd.concat([cand[cols], counts[cols]], ignore_index=True)
+    Per-group top-K via ONE lexsort + run-slice ranks (the same
+    lexsort-slice bucket primitive the LSH stages use) — no pandas."""
+    pid = batch["poly_id"].to_numpy()
+    tid = batch["tile_id"].to_numpy()
+    iid = batch["image_id"].to_numpy(zero_copy_only=False)
+    n = len(pid)
+    # combined group key: tile_id is a small per-polygon index (< 64)
+    k = pid * np.int64(64) + tid
+    order = np.lexsort((iid, k))
+    ks = k[order]
+    new = np.ones(n, dtype=bool)
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    runlen = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+    cand_idx = order[rank < MAX_MEMBERS]
+    heads = order[starts]
     return pa.table(
         {
-            "poly_id": pa.array(out["poly_id"].to_numpy(np.int64)),
-            "tile_id": pa.array(out["tile_id"].to_numpy(np.int64)),
-            "image_id": pa.array(out["image_id"], type=pa.string()),
-            "_pcnt": pa.array(out["_pcnt"].to_numpy(np.int64)),
+            "poly_id": pa.array(np.concatenate([pid[cand_idx], pid[heads]])),
+            "tile_id": pa.array(np.concatenate([tid[cand_idx], tid[heads]])),
+            "image_id": pa.concat_arrays(
+                [
+                    batch["image_id"].take(pa.array(cand_idx)).combine_chunks(),
+                    pa.nulls(len(heads), type=pa.string()),
+                ]
+            ),
+            "_pcnt": pa.array(
+                np.concatenate(
+                    [np.zeros(len(cand_idx), dtype=np.int64), runlen.astype(np.int64)]
+                )
+            ),
         }
     )
 

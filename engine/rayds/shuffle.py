@@ -260,16 +260,16 @@ def detect_hot_keys(ds, key: str, threshold_frac: float = 0.05, sample_blocks: i
     threshold).
     """
     sample = ds.limit(100_000)
-    counts = grouped_count(sample, [key]).to_pandas()
-    total = counts["cnt"].sum()
+    rows = grouped_count(sample, [key]).take_all()
+    total = sum(r["cnt"] for r in rows)
     if total == 0:
         return []
-    hot = counts[counts["cnt"] > threshold_frac * total]
-    return list(hot[key])
+    return [r[key] for r in rows if r["cnt"] > threshold_frac * total]
 
 
 def sessionize(ds, key: str, ts_col: str, gap_us: int,
-               sum_col: str | None = None, num_parts: int = HASH_PARTS):
+               sum_col: str | None = None, num_parts: int = HASH_PARTS,
+               out_col: str | None = None):
     """SESSION-WINDOW aggregate: per ``key``, events ordered by ``ts_col``
     split into sessions wherever the gap to the previous event exceeds
     ``gap_us``; one output row per (key, session) with the session start,
@@ -283,12 +283,12 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
     lives in exactly one partition; no per-key Python loop anywhere.
 
     Skew assumption (shared with every per-key windowed operator): ONE
-    key's events must fit a partition.  A pathological hot key (10^9
-    events for one user) needs a time-range pre-split with boundary
-    stitching — not implemented; detect with
-    ``detect_hot_keys`` and pre-filter or split upstream.
+    key's events must fit a partition.  For hot keys that don't, use
+    ``sessionize_split`` — time-range pre-split with boundary
+    stitching (detect candidates with ``detect_hot_keys``).
     """
     cols = [key, ts_col] + ([sum_col] if sum_col else [])
+    out_col = out_col or (f"sum_{sum_col}" if sum_col else None)
 
     def part_fn(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["_part"])
@@ -301,7 +301,7 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
             out = {key: k, "session_start_us": ts,
                    "n_events": np.empty(0, dtype=np.int64)}
             if sum_col:
-                out["sum_cents"] = np.empty(0, dtype=np.int64)
+                out[out_col] = np.empty(0, dtype=np.int64)
             return pa.table(out)
         new_s = np.ones(n, dtype=bool)
         same_key = k[1:] == k[:-1]
@@ -315,7 +315,7 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
         }
         if sum_col:
             v = g[sum_col].to_numpy()[order]
-            out["sum_cents"] = np.add.reduceat(v, starts).astype(np.int64)
+            out[out_col] = np.add.reduceat(v, starts).astype(np.int64)
         return pa.table(out)
 
     keyed = ds.select_columns(cols).map_batches(
@@ -326,7 +326,8 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
 
 def hash_equi_join(left, right, left_on: str, right_on: str,
                    left_cols: list[str], right_cols: list[str],
-                   num_parts: int = HASH_PARTS, join_type: str = "inner"):
+                   num_parts: int = HASH_PARTS, join_type: str = "inner",
+                   out_types: dict | None = None):
     """Generic distributed EQUI-JOIN (inner / left outer / right outer /
     full outer — key co-location by hash makes every pyarrow join type
     partition-local): both sides are tagged and
@@ -341,17 +342,23 @@ def hash_equi_join(left, right, left_on: str, right_on: str,
     """
     lcols, rcols = list(left_cols), list(right_cols)
     # resolve output column types once from the input schemas (closure
-    # state — serialized with the tag fns, safe under concurrent joins)
-    # a side whose schema can't be resolved is EMPTY (Ray 2.49 drops the
-    # schema of all-empty-block datasets) — default that side's nulls to
-    # int64; its rows contribute nothing to the join output anyway
-    types = {}
+    # state — serialized with the tag fns, safe under concurrent joins).
+    # A side whose schema can't be resolved is EMPTY (Ray 2.49 drops the
+    # schema of all-empty-block datasets) — its null columns default to
+    # int64 unless the caller pins them via ``out_types`` (pass explicit
+    # types when an outer join's empty side holds non-int64 columns and
+    # downstream consumers need a stable schema).
+    types = dict(out_types or {})
     ls = left.schema(fetch_if_missing=True)
     rs = right.schema(fetch_if_missing=True)
     for c in lcols:
-        types[c] = ls.base_schema.field(c).type if ls is not None else pa.int64()
+        types.setdefault(
+            c, ls.base_schema.field(c).type if ls is not None else pa.int64()
+        )
     for c in rcols:
-        types[c] = rs.base_schema.field(c).type if rs is not None else pa.int64()
+        types.setdefault(
+            c, rs.base_schema.field(c).type if rs is not None else pa.int64()
+        )
 
     def tag(side: int, on: str, keep: list[str], other: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -391,7 +398,8 @@ BROADCAST_JOIN_MAX_ROWS = 1_000_000  # small-side budget for the map-side plan
 
 def broadcast_equi_join(small, large, small_on: str, large_on: str,
                         small_cols: list[str], large_cols: list[str],
-                        preserve_large: bool = False):
+                        preserve_large: bool = False,
+                        col_order: list[str] | None = None):
     """Map-side EQUI-JOIN: the small side is collected once (bounded by
     the caller's budget), shipped via ``ray.put`` and joined against
     every large-side block inside ``map_batches`` with pyarrow's hash
@@ -402,7 +410,12 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
     once, with nulls where the broadcast side has no match — valid
     per-batch because the preserved side is the streamed side (the
     broadcast side can never be outer-preserved map-side: its unmatched
-    rows would be re-emitted by every batch)."""
+    rows would be re-emitted by every batch).
+
+    ``col_order`` pins the output column order (default: _k +
+    small_cols + large_cols) — ``equi_join`` passes the hash plan's
+    _k + left + right order so crossing the broadcast budget can never
+    silently reorder the output schema."""
     import ray
 
     st = pa.concat_tables(
@@ -410,66 +423,106 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
         .iter_batches(batch_format="pyarrow")
     ).rename_columns(["_k"] + small_cols)
     ref = ray.put(st.combine_chunks())
+    order = list(col_order) if col_order is not None else (
+        ["_k"] + list(small_cols) + list(large_cols)
+    )
 
     def join_fn(batch: pa.Table) -> pa.Table:
-        key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
-        tab = _BCAST_CACHE.get(key)
-        if tab is None:
-            tab = ray.get(ref) if hasattr(ref, "hex") else ref
-            _BCAST_CACHE[key] = tab
+        tab = _bcast_table(ref)
         lt = batch.select([large_on] + large_cols).rename_columns(
             ["_k"] + large_cols
         )
         if preserve_large:
-            return lt.join(tab, keys=["_k"], join_type="left outer").select(
-                ["_k"] + list(small_cols) + list(large_cols)
-            )
-        return tab.join(lt, keys=["_k"], join_type="inner")
+            return lt.join(tab, keys=["_k"], join_type="left outer").select(order)
+        return tab.join(lt, keys=["_k"], join_type="inner").select(order)
 
     return large.select_columns([large_on] + large_cols).map_batches(
         join_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
+# one entry per worker process: a broadcast table only needs to survive
+# the batches of ONE join — evicting on key change keeps a long-lived
+# worker from pinning every past join's table (and its plasma object)
 _BCAST_CACHE: dict = {}
+
+
+def _bcast_table(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
+    tab = _BCAST_CACHE.get(key)
+    if tab is None:
+        tab = ray.get(ref) if hasattr(ref, "hex") else ref
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = tab
+    return tab
+
+
+def _probe_small(ds, budget: int = BROADCAST_JOIN_MAX_ROWS):
+    """Bounded size probe that never double-executes: stream at most
+    ``budget + 1`` rows of ``ds`` into a materialized prefix.  If the
+    prefix holds ≤ budget rows it IS the complete dataset — the caller
+    reuses it directly for the broadcast plan (the upstream pipeline ran
+    exactly once).  Past the budget only a bounded prefix was executed
+    and the original lazy dataset is used for the hash plan.
+
+    Returns (fits: bool, complete_ds_or_None)."""
+    try:
+        prefix = ds.limit(budget + 1).materialize()
+        n = prefix.count()
+    except Exception:
+        return False, None
+    if n <= budget:
+        return True, prefix
+    return False, None
 
 
 def equi_join(left, right, left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
               num_parts: int = HASH_PARTS, join_type: str = "inner"):
-    """Adaptive equi-join: broadcast the left side map-side when the join
-    is inner and the left side fits ``BROADCAST_JOIN_MAX_ROWS`` (the
-    small-dimension-table case — zero shuffles), else the generic
-    tagged-union hash join (big-big; all pyarrow join types — outer
-    joins always take this path, since a per-batch broadcast join would
-    emit unmatched preserved rows once per batch)."""
-    def _count(ds):
-        try:
-            return ds.count()
-        except Exception:
-            return None
+    """Adaptive equi-join: broadcast a side map-side when it fits
+    ``BROADCAST_JOIN_MAX_ROWS`` (the small-dimension-table case — zero
+    shuffles), else the generic tagged-union hash join (big-big; all
+    pyarrow join types — full outer always hashes, since a per-batch
+    broadcast join would re-emit the broadcast side's unmatched rows
+    once per batch).
 
+    The size probe (``_probe_small``) is a streaming ``limit`` whose
+    materialized prefix is REUSED as the broadcast side, so a non-trivial
+    upstream pipeline (filters, maps) executes exactly once on the
+    chosen plan — never count-then-re-execute.  Output column order is
+    canonical _k + left_cols + right_cols on every plan."""
+    canon = ["_k"] + list(left_cols) + list(right_cols)
     if join_type == "inner":
-        n = _count(left)
-        if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+        # broadcast whichever side fits (left probed first)
+        fits, small = _probe_small(left)
+        if fits:
             return broadcast_equi_join(
-                left, right, left_on, right_on, left_cols, right_cols
+                small, right, left_on, right_on, left_cols, right_cols,
+                col_order=canon,
+            )
+        fits, small = _probe_small(right)
+        if fits:
+            return broadcast_equi_join(
+                small, left, right_on, left_on, right_cols, left_cols,
+                col_order=canon,
             )
     elif join_type == "left outer":
         # the preserved side must be the STREAMED one — broadcast the
         # right side when it fits
-        n = _count(right)
-        if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+        fits, small = _probe_small(right)
+        if fits:
             return broadcast_equi_join(
-                right, left, right_on, left_on, right_cols, left_cols,
-                preserve_large=True,
+                small, left, right_on, left_on, right_cols, left_cols,
+                preserve_large=True, col_order=canon,
             )
     elif join_type == "right outer":
-        n = _count(left)
-        if n is not None and n <= BROADCAST_JOIN_MAX_ROWS:
+        fits, small = _probe_small(left)
+        if fits:
             return broadcast_equi_join(
-                left, right, left_on, right_on, left_cols, right_cols,
-                preserve_large=True,
+                small, right, left_on, right_on, left_cols, right_cols,
+                preserve_large=True, col_order=canon,
             )
     return hash_equi_join(
         left, right, left_on, right_on, left_cols, right_cols, num_parts,
