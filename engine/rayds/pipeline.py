@@ -202,37 +202,61 @@ def semi_anti_ids(sf_dir: str, anti: bool = False):
     of the inner join per SURVEY.md §2.4, fully distributed:
 
     - semi: distinct matched ids via the hash-shuffle ``grouped_count``
-      (image_id cardinality grows with the input, so the tree-reduce
-      single-block merge is the wrong plan — ``use_shuffle=True``).
-    - anti: the DISTINCT matched-id table (small: bounded by join
-      selectivity) is materialized; when it fits the broadcast budget it
-      is shipped once via ``ray.put`` and every image block filters
-      locally with Arrow's hashed ``is_in`` — no all-to-all at all.
-      Past the budget, the exact fallback is the hash-partitioned
-      COGROUP: per-block match-count partials (combiner) unioned with
-      the tagged full id column, one ``groupby(image_id).sum`` exchange,
-      keep ids whose match count is zero.  Either way the result is
-      exact and nothing unbounded lands on the driver.
+      (a join output's distinct-id cardinality grows with the input, so
+      the plan is statically known — no sampling probe, no tree-reduce
+      single-block funnel).
+    - anti: the matched-id set is assembled WITHOUT any all-to-all —
+      per-block DISTINCT partials (combiner) stream to the driver and
+      fold through incremental ``pc.unique`` compaction; driver volume
+      is bounded at a small multiple of the broadcast budget (the fold
+      aborts to the cogroup fallback the moment the running unique
+      count overflows, before pulling more).  Within budget the id set
+      ships once via ``ray.put`` and every image block filters locally
+      with Arrow's hashed ``is_in`` — the join scan is the only pass
+      over big data.  Past the budget, the exact fallback is the
+      hash-partitioned COGROUP: per-block match-count partials unioned
+      with the tagged full id column, one ``groupby(image_id).sum``
+      exchange, keep ids whose match count is zero.  Either way the
+      result is exact and nothing unbounded lands on the driver.
     """
     import pyarrow.compute as pc
 
     pairs = pairs_dataset(sf_dir).select_columns(["image_id"])
     if not anti:
-        # matched-id cardinality depends on selectivity — let the sampled
-        # plan chooser pick tree-reduce vs hash-shuffle from the data
         return shuffle.grouped_count(
-            pairs, ["image_id"], out_col="n_matches", use_shuffle="auto"
+            pairs, ["image_id"], out_col="n_matches", use_shuffle=True
         ).select_columns(["image_id"])
 
-    matched_ids = shuffle.grouped_count(
-        pairs, ["image_id"], out_col="n_matches", use_shuffle="auto"
-    ).select_columns(["image_id"]).materialize()
-    if matched_ids.count() <= ANTI_BROADCAST_MAX_IDS:
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(["image_id"]).group_by(["image_id"]).aggregate([])
+
+    partial = pairs.map_batches(
+        block_distinct, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    acc: list = []
+    acc_len = 0
+    overflow = False
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        arr = b["image_id"]
+        acc.append(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        acc_len += len(b)
+        if acc_len > 2 * ANTI_BROADCAST_MAX_IDS:
+            u = pc.unique(pa.chunked_array(acc))
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            acc, acc_len = [u], len(u)
+            if acc_len > ANTI_BROADCAST_MAX_IDS:
+                overflow = True
+                break
+    if not overflow:
+        vs = pc.unique(pa.chunked_array(acc)) if acc else pa.array([], type=pa.string())
+        if isinstance(vs, pa.ChunkedArray):
+            vs = vs.combine_chunks()
+        overflow = len(vs) > ANTI_BROADCAST_MAX_IDS
+    if not overflow:
         import ray
 
-        vs = pa.concat_tables(
-            matched_ids.iter_batches(batch_format="pyarrow")
-        )["image_id"].combine_chunks()
         vs_ref = ray.put(vs)
 
         def filter_unmatched(batch: pa.Table) -> pa.Table:

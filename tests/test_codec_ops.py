@@ -231,15 +231,26 @@ def test_minhash_verified_recall_vs_exact(ray_session):
     assert len(want) == 20  # the 20 planted pairs
     assert got == want
 
-    # the Bloom-semi-join plan (the large-corpus scale shape) must give
-    # the IDENTICAL verified pair set
+    # every physical plan must give the IDENTICAL verified pair set:
+    # cogroup + Bloom semi-join (the large-corpus scale shape) ...
     got_bloom = {
         (int(r["a"]), int(r["b"]))
         for r in dedup.minhash_verified_pairs(
-            ray.data.from_arrow(t), 0.5, bloom_prefilter=True
+            ray.data.from_arrow(t), 0.5, bloom_prefilter=True,
+            pair_broadcast_max=0,
         ).take_all()
     }
     assert got_bloom == want
+    # ... and the plain cogroup plan (pair table past the broadcast
+    # budget, corpus below the Bloom crossover)
+    got_cogroup = {
+        (int(r["a"]), int(r["b"]))
+        for r in dedup.minhash_verified_pairs(
+            ray.data.from_arrow(t), 0.5, bloom_prefilter=False,
+            pair_broadcast_max=0,
+        ).take_all()
+    }
+    assert got_cogroup == want
 
 
 def test_pairs_bloom_membership(ray_session):

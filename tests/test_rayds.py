@@ -812,3 +812,22 @@ def test_hash_equi_join_empty_side(ray_ready):
                                 join_type="left outer").take_all()
     )
     assert lo == [(1, 10, None), (2, 20, None)]
+
+
+def test_anti_join_plans_agree(ray_ready, monkeypatch):
+    """The broadcast anti plan (driver-folded distinct + is_in filter)
+    and the cogroup fallback (budget forced to 0) produce the identical
+    unmatched-id set."""
+    from engine.rayds import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    bcast = {r["image_id"] for r in pipeline.semi_anti_ids(sf, anti=True).take_all()}
+    monkeypatch.setattr(pipeline, "ANTI_BROADCAST_MAX_IDS", 0)
+    cogroup = {r["image_id"] for r in pipeline.semi_anti_ids(sf, anti=True).take_all()}
+    assert bcast == cogroup and len(bcast) > 0
+    # semi + anti partition the image table
+    semi = {r["image_id"] for r in pipeline.semi_anti_ids(sf, anti=False).take_all()}
+    from engine.rayds.imagetab import image_dataset
+
+    total = image_dataset(sf).count()
+    assert len(semi) + len(bcast) == total and not (semi & bcast)
