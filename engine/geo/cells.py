@@ -212,12 +212,14 @@ def s2_level(cell_id) -> np.ndarray:
     return (_MAX_LEVEL - (np.round(np.log2(lsb.astype(np.float64))) / 2)).astype(np.int64)
 
 
-def s2_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
-    """Decode cell id -> (lon, lat) of the cell center (for validation)."""
+def s2_decode_fij(cell_id) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode cell id -> (face, i, j) leaf coordinates of the CELL CENTER.
+
+    The trailing-one bit of the id naturally marks the center for
+    non-leaf cells (published ToFaceIJOrientation scheme).
+    """
     cid = np.atleast_1d(np.asarray(cell_id)).view(np.uint64)
     face = (cid >> np.uint64(_POS_BITS)).astype(np.int64)
-    # position bits including the trailing 1, which naturally marks the
-    # cell center for non-leaf cells (published ToFaceIJOrientation scheme)
     posbits = cid & np.uint64((1 << _POS_BITS) - 1)
     i = np.zeros(len(cid), dtype=np.uint64)
     j = np.zeros(len(cid), dtype=np.uint64)
@@ -233,30 +235,304 @@ def s2_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
         i |= (ij >> np.uint64(_LOOKUP_BITS)) << np.uint64(k * _LOOKUP_BITS)
         j |= (ij & np.uint64((1 << _LOOKUP_BITS) - 1)) << np.uint64(k * _LOOKUP_BITS)
         bits = val & np.uint64(3)
+    return face, i.astype(np.int64), j.astype(np.int64)
+
+
+_FACE_XYZ = [
+    lambda u, v: (np.ones_like(u), u, v),
+    lambda u, v: (-u, np.ones_like(u), v),
+    lambda u, v: (-u, -v, np.ones_like(u)),
+    lambda u, v: (-np.ones_like(u), -v, -u),
+    lambda u, v: (v, -np.ones_like(u), -u),
+    lambda u, v: (v, u, -np.ones_like(u)),
+]
+
+
+def _face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(face, u, v) -> unnormalized xyz (n,3); published face axis table."""
+    xyz = np.empty((len(face), 3))
+    for f in range(6):
+        m = face == f
+        if m.any():
+            x, y, z = _FACE_XYZ[f](u[m], v[m])
+            xyz[m] = np.column_stack([x, y, z])
+    return xyz
+
+
+def s2_cell_center(cell_id) -> tuple[np.ndarray, np.ndarray]:
+    """Decode cell id -> (lon, lat) of the cell center (for validation)."""
+    face, i, j = s2_decode_fij(cell_id)
     maxsize = 1 << _MAX_LEVEL
     s = (i.astype(np.float64) + 0.5) / maxsize
     t = (j.astype(np.float64) + 0.5) / maxsize
     u = _uv_from_st(s)
     v = _uv_from_st(t)
-    xyz = np.empty((len(cid), 3))
-    table = [
-        lambda u, v: (np.ones_like(u), u, v),
-        lambda u, v: (-u, np.ones_like(u), v),
-        lambda u, v: (-u, -v, np.ones_like(u)),
-        lambda u, v: (-np.ones_like(u), -v, -u),
-        lambda u, v: (v, -np.ones_like(u), -u),
-        lambda u, v: (v, u, -np.ones_like(u)),
-    ]
-    for f in range(6):
-        m = face == f
-        if m.any():
-            x, y, z = table[f](u[m], v[m])
-            xyz[m] = np.column_stack([x, y, z])
+    xyz = _face_uv_to_xyz(face, u, v)
     norm = np.sqrt((xyz**2).sum(axis=1))
     xyz /= norm[:, None]
     lat = np.degrees(np.arcsin(np.clip(xyz[:, 2], -1, 1)))
     lon = np.degrees(np.arctan2(xyz[:, 1], xyz[:, 0]))
     return lon, lat
+
+
+def s2_children(cell_id) -> np.ndarray:
+    """The 4 children of each (non-leaf) cell -> (n, 4) int64 ids.
+
+    Standard id arithmetic: children ids are ``id - lsb + lsb>>2 +
+    k*(lsb>>1)`` for k in 0..3 (each child's trailing one is lsb>>2).
+    """
+    cid = np.atleast_1d(np.asarray(cell_id)).view(np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    base = cid - lsb + (lsb >> np.uint64(2))
+    step = lsb >> np.uint64(1)
+    ks = np.arange(4, dtype=np.uint64)
+    return (base[:, None] + ks[None, :] * step[:, None]).view(np.int64)
+
+
+# level-0 face lat/lng bounds (degrees), published S2Cell::GetRectBound
+# constants: equatorial faces span lat ±45°, quarter-lng windows; polar
+# faces (2=+z north, 5=-z south) span full longitude down to
+# asin(sqrt(1/3)) ≈ 35.264°.
+_POLE_MIN_LAT = np.degrees(np.arcsin(np.sqrt(1.0 / 3.0))) - 1e-9
+_FACE_RECTS = np.array(
+    [
+        # lat_lo, lat_hi, lon_lo, lon_hi, wraps(1)/full(2)
+        [-45.0, 45.0, -45.0, 45.0, 0.0],
+        [-45.0, 45.0, 45.0, 135.0, 0.0],
+        [_POLE_MIN_LAT, 90.0, -180.0, 180.0, 2.0],
+        [-45.0, 45.0, 135.0, -135.0, 1.0],
+        [-45.0, 45.0, -135.0, -45.0, 0.0],
+        [-90.0, -_POLE_MIN_LAT, -180.0, 180.0, 2.0],
+    ]
+)
+
+_RECT_EPS = 1e-7  # conservative expansion (degrees) — superset is safe
+
+
+def s2_rect_bound(cell_id):
+    """Conservative lat/lng bound per cell (vectorized GetRectBound).
+
+    Returns ``(lat_lo, lat_hi, lon_lo, lon_hi, kind)`` arrays in degrees;
+    ``kind`` 0 = plain interval, 1 = wraps the antimeridian (the interval
+    is lon_lo..180 ∪ -180..lon_hi), 2 = full longitude range.
+
+    Published facts used (s2geometry S2Cell::GetRectBound): for cells at
+    level ≥ 1 the latitude/longitude extremes are attained at the cell's
+    uv-rect vertices; level-0 faces use fixed constants; cells containing
+    a pole get full longitude (polar closure).  Bounds are expanded by a
+    small epsilon so the rect is a guaranteed superset of the cell — the
+    coverer only ever uses it to PRUNE (empty rect∩query ⟹ empty
+    cell∩query), so over-coverage is safe, under-coverage impossible.
+    """
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    level = s2_level(cid)
+    face, ic, jc = s2_decode_fij(cid)
+    n = len(cid)
+    lat_lo = np.empty(n)
+    lat_hi = np.empty(n)
+    lon_lo = np.empty(n)
+    lon_hi = np.empty(n)
+    kind = np.zeros(n, dtype=np.int64)
+
+    l0 = level == 0
+    if l0.any():
+        r = _FACE_RECTS[face[l0]]
+        lat_lo[l0], lat_hi[l0] = r[:, 0], r[:, 1]
+        lon_lo[l0], lon_hi[l0] = r[:, 2], r[:, 3]
+        kind[l0] = r[:, 4].astype(np.int64)
+
+    m = ~l0
+    if m.any():
+        lv = level[m]
+        size = np.int64(1) << (np.int64(_MAX_LEVEL) - lv)
+        i0 = ic[m] & ~(size - 1)
+        j0 = jc[m] & ~(size - 1)
+        maxsize = float(1 << _MAX_LEVEL)
+        u0 = _uv_from_st(i0 / maxsize)
+        u1 = _uv_from_st((i0 + size) / maxsize)
+        v0 = _uv_from_st(j0 / maxsize)
+        v1 = _uv_from_st((j0 + size) / maxsize)
+        fa = face[m]
+        # 4 corners -> lat/lon extremes (exact at vertices for level>=1)
+        lats = np.empty((m.sum(), 4))
+        lons = np.empty((m.sum(), 4))
+        for k, (uu, vv) in enumerate([(u0, v0), (u0, v1), (u1, v0), (u1, v1)]):
+            xyz = _face_uv_to_xyz(fa, uu, vv)
+            nrm = np.sqrt((xyz**2).sum(axis=1))
+            lats[:, k] = np.degrees(np.arcsin(np.clip(xyz[:, 2] / nrm, -1, 1)))
+            lons[:, k] = np.degrees(np.arctan2(xyz[:, 1], xyz[:, 0]))
+        lat_lo[m] = lats.min(axis=1) - _RECT_EPS
+        lat_hi[m] = lats.max(axis=1) + _RECT_EPS
+        lo = lons.min(axis=1)
+        hi = lons.max(axis=1)
+        # antimeridian crossing: corner spread > 180° means the true
+        # interval is the complement arc (cells at level>=1 span < 90°)
+        wraps = (hi - lo) > 180.0
+        llo = np.where(wraps, hi, lo) - _RECT_EPS
+        lhi = np.where(wraps, lo, hi) + _RECT_EPS
+        # wrapping case: interval = [max_corner_lon, 180] ∪ [-180, min>..]
+        if wraps.any():
+            # recompute precisely: the wrap interval endpoints are the
+            # smallest corner > 0 side; using sorted corners: take the
+            # positive lons' min as start and negative lons' max as end
+            wl = np.where(wraps)[0]
+            for t in wl:
+                pos = lons[t][lons[t] >= 0]
+                neg = lons[t][lons[t] < 0]
+                llo[t] = (pos.min() if len(pos) else 180.0) - _RECT_EPS
+                lhi[t] = (neg.max() if len(neg) else -180.0) + _RECT_EPS
+        lon_lo[m] = llo
+        lon_hi[m] = lhi
+        kind[m] = wraps.astype(np.int64)
+        # polar closure: a cell whose uv-rect contains the face center of
+        # a polar face contains that pole -> full longitude
+        pole_n = m.copy()
+        pole_n[m] = (fa == 2) & (u0 <= 0) & (u1 >= 0) & (v0 <= 0) & (v1 >= 0)
+        pole_s = m.copy()
+        pole_s[m] = (fa == 5) & (u0 <= 0) & (u1 >= 0) & (v0 <= 0) & (v1 >= 0)
+        if pole_n.any():
+            lat_hi[pole_n] = 90.0
+            kind[pole_n] = 2
+        if pole_s.any():
+            lat_lo[pole_s] = -90.0
+            kind[pole_s] = 2
+    return lat_lo, lat_hi, lon_lo, lon_hi, kind
+
+
+def _rect_relation(bound, qlat_lo, qlat_hi, qlon_lo, qlon_hi):
+    """(intersects, contained) bool arrays for cell bounds vs query rect.
+
+    ``contained`` uses the conservative bound, so True ⟹ the cell is
+    truly inside the query; ``intersects`` False ⟹ truly disjoint.
+    The query rect must be non-wrapping (lon_lo <= lon_hi) — all rects in
+    this engine come from the planar world mapping.
+    """
+    lat_lo, lat_hi, lon_lo, lon_hi, kind = bound
+    lat_ok = (lat_lo <= qlat_hi) & (lat_hi >= qlat_lo)
+    plain = kind == 0
+    wrapped = kind == 1
+    full = kind == 2
+    lon_int = np.where(
+        full,
+        True,
+        np.where(
+            wrapped,
+            (qlon_hi >= lon_lo) | (qlon_lo <= lon_hi),
+            (lon_lo <= qlon_hi) & (lon_hi >= qlon_lo),
+        ),
+    )
+    inter = lat_ok & lon_int
+    cont = (
+        plain
+        & (lat_lo >= qlat_lo)
+        & (lat_hi <= qlat_hi)
+        & (lon_lo >= qlon_lo)
+        & (lon_hi <= qlon_hi)
+    )
+    return inter, cont
+
+
+def s2_cover_rect(
+    lon_lo: float,
+    lat_lo: float,
+    lon_hi: float,
+    lat_hi: float,
+    max_cells: int = 16,
+    max_level: int = 12,
+    max_level_span: int = 3,
+) -> np.ndarray:
+    """Hierarchical S2 cell-union cover of a lat/lng rect (TRUE coverer).
+
+    Children-walk BFS from the 6 face cells: expand the coarsest
+    frontier cell (deterministic (level, id) order) into its
+    query-intersecting children until expansion would exceed
+    ``max_cells``, a cell is fully inside the query, or ``max_level`` is
+    reached.  The budget is a pure stopping point on a
+    budget-independent expansion sequence, so the covered region shrinks
+    MONOTONICALLY as ``max_cells`` grows (tested property).
+
+    Post-passes: coarsen so at most ``max_level_span`` distinct levels
+    remain (bounds the point-side ancestor-key replication in the
+    cell-partitioned join), then drop any cell that has an ancestor in
+    the set — the result is a disjoint cell union, so a point can match
+    at most ONE cover cell (no pair-dedupe exchange needed downstream).
+
+    Guarantees: output cells are genuine S2 ids at mixed levels, their
+    union covers the full query rect (conservative rect-bound pruning
+    can only over-cover, never under-cover).
+    """
+    faces = np.arange(6, dtype=np.uint64)
+    face_ids = (
+        (faces << np.uint64(_POS_BITS)) | np.uint64(1 << (_POS_BITS - 1))
+    ).view(np.int64)
+    inter, cont = _rect_relation(
+        s2_rect_bound(face_ids), lat_lo, lat_hi, lon_lo, lon_hi
+    )
+    terminal: list[int] = [int(c) for c in face_ids[inter & cont]]
+    frontier: list[tuple[int, int]] = sorted(
+        (0, int(c)) for c in face_ids[inter & ~cont]
+    )
+    while frontier:
+        lv, cell = frontier.pop(0)
+        if lv >= max_level:
+            terminal.append(cell)
+            continue
+        kids = s2_children(np.array([cell]))[0]
+        ki, kc = _rect_relation(
+            s2_rect_bound(kids), lat_lo, lat_hi, lon_lo, lon_hi
+        )
+        keep = kids[ki]
+        kcont = kc[ki]
+        if len(terminal) + len(frontier) + len(keep) > max_cells:
+            # budget exhausted: keep this cell and everything queued coarse
+            terminal.append(cell)
+            terminal.extend(c for _, c in frontier)
+            break
+        for cc, is_cont in zip(keep, kcont):
+            if is_cont or lv + 1 >= max_level:
+                terminal.append(int(cc))
+            else:
+                frontier.append((lv + 1, int(cc)))
+        frontier.sort()
+    ids = np.asarray(sorted(set(terminal)), dtype=np.int64)
+    if len(ids) == 0:
+        return ids
+    # bound the number of distinct levels (coarsen the finest cells)
+    levels = s2_level(ids)
+    used = np.unique(levels)
+    if len(used) > max_level_span:
+        cap = int(used[max_level_span - 1])
+        fine = levels > cap
+        ids = np.concatenate([ids[~fine], np.asarray(s2_parent(ids[fine], cap))])
+        ids = np.unique(ids)
+        levels = s2_level(ids)
+    # normalize: drop cells that have an ancestor in the set (keeps the
+    # union identical while restoring disjointness)
+    idset = set(int(c) for c in ids)
+    keep_mask = np.ones(len(ids), dtype=bool)
+    for t in range(len(ids)):
+        lv = int(levels[t])
+        for anc_lv in np.unique(levels[levels < lv]):
+            if int(s2_parent(np.array([ids[t]]), int(anc_lv))[0]) in idset:
+                keep_mask[t] = False
+                break
+    return ids[keep_mask]
+
+
+def s2_cover_contains(cover: np.ndarray, lon, lat) -> np.ndarray:
+    """Bool per point: does any cover cell contain the point?  (test
+    helper — ancestor-at-cover-level membership, fully vectorized per
+    level.)"""
+    cover = np.asarray(cover, dtype=np.int64)
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    out = np.zeros(len(lon), dtype=bool)
+    if len(cover) == 0:
+        return out
+    levels = s2_level(cover)
+    for lv in np.unique(levels):
+        keys = np.asarray(s2_cell(lon, lat, int(lv)))
+        out |= np.isin(keys, cover[levels == lv])
+    return out
 
 
 # ---------------------------------------------------------------------------

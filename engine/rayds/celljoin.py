@@ -170,16 +170,25 @@ def _join_cell_group(predicate: str):
 # --------------------------------------------------------- S2 / hex keying
 #
 # The north-rule keys: every row carries S2 + hex cell ids; these joins
-# actually SHUFFLE on them.  Exactness of the polygon-side cover comes
-# from composing a planar quantizer with the cell id of the quantizer
-# cell's center: both sides snap (x, y) to the same planar cell before
-# computing the S2/hex id, so point-key ∈ polygon-cover holds by
-# construction (a pure cell-space bbox cover needs the S2 region-coverer
-# walk — unverifiable offline without the reference library; this
-# construction is provably a superset and keeps the shuffle key a
-# genuine hierarchical cell id).
-S2_SNAP = 6.25  # planar quantizer (100/16 → ≤256 distinct keys)
-S2_PART_LEVEL = 10
+# actually SHUFFLE on them.
+#
+# S2 polygon covers are TRUE hierarchical cell unions: a children-walk
+# region coverer (cells.s2_cover_rect) produces disjoint mixed-level S2
+# cells whose union covers each polygon's lat/lng bbox (conservative
+# rect-bound pruning — provably a superset).  The point side emits its
+# ANCESTOR cell id at each level the covers actually use (≤
+# S2_COVER_LEVEL_SPAN distinct levels, enforced by the coverer), so
+# point-key ∈ polygon-cover holds exactly and — because a cover is a
+# DISJOINT cell union — each (point, polygon) pair forms in at most one
+# group: no pair-dedupe exchange.
+#
+# Hex covers still compose a planar quantizer with the hex id of the
+# quantizer cell's center (documented superset construction) — the hex
+# ladder is H3-STYLE, not bit-exact H3, see engine/geo/cells.py.
+S2_SNAP = 6.25  # planar quantizer for the HEX cover path
+S2_COVER_MAX_CELLS = 24
+S2_COVER_MAX_LEVEL = 12
+S2_COVER_LEVEL_SPAN = 3
 
 
 def _lonlat(x: np.ndarray, y: np.ndarray):
@@ -188,12 +197,6 @@ def _lonlat(x: np.ndarray, y: np.ndarray):
 
 def _snap_centers(x, y, c: float):
     return (np.floor(x / c) + 0.5) * c, (np.floor(y / c) + 0.5) * c
-
-
-def _s2_key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    cx, cy = _snap_centers(x, y, S2_SNAP)
-    lon, lat = _lonlat(cx, cy)
-    return np.asarray(cells.s2_cell(lon, lat, S2_PART_LEVEL))
 
 
 def _hex_key(x: np.ndarray, y: np.ndarray, res: int = 7) -> np.ndarray:
@@ -264,10 +267,94 @@ def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
     )
 
 
+def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
+                   max_level: int = S2_COVER_MAX_LEVEL):
+    """True S2 region covers for every polygon bbox in the layer.
+
+    Returns ``(rows, keys, used_levels)`` — the flat-map explode of the
+    polygon side plus the sorted distinct levels the covers use (the
+    point side must emit ancestor keys at exactly these levels).
+    Driver-side over the (small) layer; at cluster scale this runs once
+    per layer load, not per batch.
+    """
+    rows_l, keys_l = [], []
+    lv_seen: set[int] = set()
+    for i, (xmin, ymin, xmax, ymax) in enumerate(np.asarray(layer.bounds)):
+        if np.isnan(xmin):
+            continue
+        lon0, lat0 = _lonlat(np.float64(xmin), np.float64(ymin))
+        lon1, lat1 = _lonlat(np.float64(xmax), np.float64(ymax))
+        ids = cells.s2_cover_rect(
+            float(lon0), float(lat0), float(lon1), float(lat1),
+            max_cells=max_cells, max_level=max_level,
+            max_level_span=S2_COVER_LEVEL_SPAN,
+        )
+        rows_l.append(np.full(len(ids), i, dtype=np.int64))
+        keys_l.append(ids)
+        lv_seen.update(int(v) for v in cells.s2_level(ids))
+    if not rows_l:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), [])
+    return np.concatenate(rows_l), np.concatenate(keys_l), sorted(lv_seen)
+
+
 def s2part_pairs(sf_dir: str, layer: Layer | None = None,
                  predicate: str = "covers", ds=None):
-    """Big-big join SHUFFLED ON S2 CELL IDS (level S2_PART_LEVEL)."""
-    return _keyed_pairs(sf_dir, _s2_key, layer, predicate, ds)
+    """Big-big join SHUFFLED ON TRUE S2 CELL IDS (mixed-level covers).
+
+    Polygon side: flat-map exploded to its region-coverer cell union.
+    Point side: replicated once per cover-used level (≤3), emitting the
+    point's S2 ancestor id at that level.  A point matches at most one
+    cover cell per polygon (covers are disjoint cell unions), so the
+    per-group exact refinement emits each pair at most once — no dedupe
+    exchange.  The narrow point row rides the shuffle ≤3×; ring blobs
+    ride once per cover cell.
+    """
+    import ray.data
+
+    from engine.rayds.imagetab import image_dataset, load_layer
+
+    layer = layer or load_layer(sf_dir)
+    rows, keys, used_levels = s2_layer_cover(layer)
+    blobs = _poly_blobs(layer)
+    cover = pa.table(
+        {
+            "cell": pa.array(keys),
+            "image_id": pa.nulls(len(rows), type=pa.string()),
+            "x": pa.nulls(len(rows), type=pa.float64()),
+            "y": pa.nulls(len(rows), type=pa.float64()),
+            "poly_id": pa.array(layer.poly_ids[rows]),
+            "geom": pa.array([blobs[i] for i in rows], type=pa.binary()),
+        }
+    )
+
+    def pts_fn(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        lon, lat = _lonlat(x, y)
+        n = len(x)
+        key = np.concatenate(
+            [np.asarray(cells.s2_cell(lon, lat, lv)) for lv in used_levels]
+        ) if used_levels else np.empty(0, dtype=np.int64)
+        reps = len(used_levels)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), reps))
+        return pa.table(
+            {
+                "cell": pa.array(key),
+                "image_id": batch["image_id"].take(idx),
+                "x": np.tile(x, reps),
+                "y": np.tile(y, reps),
+                "poly_id": pa.nulls(n * reps, type=pa.int64()),
+                "geom": pa.nulls(n * reps, type=pa.binary()),
+            }
+        )
+
+    pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
+        pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    both = pts.union(ray.data.from_arrow(cover))
+    return both.groupby("cell").map_groups(
+        _join_cell_group(predicate), batch_format="pyarrow"
+    )
 
 
 def hexpart_pairs(sf_dir: str, layer: Layer | None = None,
