@@ -341,6 +341,20 @@ def _q_asof_click_view(sf_dir):
     return asof_join(ds, "click", "view")
 
 
+def _q_asof_split(sf_dir):
+    """Skew-proof AS-OF join: (key, time-bucket) co-partitioning with a
+    broadcast per-bucket carry table, so no single key must fit one
+    partition (hot-key pre-split; same result as asof_click_view)."""
+    import ray.data
+
+    from engine.ops.asof import asof_join_split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -904,6 +918,35 @@ def _q_session_agg(sf_dir):
                       sum_col="cents")
 
 
+def _q_session_agg_split(sf_dir):
+    """Skew-proof session windows: (key, time-bucket) pre-split with
+    boundary stitching — a hot key's events spread over its time range
+    instead of one partition (same result as session_agg)."""
+    import ray.data
+
+    from engine.rayds.shuffle import sessionize_split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return sessionize_split(proj, "user_id", "ts_us", gap_us=1_800_000_000,
+                            sum_col="cents", bucket_us=7 * 24 * 3_600_000_000)
+
+
 def _q_video_frames(sf_dir):
     """Video frame-sampling stage (deterministic fake codec): one row
     per sampled frame; the sampling arithmetic (n_frames = 4 + id%5,
@@ -1039,6 +1082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "distinct_users": _q_distinct_users,
         "session_agg": _q_session_agg,
+        "session_agg_split": _q_session_agg_split,
+        "asof_split": _q_asof_split,
         "video_frames": _q_video_frames,
         "minhash_verified": _q_minhash_verified,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -1050,7 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "cell_counts": f"""
             WITH {_IMGS}
             SELECT CAST(floor(x / 5.0) AS BIGINT) * 1048576
@@ -1524,3 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         # image codec) — rows-only check per the driver contract; their
         # semantics are pinned by pytest recall/parity tests instead.
     }
+    # the skew-proof split plans compute the SAME result as their
+    # co-partitioned originals — they share the originals' oracle SQL
+    sql["session_agg_split"] = sql["session_agg"]
+    sql["asof_split"] = sql["asof_click_view"]
+    return sql

@@ -22,32 +22,51 @@ import pyarrow.compute as pc
 ASOF_PARTS = 32
 
 
-def _asof_group(group: pa.Table) -> pa.Table:
-    """One hash partition: vectorized as-of resolution.
+def _asof_sweep(key, ts, eid, is_left):
+    """Vectorized as-of resolution over one co-located partition.
 
     Sort by (key, ts, side) with RIGHT rows first at equal ts (ts ≤
-    semantics); a running maximum over ``key·N + row`` of right rows
-    yields, for every left row, the latest preceding right row — the
-    encoded key makes the maximum self-invalidating across key changes.
+    semantics); a running maximum over ``key_rank·N + row`` of right
+    rows yields, for every left row, the latest preceding right row —
+    the encoded key makes the maximum self-invalidating across key
+    changes.  Keys are RANK-encoded first (rank < n), so the encoding
+    never overflows int64 regardless of raw key magnitude.
+
+    Returns ``(left_eids, match_eids, unmatched_left_eids)``.
     """
-    n = len(group)
-    key = group["user_id"].to_numpy()
-    ts = group["ts_us"].to_numpy()
-    eid = group["event_id"].to_numpy()
-    is_left = group["is_left"].to_numpy()
+    n = len(key)
     order = np.lexsort((is_left, ts, key))
     k, t, e, L = key[order], ts[order], eid[order], is_left[order]
+    # rank-encode keys (already sorted by key first)
+    new_k = np.ones(n, dtype=bool)
+    new_k[1:] = k[1:] != k[:-1]
+    kr = np.cumsum(new_k) - 1
     idx = np.arange(n, dtype=np.int64)
-    enc = np.where(~L.astype(bool), k * np.int64(n + 1) + idx, np.int64(-1))
+    enc = np.where(~L.astype(bool), kr * np.int64(n + 1) + idx, np.int64(-1))
     run = np.maximum.accumulate(enc)
     lefts = np.nonzero(L)[0]
     have = run[lefts] >= 0
     run_l = run[lefts][have]
     match_pos = run_l % np.int64(n + 1)
     match_key = run_l // np.int64(n + 1)
-    same_key = match_key == k[lefts][have]
+    same_key = match_key == kr[lefts][have]
     out_left = e[lefts][have][same_key]
     out_match = e[match_pos[same_key]]
+    matched_mask = np.zeros(len(lefts), dtype=bool)
+    hv = np.nonzero(have)[0]
+    matched_mask[hv[same_key]] = True
+    unmatched = e[lefts][~matched_mask]
+    return out_left, out_match, unmatched
+
+
+def _asof_group(group: pa.Table) -> pa.Table:
+    """One hash partition (whole keys co-located): inner as-of."""
+    out_left, out_match, _ = _asof_sweep(
+        group["user_id"].to_numpy(),
+        group["ts_us"].to_numpy(),
+        group["event_id"].to_numpy(),
+        group["is_left"].to_numpy(),
+    )
     return pa.table(
         {
             "event_id": pa.array(out_left),
@@ -80,3 +99,124 @@ def asof_join(events_ds, left_type: str, right_type: str,
         prep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     return tagged.groupby("_part").map_groups(_asof_group, batch_format="pyarrow")
+
+
+def asof_join_split(events_ds, left_type: str, right_type: str,
+                    bucket_us: int, num_parts: int = ASOF_PARTS):
+    """Skew-proof AS-OF join: time-range pre-split + broadcast carry.
+
+    ``asof_join`` co-locates ALL events of one key in one partition; a
+    hot key breaks that budget.  Here both streams partition by
+    ``(key, ts // bucket_us)`` so a hot key spreads across its time
+    range.  A left event whose latest preceding right lives in an
+    EARLIER bucket can't be resolved locally, so:
+
+    1. Carry table (distributed partial + tiny driver fold): per
+       (key, bucket) the latest right event — one row per non-empty
+       (key, bucket), bounded by keys × time-buckets, never by event
+       volume.  Among equal max-ts rights the largest event_id wins
+       (deterministic; matched by the equivalence test's tie-free data).
+    2. Phase B: per (key, bucket) partition, the same vectorized sweep
+       as ``_asof_group`` resolves lefts with an in-bucket predecessor;
+       the rest look up the carry of the GREATEST bucket' < b for their
+       key (vectorized searchsorted over the broadcast, cumulative-safe:
+       any right in an earlier bucket has ts < bucket start ≤ left.ts).
+
+    The carry rides once per worker via ``bcast.cached`` (ray.put on the
+    driver) — no second skewed exchange exists anywhere in the plan.
+    """
+    import ray
+
+    from engine.rayds.bcast import cached
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        t = batch.filter(keep)
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        bkt = ts // np.int64(bucket_us)
+        return pa.table(
+            {
+                "_part": pa.array(
+                    ((uid * np.int64(0x9E3779B1) + bkt) % num_parts).astype(np.int64)
+                ),
+                "_bkt": pa.array(bkt),
+                "user_id": t["user_id"],
+                "ts_us": pa.array(ts),
+                "event_id": t["event_id"],
+                "is_left": pc.equal(t["event_type"], left_type),
+            }
+        )
+
+    tagged = events_ds.map_batches(
+        prep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    # ---- carry table: latest right per (key, bucket) ----------------
+    def right_max(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(batch["is_left"]))
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], type=batch["user_id"].type),
+                             "_bkt": pa.array([], type=pa.int64()),
+                             "ts_us": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=batch["event_id"].type)})
+        uid = t["user_id"].to_numpy()
+        bkt = t["_bkt"].to_numpy()
+        ts = t["ts_us"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, bkt, uid))
+        uid, bkt, ts, eid = uid[order], bkt[order], ts[order], eid[order]
+        last = np.ones(len(uid), dtype=bool)
+        last[:-1] = (uid[1:] != uid[:-1]) | (bkt[1:] != bkt[:-1])
+        return pa.table({"user_id": uid[last], "_bkt": bkt[last],
+                         "ts_us": ts[last], "event_id": eid[last]})
+
+    parts = tagged.map_batches(
+        right_max, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    cu = np.array([r["user_id"] for r in parts], dtype=np.int64)
+    cb = np.array([r["_bkt"] for r in parts], dtype=np.int64)
+    ct = np.array([r["ts_us"] for r in parts], dtype=np.int64)
+    ce = np.array([r["event_id"] for r in parts], dtype=np.int64)
+    order = np.lexsort((ce, ct, cb, cu))
+    cu, cb, ct, ce = cu[order], cb[order], ct[order], ce[order]
+    last = np.ones(len(cu), dtype=bool)
+    last[:-1] = (cu[1:] != cu[:-1]) | (cb[1:] != cb[:-1])
+    cu, cb, ce = cu[last], cb[last], ce[last]
+    bmin = int(cb.min()) if len(cb) else 0
+    span = (int(cb.max()) - bmin + 2) if len(cb) else 1
+    carry_enc = cu * np.int64(span) + (cb - bmin)
+    carry_ref = ray.put((carry_enc, ce, np.int64(span), np.int64(bmin)))
+
+    def group_fn(group: pa.Table) -> pa.Table:
+        enc, eids, span_, bmin_ = cached(carry_ref)
+        uid = group["user_id"].to_numpy()
+        bkt = group["_bkt"].to_numpy()
+        # sweep segmented by (key, bucket) — a co-resident EARLIER bucket
+        # of the same key must NOT shadow the carry (its latest right may
+        # be older than another bucket's, which lives elsewhere)
+        seg = uid * span_ + (bkt - bmin_)
+        out_l, out_m, unmatched = _asof_sweep(
+            seg, group["ts_us"].to_numpy(), group["event_id"].to_numpy(),
+            group["is_left"].to_numpy(),
+        )
+        base = pa.table({"event_id": pa.array(out_l),
+                         "match_id": pa.array(out_m)})
+        if len(unmatched) == 0:
+            return base
+        # carry lookup: greatest bucket' < b with a right for this key
+        lmask = group["is_left"].to_numpy()
+        lids = group["event_id"].to_numpy()[lmask]
+        un_sel = np.isin(lids, unmatched)
+        uq = uid[lmask][un_sel]
+        bq = bkt[lmask][un_sel]
+        q = uq * span_ + (bq - bmin_)
+        pos = np.searchsorted(enc, q, side="left") - 1
+        ok = pos >= 0
+        ok[ok] &= (enc[pos[ok]] // span_) == uq[ok]
+        extra = pa.table({"event_id": pa.array(lids[un_sel][ok]),
+                          "match_id": pa.array(eids[pos[ok]])})
+        return pa.concat_tables([base, extra])
+
+    return tagged.groupby("_part").map_groups(group_fn, batch_format="pyarrow")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _partial_count_fn(keys: list[str]):
@@ -322,6 +323,136 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
         add_hash_part([key], num_parts), batch_format="pyarrow", batch_size=None
     )
     return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+
+
+def sessionize_split(ds, key: str, ts_col: str, gap_us: int,
+                     sum_col: str | None = None, num_parts: int = HASH_PARTS,
+                     bucket_us: int | None = None, out_col: str | None = None):
+    """Skew-proof SESSION-WINDOW aggregate: hot-key time-range pre-split.
+
+    ``sessionize`` co-locates ALL events of one key in one partition —
+    its documented skew assumption breaks on a 10^9-event key.  This
+    variant partitions by ``(key, ts // bucket_us)`` so a hot key's
+    events spread over ``time_span / bucket_us`` partitions:
+
+    1. Local sessionization inside each (key, bucket) is exact except
+       that sessions are cut at bucket edges.
+    2. Only the FIRST and LAST local session of a (key, bucket) can
+       merge across an edge — interior sessions are separated from both
+       edges by a > gap_us gap — so the stitch exchange carries ≤ 2
+       session rows per (key, bucket): bounded by time range, never by
+       key volume.
+    3. Stitch (keyed by key): merge time-consecutive boundary sessions
+       whenever ``next.start − prev.end ≤ gap_us``.  Within-bucket
+       neighbors never pass that test by construction, so the blanket
+       rule reproduces global sessionization exactly (equivalence-tested
+       against brute force and against ``sessionize``).
+
+    The session-level phase-1 output is materialized once (it is the
+    aggregated intermediate, orders of magnitude smaller than the event
+    input) so interior rows stream straight to the result while boundary
+    rows take the tiny stitch exchange.
+    """
+    cols = [key, ts_col] + ([sum_col] if sum_col else [])
+    out_col = out_col or (f"sum_{sum_col}" if sum_col else None)
+    bucket_us = bucket_us or gap_us * 4096
+    final_cols = [key, "session_start_us", "n_events"] + ([out_col] if sum_col else [])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        b = t[ts_col].to_numpy() // np.int64(bucket_us)
+        return t.append_column("_bkt", pa.array(b))
+
+    def local_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        # _bkt rides the exchange as part of the key; consumed here
+        ts = g[ts_col].to_numpy()
+        b = g["_bkt"].to_numpy()
+        order = np.lexsort((ts, b, k))
+        k, ts, b = k[order], ts[order], b[order]
+        n = len(k)
+        if n == 0:
+            out = {key: k, "session_start_us": ts, "_end_us": ts,
+                   "n_events": np.empty(0, dtype=np.int64),
+                   "_b": np.empty(0, dtype=bool)}
+            if sum_col:
+                out[out_col] = np.empty(0, dtype=np.int64)
+            return pa.table(out)
+        new_s = np.ones(n, dtype=bool)
+        same = (k[1:] == k[:-1]) & (b[1:] == b[:-1])
+        new_s[1:] = ~same | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.nonzero(new_s)[0]
+        ends = np.append(starts[1:], n) - 1
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        kk, bb = k[starts], b[starts]
+        first = np.ones(len(starts), dtype=bool)
+        first[1:] = (kk[1:] != kk[:-1]) | (bb[1:] != bb[:-1])
+        last = np.append(first[1:], True)
+        out = {
+            key: kk,
+            "session_start_us": ts[starts],
+            "_end_us": ts[ends],
+            "n_events": counts,
+            "_b": first | last,
+        }
+        if sum_col:
+            v = g[sum_col].to_numpy()[order]
+            out[out_col] = np.add.reduceat(v, starts).astype(np.int64)
+        return pa.table(out)
+
+    def pick(boundary: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t["_b"], boundary))
+            return sel.drop_columns(["_b"] + ([] if boundary else ["_end_us"]))
+        return fn
+
+    def stitch(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        st = g["session_start_us"].to_numpy()
+        en = g["_end_us"].to_numpy()
+        cnt = g["n_events"].to_numpy()
+        order = np.lexsort((st, k))
+        k, st, en, cnt = k[order], st[order], en[order], cnt[order]
+        n = len(k)
+        if n == 0:
+            out = {key: k, "session_start_us": st,
+                   "n_events": np.empty(0, dtype=np.int64)}
+            if sum_col:
+                out[out_col] = np.empty(0, dtype=np.int64)
+            return pa.table(out)
+        new_c = np.ones(n, dtype=bool)
+        new_c[1:] = (k[1:] != k[:-1]) | ((st[1:] - en[:-1]) > gap_us)
+        cs = np.nonzero(new_c)[0]
+        out = {
+            key: k[cs],
+            "session_start_us": st[cs],
+            "n_events": np.add.reduceat(cnt, cs).astype(np.int64),
+        }
+        if sum_col:
+            v = g[out_col].to_numpy()[order]
+            out[out_col] = np.add.reduceat(v, cs).astype(np.int64)
+        return pa.table(out)
+
+    keyed = ds.map_batches(
+        prep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).map_batches(
+        add_hash_part([key, "_bkt"], num_parts), batch_format="pyarrow",
+        batch_size=None,
+    )
+    sess = keyed.groupby("_part").map_groups(
+        local_fn, batch_format="pyarrow"
+    ).materialize()
+    interior = sess.map_batches(pick(False), batch_format="pyarrow",
+                                batch_size=None)
+    stitched = sess.map_batches(pick(True), batch_format="pyarrow",
+                                batch_size=None).map_batches(
+        add_hash_part([key], num_parts), batch_format="pyarrow", batch_size=None
+    ).groupby("_part").map_groups(stitch, batch_format="pyarrow")
+    return interior.select_columns(final_cols).union(
+        stitched.select_columns(final_cols)
+    )
 
 
 def hash_equi_join(left, right, left_on: str, right_on: str,

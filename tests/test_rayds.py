@@ -831,3 +831,112 @@ def test_anti_join_plans_agree(ray_ready, monkeypatch):
 
     total = image_dataset(sf).count()
     assert len(semi) + len(bcast) == total and not (semi & bcast)
+
+
+def test_sessionize_split_hot_key_matches_brute(ray_ready):
+    """VERDICT r2 #5: time-range pre-split sessionization. One hot key
+    holds ~10^6 events — far beyond the per-partition budget the plain
+    ``sessionize`` assumes — split across time buckets and stitched at
+    boundaries.  The bucket cap is ENFORCED by construction (asserted
+    below) and the result must equal a vectorized driver-side brute
+    force; normal keys ride along to exercise the mixed path."""
+    import ray.data
+
+    from engine.rayds.shuffle import sessionize_split
+
+    rng = np.random.default_rng(11)
+    HOT_N, GAP, BUCKET = 1_000_000, 5_000, 10_000_000
+    # hot key 7: inter-arrival mixture so sessions BOTH chain across
+    # bucket edges and break inside buckets
+    gaps = np.where(rng.random(HOT_N) < 0.001,
+                    rng.integers(GAP + 1, 40 * GAP, HOT_N),
+                    rng.integers(1, 2_000, HOT_N))
+    hot_ts = np.cumsum(gaps).astype(np.int64)
+    cold_n = 20_000
+    cold_u = rng.integers(100, 120, cold_n).astype(np.int64)
+    cold_ts = rng.integers(0, int(hot_ts[-1]), cold_n).astype(np.int64)
+    users = np.concatenate([np.full(HOT_N, 7, dtype=np.int64), cold_u])
+    ts = np.concatenate([hot_ts, cold_ts])
+    cents = rng.integers(-10, 100, len(users)).astype(np.int64)
+    # enforced partition cap: no (key, bucket) holds more than CAP events
+    CAP = 120_000
+    _, per_bucket = np.unique(users * (ts // BUCKET + 1_000_000), return_counts=True)
+    assert per_bucket.max() < CAP < HOT_N  # the hot key NEEDS the split
+    t = pa.table({"user_id": pa.array(users), "ts_us": pa.array(ts),
+                  "cents": pa.array(cents)})
+    got = {
+        (int(r["user_id"]), int(r["session_start_us"])):
+            (int(r["n_events"]), int(r["sum_cents"]))
+        for r in sessionize_split(
+            ray.data.from_arrow(t), "user_id", "ts_us", gap_us=GAP,
+            sum_col="cents", bucket_us=BUCKET).take_all()
+    }
+    # vectorized brute force (independent of the engine code path)
+    order = np.lexsort((ts, users))
+    su, st, sc = users[order], ts[order], cents[order]
+    new_s = np.ones(len(su), dtype=bool)
+    new_s[1:] = (su[1:] != su[:-1]) | ((st[1:] - st[:-1]) > GAP)
+    starts = np.nonzero(new_s)[0]
+    cnts = np.diff(np.append(starts, len(su)))
+    sums = np.add.reduceat(sc, starts)
+    want = {
+        (int(su[s]), int(st[s])): (int(c), int(v))
+        for s, c, v in zip(starts, cnts, sums)
+    }
+    assert len(want) > 1000  # plenty of sessions, incl. cross-bucket ones
+    assert got == want
+
+
+def test_asof_join_split_matches_plain(ray_ready):
+    """Time-range pre-split as-of join (broadcast bucket-carry) equals
+    the co-partitioned plan on tie-free data where one hot key's volume
+    would break the per-partition assumption, including lefts whose
+    match lives MANY empty buckets earlier."""
+    import ray.data
+
+    from engine.ops.asof import asof_join, asof_join_split
+
+    rng = np.random.default_rng(5)
+    n = 120_000
+    uid = np.concatenate([
+        np.full(n, 3, dtype=np.int64),               # hot key
+        rng.integers(50, 70, 5_000).astype(np.int64)  # normal keys
+    ])
+    # unique ts per user -> deterministic matches regardless of plan
+    ts = np.arange(len(uid), dtype=np.int64) * 17 + rng.integers(0, 7, len(uid))
+    ts = ts * 1000
+    # sparse views: long right-free stretches force carry lookups far back
+    et = np.where(rng.random(len(uid)) < 0.01, "view", "click")
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(uid), dtype=np.int64)),
+        "user_id": pa.array(uid),
+        "ts": pa.array(ts),
+        "event_type": pa.array(et),
+    })
+    ds = ray.data.from_arrow(t)
+    plain = {int(r["event_id"]): int(r["match_id"])
+             for r in asof_join(ds, "click", "view").take_all()}
+    BUCKET = 2_000_000  # ~117 events per (key, bucket) for the hot key
+    split = {int(r["event_id"]): int(r["match_id"])
+             for r in asof_join_split(ds, "click", "view",
+                                      bucket_us=BUCKET).take_all()}
+    assert len(plain) > 50_000
+    assert split == plain
+
+
+def test_asof_join_split_matches_brute_sf(ray_ready):
+    """The split plan on the real events table equals the plain plan
+    (which test_asof_join_matches_brute pins to brute force)."""
+    import ray.data
+
+    from engine.ops.asof import asof_join, asof_join_split
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ray.data.from_arrow(t)
+    plain = {int(r["event_id"]): int(r["match_id"])
+             for r in asof_join(ds, "click", "view").take_all()}
+    split = {int(r["event_id"]): int(r["match_id"])
+             for r in asof_join_split(ds, "click", "view",
+                                      bucket_us=3_600_000_000).take_all()}
+    assert split == plain and len(plain) > 0
