@@ -355,6 +355,33 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+def _q_cc_iterative(sf_dir):
+    """Connected components on a bench-scale chain graph, FORCED through
+    the iterative distributed plan (hash-min label propagation +
+    pointer jumping, 2 exchanges/round) — the plan the adaptive
+    ``connected_components`` only takes beyond its 1M-edge budget, which
+    sf-scale candidate graphs never reach.  Graph: events × 16 node
+    expansion, chains of length 128 (worst-case propagation depth;
+    ~log2(128) rounds).  Closed-form oracle: cluster = (n // 128) * 128.
+    """
+    import ray.data
+
+    from engine.ops.graph import connected_components
+
+    K, CL = 16, 128
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        n = (eid[:, None] * K + np.arange(K, dtype=np.int64)[None, :]).reshape(-1)
+        a = n[(n % CL) != (CL - 1)]
+        return pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+    return connected_components(e, small_graph_rows=0)
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -1091,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "cc_iterative": _q_cc_iterative,
     }
 
 
@@ -1427,7 +1455,7 @@ def oracle_sql() -> dict[str, str]:
                    * greatest(0, least(tymax, 60.0) - greatest(tymin, 10.0)) AS clip_area
             FROM tiles
         """,
-        "token_stats": """
+        "token_stats": r"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text,
@@ -1573,4 +1601,14 @@ def oracle_sql() -> dict[str, str]:
     # co-partitioned originals — they share the originals' oracle SQL
     sql["session_agg_split"] = sql["session_agg"]
     sql["asof_split"] = sql["asof_click_view"]
+    # cc_iterative's chain graph has closed-form components (no
+    # recursive CTE needed): every node n = event_id*16+k belongs to the
+    # chain starting at (n // 128) * 128
+    sql["cc_iterative"] = """
+        WITH ks AS (SELECT unnest(range(16)) AS k),
+             nodes AS (SELECT event_id * 16 + k AS n FROM events CROSS JOIN ks)
+        SELECT CAST(n AS BIGINT) AS doc_id,
+               CAST((n // 128) * 128 AS BIGINT) AS cluster_id
+        FROM nodes
+    """
     return sql

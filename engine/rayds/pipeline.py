@@ -197,6 +197,83 @@ def run_tiles_checkpointed_ranges(sf_dir: str, out_dir: str,
                                    num_shards=num_shards)
 
 
+def run_celljoin_checkpointed(sf_dir: str, out_dir: str,
+                              num_shards: int = 4,
+                              predicate: str = "covers") -> dict:
+    """Resumable BIG-BIG cell join (the ``join_covers_cellpart`` plan)
+    over KEY-RANGE shards: the point side is sliced by
+    ``event_id % num_shards``; the polygon side (layer covers) rides into
+    every shard.  Correct per shard because only the point side is
+    sliced — every (point, polygon) pair forms in exactly one shard, so
+    the shard outputs partition the unsharded join's output.  A failed
+    run recomputes only shards without a valid manifest."""
+    import ray.data
+
+    from engine.rayds.celljoin import cellpart_pairs
+    from engine.rayds.imagetab import derive_batch
+
+    layer = load_layer(sf_dir)
+
+    def build(shard_idx: int, n: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def pick(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy()
+            return batch.filter(pa.array(eid % n == shard_idx))
+
+        imgs = ds.map_batches(pick, batch_format="pyarrow", batch_size=None).map_batches(
+            derive_batch, batch_format="pyarrow", batch_size=None
+        )
+        return cellpart_pairs(sf_dir, layer=layer, predicate=predicate, ds=imgs)
+
+    return ckpt.run_sharded_ranges(build, [f"{sf_dir}/events.parquet"], out_dir,
+                                   num_shards=num_shards)
+
+
+def run_dedup_checkpointed(sf_dir: str, out_dir: str,
+                           num_shards: int = 4) -> dict:
+    """Resumable EXACT DEDUP (the ``dedup_exact`` plan) over KEY-HASH
+    shards: shard i owns keys with ``hash(key16) % num_shards == i`` —
+    the same hash partitioning the dedup's shuffle uses, so each shard's
+    per-key (min doc_id, copy count) is globally complete for its keys
+    and cross-shard duplicates are impossible by construction.  (Each
+    shard re-scans the input with an early per-block filter + combiner;
+    at 100 TB the scan is the cheap part relative to re-running the
+    whole dedup on failure, and shards recompute independently.)"""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import _col_hash, hash_shuffle_agg
+
+    def build(shard_idx: int, n: int):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            key = pc.utf8_slice_codeunits(batch["text"], 0, 16)
+            t = pa.table({"key16": key, "doc_id": batch["doc_id"]})
+            h = _col_hash(t["key16"])
+            t = t.filter(pa.array((h % np.uint64(n)).view(np.int64) == shard_idx))
+            g = t.group_by(["key16"]).aggregate(
+                [("doc_id", "min"), ("doc_id", "count")]
+            )
+            return g.rename_columns(["key16", "_min_id", "_cnt"])
+
+        part = docs.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        return hash_shuffle_agg(
+            part, ["key16"], [("_min_id", "min"), ("_cnt", "sum")],
+            ["doc_id", "n_copies"],
+        )
+
+    return ckpt.run_sharded_ranges(build, [f"{sf_dir}/documents.parquet"], out_dir,
+                                   num_shards=num_shards)
+
+
 def semi_anti_ids(sf_dir: str, anti: bool = False):
     """Images with ≥1 polygon match (semi) / no match (anti) — projection
     of the inner join per SURVEY.md §2.4, fully distributed:

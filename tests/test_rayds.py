@@ -412,6 +412,62 @@ def test_checkpoint_resume_ranges(ray_ready, tmp_path):
     assert total == pipeline.tiles_dataset(SF).count()
 
 
+def test_checkpoint_resume_celljoin(ray_ready, tmp_path):
+    """Big-big cell join under manifests: resume recomputes only the
+    failed shard, and the shard outputs partition the unsharded join."""
+    from engine.rayds import ckpt, pipeline
+    from engine.rayds.celljoin import cellpart_pairs
+
+    out = str(tmp_path / "cj_out")
+    r1 = pipeline.run_celljoin_checkpointed(SF, out, num_shards=3)
+    assert r1["computed"] == [0, 1, 2]
+    r2 = pipeline.run_celljoin_checkpointed(SF, out, num_shards=3)
+    assert r2 == {"computed": [], "skipped": [0, 1, 2]}
+    os.remove(ckpt.manifest_path(out, 2))
+    r3 = pipeline.run_celljoin_checkpointed(SF, out, num_shards=3)
+    assert r3 == {"computed": [2], "skipped": [0, 1]}
+    import pyarrow.parquet as pq
+    got = set()
+    for i in range(3):
+        d = os.path.join(out, f"shard={i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f), columns=["image_id", "poly_id"])
+                got |= set(zip(t["image_id"].to_pylist(), t["poly_id"].to_pylist()))
+    want = {
+        (r["image_id"], r["poly_id"]) for r in cellpart_pairs(SF).take_all()
+    }
+    assert got == want
+
+
+def test_checkpoint_resume_dedup(ray_ready, tmp_path):
+    """Exact dedup under key-hash-shard manifests: per-shard results are
+    globally complete per key; union == the unsharded dedup."""
+    import __ray_entry__ as e
+    from engine.rayds import ckpt, pipeline
+
+    out = str(tmp_path / "dd_out")
+    r1 = pipeline.run_dedup_checkpointed(SF, out, num_shards=3)
+    assert r1["computed"] == [0, 1, 2]
+    os.remove(ckpt.manifest_path(out, 0))
+    r3 = pipeline.run_dedup_checkpointed(SF, out, num_shards=3)
+    assert r3 == {"computed": [0], "skipped": [1, 2]}
+    import pyarrow.parquet as pq
+    got = set()
+    for i in range(3):
+        d = os.path.join(out, f"shard={i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f))
+                got |= set(zip(t["key16"].to_pylist(), t["doc_id"].to_pylist(),
+                               t["n_copies"].to_pylist()))
+    want = {
+        (r["key16"], r["doc_id"], r["n_copies"])
+        for r in e.queries()["dedup_exact"](SF).take_all()
+    }
+    assert got == want
+
+
 def test_flagship_on_real_input_hint_table(ray_ready, tmp_path):
     """The engine must run directly on a REAL input_hint table (not just
     the events-derived one): synth parquet -> source reader -> join ->
@@ -692,19 +748,31 @@ def test_connected_components_plans_agree(ray_ready):
         (int(r["doc_id"]), int(r["cluster_id"]))
         for r in connected_components(ray.data.from_arrow(t)).take_all()
     )
-    # iterative distributed rounds: a tiny multi-component graph (chain +
-    # triangle + pair) — each round costs real exchanges, so the big
-    # random graph above stays on the single-task plan
-    t2 = pa.table({"a": pa.array([5, 6, 7, 20, 21, 20, 30], type=pa.int64()),
-                   "b": pa.array([6, 7, 8, 21, 22, 22, 31], type=pa.int64())})
+    # BSP task rounds forced on the SAME random graph (small_graph_rows=0
+    # flips the plan at the threshold boundary: count > budget)
     big = sorted(
         (int(r["doc_id"]), int(r["cluster_id"]))
         for r in connected_components(
-            ray.data.from_arrow(t2), small_graph_rows=0
+            ray.data.from_arrow(t), small_graph_rows=0, num_parts=8
         ).take_all()
     )
-    assert big == [(5, 5), (6, 5), (7, 5), (8, 5), (20, 20), (21, 20),
-                   (22, 20), (30, 30), (31, 30)]
+    assert big == small
+    # threshold boundary: budget == edge count stays on the single-task
+    # plan; budget == edge count - 1 takes the BSP plan — same answer
+    n_edges = int(keep.sum())
+    at = sorted(
+        (int(r["doc_id"]), int(r["cluster_id"]))
+        for r in connected_components(
+            ray.data.from_arrow(t), small_graph_rows=n_edges
+        ).take_all()
+    )
+    above = sorted(
+        (int(r["doc_id"]), int(r["cluster_id"]))
+        for r in connected_components(
+            ray.data.from_arrow(t), small_graph_rows=n_edges - 1, num_parts=4
+        ).take_all()
+    )
+    assert at == small and above == small
     # brute union-find
     parent = {}
     def find(x):
