@@ -1016,6 +1016,36 @@ def _q_ann_topk_ivf(sf_dir):
                                n_lists=16, nprobe=4)
 
 
+BM25_TERMS = ["the", "join", "window"]
+
+
+def _q_bm25_topk(sf_dir):
+    """Top-20 documents by BM25 (rational idf — see engine/ops/text.py)
+    against a fixed 3-term query: two streaming passes (tiny corpus-stat
+    fold + scored block top-k combiner), nothing unbounded on the
+    driver."""
+    from engine.ops.text import bm25_topk
+
+    return bm25_topk(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                     BM25_TERMS, k=20)
+
+
+def _q_zorder_top100(sf_dir):
+    """First 100 images in Z-ORDER (Morton-interleaved quantized x/y):
+    the clustered-write ordering, through Ray Data's native distributed
+    sort (range-partitioned all-to-all) + limit.  Ties (coincident
+    quantized coords) broken by image_id."""
+    from engine.ops.zorder import zorder_sorted
+    from engine.rayds.imagetab import image_dataset
+
+    ds = image_dataset(sf_dir).select_columns(["image_id", "x", "y"])
+    return (
+        zorder_sorted(ds, "x", "y", scale=1000.0, tiebreak="image_id")
+        .limit(100)
+        .select_columns(["image_id", "morton"])
+    )
+
+
 def _q_doc_fingerprint(sf_dir):
     """Oracle-checkable md5-prefix fingerprint (the crc fp64 variant
     remains the cheap shuffle key inside exact dedup)."""
@@ -1119,6 +1149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "cc_iterative": _q_cc_iterative,
+        "bm25_topk": _q_bm25_topk,
+        "zorder_top100": _q_zorder_top100,
     }
 
 
@@ -1610,5 +1642,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(n AS BIGINT) AS doc_id,
                CAST((n // 128) * 128 AS BIGINT) AS cluster_id
         FROM nodes
+    """
+    # BM25 (rational idf): every float expression mirrors the numpy
+    # evaluation ORDER in engine/ops/text.py bit-for-bit (constants are
+    # written as the same sums/products, never pre-folded — 1.2 + 1.0 is
+    # NOT the double literal 2.2)
+    sql["bm25_topk"] = """
+        WITH st AS (
+            SELECT count(*) AS n,
+                   sum(len(string_split(text, ' '))) AS tok,
+                   sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x = 'the')) > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x = 'join')) > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x = 'window')) > 0 THEN 1 ELSE 0 END) AS df2
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'the')) AS DOUBLE) AS tf0,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'join')) AS DOUBLE) AS tf1,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'window')) AS DOUBLE) AS tf2
+            FROM documents
+        ),
+        sc AS (
+            SELECT doc_id,
+              ((st.n - st.df0 + 0.5) / (st.df0 + 0.5)) * (tf0 * (1.2 + 1.0))
+                / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(st.tok AS DOUBLE) / st.n))))
+            + ((st.n - st.df1 + 0.5) / (st.df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+                / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(st.tok AS DOUBLE) / st.n))))
+            + ((st.n - st.df2 + 0.5) / (st.df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+                / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(st.tok AS DOUBLE) / st.n))))
+              AS score
+            FROM tf, st
+        )
+        SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """
+    # Z-order: the same magic-number dilation chain as
+    # engine/ops/zorder.py, over the exact integer coordinate grid
+    # (event_id*MULT mod 100000 == rint(x*1000) — the float roundtrip is
+    # exact below 2^52)
+    sql["zorder_top100"] = """
+        WITH q AS (
+            SELECT 'img' || CAST(event_id AS VARCHAR) AS image_id,
+                   (event_id * 9973) % 100000 AS x,
+                   (event_id * 7919) % 100000 AS y
+            FROM events
+        ),
+        s1 AS (SELECT image_id, (x | (x << 16)) & 281470681808895 AS x,
+                      (y | (y << 16)) & 281470681808895 AS y FROM q),
+        s2 AS (SELECT image_id, (x | (x << 8)) & 71777214294589695 AS x,
+                      (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        s3 AS (SELECT image_id, (x | (x << 4)) & 1085102592571150095 AS x,
+                      (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        s4 AS (SELECT image_id, (x | (x << 2)) & 3689348814741910323 AS x,
+                      (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        s5 AS (SELECT image_id, (x | (x << 1)) & 6148914691236517205 AS x,
+                      (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        SELECT image_id, CAST(x | (y << 1) AS BIGINT) AS morton
+        FROM s5 ORDER BY morton, image_id LIMIT 100
     """
     return sql

@@ -121,3 +121,116 @@ def fingerprint(batch: pa.Table) -> pa.Table:
 
     fps = _col_hash(batch["text"])
     return batch.append_column("fp64", pa.array(fps.view(np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword scoring — the retrieval/quality-filter primitive of a
+# training-data pipeline (score documents against a fixed query, keep
+# top-k).  Two streaming passes, nothing unbounded on the driver:
+#   pass 1 (tiny): per-block (doc count, token sum, per-term doc-freq)
+#     partials fold on the driver into 4-ish scalars — the corpus stats.
+#   pass 2: vectorized per-block scoring + per-block top-k combiner, one
+#     final merge block (the word_topk shape).
+# The score uses the RATIONAL idf  (N - df + 0.5) / (df + 0.5)  — BM25's
+# idf without the log wrap — so the DuckDB oracle computes bit-identical
+# doubles (libm log() may differ by 1 ulp between engines; every other
+# op here is IEEE-exact given identical expression order).  The classic
+# log-idf is a monotone transform per term; for fixed-query top-k
+# filtering the rational form ranks comparably and is reproducible.
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _term_freqs(text_col, terms: list[str]):
+    """(doc lengths, [tf per term]) via ONE whitespace split: flatten the
+    token ListArray and segment-sum equality masks with reduceat."""
+    arr = text_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern(arr, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    values = toks.values
+    dl = off[1:] - off[:-1]
+    n = len(arr)
+    starts = off[:-1] - off[0]
+    tfs = []
+    for t in terms:
+        if len(values) == 0:
+            tfs.append(np.zeros(n, dtype=np.int64))
+            continue
+        eq = pc.equal(values, t).to_numpy(zero_copy_only=False).astype(np.int64)
+        # reduceat can't take start == len(x) (empty tail segment): clip,
+        # then zero every empty segment explicitly
+        tf = np.add.reduceat(eq, np.minimum(starts, len(eq) - 1))
+        tf[dl == 0] = 0
+        tfs.append(tf)
+    return dl, tfs
+
+
+def bm25_corpus_stats(docs_ds, terms: list[str], text_col: str = "text"):
+    """(N, total_tokens, [df per term]) — per-block partials, driver fold
+    of one tiny row per block."""
+    def partial(batch: pa.Table) -> pa.Table:
+        dl, tfs = _term_freqs(batch[text_col], terms)
+        cols = {
+            "_n": pa.array([len(dl)], type=pa.int64()),
+            "_tok": pa.array([int(dl.sum())], type=pa.int64()),
+        }
+        for i, tf in enumerate(tfs):
+            cols[f"_df{i}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+        return pa.table(cols)
+
+    rows = docs_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    n = sum(r["_n"] for r in rows)
+    tok = sum(r["_tok"] for r in rows)
+    dfs = [sum(r[f"_df{i}"] for r in rows) for i in range(len(terms))]
+    return n, tok, dfs
+
+
+def bm25_topk(docs_ds, terms: list[str], k: int = 20,
+              k1: float = BM25_K1, b: float = BM25_B,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k documents by (rational-idf) BM25 against ``terms`` —
+    (doc_id, score) Dataset, ties broken by ascending doc id."""
+    n, tok, dfs = bm25_corpus_stats(docs_ds, terms, text_col)
+    if n == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }))
+    avgdl = tok / n
+    idfs = [(n - df + 0.5) / (df + 0.5) for df in dfs]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        dl, tfs = _term_freqs(batch[text_col], terms)
+        dlf = dl.astype(np.float64)
+        norm = k1 * (1.0 - b + b * (dlf / avgdl))
+        s = np.zeros(len(dl), dtype=np.float64)
+        for idf, tf in zip(idfs, tfs):
+            tff = tf.astype(np.float64)
+            s = s + idf * (tff * (k1 + 1.0)) / (tff + norm)
+        ids = batch[id_col].to_numpy()
+        keep = np.lexsort((ids, -s))[:k]  # block top-k combiner
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "score": pa.array(s[keep])})
+
+    part = docs_ds.select_columns([id_col, text_col]).map_batches(
+        score_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        s = batch["score"].to_numpy()
+        keep = np.lexsort((ids, -s))[:k]
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "score": pa.array(s[keep])})
+
+    return part.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -478,3 +478,72 @@ def test_batch_codec_kernels_bit_identical_to_scalar():
         for j in range(len(ids)):
             assert pb[j] == codec.psnr(batch[j], other[j])
         assert np.isinf(codec.psnr_batch(batch, batch)).all()
+
+
+def test_morton_kernel_properties():
+    """Morton encode: bit-interleave correctness vs a per-bit scalar
+    reference; locality property (nearby cells share high bits)."""
+    import numpy as np
+
+    from engine.ops.zorder import morton2
+
+    rng = np.random.default_rng(7)
+    qx = rng.integers(0, 100_000, size=200).astype(np.int64)
+    qy = rng.integers(0, 100_000, size=200).astype(np.int64)
+    got = morton2(qx, qy)
+
+    def scalar(x, y):
+        m = 0
+        for i in range(32):
+            m |= ((x >> i) & 1) << (2 * i)
+            m |= ((y >> i) & 1) << (2 * i + 1)
+        return m
+
+    for j in range(len(qx)):
+        assert int(got[j]) == scalar(int(qx[j]), int(qy[j]))
+    # monotone along each axis with the other fixed at 0
+    xs = np.arange(1000, dtype=np.int64)
+    z = np.zeros_like(xs)
+    assert (np.diff(morton2(xs, z)) > 0).all()
+    assert (np.diff(morton2(z, xs)) > 0).all()
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    """Distributed two-pass BM25 top-k == single-process brute force over
+    the same documents (identical float expressions)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.text import BM25_B, BM25_K1, bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["the", "join", "window", "scan", "agg", "row", "fast"]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 40)).tolist())
+        for _ in range(300)
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    terms = ["the", "join", "window"]
+    out = bm25_topk(
+        ray.data.from_arrow(t).repartition(7), terms, k=15
+    ).take_all()
+
+    # brute force with the same expression order
+    toks = [d.split(" ") for d in docs]
+    dl = np.array([len(x) for x in toks], dtype=np.float64)
+    n = len(docs)
+    avgdl = int(dl.sum()) / n
+    s = np.zeros(n)
+    for term in terms:
+        tf = np.array([sum(1 for w in x if w == term) for x in toks],
+                      dtype=np.float64)
+        df = int((tf > 0).sum())
+        idf = (n - df + 0.5) / (df + 0.5)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+        s = s + idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+    order = np.lexsort((np.arange(n), -s))[:15]
+    want = [(int(i), float(s[i])) for i in order]
+    got = [(int(r["doc_id"]), float(r["score"])) for r in out]
+    assert got == want
