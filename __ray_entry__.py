@@ -543,6 +543,29 @@ def _q_word_topk(sf_dir):
     return counts.sort(["cnt", "word"], descending=[True, False]).limit(20)
 
 
+def _q_heavy_hitters(sf_dir):
+    """Top-10 words via ZERO-SHUFFLE heavy hitters (Misra–Gries block
+    summaries → driver fold → broadcast exact recount).  The scale path
+    when word cardinality makes the exact groupby's all-to-all too wide;
+    the MG guarantee is asserted (m-th count > summed decrement bound),
+    so the output is provably the true top-10."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops.heavyhitters import heavy_hitters
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table({"word": pc.list_flatten(
+            pc.split_pattern(batch["text"], " "))})
+
+    words = _docs(sf_dir).select_columns(["text"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    out, bound = heavy_hitters(words, "word", m=10)
+    assert out.num_rows < 10 or int(out["cnt"][9].as_py()) > bound
+    return ray.data.from_arrow(out)
+
+
 def _q_dedup_exact(sf_dir):
     """Exact dedup on a 16-char prefix key (hash-partition + per-group
     first): keep lowest doc_id + copy count per key."""
@@ -1151,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_iterative": _q_cc_iterative,
         "bm25_topk": _q_bm25_topk,
         "zorder_top100": _q_zorder_top100,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -1706,5 +1730,10 @@ def oracle_sql() -> dict[str, str]:
                       (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
         SELECT image_id, CAST(x | (y << 1) AS BIGINT) AS morton
         FROM s5 ORDER BY morton, image_id LIMIT 100
+    """
+    sql["heavy_hitters"] = """
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 10
     """
     return sql

@@ -1,0 +1,133 @@
+"""Heavy hitters (frequent items) with ZERO shuffles — Misra–Gries
+candidates + exact broadcast recount.
+
+The bounded-memory alternative to an exact grouped count when the key
+cardinality is corpus-sized (words, URLs, n-grams at 10^12 rows): an
+exact ``groupby(word)`` is an all-to-all over every distinct key, while
+this operator moves only
+
+- stage 1: one ≤k-row Misra–Gries summary PER BLOCK to the driver
+  (k·blocks tiny rows; the standard mergeable MG guarantee — a key's
+  summary undercount is bounded by the total decrement applied, Misra &
+  Gries 1982 / Berinde et al. 2010 for the merge), and
+- stage 2: the ≤k candidate keys broadcast once via ``ray.put``; each
+  block counts ONLY candidate matches (hashed ``is_in`` prefilter +
+  group_by) and the per-block partials — ≤k rows each — fold on the
+  driver into EXACT counts.
+
+Output: the true top-``m`` (exact counts, deterministic (cnt desc, key
+asc) order) whenever every true top-m key survives the summaries.
+``mg_threshold`` — the summed decrement bound — is returned so callers
+can CHECK that: any key absent from the candidate set has true count
+≤ mg_threshold, so the result is PROVABLY the true top-m whenever the
+m-th recounted count exceeds it.  Choose k ≫ m (default 64×) so
+real-corpus skew makes the bound trivially met.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _mg_compress(keys: pa.Array, counts: np.ndarray, k: int):
+    """Reduce a (key, count) summary to ≤ k entries by the MG decrement:
+    subtract the (k+1)-th largest count from all, keep positives.
+    Returns (keys, counts, decrement)."""
+    if len(counts) <= k:
+        return keys, counts, 0
+    dec = int(np.partition(counts, -(k + 1))[-(k + 1)])
+    idx = np.nonzero(counts > dec)[0]
+    return keys.take(pa.array(idx)), counts[idx] - dec, dec
+
+
+def mg_partials(key_col: str, k: int):
+    """Stage: per-block ≤k-row Misra–Gries summary of the key column.
+    A block that decremented also emits ONE sentinel row (null key,
+    ``_dec`` = its decrement) so the driver can sum the exact global
+    error bound — decrements must never be lost or deduplicated."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col]).group_by([key_col]).aggregate(
+            [([], "count_all")]
+        )
+        keys = g.column(0)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        counts = g.column(1).to_numpy().astype(np.int64)
+        keys, counts, dec = _mg_compress(keys, counts, k)
+        n = len(counts)
+        out_keys = keys
+        out_cnt = counts
+        out_dec = np.zeros(n, dtype=np.int64)
+        if dec > 0:
+            out_keys = pa.concat_arrays([keys, pa.nulls(1, type=keys.type)])
+            out_cnt = np.concatenate([counts, [0]])
+            out_dec = np.concatenate([out_dec, [dec]])
+        return pa.table({
+            key_col: out_keys,
+            "_mgc": pa.array(out_cnt),
+            "_dec": pa.array(out_dec),
+        })
+
+    return fn
+
+
+def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
+    """EXACT top-``m`` (key, cnt) pyarrow Table + the MG guarantee check.
+
+    Returns ``(table, mg_threshold)``: ``table`` holds the recounted
+    exact top-m in (cnt desc, key asc) order; the result is PROVABLY
+    the true top-m when ``table["cnt"][m-1] > mg_threshold``
+    (callers/tests assert this)."""
+    import ray
+
+    k = k or max(64 * m, 256)
+
+    # stage 1: blocks → ≤k-row MG summaries → driver fold → candidates
+    part = ds.select_columns([key_col]).map_batches(
+        mg_partials(key_col, k), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    summaries = pa.concat_tables(part.iter_batches(batch_format="pyarrow"))
+    dec_sum = int(pc.sum(summaries["_dec"]).as_py() or 0)
+    real = summaries.filter(pc.is_valid(summaries[key_col]))
+    if real.num_rows == 0:
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())}), dec_sum
+    g = real.group_by([key_col]).aggregate([("_mgc", "sum")])
+    keys = g.column(0)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    counts = g.column(1).to_numpy().astype(np.int64)
+    keys, counts, merge_dec = _mg_compress(keys, counts, k)
+    mg_threshold = dec_sum + merge_dec
+
+    # stage 2: broadcast candidates, exact recount (per-block ≤k rows)
+    cand_ref = ray.put(keys)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        col = batch[key_col]
+        t = batch.select([key_col]).filter(pc.is_in(col, value_set=cand))
+        g = t.group_by([key_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "_cnt"])
+
+    rec = ds.select_columns([key_col]).map_batches(
+        recount, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    folded = pa.concat_tables(rec.iter_batches(batch_format="pyarrow"))
+    fin = folded.group_by([key_col]).aggregate([("_cnt", "sum")])
+    # deterministic (cnt desc, key asc): sort by key first, then a
+    # STABLE argsort on -count preserves the key order within ties
+    ix = pc.sort_indices(fin, sort_keys=[(key_col, "ascending")])
+    fk = fin.column(0).take(ix)
+    if isinstance(fk, pa.ChunkedArray):
+        fk = fk.combine_chunks()
+    fc = fin.column(1).to_numpy()[ix.to_numpy()].astype(np.int64)
+    order = np.argsort(-fc, kind="stable")[:m]
+    return pa.table({
+        key_col: fk.take(pa.array(order)),
+        "cnt": pa.array(fc[order]),
+    }), mg_threshold

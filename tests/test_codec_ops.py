@@ -547,3 +547,37 @@ def test_bm25_topk_matches_bruteforce(ray_session):
     want = [(int(i), float(s[i])) for i in order]
     got = [(int(r["doc_id"]), float(r["score"])) for r in out]
     assert got == want
+
+
+def test_heavy_hitters_zipf_guarantee(ray_session):
+    """MG heavy hitters under pressure: 200k zipf-ish draws over a 20k-key
+    space with a small k forces real per-block decrements; the recount
+    must still return the exact brute-force top-m whenever the m-th
+    count clears the returned bound (and the bound must hold: any
+    non-candidate key's true count <= mg_threshold)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.heavyhitters import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # heavy head (20 hot keys) + long uniform tail over 20k keys
+    hot = rng.integers(0, 20, size=60_000)
+    tail = rng.integers(0, 20_000, size=140_000)
+    keys = np.concatenate([hot, tail])
+    rng.shuffle(keys)
+    names = np.char.add("k", keys.astype(str))
+    ds = ray.data.from_arrow(
+        pa.table({"word": pa.array(names.tolist(), type=pa.string())})
+    ).repartition(16)
+
+    out, bound = heavy_hitters(ds, "word", m=10, k=64)
+    assert bound > 0  # the tail genuinely forced decrements
+    truth = collections.Counter(names.tolist())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(out["word"].to_pylist(), out["cnt"].to_pylist()))
+    assert int(out["cnt"][9].as_py()) > bound  # guarantee is checkable
+    assert got == want
