@@ -382,6 +382,39 @@ def _q_cc_iterative(sf_dir):
     return connected_components(e, small_graph_rows=0)
 
 
+def _q_interval_join(sf_dir):
+    """INTERVAL OVERLAP JOIN (1-D range family): click sessions
+    [ts, ts+10min] × error windows [ts, ts+7min] — time-bucket
+    co-partition, one union exchange, overlap-start bucket dedupe (no
+    second exchange; see engine/ops/interval.py)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops.interval import interval_join
+
+    def pick(etype: str, span_us: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], etype)
+            t = batch.filter(m)
+            t0 = t["ts"].cast(pa.int64())
+            return pa.table({
+                "_id": t["event_id"],
+                "_t0": t0,
+                "_t1": pc.add(t0, span_us),
+            })
+        return fn
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    left = ev.map_batches(pick("click", 600_000_000), batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    right = ev.map_batches(pick("error", 420_000_000), batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    return interval_join(left, right, bucket_us=900_000_000,
+                         id_cols=("l_event", "r_event"))
+
+
 def _q_tile_mosaics(sf_dir):
     """Per-(poly, tile) raster mosaic materialization (north_rule);
     metadata columns oracle-checked (grid dims derive from counts)."""
@@ -1175,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "zorder_top100": _q_zorder_top100,
         "heavy_hitters": _q_heavy_hitters,
+        "interval_join": _q_interval_join,
     }
 
 
@@ -1735,5 +1769,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT word, CAST(count(*) AS BIGINT) AS cnt
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word ORDER BY cnt DESC, word LIMIT 10
+    """
+    sql["interval_join"] = """
+        WITH l AS (
+            SELECT event_id AS l_event, epoch_us(ts) AS l0,
+                   epoch_us(ts) + 600000000 AS l1
+            FROM events WHERE event_type = 'click'
+        ),
+        r AS (
+            SELECT event_id AS r_event, epoch_us(ts) AS r0,
+                   epoch_us(ts) + 420000000 AS r1
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT l_event, r_event FROM l JOIN r ON l0 <= r1 AND r0 <= l1
     """
     return sql

@@ -1008,3 +1008,36 @@ def test_asof_join_split_matches_brute_sf(ray_ready):
              for r in asof_join_split(ds, "click", "view",
                                       bucket_us=3_600_000_000).take_all()}
     assert split == plain and len(plain) > 0
+
+
+def test_interval_join_matches_brute(ray_ready):
+    """Time-bucket interval join vs brute-force O(n^2) overlap test —
+    random interval lengths up to 40 buckets force heavy replication and
+    exercise the overlap-start dedupe rule (no duplicate pairs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.interval import interval_join
+
+    rng = np.random.default_rng(23)
+    B = 100  # tiny buckets so most intervals span many
+    nl, nr = 400, 300
+    l0 = rng.integers(0, 20_000, size=nl).astype(np.int64)
+    l1 = l0 + rng.integers(0, 4_000, size=nl)
+    r0 = rng.integers(0, 20_000, size=nr).astype(np.int64)
+    r1 = r0 + rng.integers(0, 4_000, size=nr)
+    lt = pa.table({"_id": pa.array(np.arange(nl, dtype=np.int64)),
+                   "_t0": pa.array(l0), "_t1": pa.array(l1)})
+    rt = pa.table({"_id": pa.array(np.arange(nr, dtype=np.int64)),
+                   "_t0": pa.array(r0), "_t1": pa.array(r1)})
+    out = interval_join(
+        ray.data.from_arrow(lt).repartition(5),
+        ray.data.from_arrow(rt).repartition(3),
+        bucket_us=B, id_cols=("l", "r"),
+    ).take_all()
+    got = [(int(x["l"]), int(x["r"])) for x in out]
+    assert len(got) == len(set(got))  # dedupe rule held
+    m = (l0[:, None] <= r1[None, :]) & (r0[None, :] <= l1[:, None])
+    a, b = np.nonzero(m)
+    assert sorted(got) == sorted(zip(a.tolist(), b.tolist()))
