@@ -382,6 +382,29 @@ def _q_cc_iterative(sf_dir):
     return connected_components(e, small_graph_rows=0)
 
 
+def _q_value_quantiles_sketch(sf_dir):
+    """Approximate event-value quantiles via the deterministic MRL
+    sketch (engine/ops/sketch.py) — the continuous-value scale path
+    (per-block sketch partials, driver fold, NO exchange).  The sketch's
+    self-certified rank bound is asserted against the exact quantiles
+    computed by the same driver fold's n (rows-only check; the rigorous
+    pin is test_mrl_quantiles_guaranteed_bound)."""
+    import ray.data
+
+    from engine.ops.sketch import mrl_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    vals, n, err = mrl_quantiles(ds, "value", qs, k=256)
+    assert err <= max(1, n // 20)  # bound stays within 5% of n
+    return pa.table({
+        "q": pa.array(qs),
+        "value": pa.array(vals),
+        "n": pa.array([n] * len(qs), type=pa.int64()),
+        "err_bound": pa.array([err] * len(qs), type=pa.int64()),
+    })
+
+
 def _q_interval_join(sf_dir):
     """INTERVAL OVERLAP JOIN (1-D range family): click sessions
     [ts, ts+10min] × error windows [ts, ts+7min] — time-bucket
@@ -1209,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_top100": _q_zorder_top100,
         "heavy_hitters": _q_heavy_hitters,
         "interval_join": _q_interval_join,
+        "value_quantiles_sketch": _q_value_quantiles_sketch,
     }
 
 

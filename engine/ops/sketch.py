@@ -200,3 +200,152 @@ def grouped_quantiles(ds, group_col: str, val_col: str,
         batch_format="pyarrow", batch_size=None,
     )
     return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile summary (MRL / KLL-style, no RNG) —
+# the CONTINUOUS-value scale path that complements grouped_quantiles
+# (whose exchange is distinct (group, value) pairs — exact and right for
+# discrete values, impossible for 10^12 distinct doubles).
+#
+# Structure: per level L a sorted buffer with item weight 2^L.  A level
+# over budget compacts by keeping alternate items (per-level flip bit —
+# deterministic, no worker RNG) and promoting them one level up.  Every
+# compaction of a weight-w buffer perturbs any rank by at most w, so the
+# sketch carries an EXACT self-certified error counter: quantile answers
+# are guaranteed within ±err ranks, and tests/queries assert against it
+# (same checkable-bound design as heavy_hitters).  Sketches serialize to
+# (level, value) rows + (n, err) meta and merge associatively — the
+# distributed shape is per-block partials → driver fold of tiny tables
+# (k·levels items per block), NO all-to-all.
+
+class MRLSketch:
+    """Deterministic mergeable rank/quantile summary."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: dict[int, np.ndarray] = {}
+        self.n = 0
+        self.err = 0  # max rank error, maintained exactly
+        self._flip: dict[int, int] = {}
+
+    def insert(self, values: np.ndarray) -> "MRLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.n += len(v)
+        base = self.levels.get(0)
+        merged = np.sort(v) if base is None else np.concatenate([base, v])
+        if base is not None:
+            merged.sort()
+        self.levels[0] = merged
+        self._compact_all()
+        return self
+
+    def _compact_all(self) -> None:
+        L = 0
+        while L <= max(self.levels, default=0):
+            buf = self.levels.get(L)
+            if buf is not None and len(buf) > self.k:
+                off = self._flip.get(L, 0)
+                self._flip[L] = off ^ 1
+                kept = buf[off::2]
+                self.err += 1 << L  # compaction of weight-2^L buffer
+                self.levels[L] = np.empty(0, dtype=np.float64)
+                up = self.levels.get(L + 1)
+                if up is None or len(up) == 0:
+                    self.levels[L + 1] = kept
+                else:
+                    m = np.concatenate([up, kept])
+                    m.sort()
+                    self.levels[L + 1] = m
+            L += 1
+
+    def merge(self, other: "MRLSketch") -> "MRLSketch":
+        for L, buf in other.levels.items():
+            if len(buf) == 0:
+                continue
+            mine = self.levels.get(L)
+            if mine is None or len(mine) == 0:
+                self.levels[L] = buf.copy()
+            else:
+                m = np.concatenate([mine, buf])
+                m.sort()
+                self.levels[L] = m
+        self.n += other.n
+        self.err += other.err
+        self._compact_all()
+        return self
+
+    def _items(self):
+        vals, wts = [], []
+        for L, buf in self.levels.items():
+            if len(buf):
+                vals.append(buf)
+                wts.append(np.full(len(buf), 1 << L, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        o = np.argsort(v, kind="stable")
+        return v[o], w[o]
+
+    def quantile(self, qs) -> np.ndarray:
+        """Values whose true rank is within ±err of q·n, per q."""
+        v, w = self._items()
+        if len(v) == 0:
+            return np.full(len(np.atleast_1d(qs)), np.nan)
+        cum = np.cumsum(w)
+        target = np.atleast_1d(np.asarray(qs, dtype=np.float64)) * self.n
+        idx = np.minimum(np.searchsorted(cum, target, side="left"), len(v) - 1)
+        return v[idx]
+
+    def to_table(self) -> pa.Table:
+        v, levels = [], []
+        for L, buf in self.levels.items():
+            if len(buf):
+                v.append(buf)
+                levels.append(np.full(len(buf), L, dtype=np.int64))
+        val = np.concatenate(v) if v else np.empty(0)
+        lev = np.concatenate(levels) if levels else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "_lvl": pa.array(lev),
+            "_val": pa.array(val),
+            "_n": pa.array(np.full(len(val), self.n, dtype=np.int64)),
+            "_err": pa.array(np.full(len(val), self.err, dtype=np.int64)),
+        })
+
+    @classmethod
+    def from_table(cls, t: pa.Table, k: int = 256) -> "MRLSketch":
+        s = cls(k)
+        if t.num_rows == 0:
+            return s
+        lev = t["_lvl"].to_numpy()
+        val = t["_val"].to_numpy()
+        for L in np.unique(lev):
+            buf = np.sort(val[lev == L])
+            s.levels[int(L)] = buf
+        s.n = int(t["_n"][0].as_py())
+        s.err = int(t["_err"][0].as_py())
+        s._compact_all()
+        return s
+
+
+def mrl_quantiles(ds, col: str, qs, k: int = 256):
+    """Approximate quantiles of a numeric column with a GUARANTEED rank
+    bound: returns (values per q, n, err) — each value's true rank is
+    within ±err of q·n.  Per-block sketch partials (≤ k·levels tiny
+    rows each) fold on the driver; no exchange touches the data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = MRLSketch(k).insert(batch[col].to_numpy(zero_copy_only=False))
+        return s.to_table()
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    total = MRLSketch(k)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        total.merge(MRLSketch.from_table(b, k))
+    return total.quantile(qs), total.n, total.err

@@ -1041,3 +1041,38 @@ def test_interval_join_matches_brute(ray_ready):
     m = (l0[:, None] <= r1[None, :]) & (r0[None, :] <= l1[:, None])
     a, b = np.nonzero(m)
     assert sorted(got) == sorted(zip(a.tolist(), b.tolist()))
+
+
+def test_mrl_quantiles_guaranteed_bound(ray_ready):
+    """Distributed MRL sketch: every returned quantile's TRUE rank must
+    be within the sketch's self-certified ±err bound; the bound itself
+    must be nontrivial (compactions really happened) and small."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.sketch import MRLSketch, mrl_quantiles
+
+    rng = np.random.default_rng(9)
+    data = rng.lognormal(0.0, 2.0, size=200_000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(data)})).repartition(13)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    vals, n, err = mrl_quantiles(ds, "v", qs, k=256)
+    assert n == len(data)
+    assert 0 < err < 0.05 * n  # compactions happened; bound stays tight
+    sd = np.sort(data)
+    for q, est in zip(qs, vals):
+        true_rank = np.searchsorted(sd, est)
+        assert abs(true_rank - q * n) <= err, (q, true_rank, q * n, err)
+    # merge associativity of the serialized form: fold in two different
+    # groupings -> identical (deterministic compaction, same order)
+    a = MRLSketch(64).insert(data[:70_000])
+    b = MRLSketch(64).insert(data[70_000:150_000])
+    c = MRLSketch(64).insert(data[150_000:])
+    ab_c = MRLSketch(64).merge(a).merge(b).merge(c)
+    assert ab_c.n == len(data)
+    sd2 = np.sort(data)
+    for q in qs:
+        est = ab_c.quantile([q])[0]
+        r = np.searchsorted(sd2, est)
+        assert abs(r - q * len(data)) <= ab_c.err
