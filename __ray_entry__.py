@@ -382,6 +382,16 @@ def _q_cc_iterative(sf_dir):
     return connected_components(e, small_graph_rows=0)
 
 
+def _q_pack_sequences(sf_dir):
+    """Concat-and-chunk SEQUENCE PACKING (the LLM training-data op):
+    global token offsets via the two-phase distributed scan
+    (engine/ops/scan.py — 3 ints per block to the driver, no shuffle),
+    then seq_id = offset // 2048."""
+    from engine.ops.scan import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), capacity=2048)
+
+
 def _q_value_quantiles_sketch(sf_dir):
     """Approximate event-value quantiles via the deterministic MRL
     sketch (engine/ops/sketch.py) — the continuous-value scale path
@@ -1233,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "interval_join": _q_interval_join,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1806,5 +1817,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'error'
         )
         SELECT l_event, r_event FROM l JOIN r ON l0 <= r1 AND r0 <= l1
+    """
+    sql["pack_sequences"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_offset,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048 AS BIGINT) AS seq_id
+        FROM t
     """
     return sql

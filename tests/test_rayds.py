@@ -1076,3 +1076,33 @@ def test_mrl_quantiles_guaranteed_bound(ray_ready):
         est = ab_c.quantile([q])[0]
         r = np.searchsorted(sd2, est)
         assert abs(r - q * len(data)) <= ab_c.err
+
+
+def test_ordered_cumsum_scan(ray_ready):
+    """Two-phase distributed scan == numpy cumsum across many blocks;
+    overlapping block key ranges must be rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.scan import ordered_cumsum
+
+    n = 50_000
+    v = np.random.default_rng(4).integers(1, 100, size=n).astype(np.int64)
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(v)})
+    # split=true repartition keeps row order -> contiguous key ranges
+    ds = ray.data.from_arrow(t).repartition(17)
+    out = ordered_cumsum(ds, "k", "v", out_col="c").take_all()
+    got = np.empty(n, dtype=np.int64)
+    for r in out:
+        got[r["k"]] = r["c"]
+    want = np.cumsum(v) - v
+    assert np.array_equal(got, want)
+    # interleaved keys across blocks -> must raise
+    t2 = pa.table({"k": pa.array([0, 2, 1, 3], type=pa.int64()),
+                   "v": pa.array([1, 1, 1, 1], type=pa.int64())})
+    shuffled = ray.data.from_arrow(t2).repartition(2)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ordered_cumsum(shuffled, "k", "v").take_all()
