@@ -85,10 +85,37 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
 
     k = k or max(64 * m, 256)
 
-    # stage 1: blocks → ≤k-row MG summaries → driver fold → candidates
+    # stage 1: blocks → ≤k-row MG summaries → WORKER tree fold (16-way,
+    # so the driver sees ≤ 16·(k+1) rows however many input blocks there
+    # are — at 10^6 blocks a flat driver fold would itself be the
+    # bottleneck) → driver fold → candidates
     part = ds.select_columns([key_col]).map_batches(
         mg_partials(key_col, k), batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
+    )
+
+    def tree_merge(batch: pa.Table) -> pa.Table:
+        dec = int(pc.sum(batch["_dec"]).as_py() or 0)
+        real = batch.filter(pc.is_valid(batch[key_col]))
+        g = real.group_by([key_col]).aggregate([("_mgc", "sum")])
+        keys = g.column(0)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        counts = g.column(1).to_numpy().astype(np.int64)
+        keys, counts, mdec = _mg_compress(keys, counts, k)
+        dec += mdec
+        n = len(counts)
+        out_keys, out_cnt = keys, counts
+        out_dec = np.zeros(n, dtype=np.int64)
+        if dec > 0:
+            out_keys = pa.concat_arrays([keys, pa.nulls(1, type=keys.type)])
+            out_cnt = np.concatenate([counts, [0]])
+            out_dec = np.concatenate([out_dec, [dec]])
+        return pa.table({key_col: out_keys, "_mgc": pa.array(out_cnt),
+                         "_dec": pa.array(out_dec)})
+
+    part = part.repartition(16).map_batches(
+        tree_merge, batch_format="pyarrow", batch_size=None
     )
     summaries = pa.concat_tables(part.iter_batches(batch_format="pyarrow"))
     dec_sum = int(pc.sum(summaries["_dec"]).as_py() or 0)

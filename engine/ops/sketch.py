@@ -302,6 +302,12 @@ class MRLSketch:
         return v[idx]
 
     def to_table(self) -> pa.Table:
+        """Serialize as (level, value) rows plus ONE meta sentinel row
+        (_lvl = -1) carrying (n, err).  Concatenating serialized
+        sketches therefore IS a valid combined serialization — sentinel
+        n/err add up, per-level buffers concatenate — which is what lets
+        ``from_table`` deserialize a whole repartitioned batch of block
+        sketches in one shot (the tree-fold stage)."""
         v, levels = [], []
         for L, buf in self.levels.items():
             if len(buf):
@@ -310,24 +316,32 @@ class MRLSketch:
         val = np.concatenate(v) if v else np.empty(0)
         lev = np.concatenate(levels) if levels else np.empty(0, dtype=np.int64)
         return pa.table({
-            "_lvl": pa.array(lev),
-            "_val": pa.array(val),
-            "_n": pa.array(np.full(len(val), self.n, dtype=np.int64)),
-            "_err": pa.array(np.full(len(val), self.err, dtype=np.int64)),
+            "_lvl": pa.array(np.concatenate([lev, [-1]])),
+            "_val": pa.array(np.concatenate([val, [np.nan]])),
+            "_meta": pa.array(
+                np.concatenate([np.zeros(len(val), np.int64),
+                                [self.n]]).astype(np.int64)),
+            "_meta2": pa.array(
+                np.concatenate([np.zeros(len(val), np.int64),
+                                [self.err]]).astype(np.int64)),
         })
 
     @classmethod
     def from_table(cls, t: pa.Table, k: int = 256) -> "MRLSketch":
+        """Deserialize one OR MANY concatenated serialized sketches
+        (n/err fold over the sentinel rows; buffers merge per level,
+        then compact)."""
         s = cls(k)
         if t.num_rows == 0:
             return s
         lev = t["_lvl"].to_numpy()
         val = t["_val"].to_numpy()
-        for L in np.unique(lev):
+        meta = lev == -1
+        s.n = int(t["_meta"].to_numpy()[meta].sum())
+        s.err = int(t["_meta2"].to_numpy()[meta].sum())
+        for L in np.unique(lev[~meta]):
             buf = np.sort(val[lev == L])
             s.levels[int(L)] = buf
-        s.n = int(t["_n"][0].as_py())
-        s.err = int(t["_err"][0].as_py())
         s._compact_all()
         return s
 
@@ -344,6 +358,15 @@ def mrl_quantiles(ds, col: str, qs, k: int = 256):
 
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    # worker tree fold: 16-way merge of the serialized block sketches so
+    # the driver sees ≤ 16 sketch tables regardless of input block count
+    def tree_merge(batch: pa.Table) -> pa.Table:
+        return MRLSketch.from_table(batch, k).to_table()
+
+    parts = parts.repartition(16).map_batches(
+        tree_merge, batch_format="pyarrow", batch_size=None
     )
     total = MRLSketch(k)
     for b in parts.iter_batches(batch_format="pyarrow"):
