@@ -144,6 +144,16 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
     rec = ds.select_columns([key_col]).map_batches(
         recount, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+    def sum_merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key_col]).aggregate([("_cnt", "sum")])
+        return g.rename_columns([key_col, "_cnt"])
+
+    # same 16-way tree fold as stage 1: the recount partials are ≤k rows
+    # per block, but blocks×k must not land on the driver raw
+    rec = rec.repartition(16).map_batches(
+        sum_merge, batch_format="pyarrow", batch_size=None
+    )
     folded = pa.concat_tables(rec.iter_batches(batch_format="pyarrow"))
     fin = folded.group_by([key_col]).aggregate([("_cnt", "sum")])
     # deterministic (cnt desc, key asc): sort by key first, then a

@@ -182,8 +182,20 @@ def bm25_corpus_stats(docs_ds, terms: list[str], text_col: str = "text"):
             cols[f"_df{i}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
         return pa.table(cols)
 
-    rows = docs_ds.map_batches(
+    parts = docs_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def tree_sum(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([int(pc.sum(batch[c]).as_py() or 0)], type=pa.int64())
+            for c in batch.column_names
+        })
+
+    # 16-way worker fold first — the driver must not collect one partial
+    # row per block at 10^6-block scale
+    rows = parts.repartition(16).map_batches(
+        tree_sum, batch_format="pyarrow", batch_size=None
     ).take_all()
     n = sum(r["_n"] for r in rows)
     tok = sum(r["_tok"] for r in rows)
@@ -231,6 +243,10 @@ def bm25_topk(docs_ds, terms: list[str], k: int = 20,
         return pa.table({id_col: pa.array(ids[keep]),
                          "score": pa.array(s[keep])})
 
-    return part.repartition(1).map_batches(
+    # two-level top-k fan-in (16-way, then 1) — the single merge block
+    # must not receive blocks×k rows raw at large block counts
+    return part.repartition(16).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    ).repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
