@@ -355,6 +355,40 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+def _q_dedup_canonical(sf_dir):
+    """END-TO-END near-dup removal: candidate pairs → exact-Jaccard
+    verify → connected components → drop every non-canonical member
+    (keep cluster min), i.e. the composition a user actually runs to
+    dedup a corpus.  The drop set (non-canonical ids) is bounded by the
+    verified-duplicate count — broadcast once via ray.put; past a
+    broadcast budget the exact fallback is the distributed anti-join
+    cogroup (pipeline.semi_anti_ids's plan, same reasoning)."""
+    import pyarrow.compute as pc
+    import ray
+
+    clusters = _q_dedup_clusters(sf_dir)
+
+    def non_canon(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        return batch.filter(m).select(["doc_id"])
+
+    drop = pa.concat_tables(
+        clusters.map_batches(non_canon, batch_format="pyarrow",
+                             batch_size=None).iter_batches(
+            batch_format="pyarrow")
+    )
+    ref = ray.put(drop["doc_id"].combine_chunks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        m = pc.invert(pc.is_in(batch["doc_id"], value_set=ids))
+        return batch.filter(m).select(["doc_id"])
+
+    return _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def _q_cc_iterative(sf_dir):
     """Connected components on a bench-scale chain graph, FORCED through
     the iterative distributed plan (hash-min label propagation +
@@ -1244,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": _q_interval_join,
         "value_quantiles_sketch": _q_value_quantiles_sketch,
         "pack_sequences": _q_pack_sequences,
+        "dedup_canonical": _q_dedup_canonical,
     }
 
 
@@ -1818,6 +1853,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT l_event, r_event FROM l JOIN r ON l0 <= r1 AND r0 <= l1
     """
+    # dedup_canonical reuses dedup_clusters' recursive closure: keep every
+    # doc that is not a non-canonical member of a cluster
+    sql["dedup_canonical"] = sql["dedup_clusters"].replace(
+        """SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src""",
+        """, clus AS (
+                SELECT src AS doc_id, min(dst) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM clus WHERE doc_id != cluster_id)""",
+    )
     sql["pack_sequences"] = """
         WITH t AS (
             SELECT doc_id,
