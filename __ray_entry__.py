@@ -355,6 +355,26 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+def _q_kmeans_embed(sf_dir):
+    """Full-dataset distributed spherical k-means over the embeddings
+    table (broadcast-iterate Lloyd: centroids via ray.put per round,
+    per-block partial sums, 16-way tree fold — no shuffle).  Output:
+    per-cluster sizes (deterministic farthest-point init).  Rows-only
+    check; the rigorous pin is test_kmeans_full_separated_clusters
+    (exact sizes + center recovery + single-process Lloyd parity)."""
+    import ray.data
+
+    from engine.ops.ann import kmeans_full
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    cents, counts = kmeans_full(ds, k=8, iters=10)
+    return pa.table({
+        "cluster": pa.array(np.arange(len(counts), dtype=np.int64)),
+        "n_vectors": pa.array(counts),
+    })
+
+
 def _q_dedup_canonical(sf_dir):
     """END-TO-END near-dup removal: candidate pairs → exact-Jaccard
     verify → connected components → drop every non-canonical member
@@ -1279,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": _q_value_quantiles_sketch,
         "pack_sequences": _q_pack_sequences,
         "dedup_canonical": _q_dedup_canonical,
+        "kmeans_embed": _q_kmeans_embed,
     }
 
 

@@ -581,3 +581,54 @@ def test_heavy_hitters_zipf_guarantee(ray_session):
     got = list(zip(out["word"].to_pylist(), out["cnt"].to_pylist()))
     assert int(out["cnt"][9].as_py()) > bound  # guarantee is checkable
     assert got == want
+
+
+def test_kmeans_full_separated_clusters(ray_session):
+    """Distributed Lloyd k-means: on well-separated clusters the
+    farthest-point init + broadcast-iterate rounds must recover every
+    true center (sim ~1) with exact cluster sizes; and the distributed
+    per-block partial sums must agree with a single-process Lloyd run
+    from the same init (allclose — summation order differs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.ann import _unit, kmeans_full
+
+    rng = np.random.default_rng(2)
+    centers = _unit(rng.normal(size=(4, 8)) * 10)
+    pts = np.concatenate(
+        [c + rng.normal(scale=0.05, size=(500, 8)) for c in centers]
+    )
+    pts = pts[rng.permutation(len(pts))]
+    emb = pa.array([list(map(float, r)) for r in pts],
+                   type=pa.list_(pa.float32()))
+    ds = ray.data.from_arrow(pa.table({"embedding": emb})).repartition(7)
+    cents, counts = kmeans_full(ds, k=4, iters=15)
+    assert sorted(counts.tolist()) == [500, 500, 500, 500]
+    sims = _unit(cents) @ centers.T
+    assert (sims.max(axis=1) > 0.999).all()
+    # single-process Lloyd from the same deterministic init
+    x = _unit(pts.astype(np.float32).astype(np.float64))
+    sample = x[:4096]
+    chosen = [0]
+    best = sample @ sample[0]
+    for _ in range(3):
+        nxt = int(np.argmin(best))
+        chosen.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    ref = sample[chosen].copy()
+    for _ in range(15):
+        assign = np.argmax(x @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(4):
+            m = assign == c
+            if m.any():
+                v = x[m].sum(axis=0)
+                new[c] = v / np.linalg.norm(v)
+        if np.abs(new - ref).max() < 1e-6:
+            ref = new
+            break
+        ref = new
+    np.testing.assert_allclose(np.sort(cents, axis=0),
+                               np.sort(ref, axis=0), atol=1e-8)
