@@ -39,6 +39,10 @@ def ordered_cumsum(ds, key_col: str, val_col: str,
     def block_meta(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy()
         v = batch[val_col].to_numpy().astype(np.int64)
+        if len(k) == 0:
+            return pa.table({"_kmin": pa.array([], type=pa.int64()),
+                             "_kmax": pa.array([], type=pa.int64()),
+                             "_sum": pa.array([], type=pa.int64())})
         if len(k) > 1 and not (np.diff(k) >= 0).all():
             raise ValueError(f"rows not sorted by {key_col} within block")
         return pa.table({
@@ -68,6 +72,9 @@ def ordered_cumsum(ds, key_col: str, val_col: str,
     off_ref = ray.put(offsets)
 
     def apply(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(
+                out_col, pa.array([], type=pa.int64()))
         off = ray.get(off_ref)[int(batch[key_col][0].as_py())]
         v = batch[val_col].to_numpy().astype(np.int64)
         excl = np.cumsum(v) - v + off
