@@ -136,3 +136,47 @@ def run_sharded_ranges(build_shard_ds, fingerprint_paths: list[str],
                        extra={"inputs": fingerprint_paths, "slice": [i, num_shards]})
         computed.append(i)
     return {"computed": computed, "skipped": skipped}
+
+
+def write_hash_partitioned(ds, out_dir: str, key_cols: list[str],
+                           num_parts: int = 64) -> dict:
+    """CLUSTERED sink: hive-partitioned Parquet on ``part =
+    hash(key_cols) % num_parts`` — the engine's own shuffle hash, so a
+    table written once with this sink is PRE-CO-LOCATED for every later
+    equi-join / groupby on the same key (read one ``part=<p>/``
+    directory per reducer, no exchange; the "pick ONE partitioning key
+    and reuse it" principle materialized).  Returns {"parts": n,
+    "rows": total} and writes a ``_manifest/partitioning.json`` naming
+    the key and hash so readers can verify compatibility."""
+    import pyarrow as pa
+
+    from engine.rayds.shuffle import add_hash_part
+
+    keyed = ds.map_batches(
+        add_hash_part(key_cols, num_parts), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [c if c != "_part" else "part" for c in b.column_names]
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    keyed.write_parquet(out_dir, partition_cols=["part"])
+    total = 0
+    parts = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not name.startswith("part=") or not os.path.isdir(d):
+            continue
+        parts += 1
+        total += sum(
+            _parquet_rows(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    meta = {"key_cols": key_cols, "num_parts": num_parts,
+            "hash": "engine.rayds.shuffle._col_hash", "rows": total,
+            "written_at": time.time()}
+    with open(os.path.join(out_dir, "_manifest", "partitioning.json"), "w") as f:
+        json.dump(meta, f)
+    return {"parts": parts, "rows": total}

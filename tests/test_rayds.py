@@ -1106,3 +1106,40 @@ def test_ordered_cumsum_scan(ray_ready):
     import pytest as _pytest
     with _pytest.raises(Exception):
         ordered_cumsum(shuffled, "k", "v").take_all()
+
+
+def test_write_hash_partitioned_colocation(ray_ready, tmp_path):
+    """Clustered sink: every row in part=<p> hashes to p under the
+    engine's shuffle hash (so later joins on the key are exchange-free),
+    and the union of partitions equals the input."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.rayds import ckpt
+    from engine.rayds.shuffle import _col_hash
+
+    n = 20_000
+    t = pa.table({
+        "k": pa.array((np.arange(n) * 7919) % 501),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    out = str(tmp_path / "clustered")
+    res = ckpt.write_hash_partitioned(
+        ray.data.from_arrow(t).repartition(8), out, ["k"], num_parts=16
+    )
+    assert res["rows"] == n and res["parts"] >= 2
+    got = []
+    for name in os.listdir(out):
+        if not name.startswith("part="):
+            continue
+        p = int(name.split("=")[1])
+        d = os.path.join(out, name)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                tt = pq.read_table(os.path.join(d, f))
+                h = (_col_hash(tt["k"]) % np.uint64(16)).astype(np.int64)
+                assert (h == p).all()
+                got += list(zip(tt["k"].to_pylist(), tt["v"].to_pylist()))
+    assert sorted(got) == sorted(zip(t["k"].to_pylist(), t["v"].to_pylist()))
