@@ -355,6 +355,60 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_user_events(sf_dir):
+    """PIVOT (wide conditional aggregation): per-user count of each
+    event type as columns — per-block indicator-sum combiner, one hash
+    exchange on user_id (the reusable hash_shuffle_agg shape)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import hash_shuffle_agg
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"], **{
+            f"n_{ty}": pc.cast(pc.equal(batch["event_type"], ty), pa.int64())
+            for ty in EVENT_TYPES
+        }})
+        g = t.group_by(["user_id"]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["user_id"] + cols)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    return hash_shuffle_agg(part, ["user_id"],
+                            [(c, "sum") for c in cols], cols)
+
+
+def _q_props_topk(sf_dir):
+    """Semi-structured metadata extraction: pull the integer ``k`` field
+    out of the JSON ``props`` column with ONE vectorized RE2 pass
+    (pc.extract_regex — no row loops, no JSON parser objects), count per
+    value (combiner + tree reduce: tiny key space), top-20."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"k": k})
+        return t.filter(pc.is_valid(t["k"]))
+
+    ks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props"]
+    ).map_batches(extract, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    counts = grouped_count(ks, ["k"], out_col="cnt")
+    return counts.sort(["cnt", "k"], descending=[True, False]).limit(20)
+
+
 def _q_kmeans_embed(sf_dir):
     """Full-dataset distributed spherical k-means over the embeddings
     table (broadcast-iterate Lloyd: centroids via ray.put per round,
@@ -1300,6 +1354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "dedup_canonical": _q_dedup_canonical,
         "kmeans_embed": _q_kmeans_embed,
+        "pivot_user_events": _q_pivot_user_events,
+        "props_topk": _q_props_topk,
     }
 
 
@@ -1887,6 +1943,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
                 (SELECT doc_id FROM clus WHERE doc_id != cluster_id)""",
     )
+    sql["pivot_user_events"] = """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """
+    sql["props_topk"] = """
+        SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+               count(*) AS cnt
+        FROM events
+        WHERE regexp_extract(props, '"k": ([0-9]+)', 1) != ''
+        GROUP BY 1 ORDER BY cnt DESC, k LIMIT 20
+    """
     sql["pack_sequences"] = """
         WITH t AS (
             SELECT doc_id,
