@@ -355,6 +355,70 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+def _q_lag_gap(sf_dir):
+    """Per-key LAG window function: for every event, microseconds since
+    the user's previous event (−1 for the first — the SQL COALESCE
+    mirror; Arrow nulls hash differently across engines).  One hash
+    exchange on user_id, per-partition lexsort by (user, ts, event_id)
+    + vectorized diff — the sessionize shape without the segment
+    reduction."""
+    import ray.data
+
+    from engine.rayds.shuffle import add_hash_part
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        gap = np.full(len(u), -1, dtype=np.int64)
+        if len(u) > 1:
+            same = u[1:] == u[:-1]
+            gap[1:][same] = (ts[1:] - ts[:-1])[same]
+        return pa.table({"event_id": pa.array(eid),
+                         "gap_us": pa.array(gap)})
+
+    keyed = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(add_hash_part(["user_id"]), batch_format="pyarrow",
+                  batch_size=None)
+    return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+
+
+def _q_hopping_window(sf_dir):
+    """HOPPING-WINDOW aggregate (overlapping windows: 1 h size, 30 min
+    hop — each event belongs to 2 windows): window-replica explode
+    inside the combiner, then the usual partial-count tree reduce.
+    The overlap is handled by the EXPLODE, not a second pass."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    H = 3_600_000_000
+    HOP = H // 2
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        et = batch["event_type"]
+        # windows starting at hop boundaries covering ts:
+        # starts in (ts - H, ts] on the HOP grid — exactly H/HOP = 2
+        last = (ts // HOP) * HOP
+        starts = np.concatenate([last, last - HOP])
+        keep = starts > np.concatenate([ts, ts]) - H
+        et2 = pa.concat_arrays([et.combine_chunks(), et.combine_chunks()])
+        t = pa.table({"win_start_us": pa.array(starts),
+                      "event_type": et2}).filter(pa.array(keep))
+        return t
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).map_batches(explode, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    return grouped_count(ev, ["win_start_us", "event_type"], out_col="n_events")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1356,6 +1420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": _q_kmeans_embed,
         "pivot_user_events": _q_pivot_user_events,
         "props_topk": _q_props_topk,
+        "lag_gap": _q_lag_gap,
+        "hopping_window": _q_hopping_window,
     }
 
 
@@ -1943,6 +2009,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
                 (SELECT doc_id FROM clus WHERE doc_id != cluster_id)""",
     )
+    sql["lag_gap"] = """
+        SELECT event_id,
+               CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), -1) AS BIGINT) AS gap_us
+        FROM events
+    """
+    sql["hopping_window"] = """
+        WITH offs AS (SELECT unnest([0, 1800000000]) AS off),
+        w AS (
+            SELECT ((epoch_us(ts) - off) // 3600000000) * 3600000000 + off
+                       AS win_start_us,
+                   event_type
+            FROM events CROSS JOIN offs
+        )
+        SELECT win_start_us, event_type, count(*) AS n_events
+        FROM w GROUP BY 1, 2
+    """
     sql["pivot_user_events"] = """
         SELECT user_id,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
