@@ -355,6 +355,69 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+def _q_q3_topk(sf_dir):
+    """TPC-H Q3-shaped THREE-TABLE JOIN CHAIN: customer (segment
+    filter) ⋈ orders (date filter) ⋈ lineitem (shipdate filter) →
+    grouped revenue (exact basis-point int64) → top-10.  Exercises two
+    chained adaptive equi-joins (the filtered customer side fits the
+    broadcast budget; orders⋈lineitem takes the hash exchange) plus the
+    hash-shuffle aggregate and a distributed sort+limit."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, hash_shuffle_agg
+
+    CUT = 883_612_800_000_000  # 1998-01-01 in epoch µs
+
+    def cust_fn(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["c_mktsegment"], "BUILDING")
+        return batch.filter(m).select(["c_custkey"])
+
+    def orders_fn(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.int64())
+        t = batch.append_column("o_date_us", d)
+        return t.filter(pc.less(d, CUT)).select(
+            ["o_custkey", "o_orderkey", "o_date_us"])
+
+    def li_fn(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64())
+        t = batch.filter(pc.greater(sd, CUT))
+        bp = np.floor(
+            t["l_extendedprice"].to_numpy()
+            * (1.0 - t["l_discount"].to_numpy()) * 10000.0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "_bp": pa.array(bp)})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    ).map_batches(orders_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    j1 = equi_join(orders, cust, "o_custkey", "c_custkey",
+                   ["o_orderkey", "o_date_us"], [])
+    j2 = equi_join(j1, li, "o_orderkey", "l_orderkey", ["o_date_us"], ["_bp"])
+
+    agg = hash_shuffle_agg(j2, ["_k", "o_date_us"], [("_bp", "sum")],
+                           ["revenue_bp"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_orderkey", "o_date_us", "revenue_bp"])
+
+    return agg.map_batches(rename, batch_format="pyarrow", batch_size=None) \
+              .sort(["revenue_bp", "l_orderkey"], descending=[True, False]) \
+              .limit(10)
+
+
 def _q_lag_gap(sf_dir):
     """Per-key LAG window function: for every event, microseconds since
     the user's previous event (−1 for the first — the SQL COALESCE
@@ -1422,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_topk": _q_props_topk,
         "lag_gap": _q_lag_gap,
         "hopping_window": _q_hopping_window,
+        "q3_topk": _q_q3_topk,
     }
 
 
@@ -2009,6 +2073,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
                 (SELECT doc_id FROM clus WHERE doc_id != cluster_id)""",
     )
+    sql["q3_topk"] = """
+        SELECT o_orderkey AS l_orderkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+               CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_bp
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND epoch_us(o_orderdate) < 883612800000000
+          AND epoch_us(l_shipdate) > 883612800000000
+        GROUP BY 1, 2
+        ORDER BY revenue_bp DESC, l_orderkey LIMIT 10
+    """
     sql["lag_gap"] = """
         SELECT event_id,
                CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
