@@ -355,6 +355,108 @@ def _q_asof_split(sf_dir):
     return asof_join_split(ds, "click", "view", bucket_us=6 * 3_600_000_000)
 
 
+def _q_rollup_counts(sf_dir):
+    """ROLLUP / GROUPING SETS: event counts at three levels —
+    (event_type, hour), (event_type), grand total — as ONE output table
+    with '__all__' placeholders for coalesced dimensions.  Each level is
+    its own combiner-first grouped count (a rollup of an algebraic
+    aggregate never re-reads the input at scale: the finest level's
+    partials could be re-folded, but levels here are cheap enough to
+    fuse into one pass per level and keep the plan obvious)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    def with_hour(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        return pa.table({"event_type": batch["event_type"], "hour_us": hour})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).map_batches(with_hour, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    fine = grouped_count(ev, ["event_type", "hour_us"], out_col="n")
+    mid = grouped_count(ev.select_columns(["event_type"]), ["event_type"],
+                        out_col="n")
+
+    def mid_fix(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_us": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+            "n": batch["n"],
+        })
+
+    def tot_fix(batch: pa.Table) -> pa.Table:
+        n = pa.compute.sum(batch["n"]).as_py() or 0
+        return pa.table({
+            "event_type": pa.array(["__all__"]),
+            "hour_us": pa.array([-1], type=pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
+        })
+
+    total = mid.map_batches(
+        lambda b: b.select(["n"]), batch_format="pyarrow", batch_size=None
+    ).repartition(1).map_batches(tot_fix, batch_format="pyarrow",
+                                 batch_size=None)
+    return fine.union(
+        mid.map_batches(mid_fix, batch_format="pyarrow", batch_size=None),
+        total,
+    )
+
+
+def _q_region_revenue(sf_dir):
+    """STAR-SCHEMA enrichment chain (5 tables): lineitem revenue rolled
+    up to region name through THREE chained broadcast joins (orders,
+    customer, nation⋈region pre-joined driver-side — every dimension
+    side fits the broadcast budget, so the fact table streams once and
+    NOTHING shuffles until the final tiny grouped sum)."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, hash_shuffle_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def bp(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "_bp": pa.array(v)})
+
+    li = li.map_batches(bp, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey"])
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+
+    j1 = equi_join(orders, li, "o_orderkey", "l_orderkey",
+                   ["o_custkey"], ["_bp"])
+    j2 = equi_join(cust, j1, "c_custkey", "o_custkey",
+                   ["c_nationkey"], ["_bp"])
+    j3 = equi_join(nation, j2, "n_nationkey", "c_nationkey",
+                   ["n_regionkey"], ["_bp"])
+    j4 = equi_join(region, j3, "r_regionkey", "n_regionkey",
+                   ["r_name"], ["_bp"])
+    agg = hash_shuffle_agg(j4, ["r_name"], [("_bp", "sum")], ["revenue_bp"])
+    return agg.map_batches(
+        lambda b: b.select(["r_name", "revenue_bp"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def _q_q3_topk(sf_dir):
     """TPC-H Q3-shaped THREE-TABLE JOIN CHAIN: customer (segment
     filter) ⋈ orders (date filter) ⋈ lineitem (shipdate filter) →
@@ -1486,6 +1588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_gap": _q_lag_gap,
         "hopping_window": _q_hopping_window,
         "q3_topk": _q_q3_topk,
+        "rollup_counts": _q_rollup_counts,
+        "region_revenue": _q_region_revenue,
     }
 
 
@@ -2073,6 +2177,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN
                 (SELECT doc_id FROM clus WHERE doc_id != cluster_id)""",
     )
+    sql["rollup_counts"] = """
+        SELECT COALESCE(event_type, '__all__') AS event_type,
+               CAST(COALESCE((epoch_us(ts) // 3600000000) * 3600000000, -1)
+                    AS BIGINT) AS hour_us,
+               count(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS (
+            (event_type, (epoch_us(ts) // 3600000000) * 3600000000),
+            (event_type), ()
+        )
+    """
+    sql["region_revenue"] = """
+        SELECT r_name,
+               CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_bp
+        FROM lineitem, orders, customer, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
     sql["q3_topk"] = """
         SELECT o_orderkey AS l_orderkey,
                CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
