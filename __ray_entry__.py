@@ -373,14 +373,18 @@ def _q_rollup_counts(sf_dir):
         hour = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
         return pa.table({"event_type": batch["event_type"], "hour_us": hour})
 
+    # materialized: three rollup levels consume the same scan — without
+    # this, the parquet read + hour projection executes once per level
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
     ).map_batches(with_hour, batch_format="pyarrow", batch_size=None,
-                  zero_copy_batch=True)
+                  zero_copy_batch=True).materialize()
 
     fine = grouped_count(ev, ["event_type", "hour_us"], out_col="n")
+    # mid is consumed twice (its own level + the grand total) — tiny
+    # (one row per event_type), materialize it too
     mid = grouped_count(ev.select_columns(["event_type"]), ["event_type"],
-                        out_col="n")
+                        out_col="n").materialize()
 
     def mid_fix(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -663,9 +667,10 @@ def _q_dedup_canonical(sf_dir):
     verify → connected components → drop every non-canonical member
     (keep cluster min), i.e. the composition a user actually runs to
     dedup a corpus.  The drop set (non-canonical ids) is bounded by the
-    verified-duplicate count — broadcast once via ray.put; past a
-    broadcast budget the exact fallback is the distributed anti-join
-    cogroup (pipeline.semi_anti_ids's plan, same reasoning)."""
+    verified-duplicate count — broadcast once via ray.put while it fits
+    ``DEDUP_DROP_BUDGET``; past the budget the exact distributed
+    fallback co-partitions docs and drop ids by hash(doc_id) and filters
+    per partition (nothing unbounded on the driver)."""
     import pyarrow.compute as pc
     import ray
 
@@ -675,12 +680,58 @@ def _q_dedup_canonical(sf_dir):
         m = pc.not_equal(batch["doc_id"], batch["cluster_id"])
         return batch.filter(m).select(["doc_id"])
 
-    drop = pa.concat_tables(
-        clusters.map_batches(non_canon, batch_format="pyarrow",
-                             batch_size=None).iter_batches(
-            batch_format="pyarrow")
-    )
-    ref = ray.put(drop["doc_id"].combine_chunks())
+    # bounded driver fold: abort to the distributed cogroup filter the
+    # moment the running drop-set size overflows the broadcast budget
+    acc, acc_len, overflow = [], 0, False
+    nc = clusters.map_batches(non_canon, batch_format="pyarrow",
+                              batch_size=None)
+    for b in nc.iter_batches(batch_format="pyarrow"):
+        arr = b["doc_id"]
+        acc.append(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+                   else arr)
+        acc_len += len(b)
+        if acc_len > DEDUP_DROP_BUDGET:
+            overflow = True
+            break
+    if overflow:
+        # exact distributed fallback: co-partition docs and drop ids by
+        # hash(doc_id), keep docs absent from their partition's drop set
+        import pyarrow.compute as _pc
+
+        from engine.rayds.shuffle import add_hash_part
+
+        def tag(side: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "doc_id": batch["doc_id"],
+                    "_side": pa.array(np.full(len(batch), side, np.int8)),
+                })
+            return fn
+
+        docs = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+            tag(0), batch_format="pyarrow", batch_size=None)
+        drops = nc.map_batches(tag(1), batch_format="pyarrow",
+                               batch_size=None)
+
+        def keep_group(group: pa.Table) -> pa.Table:
+            g = group.drop_columns(["_part"])
+            side = g["_side"].to_numpy()
+            ids = g["doc_id"].to_numpy()
+            bad = np.unique(ids[side == 1])
+            mine = ids[side == 0]
+            keep_m = ~np.isin(mine, bad)
+            return pa.table({"doc_id": pa.array(mine[keep_m])})
+
+        keyed = docs.union(drops).map_batches(
+            add_hash_part(["doc_id"]), batch_format="pyarrow",
+            batch_size=None)
+        return keyed.groupby("_part").map_groups(
+            keep_group, batch_format="pyarrow")
+
+    drop = pa.concat_tables([pa.table({"doc_id": a}) for a in acc]) if acc \
+        else pa.table({"doc_id": pa.array([], type=pa.int64())})
+    ref = ray.put(drop["doc_id"].combine_chunks() if drop.num_rows
+                  else pa.array([], type=pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = ray.get(ref)
@@ -707,11 +758,16 @@ def _q_cc_iterative(sf_dir):
 
     K, CL = 16, 128
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    # metadata-only count: the GLOBAL max node must not emit an edge to a
+    # nonexistent node when 16·E isn't a multiple of 128 (event_ids are
+    # contiguous 0..E-1 in the testdata — asserted by the oracle's node
+    # set too)
+    n_events = ds.count()
 
     def edges(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy()
         n = (eid[:, None] * K + np.arange(K, dtype=np.int64)[None, :]).reshape(-1)
-        a = n[(n % CL) != (CL - 1)]
+        a = n[((n % CL) != (CL - 1)) & (n != K * n_events - 1)]
         return pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
 
     e = ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
@@ -1440,6 +1496,9 @@ def _q_ann_topk_ivf(sf_dir):
     q, qids = _load_query_vecs(sf_dir, 3)
     return ann.topk_cosine_ivf(_embeddings(sf_dir), q, qids, k=10,
                                n_lists=16, nprobe=4)
+
+
+DEDUP_DROP_BUDGET = 2_000_000  # drop-set broadcast budget (dedup_canonical)
 
 
 BM25_TERMS = ["the", "join", "window"]

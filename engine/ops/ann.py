@@ -339,6 +339,7 @@ def kmeans_full(ds, k: int = 8, iters: int = 20, tol: float = 1e-6,
         chosen.append(nxt)
         best = np.maximum(best, x @ x[nxt])
     cents = x[chosen].copy()
+    k = len(cents)  # the sample may hold fewer than k rows
 
     @ray.remote
     def block_partial(block: pa.Table, cents_ref):

@@ -149,9 +149,11 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
             }
         )
 
+    # materialized ONCE: both the carry pass below and the final groupby
+    # consume it — un-materialized, the prep scan would execute twice
     tagged = events_ds.map_batches(
         prep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    ).materialize()
 
     # ---- carry table: latest right per (key, bucket) ----------------
     def right_max(batch: pa.Table) -> pa.Table:
@@ -195,8 +197,14 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
         bkt = group["_bkt"].to_numpy()
         # sweep segmented by (key, bucket) — a co-resident EARLIER bucket
         # of the same key must NOT shadow the carry (its latest right may
-        # be older than another bucket's, which lives elsewhere)
-        seg = uid * span_ + (bkt - bmin_)
+        # be older than another bucket's, which lives elsewhere).
+        # GROUP-LOCAL RANK ENCODING: the carry table's span is derived
+        # from the RIGHTS' bucket range, so a left bucket beyond it would
+        # alias another key's segment — rank both components within the
+        # group instead (injective, lex-order-preserving, overflow-free).
+        uu, uinv = np.unique(uid, return_inverse=True)
+        ub, binv = np.unique(bkt, return_inverse=True)
+        seg = uinv.astype(np.int64) * np.int64(len(ub)) + binv.astype(np.int64)
         out_l, out_m, unmatched = _asof_sweep(
             seg, group["ts_us"].to_numpy(), group["event_id"].to_numpy(),
             group["is_left"].to_numpy(),
@@ -211,7 +219,12 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
         un_sel = np.isin(lids, unmatched)
         uq = uid[lmask][un_sel]
         bq = bkt[lmask][un_sel]
-        q = uq * span_ + (bq - bmin_)
+        # clamp the bucket offset into the carry encoding's range: a left
+        # bucket PAST the rights' max bucket must query the key's LAST
+        # carry (offset span-1 — strictly above every real carry offset,
+        # still inside this key's block), and one BEFORE the min bucket
+        # can match nothing (offset 0 finds no carry < it for this key)
+        q = uq * span_ + np.clip(bq - bmin_, 0, span_ - 1)
         pos = np.searchsorted(enc, q, side="left") - 1
         ok = pos >= 0
         ok[ok] &= (enc[pos[ok]] // span_) == uq[ok]

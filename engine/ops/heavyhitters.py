@@ -42,6 +42,25 @@ def _mg_compress(keys: pa.Array, counts: np.ndarray, k: int):
     return keys.take(pa.array(idx)), counts[idx] - dec, dec
 
 
+def _summarize(keys: pa.Array, counts: np.ndarray, dec: int, k: int,
+               key_col: str) -> pa.Table:
+    """Compress a (key, count) summary to ≤k rows and append the dec
+    SENTINEL row (null key) carrying the accumulated decrement — the one
+    canonical serialization used by the block stage, the tree fold and
+    the driver (decrements must never be lost or deduplicated)."""
+    keys, counts, mdec = _mg_compress(keys, counts, k)
+    dec += mdec
+    n = len(counts)
+    out_keys, out_cnt = keys, counts
+    out_dec = np.zeros(n, dtype=np.int64)
+    if dec > 0:
+        out_keys = pa.concat_arrays([keys, pa.nulls(1, type=keys.type)])
+        out_cnt = np.concatenate([counts, [0]])
+        out_dec = np.concatenate([out_dec, [dec]])
+    return pa.table({key_col: out_keys, "_mgc": pa.array(out_cnt),
+                     "_dec": pa.array(out_dec)})
+
+
 def mg_partials(key_col: str, k: int):
     """Stage: per-block ≤k-row Misra–Gries summary of the key column.
     A block that decremented also emits ONE sentinel row (null key,
@@ -56,20 +75,7 @@ def mg_partials(key_col: str, k: int):
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         counts = g.column(1).to_numpy().astype(np.int64)
-        keys, counts, dec = _mg_compress(keys, counts, k)
-        n = len(counts)
-        out_keys = keys
-        out_cnt = counts
-        out_dec = np.zeros(n, dtype=np.int64)
-        if dec > 0:
-            out_keys = pa.concat_arrays([keys, pa.nulls(1, type=keys.type)])
-            out_cnt = np.concatenate([counts, [0]])
-            out_dec = np.concatenate([out_dec, [dec]])
-        return pa.table({
-            key_col: out_keys,
-            "_mgc": pa.array(out_cnt),
-            "_dec": pa.array(out_dec),
-        })
+        return _summarize(keys, counts, 0, k, key_col)
 
     return fn
 
@@ -102,17 +108,7 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         counts = g.column(1).to_numpy().astype(np.int64)
-        keys, counts, mdec = _mg_compress(keys, counts, k)
-        dec += mdec
-        n = len(counts)
-        out_keys, out_cnt = keys, counts
-        out_dec = np.zeros(n, dtype=np.int64)
-        if dec > 0:
-            out_keys = pa.concat_arrays([keys, pa.nulls(1, type=keys.type)])
-            out_cnt = np.concatenate([counts, [0]])
-            out_dec = np.concatenate([out_dec, [dec]])
-        return pa.table({key_col: out_keys, "_mgc": pa.array(out_cnt),
-                         "_dec": pa.array(out_dec)})
+        return _summarize(keys, counts, dec, k, key_col)
 
     part = part.repartition(16).map_batches(
         tree_merge, batch_format="pyarrow", batch_size=None
@@ -134,8 +130,10 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
     # stage 2: broadcast candidates, exact recount (per-block ≤k rows)
     cand_ref = ray.put(keys)
 
+    from engine.rayds.bcast import cached
+
     def recount(batch: pa.Table) -> pa.Table:
-        cand = ray.get(cand_ref)
+        cand = cached(cand_ref)
         col = batch[key_col]
         t = batch.select([key_col]).filter(pc.is_in(col, value_set=cand))
         g = t.group_by([key_col]).aggregate([([], "count_all")])

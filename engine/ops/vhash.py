@@ -5,8 +5,11 @@ md5-based oracle (DuckDB ``md5()``); a per-row ``hashlib.md5`` loop in a
 ``map_batches`` fn is the one banned shape (VERDICT r2 "What's wrong"
 #1).  This module computes MD5 for EVERY row of a batch simultaneously:
 the 64 rounds run once per 64-byte block INDEX (bounded by the longest
-row), each round a handful of uint32 numpy ops over all rows — no
-per-row Python anywhere.
+row in the LENGTH BUCKET — rows are grouped by power-of-two block count
+before padding, so the padded message matrix is O(actual bytes), never
+O(rows × longest row); one 6 MB outlier in a 100k-row batch must not
+allocate 100k × 6 MB), each round a handful of uint32 numpy ops over
+all rows in the bucket — no per-row Python anywhere.
 
 Reference: RFC 1321 (public).  Verified bit-for-bit against
 ``hashlib.md5`` in tests/test_vhash.py for empty strings, multi-byte
@@ -60,25 +63,25 @@ def _rotl(x: np.ndarray, s: int) -> np.ndarray:
     return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
 
 
-def md5_digest_words(col) -> np.ndarray:
-    """(n, 4) uint32 little-endian digest words (A, B, C, D) of every
-    row's MD5 — the numeric form (cheaper than hex when only ordering /
-    thresholding is needed)."""
-    data, off = _flat_utf8(col)
-    n = len(off) - 1
-    lens = off[1:] - off[:-1]
-    nblocks = ((lens + 9 + 63) // 64).astype(np.int64)
-    max_blocks = int(nblocks.max()) if n else 1
-    # padded message matrix: one row per input, max_blocks 64-byte blocks
+def _md5_rows(data: np.ndarray, off: np.ndarray, lens: np.ndarray,
+              nblocks: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """(len(idx), 4) digest words for the given row subset — the padded
+    matrix is sized to the subset's OWN max block count."""
+    n = len(idx)
+    lens_s = lens[idx]
+    nblk_s = nblocks[idx]
+    max_blocks = int(nblk_s.max()) if n else 1
     M = np.zeros((n, max_blocks * 64), dtype=np.uint8)
-    total = int(lens.sum())
+    total = int(lens_s.sum())
     if total:
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        within = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
-        M[rows, within] = data
-    M[np.arange(n), lens] = 0x80
-    bitlen = (lens.astype(np.uint64) * np.uint64(8)).view(np.uint8).reshape(n, 8)
-    tail = nblocks * 64 - 8
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens_s)
+        cum = np.cumsum(lens_s) - lens_s
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, lens_s)
+        src = np.repeat(off[idx], lens_s) + within
+        M[rows, within] = data[src]
+    M[np.arange(n), lens_s] = 0x80
+    bitlen = (lens_s.astype(np.uint64) * np.uint64(8)).view(np.uint8).reshape(n, 8)
+    tail = nblk_s * 64 - 8
     for j in range(8):
         M[np.arange(n), tail + j] = bitlen[:, j]
     W = M.view(np.uint32).reshape(n, max_blocks, 16)
@@ -88,15 +91,15 @@ def md5_digest_words(col) -> np.ndarray:
     C = np.full(n, _INIT[2], dtype=np.uint32)
     D = np.full(n, _INIT[3], dtype=np.uint32)
     for blk in range(max_blocks):
-        active = nblocks > blk
+        active = nblk_s > blk
         if not active.all():
-            idx = np.nonzero(active)[0]
-            if len(idx) == 0:
+            sub = np.nonzero(active)[0]
+            if len(sub) == 0:
                 break
-            a, b, c, d = A[idx], B[idx], C[idx], D[idx]
-            w = W[idx, blk, :]
+            a, b, c, d = A[sub], B[sub], C[sub], D[sub]
+            w = W[sub, blk, :]
         else:
-            idx = None
+            sub = None
             a, b, c, d = A.copy(), B.copy(), C.copy(), D.copy()
             w = W[:, blk, :]
         a0, b0, c0, d0 = a.copy(), b.copy(), c.copy(), d.copy()
@@ -122,11 +125,38 @@ def md5_digest_words(col) -> np.ndarray:
         b += b0
         c += c0
         d += d0
-        if idx is None:
+        if sub is None:
             A, B, C, D = a, b, c, d
         else:
-            A[idx], B[idx], C[idx], D[idx] = a, b, c, d
+            A[sub], B[sub], C[sub], D[sub] = a, b, c, d
     return np.column_stack([A, B, C, D])
+
+
+def md5_digest_words(col) -> np.ndarray:
+    """(n, 4) uint32 little-endian digest words (A, B, C, D) of every
+    row's MD5 — the numeric form (cheaper than hex when only ordering /
+    thresholding is needed)."""
+    data, off = _flat_utf8(col)
+    n = len(off) - 1
+    lens = off[1:] - off[:-1]
+    nblocks = ((lens + 9 + 63) // 64).astype(np.int64)
+    out = np.empty((n, 4), dtype=np.uint32)
+    if n == 0:
+        return out
+    # LENGTH BUCKETS: rows grouped by power-of-two block count, each
+    # bucket padded only to its own cap — total padded memory ≤ 2× the
+    # bucket's real bytes (+1 block/row), independent of outliers
+    order = np.argsort(nblocks, kind="stable")
+    sorted_blk = nblocks[order]
+    start, cap = 0, 1
+    while start < n:
+        end = int(np.searchsorted(sorted_blk, cap, side="right"))
+        if end > start:
+            idx = order[start:end]
+            out[idx] = _md5_rows(data, off, lens, nblocks, idx)
+            start = end
+        cap *= 2
+    return out
 
 
 def md5_hex(col, prefix: int = 32) -> np.ndarray:

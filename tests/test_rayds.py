@@ -1143,3 +1143,59 @@ def test_write_hash_partitioned_colocation(ray_ready, tmp_path):
                 assert (h == p).all()
                 got += list(zip(tt["k"].to_pylist(), tt["v"].to_pylist()))
     assert sorted(got) == sorted(zip(t["k"].to_pylist(), t["v"].to_pylist()))
+
+
+def test_asof_split_left_bucket_past_rights_range(ray_ready):
+    """Regression (found by review, previously REPRODUCED failing): a
+    left event whose bucket lies >= 2 buckets past the globally last
+    right must still match its key's carry — the old (uid*span + offset)
+    encoding overflowed into the next key's block and dropped the match;
+    and co-resident lefts past the range must never alias another key's
+    segment in the local sweep."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.asof import asof_join, asof_join_split
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, off_us, etype):
+        return {"event_id": eid, "user_id": uid,
+                "ts": base + datetime.timedelta(microseconds=off_us),
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    rows = [
+        ev(1, 0, 100, "view"),        # right, bucket 0
+        ev(2, 0, 5_500, "click"),     # left, bucket 5 (>= bmax+2)
+        ev(3, 1, 1_500, "view"),      # right, bucket 1 (other key)
+        ev(4, 1, 9_900, "click"),     # left far past range, other key
+        ev(5, 2, 7_700, "click"),     # left with NO rights for its key
+    ]
+    t = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(t)
+    got_plain = sorted(
+        (r["event_id"], r["match_id"])
+        for r in asof_join(ds, "click", "view").take_all()
+    )
+    got_split = sorted(
+        (r["event_id"], r["match_id"])
+        for r in asof_join_split(
+            ray.data.from_arrow(t), "click", "view", bucket_us=1000
+        ).take_all()
+    )
+    assert got_split == got_plain
+    assert (2, 1) in got_split and (4, 3) in got_split
+    assert not any(e == 5 for e, _ in got_split)
+
+
+def test_dedup_canonical_plans_agree(ray_ready, monkeypatch):
+    """dedup_canonical's broadcast plan == the past-budget distributed
+    cogroup fallback (forced via a 0 drop budget)."""
+    import __ray_entry__ as e
+
+    a = sorted(r["doc_id"] for r in e.queries()["dedup_canonical"](SF).take_all())
+    monkeypatch.setattr(e, "DEDUP_DROP_BUDGET", 0)
+    b = sorted(r["doc_id"] for r in e.queries()["dedup_canonical"](SF).take_all())
+    assert a == b and len(a) > 0
