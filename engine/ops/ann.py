@@ -344,6 +344,9 @@ def kmeans_full(ds, k: int = 8, iters: int = 20, tol: float = 1e-6,
     @ray.remote
     def block_partial(block: pa.Table, cents_ref):
         c = cents_ref
+        if len(block) == 0:  # empty blocks: (0,0) matmul would crash
+            return (np.zeros((len(c), c.shape[1])),
+                    np.zeros(len(c), dtype=np.int64))
         emb = _unit(_emb_matrix(block[col]))
         assign = np.argmax(emb @ c.T, axis=1)
         sums = np.zeros((len(c), emb.shape[1]))

@@ -174,8 +174,19 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
         return pa.table({"user_id": uid[last], "_bkt": bkt[last],
                          "ts_us": ts[last], "event_id": eid[last]})
 
+    # 16-way tree fold first: the per-block partials are distinct
+    # (key, bucket) rows — a flat driver collect would scale with
+    # blocks × carriers, the exact bottleneck the other driver folds
+    # avoid the same way
+    def right_max_merge(batch: pa.Table) -> pa.Table:
+        # partials carry no is_left column — everything is a right
+        return right_max(batch.append_column(
+            "is_left", pa.array(np.zeros(len(batch), dtype=bool))))
+
     parts = tagged.map_batches(
         right_max, batch_format="pyarrow", batch_size=None
+    ).repartition(16).map_batches(
+        right_max_merge, batch_format="pyarrow", batch_size=None,
     ).take_all()
     cu = np.array([r["user_id"] for r in parts], dtype=np.int64)
     cb = np.array([r["_bkt"] for r in parts], dtype=np.int64)
@@ -188,11 +199,16 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
     cu, cb, ce = cu[last], cb[last], ce[last]
     bmin = int(cb.min()) if len(cb) else 0
     span = (int(cb.max()) - bmin + 2) if len(cb) else 1
-    carry_enc = cu * np.int64(span) + (cb - bmin)
-    carry_ref = ray.put((carry_enc, ce, np.int64(span), np.int64(bmin)))
+    # RANK-encoded keys (not raw ids × span): snowflake-scale ids times
+    # a wide bucket span would overflow int64 and silently unsort the
+    # searchsorted lookup; ranks are bounded by the carrier count
+    cuniq = np.unique(cu)
+    urank = np.searchsorted(cuniq, cu)
+    carry_enc = urank * np.int64(span) + (cb - bmin)
+    carry_ref = ray.put((carry_enc, ce, np.int64(span), np.int64(bmin), cuniq))
 
     def group_fn(group: pa.Table) -> pa.Table:
-        enc, eids, span_, bmin_ = cached(carry_ref)
+        enc, eids, span_, bmin_, cuniq_ = cached(carry_ref)
         uid = group["user_id"].to_numpy()
         bkt = group["_bkt"].to_numpy()
         # sweep segmented by (key, bucket) — a co-resident EARLIER bucket
@@ -219,15 +235,20 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
         un_sel = np.isin(lids, unmatched)
         uq = uid[lmask][un_sel]
         bq = bkt[lmask][un_sel]
+        # rank the queried keys into the carry table's key universe
+        # (a key with no carries at all maps out of range → unmatched)
+        ur = np.searchsorted(cuniq_, uq)
+        present = ur < len(cuniq_)
+        present[present] &= cuniq_[ur[present]] == uq[present]
         # clamp the bucket offset into the carry encoding's range: a left
         # bucket PAST the rights' max bucket must query the key's LAST
         # carry (offset span-1 — strictly above every real carry offset,
         # still inside this key's block), and one BEFORE the min bucket
         # can match nothing (offset 0 finds no carry < it for this key)
-        q = uq * span_ + np.clip(bq - bmin_, 0, span_ - 1)
+        q = ur * span_ + np.clip(bq - bmin_, 0, span_ - 1)
         pos = np.searchsorted(enc, q, side="left") - 1
-        ok = pos >= 0
-        ok[ok] &= (enc[pos[ok]] // span_) == uq[ok]
+        ok = present & (pos >= 0)
+        ok[ok] &= (enc[pos[ok]] // span_) == ur[ok]
         extra = pa.table({"event_id": pa.array(lids[un_sel][ok]),
                           "match_id": pa.array(eids[pos[ok]])})
         return pa.concat_tables([base, extra])

@@ -47,9 +47,6 @@ MAX_BUCKET = 1024  # cap on LSH bucket size before pair-generation chunking
 BLOOM_BITS = 1 << 23  # 1 MiB packed; ~2e-3 FP rate at 10^5 keys (k=2)
 _BLOOM_SHIFT = np.uint64(64 - 23)
 _BLOOM_SALTS = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
-_BLOOM_CACHE: dict = {}
-
-
 def _bloom_positions(ids: np.ndarray):
     u = ids.astype(np.uint64)
     return [((u * salt) >> _BLOOM_SHIFT).astype(np.int64)
@@ -95,22 +92,15 @@ def make_bloom_filter_fn(bloom_ref, col: str = "doc_id"):
     """Row filter against a broadcast Bloom bitmap (``ray.put`` once,
     unpacked once per worker via the module cache)."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        key = bloom_ref.hex() if hasattr(bloom_ref, "hex") else str(id(bloom_ref))
-        bm = _BLOOM_CACHE.get(key)
-        if bm is None:
-            if hasattr(bloom_ref, "hex"):
-                import ray
+    def _unpack(raw):
+        return np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).view(bool)
 
-                raw = ray.get(bloom_ref)
-            else:
-                raw = bloom_ref
-            bm = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).view(bool)
-            # one bitmap per worker: a bloom only needs to survive the
-            # batches of one verify run — evict on key change so long-
-            # lived workers don't pin every past run's 1 MiB bitmap
-            _BLOOM_CACHE.clear()
-            _BLOOM_CACHE[key] = bm
+    def fn(batch: pa.Table) -> pa.Table:
+        # per-worker LRU (size 4, engine/rayds/bcast.py): bounds pinning
+        # without the capacity-1 thrash under concurrent pipelines
+        from engine.rayds.bcast import cached
+
+        bm = cached(bloom_ref, _unpack)
         ids = batch[col].to_numpy()
         keep = np.ones(len(ids), dtype=bool)
         for pos in _bloom_positions(ids):
@@ -551,9 +541,14 @@ def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int):
     exchange fixed cost dominates)."""
     import ray
 
-    pt = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
-    a = pt["a"].to_numpy() if pt.num_rows else np.empty(0, dtype=np.int64)
-    b = pt["b"].to_numpy() if pt.num_rows else np.empty(0, dtype=np.int64)
+    # Ray skips empty blocks: zero candidate pairs yields zero batches,
+    # and pa.concat_tables([]) raises — fall back to typed empties
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    pt = pa.concat_tables(batches) if batches else None
+    a = (pt["a"].to_numpy() if pt is not None and pt.num_rows
+         else np.empty(0, dtype=np.int64))
+    b = (pt["b"].to_numpy() if pt is not None and pt.num_rows
+         else np.empty(0, dtype=np.int64))
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     if len(a):

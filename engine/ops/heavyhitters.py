@@ -113,12 +113,25 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
     part = part.repartition(16).map_batches(
         tree_merge, batch_format="pyarrow", batch_size=None
     )
-    summaries = pa.concat_tables(part.iter_batches(batch_format="pyarrow"))
+
+    def _empty_result(dec: int):
+        # key type from the INPUT schema (not hardcoded string)
+        try:
+            sch = ds.schema(fetch_if_missing=True)
+            ktype = sch.base_schema.field(key_col).type
+        except Exception:
+            ktype = pa.string()
+        return pa.table({key_col: pa.array([], type=ktype),
+                         "cnt": pa.array([], type=pa.int64())}), dec
+
+    batches = list(part.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty input: Ray yields zero batches
+        return _empty_result(0)
+    summaries = pa.concat_tables(batches)
     dec_sum = int(pc.sum(summaries["_dec"]).as_py() or 0)
     real = summaries.filter(pc.is_valid(summaries[key_col]))
     if real.num_rows == 0:
-        return pa.table({key_col: pa.array([], type=pa.string()),
-                         "cnt": pa.array([], type=pa.int64())}), dec_sum
+        return _empty_result(dec_sum)
     g = real.group_by([key_col]).aggregate([("_mgc", "sum")])
     keys = g.column(0)
     if isinstance(keys, pa.ChunkedArray):

@@ -156,15 +156,19 @@ def _term_freqs(text_col, terms: list[str]):
     n = len(arr)
     starts = off[:-1] - off[0]
     tfs = []
+    nz = dl > 0
     for t in terms:
-        if len(values) == 0:
-            tfs.append(np.zeros(n, dtype=np.int64))
-            continue
-        eq = pc.equal(values, t).to_numpy(zero_copy_only=False).astype(np.int64)
-        # reduceat can't take start == len(x) (empty tail segment): clip,
-        # then zero every empty segment explicitly
-        tf = np.add.reduceat(eq, np.minimum(starts, len(eq) - 1))
-        tf[dl == 0] = 0
+        tf = np.zeros(n, dtype=np.int64)
+        if len(values) and nz.any():
+            eq = pc.equal(values, t).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            # reduceat over NON-EMPTY segment starts only: empty segments
+            # (null/zero-token docs) occupy no values, so consecutive
+            # non-empty starts span exactly their own segment — clipping
+            # a trailing empty start back into the array would instead
+            # truncate the last real doc's segment (dropping its final
+            # token) and hand that token to the zeroed empty segment
+            tf[nz] = np.add.reduceat(eq, starts[nz])
         tfs.append(tf)
     return dl, tfs
 

@@ -277,7 +277,7 @@ def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
     Driver-side over the (small) layer; at cluster scale this runs once
     per layer load, not per batch.
     """
-    rows_l, keys_l = [], []
+    per_poly: list[tuple[int, np.ndarray]] = []
     lv_seen: set[int] = set()
     for i, (xmin, ymin, xmax, ymax) in enumerate(np.asarray(layer.bounds)):
         if np.isnan(xmin):
@@ -289,11 +289,47 @@ def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
             max_cells=max_cells, max_level=max_level,
             max_level_span=S2_COVER_LEVEL_SPAN,
         )
-        rows_l.append(np.full(len(ids), i, dtype=np.int64))
-        keys_l.append(ids)
+        per_poly.append((i, ids))
         lv_seen.update(int(v) for v in cells.s2_level(ids))
-    if not rows_l:
+    if not per_poly:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), [])
+    # GLOBAL level window: the point side replicates once per level in
+    # the UNION of all covers' levels — a layer mixing continent- and
+    # block-sized polygons would otherwise union into an unbounded level
+    # set and silently multiply the point exchange.  Clamp every cover
+    # into [gmin, gmin + span - 1]: coarsening a cell to its ancestor
+    # only GROWS the cover (superset stays safe; the per-group PIP
+    # refinement keeps the join exact), and re-normalizing preserves
+    # disjointness (a point still matches ≤1 cover cell per polygon).
+    levels = sorted(lv_seen)
+    gmax = levels[0] + S2_COVER_LEVEL_SPAN - 1
+    if levels[-1] > gmax:
+        lv_seen = set()
+        clamped = []
+        for i, ids in per_poly:
+            lv = np.asarray(cells.s2_level(ids))
+            fine = lv > gmax
+            if fine.any():
+                ids = ids.copy()
+                ids[fine] = cells.s2_parent(ids[fine], gmax)
+                ids = np.unique(ids)
+                lv = np.asarray(cells.s2_level(ids))
+                # drop cells whose ancestor (at any coarser used level)
+                # is also in the set — keeps the union disjoint
+                keep = np.ones(len(ids), dtype=bool)
+                for L in sorted(set(int(v) for v in lv))[:-1]:
+                    at_l = set(ids[lv == L].tolist())
+                    finer = lv > L
+                    if at_l and finer.any():
+                        anc = np.asarray(cells.s2_parent(ids[finer], L))
+                        keep[finer] &= ~np.isin(
+                            anc, np.fromiter(at_l, dtype=np.int64))
+                ids = ids[keep]
+            clamped.append((i, ids))
+            lv_seen.update(int(v) for v in cells.s2_level(ids))
+        per_poly = clamped
+    rows_l = [np.full(len(ids), i, dtype=np.int64) for i, ids in per_poly]
+    keys_l = [ids for _, ids in per_poly]
     return np.concatenate(rows_l), np.concatenate(keys_l), sorted(lv_seen)
 
 

@@ -572,22 +572,15 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
     )
 
 
-# one entry per worker process: a broadcast table only needs to survive
-# the batches of ONE join — evicting on key change keeps a long-lived
-# worker from pinning every past join's table (and its plasma object)
-_BCAST_CACHE: dict = {}
-
-
 def _bcast_table(ref):
-    import ray
+    # per-worker LRU (size 4): concurrently-pipelined broadcast joins
+    # (e.g. a 4-deep star-join chain) interleave their map tasks on the
+    # same worker — a capacity-1 clear-on-miss cache would thrash,
+    # re-fetching the table per batch; bcast.cached bounds pinning
+    # without the thrash
+    from engine.rayds.bcast import cached
 
-    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
-    tab = _BCAST_CACHE.get(key)
-    if tab is None:
-        tab = ray.get(ref) if hasattr(ref, "hex") else ref
-        _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = tab
-    return tab
+    return cached(ref)
 
 
 def _probe_small(ds, budget: int = BROADCAST_JOIN_MAX_ROWS):

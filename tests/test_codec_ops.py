@@ -678,3 +678,23 @@ def test_heavy_hitters_mg_invariant_across_distributions(ray_session):
             for key, cnt in truth.most_common(20):
                 if cnt > bound and cnt > mth:
                     assert key in cands, (name, k, key, cnt, bound, mth)
+
+
+def test_term_freqs_null_and_trailing_empty_docs():
+    """Regression (review, REPRODUCED): trailing null/empty docs must not
+    truncate the previous doc's last token out of its tf count."""
+    import pyarrow as pa
+
+    from engine.ops.text import _term_freqs
+
+    cases = [
+        (["alpha join", None], ["join"], [[1, 0]]),
+        (["join alpha join", None], ["join"], [[2, 0]]),
+        (["x", None, "x x", None], ["x"], [[1, 0, 2, 0]]),
+        ([None, None], ["x"], [[0, 0]]),
+        (["the cat the", "", "dog", "the the the the"], ["the", "dog"],
+         [[2, 0, 0, 4], [0, 0, 1, 0]]),
+    ]
+    for texts, terms, want in cases:
+        _, tfs = _term_freqs(pa.array(texts, type=pa.string()), terms)
+        assert [t.tolist() for t in tfs] == want, (texts, terms)

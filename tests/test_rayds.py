@@ -1199,3 +1199,37 @@ def test_dedup_canonical_plans_agree(ray_ready, monkeypatch):
     monkeypatch.setattr(e, "DEDUP_DROP_BUDGET", 0)
     b = sorted(r["doc_id"] for r in e.queries()["dedup_canonical"](SF).take_all())
     assert a == b and len(a) > 0
+
+
+def test_s2_cover_global_level_window(ray_ready):
+    """Heterogeneous polygon sizes (continent + city-block) must not
+    union into an unbounded cover level set: the point side replicates
+    once per used level, so s2_layer_cover clamps all covers into one
+    global window of <= S2_COVER_LEVEL_SPAN levels (coarsening is a
+    superset, so join exactness is preserved by the PIP refinement)."""
+    import numpy as np
+
+    from engine.rayds.celljoin import S2_COVER_LEVEL_SPAN, s2_layer_cover
+    from engine.rayds.imagetab import Layer
+
+    bounds = np.array([
+        [0.0, 0.0, 90.0, 90.0],
+        [10.0, 10.0, 10.01, 10.01],
+        [50.0, 50.0, 50.005, 50.005],
+    ], dtype=np.float64)
+    layer = Layer(poly_ids=np.arange(3, dtype=np.int64), bounds=bounds,
+                  sides=bounds[:, 2] - bounds[:, 0])
+    rows, keys, used = s2_layer_cover(layer)
+    assert 0 < len(used) <= S2_COVER_LEVEL_SPAN
+    # disjointness within each polygon survives the clamp: no cover cell
+    # may be an ancestor of another of the same polygon
+    from engine.geo import cells as C
+    for p in range(3):
+        ids = keys[rows == p]
+        lv = np.asarray(C.s2_level(ids))
+        idset = set(ids.tolist())
+        for L in sorted(set(int(v) for v in lv))[:-1]:
+            finer = ids[lv > L]
+            if len(finer):
+                anc = np.asarray(C.s2_parent(finer, L))
+                assert not any(int(a) in idset for a in anc), (p, L)
