@@ -419,7 +419,7 @@ def _q_region_revenue(sf_dir):
     NOTHING shuffles until the final tiny grouped sum)."""
     import ray.data
 
-    from engine.rayds.shuffle import equi_join, hash_shuffle_agg
+    from engine.rayds.shuffle import equi_join, grouped_agg
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -436,15 +436,18 @@ def _q_region_revenue(sf_dir):
 
     li = li.map_batches(bp, batch_format="pyarrow", batch_size=None,
                         zero_copy_batch=True)
+    from engine.rayds.shuffle import dim_table
+
+    # orders/customer GROW with scale → adaptive probe (metadata-count
+    # fast path, no execution); nation/region are scale-INVARIANT (25/5
+    # rows at every SF) → driver-side dim_table, zero Ray executions
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet",
-        columns=["n_nationkey", "n_regionkey"])
-    region = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nation = dim_table(f"{sf_dir}/nation.parquet",
+                       ["n_nationkey", "n_regionkey"])
+    region = dim_table(f"{sf_dir}/region.parquet", ["r_regionkey", "r_name"])
 
     j1 = equi_join(orders, li, "o_orderkey", "l_orderkey",
                    ["o_custkey"], ["_bp"])
@@ -454,7 +457,10 @@ def _q_region_revenue(sf_dir):
                    ["n_regionkey"], ["_bp"])
     j4 = equi_join(region, j3, "r_regionkey", "n_regionkey",
                    ["r_name"], ["_bp"])
-    agg = hash_shuffle_agg(j4, ["r_name"], [("_bp", "sum")], ["revenue_bp"])
+    # 5 regions → combiner partial (≤5 rows/block) + tree reduce: the
+    # fact stream never enters an all-to-all at any scale
+    agg = grouped_agg(j4, ["r_name"], [("_bp", "sum")], ["revenue_bp"],
+                      plan="tree")
     return agg.map_batches(
         lambda b: b.select(["r_name", "revenue_bp"]),
         batch_format="pyarrow", batch_size=None,
@@ -471,7 +477,7 @@ def _q_q3_topk(sf_dir):
     import pyarrow.compute as pc
     import ray.data
 
-    from engine.rayds.shuffle import equi_join, hash_shuffle_agg
+    from engine.rayds.shuffle import equi_join, grouped_agg
 
     CUT = 883_612_800_000_000  # 1998-01-01 in epoch µs
 
@@ -513,15 +519,31 @@ def _q_q3_topk(sf_dir):
                    ["o_orderkey", "o_date_us"], [])
     j2 = equi_join(j1, li, "o_orderkey", "l_orderkey", ["o_date_us"], ["_bp"])
 
-    agg = hash_shuffle_agg(j2, ["_k", "o_date_us"], [("_bp", "sum")],
-                           ["revenue_bp"])
+    # per-block partial combiner before the exchange: the shuffle moves
+    # ≤ (distinct orders × blocks) partial rows, not every lineitem row
+    agg = grouped_agg(j2, ["_k", "o_date_us"], [("_bp", "sum")],
+                      ["revenue_bp"], plan="shuffle")
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["l_orderkey", "o_date_us", "revenue_bp"])
 
-    return agg.map_batches(rename, batch_format="pyarrow", batch_size=None) \
-              .sort(["revenue_bp", "l_orderkey"], descending=[True, False]) \
-              .limit(10)
+    # exact top-10 via block combiner + one merge block — each reducer
+    # keeps its local top-10, the final block ranks ≤ 10×blocks rows; no
+    # second (sort) all-to-all after the agg exchange
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 10:
+            return batch
+        rev = batch["revenue_bp"].to_numpy()
+        key = batch["l_orderkey"].to_numpy()
+        order = np.lexsort((key, -rev))[:10]
+        return batch.take(pa.array(order))
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def _q_lag_gap(sf_dir):

@@ -110,6 +110,52 @@ def hash_shuffle_agg(partial_ds, keys: list[str], merge_spec: list[tuple[str, st
     return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
+_PARTIAL_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str]],
+                out_cols: list[str], plan: str = "shuffle",
+                num_parts: int = HASH_PARTS):
+    """Combiner-first grouped aggregate for DECOMPOSABLE aggregations
+    (sum / count / min / max — partials re-aggregate associatively).
+
+    Stage 1 (always): per-block ``pyarrow.group_by`` partial — downstream
+    moves ≤ (distinct keys × blocks) rows instead of every input row.
+    Stage 2: ``plan="tree"`` → 16-way fan-in then one final merge block
+    (right when distinct keys ≪ rows, e.g. a 5-region rollup — NO
+    all-to-all at any point); ``plan="shuffle"`` → the engine's hash
+    exchange over the partials (group cardinality too large for one
+    block).  Callers that already produced partials use
+    ``hash_shuffle_agg`` / ``merge_partial_counts`` directly."""
+    pcols = [f"_p{i}" for i in range(len(specs))]
+    merge_spec = [(p, _PARTIAL_MERGE_FN[fn]) for p, (_, fn) in zip(pcols, specs)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate([(c, fn) for c, fn in specs])
+        return g.rename_columns(keys + pcols)
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    if plan == "shuffle":
+        return hash_shuffle_agg(part, keys, merge_spec, out_cols, num_parts)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate(merge_spec)
+        return g.rename_columns(keys + pcols)
+
+    merged = (
+        part.repartition(16)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(keys + out_cols)
+
+    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def choose_count_plan(ds, keys: list[str], sample: int = 8192,
                       ratio_threshold: float = 0.25) -> bool:
     """Sampled plan choice for grouped_count: True → hash-shuffle.
@@ -549,10 +595,16 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
     silently reorder the output schema."""
     import ray
 
-    st = pa.concat_tables(
-        small.select_columns([small_on] + small_cols)
-        .iter_batches(batch_format="pyarrow")
-    ).rename_columns(["_k"] + small_cols)
+    if isinstance(small, pa.Table):
+        # driver-resident dimension table (``dim_table`` or a caller-
+        # built pa.Table): zero Ray executions to collect
+        st = small.select([small_on] + small_cols).rename_columns(
+            ["_k"] + small_cols)
+    else:
+        st = pa.concat_tables(
+            small.select_columns([small_on] + small_cols)
+            .iter_batches(batch_format="pyarrow")
+        ).rename_columns(["_k"] + small_cols)
     ref = ray.put(st.combine_chunks())
     order = list(col_order) if col_order is not None else (
         ["_k"] + list(small_cols) + list(large_cols)
@@ -567,7 +619,7 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
             return lt.join(tab, keys=["_k"], join_type="left outer").select(order)
         return tab.join(lt, keys=["_k"], join_type="inner").select(order)
 
-    return large.select_columns([large_on] + large_cols).map_batches(
+    return _as_dataset(large).select_columns([large_on] + large_cols).map_batches(
         join_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
@@ -584,14 +636,32 @@ def _bcast_table(ref):
 
 
 def _probe_small(ds, budget: int = BROADCAST_JOIN_MAX_ROWS):
-    """Bounded size probe that never double-executes: stream at most
-    ``budget + 1`` rows of ``ds`` into a materialized prefix.  If the
-    prefix holds ≤ budget rows it IS the complete dataset — the caller
-    reuses it directly for the broadcast plan (the upstream pipeline ran
-    exactly once).  Past the budget only a bounded prefix was executed
-    and the original lazy dataset is used for the hash plan.
+    """Bounded size probe that never double-executes.
+
+    Fast path: when the plan's row count is metadata-known (a pure
+    parquet read, ``from_arrow``, or an already-materialized dataset)
+    ``_meta_count()`` answers without ANY execution (~1 ms vs the
+    ~0.25 s fixed cost of a streaming-executor run) and the ORIGINAL
+    dataset is returned as the complete broadcast side.  A read with a
+    pushed-down filter can only over-count here, which errs toward the
+    hash plan — never toward an unbounded broadcast collect.
+
+    Slow path (mapped/filtered upstreams): stream at most ``budget + 1``
+    rows into a materialized prefix.  If the prefix holds ≤ budget rows
+    it IS the complete dataset — the caller reuses it directly for the
+    broadcast plan (the upstream pipeline ran exactly once).  Past the
+    budget only a bounded prefix was executed and the original lazy
+    dataset is used for the hash plan.
 
     Returns (fits: bool, complete_ds_or_None)."""
+    if isinstance(ds, pa.Table):
+        return (ds.num_rows <= budget), ds
+    try:
+        n = ds._meta_count()
+    except Exception:
+        n = None
+    if n is not None:
+        return (True, ds) if n <= budget else (False, None)
     try:
         prefix = ds.limit(budget + 1).materialize()
         n = prefix.count()
@@ -616,7 +686,12 @@ def equi_join(left, right, left_on: str, right_on: str,
     materialized prefix is REUSED as the broadcast side, so a non-trivial
     upstream pipeline (filters, maps) executes exactly once on the
     chosen plan — never count-then-re-execute.  Output column order is
-    canonical _k + left_cols + right_cols on every plan."""
+    canonical _k + left_cols + right_cols on every plan.
+
+    Either side may be a driver-resident ``pyarrow.Table`` (e.g. from
+    ``dim_table``) — probed by ``num_rows`` and broadcast with zero Ray
+    executions when it fits; converted via ``from_arrow`` if the hash
+    plan is chosen."""
     canon = ["_k"] + list(left_cols) + list(right_cols)
     if join_type == "inner":
         # broadcast whichever side fits (left probed first)
@@ -649,6 +724,34 @@ def equi_join(left, right, left_on: str, right_on: str,
                 preserve_large=True, col_order=canon,
             )
     return hash_equi_join(
-        left, right, left_on, right_on, left_cols, right_cols, num_parts,
-        join_type=join_type,
+        _as_dataset(left), _as_dataset(right), left_on, right_on,
+        left_cols, right_cols, num_parts, join_type=join_type,
     )
+
+
+def _as_dataset(x):
+    if isinstance(x, pa.Table):
+        import ray.data
+
+        return ray.data.from_arrow(x)
+    return x
+
+
+def dim_table(path: str, columns: list[str],
+              budget: int = BROADCAST_JOIN_MAX_ROWS) -> pa.Table:
+    """Driver-side read of a SMALL dimension parquet (the canonical
+    broadcast-small-side pattern: read once on the driver, ``ray.put``
+    once inside the broadcast join, look up in every task).  Bounded:
+    raises if the file exceeds the broadcast budget — callers use this
+    only for tables whose size is scale-invariant (e.g. TPC-H ``region``
+    = 5 rows, ``nation`` = 25 rows at EVERY scale factor); anything that
+    grows with the data goes through the adaptive ``equi_join`` probe
+    instead."""
+    import pyarrow.parquet as pq
+
+    meta_rows = pq.ParquetFile(path).metadata.num_rows
+    if meta_rows > budget:
+        raise ValueError(
+            f"dim_table({path}): {meta_rows} rows exceeds the broadcast "
+            f"budget {budget}; use a Dataset + adaptive equi_join")
+    return pq.read_table(path, columns=columns)

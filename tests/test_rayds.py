@@ -1233,3 +1233,126 @@ def test_s2_cover_global_level_window(ray_ready):
             if len(finer):
                 anc = np.asarray(C.s2_parent(finer, L))
                 assert not any(int(a) in idset for a in anc), (p, L)
+
+
+def test_equi_join_accepts_table_sides(ray_ready):
+    """A driver-resident pa.Table on either side of the adaptive
+    equi_join ≡ the all-Dataset hash join (broadcast when it fits, hash
+    plan via from_arrow when forced past the budget)."""
+    import ray.data
+
+    from engine.rayds import shuffle
+    from engine.rayds.shuffle import equi_join, hash_equi_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 40, size=250)
+    rk = rng.integers(20, 60, size=3000)
+    ltab = pa.table({"k": pa.array(lk), "a": pa.array(np.arange(250))})
+    rds = ray.data.from_arrow(
+        pa.table({"j": pa.array(rk), "b": pa.array(np.arange(3000))})
+    )
+    want = sorted(
+        (int(r["_k"]), int(r["a"]), int(r["b"]))
+        for r in hash_equi_join(
+            ray.data.from_arrow(ltab), rds, "k", "j", ["a"], ["b"]
+        ).take_all()
+    )
+    assert len(want) > 0
+    # table as LEFT (broadcast fits)
+    got = sorted(
+        (int(r["_k"]), int(r["a"]), int(r["b"]))
+        for r in equi_join(ltab, rds, "k", "j", ["a"], ["b"]).take_all()
+    )
+    assert got == want
+    # table as RIGHT
+    got = sorted(
+        (int(r["_k"]), int(r["a"]), int(r["b"]))
+        for r in equi_join(rds, ltab, "j", "k", ["b"], ["a"]).take_all()
+    )
+    assert got == want
+    # forced past the budget → hash plan on a from_arrow conversion
+    old = shuffle.BROADCAST_JOIN_MAX_ROWS
+    shuffle.BROADCAST_JOIN_MAX_ROWS = 10
+    try:
+        got = sorted(
+            (int(r["_k"]), int(r["a"]), int(r["b"]))
+            for r in equi_join(
+                ltab, rds, "k", "j", ["a"], ["b"], num_parts=8
+            ).take_all()
+        )
+    finally:
+        shuffle.BROADCAST_JOIN_MAX_ROWS = old
+    assert got == want
+
+
+def test_dim_table_reads_and_enforces_budget(ray_ready, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from engine.rayds.shuffle import dim_table
+
+    p = str(tmp_path / "dim.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3]), "v": pa.array(["a", "b", "c"])}), p
+    )
+    t = dim_table(p, ["k", "v"])
+    assert t.num_rows == 3 and t.column_names == ["k", "v"]
+    with pytest.raises(ValueError):
+        dim_table(p, ["k"], budget=2)
+
+
+def test_probe_small_meta_fast_path(ray_ready):
+    """Pure reads / from_arrow datasets probe via metadata count and
+    return the ORIGINAL dataset (no execution, no prefix copy); mapped
+    upstreams fall back to the bounded materialized prefix."""
+    import ray.data
+
+    from engine.rayds.shuffle import _probe_small
+
+    tab = pa.table({"x": pa.array(np.arange(100))})
+    ds = ray.data.from_arrow(tab)
+    fits, small = _probe_small(ds, budget=1000)
+    assert fits and small is ds
+    fits, small = _probe_small(ds, budget=10)
+    assert not fits and small is None
+    # a pa.Table probes by num_rows
+    fits, small = _probe_small(tab, budget=1000)
+    assert fits and small is tab
+    # mapped upstream: meta count unknown → materialized prefix
+    mapped = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    fits, small = _probe_small(mapped, budget=1000)
+    assert fits and small is not mapped and small.count() == 100
+
+
+def test_grouped_agg_plans_match_brute(ray_ready):
+    """Combiner-first grouped_agg (tree AND shuffle plans) ≡ a single
+    pyarrow group_by over the whole table, for every decomposable
+    aggregate kind."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    tab = pa.table({
+        "g": pa.array(rng.integers(0, 37, size=n)),
+        "v": pa.array(rng.integers(-1000, 1000, size=n)),
+        "w": pa.array(rng.integers(0, 10**9, size=n)),
+    })
+    want = {
+        int(r["g"]): (int(r["v_sum"]), int(r["v_min"]), int(r["w_max"]))
+        for r in tab.group_by(["g"]).aggregate(
+            [("v", "sum"), ("v", "min"), ("w", "max")]
+        ).rename_columns(["g", "v_sum", "v_min", "w_max"]).to_pylist()
+    }
+    ds = ray.data.from_arrow(tab).repartition(13)
+    for plan in ("tree", "shuffle"):
+        out = grouped_agg(
+            ds, ["g"], [("v", "sum"), ("v", "min"), ("w", "max")],
+            ["sv", "mv", "mw"], plan=plan,
+        )
+        got = {
+            int(r["g"]): (int(r["sv"]), int(r["mv"]), int(r["mw"]))
+            for r in out.take_all()
+        }
+        assert got == want, plan
