@@ -1601,6 +1601,95 @@ def _q_ngram_jaccard(sf_dir):
     )
 
 
+# ------------------------------------------------- stats / order statistics
+def _q_corr_qty_price(sf_dir):
+    """Exact-moment Pearson correlation of quantity × price: per-block
+    INTEGER moment partials (quantity integral, price exact in cents)
+    ride a decimal128 tree fold — zero shuffles, exact at any scale, and
+    the final double mirrors the SQL oracle's evaluation order term by
+    term (bit-identical)."""
+    import ray.data
+
+    from engine.ops.stats import exact_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"])
+    return exact_corr(li, "l_quantity", "l_extendedprice",
+                      xscale=1, yscale=100)
+
+
+def _q_median_value(sf_dir):
+    """EXACT distributed median (lower / quantile_disc 0.5) by histogram
+    refinement task waves over the materialized value column — ≤4 rounds
+    of 512 KiB folded histograms, never a sort, never a full collect."""
+    import ray.data
+
+    from engine.ops.kth import median
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return median(ev, "value")
+
+
+def _q_mode_user(sf_dir):
+    """Per event-type MODE (most frequent user, ties → smallest id):
+    combiner-first (key,value) counts, one hash exchange, vectorized
+    per-partition argmax."""
+    import ray.data
+
+    from engine.ops.stats import grouped_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_mode(ev, "event_type", "user_id",
+                        out_cols=("event_type", "mode_user", "n"))
+
+
+def _q_latest_event(sf_dir):
+    """Streaming-upsert compaction: ONE row per user — the latest event
+    by (ts, event_id).  Per-block argmax keeps one row per key per block
+    before the single exchange, so the all-to-all moves keys × blocks
+    rows, never the event stream."""
+    import ray.data
+
+    from engine.ops.stats import latest_by_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    return latest_by_key(ev, "user_id", ["ts", "event_id"],
+                         ["event_type", "value"])
+
+
+def _q_contamination(sf_dir):
+    """Benchmark decontamination screen: corpus docs sharing any word
+    5-gram with the benchmark slice (source='src0').  The benchmark's
+    distinct n-gram set is built distributed, folded once (budget-
+    guarded — eval suites are small by nature), broadcast via ray.put;
+    the corpus side is ONE streaming pass with exact bytes-equality
+    searchsorted probes — no hashes, no collisions, no shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from engine.ops.contam import benchmark_ngram_set, contamination_screen
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+
+    def is_bench(b):
+        return b.filter(pc.equal(b["source"], "src0"))
+
+    def not_bench(b):
+        return b.filter(pc.invert(pc.equal(b["source"], "src0")))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+    grams = benchmark_ngram_set(bench)
+    ref = ray.put(grams)
+    corpus = docs.map_batches(not_bench, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    return contamination_screen(corpus, ref)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1671,6 +1760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_topk": _q_q3_topk,
         "rollup_counts": _q_rollup_counts,
         "region_revenue": _q_region_revenue,
+        "corr_qty_price": _q_corr_qty_price,
+        "median_value": _q_median_value,
+        "mode_user": _q_mode_user,
+        "latest_event": _q_latest_event,
+        "contamination": _q_contamination,
     }
 
 
@@ -2143,6 +2237,76 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(range(0, 9)) AS f)
             WHERE f % 3 = 0 AND f < 4 + event_id % 5
+        """,
+        # exact integer-moment correlation: HUGEINT sums are exact, and
+        # the double expression mirrors stats.pearson_from_moments term
+        # by term (one rounding per CAST, IEEE sqrt/·// correctly
+        # rounded) → bit-identical doubles
+        "corr_qty_price": """
+            WITH m AS (
+              SELECT CAST(count(*) AS HUGEINT) n,
+                     sum(CAST(l_quantity AS HUGEINT)) sx,
+                     sum(CAST(round(l_extendedprice*100) AS HUGEINT)) sy,
+                     sum(CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)) sxx,
+                     sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+                         * CAST(round(l_extendedprice*100) AS HUGEINT)) syy,
+                     sum(CAST(l_quantity AS HUGEINT)
+                         * CAST(round(l_extendedprice*100) AS HUGEINT)) sxy
+              FROM lineitem)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+            FROM m
+        """,
+        "median_value": """
+            SELECT quantile_disc(value, 0.5) AS med FROM events
+        """,
+        "mode_user": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT c.*, row_number() OVER (
+                    PARTITION BY event_type ORDER BY n DESC, user_id
+                ) AS rn FROM c
+            )
+            SELECT event_type, user_id AS mode_user, n FROM r WHERE rn = 1
+        """,
+        "latest_event": """
+            WITH r AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, ts, event_id, event_type, value
+            FROM r WHERE rn = 1
+        """,
+        # word-5-gram contamination screen: single-space tokenization
+        # (string_split mirrors contam._doc_ngram_bytes' contract);
+        # n-grams are substrings so array_to_string == the engine's
+        # buffer-sliced bytes
+        "contamination": """
+            WITH w AS (
+                SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, source,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(ws) - 4),
+                           i -> array_to_string(ws[i:i+4], ' ')))) AS ng
+                FROM w WHERE len(ws) >= 5
+            ), bench AS (
+                SELECT DISTINCT ng FROM g WHERE source = 'src0'
+            )
+            SELECT g.doc_id, CAST(count(DISTINCT g.ng) AS BIGINT) AS n_hits
+            FROM g JOIN bench USING (ng)
+            WHERE g.source <> 'src0'
+            GROUP BY 1
         """,
         # minhash_pairs / simhash_pairs / minhash_verified / ann_topk_lsh /
         # img_features: non-SQL-expressible (LSH candidate generation,

@@ -1,0 +1,242 @@
+"""Exact distributed statistics: integer-moment correlation, per-group
+mode, and latest-per-key compaction (argmax-by).
+
+Reference parity: these extend the engine past the reference's own
+surface (shapely has no tabular stats); semantics are pinned by DuckDB
+oracles in ``__ray_entry__.oracle_sql`` instead of reference files.
+
+Design notes (100-TB posture):
+
+- ``exact_corr`` never shuffles: per-block integer moment partials
+  (6 numbers) ride a decimal128 tree fold — exact at any scale
+  (decimal128(38) holds ~1e38; 1e12 rows × 1e14 per-product ≈ 1e26) —
+  and the driver sees ≤16 partial rows regardless of block count.
+- ``grouped_mode`` is combiner-first: blocks pre-count (key, value)
+  pairs so the single exchange moves ≤ (distinct pairs × blocks) rows,
+  then each partition argmaxes its keys locally.  Assumes one key's
+  distinct-VALUE set fits a partition (the same contract as the exact
+  grouped quantiles); past that, ``heavyhitters``' Misra–Gries path is
+  the approximation.
+- ``latest_by_key`` (streaming-upsert compaction) keeps ONE row per key
+  per block before the exchange, so the all-to-all moves ≤ (keys ×
+  blocks) rows, never the event stream.
+"""
+from __future__ import annotations
+
+import decimal
+import math
+
+import numpy as np
+import pyarrow as pa
+
+DEC128 = pa.decimal128(38, 0)
+
+_MOMENTS = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+
+def _int_col(tab: pa.Table, col: str, scale: int) -> np.ndarray:
+    """Column → exact int64 (values are integral after ``scale``×)."""
+    v = tab[col].to_numpy(zero_copy_only=False)
+    if scale != 1:
+        v = v * scale
+    return np.rint(v).astype(np.int64)
+
+
+def _moment_partial(xcol: str, ycol: str, xscale: int, yscale: int):
+    """Per-block EXACT integer moments as one decimal128 row.
+
+    Products are summed in int64 chunks sized from the block's actual
+    max |x|,|y| so no chunk sum can overflow, then folded into Python
+    ints (arbitrary precision) and emitted as decimal128.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            vals = [0] * 6
+        else:
+            x = _int_col(batch, xcol, xscale)
+            y = _int_col(batch, ycol, yscale)
+            mx = max(int(np.abs(x).max()), 1)
+            my = max(int(np.abs(y).max()), 1)
+            # chunk so chunk_rows × max_product < 2^62 for every moment
+            worst = max(mx * mx, my * my, mx * my)
+            step = max(1, (1 << 62) // worst)
+            n = len(x)
+            sx = int(x.sum(dtype=np.int64)) if mx * n < (1 << 62) else sum(
+                int(x[i:i + step].sum(dtype=np.int64)) for i in range(0, n, step))
+            sy = int(y.sum(dtype=np.int64)) if my * n < (1 << 62) else sum(
+                int(y[i:i + step].sum(dtype=np.int64)) for i in range(0, n, step))
+            sxx = sum(int(np.sum(x[i:i + step] * x[i:i + step], dtype=np.int64))
+                      for i in range(0, n, step))
+            syy = sum(int(np.sum(y[i:i + step] * y[i:i + step], dtype=np.int64))
+                      for i in range(0, n, step))
+            sxy = sum(int(np.sum(x[i:i + step] * y[i:i + step], dtype=np.int64))
+                      for i in range(0, n, step))
+            vals = [n, sx, sy, sxx, syy, sxy]
+        return pa.table({
+            c: pa.array([decimal.Decimal(v)], type=DEC128)
+            for c, v in zip(_MOMENTS, vals)
+        })
+
+    return fn
+
+
+def _fold_moments(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    return pa.table({
+        c: pa.array(
+            [sum((d.as_py() or 0) for d in batch[c].combine_chunks())],
+            type=DEC128,
+        )
+        for c in _MOMENTS
+    })
+
+
+def exact_moments(ds, xcol: str, ycol: str,
+                  xscale: int = 1, yscale: int = 1) -> dict[str, int]:
+    """EXACT integer moments (n, Σx, Σy, Σx², Σy², Σxy) of two scaled
+    columns — zero shuffles, per-block partials through a 16-way worker
+    tree fold, driver folds ≤16 decimal128 rows into Python ints."""
+    part = ds.map_batches(
+        _moment_partial(xcol, ycol, xscale, yscale),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    folded = part.repartition(16).map_batches(
+        _fold_moments, batch_format="pyarrow", batch_size=None)
+    out = {c: 0 for c in _MOMENTS}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        for c in _MOMENTS:
+            for d in b[c]:
+                v = d.as_py()
+                if v is not None:
+                    out[c] += int(v)
+    return out
+
+
+def pearson_from_moments(m: dict[str, int]) -> float:
+    """corr from exact integer moments.  FLOAT EVALUATION ORDER IS THE
+    CONTRACT: float(n·Σxy − Σx·Σy) / (sqrt(float(n·Σxx − Σx²)) ·
+    sqrt(float(n·Σyy − Σy²))) — the SQL oracle mirrors it term by term
+    (integer diffs exact in HUGEINT, one rounding per CAST, IEEE sqrt
+    and ·,/ are correctly rounded, so the doubles are bit-identical)."""
+    n, sx, sy, sxx, syy, sxy = (m[c] for c in _MOMENTS)
+    num = float(n * sxy - sx * sy)
+    vx = float(n * sxx - sx * sx)
+    vy = float(n * syy - sy * sy)
+    if vx <= 0.0 or vy <= 0.0:
+        return float("nan")
+    return num / (math.sqrt(vx) * math.sqrt(vy))
+
+
+def exact_corr(ds, xcol: str, ycol: str,
+               xscale: int = 1, yscale: int = 1) -> pa.Table:
+    """One-row table (n BIGINT, corr DOUBLE): exact-moment Pearson r."""
+    m = exact_moments(ds, xcol, ycol, xscale, yscale)
+    return pa.table({
+        "n": pa.array([m["n"]], type=pa.int64()),
+        "corr": pa.array([pearson_from_moments(m)], type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# per-group mode
+
+
+def _sortable(arr: np.ndarray) -> np.ndarray:
+    """Order-isomorphic int codes for dtypes np.lexsort can't take
+    (object/str); numeric arrays pass through untouched."""
+    if arr.dtype.kind in "OUS":
+        _, codes = np.unique(arr, return_inverse=True)
+        return codes
+    return arr
+
+
+def _first_per_key_run(keys_sorted: np.ndarray) -> np.ndarray:
+    """Indices of the first element of each equal-key run."""
+    if len(keys_sorted) == 0:
+        return np.empty(0, dtype=np.int64)
+    first = np.ones(len(keys_sorted), dtype=bool)
+    first[1:] = keys_sorted[1:] != keys_sorted[:-1]
+    return np.nonzero(first)[0]
+
+
+def grouped_mode(ds, key: str, vcol: str, num_parts: int = 64,
+                 out_cols: tuple[str, str, str] = ("key", "mode", "n")):
+    """Per-key most frequent value, tie-break = SMALLEST value.
+
+    Combiner-first: per-block (key, value) counts → ONE hash exchange on
+    the key → per-partition count merge + vectorized argmax (sort by
+    (key, −count, value), first row per key run)."""
+    from engine.rayds.shuffle import HASH_PARTS, add_hash_part
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key, vcol]).aggregate([([], "count_all")])
+        return g.rename_columns([key, vcol, "_c"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    keyed = part.map_batches(add_hash_part([key], num_parts),
+                             batch_format="pyarrow", batch_size=None)
+
+    def reduce_fn(group: pa.Table) -> pa.Table:
+        g = group.group_by([key, vcol]).aggregate([("_c", "sum")])
+        keys = _sortable(g[key].to_numpy(zero_copy_only=False))
+        vals = _sortable(g[vcol].to_numpy(zero_copy_only=False))
+        cnts = g["_c_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, -cnts, keys))
+        take = order[_first_per_key_run(keys[order])]
+        out = g.take(pa.array(take))
+        return pa.table({
+            out_cols[0]: out[key].combine_chunks(),
+            out_cols[1]: out[vcol].combine_chunks(),
+            out_cols[2]: out["_c_sum"].cast(pa.int64()).combine_chunks(),
+        })
+
+    return keyed.groupby("_part").map_groups(reduce_fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# latest-per-key compaction (streaming upsert)
+
+
+def latest_by_key(ds, key: str, order_cols: list[str],
+                  payload_cols: list[str], num_parts: int = 64):
+    """ONE row per key: the row with the lexicographically LARGEST
+    ``order_cols`` tuple (ints; ties broken by later order columns) —
+    the streaming-upsert / CDC-compaction primitive.
+
+    Per-block argmax keeps one row per key per block BEFORE the single
+    hash exchange, so the all-to-all moves ≤ keys × blocks rows, never
+    the raw stream.  Output columns: key + order_cols + payload_cols.
+    """
+    from engine.rayds.shuffle import add_hash_part
+
+    cols = [key] + order_cols + payload_cols
+
+    def block_best(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        keys = _sortable(batch[key].to_numpy(zero_copy_only=False))
+        # datetime64 order columns: view as int64 (epoch ticks) so the
+        # descending-sort negation works; order is preserved
+        ords = [
+            o.view(np.int64) if o.dtype.kind in "mM" else o
+            for o in (batch[c].to_numpy(zero_copy_only=False)
+                      for c in order_cols)
+        ]
+        # sort by (key, -order...) → first row of each key run is its max
+        sortkeys = tuple(-o for o in reversed(ords)) + (keys,)
+        order = np.lexsort(sortkeys)
+        take = order[_first_per_key_run(keys[order])]
+        return batch.select(cols).take(pa.array(take))
+
+    best = ds.map_batches(block_best, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    keyed = best.map_batches(add_hash_part([key], num_parts),
+                             batch_format="pyarrow", batch_size=None)
+
+    def reduce_fn(group: pa.Table) -> pa.Table:
+        return block_best(group.select(cols))
+
+    return keyed.groupby("_part").map_groups(reduce_fn, batch_format="pyarrow")

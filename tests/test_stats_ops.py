@@ -1,0 +1,257 @@
+"""Tests for engine/ops/stats.py (exact corr, grouped mode, latest-by-
+key), engine/ops/kth.py (exact order statistic), and
+engine/ops/contam.py (exact n-gram contamination screen)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ------------------------------------------------------------- exact corr
+def test_exact_moments_match_python_ints(ray_session):
+    import ray.data
+
+    from engine.ops.stats import exact_moments, pearson_from_moments
+
+    rng = np.random.default_rng(3)
+    # large magnitudes to stress the chunked int64 accumulation
+    x = rng.integers(-50, 50, size=30_011)
+    y = rng.integers(-10**7, 10**7, size=30_011)
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(x.astype(np.float64)),
+                  "y": pa.array(y.astype(np.float64))})
+    ).repartition(9)
+    m = exact_moments(ds, "x", "y")
+    xs, ys = [int(v) for v in x], [int(v) for v in y]
+    assert m["n"] == len(xs)
+    assert m["sx"] == sum(xs) and m["sy"] == sum(ys)
+    assert m["sxx"] == sum(v * v for v in xs)
+    assert m["syy"] == sum(v * v for v in ys)
+    assert m["sxy"] == sum(a * b for a, b in zip(xs, ys))
+    r = pearson_from_moments(m)
+    expect = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+    assert abs(r - expect) < 1e-9
+
+
+def test_exact_corr_perfect_and_degenerate(ray_session):
+    import ray.data
+
+    from engine.ops.stats import exact_corr
+
+    x = np.arange(1000, dtype=np.float64)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": 3 * x + 7})).repartition(4)
+    t = exact_corr(ds, "x", "y")
+    assert t["n"][0].as_py() == 1000
+    assert t["corr"][0].as_py() == pytest.approx(1.0, abs=1e-12)
+    # zero variance → NaN, no crash
+    ds2 = ray.data.from_arrow(
+        pa.table({"x": x, "y": np.full(1000, 5.0)})).repartition(4)
+    assert np.isnan(exact_corr(ds2, "x", "y")["corr"][0].as_py())
+
+
+def test_moment_partial_scale_exactness():
+    """Cents-scaled doubles recover exact integer moments."""
+    from engine.ops.stats import _moment_partial
+
+    y = np.array([12345.67, 0.01, 99999.99])
+    t = pa.table({"x": pa.array([1.0, 2.0, 3.0]), "y": pa.array(y)})
+    p = _moment_partial("x", "y", 1, 100)(t)
+    assert int(p["sy"][0].as_py()) == 1234567 + 1 + 9999999
+    assert int(p["syy"][0].as_py()) == (
+        1234567**2 + 1 + 9999999**2)
+
+
+# ------------------------------------------------------------ kth smallest
+def test_kth_smallest_matches_sort(ray_session):
+    import ray.data
+
+    from engine.ops.kth import kth_smallest
+
+    rng = np.random.default_rng(5)
+    v = np.concatenate([
+        rng.normal(0, 1, 20_000),
+        rng.normal(0, 1e-6, 5_000),       # dense cluster → refinement
+        np.array([-np.inf, np.inf, -0.0, 0.0]),
+        rng.uniform(-1e9, 1e9, 5_000),
+    ])
+    ds = ray.data.from_arrow(pa.table({"v": v})).repartition(11)
+    s = np.sort(v)
+    for k in (1, 2, 17, len(v) // 2, len(v) - 1, len(v)):
+        got = kth_smallest(ds, "v", k=k)
+        assert got == float(s[k - 1]), k
+
+
+def test_kth_smallest_budget_forces_rounds(ray_session):
+    """A tiny budget forces multi-round refinement; values engineered to
+    share top-16 bits so round 1 CANNOT separate them."""
+    import ray.data
+
+    from engine.ops.kth import kth_smallest
+
+    rng = np.random.default_rng(6)
+    # all values in [1.0, 1.0 + 2^-20): identical exponent + top mantissa
+    v = 1.0 + rng.integers(0, 2**30, size=50_000) * 2.0**-52
+    ds = ray.data.from_arrow(pa.table({"v": v})).repartition(7)
+    s = np.sort(v)
+    k = 25_000
+    assert kth_smallest(ds, "v", k=k, budget=100) == float(s[k - 1])
+
+
+def test_kth_quantile_disc_parity(ray_session):
+    """k=None, q → exactly DuckDB quantile_disc."""
+    import duckdb
+    import ray.data
+
+    from engine.ops.kth import kth_smallest
+
+    rng = np.random.default_rng(7)
+    v = np.round(rng.lognormal(0, 2, 9_999), 3)
+    ds = ray.data.from_arrow(pa.table({"v": v})).repartition(5)
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": v}))
+    for q in (0.5, 0.9, 0.01):
+        want = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert kth_smallest(ds, "v", q=q) == want, q
+
+
+# ------------------------------------------------------------ grouped mode
+def test_grouped_mode_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.stats import grouped_mode
+
+    rng = np.random.default_rng(8)
+    n = 40_000
+    keys = rng.integers(0, 23, size=n)
+    vals = rng.integers(0, 50, size=n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals})).repartition(13)
+    out = {r["key"]: (r["mode"], r["n"])
+           for r in grouped_mode(ds, "k", "v").take_all()}
+    for k in np.unique(keys):
+        vv = vals[keys == k]
+        us, cs = np.unique(vv, return_counts=True)
+        best = np.lexsort((us, -cs))[0]
+        assert out[int(k)] == (int(us[best]), int(cs[best])), k
+
+
+def test_grouped_mode_string_key_tiebreak(ray_session):
+    import ray.data
+
+    from engine.ops.stats import grouped_mode
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "a", "b", "b"]),
+        "v": pa.array([9, 9, 2, 2, 5, 5]),
+    })
+    out = {r["key"]: (r["mode"], r["n"]) for r in
+           grouped_mode(ray.data.from_arrow(t).repartition(3),
+                        "k", "v").take_all()}
+    # tie 9↔2 at count 2 → smallest value wins
+    assert out == {"a": (2, 2), "b": (5, 2)}
+
+
+# --------------------------------------------------------- latest-per-key
+def test_latest_by_key_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.stats import latest_by_key
+
+    rng = np.random.default_rng(9)
+    n = 30_000
+    t = pa.table({
+        "k": rng.integers(0, 500, size=n),
+        "ts": rng.integers(0, 1000, size=n),   # many ties → 2nd order col
+        "uid": np.arange(n, dtype=np.int64),
+        "payload": rng.normal(size=n),
+    })
+    ds = ray.data.from_arrow(t).repartition(12)
+    got = {r["k"]: (r["ts"], r["uid"], r["payload"])
+           for r in latest_by_key(ds, "k", ["ts", "uid"],
+                                  ["payload"]).take_all()}
+    k = t["k"].to_numpy()
+    ts = t["ts"].to_numpy()
+    uid = t["uid"].to_numpy()
+    pay = t["payload"].to_numpy()
+    order = np.lexsort((uid, ts, k))
+    last = order[np.nonzero(np.diff(np.append(k[order], -1)))[0]]
+    want = {int(k[i]): (int(ts[i]), int(uid[i]), float(pay[i]))
+            for i in last}
+    assert got == want
+    assert len(got) == len(np.unique(k))
+
+
+# ----------------------------------------------------------- contamination
+def _brute_ngrams(t: str, n: int):
+    ws = t.split(" ")
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_doc_ngram_bytes_matches_brute():
+    from engine.ops.contam import _doc_ngram_bytes
+
+    rng = np.random.default_rng(10)
+    vocab = ["alpha", "b", "cc", "dd-dd", "e9", "ff", "g"]
+    docs = [" ".join(vocab[i] for i in rng.integers(0, len(vocab),
+                                                    size=rng.integers(0, 15)))
+            for _ in range(300)]
+    for n in (2, 3, 5):
+        grams, didx = _doc_ngram_bytes(pa.array(docs), n)
+        got = {}
+        for g, d in zip(grams.tolist(), didx.tolist()):
+            got.setdefault(d, []).append(g.decode())
+        for d, t in enumerate(docs):
+            ws = t.split(" ")
+            want = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+            assert got.get(d, []) == want, (n, d, t)
+
+
+def test_contamination_screen_matches_brute(ray_session):
+    import ray
+    import ray.data
+
+    from engine.ops.contam import benchmark_ngram_set, contamination_screen
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def mk(n):
+        return " ".join(vocab[i] for i in rng.integers(0, 12, size=n))
+
+    bench_docs = [mk(30) for _ in range(5)]
+    corpus = [mk(40) for _ in range(120)]
+    # plant a true contamination: doc 7 embeds a benchmark span
+    corpus[7] = corpus[7] + " " + " ".join(bench_docs[0].split(" ")[3:11])
+    N = 5
+    bench_set = set()
+    for b in bench_docs:
+        bench_set |= _brute_ngrams(b, N)
+    want = {}
+    for i, c in enumerate(corpus):
+        hits = _brute_ngrams(c, N) & bench_set
+        if hits:
+            want[1000 + i] = len(hits)
+    assert 1007 in want  # the plant is detected by brute force
+
+    bds = ray.data.from_arrow(
+        pa.table({"text": pa.array(bench_docs)})).repartition(2)
+    grams = benchmark_ngram_set(bds, n=N)
+    cds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(1000, 1000 + len(corpus))),
+        "text": pa.array(corpus),
+    })).repartition(6)
+    got = {r["doc_id"]: r["n_hits"] for r in
+           contamination_screen(cds, ray.put(grams), n=N).take_all()}
+    assert got == want
+
+
+def test_benchmark_ngram_budget(ray_session):
+    import ray.data
+
+    from engine.ops.contam import benchmark_ngram_set
+
+    docs = [" ".join(f"u{i}x{j}" for j in range(40)) for i in range(20)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+    with pytest.raises(ValueError):
+        benchmark_ngram_set(ds, budget=10)
