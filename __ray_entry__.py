@@ -1690,6 +1690,61 @@ def _q_contamination(sf_dir):
     return contamination_screen(corpus, ref)
 
 
+def _q_knn_join(sf_dir):
+    """EXACT big-big kNN join, grid-partitioned: every 20th image point
+    finds its 4 nearest among ALL image points.  Rights keyed by their
+    own grid cell (never replicated); lefts explode to doubling
+    Chebyshev annuli until the strict d_k < R·s bound proves no unseen
+    point can displace a kept neighbor — sf0.001's sparse grid (≈0.4
+    points/cell) genuinely exercises the multi-round escalation."""
+    import ray.data
+
+    from engine.ops.knn import knn_join
+    from engine.rayds.imagetab import derive_xy
+
+    def pts(only_20th: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy()
+            if only_20th:
+                eid = eid[eid % 20 == 0]
+            x, y = derive_xy(eid)
+            return pa.table({"id": pa.array(eid), "x": x, "y": y})
+        return fn
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.knn import auto_cell
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"])
+    right = base.map_batches(pts(False), batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+    left = base.map_batches(pts(True), batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    # density-adaptive power-of-two cell (metadata row count, no scan):
+    # ≥ ~2k expected ring-1 candidates ⇒ one escalation round typically
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    cell = auto_cell(n, 100.0, 4)
+    return knn_join(left, right, k=4, cell=cell, left_id="id",
+                    right_id="id", exclude_same_id=True, grid_hi=100.0)
+
+
+def _q_funnel_steps(sf_dir):
+    """Ordered funnel signup → purchase → error (strictly increasing
+    ts): one key-hash exchange of the pre-filtered (user, ts, step)
+    stream, per-partition masked-reduceat chain, tree-folded 3-row
+    result."""
+    import ray.data
+
+    from engine.ops.funnel import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, "user_id", "ts",
+                         ["signup", "purchase", "error"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1765,6 +1820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_user": _q_mode_user,
         "latest_event": _q_latest_event,
         "contamination": _q_contamination,
+        "knn_join": _q_knn_join,
+        "funnel_steps": _q_funnel_steps,
     }
 
 
@@ -2307,6 +2364,44 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN bench USING (ng)
             WHERE g.source <> 'src0'
             GROUP BY 1
+        """,
+        # exact kNN join: d2 is evaluated in the same IEEE order on both
+        # sides; ties broken by (d2, rid) everywhere
+        "knn_join": """
+            WITH p AS (
+                SELECT event_id AS id,
+                       ((event_id * 9973) % 100000) / 1000.0 AS x,
+                       ((event_id * 7919) % 100000) / 1000.0 AS y
+                FROM events
+            ), s AS (
+                SELECT a.id AS lid, b.id AS rid,
+                       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+                FROM p a JOIN p b ON b.id <> a.id
+                WHERE a.id % 20 = 0
+            ), r AS (
+                SELECT s.*, row_number() OVER (
+                    PARTITION BY lid ORDER BY d2, rid) AS rn
+                FROM s
+            )
+            SELECT lid, rid, CAST(rn AS BIGINT) AS nn_rank, d2
+            FROM r WHERE rn <= 4
+        """,
+        "funnel_steps": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'error' AND e.ts > s2.t2 GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS step, count(*) AS users FROM s1
+            UNION ALL SELECT 2, count(*) FROM s2
+            UNION ALL SELECT 3, count(*) FROM s3
         """,
         # minhash_pairs / simhash_pairs / minhash_verified / ann_topk_lsh /
         # img_features: non-SQL-expressible (LSH candidate generation,
