@@ -1631,6 +1631,23 @@ def _q_median_value(sf_dir):
     return median(ev, "value")
 
 
+def _q_value_percentiles(sf_dir):
+    """EXACT interpolated p25/p50/p90 (SQL quantile_cont semantics,
+    bit-identical lerp) — all six lower/upper ranks resolve in the SAME
+    shared histogram-refinement task waves."""
+    import ray.data
+
+    from engine.ops.kth import quantiles_cont
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    p25, p50, p90 = quantiles_cont(ev, "value", [0.25, 0.5, 0.9])
+    return pa.table({
+        "p25": pa.array([p25], type=pa.float64()),
+        "p50": pa.array([p50], type=pa.float64()),
+        "p90": pa.array([p90], type=pa.float64()),
+    })
+
+
 def _q_mode_user(sf_dir):
     """Per event-type MODE (most frequent user, ties → smallest id):
     combiner-first (key,value) counts, one hash exchange, vectorized
@@ -1822,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "knn_join": _q_knn_join,
         "funnel_steps": _q_funnel_steps,
+        "value_percentiles": _q_value_percentiles,
     }
 
 
@@ -2319,6 +2337,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "median_value": """
             SELECT quantile_disc(value, 0.5) AS med FROM events
+        """,
+        "value_percentiles": """
+            SELECT quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5)  AS p50,
+                   quantile_cont(value, 0.9)  AS p90
+            FROM events
         """,
         "mode_user": """
             WITH c AS (

@@ -97,6 +97,29 @@ def test_kth_smallest_budget_forces_rounds(ray_session):
     assert kth_smallest(ds, "v", k=k, budget=100) == float(s[k - 1])
 
 
+def test_quantiles_cont_bit_exact(ray_session):
+    """quantiles_cont == DuckDB quantile_cont to the BIT, including the
+    shared-wave multi-rank path and a forced-refinement tiny budget."""
+    import duckdb
+    import ray.data
+
+    from engine.ops.kth import quantiles_cont
+
+    rng = np.random.default_rng(13)
+    v = np.concatenate([rng.lognormal(0, 2, 20_000),
+                        1.0 + rng.integers(0, 2**30, 20_000) * 2.0**-52])
+    ds = ray.data.from_arrow(pa.table({"v": v})).repartition(9)
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": v}))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    want = con.execute(
+        "SELECT " + ", ".join(f"quantile_cont(v, {q})" for q in qs)
+        + " FROM t").fetchone()
+    for budget in (200_000, 50):
+        got = quantiles_cont(ds, "v", qs, budget=budget)
+        assert [g.hex() for g in got] == [w.hex() for w in want], budget
+
+
 def test_kth_quantile_disc_parity(ray_session):
     """k=None, q → exactly DuckDB quantile_disc."""
     import duckdb
