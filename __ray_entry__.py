@@ -1762,6 +1762,47 @@ def _q_funnel_steps(sf_dir):
                          ["signup", "purchase", "error"])
 
 
+def _q_pareto_orders(sf_dir):
+    """2-D SKYLINE: orders not dominated on (max price, min date) — the
+    Pareto-frontier operator.  Per-block frontier combiner shrinks each
+    block before any movement; 16-way tree fold; no all-to-all."""
+    import ray.data
+
+    from engine.ops.skyline import skyline
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return skyline(orders, "o_totalprice", "o_orderdate",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+
+def _q_crosstab_hours(sf_dir):
+    """Contingency table event_type × hour-of-day with expected counts
+    and standardized residuals — every float is a per-row expression
+    over exact integer marginals (no order-dependent float sums)."""
+    import ray.data
+
+    from engine.ops.stats import crosstab_residuals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        t = b["ts"].combine_chunks()
+        if pa.types.is_timestamp(t.type):
+            t = t.cast(pa.int64())
+        us = t.to_numpy(zero_copy_only=False)
+        hr = (us // 3_600_000_000) % 24
+        return pa.table({"event_type": b["event_type"],
+                         "hr": pa.array(hr.astype(np.int64))})
+
+    return crosstab_residuals(
+        ev.map_batches(add_hour, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        "event_type", "hr")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1840,6 +1881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "funnel_steps": _q_funnel_steps,
         "value_percentiles": _q_value_percentiles,
+        "pareto_orders": _q_pareto_orders,
+        "crosstab_hours": _q_crosstab_hours,
     }
 
 
@@ -2388,6 +2431,46 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN bench USING (ng)
             WHERE g.source <> 'src0'
             GROUP BY 1
+        """,
+        # 2-D skyline via the windowed formulation (O(n log n), same
+        # result set as the NOT-EXISTS dominance definition): dominated
+        # ⇔ strictly-higher-price prefix min-date ≤ own, or own price
+        # group's min-date < own
+        "pareto_orders": """
+            WITH g AS (
+                SELECT o_totalprice AS p, min(o_orderdate) AS gmin
+                FROM orders GROUP BY 1
+            ), gg AS (
+                SELECT p, gmin, min(gmin) OVER (
+                    ORDER BY p DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+                FROM g
+            )
+            SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+            FROM orders o JOIN gg ON o.o_totalprice = gg.p
+            WHERE (m1 IS NULL OR m1 > o.o_orderdate)
+              AND gmin = o.o_orderdate
+        """,
+        # contingency residuals: float-first product mirrors
+        # stats.crosstab_residuals (int64 rt·ct would overflow at scale)
+        "crosstab_hours": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                           AS hr,
+                       count(*) AS o
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT c.*, sum(o) OVER (PARTITION BY event_type) AS rt,
+                       sum(o) OVER (PARTITION BY hr) AS ct,
+                       sum(o) OVER () AS n
+                FROM c
+            )
+            SELECT event_type, hr, o,
+                   CAST(rt AS DOUBLE) * ct / n AS expected,
+                   (o - CAST(rt AS DOUBLE) * ct / n)
+                       / sqrt(CAST(rt AS DOUBLE) * ct / n) AS resid
+            FROM t
         """,
         # exact kNN join: d2 is evaluated in the same IEEE order on both
         # sides; ties broken by (d2, rid) everywhere

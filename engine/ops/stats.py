@@ -197,6 +197,54 @@ def grouped_mode(ds, key: str, vcol: str, num_parts: int = 64,
 
 
 # ---------------------------------------------------------------------------
+# contingency table + standardized residuals
+
+
+def crosstab_residuals(ds, row_col: str, col_col: str):
+    """Contingency table with expected counts and standardized
+    residuals: per (row, col) observed count o, expected
+    e = rt·ct/n (row/col totals), resid = (o−e)/√e.
+
+    Scale shape: combiner-first counts (tree fold — a contingency
+    table's cardinality is bounded by |rows|×|cols| BY DEFINITION, the
+    operator's contract) collapse to ONE block where the marginals and
+    the per-row float expressions are vectorized.  Every float is a
+    per-row expression over exact integer aggregates in a fixed
+    evaluation order — the SQL oracle mirrors it bit-for-bit (no
+    order-dependent float SUM anywhere).
+    """
+    from engine.rayds.shuffle import grouped_agg
+
+    counts = grouped_agg(
+        ds.map_batches(
+            lambda b: b.select([row_col, col_col]).append_column(
+                "_one", pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        [row_col, col_col], [("_one", "sum")], ["o"], plan="tree")
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        r = _sortable(batch[row_col].to_numpy(zero_copy_only=False))
+        c = _sortable(batch[col_col].to_numpy(zero_copy_only=False))
+        o = batch["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ru, ri = np.unique(r, return_inverse=True)
+        cu, ci = np.unique(c, return_inverse=True)
+        rt = np.bincount(ri, weights=o).astype(np.int64)[ri]
+        ct = np.bincount(ci, weights=o).astype(np.int64)[ci]
+        n = int(o.sum())
+        # float-first product (CAST(rt AS DOUBLE)*ct in the oracle):
+        # int64 rt*ct would overflow at ~1e12-row marginals
+        e = (rt.astype(np.float64) * ct) / n
+        resid = (o - e) / np.sqrt(e)
+        return batch.append_column(
+            "expected", pa.array(e)).append_column("resid", pa.array(resid))
+
+    return counts.repartition(1).map_batches(
+        enrich, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
 # latest-per-key compaction (streaming upsert)
 
 

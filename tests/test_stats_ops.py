@@ -205,6 +205,82 @@ def test_latest_by_key_matches_brute(ray_session):
     assert len(got) == len(np.unique(k))
 
 
+# --------------------------------------------------------------- skyline
+def _brute_skyline(mx, mn):
+    keep = []
+    for i in range(len(mx)):
+        dom = False
+        for j in range(len(mx)):
+            if (mx[j] >= mx[i] and mn[j] <= mn[i]
+                    and (mx[j] > mx[i] or mn[j] < mn[i])):
+                dom = True
+                break
+        keep.append(not dom)
+    return np.asarray(keep)
+
+
+def test_skyline_matches_brute_with_ties(ray_session):
+    import ray.data
+
+    from engine.ops.skyline import skyline
+
+    rng = np.random.default_rng(14)
+    n = 3000
+    # coarse grids → plenty of exact ties; plant a duplicated frontier
+    # point (both copies must survive: neither dominates the other)
+    mx = rng.integers(0, 40, n).astype(np.float64)
+    mn = rng.integers(0, 40, n)
+    best = np.argmax(mx - 1e-3 * mn)
+    mx[0], mn[0] = mx[best], mn[best]
+    t = pa.table({"id": np.arange(n, dtype=np.int64), "mx": mx, "mn": mn})
+    ds = ray.data.from_arrow(t).repartition(11)
+    got = sorted(r["id"] for r in skyline(
+        ds, "mx", "mn", ["id", "mx", "mn"]).take_all())
+    want = sorted(np.nonzero(_brute_skyline(mx, mn))[0].tolist())
+    assert got == want
+    assert len(got) >= 2  # the planted duplicate pair is present
+
+
+def test_frontier_mask_all_on_frontier():
+    from engine.ops.skyline import _frontier_mask
+
+    # strictly decreasing trade-off: every point non-dominated
+    mx = np.arange(50, dtype=np.float64)
+    mn = np.arange(50, dtype=np.int64)
+    assert _frontier_mask(mx, mn).all()
+    # one point dominates everything
+    mx2 = np.r_[mx, 100.0]
+    mn2 = np.r_[mn, -1]
+    m = _frontier_mask(mx2, mn2)
+    assert m[-1] and m[:-1].sum() == 0
+
+
+# -------------------------------------------------------------- crosstab
+def test_crosstab_residuals_matches_manual(ray_session):
+    import ray.data
+
+    from engine.ops.stats import crosstab_residuals
+
+    rng = np.random.default_rng(15)
+    n = 20_000
+    r = rng.integers(0, 5, n)
+    c = rng.integers(0, 7, n)
+    ds = ray.data.from_arrow(pa.table({"r": r, "c": c})).repartition(8)
+    rows = crosstab_residuals(ds, "r", "c").take_all()
+    assert len(rows) == len(set(zip(r.tolist(), c.tolist())))
+    import collections
+
+    o = collections.Counter(zip(r.tolist(), c.tolist()))
+    rt = collections.Counter(r.tolist())
+    ct = collections.Counter(c.tolist())
+    for row in rows:
+        key = (row["r"], row["c"])
+        assert row["o"] == o[key]
+        e = float(rt[key[0]]) * ct[key[1]] / n
+        assert row["expected"] == e
+        assert row["resid"] == (o[key] - e) / np.sqrt(e)
+
+
 # ----------------------------------------------------------- contamination
 def _brute_ngrams(t: str, n: int):
     ws = t.split(" ")
