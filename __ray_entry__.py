@@ -1803,6 +1803,62 @@ def _q_crosstab_hours(sf_dir):
         "event_type", "hr")
 
 
+_PII_RE = r"\b(customer|key|value)\b"
+
+
+def _q_pii_redact(sf_dir):
+    """PII / sensitive-term REDACTION — the rewrite stage of a curation
+    pipeline: one streaming pass, vectorized RE2 global replace +
+    match count over the Arrow string buffer (pyarrow and DuckDB both
+    embed RE2, so regexp_replace(...,'g') rewrites identical spans)."""
+    from engine.ops import text
+
+    return (_docs(sf_dir)
+            .select_columns(["doc_id", "text"])
+            .map_batches(lambda b: text.redact(b, _PII_RE, "<PII>"),
+                         batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+            .select_columns(["doc_id", "redacted", "n_redacted"]))
+
+
+def _q_mix_sources(sf_dir):
+    """WEIGHTED SOURCE MIXING — deterministic per-source Bernoulli
+    downsampling (keep 25% of src0, 50% of src1, 75% of src2, ~all of
+    the rest): the dataset-mixing op of a training-data pipeline.  The
+    keep decision is a pure function of md5(doc_id)'s first byte, so
+    the sample is reproducible on any cluster size / partitioning; the
+    SQL oracle mirrors it with a lexicographic hex compare."""
+    from engine.ops.text import weighted_mix_mask
+
+    rates = {"src0": "40", "src1": "80", "src2": "c0"}
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch["doc_id"], pa.string())
+        keep = weighted_mix_mask(ids, batch["source"], rates)
+        return batch.filter(pa.array(keep))
+
+    return (_docs(sf_dir)
+            .select_columns(["doc_id", "source"])
+            .map_batches(flt, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True))
+
+
+def _q_doc_dup_stats(sf_dir):
+    """Within-document REPETITION quality stats (duplicate-token ratio
+    — the repetition filter of a curation pipeline).  Exact distinct
+    counting fully vectorized: one split, Arrow dictionary_encode to
+    integer codes, distinct (doc, code) pairs via one int64 np.unique;
+    dup_ratio is a single fixed float expression over exact ints."""
+    from engine.ops.text import dup_stats
+
+    return (_docs(sf_dir)
+            .select_columns(["doc_id", "text"])
+            .map_batches(dup_stats, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1883,6 +1939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": _q_value_percentiles,
         "pareto_orders": _q_pareto_orders,
         "crosstab_hours": _q_crosstab_hours,
+        "pii_redact": _q_pii_redact,
+        "mix_sources": _q_mix_sources,
+        "doc_dup_stats": _q_doc_dup_stats,
     }
 
 
@@ -2471,6 +2530,39 @@ def oracle_sql() -> dict[str, str]:
                    (o - CAST(rt AS DOUBLE) * ct / n)
                        / sqrt(CAST(rt AS DOUBLE) * ct / n) AS resid
             FROM t
+        """,
+        # RE2 on both sides: identical non-overlapping left-to-right
+        # global replace spans
+        "pii_redact": rf"""
+            SELECT doc_id,
+                   regexp_replace(text, '{_PII_RE}', '<PII>', 'g')
+                       AS redacted,
+                   len(regexp_extract_all(text, '{_PII_RE}'))
+                       AS n_redacted
+            FROM documents
+        """,
+        # lexicographic 2-hex-char compare of md5's first byte = the
+        # engine's weighted_mix_mask threshold, bit-for-bit
+        "mix_sources": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                CASE source WHEN 'src0' THEN '40'
+                            WHEN 'src1' THEN '80'
+                            WHEN 'src2' THEN 'c0'
+                            ELSE 'ff' END
+        """,
+        # list_distinct mirrors the dictionary-encode distinct count;
+        # the ratio is one fixed float expression over exact ints
+        "doc_dup_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       AS n_distinct,
+                   CAST(len(string_split(text, ' '))
+                        - len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                       / len(string_split(text, ' ')) AS dup_ratio
+            FROM documents
         """,
         # exact kNN join: d2 is evaluated in the same IEEE order on both
         # sides; ties broken by (d2, rid) everywhere

@@ -254,3 +254,85 @@ def bm25_topk(docs_ds, terms: list[str], k: int = 20,
     ).repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / sensitive-term redaction — the rewrite stage of a curation
+# pipeline.  Pure per-row map, no state, no exchange: the 100-TB shape
+# is exactly this (stream blocks through a vectorized RE2 rewrite).
+# pyarrow and DuckDB both embed RE2, so the SQL oracle
+# (regexp_replace(..., 'g')) rewrites the identical matches.
+
+
+def redact(batch: pa.Table, pattern: str, replacement: str,
+           text_col: str = "text") -> pa.Table:
+    """+ ``redacted`` (global regex rewrite) + ``n_redacted`` (match
+    count) — both vectorized C kernels over the Arrow string buffer."""
+    text = batch[text_col]
+    red = pc.replace_substring_regex(text, pattern, replacement)
+    n = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+    return batch.append_column("redacted", red).append_column("n_redacted", n)
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixing — deterministic Bernoulli downsampling with a
+# per-source keep rate (the dataset-mixing op of a training-data
+# pipeline: cap overrepresented sources, keep the rest).  The keep
+# decision is a pure function of the row id (first md5 byte vs a
+# per-source threshold), so the sample is reproducible on any cluster
+# size / partitioning and the SQL oracle can mirror it exactly via
+# lexicographic hex compare: substr(md5(id),1,2) < 'c0'  ⇔  rate 0.75.
+
+
+def weighted_mix_mask(id_col, sources, rate_hex: dict[str, str],
+                      default_hex: str = "ff") -> np.ndarray:
+    """Boolean keep mask.  ``rate_hex`` maps source → 2-hex-char
+    threshold ('40'=0.25, '80'=0.5, 'c0'=0.75); unknown sources keep
+    with probability int(default_hex,16)/256 ('ff' ≈ keep-all except
+    the top 1/256 — pass 2 hex chars; exactness comes from comparing
+    the SAME first-byte hex string on both sides)."""
+    from engine.ops.vhash import md5_hex
+
+    h2 = md5_hex(id_col, prefix=2)  # numpy array of 2-char strings
+    src = np.asarray(sources.to_pylist() if hasattr(sources, "to_pylist")
+                     else sources, dtype=object)
+    thr = np.full(len(src), default_hex, dtype="U2")
+    for s, t in rate_hex.items():
+        thr[src == s] = t
+    return h2.astype("U2") < thr
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition stats — the repetition quality filter
+# (drop docs whose token stream is mostly duplicates).  Distinct-token
+# counting is exact and fully vectorized: one whitespace split, Arrow
+# dictionary_encode (C) maps tokens to integer codes, and distinct
+# (doc, code) pairs fall out of one int64 np.unique — no Python row
+# loop, no hashing collisions.
+
+
+def dup_stats(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """→ (id, n_tokens, n_distinct, dup_ratio) per document, where
+    dup_ratio = (n_tokens − n_distinct) / n_tokens as a single fixed
+    float expression (the SQL oracle mirrors list_distinct exactly)."""
+    if batch.num_rows == 0:
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64()),
+                         "dup_ratio": pa.array([], pa.float64())})
+    words = pc.split_pattern(batch[text_col], " ")
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    codes = pc.dictionary_encode(flat.combine_chunks()).indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    ncodes = int(codes.max()) + 1 if len(codes) else 1
+    pair = doc * ncodes + codes
+    uniq_doc = np.unique(pair) // ncodes
+    n_distinct = np.bincount(uniq_doc, minlength=len(n)).astype(np.int64)
+    ratio = (n - n_distinct) / n.astype(np.float64)
+    return pa.table({id_col: batch[id_col],
+                     "n_tokens": pa.array(n),
+                     "n_distinct": pa.array(n_distinct),
+                     "dup_ratio": pa.array(ratio)})

@@ -698,3 +698,62 @@ def test_term_freqs_null_and_trailing_empty_docs():
     for texts, terms, want in cases:
         _, tfs = _term_freqs(pa.array(texts, type=pa.string()), terms)
         assert [t.tolist() for t in tfs] == want, (texts, terms)
+
+
+# ----------------------------------------------- redaction / mixing / dup
+def test_redact_matches_python_re():
+    import re
+
+    from engine.ops import text as T
+
+    texts = ["the customer paid", "key value key", "nothing here",
+             "keyboard is not a key", "", "customer key value"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = T.redact(t, r"\b(customer|key|value)\b", "<PII>")
+    pat = re.compile(r"\b(customer|key|value)\b")
+    for i, s in enumerate(texts):
+        assert out["redacted"][i].as_py() == pat.sub("<PII>", s)
+        assert out["n_redacted"][i].as_py() == len(pat.findall(s))
+    # word-boundary: 'keyboard' untouched
+    assert out["redacted"][3].as_py() == "keyboard is not a <PII>"
+
+
+def test_weighted_mix_mask_rates_and_determinism():
+    import hashlib
+
+    from engine.ops.text import weighted_mix_mask
+
+    n = 4000
+    ids = pa.array([str(i) for i in range(n)])
+    src = pa.array(["a" if i % 2 else "b" for i in range(n)])
+    m = weighted_mix_mask(ids, src, {"a": "40", "b": "c0"})
+    # exact per-row parity with hashlib
+    for i in (0, 1, 2, 3, 777, 3999):
+        h2 = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        assert m[i] == (h2 < ("40" if i % 2 else "c0"))
+    ka = m[1::2].mean()
+    kb = m[0::2].mean()
+    assert abs(ka - 0.25) < 0.05 and abs(kb - 0.75) < 0.05
+    # order/partitioning independence: same rows, shuffled
+    perm = np.random.default_rng(3).permutation(n)
+    m2 = weighted_mix_mask(ids.take(pa.array(perm)),
+                           src.take(pa.array(perm)), {"a": "40", "b": "c0"})
+    assert (m2 == m[perm]).all()
+
+
+def test_dup_stats_exact():
+    from engine.ops.text import dup_stats
+
+    texts = ["a b c a b a", "x", "", "p q r s", "z z z z z z"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = dup_stats(t)
+    want = []
+    for s in texts:
+        toks = s.split(" ")
+        want.append((len(toks), len(set(toks))))
+    for i, (nt, nd) in enumerate(want):
+        assert out["n_tokens"][i].as_py() == nt
+        assert out["n_distinct"][i].as_py() == nd
+        assert out["dup_ratio"][i].as_py() == (nt - nd) / nt
+    # empty-string doc: one empty token (= SQL string_split semantics)
+    assert out["n_tokens"][2].as_py() == 1 and out["n_distinct"][2].as_py() == 1
