@@ -1859,6 +1859,20 @@ def _q_doc_dup_stats(sf_dir):
                          batch_size=None, zero_copy_batch=True))
 
 
+def _q_zonal_stats(sf_dir):
+    """ZONAL STATISTICS (raster × vector): per-polygon aggregates over
+    the DECODED pixels of every image whose geotag the polygon covers.
+    Payload-bounded decode batches reduce each image to 4 int64s (bytes
+    never ride a shuffle), pairs come from the two-phase cell-prefilter
+    + exact PIP join, and the per-polygon rollup is a combiner-first
+    tree aggregate.  No SQL oracle (pixel contents aren't
+    SQL-expressible); pinned by the brute-force decode parity pytest
+    (test_rayds.py::test_zonal_stats_matches_brute)."""
+    from engine.rayds.zonal import zonal_stats
+
+    return zonal_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1942,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "mix_sources": _q_mix_sources,
         "doc_dup_stats": _q_doc_dup_stats,
+        "zonal_stats": _q_zonal_stats,
     }
 
 

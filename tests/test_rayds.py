@@ -1356,3 +1356,52 @@ def test_grouped_agg_plans_match_brute(ray_ready):
             for r in out.take_all()
         }
         assert got == want, plan
+
+
+# ------------------------------------------------------------------ zonal
+def test_zonal_stats_matches_brute(ray_ready):
+    """Brute force: decode(encode(synth)) per image driver-side (the
+    same codec path the stage runs, so lossy qraw parity is exact by
+    construction), then Python-dict grouping over the brute pairs."""
+    from engine.img import codec
+    from engine.rayds.imagetab import derive_batch
+    from engine.rayds.zonal import zonal_stats
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type"])
+    imgs = derive_batch(ev)
+    per_img = {}
+    for i in range(imgs.num_rows):
+        iid = imgs["image_id"][i].as_py()
+        w, h = imgs["w"][i].as_py(), imgs["h"][i].as_py()
+        fmt = imgs["fmt"][i].as_py()
+        img = codec.synth_image_batch([iid], w, h)[0]
+        if fmt == "raw":
+            payload = img.tobytes()
+        elif fmt == "png":
+            payload = codec.png_encode(img)
+        else:
+            payload = codec.qraw_encode(img)
+        dec = codec.decode_payload(payload, w, h, fmt).astype(np.int64)
+        per_img[iid] = (int(dec.sum()), dec.size, int(dec.min()),
+                        int(dec.max()))
+    want = {}
+    for iid, pid in _brute_pairs(SF, "covers"):
+        s, c, lo, hi = per_img[iid]
+        cur = want.get(pid)
+        if cur is None:
+            want[pid] = [1, c, s, lo, hi]
+        else:
+            cur[0] += 1
+            cur[1] += c
+            cur[2] += s
+            cur[3] = min(cur[3], lo)
+            cur[4] = max(cur[4], hi)
+
+    rows = zonal_stats(SF).take_all()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, npx, s, lo, hi = want[int(r["poly_id"])]
+        assert (int(r["n_images"]), int(r["n_px"]), int(r["sum_px"]),
+                int(r["min_px"]), int(r["max_px"])) == (n, npx, s, lo, hi)
+        assert r["mean_px"] == s / float(npx)
