@@ -1873,6 +1873,18 @@ def _q_zonal_stats(sf_dir):
     return zonal_stats(sf_dir)
 
 
+def _q_tile_pyramid(sf_dir):
+    """Multi-zoom quadtree TILE PYRAMID (z/x/y counts for zoom 0..6 in
+    one job): per-block finest-level counts fold up every coarser zoom
+    locally before the single exchange — one scan, one exchange, never
+    one scan per level."""
+    from engine.rayds.imagetab import image_dataset
+    from engine.rayds.pyramid import quad_pyramid
+
+    return quad_pyramid(
+        image_dataset(sf_dir).select_columns(["x", "y"]), "x", "y", zmax=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1957,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": _q_mix_sources,
         "doc_dup_stats": _q_doc_dup_stats,
         "zonal_stats": _q_zonal_stats,
+        "tile_pyramid": _q_tile_pyramid,
     }
 
 
@@ -2545,6 +2558,20 @@ def oracle_sql() -> dict[str, str]:
                    (o - CAST(rt AS DOUBLE) * ct / n)
                        / sqrt(CAST(rt AS DOUBLE) * ct / n) AS resid
             FROM t
+        """,
+        # one float expression (x·64/100 in this exact IEEE order) at
+        # the finest zoom; every coarser level is integer halving of it
+        # (floor(floor(a)/2) == floor(a/2)) — identical on both sides
+        "tile_pyramid": f"""
+            WITH {_IMGS}, base AS (
+                SELECT CAST(floor(x * 64.0 / 100.0) AS BIGINT) AS cx,
+                       CAST(floor(y * 64.0 / 100.0) AS BIGINT) AS cy
+                FROM imgs
+            )
+            SELECT CAST(z AS BIGINT) AS z, cx >> (6 - z) AS qx,
+                   cy >> (6 - z) AS qy, count(*) AS n
+            FROM base CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS z)
+            GROUP BY 1, 2, 3
         """,
         # RE2 on both sides: identical non-overlapping left-to-right
         # global replace spans

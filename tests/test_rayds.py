@@ -1405,3 +1405,33 @@ def test_zonal_stats_matches_brute(ray_ready):
         assert (int(r["n_images"]), int(r["n_px"]), int(r["sum_px"]),
                 int(r["min_px"]), int(r["max_px"])) == (n, npx, s, lo, hi)
         assert r["mean_px"] == s / float(npx)
+
+
+# ---------------------------------------------------------------- pyramid
+def test_quad_pyramid_matches_brute_and_plans_agree(ray_ready):
+    import ray.data
+
+    from engine.rayds.pyramid import quad_pyramid
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    x = rng.uniform(0, 100, n)
+    y = rng.uniform(0, 100, n)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y})).repartition(9)
+    zmax = 5
+    want = {}
+    cx = np.floor(x * (1 << zmax) / 100.0).astype(np.int64)
+    cy = np.floor(y * (1 << zmax) / 100.0).astype(np.int64)
+    for z in range(zmax, -1, -1):
+        for a, b in zip(cx >> (zmax - z), cy >> (zmax - z)):
+            want[(z, int(a), int(b))] = want.get((z, int(a), int(b)), 0) + 1
+    for plan in ("tree", "shuffle"):
+        got = {(r["z"], r["qx"], r["qy"]): r["n"]
+               for r in quad_pyramid(ds, "x", "y", zmax=zmax,
+                                     plan=plan).take_all()}
+        assert got == want, plan
+    # per-level invariant: every level sums to n
+    lvl = {}
+    for (z, _, _), c in want.items():
+        lvl[z] = lvl.get(z, 0) + c
+    assert all(v == n for v in lvl.values())
