@@ -1885,6 +1885,20 @@ def _q_tile_pyramid(sf_dir):
         image_dataset(sf_dir).select_columns(["x", "y"]), "x", "y", zmax=6)
 
 
+def _q_grouped_percentiles(sf_dir):
+    """Per-GROUP exact INTERPOLATED quantiles (quantile_cont per
+    event_type): the counting decomposition of grouped_quantiles with
+    DuckDB's lerp evaluated in the identical double expression order."""
+    import ray.data
+
+    from engine.ops.sketch import grouped_quantiles_cont
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles_cont(ev, "event_type", "value",
+                                  qs=(0.25, 0.5, 0.9))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1970,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_stats": _q_doc_dup_stats,
         "zonal_stats": _q_zonal_stats,
         "tile_pyramid": _q_tile_pyramid,
+        "grouped_percentiles": _q_grouped_percentiles,
     }
 
 
@@ -2558,6 +2573,21 @@ def oracle_sql() -> dict[str, str]:
                    (o - CAST(rt AS DOUBLE) * ct / n)
                        / sqrt(CAST(rt AS DOUBLE) * ct / n) AS resid
             FROM t
+        """,
+        # per-group quantile_cont: h=(n-1)q, lower*(1-frac)+upper*frac
+        # in the identical double expression order
+        "grouped_percentiles": """
+            SELECT event_type, 0.25 AS q,
+                   quantile_cont(value, 0.25) AS value
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.5 AS q,
+                   quantile_cont(value, 0.5) AS value
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT event_type, 0.9 AS q,
+                   quantile_cont(value, 0.9) AS value
+            FROM events GROUP BY 1
         """,
         # one float expression (x·64/100 in this exact IEEE order) at
         # the finest zoom; every coarser level is integer halving of it

@@ -202,6 +202,77 @@ def grouped_quantiles(ds, group_col: str, val_col: str,
     return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
+def grouped_quantiles_cont(ds, group_col: str, val_col: str,
+                           qs=(0.25, 0.5, 0.75), num_parts: int = 64):
+    """Per-group EXACT INTERPOLATED quantiles — bit-identical to SQL
+    ``quantile_cont`` per group: h = (n−1)·q, lower·(1−frac) +
+    upper·frac in that exact double expression order.
+
+    Same counting decomposition as :func:`grouped_quantiles` (per-block
+    (group, value) count combiner → one hash exchange on the group key
+    → per-partition cumsum rank picks); the exchange volume is the
+    DISTINCT (group, value) pair count — tight for discretized domains,
+    degrades to the row count for continuous doubles (where the MRL
+    sketch is the approximate scale path).
+
+    Output: one row per (group, q): (group_col, q, val_col:float64)."""
+    from engine.rayds.shuffle import add_hash_part
+
+    qs = list(qs)
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, val_col]).group_by(
+            [group_col, val_col]
+        ).aggregate([([], "count_all")])
+        return t.rename_columns([group_col, val_col, "_cnt"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"]).group_by(
+            [group_col, val_col]
+        ).aggregate([("_cnt", "sum")])
+        t = t.rename_columns([group_col, val_col, "_cnt"])
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["_cnt"].to_numpy()
+        order = np.lexsort((v, g))
+        g, v, c = g[order], v[order], c[order]
+        new_g = np.ones(len(g), dtype=bool)
+        if len(g):
+            new_g[1:] = g[1:] != g[:-1]
+        starts = np.nonzero(new_g)[0]
+        out_g, out_q, out_v = [], [], []
+        for si, s in enumerate(starts):
+            e = starts[si + 1] if si + 1 < len(starts) else len(g)
+            cum = np.cumsum(c[s:e])
+            n = int(cum[-1])
+            for q in qs:
+                h = (n - 1) * q
+                lo = int(np.floor(h))
+                hi = int(np.ceil(h))
+                frac = h - lo
+                # 0-indexed rank r → first i with cum[i] ≥ r+1
+                vlo = v[s + int(np.searchsorted(cum, lo + 1, side="left"))]
+                vhi = v[s + int(np.searchsorted(cum, hi + 1, side="left"))]
+                out_g.append(g[s])
+                out_q.append(q)
+                out_v.append(vlo * (1 - frac) + vhi * frac)
+        return pa.table({
+            group_col: pa.array(out_g, type=t[group_col].type),
+            "q": pa.array(out_q, type=pa.float64()),
+            val_col: pa.array(np.asarray(out_v, dtype=np.float64)),
+        })
+
+    counted = ds.select_columns([group_col, val_col]).map_batches(
+        count_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    keyed = counted.map_batches(
+        add_hash_part([group_col], num_parts),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic mergeable quantile summary (MRL / KLL-style, no RNG) —
 # the CONTINUOUS-value scale path that complements grouped_quantiles

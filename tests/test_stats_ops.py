@@ -354,3 +354,31 @@ def test_benchmark_ngram_budget(ray_session):
     ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
     with pytest.raises(ValueError):
         benchmark_ngram_set(ds, budget=10)
+
+
+# ------------------------------------------------- grouped quantile_cont
+def test_grouped_quantiles_cont_bit_exact(ray_session):
+    import ray.data
+
+    from engine.ops.sketch import grouped_quantiles_cont
+
+    rng = np.random.default_rng(21)
+    n = 30_000
+    g = rng.integers(0, 6, n)
+    # heavy exact ties (coarse grid) + a continuous tail
+    v = np.where(rng.random(n) < 0.5,
+                 rng.integers(0, 20, n).astype(np.float64),
+                 rng.lognormal(0, 1, n))
+    ds = ray.data.from_arrow(
+        pa.table({"g": g.astype(np.int64), "v": v})).repartition(7)
+    qs = (0.25, 0.5, 0.9)
+    got = {(r["g"], r["q"]): r["v"]
+           for r in grouped_quantiles_cont(ds, "g", "v", qs).take_all()}
+    for gi in np.unique(g):
+        vals = np.sort(v[g == gi])
+        for q in qs:
+            h = (len(vals) - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            frac = h - lo
+            want = vals[lo] * (1 - frac) + vals[hi] * frac
+            assert got[(int(gi), q)] == want  # bit-exact
