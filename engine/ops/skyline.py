@@ -67,9 +67,15 @@ def skyline(ds, max_col: str, min_col: str, out_cols: list[str],
 
     part = ds.map_batches(block_frontier, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
-    return (part.repartition(num_parts_fold)
-            .map_batches(block_frontier, batch_format="pyarrow",
-                         batch_size=None)
-            .repartition(1)
-            .map_batches(block_frontier, batch_format="pyarrow",
-                         batch_size=None))
+
+    # per-block frontiers are tiny (expected O(log n) rows) → raw-task
+    # tree fold; Repartition's fixed barrier costs seconds at any size
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        return block_frontier(pa.concat_tables(tbls).combine_chunks())
+
+    return ray.data.from_arrow(tree_fold_refs(part, combine,
+                                              width=num_parts_fold))

@@ -240,8 +240,10 @@ def crosstab_residuals(ds, row_col: str, col_col: str):
         return batch.append_column(
             "expected", pa.array(e)).append_column("resid", pa.array(resid))
 
-    return counts.repartition(1).map_batches(
-        enrich, batch_format="pyarrow", batch_size=None)
+    # grouped_agg's tree plan returns a single-block Dataset
+    # (from_arrow), so the marginals see every row without a repartition
+    return counts.map_batches(enrich, batch_format="pyarrow",
+                              batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -247,13 +247,17 @@ def bm25_topk(docs_ds, terms: list[str], k: int = 20,
         return pa.table({id_col: pa.array(ids[keep]),
                          "score": pa.array(s[keep])})
 
-    # two-level top-k fan-in (16-way, then 1) — the single merge block
-    # must not receive blocks×k rows raw at large block counts
-    return part.repartition(16).map_batches(
-        final, batch_format="pyarrow", batch_size=None
-    ).repartition(1).map_batches(
-        final, batch_format="pyarrow", batch_size=None
-    )
+    # tree top-k fan-in — no merge level receives blocks×k rows raw, and
+    # the fold runs as raw task waves (Repartition's fixed barrier costs
+    # seconds at any size)
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        return final(pa.concat_tables(tbls).combine_chunks())
+
+    return ray.data.from_arrow(tree_fold_refs(part, combine, width=16))
 
 
 # ---------------------------------------------------------------------------

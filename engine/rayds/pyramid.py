@@ -76,15 +76,17 @@ def quad_pyramid(ds, x_col: str, y_col: str, zmax: int = 6,
         return hash_shuffle_agg(part, ["z", "qx", "qy"], [("_n", "sum")],
                                 ["n"], num_parts=num_parts)
 
-    def merge(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["z", "qx", "qy"]).aggregate([("_n", "sum")])
-        return t.rename_columns(["z", "qx", "qy", "_n"])
+    # bounded result (≤ (4^(zmax+1)−1)/3 cells) → raw-task tree fold;
+    # the Repartition operator's fixed barrier costs seconds at any size
+    import ray.data
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["z", "qx", "qy", "n"])
+    from engine.rayds.shuffle import tree_fold_refs
 
-    return (part.repartition(16)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None)
-            .repartition(1)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None)
-            .map_batches(rename, batch_format="pyarrow", batch_size=None))
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        g = t.group_by(["z", "qx", "qy"]).aggregate([("_n", "sum")])
+        return g.rename_columns(["z", "qx", "qy", "_n"])
+
+    final = tree_fold_refs(part, combine)
+    return ray.data.from_arrow(
+        final.rename_columns(["z", "qx", "qy", "n"]))

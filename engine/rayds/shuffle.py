@@ -121,11 +121,13 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str]],
 
     Stage 1 (always): per-block ``pyarrow.group_by`` partial — downstream
     moves ≤ (distinct keys × blocks) rows instead of every input row.
-    Stage 2: ``plan="tree"`` → 16-way fan-in then one final merge block
-    (right when distinct keys ≪ rows, e.g. a 5-region rollup — NO
-    all-to-all at any point); ``plan="shuffle"`` → the engine's hash
-    exchange over the partials (group cardinality too large for one
-    block).  Callers that already produced partials use
+    Stage 2: ``plan="tree"`` → raw-task tree fold of the partial blocks
+    into ONE final table, returned as a single-block ``from_arrow``
+    Dataset (right when distinct keys ≪ rows, e.g. a 5-region rollup —
+    NO all-to-all, no Repartition barrier; downstream single-block maps
+    may rely on seeing every row); ``plan="shuffle"`` → the engine's
+    hash exchange over the partials (group cardinality too large for
+    one block).  Callers that already produced partials use
     ``hash_shuffle_agg`` / ``merge_partial_counts`` directly."""
     pcols = [f"_p{i}" for i in range(len(specs))]
     merge_spec = [(p, _PARTIAL_MERGE_FN[fn]) for p, (_, fn) in zip(pcols, specs)]
@@ -139,21 +141,48 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str]],
     if plan == "shuffle":
         return hash_shuffle_agg(part, keys, merge_spec, out_cols, num_parts)
 
-    def merge(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(keys).aggregate(merge_spec)
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        g = t.group_by(keys).aggregate(merge_spec)
         return g.rename_columns(keys + pcols)
 
-    merged = (
-        part.repartition(16)
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-    )
+    import ray.data
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(keys + out_cols)
+    final = tree_fold_refs(part, combine)
+    return ray.data.from_arrow(final.rename_columns(keys + out_cols))
 
-    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+def tree_fold_refs(ds, combine, width: int = 64) -> pa.Table:
+    """Materialize ``ds`` and fold its Arrow block refs through raw Ray
+    task waves — ``combine(list[pa.Table]) → pa.Table`` runs width-way
+    per level until one table remains (returned driver-side).
+
+    Why raw tasks: Ray Data's ``Repartition`` operator carries a
+    multi-second FIXED barrier latency regardless of data size (measured
+    ~2.6 s each in Ray 2.49), so a 16→1 fan-in over kilobyte partials
+    paid ~5 s; a task wave costs milliseconds (same finding as the CC
+    BSP and k-means Lloyd rounds).  Only for BOUNDED partials — the
+    caller guarantees the folded result fits one block by contract
+    (grouped_agg tree plan, skyline frontier, top-k merges)."""
+    import ray
+
+    def _step(tbls):
+        # upstream map stages may emit SCHEMA-LESS empties for zero-row
+        # blocks (pa.table({}) has no columns) — drop them before concat
+        keep = [t for t in tbls if t.num_columns]
+        return combine(keep) if keep else tbls[0]
+
+    @ray.remote
+    def step(*tbls):
+        return _step(list(tbls))
+
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        return combine([ds.schema().base_schema.empty_table()])
+    while len(refs) > 1:
+        refs = [step.remote(*refs[i:i + width])
+                for i in range(0, len(refs), width)]
+    return _step([ray.get(refs[0])])
 
 
 def choose_count_plan(ds, keys: list[str], sample: int = 8192,
