@@ -401,10 +401,11 @@ def _q_rollup_counts(sf_dir):
             "n": pa.array([n], type=pa.int64()),
         })
 
+    # grouped_count's tree plan returns a single-block Dataset, so the
+    # grand total sees every row without a repartition
     total = mid.map_batches(
         lambda b: b.select(["n"]), batch_format="pyarrow", batch_size=None
-    ).repartition(1).map_batches(tot_fix, batch_format="pyarrow",
-                                 batch_size=None)
+    ).map_batches(tot_fix, batch_format="pyarrow", batch_size=None)
     return fine.union(
         mid.map_batches(mid_fix, batch_format="pyarrow", batch_size=None),
         total,
@@ -538,12 +539,13 @@ def _q_q3_topk(sf_dir):
         order = np.lexsort((key, -rev))[:10]
         return batch.take(pa.array(order))
 
-    return (
-        agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
-        .map_batches(topk, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(topk, batch_format="pyarrow", batch_size=None)
-    )
+    from engine.rayds.shuffle import tree_fold_refs
+
+    part = agg.map_batches(rename, batch_format="pyarrow", batch_size=None
+                           ).map_batches(topk, batch_format="pyarrow",
+                                         batch_size=None)
+    return ray.data.from_arrow(tree_fold_refs(
+        part, lambda tbls: topk(pa.concat_tables(tbls).combine_chunks())))
 
 
 def _q_lag_gap(sf_dir):
@@ -1186,22 +1188,24 @@ def _q_pricing_summary(sf_dir):
             ["l_returnflag", "l_linestatus", "_q", "_b", "_d", "_c", "_n"]
         )
 
-    def merge(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+    from engine.rayds.shuffle import tree_fold_refs
+
+    # fold with a PARTIAL-named merge (closed under composition); the
+    # final column names are applied once on the folded table
+    def merge_p(tbls):
+        t = pa.concat_tables(tbls).combine_chunks()
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("_q", "sum"), ("_b", "sum"), ("_d", "sum"), ("_c", "sum"),
              ("_n", "sum")]
         )
-        return t.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
-             "sum_disc_bp", "sum_charge_6", "count_order"]
-        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "_q", "_b", "_d", "_c", "_n"])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
-                       zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-    )
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return ray.data.from_arrow(tree_fold_refs(part, merge_p).rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+         "sum_disc_bp", "sum_charge_6", "count_order"]))
 
 
 def _q_cust_urgent(sf_dir):
@@ -1248,15 +1252,17 @@ def _q_cust_urgent(sf_dir):
         t = t.group_by(["c_mktsegment"]).aggregate([("_n", "sum"), ("_un", "sum")])
         return t.rename_columns(["c_mktsegment", "_n", "_un"])
 
-    def merge(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["c_mktsegment"]).aggregate([("_n", "sum"), ("_un", "sum")])
-        return t.rename_columns(["c_mktsegment", "n_rows", "n_unmatched"])
+    from engine.rayds.shuffle import tree_fold_refs
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-    )
+    def merge_p(tbls):
+        t = pa.concat_tables(tbls).combine_chunks().group_by(
+            ["c_mktsegment"]).aggregate([("_n", "sum"), ("_un", "sum")])
+        return t.rename_columns(["c_mktsegment", "_n", "_un"])
+
+    part = joined.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return ray.data.from_arrow(tree_fold_refs(part, merge_p).rename_columns(
+        ["c_mktsegment", "n_rows", "n_unmatched"]))
 
 
 def _q_order_revenue(sf_dir):
@@ -1300,20 +1306,15 @@ def _q_order_revenue(sf_dir):
         )
         return t.rename_columns(["o_orderpriority", "_bp", "_n"])
 
-    def final(batch: pa.Table) -> pa.Table:
-        return merge(batch).rename_columns(
-            ["o_orderpriority", "revenue_bp", "n_items"]
-        )
+    # o_orderpriority has constant (5-value) cardinality — raw-task tree
+    # fold, no exchange (the hash-shuffle merge is for unbounded keys)
+    from engine.rayds.shuffle import tree_fold_refs
 
-    # o_orderpriority has constant (5-value) cardinality — tree reduce,
-    # no exchange (the hash-shuffle merge is for unbounded key spaces)
     partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    return (
-        partials.repartition(8)
-        .map_batches(merge, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", batch_size=None)
-    )
+    folded = tree_fold_refs(
+        partials, lambda tbls: merge(pa.concat_tables(tbls).combine_chunks()))
+    return ray.data.from_arrow(
+        folded.rename_columns(["o_orderpriority", "revenue_bp", "n_items"]))
 
 
 def _q_rasterize_cover(sf_dir):

@@ -183,15 +183,17 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
         return right_max(batch.append_column(
             "is_left", pa.array(np.zeros(len(batch), dtype=bool))))
 
-    parts = tagged.map_batches(
-        right_max, batch_format="pyarrow", batch_size=None
-    ).repartition(16).map_batches(
-        right_max_merge, batch_format="pyarrow", batch_size=None,
-    ).take_all()
-    cu = np.array([r["user_id"] for r in parts], dtype=np.int64)
-    cb = np.array([r["_bkt"] for r in parts], dtype=np.int64)
-    ct = np.array([r["ts_us"] for r in parts], dtype=np.int64)
-    ce = np.array([r["event_id"] for r in parts], dtype=np.int64)
+    from engine.rayds.shuffle import tree_fold_refs
+
+    parts = tree_fold_refs(
+        tagged.map_batches(right_max, batch_format="pyarrow",
+                           batch_size=None),
+        lambda tbls: right_max_merge(pa.concat_tables(tbls)
+                                     .combine_chunks()))
+    cu = parts["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = parts["_bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ct = parts["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ce = parts["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((ce, ct, cb, cu))
     cu, cb, ct, ce = cu[order], cb[order], ct[order], ce[order]
     last = np.ones(len(cu), dtype=bool)

@@ -241,7 +241,16 @@ def connected_components(edges, max_rounds: int = 60,
             "cluster_id": pa.array([], type=pa.int64()),
         }))
     if edges.count() <= small_graph_rows:
-        return edges.repartition(1).map_batches(
-            _cc_local, batch_format="pyarrow", batch_size=None
-        )
+        # one remote task over the materialized edge block refs — no
+        # Repartition barrier; the budget bounds the single-task size
+        import ray
+        import ray.data
+
+        @ray.remote
+        def run(*tbls):
+            return _cc_local(pa.concat_tables(
+                [t for t in tbls if t.num_columns]).combine_chunks())
+
+        return ray.data.from_arrow(
+            ray.get(run.remote(*edges.to_arrow_refs())))
     return _cc_bsp(edges, num_parts=num_parts, max_rounds=max_rounds)

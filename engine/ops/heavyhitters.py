@@ -110,9 +110,11 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
         counts = g.column(1).to_numpy().astype(np.int64)
         return _summarize(keys, counts, dec, k, key_col)
 
-    part = part.repartition(16).map_batches(
-        tree_merge, batch_format="pyarrow", batch_size=None
-    )
+    from engine.rayds.shuffle import tree_fold_refs
+
+    summaries = tree_fold_refs(
+        part, lambda tbls: tree_merge(pa.concat_tables(tbls)
+                                      .combine_chunks()))
 
     def _empty_result(dec: int):
         # key type from the INPUT schema (not hardcoded string)
@@ -124,10 +126,8 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
         return pa.table({key_col: pa.array([], type=ktype),
                          "cnt": pa.array([], type=pa.int64())}), dec
 
-    batches = list(part.iter_batches(batch_format="pyarrow"))
-    if not batches:  # empty input: Ray yields zero batches
+    if summaries.num_columns == 0:  # empty input: schema-less fold
         return _empty_result(0)
-    summaries = pa.concat_tables(batches)
     dec_sum = int(pc.sum(summaries["_dec"]).as_py() or 0)
     real = summaries.filter(pc.is_valid(summaries[key_col]))
     if real.num_rows == 0:
@@ -160,12 +160,11 @@ def heavy_hitters(ds, key_col: str, m: int = 10, k: int | None = None):
         g = batch.group_by([key_col]).aggregate([("_cnt", "sum")])
         return g.rename_columns([key_col, "_cnt"])
 
-    # same 16-way tree fold as stage 1: the recount partials are ≤k rows
-    # per block, but blocks×k must not land on the driver raw
-    rec = rec.repartition(16).map_batches(
-        sum_merge, batch_format="pyarrow", batch_size=None
-    )
-    folded = pa.concat_tables(rec.iter_batches(batch_format="pyarrow"))
+    # same raw-task tree fold as stage 1: the recount partials are ≤k
+    # rows per block, but blocks×k must not land on the driver raw
+    folded = tree_fold_refs(
+        rec, lambda tbls: sum_merge(pa.concat_tables(tbls)
+                                    .combine_chunks()))
     fin = folded.group_by([key_col]).aggregate([("_cnt", "sum")])
     # deterministic (cnt desc, key asc): sort by key first, then a
     # STABLE argsort on -count preserves the key order within ties

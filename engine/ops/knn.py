@@ -274,10 +274,13 @@ def _tail_topk_pass(right_ds, tail_tbl: pa.Table, k: int,
 
     part = right_ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=None, zero_copy_batch=True)
-    return (part.repartition(16)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None)
-            .repartition(1)
-            .map_batches(merge, batch_format="pyarrow", batch_size=None))
+
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    return ray.data.from_arrow(tree_fold_refs(
+        part, lambda tbls: merge(pa.concat_tables(tbls).combine_chunks())))
 
 
 def knn_join(left_ds, right_ds, k: int = 4, cell: float = 2.0,

@@ -431,15 +431,13 @@ def mrl_quantiles(ds, col: str, qs, k: int = 256):
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
-    # worker tree fold: 16-way merge of the serialized block sketches so
-    # the driver sees ≤ 16 sketch tables regardless of input block count
-    def tree_merge(batch: pa.Table) -> pa.Table:
-        return MRLSketch.from_table(batch, k).to_table()
+    # raw-task tree fold of the serialized block sketches — the driver
+    # sees ONE sketch table regardless of input block count
+    from engine.rayds.shuffle import tree_fold_refs
 
-    parts = parts.repartition(16).map_batches(
-        tree_merge, batch_format="pyarrow", batch_size=None
-    )
-    total = MRLSketch(k)
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        total.merge(MRLSketch.from_table(b, k))
+    final = tree_fold_refs(
+        parts,
+        lambda tbls: MRLSketch.from_table(pa.concat_tables(tbls),
+                                          k).to_table())
+    total = MRLSketch.from_table(final, k)
     return total.quantile(qs), total.n, total.err

@@ -102,15 +102,16 @@ def exact_moments(ds, xcol: str, ycol: str,
         _moment_partial(xcol, ycol, xscale, yscale),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
-    folded = part.repartition(16).map_batches(
-        _fold_moments, batch_format="pyarrow", batch_size=None)
+    from engine.rayds.shuffle import tree_fold_refs
+
+    folded = tree_fold_refs(
+        part, lambda tbls: _fold_moments(pa.concat_tables(tbls)))
     out = {c: 0 for c in _MOMENTS}
-    for b in folded.iter_batches(batch_format="pyarrow"):
-        for c in _MOMENTS:
-            for d in b[c]:
-                v = d.as_py()
-                if v is not None:
-                    out[c] += int(v)
+    for c in _MOMENTS:
+        for d in folded[c]:
+            v = d.as_py()
+            if v is not None:
+                out[c] += int(v)
     return out
 
 

@@ -196,14 +196,16 @@ def bm25_corpus_stats(docs_ds, terms: list[str], text_col: str = "text"):
             for c in batch.column_names
         })
 
-    # 16-way worker fold first — the driver must not collect one partial
-    # row per block at 10^6-block scale
-    rows = parts.repartition(16).map_batches(
-        tree_sum, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    n = sum(r["_n"] for r in rows)
-    tok = sum(r["_tok"] for r in rows)
-    dfs = [sum(r[f"_df{i}"] for r in rows) for i in range(len(terms))]
+    # raw-task tree fold — the driver must not collect one partial row
+    # per block at 10^6-block scale (and Repartition's fixed barrier
+    # costs seconds at any size)
+    from engine.rayds.shuffle import tree_fold_refs
+
+    t = tree_fold_refs(parts,
+                       lambda tbls: tree_sum(pa.concat_tables(tbls)))
+    n = int(pc.sum(t["_n"]).as_py() or 0)
+    tok = int(pc.sum(t["_tok"]).as_py() or 0)
+    dfs = [int(pc.sum(t[f"_df{i}"]).as_py() or 0) for i in range(len(terms))]
     return n, tok, dfs
 
 

@@ -176,9 +176,13 @@ def tree_fold_refs(ds, combine, width: int = 64) -> pa.Table:
     def step(*tbls):
         return _step(list(tbls))
 
-    refs = ds.materialize().to_arrow_refs()
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
     if not refs:
-        return combine([ds.schema().base_schema.empty_table()])
+        sch = mat.schema(fetch_if_missing=True)
+        if sch is None:
+            return pa.table({})  # schema-less empty: callers check num_columns
+        return combine([sch.base_schema.empty_table()])
     while len(refs) > 1:
         refs = [step.remote(*refs[i:i + width])
                 for i in range(0, len(refs), width)]
@@ -232,40 +236,26 @@ def grouped_count(ds, keys: list[str], out_col: str = "cnt",
 
         return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
-    merged = (
-        partial.repartition(16)
-        .map_batches(_merge_counts(keys), batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(_merge_counts(keys), batch_format="pyarrow", batch_size=None)
-    )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(keys + [out_col])
-
-    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    return merge_partial_counts(partial, keys, out_col)
 
 
 def merge_partial_counts(partial_ds, keys: list[str], out_col: str = "cnt",
                          two_level: bool = False):
-    """Reduce (keys…, _pcnt) partial blocks to final counts.
+    """Reduce (keys…, _pcnt) partial blocks to final counts via the
+    raw-task tree fold (64-way waves; no Repartition barrier).  The
+    combiner already shrank each block to its group cardinality, so the
+    folded result fits one block by the caller's contract.
+    ``two_level`` is kept for API compatibility (the fold is always
+    multi-level when the block count warrants it)."""
+    import ray.data
 
-    Single-level (default): one final merge task — right when
-    blocks × groups fits one task (the combiner already shrank the data).
-    ``two_level=True`` inserts an intermediate fan-in for wider runs.
-    """
-    ds = partial_ds
-    if two_level:
-        ds = ds.repartition(16).map_batches(
-            _merge_counts(keys), batch_format="pyarrow", batch_size=None
-        )
-    merged = ds.repartition(1).map_batches(
-        _merge_counts(keys), batch_format="pyarrow", batch_size=None
-    )
+    mfn = _merge_counts(keys)
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(keys + [out_col])
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        return mfn(pa.concat_tables(tbls).combine_chunks())
 
-    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    final = tree_fold_refs(partial_ds, combine)
+    return ray.data.from_arrow(final.rename_columns(keys + [out_col]))
 
 
 def salted_grouped_count(ds, keys: list[str], out_col: str = "cnt", salt: int = 16):
