@@ -1900,6 +1900,37 @@ def _q_grouped_percentiles(sf_dir):
                                   qs=(0.25, 0.5, 0.9))
 
 
+def _q_trajectory_stats(sf_dir):
+    """Per-user TRAJECTORY statistics over time-ordered geotagged
+    events: segment count, travelled distance and net displacement in
+    exact SQUARED-INTEGER space (milli-unit coords) — one hash exchange
+    on the entity key, vectorized per-partition ordered-diff folds; no
+    float sqrt, no order-dependent float SUM, so the window-function
+    oracle matches bit-for-bit."""
+    import ray.data
+
+    from engine.ops.trajectory import trajectory_stats
+    from engine.rayds.imagetab import COORD_MOD, X_MULT, Y_MULT
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def coords(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "event_id": b["event_id"],
+            "ix": pa.array((eid * X_MULT) % COORD_MOD),
+            "iy": pa.array((eid * Y_MULT) % COORD_MOD),
+        })
+
+    return trajectory_stats(
+        ev.map_batches(coords, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        "user_id", ["ts", "event_id"], "ix", "iy")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -1986,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "tile_pyramid": _q_tile_pyramid,
         "grouped_percentiles": _q_grouped_percentiles,
+        "trajectory_stats": _q_trajectory_stats,
     }
 
 
@@ -2574,6 +2606,36 @@ def oracle_sql() -> dict[str, str]:
                    (o - CAST(rt AS DOUBLE) * ct / n)
                        / sqrt(CAST(rt AS DOUBLE) * ct / n) AS resid
             FROM t
+        """,
+        # trajectory: exact squared-integer distances; ordering ties
+        # broken by event_id on both sides
+        "trajectory_stats": """
+            WITH pts AS (
+                SELECT user_id, ts, event_id,
+                       (event_id * 9973) % 100000 AS ix,
+                       (event_id * 7919) % 100000 AS iy
+                FROM events
+            ), w AS (
+                SELECT user_id, ix, iy,
+                       lag(ix) OVER o AS px, lag(iy) OVER o AS py,
+                       first_value(ix) OVER o AS fx,
+                       first_value(iy) OVER o AS fy,
+                       last_value(ix) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND UNBOUNDED FOLLOWING) AS lx,
+                       last_value(iy) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND UNBOUNDED FOLLOWING) AS ly
+                FROM pts
+                WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_points,
+                   CAST(COALESCE(sum((ix - px) * (ix - px)
+                                     + (iy - py) * (iy - py)), 0)
+                        AS BIGINT) AS path_d2,
+                   max((lx - fx) * (lx - fx)
+                       + (ly - fy) * (ly - fy)) AS net_d2
+            FROM w GROUP BY 1
         """,
         # per-group quantile_cont: h=(n-1)q, lower*(1-frac)+upper*frac
         # in the identical double expression order

@@ -382,3 +382,43 @@ def test_grouped_quantiles_cont_bit_exact(ray_session):
             frac = h - lo
             want = vals[lo] * (1 - frac) + vals[hi] * frac
             assert got[(int(gi), q)] == want  # bit-exact
+
+
+# ------------------------------------------------------------- trajectory
+def test_trajectory_stats_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.trajectory import trajectory_stats
+
+    rng = np.random.default_rng(33)
+    n = 8000
+    k = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 500, n).astype(np.int64)  # heavy ts ties
+    eid = rng.permutation(n).astype(np.int64)
+    ix = rng.integers(0, 1000, n).astype(np.int64)
+    iy = rng.integers(0, 1000, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid, "ix": ix, "iy": iy})).repartition(7)
+    got = {r["k"]: (r["n_points"], r["path_d2"], r["net_d2"])
+           for r in trajectory_stats(ds, "k", ["ts", "eid"],
+                                     "ix", "iy").take_all()}
+    for kk in np.unique(k):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        xs, ys = ix[m][order], iy[m][order]
+        path = int(((np.diff(xs) ** 2) + (np.diff(ys) ** 2)).sum())
+        net = int((xs[-1] - xs[0]) ** 2 + (ys[-1] - ys[0]) ** 2)
+        assert got[int(kk)] == (int(m.sum()), path, net)
+
+
+def test_trajectory_single_point_entities(ray_session):
+    import ray.data
+
+    from engine.ops.trajectory import trajectory_stats
+
+    t = pa.table({"k": [1, 2, 3], "o": [5, 5, 5],
+                  "ix": [10, 20, 30], "iy": [1, 2, 3]})
+    got = {r["k"]: (r["n_points"], r["path_d2"], r["net_d2"])
+           for r in trajectory_stats(ray.data.from_arrow(t), "k", ["o"],
+                                     "ix", "iy").take_all()}
+    assert got == {1: (1, 0, 0), 2: (1, 0, 0), 3: (1, 0, 0)}
