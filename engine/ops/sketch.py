@@ -130,11 +130,9 @@ def distinct_count_exact(ds, group_col: str, val_col: str,
         dedup_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    keyed = deduped.map_batches(
-        add_hash_part([group_col], num_parts),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(deduped, [group_col], merge, num_parts)
 
 
 def grouped_quantiles(ds, group_col: str, val_col: str,

@@ -284,10 +284,9 @@ def latest_by_key(ds, key: str, order_cols: list[str],
 
     best = ds.map_batches(block_best, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
-    keyed = best.map_batches(add_hash_part([key], num_parts),
-                             batch_format="pyarrow", batch_size=None)
-
     def reduce_fn(group: pa.Table) -> pa.Table:
         return block_best(group.select(cols))
 
-    return keyed.groupby("_part").map_groups(reduce_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(best, [key], reduce_fn, num_parts)

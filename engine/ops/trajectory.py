@@ -76,8 +76,7 @@ def trajectory_stats(ds, key: str, order_cols: list[str],
                          "path_d2": pa.array(path),
                          "net_d2": pa.array(net)})
 
-    keyed = ds.select_columns(cols).map_batches(
-        add_hash_part([key], num_parts), batch_format="pyarrow",
-        batch_size=None)
-    return keyed.groupby("_part").map_groups(reduce_fn,
-                                             batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], reduce_fn,
+                                num_parts)

@@ -88,6 +88,101 @@ def add_hash_part(keys: list[str], num_parts: int = HASH_PARTS):
     return fn
 
 
+def task_hash_exchange(ds, keys: list[str], apply_fn,
+                       num_parts: int = HASH_PARTS):
+    """The engine's raw-task BSP hash exchange: materialize ``ds``,
+    SPLIT each block into ``num_parts`` hash partitions (one
+    ``num_returns=P`` task per block — stable argsort + zero-copy
+    slices), then REDUCE partition ``p`` by concatenating its B slices
+    and applying ``apply_fn(table) → table``.  Returns the reduced
+    partitions as a ``from_arrow_refs`` Dataset (reduce outputs never
+    touch the driver).
+
+    Why not ``groupby("_part").map_groups``: Ray Data's sort-based
+    all-to-all pays a global sort plus a multi-second fixed barrier —
+    measured 3–4× slower at bench shapes with identical asymptotics
+    (both move B×P objects).  Reduce fan-in is two-level past 512
+    blocks so no task ever takes an unbounded argument list.
+
+    The partition hash is EXACTLY ``add_hash_part``'s (FNV-1a fold over
+    ``_col_hash`` of each key), so plans are interchangeable."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=num_parts)
+    def split(tbl: pa.Table):
+        if tbl.num_columns == 0 or tbl.num_rows == 0:
+            # schema-less empty block (Ray 2.49 drops the schema of
+            # all-empty upstreams) — emit it everywhere; the reduce
+            # filter drops column-less tables, and a zero-row WITH-
+            # schema table still anchors the output schema.
+            out = tuple(tbl.slice(0, 0) for _ in range(num_parts))
+            return out if num_parts > 1 else out[0]
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(0x100000001B3) + _col_hash(tbl[k])
+        h = (h % np.uint64(num_parts)).view(np.int64)
+        ix = np.argsort(h, kind="stable")
+        hs = h[ix]
+        bounds = np.searchsorted(hs, np.arange(num_parts + 1))
+        s = tbl.take(pa.array(ix))
+        out = tuple(s.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                    for p in range(num_parts))
+        return out if num_parts > 1 else out[0]
+
+    def _concat(tbls):
+        # blocks from a unioned upstream can agree on names but differ
+        # in column ORDER (e.g. hash_equi_join's two tag maps); align to
+        # the first block's order before concat (zero-copy select).
+        order = tbls[0].column_names
+        aligned = [t if t.column_names == order else t.select(order)
+                   for t in tbls]
+        return pa.concat_tables(aligned).combine_chunks()
+
+    @ray.remote
+    def gather(*tbls):
+        keep = [t for t in tbls if t.num_columns]
+        return _concat(keep) if keep else tbls[0]
+
+    @ray.remote
+    def reduce(*tbls):
+        keep = [t for t in tbls if t.num_columns]
+        if not keep:
+            return tbls[0]
+        return apply_fn(_concat(keep))
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    cols = [split.remote(b) for b in refs]
+    if num_parts == 1:
+        cols = [[c] for c in cols]
+    outs = []
+    for p in range(num_parts):
+        mine = [cols[i][p] for i in range(len(cols))]
+        while len(mine) > 512:
+            mine = [gather.remote(*mine[i:i + 512])
+                    for i in range(0, len(mine), 512)]
+        outs.append(reduce.remote(*mine))
+    return ray.data.from_arrow_refs(outs)
+
+
+def hash_exchange_groups(ds, keys: list[str], group_fn,
+                         num_parts: int = HASH_PARTS):
+    """``task_hash_exchange`` wrapper for the legacy per-partition group
+    fns written against ``add_hash_part`` + ``groupby("_part")`` — the
+    fn still sees a ``_part`` column (appended constant; it drops it),
+    and each call receives ONE whole hash partition, exactly as before,
+    minus the sort-based barrier."""
+
+    def apply(t: pa.Table) -> pa.Table:
+        part = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return group_fn(t.append_column("_part", part))
+
+    return task_hash_exchange(ds, keys, apply, num_parts)
+
+
 def hash_shuffle_agg(partial_ds, keys: list[str], merge_spec: list[tuple[str, str]],
                      out_cols: list[str], num_parts: int = HASH_PARTS):
     """The engine's hash-shuffle aggregate: partition the (already
@@ -95,19 +190,17 @@ def hash_shuffle_agg(partial_ds, keys: list[str], merge_spec: list[tuple[str, st
     vectorized pyarrow ``group_by`` inside ``map_groups``.
 
     This deliberately avoids Ray's ``groupby().sum/min`` Aggregate
-    operator, whose actor-pool hash shuffle costs ~20 s fixed overhead
-    per call in Ray 2.49 even on 10^5 rows — the sort-based ``map_groups``
-    exchange below is ~100× cheaper at these shapes and scales the same
-    way (per-partition merge, no single-block funnel)."""
+    operator (~20 s fixed actor-pool overhead per call in Ray 2.49 even
+    on 10^5 rows) AND the sort-based ``groupby("_part").map_groups``
+    exchange (global sort + multi-second fixed barrier) — the raw-task
+    BSP exchange is another 3–4× cheaper at bench shapes with identical
+    asymptotics (per-partition merge, no single-block funnel)."""
 
     def merge(group: pa.Table) -> pa.Table:
-        t = group.drop_columns(["_part"]).group_by(keys).aggregate(merge_spec)
+        t = group.group_by(keys).aggregate(merge_spec)
         return t.rename_columns(keys + out_cols)
 
-    keyed = partial_ds.map_batches(
-        add_hash_part(keys, num_parts), batch_format="pyarrow", batch_size=None
-    )
-    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    return task_hash_exchange(partial_ds, keys, merge, num_parts)
 
 
 _PARTIAL_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -384,10 +477,8 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int,
             out[out_col] = np.add.reduceat(v, starts).astype(np.int64)
         return pa.table(out)
 
-    keyed = ds.select_columns(cols).map_batches(
-        add_hash_part([key], num_parts), batch_format="pyarrow", batch_size=None
-    )
-    return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)
 
 
 def sessionize_split(ds, key: str, ts_col: str, gap_us: int,
@@ -583,10 +674,7 @@ def hash_equi_join(left, right, left_on: str, right_on: str,
         rtab = g.take(pa.array(ri)).select(["_k"] + rcols)
         return ltab.join(rtab, keys=["_k"], join_type=join_type)
 
-    keyed = lt.union(rt).map_batches(
-        add_hash_part(["_k"], num_parts), batch_format="pyarrow", batch_size=None
-    )
-    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    return hash_exchange_groups(lt.union(rt), ["_k"], merge, num_parts)
 
 
 BROADCAST_JOIN_MAX_ROWS = 1_000_000  # small-side budget for the map-side plan
