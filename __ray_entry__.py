@@ -557,8 +557,6 @@ def _q_lag_gap(sf_dir):
     reduction."""
     import ray.data
 
-    from engine.rayds.shuffle import add_hash_part
-
     def part_fn(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["_part"])
         u = g["user_id"].to_numpy()
@@ -573,11 +571,12 @@ def _q_lag_gap(sf_dir):
         return pa.table({"event_id": pa.array(eid),
                          "gap_us": pa.array(gap)})
 
-    keyed = ray.data.read_parquet(
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    ).map_batches(add_hash_part(["user_id"]), batch_format="pyarrow",
-                  batch_size=None)
-    return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+    )
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
 
 
 def _q_hopping_window(sf_dir):
@@ -722,8 +721,6 @@ def _q_dedup_canonical(sf_dir):
         # hash(doc_id), keep docs absent from their partition's drop set
         import pyarrow.compute as _pc
 
-        from engine.rayds.shuffle import add_hash_part
-
         def tag(side: int):
             def fn(batch: pa.Table) -> pa.Table:
                 return pa.table({
@@ -746,11 +743,10 @@ def _q_dedup_canonical(sf_dir):
             keep_m = ~np.isin(mine, bad)
             return pa.table({"doc_id": pa.array(mine[keep_m])})
 
-        keyed = docs.union(drops).map_batches(
-            add_hash_part(["doc_id"]), batch_format="pyarrow",
-            batch_size=None)
-        return keyed.groupby("_part").map_groups(
-            keep_group, batch_format="pyarrow")
+        from engine.rayds.shuffle import hash_exchange_groups
+
+        return hash_exchange_groups(docs.union(drops), ["doc_id"],
+                                    keep_group)
 
     drop = pa.concat_tables([pa.table({"doc_id": a}) for a in acc]) if acc \
         else pa.table({"doc_id": pa.array([], type=pa.int64())})
@@ -909,8 +905,6 @@ def _q_stratified_sample(sf_dir):
     import ray.data
 
     from engine.ops.vhash import md5_hex
-    from engine.rayds.shuffle import add_hash_part
-
     K = 50
 
     def topk_tbl(tbl: pa.Table) -> pa.Table:
@@ -931,11 +925,10 @@ def _q_stratified_sample(sf_dir):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
     )
+    from engine.rayds.shuffle import hash_exchange_groups
+
     local = ds.map_batches(topk_tbl, batch_format="pyarrow", batch_size=None)
-    keyed = local.map_batches(
-        add_hash_part(["event_type"]), batch_format="pyarrow", batch_size=None
-    )
-    return keyed.groupby("_part").map_groups(final, batch_format="pyarrow")
+    return hash_exchange_groups(local, ["event_type"], final)
 
 
 def _q_lang_topwords(sf_dir):

@@ -84,10 +84,8 @@ def asof_join(events_ds, left_type: str, right_type: str,
         et = batch["event_type"]
         keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
         t = batch.filter(keep)
-        uid = t["user_id"].to_numpy()
         return pa.table(
             {
-                "_part": pa.array((uid % num_parts).astype(np.int64)),
                 "user_id": t["user_id"],
                 "ts_us": t["ts"].cast(pa.int64()),
                 "event_id": t["event_id"],
@@ -95,10 +93,12 @@ def asof_join(events_ds, left_type: str, right_type: str,
             }
         )
 
+    from engine.rayds.shuffle import hash_exchange_groups
+
     tagged = events_ds.map_batches(
         prep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return tagged.groupby("_part").map_groups(_asof_group, batch_format="pyarrow")
+    return hash_exchange_groups(tagged, ["user_id"], _asof_group, num_parts)
 
 
 def asof_join_split(events_ds, left_type: str, right_type: str,
@@ -133,14 +133,10 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
         et = batch["event_type"]
         keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
         t = batch.filter(keep)
-        uid = t["user_id"].to_numpy()
         ts = t["ts"].cast(pa.int64()).to_numpy()
         bkt = ts // np.int64(bucket_us)
         return pa.table(
             {
-                "_part": pa.array(
-                    ((uid * np.int64(0x9E3779B1) + bkt) % num_parts).astype(np.int64)
-                ),
                 "_bkt": pa.array(bkt),
                 "user_id": t["user_id"],
                 "ts_us": pa.array(ts),
@@ -255,4 +251,7 @@ def asof_join_split(events_ds, left_type: str, right_type: str,
                           "match_id": pa.array(eids[pos[ok]])})
         return pa.concat_tables([base, extra])
 
-    return tagged.groupby("_part").map_groups(group_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(tagged, ["user_id", "_bkt"], group_fn,
+                                num_parts)

@@ -330,12 +330,12 @@ def partitioned_buckets(exploded, key_cols, bucket_fn, num_parts: int = 64):
     exchange — the shape every LSH pair stage here shares."""
     import pyarrow as _pa
 
-    from engine.rayds.shuffle import add_hash_part
-
     key_cols = list(key_cols)
 
     def part_fn(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return bucket_fn(g)
         cols = [g[c].to_numpy() for c in key_cols]
         order = np.lexsort(tuple(reversed(cols)))
         gs = g.take(_pa.array(order))
@@ -355,10 +355,9 @@ def partitioned_buckets(exploded, key_cols, bucket_fn, num_parts: int = 64):
             return bucket_fn(gs.slice(0, 0))
         return _pa.concat_tables(outs)
 
-    keyed = exploded.map_batches(
-        add_hash_part(key_cols, num_parts), batch_format="pyarrow", batch_size=None
-    )
-    return keyed.groupby("_part").map_groups(part_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(exploded, key_cols, part_fn, num_parts)
 
 
 def _bucket_pairs(max_bucket: int = MAX_BUCKET):

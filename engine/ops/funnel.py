@@ -28,7 +28,7 @@ def funnel_counts(ds, key: str, ts_col: str, steps: list[str],
     each ordered prefix of ``steps`` (strictly increasing timestamps)."""
     import pyarrow.compute as pc
 
-    from engine.rayds.shuffle import add_hash_part, grouped_agg
+    from engine.rayds.shuffle import grouped_agg
 
     step_arr = pa.array(steps)
 
@@ -47,8 +47,6 @@ def funnel_counts(ds, key: str, ts_col: str, steps: list[str],
 
     part = ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
-    keyed = part.map_batches(add_hash_part(["_u"], num_parts),
-                             batch_format="pyarrow", batch_size=None)
     nsteps = len(steps)
 
     def part_fn(group: pa.Table) -> pa.Table:
@@ -80,7 +78,8 @@ def funnel_counts(ds, key: str, ts_col: str, steps: list[str],
             "users": pa.array(counts, type=pa.int64()),
         })
 
-    partials = keyed.groupby("_part").map_groups(part_fn,
-                                                 batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    partials = hash_exchange_groups(part, ["_u"], part_fn, num_parts)
     return grouped_agg(partials, ["step"], [("users", "sum")], ["users"],
                        plan="tree")

@@ -297,7 +297,7 @@ def knn_join(left_ds, right_ds, k: int = 4, cell: float = 2.0,
     None — one metadata-cheap minmax pass)."""
     import ray.data
 
-    from engine.rayds.shuffle import add_hash_part, dataset_minmax
+    from engine.rayds.shuffle import dataset_minmax, hash_exchange_groups
 
     if grid_hi is None:
         mm = dataset_minmax(right_ds, [x, y])
@@ -376,34 +376,28 @@ def knn_join(left_ds, right_ds, k: int = 4, cell: float = 2.0,
                                         batch_format="pyarrow",
                                         batch_size=None,
                                         zero_copy_batch=True)
-            both = visit.union(rrep).map_batches(
-                add_hash_part(["_cell"], num_parts),
-                batch_format="pyarrow", batch_size=None)
-            merged = both.groupby("_part").map_groups(
+            merged = hash_exchange_groups(
+                visit.union(rrep), ["_cell"],
                 lambda g: _merge_topk(
                     _cell_topk(g.drop_columns(["_part"]), k,
                                exclude_same_id), k, bound2),
-                batch_format="pyarrow").materialize()
+                num_parts).materialize()
         else:
             visit = lefts.map_batches(explode_left(prev_r, r),
                                       batch_format="pyarrow",
                                       batch_size=None,
                                       zero_copy_batch=True)
-            both = visit.union(rights).map_batches(
-                add_hash_part(["_cell"], num_parts),
-                batch_format="pyarrow", batch_size=None)
-            cand = both.groupby("_part").map_groups(
+            cand = hash_exchange_groups(
+                visit.union(rights), ["_cell"],
                 lambda g: _cell_topk(g.drop_columns(["_part"]), k,
                                      exclude_same_id),
-                batch_format="pyarrow")
+                num_parts)
             if carried is not None:
                 cand = cand.union(carried)
-            keyed = cand.map_batches(add_hash_part(["_lid"], num_parts),
-                                     batch_format="pyarrow",
-                                     batch_size=None)
-            merged = keyed.groupby("_part").map_groups(
+            merged = hash_exchange_groups(
+                cand, ["_lid"],
                 lambda g: _merge_topk(g.drop_columns(["_part"]), k, bound2),
-                batch_format="pyarrow").materialize()
+                num_parts).materialize()
 
         import pyarrow.compute as pc
 

@@ -112,8 +112,6 @@ def distinct_count_exact(ds, group_col: str, val_col: str,
     combiner → one hash exchange on the group key → per-partition
     pyarrow group_by distinct count.  Exchange volume is the deduped
     pair count, not the row count."""
-    from engine.rayds.shuffle import add_hash_part
-
     def dedup_block(batch: pa.Table) -> pa.Table:
         return batch.select([group_col, val_col]).group_by(
             [group_col, val_col]
@@ -147,8 +145,6 @@ def grouped_quantiles(ds, group_col: str, val_col: str,
     columns (cents, ms latencies, token counts…).
 
     Output: one row per (group, q): (group_col, q, val_col)."""
-    from engine.rayds.shuffle import add_hash_part
-
     qs = list(qs)
 
     def count_block(batch: pa.Table) -> pa.Table:
@@ -193,11 +189,9 @@ def grouped_quantiles(ds, group_col: str, val_col: str,
         count_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    keyed = counted.map_batches(
-        add_hash_part([group_col], num_parts),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(counted, [group_col], merge, num_parts)
 
 
 def grouped_quantiles_cont(ds, group_col: str, val_col: str,
@@ -214,8 +208,6 @@ def grouped_quantiles_cont(ds, group_col: str, val_col: str,
     sketch is the approximate scale path).
 
     Output: one row per (group, q): (group_col, q, val_col:float64)."""
-    from engine.rayds.shuffle import add_hash_part
-
     qs = list(qs)
 
     def count_block(batch: pa.Table) -> pa.Table:
@@ -264,11 +256,9 @@ def grouped_quantiles_cont(ds, group_col: str, val_col: str,
         count_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    keyed = counted.map_batches(
-        add_hash_part([group_col], num_parts),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return keyed.groupby("_part").map_groups(merge, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(counted, [group_col], merge, num_parts)
 
 
 # ---------------------------------------------------------------------------

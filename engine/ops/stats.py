@@ -169,7 +169,7 @@ def grouped_mode(ds, key: str, vcol: str, num_parts: int = 64,
     Combiner-first: per-block (key, value) counts → ONE hash exchange on
     the key → per-partition count merge + vectorized argmax (sort by
     (key, −count, value), first row per key run)."""
-    from engine.rayds.shuffle import HASH_PARTS, add_hash_part
+    from engine.rayds.shuffle import HASH_PARTS
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by([key, vcol]).aggregate([([], "count_all")])
@@ -177,8 +177,6 @@ def grouped_mode(ds, key: str, vcol: str, num_parts: int = 64,
 
     part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
-    keyed = part.map_batches(add_hash_part([key], num_parts),
-                             batch_format="pyarrow", batch_size=None)
 
     def reduce_fn(group: pa.Table) -> pa.Table:
         g = group.group_by([key, vcol]).aggregate([("_c", "sum")])
@@ -194,7 +192,9 @@ def grouped_mode(ds, key: str, vcol: str, num_parts: int = 64,
             out_cols[2]: out["_c_sum"].cast(pa.int64()).combine_chunks(),
         })
 
-    return keyed.groupby("_part").map_groups(reduce_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(part, [key], reduce_fn, num_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -261,8 +261,6 @@ def latest_by_key(ds, key: str, order_cols: list[str],
     hash exchange, so the all-to-all moves ≤ keys × blocks rows, never
     the raw stream.  Output columns: key + order_cols + payload_cols.
     """
-    from engine.rayds.shuffle import add_hash_part
-
     cols = [key] + order_cols + payload_cols
 
     def block_best(batch: pa.Table) -> pa.Table:

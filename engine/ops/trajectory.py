@@ -33,8 +33,6 @@ def trajectory_stats(ds, key: str, order_cols: list[str],
     Ordering is by ``order_cols`` lexicographically (int-like; ties must
     be broken by the last column for determinism — pass the event id).
     """
-    from engine.rayds.shuffle import add_hash_part
-
     cols = [key] + order_cols + [ix_col, iy_col]
 
     def reduce_fn(group: pa.Table) -> pa.Table:

@@ -591,21 +591,16 @@ def sessionize_split(ds, key: str, ts_col: str, gap_us: int,
             out[out_col] = np.add.reduceat(v, cs).astype(np.int64)
         return pa.table(out)
 
-    keyed = ds.map_batches(
+    prepped = ds.map_batches(
         prep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).map_batches(
-        add_hash_part([key, "_bkt"], num_parts), batch_format="pyarrow",
-        batch_size=None,
     )
-    sess = keyed.groupby("_part").map_groups(
-        local_fn, batch_format="pyarrow"
-    ).materialize()
+    sess = hash_exchange_groups(prepped, [key, "_bkt"], local_fn,
+                                num_parts).materialize()
     interior = sess.map_batches(pick(False), batch_format="pyarrow",
                                 batch_size=None)
-    stitched = sess.map_batches(pick(True), batch_format="pyarrow",
-                                batch_size=None).map_batches(
-        add_hash_part([key], num_parts), batch_format="pyarrow", batch_size=None
-    ).groupby("_part").map_groups(stitch, batch_format="pyarrow")
+    boundary = sess.map_batches(pick(True), batch_format="pyarrow",
+                                batch_size=None)
+    stitched = hash_exchange_groups(boundary, [key], stitch, num_parts)
     return interior.select_columns(final_cols).union(
         stitched.select_columns(final_cols)
     )
