@@ -964,13 +964,15 @@ def _q_lang_topwords(sf_dir):
         order = np.lexsort((words, -cnt))[:5]
         return pa.table(
             {
-                "lang": group["lang"].take(order.tolist()),
+                "lang": group["lang"].take(pa.array(order, type=pa.int64())),
                 "word": pa.array(words[order].tolist(), type=pa.string()),
-                "cnt": pa.array(cnt[order]),
+                "cnt": pa.array(cnt[order], type=pa.int64()),
             }
         )
 
-    return counts.groupby("lang").map_groups(top5, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(counts, ["lang"], top5)
 
 
 def _q_tile_region_vectors(sf_dir):

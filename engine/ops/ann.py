@@ -123,7 +123,9 @@ def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             lambda b: b.filter(pc.not_equal(b["query_id"], b["vec_id"])),
             batch_format="pyarrow", batch_size=None,
         )
-    return local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(local, ["query_id"], _merge_topk(k))
 
 
 # ------------------------------------------------------------- LSH variant

@@ -621,9 +621,10 @@ def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int):
     attached = docs_ds.map_batches(
         attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return attached.groupby("ppart").map_groups(
-        _jaccard_group(threshold), batch_format="pyarrow"
-    )
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(attached, ["ppart"],
+                                     _jaccard_group(threshold))
 
 
 def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
@@ -725,9 +726,10 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
 
     side = pairs.map_batches(explode_pairs, batch_format="pyarrow", batch_size=None)
     docs_tagged = shingled.map_batches(tag_docs, batch_format="pyarrow", batch_size=None)
-    attached = side.union(docs_tagged).groupby("part").map_groups(
-        _attach_group, batch_format="pyarrow"
-    )
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    attached = hash_exchange_fine_groups(side.union(docs_tagged), ["part"],
+                                         _attach_group)
 
     def pair_part(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
@@ -737,9 +739,8 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
         )
 
     keyed = attached.map_batches(pair_part, batch_format="pyarrow", batch_size=None)
-    return keyed.groupby("ppart").map_groups(
-        _jaccard_group(threshold), batch_format="pyarrow"
-    )
+    return hash_exchange_fine_groups(keyed, ["ppart"],
+                                     _jaccard_group(threshold))
 
 
 def consecutive_jaccard(docs_ds, num_partitions: int = 64):
@@ -803,7 +804,9 @@ def consecutive_jaccard(docs_ds, num_partitions: int = 64):
     exploded = docs_ds.map_batches(
         explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return exploded.groupby("part").map_groups(group_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(exploded, ["part"], group_fn)
 
 
 def jaccard_verify(pairs_tbl: pa.Table, texts_by_id: dict[int, str],
@@ -1040,7 +1043,9 @@ def embed_dedup_pairs(ds, threshold: float, num_blocks: int = 8):
     def group_fn(group: pa.Table) -> pa.Table:
         return _pair_group_sims(group, threshold)
 
-    return exploded.groupby("g").map_groups(group_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(exploded, ["g"], group_fn)
 
 
 class EmbeddingDedup:
@@ -1118,4 +1123,6 @@ def embed_dedup_lsh(ds, threshold: float, nbits: int = 8, dim: int = 64,
              "b": pa.array(np.concatenate(outs_b))}
         )
 
-    return bucketed.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(bucketed, ["bucket"], group_fn)

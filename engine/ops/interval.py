@@ -102,6 +102,7 @@ def interval_join(left, right, bucket_us: int,
         _explode_side(1, *r_cols, bucket_us), batch_format="pyarrow",
         batch_size=None, zero_copy_batch=True,
     )
-    return lt.union(rt).groupby("_bkt").map_groups(
-        _join_bucket(bucket_us, *id_cols), batch_format="pyarrow"
-    )
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(lt.union(rt), ["_bkt"],
+                                     _join_bucket(bucket_us, *id_cols))

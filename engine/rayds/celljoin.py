@@ -36,6 +36,7 @@ from engine.geo import cells
 from engine.geo.prepared import PreparedPolygons
 from engine.geo.ragged import PolygonArray
 from engine.rayds.imagetab import Layer
+from engine.rayds.shuffle import hash_exchange_fine_groups
 
 # partition granularity: groups ≈ 4-16 per reducer slot.  12.5 over the
 # [0,100)² world → 8×8 = 64 base cells (×salt → 128 groups), i.e. 4 per
@@ -262,9 +263,8 @@ def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
         pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     both = pts.union(ray.data.from_arrow(cover))
-    return both.groupby("cell").map_groups(
-        _join_cell_group(predicate), batch_format="pyarrow"
-    )
+    return hash_exchange_fine_groups(both, ["cell"],
+                                     _join_cell_group(predicate))
 
 
 def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
@@ -388,9 +388,8 @@ def s2part_pairs(sf_dir: str, layer: Layer | None = None,
         pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     both = pts.union(ray.data.from_arrow(cover))
-    return both.groupby("cell").map_groups(
-        _join_cell_group(predicate), batch_format="pyarrow"
-    )
+    return hash_exchange_fine_groups(both, ["cell"],
+                                     _join_cell_group(predicate))
 
 
 def hexpart_pairs(sf_dir: str, layer: Layer | None = None,
@@ -499,7 +498,7 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
         img_boxes, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     both = imgs_ds.union(ray.data.from_arrow(polys_t))
-    pairs = both.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+    pairs = hash_exchange_fine_groups(both, ["cell"], join_group)
     # BOTH sides were range-exploded → dedupe (image_id, poly_id)
     deduped = hash_shuffle_agg(
         pairs.map_batches(
@@ -535,6 +534,5 @@ def cellpart_pairs(sf_dir: str, layer: Layer | None = None,
     )
     polys = ray.data.from_arrow(_layer_cover_table(layer, salt, hot_cells))
     both = pts.union(polys)
-    return both.groupby("cell").map_groups(
-        _join_cell_group(predicate), batch_format="pyarrow"
-    )
+    return hash_exchange_fine_groups(both, ["cell"],
+                                     _join_cell_group(predicate))

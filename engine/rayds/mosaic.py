@@ -71,6 +71,15 @@ def _mosaic_finalize(group: pa.Table) -> pa.Table:
 
     Mosaic = k×k grid (k = ceil(sqrt(n)), capped 8) of 8×8 mean-color
     patches, PNG-encoded.  Deterministic: members sorted by image_id."""
+    if group.num_rows == 0:
+        return pa.table({
+            "poly_id": pa.array([], type=pa.int64()),
+            "tile_id": pa.array([], type=pa.int64()),
+            "n_images": pa.array([], type=pa.int64()),
+            "mosaic_png": pa.array([], type=pa.binary()),
+            "mosaic_w": pa.array([], type=pa.int32()),
+            "mosaic_h": pa.array([], type=pa.int32()),
+        })
     poly_id = int(group["poly_id"][0].as_py())
     tile_id = int(group["tile_id"][0].as_py())
     n = int(np.sum(group["_pcnt"].to_numpy()))
@@ -111,9 +120,10 @@ def tile_mosaics(sf_dir: str, layer: Layer | None = None):
     partial = tiles.map_batches(
         _mosaic_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return partial.groupby(["poly_id", "tile_id"]).map_groups(
-        _mosaic_finalize, batch_format="pyarrow"
-    )
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(partial, ["poly_id", "tile_id"],
+                                     _mosaic_finalize)
 
 
 def write_tile_mosaics(sf_dir: str, out_dir: str) -> int:
@@ -138,6 +148,12 @@ def _region_vectorize(layer_lookup):
         from engine.geo.set_operations import union_all
         from engine.geo.geom import Geom
 
+        if group.num_rows == 0:
+            return pa.table({
+                "poly_id": pa.array([], type=pa.int64()),
+                "n_lit": pa.array([], type=pa.int64()),
+                "boundary_edges": pa.array([], type=pa.int64()),
+            })
         poly_id = int(group["poly_id"][0].as_py())
         tid = group["tile_id"].to_numpy()
         n = group["n_images"].to_numpy()
@@ -190,6 +206,7 @@ def tile_region_vectors(sf_dir: str, layer: Layer | None = None):
     def lookup(poly_id):
         return bcast.cached(ref)[poly_id]
 
-    return counts.groupby("poly_id").map_groups(
-        _region_vectorize(lookup), batch_format="pyarrow"
-    )
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(counts, ["poly_id"],
+                                     _region_vectorize(lookup))

@@ -183,6 +183,48 @@ def hash_exchange_groups(ds, keys: list[str], group_fn,
     return task_hash_exchange(ds, keys, apply, num_parts)
 
 
+def _seg_codes(col) -> np.ndarray:
+    """Order-isomorphic numeric codes for run segmentation (lexsort
+    can't take object/string arrays directly on all dtypes)."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind in "OUS":
+        _, codes = np.unique(arr, return_inverse=True)
+        return codes
+    return arr
+
+
+def hash_exchange_fine_groups(ds, keys: list[str], group_fn,
+                              num_parts: int = HASH_PARTS):
+    """``groupby(keys).map_groups`` semantics over the raw-task BSP
+    exchange: ONE hash exchange co-locates whole keys; inside each
+    partition rows lexsort by the keys and ``group_fn`` runs once per
+    distinct key run — exactly the old per-group contract, minus the
+    sort-based barrier.  Empty partitions call ``group_fn`` once on a
+    zero-row table (schema anchor) — fns must tolerate empty input."""
+
+    def apply(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return group_fn(t)
+        cols = [_seg_codes(t[k]) for k in keys]
+        order = np.lexsort(tuple(reversed(cols)))
+        ts = t.take(pa.array(order))
+        cs = [c[order] for c in cols]
+        n = len(order)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in cs:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n)
+        outs = [group_fn(ts.slice(s, e - s)) for s, e in zip(starts, ends)]
+        keep = [o for o in outs if o.num_rows]
+        if not keep:
+            return outs[0]
+        return pa.concat_tables(keep).combine_chunks()
+
+    return task_hash_exchange(ds, keys, apply, num_parts)
+
+
 def hash_shuffle_agg(partial_ds, keys: list[str], merge_spec: list[tuple[str, str]],
                      out_cols: list[str], num_parts: int = HASH_PARTS):
     """The engine's hash-shuffle aggregate: partition the (already
