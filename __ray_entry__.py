@@ -1926,6 +1926,102 @@ def _q_trajectory_stats(sf_dir):
         "user_id", ["ts", "event_id"], "ix", "iy")
 
 
+def _q_rolling_value(sf_dir):
+    """ROLLING-FRAME window aggregate (moving average): per user, the
+    sum/count/mean of integer cents over the 4-row frame ending at each
+    event (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW, ordered by
+    (ts, event_id)).  One hash exchange on user_id; per-partition
+    lexsort + exact integer cumsum-difference (associative, so exact);
+    the float mean is ONE fixed division mirrored by the SQL oracle."""
+    import ray.data
+
+    from engine.ops.window import rolling_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": pa.array(
+                    np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return rolling_sum(proj, "user_id", ["ts_us", "event_id"], "cents",
+                       preceding=3, id_col="event_id")
+
+
+def _q_user_event_path(sf_dir):
+    """Per-key ORDERED STRING AGGREGATION: each user's full event-type
+    sequence as one comma-joined string (the clickstream-path feature).
+    One hash exchange on user_id; per partition a lexsort then ONE
+    vectorized pyarrow binary_join over the key-run ListArray — no
+    per-group Python string work."""
+    import ray.data
+
+    from engine.ops.window import grouped_string_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return grouped_string_agg(proj, "user_id", ["ts_us", "event_id"],
+                              "event_type", sep=",", out_col="path")
+
+
+def _q_triangle_count(sf_dir):
+    """Distributed EXACT TRIANGLE COUNT (graph analytics over the
+    node-iterator plan, engine/ops/graph.py::triangle_count): edges
+    derived deterministically from event ids onto a 499-vertex domain
+    (mirrored bit-for-bit by the SQL oracle's 3-way self-join)."""
+    import ray.data
+
+    from engine.ops.graph import triangle_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        # b must NOT be a pure function of (eid mod 499) — a linear map
+        # gives a functional graph with zero triangles; mixing eid//499
+        # and a second modulus makes the graph genuinely random-ish
+        return pa.table(
+            {
+                "a": pa.array(eid % np.int64(499)),
+                "b": pa.array((eid // np.int64(499) + eid % np.int64(491))
+                              % np.int64(499)),
+            }
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+    return triangle_count(e)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -2013,6 +2109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         "grouped_percentiles": _q_grouped_percentiles,
         "trajectory_stats": _q_trajectory_stats,
+        "rolling_value": _q_rolling_value,
+        "user_event_path": _q_user_event_path,
+        "triangle_count": _q_triangle_count,
     }
 
 
@@ -2931,5 +3030,41 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) // 2048 AS BIGINT) AS seq_id
         FROM t
+    """
+    sql["rolling_value"] = """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum,
+               COUNT(*) OVER w AS roll_n,
+               CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(*) OVER w
+                   AS roll_avg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """
+    sql["user_event_path"] = """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)
+                   AS path
+        FROM events GROUP BY user_id
+    """
+    sql["triangle_count"] = """
+        WITH raw AS (
+            SELECT event_id % 499 AS a,
+                   (event_id // 499 + event_id % 491) % 499 AS b
+            FROM events
+        ), e AS (
+            SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+            FROM raw WHERE a <> b
+        )
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
     """
     return sql

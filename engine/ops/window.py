@@ -1,0 +1,127 @@
+"""Per-key ROLLING-FRAME window aggregate (ROWS BETWEEN k PRECEDING AND
+CURRENT ROW) — the moving-average / sliding-sum shape of time-series
+feature pipelines, expressed Ray-Data-first.
+
+Reference parity: extends the engine past the reference's surface
+(shapely has no window functions); semantics pinned by the DuckDB
+window-frame oracle in ``__ray_entry__.oracle_sql``.
+
+Plan (one exchange, fully vectorized):
+
+- ONE hash exchange co-locates each key's rows (the sessionize /
+  trajectory co-partitioning contract; a 10^9-row hot key would take
+  the ``sessionize_split`` time-bucket treatment — documented, not
+  implemented here).
+- Per partition: lexsort by (key, *order_cols), integer cumsum per key
+  segment, frame sum = ``cum[i] − cum[i−k−1]`` clipped at the segment
+  start.  INTEGER addition is associative, so the cumsum-difference is
+  EXACT — which is why the aggregated column must be integral (scale
+  doubles to cents first).  The float mean is ONE fixed division per
+  row (``sum / n``), mirrored verbatim by the SQL oracle.
+
+Exchange volume = the projected input, once.  Output is per-row
+(event grain), so it streams back out without a driver collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def rolling_sum(ds, key: str, order_cols: list[str], val_col: str,
+                preceding: int, out_cols=("roll_sum", "roll_n", "roll_avg"),
+                id_col: str | None = None, num_parts: int = 64):
+    """→ Dataset (id_col?, key, *order_cols stripped, roll_sum BIGINT,
+    roll_n BIGINT, roll_avg DOUBLE): per-key frame sum/count/mean over
+    ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT ROW, ordered by
+    ``order_cols`` (ties broken by their full tuple — pass enough
+    columns to make the order total, or the frame is ill-defined).
+
+    ``val_col`` must be int64 (exact arithmetic — see module doc)."""
+    cols = list(dict.fromkeys(
+        [key] + order_cols + [val_col] + ([id_col] if id_col else [])))
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        order_arrs = [g[c].to_numpy(zero_copy_only=False)
+                      for c in order_cols]
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort(tuple(reversed([k] + order_arrs)))
+        k = k[order]
+        v = v[order]
+        n = len(k)
+        if n == 0:
+            out = {key: g[key]}
+            if id_col:
+                out[id_col] = g[id_col]
+            out[out_cols[0]] = pa.array([], type=pa.int64())
+            out[out_cols[1]] = pa.array([], type=pa.int64())
+            out[out_cols[2]] = pa.array([], type=pa.float64())
+            return pa.table(out)
+        seg_start_mask = np.r_[True, k[1:] != k[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(seg_start_mask, np.arange(n), 0))
+        cum = np.cumsum(v)
+        lo = np.maximum(np.arange(n) - preceding, seg_start)
+        s = cum - np.where(lo > 0, cum[lo - 1], 0)
+        cnt = np.arange(n) - lo + 1
+        avg = s.astype(np.float64) / cnt.astype(np.float64)
+        out = {key: pa.array(k)}
+        if id_col:
+            out[id_col] = g[id_col].take(pa.array(order))
+        out[out_cols[0]] = pa.array(s)
+        out[out_cols[1]] = pa.array(cnt.astype(np.int64))
+        out[out_cols[2]] = pa.array(avg)
+        return pa.table(out)
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)
+
+
+def grouped_string_agg(ds, key: str, order_cols: list[str], val_col: str,
+                       sep: str = ",", out_col: str = "agg",
+                       num_parts: int = 64):
+    """Per-key ORDERED string concatenation — SQL
+    ``string_agg(val, sep ORDER BY order_cols)``.
+
+    One hash exchange on the key; per partition a lexsort by
+    (key, *order_cols) then ONE vectorized ``pc.binary_join`` over a
+    ListArray built from the key-run offsets — no per-row (or even
+    per-group) Python string work.  Output is one row per key; a key
+    whose concatenated payload exceeds a partition's memory is the same
+    documented hot-key limit as the other per-key windowed operators."""
+    import pyarrow.compute as pc
+
+    cols = [key] + order_cols + [val_col]
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        order_arrs = [g[c].to_numpy(zero_copy_only=False)
+                      for c in order_cols]
+        order = np.lexsort(tuple(reversed([k] + order_arrs)))
+        n = len(k)
+        if n == 0:
+            return pa.table({key: g[key],
+                             out_col: pa.array([], type=pa.string())})
+        k = k[order]
+        vals = g[val_col].take(pa.array(order))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):  # older pyarrow returns CA
+            vals = (vals.chunk(0) if vals.num_chunks
+                    else pa.array([], type=vals.type))
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        offsets = np.append(starts, n).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({key: pa.array(k[starts]), out_col: joined})
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)

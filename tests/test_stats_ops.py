@@ -422,3 +422,112 @@ def test_trajectory_single_point_entities(ray_session):
            for r in trajectory_stats(ray.data.from_arrow(t), "k", ["o"],
                                      "ix", "iy").take_all()}
     assert got == {1: (1, 0, 0), 2: (1, 0, 0), 3: (1, 0, 0)}
+
+
+# ---------------------------------------------------------------- rolling
+
+
+def test_rolling_sum_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.window import rolling_sum
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    k = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 300, n).astype(np.int64)  # heavy ts ties
+    eid = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-500, 500, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid, "v": v})).repartition(9)
+    out = rolling_sum(ds, "k", ["ts", "eid"], "v", preceding=3,
+                      id_col="eid").take_all()
+    got = {r["eid"]: (r["roll_sum"], r["roll_n"], r["roll_avg"])
+           for r in out}
+    assert len(got) == n
+    for kk in np.unique(k):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        vv, ee = v[m][order], eid[m][order]
+        for i in range(len(vv)):
+            lo = max(0, i - 3)
+            s = int(vv[lo:i + 1].sum())
+            cnt = i + 1 - lo
+            assert got[int(ee[i])] == (s, cnt, s / cnt)
+
+
+def test_rolling_sum_single_row_keys(ray_session):
+    import ray.data
+
+    from engine.ops.window import rolling_sum
+
+    t = pa.table({"k": [1, 2], "o": [0, 0], "v": [7, -3],
+                  "id": [10, 11]})
+    out = {r["id"]: (r["roll_sum"], r["roll_n"], r["roll_avg"])
+           for r in rolling_sum(ray.data.from_arrow(t), "k", ["o"], "v",
+                                preceding=3, id_col="id").take_all()}
+    assert out == {10: (7, 1, 7.0), 11: (-3, 1, -3.0)}
+
+
+def test_grouped_string_agg_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.window import grouped_string_agg
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    k = rng.integers(0, 20, n).astype(np.int64)
+    ts = rng.integers(0, 100, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    words = np.asarray(["a", "bb", "ccc", ""], dtype=object)[
+        rng.integers(0, 4, n)]
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid,
+         "w": pa.array(words.tolist(), type=pa.string())})).repartition(8)
+    got = {r["k"]: r["agg"]
+           for r in grouped_string_agg(ds, "k", ["ts", "eid"],
+                                       "w", sep=",").take_all()}
+    for kk in np.unique(k):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        assert got[int(kk)] == ",".join(words[m][order])
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def test_triangle_count_matches_brute(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.graph import triangle_count
+
+    rng = np.random.default_rng(3)
+    nv = 40
+    a = rng.integers(0, nv, 600).astype(np.int64)
+    b = rng.integers(0, nv, 600).astype(np.int64)
+    # include self-loops + duplicate/reversed edges: the op must
+    # canonicalize and dedup them
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(6)
+    got = triangle_count(ds).take_all()[0]["n_triangles"]
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {v: set() for v in range(nv)}
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    brute = sum(1 for x, y, z in itertools.combinations(range(nv), 3)
+                if y in adj[x] and z in adj[x] and z in adj[y])
+    assert got == brute > 0
+
+
+def test_triangle_count_empty_and_acyclic(ray_session):
+    import ray.data
+
+    from engine.ops.graph import triangle_count
+
+    # a path graph has no triangles
+    t = pa.table({"a": np.arange(50, dtype=np.int64),
+                  "b": np.arange(1, 51, dtype=np.int64)})
+    assert triangle_count(
+        ray.data.from_arrow(t)).take_all()[0]["n_triangles"] == 0
