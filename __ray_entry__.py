@@ -2022,6 +2022,48 @@ def _q_triangle_count(sf_dir):
     return triangle_count(e)
 
 
+def _q_phash_neardup(sf_dir):
+    """IMAGE near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal arm of the dedup family: lean synth→phash stage
+    (no payload bytes anywhere near the exchange), then the generic
+    banded-Hamming LSH core (4×16-bit bands ⇒ EXACT recall at
+    max_ham=3 by pigeonhole; pinned by the brute-force recall pytest —
+    pixel-derived hashes aren't SQL-expressible, so no oracle)."""
+    import pyarrow.compute as pc
+
+    from engine.ops.dedup import hash_near_pairs
+    from engine.rayds.imgstage import phash_dataset
+
+    hashed = phash_dataset(sf_dir).map_batches(
+        lambda t: pa.table({
+            "img_num": pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3),
+                               pa.int64()),
+            "phash": t["phash"],
+        }),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return hash_near_pairs(hashed, "img_num", "phash", max_ham=3)
+
+
+def _q_value_ntile(sf_dir):
+    """Per-group NTILE(4) (equal-frequency quartile assignment — the
+    feature-bucketing window function): each event's quartile within
+    its event_type, ordered by (value, event_id).  One hash exchange on
+    the group key; per partition a lexsort + pure integer bucket
+    formula (first n%k buckets get ceil(n/k) rows — the SQL NTILE
+    contract, exact at any partitioning)."""
+    import ray.data
+
+    from engine.ops.window import grouped_ntile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return grouped_ntile(ds, "event_type", ["value", "event_id"], 4,
+                         id_col="event_id", out_col="quartile")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -2112,6 +2154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value": _q_rolling_value,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
+        "phash_neardup": _q_phash_neardup,
+        "value_ntile": _q_value_ntile,
     }
 
 
@@ -3066,5 +3110,11 @@ def oracle_sql() -> dict[str, str]:
         FROM e e1
         JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
         JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """
+    sql["value_ntile"] = """
+        SELECT event_id, event_type,
+               NTILE(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events
     """
     return sql

@@ -933,15 +933,27 @@ def _simhash_bucket_pairs(max_ham: int):
     return fn
 
 
-def simhash_near_pairs(docs_ds, max_ham: int = 8):
-    """SimHash near-dup pipeline: hash → 16-bit band explode → bucket
-    groupby → in-bucket Hamming verify → global pair dedupe (Min over the
-    per-band duplicates keeps one hamming value per pair)."""
-    # bounded batches: the bit matrix is n_words×64 bytes — 2048 docs of
-    # ~500 words ≈ 64 MB per batch, safely inside a worker heap
-    hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow",
-                                 batch_size=2048, zero_copy_batch=True)
-    exploded = hashed.select_columns(["doc_id", "simhash"]).map_batches(
+def hash_near_pairs(hashed_ds, id_col: str = "doc_id",
+                    hash_col: str = "simhash", max_ham: int = 8):
+    """Near-dup pairs of ANY 64-bit fingerprint column by banded
+    Hamming LSH — the generic core shared by text SimHash and image
+    perceptual-hash (phash) dedup.
+
+    16-bit band explode → bucket cogroup (one exchange) → in-bucket
+    vectorized XOR-popcount verify → global pair dedupe (min hamming
+    per pair).  By pigeonhole, pairs with hamming ≤ 3 ALWAYS share at
+    least one of the 4 bands, so recall is EXACT for ``max_ham ≤ 3``;
+    larger thresholds trade recall for the same bounded cost (the
+    standard LSH contract, pinned by the recall tests)."""
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch[id_col],
+                         "simhash": batch[hash_col]})
+
+    prepped = hashed_ds.select_columns(
+        list(dict.fromkeys([id_col, hash_col]))
+    ).map_batches(rename, batch_format="pyarrow", batch_size=None)
+    exploded = prepped.map_batches(
         _simhash_explode, batch_format="pyarrow", batch_size=None
     )
     pairs = partitioned_buckets(
@@ -954,6 +966,16 @@ def simhash_near_pairs(docs_ds, max_ham: int = 8):
     return hash_shuffle_agg(
         pairs, ["a", "b"], [("hamming", "min")], ["hamming"]
     )
+
+
+def simhash_near_pairs(docs_ds, max_ham: int = 8):
+    """SimHash near-dup pipeline: hash → banded-Hamming LSH core
+    (``hash_near_pairs``)."""
+    # bounded batches: the bit matrix is n_words×64 bytes — 2048 docs of
+    # ~500 words ≈ 64 MB per batch, safely inside a worker heap
+    hashed = docs_ds.map_batches(simhash_batch, batch_format="pyarrow",
+                                 batch_size=2048, zero_copy_batch=True)
+    return hash_near_pairs(hashed, "doc_id", "simhash", max_ham)
 
 
 # ------------------------------------------------------- embedding near-dup

@@ -125,3 +125,54 @@ def grouped_string_agg(ds, key: str, order_cols: list[str], val_col: str,
 
     return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
                                 num_parts)
+
+
+def grouped_ntile(ds, key: str, order_cols: list[str], n_buckets: int,
+                  id_col: str, out_col: str = "bucket",
+                  num_parts: int = 64):
+    """Per-key NTILE(n) — each row's equal-frequency bucket (1-based)
+    within its key partition, ordered by ``order_cols`` (pass enough
+    columns for a total order; SQL NTILE is otherwise nondeterministic).
+
+    One hash exchange on the key; per partition a lexsort and a pure
+    integer bucket formula (the SQL NTILE contract: the first ``n % k``
+    buckets get ``ceil(n/k)`` rows) — exact at any partitioning."""
+
+    cols = list(dict.fromkeys([key] + order_cols + [id_col]))
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        order_arrs = [g[c].to_numpy(zero_copy_only=False)
+                      for c in order_cols]
+        order = np.lexsort(tuple(reversed([k] + order_arrs)))
+        n = len(k)
+        if n == 0:
+            return pa.table({id_col: g[id_col], key: g[key],
+                             out_col: pa.array([], type=pa.int64())})
+        k = k[order]
+        starts_mask = np.r_[True, k[1:] != k[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(starts_mask, np.arange(n), 0))
+        starts = np.nonzero(starts_mask)[0]
+        seg_len = np.diff(np.append(starts, n))
+        seg_n = np.repeat(seg_len, seg_len)  # partition size per row
+        pos = np.arange(n) - seg_start  # 0-based rank within partition
+        q, r = seg_n // n_buckets, seg_n % n_buckets
+        boundary = r * (q + 1)
+        in_big = pos < boundary
+        bucket = np.where(
+            in_big,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - boundary) // np.maximum(q, 1),
+        ) + 1
+        return pa.table({
+            id_col: g[id_col].take(pa.array(order)),
+            key: pa.array(k),
+            out_col: pa.array(bucket.astype(np.int64)),
+        })
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)

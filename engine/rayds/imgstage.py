@@ -335,3 +335,25 @@ def validate_dataset(sf_dir: str, concurrency=None):
     return base.map_batches(
         _validate_fn, batch_format="pyarrow", batch_size=PAYLOAD_BATCH
     )
+
+
+def phash_dataset(sf_dir: str):
+    """(image_id, phash) only — the lean fingerprint stage for image
+    near-dup: synth + phash per (w, h) group, NO payload encode (bytes
+    never materialize, so nothing wide rides into the dedup exchange)."""
+    from engine.rayds.imagetab import image_dataset
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        hashes = np.empty(len(ids), dtype=np.int64)
+        for idx, w, h in _wh_groups(ws, hs):
+            imgs = codec.synth_image_batch([ids[i] for i in idx], w, h)
+            hashes[idx] = codec.phash64_batch(imgs)
+        return pa.table({"image_id": batch["image_id"],
+                         "phash": pa.array(hashes)})
+
+    return image_dataset(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,
+        zero_copy_batch=True)

@@ -757,3 +757,37 @@ def test_dup_stats_exact():
         assert out["dup_ratio"][i].as_py() == (nt - nd) / nt
     # empty-string doc: one empty token (= SQL string_split semantics)
     assert out["n_tokens"][2].as_py() == 1 and out["n_distinct"][2].as_py() == 1
+
+
+def test_phash_neardup_exact_recall_at_ham3(ray_session):
+    """hash_near_pairs over image phashes: every pair with hamming ≤ 3
+    MUST be found (4×16-bit band pigeonhole ⇒ exact recall), with the
+    correct min-hamming value, and nothing below threshold reported."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.img import codec
+    from engine.ops.dedup import hash_near_pairs
+
+    ids = [f"img{e}" for e in range(1500)]
+    imgs = codec.synth_image_batch(ids, 32, 32)
+    h = codec.phash64_batch(imgs)
+    nums = np.arange(1500, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"img_num": nums, "phash": pa.array(h)})).repartition(8)
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in hash_near_pairs(ds, "img_num", "phash",
+                                    max_ham=3).take_all()}
+    hu = h.view(np.uint64)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1)
+    ai, bi = np.triu_indices(len(hu), k=1)
+    ham = lut[(hu[ai] ^ hu[bi]).view(np.uint8).reshape(-1, 8)].sum(axis=1)
+    want = {(int(nums[a]), int(nums[b])): int(d)
+            for a, b, d in zip(ai[ham <= 3], bi[ham <= 3], ham[ham <= 3])}
+    assert want, "test data must contain near-dup phashes"
+    for k, d in want.items():
+        assert got.get(k) == d
+    for k, d in got.items():
+        assert d <= 3 and k in want

@@ -531,3 +531,31 @@ def test_triangle_count_empty_and_acyclic(ray_session):
                   "b": np.arange(1, 51, dtype=np.int64)})
     assert triangle_count(
         ray.data.from_arrow(t)).take_all()[0]["n_triangles"] == 0
+
+
+def test_grouped_ntile_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.window import grouped_ntile
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    k = rng.integers(0, 13, n).astype(np.int64)  # sizes not divisible by 4
+    v = rng.integers(0, 50, n).astype(np.int64)  # heavy value ties
+    eid = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "v": v, "eid": eid})).repartition(7)
+    got = {r["eid"]: r["bucket"]
+           for r in grouped_ntile(ds, "k", ["v", "eid"], 4,
+                                  id_col="eid").take_all()}
+    assert len(got) == n
+    for kk in np.unique(k):
+        m = k == kk
+        order = np.lexsort((eid[m], v[m]))
+        ids = eid[m][order]
+        nn = len(ids)
+        q, r = divmod(nn, 4)
+        sizes = [q + 1] * r + [q] * (4 - r)
+        want = np.repeat(np.arange(1, 5), sizes)
+        for i, e in enumerate(ids):
+            assert got[int(e)] == want[i]
