@@ -2064,6 +2064,52 @@ def _q_value_ntile(sf_dir):
                          id_col="event_id", out_col="quartile")
 
 
+def _q_lineitem_rank(sf_dir):
+    """RANK / DENSE_RANK / PERCENT_RANK of each line item's quantity
+    within its order (the ranking-window-function family,
+    engine/ops/window.py::grouped_rank).  High-cardinality partition
+    key (l_orderkey), heavy value ties (integral quantities) — rank ≠
+    dense_rank ≠ row position.  All three depend only on the value
+    ordering, so no tie-breaker is needed and the result is exact at
+    any partitioning; percent_rank is ONE fixed division mirrored by
+    the SQL window oracle."""
+    import ray.data
+
+    from engine.ops.window import grouped_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return grouped_rank(ds, "l_orderkey", "l_quantity",
+                        ["l_linenumber"])
+
+
+def _q_fuzzy_title_pairs(sf_dir):
+    """FUZZY entity resolution: document-title pairs within edit
+    distance 1 (engine/ops/fuzzy.py) — symmetric-delete key blocking
+    (EXACT recall for ed<=1: equal strings share the identity key, a
+    substitution shares the deletion at that position, an indel shares
+    the longer side's deletion), one hash exchange, chunked vectorized
+    lcp/lcs verify, pair dedupe by min editdist.  Title = first 24
+    chars (ASCII corpus ⇒ byte-ed == DuckDB levenshtein)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops.fuzzy import fuzzy_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "title": pc.utf8_slice_codeunits(t["text"], 0, 24),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return fuzzy_pairs(ds, "doc_id", "title")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -2156,6 +2202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
         "value_ntile": _q_value_ntile,
+        "lineitem_rank": _q_lineitem_rank,
+        "fuzzy_title_pairs": _q_fuzzy_title_pairs,
     }
 
 
@@ -3116,5 +3164,23 @@ def oracle_sql() -> dict[str, str]:
                NTILE(4) OVER (PARTITION BY event_type
                               ORDER BY value, event_id) AS quartile
         FROM events
+    """
+    sql["lineitem_rank"] = """
+        SELECT l_orderkey, l_quantity, l_linenumber,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS prnk
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
+    """
+    sql["fuzzy_title_pairs"] = """
+        WITH d AS (
+            SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               levenshtein(x.title, y.title) AS editdist
+        FROM d x JOIN d y
+          ON x.doc_id < y.doc_id
+         AND levenshtein(x.title, y.title) <= 1
     """
     return sql

@@ -176,3 +176,61 @@ def grouped_ntile(ds, key: str, order_cols: list[str], n_buckets: int,
 
     return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
                                 num_parts)
+
+
+def grouped_rank(ds, key: str, rank_col: str, id_cols: list[str],
+                 num_parts: int = 64):
+    """Per-key RANK / DENSE_RANK / PERCENT_RANK over ``rank_col`` — the
+    ranking-window-function family (SQL ``RANK() OVER (PARTITION BY key
+    ORDER BY rank_col)``).  All three depend only on the VALUE ordering,
+    so ties need no breaker and the result is deterministic at any
+    partitioning.
+
+    One hash exchange on the key; per partition a lexsort by
+    (key, rank_col) and pure integer run arithmetic:
+
+    - ``rnk``  = 1 + rows before the first row of this value run,
+    - ``drnk`` = value-run ordinal within the key,
+    - ``prnk`` = ``(rnk - 1) / (n_key - 1)`` (0.0 for singleton keys) —
+      ONE fixed division, mirrored verbatim by the SQL oracle, so the
+      doubles are bit-exact."""
+    cols = list(dict.fromkeys([key, rank_col] + id_cols))
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        v = g[rank_col].to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            out = {c: g[c] for c in cols}
+            out["rnk"] = pa.array([], type=pa.int64())
+            out["drnk"] = pa.array([], type=pa.int64())
+            out["prnk"] = pa.array([], type=pa.float64())
+            return pa.table(out)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        idx = np.arange(n, dtype=np.int64)
+        key_new = np.r_[True, k[1:] != k[:-1]]
+        val_new = key_new | np.r_[True, v[1:] != v[:-1]]
+        key_start = np.maximum.accumulate(np.where(key_new, idx, 0))
+        val_start = np.maximum.accumulate(np.where(val_new, idx, 0))
+        rnk = val_start - key_start + 1
+        runs = np.cumsum(val_new)  # global value-run ordinal
+        drnk = runs - np.maximum.accumulate(
+            np.where(key_new, runs - 1, 0))
+        key_starts = np.nonzero(key_new)[0]
+        seg_len = np.diff(np.append(key_starts, n))
+        n_key = np.repeat(seg_len, seg_len)
+        prnk = np.where(n_key > 1,
+                        (rnk - 1) / np.maximum(n_key - 1, 1), 0.0)
+        take = pa.array(order)
+        out = {c: g[c].take(take) for c in cols}
+        out["rnk"] = pa.array(rnk)
+        out["drnk"] = pa.array(drnk)
+        out["prnk"] = pa.array(prnk.astype(np.float64))
+        return pa.table(out)
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)

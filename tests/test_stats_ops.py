@@ -559,3 +559,81 @@ def test_grouped_ntile_matches_brute(ray_session):
         want = np.repeat(np.arange(1, 5), sizes)
         for i, e in enumerate(ids):
             assert got[int(e)] == want[i]
+
+
+def test_grouped_rank_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.window import grouped_rank
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    k = rng.integers(0, 17, n).astype(np.int64)
+    v = rng.integers(0, 6, n).astype(np.float64)  # heavy ties
+    rid = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "v": v, "rid": rid})).repartition(9)
+    got = {r["rid"]: (r["rnk"], r["drnk"], r["prnk"])
+           for r in grouped_rank(ds, "k", "v", ["rid"]).take_all()}
+    assert len(got) == n
+    for kk in np.unique(k):
+        m = np.nonzero(k == kk)[0]
+        vals = v[m]
+        nn = len(m)
+        for i, ridx in enumerate(m):
+            rnk = int((vals < vals[i]).sum()) + 1
+            drnk = int(len(np.unique(vals[vals < vals[i]]))) + 1
+            prnk = 0.0 if nn == 1 else (rnk - 1) / (nn - 1)
+            assert got[int(ridx)] == (rnk, drnk, prnk)
+
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[lb]
+
+
+def test_fuzzy_pairs_matches_brute(ray_session):
+    """fuzzy_pairs == brute-force all-pairs levenshtein<=1 (exact recall
+    AND precision), on a corpus with planted sub/ins/del mutations,
+    empty strings, and an identical-string clique."""
+    import itertools
+
+    import ray.data
+
+    from engine.ops.fuzzy import fuzzy_pairs
+
+    rng = np.random.default_rng(21)
+    strs = []
+    for _ in range(250):
+        s = "".join(rng.choice(list("abcd"), rng.integers(0, 12)))
+        strs.append(s)
+        if rng.random() < 0.5 and s:  # planted near-dups
+            p = int(rng.integers(0, len(s)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                strs.append(s[:p] + str(rng.integers(0, 9)) + s[p + 1:])
+            elif op == 1:
+                strs.append(s[:p] + s[p + 1:])
+            else:
+                strs.append(s[:p] + "x" + s[p:])
+    strs += ["dupdup"] * 6 + ["", ""]  # clique + empty pair
+    ids = np.arange(len(strs), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"i": ids, "s": pa.array(strs)})).repartition(7)
+    got = {(r["a"], r["b"]): r["editdist"]
+           for r in fuzzy_pairs(ds, "i", "s").take_all()}
+    want = {}
+    for i, j in itertools.combinations(range(len(strs)), 2):
+        d = _lev(strs[i], strs[j])
+        if d <= 1:
+            want[(i, j)] = d
+    assert got == want
+    assert any(d == 0 for d in want.values())
+    assert any(d == 1 for d in want.values())
