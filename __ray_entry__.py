@@ -2110,6 +2110,36 @@ def _q_fuzzy_title_pairs(sf_dir):
     return fuzzy_pairs(ds, "doc_id", "title")
 
 
+def _q_pagerank_top20(sf_dir):
+    """PAGERANK (engine/ops/graph.py::pagerank): BSP task rounds over a
+    static hash partitioning of the node space — 2 waves + P² narrow
+    (dst, float) bundles per round, dangling mass uniformly
+    redistributed, deterministic fold order so ranks are
+    bit-reproducible.  Iterative float fixpoint ⇒ not SQL-expressible;
+    pinned instead by the 1e-12 single-process parity pytest.  Top-20
+    by (pr desc, node) over the tiny (node, pr) result."""
+    import ray.data
+
+    from engine.ops.graph import pagerank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        return pa.table({
+            "src": pa.array(eid % np.int64(499)),
+            "dst": pa.array((eid // np.int64(499) + eid % np.int64(491))
+                            % np.int64(499)),
+        })
+
+    e = ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+    pr = pagerank(e, damping=0.85, iters=20)
+    return pr.sort(["pr", "node"], descending=[True, False]).limit(20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -2204,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ntile": _q_value_ntile,
         "lineitem_rank": _q_lineitem_rank,
         "fuzzy_title_pairs": _q_fuzzy_title_pairs,
+        "pagerank_top20": _q_pagerank_top20,
     }
 
 

@@ -381,3 +381,137 @@ def triangle_count(edges, num_parts: int = 64,
     import ray.data
 
     return ray.data.from_arrow(tot)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def _pr_remotes():
+    """Late-bound ray.remote task definitions for the PageRank BSP (same
+    reasoning as the CC plan: an iterative update over shared mutable
+    rank state is the one shape the Dataset API can't express — a
+    Dataset realization costs seconds of fixed executor overhead PER
+    ROUND; these waves are pure numpy + P-way object exchanges)."""
+    import ray
+
+    @ray.remote
+    def shard(block: pa.Table, num_parts: int):
+        # out-edges routed by hash(src) — the partition that OWNS a node
+        # (by hash) also holds all its out-edges, so contributions read
+        # local pr; node announcements (src ∪ dst) establish ownership
+        # of dst-only nodes.
+        s = block["src"].to_numpy()
+        d = block["dst"].to_numpy()
+        ann = np.concatenate([s, d])
+        return tuple(
+            e + (a[0],)
+            for e, a in zip(_route(s, num_parts, s, d),
+                            _route(ann, num_parts, ann))
+        )
+
+    @ray.remote
+    def build(*bundles):
+        srcs = [x[0] for x in bundles if len(x[0])]
+        dsts = [x[1] for x in bundles if len(x[1])]
+        anns = [x[2] for x in bundles if len(x[2])]
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ann = np.concatenate(anns) if anns else np.empty(0, np.int64)
+        nodes = np.unique(ann)
+        esrc = np.searchsorted(nodes, src)
+        outdeg = np.zeros(len(nodes), np.int64)
+        np.add.at(outdeg, esrc, 1)
+        return ({"nodes": nodes, "esrc": esrc, "edst": dst,
+                 "outdeg": outdeg}, len(nodes))
+
+    @ray.remote
+    def init_pr(static, n_total: int):
+        return np.full(len(static["nodes"]), 1.0 / n_total)
+
+    @ray.remote
+    def contribute(static, pr, num_parts: int):
+        # per-edge contribution pr[src]/outdeg[src] routed to hash(dst);
+        # dangling mass (nodes with no out-edges) is ONE float to the
+        # driver for uniform redistribution — the standard treatment.
+        deg = static["outdeg"]
+        w = np.divide(pr, deg, out=np.zeros_like(pr), where=deg > 0)
+        vals = w[static["esrc"]]
+        dangling = float(pr[deg == 0].sum())
+        return tuple(_route(static["edst"], num_parts,
+                            static["edst"], vals)) + (dangling,)
+
+    @ray.remote
+    def apply(static, pr, n_total: int, damping: float,
+              dangling_total: float, *msgs):
+        nodes = static["nodes"]
+        acc = np.zeros(len(nodes))
+        for dst, val in msgs:  # partition-order concat → deterministic
+            if len(dst):
+                np.add.at(acc, np.searchsorted(nodes, dst), val)
+        new = ((1.0 - damping) / n_total
+               + damping * (acc + dangling_total / n_total))
+        return new, float(np.abs(new - pr).sum())
+
+    @ray.remote
+    def to_table(static, pr) -> pa.Table:
+        return pa.table({"node": pa.array(static["nodes"]),
+                         "pr": pa.array(pr)})
+
+    return shard, build, init_pr, contribute, apply, to_table
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 20,
+             tol: float = 0.0, num_parts: int = BSP_PARTS):
+    """Directed (src, dst) edge Dataset → (node, pr) Dataset — PageRank
+    with uniform dangling-mass redistribution, run as BSP rounds over
+    raw Ray tasks on a static hash partitioning of the node space.
+
+    Per round: 2 task waves, P² narrow (dst, float) exchange bundles
+    through the object store, and P floats (dangling mass) + P floats
+    (L1 delta) to the driver.  Stops after ``iters`` rounds or when the
+    L1 delta falls below ``tol``.  Determinism: bundles fold in fixed
+    partition order, so ranks are bit-reproducible run-to-run."""
+    import ray
+    import ray.data
+
+    shard, build, init_pr, contribute, apply, to_table = _pr_remotes()
+    P = num_parts
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    blocks = edges.to_arrow_refs()
+    if not blocks or edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "pr": pa.array([], type=pa.float64()),
+        }))
+    shard_refs = [shard.options(num_returns=P).remote(b, P)
+                  for b in blocks]
+    built = [
+        build.options(num_returns=2).remote(
+            *[shard_refs[j][p] for j in range(len(blocks))])
+        for p in range(P)
+    ]
+    statics = [b[0] for b in built]
+    n_total = sum(ray.get([b[1] for b in built]))
+    prs = [init_pr.remote(statics[p], n_total) for p in range(P)]
+
+    for _ in range(iters):
+        waves = [
+            contribute.options(num_returns=P + 1).remote(
+                statics[p], prs[p], P)
+            for p in range(P)
+        ]
+        dangling_total = sum(ray.get([w[P] for w in waves]))
+        fin = [
+            apply.options(num_returns=2).remote(
+                statics[p], prs[p], n_total, damping, dangling_total,
+                *[waves[q][p] for q in range(P)])
+            for p in range(P)
+        ]
+        prs = [f[0] for f in fin]
+        delta = sum(ray.get([f[1] for f in fin]))
+        if delta <= tol:
+            break
+
+    tabs = [to_table.remote(statics[p], prs[p]) for p in range(P)]
+    return ray.data.from_arrow_refs(tabs)

@@ -637,3 +637,47 @@ def test_fuzzy_pairs_matches_brute(ray_session):
     assert got == want
     assert any(d == 0 for d in want.values())
     assert any(d == 1 for d in want.values())
+
+
+def test_pagerank_matches_single_process(ray_session):
+    """BSP pagerank == single-process numpy reference (same formula:
+    uniform dangling redistribution, fixed damping/iters), on a random
+    directed graph with dangling nodes, to 1e-12."""
+    import ray.data
+
+    from engine.ops.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n_edges, n_nodes = 4000, 300
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes + 40, n_edges).astype(np.int64)
+    # nodes 300..339 appear only as dst → dangling
+    ds = ray.data.from_arrow(pa.table(
+        {"src": src, "dst": dst})).repartition(6)
+    got = {r["node"]: r["pr"]
+           for r in pagerank(ds, damping=0.85, iters=15).take_all()}
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    si = np.array([idx[int(v)] for v in src])
+    di = np.array([idx[int(v)] for v in dst])
+    deg = np.zeros(m, np.int64)
+    np.add.at(deg, si, 1)
+    pr = np.full(m, 1.0 / m)
+    for _ in range(15):
+        w = np.divide(pr, deg, out=np.zeros_like(pr), where=deg > 0)
+        acc = np.zeros(m)
+        np.add.at(acc, di, w[si])
+        dang = pr[deg == 0].sum()
+        pr = (1 - 0.85) / m + 0.85 * (acc + dang / m)
+    assert len(got) == m
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+    for i, v in enumerate(nodes):
+        assert abs(got[int(v)] - pr[i]) < 1e-12
+
+    # empty edge list → empty result
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64())}))
+    assert pagerank(e).count() == 0
