@@ -1615,6 +1615,24 @@ def _q_corr_qty_price(sf_dir):
                       xscale=1, yscale=100)
 
 
+def _q_regr_price_qty(sf_dir):
+    """Per-group least-squares regression (regr_slope/intercept + r) of
+    price-in-cents on quantity, grouped by return flag — ZERO shuffles:
+    per-block per-group exact integer moment partials (decimal128) ride
+    a raw-task tree fold; the final doubles are computed from exact
+    integers in one fixed evaluation order mirrored by the SQL oracle
+    (bit-identical)."""
+    import ray.data
+
+    from engine.ops.stats import grouped_regression
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_regression(li, "l_returnflag", "l_quantity",
+                              "l_extendedprice", xscale=1, yscale=100)
+
+
 def _q_median_value(sf_dir):
     """EXACT distributed median (lower / quantile_disc 0.5) by histogram
     refinement task waves over the materialized value column — ≤4 rounds
@@ -1960,6 +1978,74 @@ def _q_rolling_value(sf_dir):
                        preceding=3, id_col="event_id")
 
 
+def _q_time_window(sf_dir):
+    """RANGE-FRAME window aggregate (trailing TIME window, not row
+    count): per user, the sum/count of integer cents over the events in
+    the last hour ending at each event (SQL ``RANGE BETWEEN 3600000000
+    PRECEDING AND CURRENT ROW`` over microsecond timestamps — peers
+    with equal ts all share the frame).  One hash exchange on user_id;
+    per-partition lexsort + two vectorized searchsorted probes over a
+    composite (key_rank, dt) int64 + exact integer cumsum-difference."""
+    import ray.data
+
+    from engine.ops.window import time_range_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "cents": pa.array(
+                    np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return time_range_sum(proj, "user_id", "ts_us", "cents",
+                          preceding=3_600_000_000, id_col="event_id")
+
+
+def _q_markov_transitions(sf_dir):
+    """First-order Markov TRANSITION MATRIX of the event stream: counts
+    of every consecutive (event_type → next event_type) pair within
+    each user's (ts, event_id)-ordered sequence — the session-behavior
+    transition feature.  ONE hash exchange on user_id (pair counting is
+    dictionary-code vector work per partition, ≤ |types|² rows out),
+    then a raw-task tree fold of the tiny partial matrices."""
+    import ray.data
+
+    from engine.ops.window import markov_transitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return markov_transitions(proj, "user_id", ["ts_us", "event_id"],
+                              "event_type",
+                              out_cols=("prev_type", "next_type", "n"))
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -2211,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": _q_rollup_counts,
         "region_revenue": _q_region_revenue,
         "corr_qty_price": _q_corr_qty_price,
+        "regr_price_qty": _q_regr_price_qty,
         "median_value": _q_median_value,
         "mode_user": _q_mode_user,
         "latest_event": _q_latest_event,
@@ -2228,6 +2315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_percentiles": _q_grouped_percentiles,
         "trajectory_stats": _q_trajectory_stats,
         "rolling_value": _q_rolling_value,
+        "time_window": _q_time_window,
+        "markov_transitions": _q_markov_transitions,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -2730,6 +2819,37 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
             FROM m
         """,
+        # exact-integer moments per group, then ONE fixed evaluation
+        # order for the doubles — term-for-term the same roundings as
+        # engine.ops.stats.grouped_regression (NOT DuckDB's built-in
+        # regr_*, which accumulates running floats)
+        "regr_price_qty": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS HUGEINT) n,
+                     sum(CAST(l_quantity AS HUGEINT)) sx,
+                     sum(CAST(round(l_extendedprice*100) AS HUGEINT)) sy,
+                     sum(CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)) sxx,
+                     sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+                         * CAST(round(l_extendedprice*100) AS HUGEINT)) syy,
+                     sum(CAST(l_quantity AS HUGEINT)
+                         * CAST(round(l_extendedprice*100) AS HUGEINT)) sxy
+              FROM lineitem GROUP BY 1),
+            s AS (
+              SELECT l_returnflag, n,
+                     CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+                     CAST(n*sxx - sx*sx AS DOUBLE) AS vx,
+                     CAST(n*syy - sy*sy AS DOUBLE) AS vy,
+                     CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+                     CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+              FROM m)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope,
+                   (dy - slope*dx) / CAST(n AS DOUBLE) AS intercept,
+                   num / (sqrt(vx) * sqrt(vy)) AS r
+            FROM s
+        """,
         "median_value": """
             SELECT quantile_disc(value, 0.5) AS med FROM events
         """,
@@ -3153,6 +3273,33 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) // 2048 AS BIGINT) AS seq_id
         FROM t
+    """
+    sql["time_window"] = """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(cents) OVER w AS BIGINT) AS win_sum,
+               COUNT(*) OVER w AS win_n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+    sql["markov_transitions"] = """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev
+            FROM events
+        )
+        SELECT prev AS prev_type, event_type AS next_type,
+               COUNT(*) AS n
+        FROM o WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
     """
     sql["rolling_value"] = """
         WITH e AS (

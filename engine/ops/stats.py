@@ -288,3 +288,109 @@ def latest_by_key(ds, key: str, order_cols: list[str],
     from engine.rayds.shuffle import hash_exchange_groups
 
     return hash_exchange_groups(best, [key], reduce_fn, num_parts)
+
+
+# ---------------------------------------------------------------------------
+# per-group exact linear regression (regr_slope / regr_intercept / r)
+
+
+def grouped_regression(ds, group_col: str, xcol: str, ycol: str,
+                       xscale: int = 1, yscale: int = 1,
+                       fold_width: int = 64) -> pa.Table:
+    """Per-group least-squares fit y = slope·x + intercept plus Pearson
+    r — the grouped ``regr_slope / regr_intercept / corr`` family —
+    with ZERO shuffles: per-block per-group EXACT integer moment
+    partials (decimal128) ride a raw-task tree fold that group-sums
+    them (group cardinality is small by contract — a categorical
+    column), and the driver computes the final doubles from exact
+    integers in ONE FIXED EVALUATION ORDER mirrored by the SQL oracle:
+
+      slope     = float(n·Σxy − Σx·Σy) / float(n·Σxx − Σx²)
+      intercept = (float(Σy) − slope·float(Σx)) / float(n)
+      r         = float(n·Σxy − Σx·Σy) /
+                  (sqrt(float(n·Σxx − Σx²)) · sqrt(float(n·Σyy − Σy²)))
+
+    Each float() is one rounding of an exact integer; ·, /, sqrt are
+    correctly rounded IEEE ops — so the doubles are bit-identical to
+    the oracle's (NOT DuckDB's built-in regr_*, which accumulates
+    running floats)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {group_col: pa.array([], type=batch.schema.field(group_col).type)}
+        if batch.num_rows == 0:
+            for c in _MOMENTS:
+                cols[c] = pa.array([], type=DEC128)
+            return pa.table(cols)
+        import pyarrow.compute as pc
+
+        g = batch[group_col].combine_chunks()
+        enc = pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        ng = len(vocab)
+        x = _int_col(batch, xcol, xscale)
+        y = _int_col(batch, ycol, yscale)
+        mx = max(int(np.abs(x).max()), 1)
+        my = max(int(np.abs(y).max()), 1)
+        worst = max(mx * mx, my * my, mx * my)
+        step = max(1, (1 << 62) // worst)
+        n = len(x)
+        # integer group sums via add.at per overflow-safe chunk (a
+        # float-weighted bincount would NOT be exact), folded into
+        # Python ints (arbitrary precision) across chunks
+        acc = {c: np.zeros(ng, dtype=object) for c in _MOMENTS}
+        for i in range(0, n, step):
+            cs, xs, ys = codes[i:i + step], x[i:i + step], y[i:i + step]
+            chunk = {"n": np.ones(len(cs), dtype=np.int64), "sx": xs,
+                     "sy": ys, "sxx": xs * xs, "syy": ys * ys,
+                     "sxy": xs * ys}
+            for c, w in chunk.items():
+                part = np.zeros(ng, dtype=np.int64)
+                np.add.at(part, cs, w)
+                acc[c] = acc[c] + part.astype(object)
+        cols = {group_col: vocab}
+        for c in _MOMENTS:
+            cols[c] = pa.array([decimal.Decimal(int(v)) for v in acc[c]],
+                               type=DEC128)
+        return pa.table(cols)
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        if t.num_rows == 0:
+            return tbls[0]
+        gb = t.group_by([group_col]).aggregate(
+            [(c, "sum") for c in _MOMENTS])
+        return gb.rename_columns([group_col] + _MOMENTS)
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    folded = tree_fold_refs(part, fold, width=fold_width)
+    groups, slopes, inters, rs, ns = [], [], [], [], []
+    for i in range(folded.num_rows):
+        m = {c: int(folded[c][i].as_py()) for c in _MOMENTS}
+        n, sx, sy, sxx, syy, sxy = (m[c] for c in _MOMENTS)
+        num = float(n * sxy - sx * sy)
+        vx = float(n * sxx - sx * sx)
+        vy = float(n * syy - sy * sy)
+        slope = num / vx if vx != 0.0 else float("nan")
+        inter = ((float(sy) - slope * float(sx)) / float(n)
+                 if n else float("nan"))
+        r = (num / (math.sqrt(vx) * math.sqrt(vy))
+             if vx > 0.0 and vy > 0.0 else float("nan"))
+        groups.append(folded[group_col][i].as_py())
+        ns.append(n)
+        slopes.append(slope)
+        inters.append(inter)
+        rs.append(r)
+    return pa.table({
+        group_col: pa.array(groups,
+                            type=folded.schema.field(group_col).type),
+        "n": pa.array(ns, type=pa.int64()),
+        "slope": pa.array(slopes, type=pa.float64()),
+        "intercept": pa.array(inters, type=pa.float64()),
+        "r": pa.array(rs, type=pa.float64()),
+    })

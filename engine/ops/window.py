@@ -234,3 +234,159 @@ def grouped_rank(ds, key: str, rank_col: str, id_cols: list[str],
 
     return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
                                 num_parts)
+
+
+def time_range_sum(ds, key: str, ts_col: str, val_col: str,
+                   preceding: int, id_col: str,
+                   out_cols=("win_sum", "win_n"), num_parts: int = 64):
+    """Per-key RANGE-FRAME window aggregate — SQL ``SUM(val) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN p PRECEDING AND CURRENT
+    ROW)``: each row's sum/count over the rows whose ``ts`` falls in
+    ``[ts_i − p, ts_i]`` (peers with EQUAL ts are all in the frame, on
+    both sides of the row — the SQL RANGE-frame peer rule).
+
+    Complements ``rolling_sum`` (ROWS frame): the frame here is defined
+    on the VALUE axis, so frame width varies per row — the trailing
+    time-window feature shape (spend in the last hour, requests in the
+    last minute).
+
+    Plan (one exchange, fully vectorized): hash exchange on the key;
+    per partition a lexsort by (key, ts), then BOTH frame bounds fall
+    out of two ``np.searchsorted`` calls over a composite
+    ``key_rank * span + (ts − ts_min)`` int64 key (span > dt_max +
+    preceding + 1 keeps the probe inside the row's key segment), and
+    the sum is an exact integer cumsum difference.  ``val_col`` must be
+    integral.  If the composite would overflow int64 (≥2^62 — only at
+    astronomically wide partitions), a per-key-segment searchsorted
+    fallback runs instead (bounded by distinct keys in the partition).
+    """
+    cols = list(dict.fromkeys([key, ts_col, val_col, id_col]))
+    p = int(preceding)
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({key: g[key], id_col: g[id_col],
+                             out_cols[0]: pa.array([], type=pa.int64()),
+                             out_cols[1]: pa.array([], type=pa.int64())})
+        k = g[key].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        krank = np.cumsum(new_key) - 1
+        dt = ts - ts.min()
+        span = int(dt.max()) + p + 2
+        cum = np.cumsum(v)
+        if int(krank[-1] + 1) * span < 2**62:
+            comp = krank * span + dt
+            lo = np.searchsorted(comp, comp - p, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+        else:  # pragma: no cover - astronomically wide partitions
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.nonzero(new_key)[0]
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - p, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        s = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        cnt = (hi - lo).astype(np.int64)
+        return pa.table({key: pa.array(k),
+                         id_col: g[id_col].take(pa.array(order)),
+                         out_cols[0]: pa.array(s.astype(np.int64)),
+                         out_cols[1]: pa.array(cnt)})
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)
+
+
+def markov_transitions(ds, key: str, order_cols: list[str],
+                       state_col: str,
+                       out_cols=("prev_state", "next_state", "n"),
+                       num_parts: int = 64, fold_width: int = 64):
+    """Global first-order Markov TRANSITION COUNTS: for each key's
+    rows ordered by ``order_cols``, count every consecutive
+    (state_i → state_{i+1}) pair across all keys — the event-sequence
+    transition matrix (SQL: ``lag() OVER (PARTITION BY key ORDER BY
+    ...)`` + GROUP BY).
+
+    Plan: ONE hash exchange on the key co-locates and orders each
+    key's rows; per partition the pair counting is pure vector work
+    (Arrow dictionary codes, one ``np.unique`` over a composite int)
+    emitting ≤ |states|² rows; partials merge through a raw-task tree
+    fold (the matrix is tiny by contract — never an all-to-all).
+    Returns a driver-side ``pa.Table``."""
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys([key] + order_cols + [state_col]))
+
+    def _empty(g):
+        st = g.schema.field(state_col).type
+        return pa.table({out_cols[0]: pa.array([], type=st),
+                         out_cols[1]: pa.array([], type=st),
+                         out_cols[2]: pa.array([], type=pa.int64())})
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n < 2:
+            return _empty(g)
+        k = g[key].to_numpy(zero_copy_only=False)
+        order_arrs = [g[c].to_numpy(zero_copy_only=False)
+                      for c in order_cols]
+        order = np.lexsort(tuple(reversed([k] + order_arrs)))
+        k = k[order]
+        states = g[state_col].take(pa.array(order))
+        if isinstance(states, pa.ChunkedArray):
+            states = states.combine_chunks()
+        enc = pc.dictionary_encode(states)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        prev_idx = np.nonzero(k[1:] == k[:-1])[0]
+        if len(prev_idx) == 0:
+            return _empty(g)
+        nc = int(codes.max()) + 1
+        pair = codes[prev_idx] * nc + codes[prev_idx + 1]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            out_cols[0]: vocab.take(pa.array(uniq // nc)),
+            out_cols[1]: vocab.take(pa.array(uniq % nc)),
+            out_cols[2]: pa.array(cnt.astype(np.int64)),
+        })
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        if t.num_rows == 0:
+            return tbls[0]
+        a = pc.dictionary_encode(t[out_cols[0]].combine_chunks())
+        b = pc.dictionary_encode(t[out_cols[1]].combine_chunks())
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        ac = a.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = b.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = int(bc.max()) + 1
+        pair = ac * nb + bc
+        uniq, inv = np.unique(pair, return_inverse=True)
+        sums = np.bincount(inv, weights=t[out_cols[2]]
+                           .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({
+            out_cols[0]: a.dictionary.take(pa.array(uniq // nb)),
+            out_cols[1]: b.dictionary.take(pa.array(uniq % nb)),
+            out_cols[2]: pa.array(sums),
+        })
+
+    from engine.rayds.shuffle import hash_exchange_groups, tree_fold_refs
+
+    partials = hash_exchange_groups(ds.select_columns(cols), [key],
+                                    part_fn, num_parts)
+    return tree_fold_refs(partials, combine, width=fold_width)

@@ -681,3 +681,152 @@ def test_pagerank_matches_single_process(ray_session):
         "src": pa.array([], type=pa.int64()),
         "dst": pa.array([], type=pa.int64())}))
     assert pagerank(e).count() == 0
+
+
+# -------------------------------------------------- RANGE-frame window
+def test_time_range_sum_matches_brute(ray_session):
+    """RANGE frame [ts-p, ts] incl. equal-ts peers on BOTH sides of the
+    row, against an O(n^2) brute force — heavy ts ties force the peer
+    rule, many single-row keys force segment clamping."""
+    import ray.data
+
+    from engine.ops.window import time_range_sum
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    k = rng.integers(0, 30, n).astype(np.int64)
+    ts = rng.integers(0, 120, n).astype(np.int64)  # heavy ties
+    eid = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-500, 500, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid, "v": v})).repartition(7)
+    out = time_range_sum(ds, "k", "ts", "v", preceding=10,
+                         id_col="eid").take_all()
+    got = {r["eid"]: (r["win_sum"], r["win_n"]) for r in out}
+    assert len(got) == n
+    for i in range(n):
+        m = (k == k[i]) & (ts >= ts[i] - 10) & (ts <= ts[i])
+        assert got[int(eid[i])] == (int(v[m].sum()), int(m.sum()))
+
+
+def test_time_range_sum_zero_window(ray_session):
+    """preceding=0 → the frame is exactly the equal-ts peer group."""
+    import ray.data
+
+    from engine.ops.window import time_range_sum
+
+    t = pa.table({"k": [1, 1, 1, 2], "ts": [5, 5, 9, 5],
+                  "v": [10, 20, 40, 7], "id": [0, 1, 2, 3]})
+    out = {r["id"]: (r["win_sum"], r["win_n"])
+           for r in time_range_sum(ray.data.from_arrow(t), "k", "ts",
+                                   "v", preceding=0,
+                                   id_col="id").take_all()}
+    assert out == {0: (30, 2), 1: (30, 2), 2: (40, 1), 3: (7, 1)}
+
+
+# ------------------------------------------------------ markov transitions
+def test_markov_transitions_matches_brute(ray_session):
+    import ray.data
+
+    from engine.ops.window import markov_transitions
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    k = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 200, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    st = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid, "s": st})).repartition(11)
+    got = markov_transitions(ds, "k", ["ts", "eid"], "s")
+    gd = {(p, q): c for p, q, c in zip(
+        got["prev_state"].to_pylist(), got["next_state"].to_pylist(),
+        got["n"].to_pylist())}
+    brute = {}
+    for kk in np.unique(k):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        ss = st[m][order]
+        for a, b in zip(ss[:-1], ss[1:]):
+            brute[(a, b)] = brute.get((a, b), 0) + 1
+    assert gd == brute
+    assert sum(gd.values()) == n - len(np.unique(k))
+
+
+def test_markov_transitions_singletons(ray_session):
+    """Keys with one row contribute no transitions; empty result has
+    the input's state type."""
+    import ray.data
+
+    from engine.ops.window import markov_transitions
+
+    t = pa.table({"k": [1, 2, 3], "o": [0, 0, 0],
+                  "s": ["x", "y", "z"]})
+    got = markov_transitions(ray.data.from_arrow(t), "k", ["o"], "s")
+    assert got.num_rows == 0
+    assert got.schema.field("prev_state").type == pa.string()
+
+
+# ---------------------------------------------------- grouped regression
+def test_grouped_regression_exact(ray_session):
+    """Per-group slope/intercept/r against an exact-integer reference
+    computed with Python bigints in the documented evaluation order —
+    bit-identical doubles, plus a sanity cross-check vs numpy lstsq."""
+    import math
+
+    import ray.data
+
+    from engine.ops.stats import grouped_regression
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    g = np.array(["A", "B", "C"])[rng.integers(0, 3, n)]
+    x = rng.integers(-50, 120, n).astype(np.int64)
+    y = (3 * x + rng.integers(-40, 40, n)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"g": g, "x": x.astype(np.float64),
+         "y": y.astype(np.float64)})).repartition(9)
+    out = grouped_regression(ds, "g", "x", "y")
+    got = {out["g"][i].as_py():
+           (out["n"][i].as_py(), out["slope"][i].as_py(),
+            out["intercept"][i].as_py(), out["r"][i].as_py())
+           for i in range(out.num_rows)}
+    assert set(got) == {"A", "B", "C"}
+    for gg in "ABC":
+        m = g == gg
+        xi = [int(v) for v in x[m]]
+        yi = [int(v) for v in y[m]]
+        nn = len(xi)
+        sx, sy = sum(xi), sum(yi)
+        sxx = sum(v * v for v in xi)
+        syy = sum(v * v for v in yi)
+        sxy = sum(a * b for a, b in zip(xi, yi))
+        num = float(nn * sxy - sx * sy)
+        vx = float(nn * sxx - sx * sx)
+        vy = float(nn * syy - sy * sy)
+        slope = num / vx
+        inter = (float(sy) - slope * float(sx)) / float(nn)
+        r = num / (math.sqrt(vx) * math.sqrt(vy))
+        assert got[gg] == (nn, slope, inter, r)
+        # numpy cross-check (approximate)
+        fit = np.polyfit(x[m].astype(float), y[m].astype(float), 1)
+        assert abs(fit[0] - slope) < 1e-8 and abs(fit[1] - inter) < 1e-6
+
+
+def test_grouped_regression_degenerate(ray_session):
+    """A constant-x group has no defined slope (NaN, not a crash)."""
+    import ray.data
+
+    from engine.ops.stats import grouped_regression
+
+    t = pa.table({"g": ["k", "k", "z", "z", "z"],
+                  "x": [5.0, 5.0, 1.0, 2.0, 3.0],
+                  "y": [1.0, 9.0, 2.0, 4.0, 6.0]})
+    out = grouped_regression(ray.data.from_arrow(t), "g", "x", "y")
+    got = {out["g"][i].as_py(): (out["slope"][i].as_py(),
+                                 out["r"][i].as_py())
+           for i in range(out.num_rows)}
+    assert np.isnan(got["k"][0]) and np.isnan(got["k"][1])
+    assert got["z"][0] == 2.0
+    # r of a perfect line is 1 up to the formula's sqrt roundings
+    assert abs(got["z"][1] - 1.0) < 1e-12
