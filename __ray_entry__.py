@@ -2046,6 +2046,133 @@ def _q_markov_transitions(sf_dir):
                               out_cols=("prev_type", "next_type", "n"))
 
 
+def _q_idf_vocab(sf_dir):
+    """DOCUMENT-FREQUENCY / IDF VOCABULARY (the TF-IDF corpus pass):
+    per-doc DISTINCT words (vectorized dictionary-encode + one
+    np.unique per block — each doc is one row, so block-local dedup IS
+    global), combiner-first grouped count, then the RATIONAL idf
+    (N − df + 0.5)/(df + 0.5) — BM25's idf argument without the libm
+    log, so the doubles are bit-identical to the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import doc_distinct_words
+    from engine.rayds.shuffle import grouped_count
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    words = _docs(sf_dir).select_columns(["text"]).map_batches(
+        doc_distinct_words, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    counts = grouped_count(words, ["word"], out_col="df",
+                           use_shuffle="auto")
+
+    def add_idf(batch: pa.Table) -> pa.Table:
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = (np.float64(n_docs) - df + 0.5) / (df + 0.5)
+        return batch.append_column("idf", pa.array(idf))
+
+    return counts.map_batches(add_idf, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+
+def _q_bigram_topk(sf_dir):
+    """COLLOCATION MINING: global top-20 consecutive word bigrams —
+    offset-arithmetic bigram explode (no row loops), combiner-first
+    (w1, w2) counts, distributed sort + limit; deterministic
+    lexicographic tie-break mirrored by the oracle."""
+    from engine.ops.text import bigram_explode
+    from engine.rayds.shuffle import grouped_count
+
+    pairs = _docs(sf_dir).select_columns(["text"]).map_batches(
+        bigram_explode, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    counts = grouped_count(pairs, ["w1", "w2"], out_col="cnt",
+                           use_shuffle="auto")
+    return counts.sort(["cnt", "w1", "w2"],
+                       descending=[True, False, False]).limit(20)
+
+
+def _q_shuffle_positions(sf_dir):
+    """DETERMINISTIC GLOBAL TRAINING-DATA SHUFFLE: each doc's 0-based
+    position in md5(doc_id) order — reproducible at any cluster size,
+    no RNG state.  Vectorized md5 top-64-bit sort key (engine/ops/
+    vhash.py), Ray native distributed sort, then the two-phase prefix
+    scan assigns global positions (3 ints per block to the driver, no
+    second shuffle)."""
+    import ray.data
+
+    from engine.ops.scan import shuffle_positions
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return shuffle_positions(docs, "doc_id")
+
+
+def _q_nation_flow(sf_dir):
+    """TPC-H Q7-shaped BI-NATION FLOW: supplier-nation → customer-nation
+    revenue over a FOUR-WAY join chain (lineitem ⋈ supplier ⋈ orders ⋈
+    customer), aggregated on the narrow (s_nationkey, c_nationkey) pair
+    BEFORE names attach — the ≤625-row matrix gets its nation names
+    from a driver-side scale-invariant dim table, so the fact stream
+    never carries strings and the name join costs nothing."""
+    import ray.data
+
+    from engine.rayds.shuffle import dim_table, equi_join, grouped_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def bp(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 10000.0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "_bp": pa.array(v)})
+
+    li = li.map_batches(bp, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    j1 = equi_join(supp, li, "s_suppkey", "l_suppkey",
+                   ["s_nationkey"], ["l_orderkey", "_bp"])
+    j2 = equi_join(orders, j1, "o_orderkey", "l_orderkey",
+                   ["o_custkey"], ["s_nationkey", "_bp"])
+    j3 = equi_join(cust, j2, "c_custkey", "o_custkey",
+                   ["c_nationkey"], ["s_nationkey", "_bp"])
+    agg = grouped_agg(j3, ["s_nationkey", "c_nationkey"],
+                      [("_bp", "sum")], ["revenue_bp"], plan="tree")
+    nation = dim_table(f"{sf_dir}/nation.parquet",
+                       ["n_nationkey", "n_name"])
+    names = {int(k): v for k, v in
+             zip(nation["n_nationkey"].to_pylist(),
+                 nation["n_name"].to_pylist())}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        s = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        c = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = s != c
+        s, c = s[keep], c[keep]
+        rev = batch["revenue_bp"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "supp_nation": pa.array([names[int(v)] for v in s],
+                                    type=pa.string()),
+            "cust_nation": pa.array([names[int(v)] for v in c],
+                                    type=pa.string()),
+            "revenue_bp": pa.array(rev.astype(np.int64)),
+        })
+
+    return agg.map_batches(attach, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -2317,6 +2444,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value": _q_rolling_value,
         "time_window": _q_time_window,
         "markov_transitions": _q_markov_transitions,
+        "idf_vocab": _q_idf_vocab,
+        "bigram_topk": _q_bigram_topk,
+        "shuffle_positions": _q_shuffle_positions,
+        "nation_flow": _q_nation_flow,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -3300,6 +3431,50 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n
         FROM o WHERE prev IS NOT NULL
         GROUP BY prev, event_type
+    """
+    sql["idf_vocab"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS word
+            FROM documents
+        ), c AS (
+            SELECT word, count(*) AS df FROM d GROUP BY 1
+        ), n AS (SELECT count(*) AS nd FROM documents)
+        SELECT word, df,
+               (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5) AS idf
+        FROM c, n
+    """
+    sql["bigram_topk"] = """
+        WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        b AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM s, LATERAL (
+                SELECT unnest(range(1, len(ws))) AS i) t
+        )
+        SELECT w1, w2, count(*) AS cnt FROM b
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, w1, w2 LIMIT 20
+    """
+    sql["shuffle_positions"] = """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS pos
+        FROM documents
+    """
+    sql["nation_flow"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_bp
+        FROM lineitem, supplier, orders, customer,
+             nation n1, nation n2
+        WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND n1.n_nationkey <> n2.n_nationkey
+        GROUP BY 1, 2
     """
     sql["rolling_value"] = """
         WITH e AS (

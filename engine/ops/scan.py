@@ -113,3 +113,42 @@ def pack_sequences(docs_ds, capacity: int, id_col: str = "doc_id",
 
     return scanned.map_batches(assign, batch_format="pyarrow",
                                batch_size=None, zero_copy_batch=True)
+
+
+def shuffle_positions(ds, id_col: str):
+    """DETERMINISTIC GLOBAL SHUFFLE of a training corpus: every row gets
+    its 0-based position in the md5-of-id order — the reproducible
+    pre-training data permutation (same ids → same order, any cluster
+    size, no RNG state).
+
+    Plan: vectorized MD5 top-64-bit sort key per block (no per-row
+    hashlib), Ray Data's native distributed sort (range-partitioned
+    all-to-all) on (key, id), then the two-phase distributed prefix sum
+    assigns global positions — 3 ints per block to the driver, no
+    second shuffle.  The int64 key preserves the full hex-string order
+    unless two ids collide in md5's top 64 bits (≈ n²/2⁶⁵; the scan's
+    non-overlap verification turns a collision at a block boundary into
+    a loud ValueError, never a silent misorder)."""
+    import pyarrow as pa
+
+    from engine.ops.vhash import md5_top64_key
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = md5_top64_key(ids.astype(str))
+        return pa.table({id_col: batch[id_col],
+                         "_h": pa.array(h),
+                         "_one": pa.array(np.ones(len(h), dtype=np.int64))})
+
+    keyed = ds.select_columns([id_col]).map_batches(
+        key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # pin the sort's block boundaries: the scan reads the dataset twice
+    # (meta pass + apply pass) and a re-executed sort may split blocks
+    # differently.  The sort is an all-to-all that materializes its
+    # output internally anyway; this only pins (id, key, 1) — never the
+    # payload columns.
+    srt = keyed.sort(["_h", id_col]).materialize()
+    pos = ordered_cumsum(srt, key_col="_h", val_col="_one", out_col="pos")
+    return pos.map_batches(
+        lambda b: b.select([id_col, "pos"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -342,3 +342,56 @@ def dup_stats(batch: pa.Table, text_col: str = "text",
                      "n_tokens": pa.array(n),
                      "n_distinct": pa.array(n_distinct),
                      "dup_ratio": pa.array(ratio)})
+
+
+def doc_distinct_words(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document DISTINCT words of a block (single-space split — the
+    SQL-mirrorable ``string_split(text, ' ')`` contract), one output row
+    per (doc, word).  Each document is exactly one input row, so
+    per-block dedup IS global per-doc dedup: the document-frequency
+    pipeline needs no doc_id downstream.
+
+    Vectorized: list-flatten + dictionary-encode the word vocabulary,
+    then one ``np.unique`` over a (row, code) composite int64."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return pa.table({"word": pa.array([], type=pa.string())})
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    nv = len(enc.dictionary)
+    uniq = np.unique(row * nv + codes)
+    return pa.table({"word": enc.dictionary.take(pa.array(uniq % nv))})
+
+
+def bigram_explode(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Consecutive word pairs (w1, w2) within each document — the
+    collocation/bigram-LM counting primitive.  Pure offset arithmetic
+    over the flattened split ListArray: a pair starts at every flat
+    index except each document's last word (split_pattern never emits
+    an empty list, so ``offsets[1:]-1`` indexes exactly those)."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = len(flat)
+    if total == 0:
+        return pa.table({"w1": pa.array([], type=pa.string()),
+                         "w2": pa.array([], type=pa.string())})
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]  # sliced arrays carry a nonzero base offset
+    mask = np.ones(total, dtype=bool)
+    mask[offs[1:] - 1] = False
+    first = np.nonzero(mask)[0]
+    return pa.table({"w1": flat.take(pa.array(first)),
+                     "w2": flat.take(pa.array(first + 1))})

@@ -181,3 +181,15 @@ def md5_first_nibble(col) -> np.ndarray:
     # hex digest starts with the little-endian bytes of word A: the
     # first nibble is the high nibble of A's lowest byte
     return ((words[:, 0] & np.uint32(0xFF)) >> np.uint32(4)).astype(np.int64)
+
+
+def md5_top64_key(col) -> np.ndarray:
+    """Order-preserving int64 sort key of each row's MD5: the digest's
+    FIRST 8 bytes as a big-endian integer (== the order of the 32-char
+    hex string, hence of DuckDB's ``ORDER BY md5(x)``, whenever no two
+    rows collide in their top 64 bits), bias-shifted into signed int64
+    so plain int64 comparisons preserve the unsigned order."""
+    words = md5_digest_words(col)
+    u = (words[:, 1].astype(np.uint64) << np.uint64(32)) | \
+        words[:, 0].astype(np.uint64)
+    return (u.byteswap() ^ np.uint64(1 << 63)).view(np.int64)

@@ -830,3 +830,60 @@ def test_grouped_regression_degenerate(ray_session):
     assert got["z"][0] == 2.0
     # r of a perfect line is 1 up to the formula's sqrt roundings
     assert abs(got["z"][1] - 1.0) < 1e-12
+
+
+# --------------------------------------------- text corpus primitives
+def test_doc_distinct_words_brute():
+    from engine.ops.text import doc_distinct_words
+
+    texts = ["a b a c", "x", "", "b b b", "a  a", "hello world hello"]
+    out = doc_distinct_words(pa.table({"text": texts}))
+    got = sorted(out["word"].to_pylist())
+    brute = []
+    for t in texts:
+        brute.extend(set(t.split(" ")))  # split(' ') keeps '' tokens
+    assert got == sorted(brute)
+
+
+def test_bigram_explode_brute():
+    from engine.ops.text import bigram_explode
+
+    texts = ["a b c", "solo", "", "x y", "p  q", "a a a a"]
+    out = bigram_explode(pa.table({"text": texts}))
+    got = sorted(zip(out["w1"].to_pylist(), out["w2"].to_pylist()))
+    brute = []
+    for t in texts:
+        ws = t.split(" ")
+        brute.extend(zip(ws[:-1], ws[1:]))
+    assert got == sorted(brute)
+
+
+def test_bigram_explode_sliced_offsets():
+    """A table slice carries a nonzero ListArray base offset — the
+    offset-arithmetic must rebase."""
+    from engine.ops.text import bigram_explode
+
+    t = pa.table({"text": ["a b", "c d e", "f g"]}).slice(1)
+    out = bigram_explode(t)
+    got = sorted(zip(out["w1"].to_pylist(), out["w2"].to_pylist()))
+    assert got == [("c", "d"), ("d", "e"), ("f", "g")]
+
+
+def test_shuffle_positions_matches_hashlib(ray_session):
+    """Positions are the exact permutation of md5(str(id)) hex order."""
+    import hashlib
+
+    import ray.data
+
+    from engine.ops.scan import shuffle_positions
+
+    ids = np.arange(1, 1201, dtype=np.int64)
+    rng = np.random.default_rng(5)
+    rng.shuffle(ids)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(9)
+    out = shuffle_positions(ds, "doc_id").take_all()
+    got = {r["doc_id"]: r["pos"] for r in out}
+    order = sorted(ids.tolist(),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert got == {i: p for p, i in enumerate(order)}
+    assert sorted(got.values()) == list(range(len(ids)))
