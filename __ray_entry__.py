@@ -2173,6 +2173,153 @@ def _q_nation_flow(sf_dir):
                            batch_size=None)
 
 
+def _q_anomaly_zscore(sf_dir):
+    """Per-user z-score OUTLIER EVENTS (|value − μ_user| > 3σ_user),
+    decided EXACTLY in integer arithmetic — the flag test is
+    |n·x − Σy| > isqrt(9·(n·Σyy − Σy²)), one exact isqrt per user on
+    the driver, a pure int64 vector compare per event; the SQL oracle
+    states the same inequality squared in HUGEINT."""
+    import ray.data
+
+    from engine.ops.stats import grouped_zscore_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"])
+    return grouped_zscore_outliers(ev, "user_id", "value",
+                                   id_cols=["event_id"], scale=100, z=3)
+
+
+def _q_cohort_retention(sf_dir):
+    """COHORT RETENTION MATRIX: users bucketed by first-active day,
+    distinct-user counts per (cohort_day, offset_days).  ONE exchange
+    on user_id (per-partition: lexsort, distinct (user, day) runs,
+    cohort = first-of-run, all offset emission vectorized); each
+    (user, cohort, offset) is globally unique after the per-user
+    dedup, so the final combiner-first count IS the distinct-user
+    count — no COUNT DISTINCT machinery needed."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count, hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pa.array(day.astype(np.int64))})
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], type=pa.int64()),
+                             "offset_days": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        new = np.r_[True, u[1:] != u[:-1]]
+        # day is ascending within each user run → first-of-run = min
+        cohort = np.repeat(d[new], np.diff(np.append(
+            np.nonzero(new)[0], len(u))))
+        return pa.table({"cohort_day": pa.array(cohort),
+                         "offset_days": pa.array(d - cohort)})
+
+    pairs = hash_exchange_groups(proj, ["user_id"], part_fn, 64)
+    return grouped_count(pairs, ["cohort_day", "offset_days"],
+                         out_col="users", use_shuffle="auto")
+
+
+def _q_copurchase_topk(sf_dir):
+    """MARKET-BASKET top-20 co-purchased part pairs: one exchange on
+    l_orderkey co-locates each order's lines, the quadratic pair
+    explode is pure offset arithmetic bounded by basket size, counting
+    is combiner-first, deterministic lexicographic tie-break."""
+    import ray.data
+
+    from engine.ops.basket import cooccur_pairs
+    from engine.rayds.shuffle import grouped_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(li, "l_orderkey", "l_partkey",
+                          out_cols=("p1", "p2"))
+    counts = grouped_count(pairs, ["p1", "p2"], out_col="cnt",
+                           use_shuffle="auto")
+    return counts.sort(["cnt", "p1", "p2"],
+                       descending=[True, False, False]).limit(20)
+
+
+def _q_big_orders(sf_dir):
+    """TPC-H Q18-shaped GROUP-HAVING + JOIN-BACK: orders whose total
+    line quantity exceeds 180, enriched with customer name and order
+    date.  The quantity rollup is combiner-first over the engine's own
+    hash exchange (orderkey cardinality scales with the data); the
+    HAVING filter shrinks the stream BEFORE the two adaptive join-backs
+    (the filtered side rides the broadcast plan while it fits)."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def qty(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "_q": pa.array(q)})
+
+    li = li.map_batches(qty, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    tot = grouped_agg(li, ["l_orderkey"], [("_q", "sum")],
+                      ["total_qty"], plan="shuffle")
+
+    def having(batch: pa.Table) -> pa.Table:
+        keep = batch["total_qty"].to_numpy(zero_copy_only=False) > 180
+        return batch.filter(pa.array(keep))
+
+    big = tot.map_batches(having, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def odate(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_date_us": batch["o_orderdate"].cast(pa.int64()),
+        })
+
+    orders = orders.map_batches(odate, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+    j1 = equi_join(big, orders, "l_orderkey", "o_orderkey",
+                   ["total_qty"], ["o_custkey", "o_date_us"])
+    # join output key is the canonical "_k" — rebadge it before chaining
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderkey" if c == "_k" else c for c in b.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    j2 = equi_join(j1, cust, "o_custkey", "c_custkey",
+                   ["o_orderkey", "total_qty", "o_date_us"], ["c_name"])
+    return j2.map_batches(
+        lambda b: b.rename_columns(
+            ["o_custkey" if c == "_k" else c for c in b.column_names])
+                 .select(["c_name", "o_custkey", "o_orderkey",
+                          "o_date_us", "total_qty"]),
+        batch_format="pyarrow", batch_size=None)
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -2448,6 +2595,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": _q_bigram_topk,
         "shuffle_positions": _q_shuffle_positions,
         "nation_flow": _q_nation_flow,
+        "anomaly_zscore": _q_anomaly_zscore,
+        "cohort_retention": _q_cohort_retention,
+        "copurchase_topk": _q_copurchase_topk,
+        "big_orders": _q_big_orders,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -3462,6 +3613,54 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """
+    sql["anomaly_zscore"] = """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS HUGEINT) AS c
+            FROM events
+        ), m AS (
+            SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                   sum(c) AS sy, sum(c * c) AS syy
+            FROM e GROUP BY 1
+        )
+        SELECT e.user_id, e.event_id, CAST(e.c AS BIGINT) AS cents
+        FROM e JOIN m USING (user_id)
+        WHERE (n * e.c - sy) * (n * e.c - sy) > 9 * (n * syy - sy * sy)
+    """
+    sql["cohort_retention"] = """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+            FROM events
+        ), f AS (
+            SELECT user_id, min(day) AS cohort FROM d GROUP BY 1
+        )
+        SELECT f.cohort AS cohort_day, d.day - f.cohort AS offset_days,
+               count(*) AS users
+        FROM d JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """
+    sql["copurchase_topk"] = """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, p1, p2 LIMIT 20
+    """
+    sql["big_orders"] = """
+        WITH t AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+            FROM lineitem GROUP BY 1 HAVING total_qty > 180
+        )
+        SELECT c_name, o_custkey, o_orderkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+               total_qty
+        FROM t, orders, customer
+        WHERE t.l_orderkey = o_orderkey AND o_custkey = c_custkey
     """
     sql["nation_flow"] = """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

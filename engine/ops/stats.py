@@ -394,3 +394,119 @@ def grouped_regression(ds, group_col: str, xcol: str, ycol: str,
         "intercept": pa.array(inters, type=pa.float64()),
         "r": pa.array(rs, type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# exact per-group z-score outliers (integer arithmetic end to end)
+
+
+def grouped_zscore_outliers(ds, key: str, val_col: str, id_cols: list[str],
+                            scale: int = 100, z: int = 3,
+                            fold_width: int = 64):
+    """Rows whose value lies more than ``z`` POPULATION standard
+    deviations from their group's mean — decided EXACTLY in integer
+    arithmetic (no float σ):
+
+        flag ⟺ (n·x − Σy)² > z²·(n·Σyy − Σy²)
+
+    evaluated as ``|n·x − Σy| > isqrt(z²·(n·Σyy − Σy²))`` — for integers
+    d ≥ 0, d² > V ⟺ d > ⌊√V⌋, so the per-group threshold is ONE exact
+    Python ``isqrt`` on the driver and the per-row test is a pure int64
+    vector compare.  Assumes n·max|x| < 2⁶³ per group (10⁹ rows/group ×
+    10⁷ cents holds comfortably); the moments themselves are exact at
+    any scale (decimal128 partials).
+
+    Plan: per-block per-group moment partials → raw-task tree fold
+    (group cardinality ≪ rows by contract) → thresholds attach through
+    the adaptive equi-join (broadcast while small, hash past the
+    budget) → vectorized filter.  Returns a Dataset of the flagged
+    rows' ``id_cols + [key, cents]``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kt = batch.schema.field(key).type
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], type=kt),
+                             "n": pa.array([], type=DEC128),
+                             "sy": pa.array([], type=DEC128),
+                             "syy": pa.array([], type=DEC128)})
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch[key].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        ng = len(vocab)
+        y = _int_col(batch, val_col, scale)
+        my = max(int(np.abs(y).max()), 1)
+        step = max(1, (1 << 62) // (my * my))
+        acc = {c: np.zeros(ng, dtype=object) for c in ("n", "sy", "syy")}
+        for i in range(0, len(y), step):
+            cs, ys = codes[i:i + step], y[i:i + step]
+            for c, w in (("n", np.ones(len(cs), dtype=np.int64)),
+                         ("sy", ys), ("syy", ys * ys)):
+                part = np.zeros(ng, dtype=np.int64)
+                np.add.at(part, cs, w)
+                acc[c] = acc[c] + part.astype(object)
+        cols = {key: vocab}
+        for c in ("n", "sy", "syy"):
+            cols[c] = pa.array([decimal.Decimal(int(v)) for v in acc[c]],
+                               type=DEC128)
+        return pa.table(cols)
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        if t.num_rows == 0:
+            return tbls[0]
+        gb = t.group_by([key]).aggregate(
+            [(c, "sum") for c in ("n", "sy", "syy")])
+        return gb.rename_columns([key, "n", "sy", "syy"])
+
+    from engine.rayds.shuffle import equi_join, tree_fold_refs
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    folded = tree_fold_refs(part, fold, width=fold_width)
+    keys_out, ns, sys_, thr = [], [], [], []
+    for i in range(folded.num_rows):
+        n = int(folded["n"][i].as_py())
+        sy = int(folded["sy"][i].as_py())
+        syy = int(folded["syy"][i].as_py())
+        v = z * z * (n * syy - sy * sy)
+        keys_out.append(folded[key][i].as_py())
+        ns.append(n)
+        sys_.append(sy)
+        thr.append(math.isqrt(v) if v >= 0 else 0)
+    import ray.data
+
+    moments = ray.data.from_arrow(pa.table({
+        key: pa.array(keys_out, type=folded.schema.field(key).type),
+        "_n": pa.array(ns, type=pa.int64()),
+        "_sy": pa.array(sys_, type=pa.int64()),
+        "_thr": pa.array(thr, type=pa.int64()),
+    }))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in id_cols}
+        cols[key] = batch[key]
+        cols["cents"] = pa.array(_int_col(batch, val_col, scale))
+        return pa.table(cols)
+
+    ev = ds.map_batches(to_cents, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+    joined = equi_join(moments, ev, key, key,
+                       ["_n", "_sy", "_thr"], id_cols + ["cents"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        d = np.abs(batch["_n"].to_numpy(zero_copy_only=False)
+                   * batch["cents"].to_numpy(zero_copy_only=False)
+                   - batch["_sy"].to_numpy(zero_copy_only=False))
+        keep = d > batch["_thr"].to_numpy(zero_copy_only=False)
+        out = batch.filter(pa.array(keep))
+        # the join's canonical key column is "_k" — rebadge to the key
+        out = out.rename_columns(
+            [key if c == "_k" else c for c in out.column_names])
+        return out.select([key] + id_cols + ["cents"])
+
+    return joined.map_batches(flag, batch_format="pyarrow",
+                              batch_size=None)

@@ -887,3 +887,76 @@ def test_shuffle_positions_matches_hashlib(ray_session):
                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     assert got == {i: p for p, i in enumerate(order)}
     assert sorted(got.values()) == list(range(len(ids)))
+
+
+# ---------------------------------------------------- z-score outliers
+def test_grouped_zscore_outliers_brute(ray_session):
+    """Exact integer 3σ flag vs float brute force — the exact test can
+    only disagree with float where |z| sits within float error of 3,
+    so brute-check both directions away from the boundary."""
+    import ray.data
+
+    from engine.ops.stats import grouped_zscore_outliers
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    k = rng.integers(0, 12, n).astype(np.int64)
+    v = rng.normal(0, 50, n)
+    v[rng.integers(0, n, 40)] += 1000  # planted outliers
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"u": k, "id": ids, "v": np.round(v, 2)})).repartition(7)
+    out = grouped_zscore_outliers(ds, "u", "v", id_cols=["id"],
+                                  scale=100, z=3)
+    got = set(r["id"] for r in out.take_all())
+    c = np.rint(np.round(v, 2) * 100).astype(np.int64)
+    want = set()
+    for kk in np.unique(k):
+        m = k == kk
+        cc = [int(x) for x in c[m]]
+        nn, sy = len(cc), sum(cc)
+        syy = sum(x * x for x in cc)
+        thr = 9 * (nn * syy - sy * sy)
+        for i, x in zip(ids[m], cc):
+            if (nn * x - sy) ** 2 > thr:
+                want.add(int(i))
+    assert got == want
+    assert len(got) >= 30  # the planted outliers are found
+
+
+def test_grouped_zscore_outliers_zero_variance(ray_session):
+    import ray.data
+
+    from engine.ops.stats import grouped_zscore_outliers
+
+    t = pa.table({"u": [1, 1, 1, 2, 2, 2],
+                  "id": [0, 1, 2, 3, 4, 5],
+                  "v": [5.0, 5.0, 5.0, 1.0, 1.0, 100.0]})
+    out = grouped_zscore_outliers(ray.data.from_arrow(t), "u", "v",
+                                  id_cols=["id"])
+    # constant group flags nothing; 3-point group: z of 100 is only
+    # sqrt(2) < 3 population σ, so nothing flags there either
+    assert out.count() == 0
+
+
+# ------------------------------------------------------ co-occurrence
+def test_cooccur_pairs_brute(ray_session):
+    import itertools
+
+    import ray.data
+
+    from engine.ops.basket import cooccur_pairs
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    g = rng.integers(0, 400, n).astype(np.int64)
+    it = rng.integers(0, 30, n).astype(np.int64)  # heavy duplicate items
+    ds = ray.data.from_arrow(pa.table({"g": g, "i": it})).repartition(9)
+    out = cooccur_pairs(ds, "g", "i").take_all()
+    got = sorted((r["item1"], r["item2"]) for r in out)
+    brute = []
+    for gg in np.unique(g):
+        items = sorted(set(it[g == gg].tolist()))
+        brute.extend(itertools.combinations(items, 2))
+    assert got == sorted(brute)
+    assert all(a < b for a, b in got)
