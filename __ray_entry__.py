@@ -2320,6 +2320,175 @@ def _q_big_orders(sf_dir):
         batch_format="pyarrow", batch_size=None)
 
 
+def _q_tfidf_topterms(sf_dir):
+    """Per-document TOP-3 TF-IDF TERMS: block-exact term frequencies
+    (each doc is one row), document frequencies from the distinct-words
+    pipeline, tf ⋈ df on word through the adaptive equi-join, score =
+    tf · rational-idf (no libm log — bit-identical doubles), then ONE
+    exchange on doc_id for the per-doc top-3 (score DESC, word ASC
+    tie-break, mirrored by the oracle's row_number)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.text import doc_distinct_words, doc_term_freqs
+    from engine.rayds.shuffle import (equi_join, grouped_count,
+                                      hash_exchange_groups)
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    tf = docs.map_batches(doc_term_freqs, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    dw = docs.select_columns(["text"]).map_batches(
+        doc_distinct_words, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    df = grouped_count(dw, ["word"], out_col="df", use_shuffle="auto")
+    joined = equi_join(df, tf, "word", "word", ["df"], ["doc_id", "tf"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = (np.float64(n_docs) - dfv + 0.5) / (dfv + 0.5)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "word": batch["_k"],
+                         "tf": batch["tf"],
+                         "score": pa.array(tfv * idf)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                batch_size=None)
+
+    def top3(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return g.append_column("rank", pa.array([], type=pa.int64()))
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["score"].to_numpy(zero_copy_only=False)
+        # fixed-width unicode dtype: C-speed comparisons, and numpy's
+        # code-point order == DuckDB's byte order (both monotonic)
+        w = np.asarray(g["word"].to_pylist(), dtype=str)
+        order = np.lexsort((w, -s, d))
+        d = d[order]
+        new = np.r_[True, d[1:] != d[:-1]]
+        starts = np.nonzero(new)[0]
+        pos = np.arange(len(d)) - np.repeat(starts, np.diff(
+            np.append(starts, len(d))))
+        keep = pos < 3
+        sel = pa.array(order[keep])
+        return pa.table({
+            "doc_id": g["doc_id"].take(sel),
+            "word": g["word"].take(sel),
+            "tf": g["tf"].take(sel),
+            "score": g["score"].take(sel),
+            "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+        })
+
+    return hash_exchange_groups(scored, ["doc_id"], top3, 64)
+
+
+def _q_followup_pairs(sf_dir):
+    """WINDOWED EVENT CO-OCCURRENCE: counts of (event_type →
+    event_type within the next 30 min of the same user) — the
+    behavioral-sequence feature that generalizes the Markov next-1
+    transition to a time window.  One exchange; per-partition forward
+    searchsorted over the composite key + offset-arithmetic pair
+    explode; ≤ |types|² partials fold on the driver."""
+    import ray.data
+
+    from engine.ops.window import windowed_followups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    return windowed_followups(proj, "user_id", "ts_us", "event_id",
+                              "event_type", window=1_800_000_000,
+                              out_cols=("t1", "t2", "n"))
+
+
+def _q_part_order_hist(sf_dir):
+    """DEGREE HISTOGRAM of the part↔order bipartite graph: how many
+    parts appear in exactly k orders.  Two combiner-first counts: the
+    distinct-pair dedup doubles as the degree count (each surviving
+    row is one distinct order per part), then a tiny histogram
+    rollup."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_orderkey"])
+    pairs = grouped_count(li, ["l_partkey", "l_orderkey"],
+                          out_col="_dup", use_shuffle="auto")
+    deg = grouped_count(pairs.select_columns(["l_partkey"]),
+                        ["l_partkey"], out_col="n_orders",
+                        use_shuffle="auto")
+    return grouped_count(deg.select_columns(["n_orders"]),
+                         ["n_orders"], out_col="n_parts",
+                         use_shuffle="auto")
+
+
+def _q_dau_wau(sf_dir):
+    """DAU / WAU STICKINESS: distinct users per day and per 7-day
+    week, ratio per day.  Distinct (user, day) and (user, week) via
+    the pair-dedup counts; the weekly table is calendar-bounded (not
+    data-bounded), so it broadcasts as a driver dict into the final
+    vectorized map."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        return pa.table({"user_id": batch["user_id"],
+                         "day": pa.array(day.astype(np.int64))})
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    ud = grouped_count(proj, ["user_id", "day"], out_col="_d",
+                       use_shuffle="auto")
+    dau = grouped_count(ud.select_columns(["day"]), ["day"],
+                        out_col="dau", use_shuffle="auto")
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        wk = batch["day"].to_numpy(zero_copy_only=False) // 7
+        return pa.table({"user_id": batch["user_id"],
+                         "week": pa.array(wk.astype(np.int64))})
+
+    uw = grouped_count(
+        ud.map_batches(to_week, batch_format="pyarrow", batch_size=None),
+        ["user_id", "week"], out_col="_w", use_shuffle="auto")
+    wau_rows = grouped_count(uw.select_columns(["week"]), ["week"],
+                             out_col="wau", use_shuffle="auto").take_all()
+    wau = {int(r["week"]): int(r["wau"]) for r in wau_rows}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        d = batch["dau"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = day // 7
+        w = np.array([wau[int(x)] for x in wk], dtype=np.int64)
+        return pa.table({
+            "day": batch["day"], "dau": pa.array(d),
+            "week": pa.array(wk.astype(np.int64)), "wau": pa.array(w),
+            "stickiness": pa.array(d.astype(np.float64)
+                                   / w.astype(np.float64)),
+        })
+
+    return dau.map_batches(attach, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -2599,6 +2768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "copurchase_topk": _q_copurchase_topk,
         "big_orders": _q_big_orders,
+        "tfidf_topterms": _q_tfidf_topterms,
+        "followup_pairs": _q_followup_pairs,
+        "part_order_hist": _q_part_order_hist,
+        "dau_wau": _q_dau_wau,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -3613,6 +3786,65 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """
+    sql["tfidf_topterms"] = """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+        ), df AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1
+        ), n AS (SELECT count(*) AS nd FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.word, tf.tf,
+                   CAST(tf.tf AS DOUBLE)
+                   * ((CAST(nd AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+            FROM tf, df, n WHERE tf.word = df.word
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+            FROM s
+        )
+        SELECT doc_id, word, tf, score, rank FROM r WHERE rank <= 3
+    """
+    sql["followup_pairs"] = """
+        WITH e AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events
+        )
+        SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n
+        FROM e a JOIN e b ON a.user_id = b.user_id
+         AND (b.ts_us > a.ts_us
+              OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
+         AND b.ts_us <= a.ts_us + 1800000000
+        GROUP BY 1, 2
+    """
+    sql["part_order_hist"] = """
+        WITH d AS (
+            SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY 1
+        )
+        SELECT n_orders, count(*) AS n_parts FROM d GROUP BY 1
+    """
+    sql["dau_wau"] = """
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+            FROM events
+        ), dau AS (
+            SELECT day, count(*) AS dau FROM d GROUP BY 1
+        ), w AS (
+            SELECT DISTINCT user_id, day // 7 AS week FROM d
+        ), wau AS (
+            SELECT week, count(*) AS wau FROM w GROUP BY 1
+        )
+        SELECT day, dau.dau, day // 7 AS week, wau.wau,
+               CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+               AS stickiness
+        FROM dau JOIN wau ON day // 7 = wau.week
     """
     sql["anomaly_zscore"] = """
         WITH e AS (

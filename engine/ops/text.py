@@ -395,3 +395,35 @@ def bigram_explode(batch: pa.Table, text_col: str = "text") -> pa.Table:
     first = np.nonzero(mask)[0]
     return pa.table({"w1": flat.take(pa.array(first)),
                      "w2": flat.take(pa.array(first + 1))})
+
+
+def doc_term_freqs(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text") -> pa.Table:
+    """Per-document TERM FREQUENCIES (doc_id, word, tf) of a block —
+    each document is one input row, so block-local counting is exact
+    globally.  One dictionary-encode + one ``np.unique`` with counts
+    over a (row, code) composite int64."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "word": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64())})
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    nv = len(enc.dictionary)
+    uniq, cnt = np.unique(row * nv + codes, return_counts=True)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids[(uniq // nv)]),
+        "word": enc.dictionary.take(pa.array(uniq % nv)),
+        "tf": pa.array(cnt.astype(np.int64)),
+    })

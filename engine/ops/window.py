@@ -390,3 +390,89 @@ def markov_transitions(ds, key: str, order_cols: list[str],
     partials = hash_exchange_groups(ds.select_columns(cols), [key],
                                     part_fn, num_parts)
     return tree_fold_refs(partials, combine, width=fold_width)
+
+
+def windowed_followups(ds, key: str, ts_col: str, id_col: str,
+                       state_col: str, window: int,
+                       out_cols=("t1", "t2", "n"),
+                       num_parts: int = 64, fold_width: int = 64):
+    """WINDOWED CO-OCCURRENCE COUNTS: for every ordered pair of rows of
+    the same key with 0 < (ts_j, id_j) − (ts_i, id_i) and
+    ts_j ≤ ts_i + window, count (state_i → state_j) — the
+    "what happens within W after X" feature (generalizes
+    ``markov_transitions``' next-1 to a TIME window).
+
+    ONE hash exchange on the key; per partition the window end of every
+    row falls out of one ``searchsorted`` over the composite
+    (key_rank·span + dt) int64 (the ``time_range_sum`` trick, forward
+    direction), the pair explode is pure offset arithmetic bounded by
+    the window occupancy, and the ≤ |states|² count partials merge
+    through the raw-task tree fold.  Returns a driver-side table."""
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys([key, ts_col, id_col, state_col]))
+    w = int(window)
+
+    def _empty(g):
+        st = g.schema.field(state_col).type
+        return pa.table({out_cols[0]: pa.array([], type=st),
+                         out_cols[1]: pa.array([], type=st),
+                         out_cols[2]: pa.array([], type=pa.int64())})
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n < 2:
+            return _empty(g)
+        k = g[key].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        k, ts = k[order], ts[order]
+        states = g[state_col].take(pa.array(order))
+        if isinstance(states, pa.ChunkedArray):
+            states = states.combine_chunks()
+        enc = pc.dictionary_encode(states)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        krank = np.cumsum(new_key) - 1
+        dt = ts - ts.min()
+        span = int(dt.max()) + w + 2
+        if int(krank[-1] + 1) * span >= 2**62:  # pragma: no cover
+            raise ValueError("windowed_followups: partition too wide "
+                             "for the composite key")
+        comp = krank * span + dt
+        hi = np.searchsorted(comp, comp + w, side="right")
+        idx = np.arange(n, dtype=np.int64)
+        cnt = hi - idx - 1
+        if int(cnt.sum()) == 0:
+            return _empty(g)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        first = np.repeat(idx, cnt)
+        second = (np.arange(csum[-1], dtype=np.int64)
+                  - np.repeat(csum[:-1], cnt) + first + 1)
+        nc = int(codes.max()) + 1
+        pair = codes[first] * nc + codes[second]
+        uniq, c = np.unique(pair, return_counts=True)
+        return pa.table({
+            out_cols[0]: vocab.take(pa.array(uniq // nc)),
+            out_cols[1]: vocab.take(pa.array(uniq % nc)),
+            out_cols[2]: pa.array(c.astype(np.int64)),
+        })
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        if t.num_rows == 0:
+            return tbls[0]
+        gb = t.group_by([out_cols[0], out_cols[1]]).aggregate(
+            [(out_cols[2], "sum")])
+        return gb.rename_columns(list(out_cols))
+
+    from engine.rayds.shuffle import hash_exchange_groups, tree_fold_refs
+
+    partials = hash_exchange_groups(ds.select_columns(cols), [key],
+                                    part_fn, num_parts)
+    return tree_fold_refs(partials, combine, width=fold_width)

@@ -960,3 +960,66 @@ def test_cooccur_pairs_brute(ray_session):
         brute.extend(itertools.combinations(items, 2))
     assert got == sorted(brute)
     assert all(a < b for a, b in got)
+
+
+# ---------------------------------------------------- windowed followups
+def test_windowed_followups_brute(ray_session):
+    """Pairs within [ (ts,id) strictly after, ts ≤ ts_i + W ] vs an
+    O(n²) brute force — heavy ts ties exercise the id tie-break."""
+    import ray.data
+
+    from engine.ops.window import windowed_followups
+
+    rng = np.random.default_rng(29)
+    n = 2500
+    k = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 150, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    st = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid, "s": st})).repartition(8)
+    got = windowed_followups(ds, "k", "ts", "eid", "s", window=12)
+    gd = {(a, b): c for a, b, c in zip(got["t1"].to_pylist(),
+                                       got["t2"].to_pylist(),
+                                       got["n"].to_pylist())}
+    brute = {}
+    for i in range(n):
+        for j in range(n):
+            if (k[i] == k[j]
+                    and (ts[j], eid[j]) > (ts[i], eid[i])
+                    and ts[j] <= ts[i] + 12):
+                p = (st[i], st[j])
+                brute[p] = brute.get(p, 0) + 1
+    assert gd == brute
+
+
+def test_windowed_followups_zero_window(ray_session):
+    """window=0 → only equal-ts pairs ordered by id."""
+    import ray.data
+
+    from engine.ops.window import windowed_followups
+
+    t = pa.table({"k": [1, 1, 1, 1], "ts": [5, 5, 5, 9],
+                  "eid": [2, 0, 1, 3],
+                  "s": ["x", "y", "z", "w"]})
+    got = windowed_followups(ray.data.from_arrow(t), "k", "ts", "eid",
+                             "s", window=0)
+    gd = {(a, b): c for a, b, c in zip(got["t1"].to_pylist(),
+                                       got["t2"].to_pylist(),
+                                       got["n"].to_pylist())}
+    # id order at ts=5: y(0) → z(1) → x(2)
+    assert gd == {("y", "z"): 1, ("y", "x"): 1, ("z", "x"): 1}
+
+
+def test_doc_term_freqs_brute():
+    from collections import Counter
+
+    from engine.ops.text import doc_term_freqs
+
+    texts = ["a b a", "", "c c  c", "solo"]
+    t = doc_term_freqs(pa.table({"doc_id": [1, 2, 3, 4], "text": texts}))
+    got = sorted(zip(t["doc_id"].to_pylist(), t["word"].to_pylist(),
+                     t["tf"].to_pylist()))
+    brute = sorted((i + 1, w, c) for i, txt in enumerate(texts)
+                   for w, c in Counter(txt.split(" ")).items())
+    assert got == brute
