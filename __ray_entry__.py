@@ -2489,6 +2489,208 @@ def _q_dau_wau(sf_dir):
                            batch_size=None)
 
 
+def _q_monthly_growth(sf_dir):
+    """MONTH-OVER-MONTH REVENUE GROWTH: calendar-month revenue rollup
+    (combiner-first, months-since-epoch int key via numpy datetime64
+    truncation — mirrored by (year−1970)·12 + month−1 in SQL), then
+    lag/delta/pct on the calendar-bounded month table driver-side.
+    pct is ONE float division of exact integer cents."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate", "o_totalprice"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = us.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        cents = np.rint(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"month_idx": pa.array(month),
+                         "_c": pa.array(cents)})
+
+    proj = orders.map_batches(project, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    agg = grouped_agg(proj, ["month_idx"], [("_c", "sum")],
+                      ["revenue_c"], plan="tree")
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    m = t["month_idx"].to_numpy(zero_copy_only=False)
+    r = t["revenue_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(m)
+    m, r = m[order], r[order]
+    prev = r[:-1]
+    cur = r[1:]
+    delta = cur - prev
+    pct = delta.astype(np.float64) / prev.astype(np.float64)
+    return pa.table({
+        "month_idx": pa.array(m[1:]),
+        "revenue_c": pa.array(cur),
+        "prev_c": pa.array(prev),
+        "delta_c": pa.array(delta),
+        "pct": pa.array(pct),
+    })
+
+
+def _q_value_histogram(sf_dir):
+    """FIXED-WIDTH HISTOGRAM of events.value (20 buckets over the
+    exact global [min, max]): pass 1 = per-block minmax partials
+    (tree-folded, ≤2 doubles per block to the driver), pass 2 =
+    combiner-first bucket counts.  The bucket expression
+    ⌊(v − mn)·20/(mx − mn)⌋ clamped to 19 is evaluated in the same
+    IEEE order on both sides."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow",
+                           batch_size=None,
+                           zero_copy_batch=True).take_all()
+    mn = min(r["mn"] for r in parts)
+    mx = max(r["mx"] for r in parts)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.floor((v - mn) * 20.0 / (mx - mn)).astype(np.int64)
+        b = np.minimum(b, 19)
+        return pa.table({"bucket": pa.array(b)})
+
+    buckets = ds.map_batches(bucket, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+    return grouped_count(buckets, ["bucket"], out_col="n",
+                         use_shuffle="auto")
+
+
+def _q_first_touch(sf_dir):
+    """FIRST-TOUCH ATTRIBUTION: users bucketed by their FIRST event's
+    type ((ts, event_id) order), with the count of those who ever
+    purchased.  ONE exchange on user_id co-locates each user's events;
+    the per-partition first-of-run + any-purchase reduction is pure
+    vector work emitting ≤ |types| partial rows, folded on the
+    driver."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups, tree_fold_refs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({
+                "first_type": pa.array([], type=pa.string()),
+                "n_users": pa.array([], type=pa.int64()),
+                "n_converted": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        et = g["event_type"].take(pa.array(order))
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_buy = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(u))
+        conv = (np.add.reduceat(is_buy.astype(np.int64), starts)
+                > 0).astype(np.int64)
+        first = et.take(pa.array(starts))
+        enc = pc.dictionary_encode(first)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nt = len(enc.dictionary)
+        n_users = np.bincount(codes, minlength=nt).astype(np.int64)
+        n_conv = np.bincount(codes, weights=conv,
+                             minlength=nt).astype(np.int64)
+        return pa.table({"first_type": enc.dictionary,
+                         "n_users": pa.array(n_users),
+                         "n_converted": pa.array(n_conv)})
+
+    partials = hash_exchange_groups(proj, ["user_id"], part_fn, 64)
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        if t.num_rows == 0:
+            return tbls[0]
+        gb = t.group_by(["first_type"]).aggregate(
+            [("n_users", "sum"), ("n_converted", "sum")])
+        return gb.rename_columns(["first_type", "n_users", "n_converted"])
+
+    return tree_fold_refs(partials, combine)
+
+
+def _q_cube_counts(sf_dir):
+    """CUBE / GROUPING-SETS rollup: event counts by (event_type,
+    weekday) plus all three margins — derived entirely from the base
+    cell counts (ONE combiner-first count over the data; the cube
+    expansion touches ≤ |types|·7 rows on the driver, never the
+    events).  'ALL' sentinels instead of SQL NULLs keep the value
+    hash well-defined."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        wd = ((day + 4) % 7).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "wd": pa.array(wd)})
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    base = grouped_count(proj, ["event_type", "wd"], out_col="n",
+                         use_shuffle="auto").take_all()
+    from collections import defaultdict
+
+    cells = defaultdict(int)
+    for r in base:
+        et, wd, n = r["event_type"], str(r["wd"]), int(r["n"])
+        cells[(et, wd)] += n
+        cells[(et, "ALL")] += n
+        cells[("ALL", wd)] += n
+        cells[("ALL", "ALL")] += n
+    ks = sorted(cells)
+    return pa.table({
+        "event_type": pa.array([k[0] for k in ks], type=pa.string()),
+        "weekday": pa.array([k[1] for k in ks], type=pa.string()),
+        "n": pa.array([cells[k] for k in ks], type=pa.int64()),
+    })
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -2772,6 +2974,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "followup_pairs": _q_followup_pairs,
         "part_order_hist": _q_part_order_hist,
         "dau_wau": _q_dau_wau,
+        "monthly_growth": _q_monthly_growth,
+        "value_histogram": _q_value_histogram,
+        "first_touch": _q_first_touch,
+        "cube_counts": _q_cube_counts,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -3786,6 +3992,64 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """
+    sql["monthly_growth"] = """
+        WITH m AS (
+            SELECT (year(o_orderdate) - 1970) * 12
+                   + month(o_orderdate) - 1 AS month_idx,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c
+            FROM orders GROUP BY 1
+        ), lagged AS (
+            SELECT month_idx, revenue_c,
+                   lag(revenue_c) OVER (ORDER BY month_idx) AS prev_c
+            FROM m
+        )
+        SELECT month_idx, revenue_c, prev_c,
+               revenue_c - prev_c AS delta_c,
+               CAST(revenue_c - prev_c AS DOUBLE)
+               / CAST(prev_c AS DOUBLE) AS pct
+        FROM lagged WHERE prev_c IS NOT NULL
+    """
+    sql["value_histogram"] = """
+        WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        SELECT LEAST(CAST(floor((value - mn) * 20.0 / (mx - mn))
+                          AS BIGINT), 19) AS bucket,
+               count(*) AS n
+        FROM events, s GROUP BY 1
+    """
+    sql["first_touch"] = """
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events
+        ), r AS (
+            SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+            FROM e
+        ), f AS (
+            SELECT user_id, event_type AS first_type FROM r WHERE rn = 1
+        ), c AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS conv
+            FROM e GROUP BY 1
+        )
+        SELECT first_type, count(*) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_converted
+        FROM f JOIN c USING (user_id) GROUP BY 1
+    """
+    sql["cube_counts"] = """
+        WITH e AS (
+            SELECT event_type,
+                   CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                         + 4) % 7 AS VARCHAR) AS wd
+            FROM events
+        )
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(wd, 'ALL') AS weekday,
+               count(*) AS n
+        FROM e GROUP BY CUBE (event_type, wd)
     """
     sql["tfidf_topterms"] = """
         WITH w AS (

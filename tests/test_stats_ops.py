@@ -1023,3 +1023,88 @@ def test_doc_term_freqs_brute():
     brute = sorted((i + 1, w, c) for i, txt in enumerate(texts)
                    for w, c in Counter(txt.split(" ")).items())
     assert got == brute
+
+
+# ------------------------------------------- batch-5 query compositions
+def _mini_events(tmp_path, n=4000, seed=41):
+    """Synthetic events.parquet shaped like the testdata table."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    ts = (1_700_000_000_000_000
+          + rng.integers(0, 40 * 86_400_000_000, n))
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["view", "click", "purchase", "signup"])[
+                rng.integers(0, 4, n)]),
+        "value": pa.array(np.round(rng.uniform(0, 300, n), 2)),
+        "props": pa.array(["{}"] * n),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d), t
+
+
+def test_first_touch_brute(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    sf, t = _mini_events(tmp_path)
+    out = e.queries()["first_touch"](sf)
+    got = {r["first_type"]: (r["n_users"], r["n_converted"])
+           for r in out.to_pylist()}
+    u = t["user_id"].to_numpy()
+    ts = t["ts"].cast(pa.int64()).to_numpy()
+    eid = t["event_id"].to_numpy()
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    brute = {}
+    for uu in np.unique(u):
+        m = u == uu
+        i = np.lexsort((eid[m], ts[m]))[0]
+        ft = et[m][i]
+        conv = int((et[m] == "purchase").any())
+        nu, nc = brute.get(ft, (0, 0))
+        brute[ft] = (nu + 1, nc + conv)
+    assert got == brute
+
+
+def test_value_histogram_brute(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    sf, t = _mini_events(tmp_path)
+    out = {r["bucket"]: r["n"]
+           for r in e.queries()["value_histogram"](sf).take_all()}
+    v = t["value"].to_numpy()
+    mn, mx = float(v.min()), float(v.max())
+    b = np.minimum(np.floor((v - mn) * 20.0 / (mx - mn)), 19).astype(int)
+    brute = dict(zip(*[a.tolist() for a in np.unique(b, return_counts=True)]))
+    assert out == brute
+    assert out.get(19, 0) >= 1  # the max value lands in the last bucket
+
+
+def test_cube_counts_margins(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    sf, t = _mini_events(tmp_path, n=2000, seed=43)
+    out = e.queries()["cube_counts"](sf)
+    cells = {(a, b): c for a, b, c in zip(out["event_type"].to_pylist(),
+                                          out["weekday"].to_pylist(),
+                                          out["n"].to_pylist())}
+    n = t.num_rows
+    assert cells[("ALL", "ALL")] == n
+    # margins are consistent: each axis sums back to the total
+    assert sum(v for (a, b), v in cells.items()
+               if a != "ALL" and b == "ALL") == n
+    assert sum(v for (a, b), v in cells.items()
+               if a == "ALL" and b != "ALL") == n
+    base = {k: v for k, v in cells.items()
+            if k[0] != "ALL" and k[1] != "ALL"}
+    assert sum(base.values()) == n
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    wd = ((t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000 + 4)
+          % 7).astype(np.int64)
+    for (a, b), v in base.items():
+        assert v == int(((et == a) & (wd == int(b))).sum())
