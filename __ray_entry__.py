@@ -2691,6 +2691,90 @@ def _q_cube_counts(sf_dir):
     })
 
 
+def _q_user_running_total(sf_dir):
+    """Per-user CUMULATIVE spend (ROWS UNBOUNDED PRECEDING window) —
+    completes the frame family next to rolling_value (ROWS k) and
+    time_window (RANGE).  One exchange; per-partition lexsort + one
+    cumsum with per-run rebasing."""
+    import ray.data
+
+    from engine.ops.window import running_total
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(np.rint(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    return running_total(proj, "user_id", "ts_us", "event_id", "cents",
+                         out_col="running")
+
+
+def _q_centroid_by_label(sf_dir):
+    """PER-LABEL EMBEDDING CENTROIDS (the class-prototype op) with ZERO
+    shuffles: per-block integer micro-unit sums over the ListArray's
+    flat values buffer (one np.add.at on a label·dim composite — no
+    per-vector Python), tree-folded; mean is one float division of
+    exact integers, mirrored by the oracle's unnest."""
+    import ray.data
+
+    from engine.ops.vecagg import grouped_vector_mean
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return grouped_vector_mean(ds, "label", "embedding")
+
+
+def _q_order_gap_hist(sf_dir):
+    """INTER-ARRIVAL HISTOGRAM: distribution of day gaps between a
+    customer's consecutive orders.  One exchange on o_custkey;
+    per-partition lexsort + vectorized consecutive diff; the gap rows
+    (≤ orders) flow into a combiner-first count."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count, hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate",
+                                        "o_orderkey"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
+        return pa.table({"cust": batch["o_custkey"],
+                         "day": pa.array(day.astype(np.int64)),
+                         "okey": batch["o_orderkey"]})
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows < 2:
+            return pa.table({"gap_days": pa.array([], type=pa.int64())})
+        c = g["cust"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        k = g["okey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        c, d = c[order], d[order]
+        same = c[1:] == c[:-1]
+        return pa.table({"gap_days": pa.array((d[1:] - d[:-1])[same])})
+
+    gaps = hash_exchange_groups(proj, ["cust"], part_fn, 64)
+    return grouped_count(gaps, ["gap_days"], out_col="n",
+                         use_shuffle="auto")
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -2978,6 +3062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "first_touch": _q_first_touch,
         "cube_counts": _q_cube_counts,
+        "user_running_total": _q_user_running_total,
+        "centroid_by_label": _q_centroid_by_label,
+        "order_gap_hist": _q_order_gap_hist,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -3992,6 +4079,47 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ) - 1 AS pos
         FROM documents
+    """
+    sql["user_running_total"] = """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        FROM e
+    """
+    sql["centroid_by_label"] = """
+        WITH x AS (
+            SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
+                   CAST(round(CAST(embedding[i.i + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS mv
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(len(embedding))) AS i) i(i)
+        )
+        SELECT label, dim, CAST(sum(mv) AS BIGINT) AS s,
+               count(*) AS n,
+               CAST(sum(mv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_micro
+        FROM x GROUP BY 1, 2
+    """
+    sql["order_gap_hist"] = """
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000
+                   AS day, o_orderkey
+            FROM orders
+        ), g AS (
+            SELECT day - lag(day) OVER (
+                PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap
+            FROM o
+        )
+        SELECT gap AS gap_days, count(*) AS n
+        FROM g WHERE gap IS NOT NULL GROUP BY 1
     """
     sql["monthly_growth"] = """
         WITH m AS (

@@ -1,0 +1,89 @@
+"""Grouped aggregation over VECTOR (list<float>) columns.
+
+Training-data-pipeline operator: per-label centroids of an embedding
+column — the class-prototype / cluster-stat primitive.  Pinned by the
+DuckDB unnest oracle in ``__ray_entry__.oracle_sql``.
+
+100-TB posture: ZERO shuffles — a (label, dim) partial-sum matrix is
+tiny (|labels|·dim rows) regardless of corpus size, so per-block
+partials ride the raw-task tree fold and the means are computed once on
+the driver.  The per-block kernel works on the ListArray's FLAT values
+buffer (zero-copy) with one ``np.add.at`` over a (label_code·dim + dim_idx)
+composite — no per-row or per-vector Python.
+
+Exactness: inputs quantize to integer micro-units (round(v·10⁶), exact
+same rounding as the SQL oracle's ``round(CAST(x AS DOUBLE)·1000000)``
+since float32→float64 widening is exact), sums are exact int64
+(decimal128 past 2⁶² per block is unreachable: 10⁹ rows · 10⁶ micro ≤
+10¹⁵), and the mean is ONE float division of exact integers.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def grouped_vector_mean(ds, label_col: str, vec_col: str,
+                        fold_width: int = 64) -> pa.Table:
+    """(label, dim, s, n, mean_micro) per label and vector position."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64())})
+        import pyarrow.compute as pc
+
+        vec = batch[vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        lens = pc.list_value_length(vec).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(vec)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        mv = np.rint(flat.to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        d = int(lens.max())
+        if not (lens == d).all():
+            raise ValueError("ragged embedding column")
+        nl = len(uniq)
+        comp = (np.repeat(codes, lens) * d
+                + np.tile(np.arange(d, dtype=np.int64), len(labels)))
+        sums = np.zeros(nl * d, dtype=np.int64)
+        np.add.at(sums, comp, mv)
+        cnt = np.repeat(np.bincount(codes, minlength=nl), d) \
+            .astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), nl)),
+            "s": pa.array(sums),
+            "n": pa.array(cnt)})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        if t.num_rows == 0:
+            return tbls[0]
+        gb = t.group_by(["label", "dim"]).aggregate(
+            [("s", "sum"), ("n", "sum")])
+        return gb.rename_columns(["label", "dim", "s", "n"])
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    folded = tree_fold_refs(part, fold, width=fold_width)
+    s = folded["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = folded["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "label": folded["label"],
+        "dim": folded["dim"],
+        "s": folded["s"],
+        "n": folded["n"],
+        "mean_micro": pa.array(s.astype(np.float64)
+                               / n.astype(np.float64)),
+    })

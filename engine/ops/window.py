@@ -476,3 +476,40 @@ def windowed_followups(ds, key: str, ts_col: str, id_col: str,
     partials = hash_exchange_groups(ds.select_columns(cols), [key],
                                     part_fn, num_parts)
     return tree_fold_refs(partials, combine, width=fold_width)
+
+
+def running_total(ds, key: str, ts_col: str, id_col: str, val_col: str,
+                  out_col: str = "running", num_parts: int = 64):
+    """Per-key CUMULATIVE SUM (SQL ``SUM(val) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)``) — completes the
+    window-frame family (ROWS-k = ``rolling_sum``, RANGE-time =
+    ``time_range_sum``, unbounded = here).  One hash exchange on the
+    key; per partition a lexsort + one int64 cumsum with per-key-run
+    rebasing (subtract the run-start prefix)."""
+    cols = list(dict.fromkeys([key, ts_col, id_col, val_col]))
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({key: g[key], id_col: g[id_col],
+                             out_col: pa.array([], type=pa.int64())})
+        k = g[key].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        k, v = k[order], v[order]
+        cum = np.cumsum(v)
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.nonzero(new)[0]
+        base = np.repeat(cum[starts] - v[starts],
+                         np.diff(np.append(starts, n)))
+        return pa.table({key: pa.array(k),
+                         id_col: g[id_col].take(pa.array(order)),
+                         out_col: pa.array(cum - base)})
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)

@@ -1108,3 +1108,68 @@ def test_cube_counts_margins(ray_session, tmp_path):
           % 7).astype(np.int64)
     for (a, b), v in base.items():
         assert v == int(((et == a) & (wd == int(b))).sum())
+
+
+# ------------------------------------------------------- running total
+def test_running_total_brute(ray_session):
+    import ray.data
+
+    from engine.ops.window import running_total
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    k = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 100, n).astype(np.int64)  # heavy ties
+    eid = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-200, 200, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"k": k, "ts": ts, "eid": eid, "v": v})).repartition(9)
+    out = {r["eid"]: r["running"]
+           for r in running_total(ds, "k", "ts", "eid", "v").take_all()}
+    assert len(out) == n
+    for kk in np.unique(k):
+        m = k == kk
+        order = np.lexsort((eid[m], ts[m]))
+        run = np.cumsum(v[m][order])
+        for e, r in zip(eid[m][order], run):
+            assert out[int(e)] == int(r)
+
+
+# ------------------------------------------------- grouped vector mean
+def test_grouped_vector_mean_brute(ray_session):
+    import ray.data
+
+    from engine.ops.vecagg import grouped_vector_mean
+
+    rng = np.random.default_rng(59)
+    n, d = 2000, 8
+    lab = rng.integers(0, 5, n).astype(np.int64)
+    vec = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    t = pa.table({
+        "label": pa.array(lab),
+        "embedding": pa.array(list(vec), type=pa.list_(pa.float32()))})
+    out = grouped_vector_mean(
+        ray.data.from_arrow(t).repartition(7), "label", "embedding")
+    got = {(r["label"], r["dim"]): (r["s"], r["n"], r["mean_micro"])
+           for r in out.to_pylist()}
+    assert len(got) == 5 * d
+    mv = np.rint(vec.astype(np.float64) * 1e6).astype(np.int64)
+    for ll in range(5):
+        m = lab == ll
+        for dd in range(d):
+            s = int(mv[m, dd].sum())
+            nn = int(m.sum())
+            assert got[(ll, dd)] == (s, nn, float(np.float64(s) / nn))
+
+
+def test_grouped_vector_mean_ragged_raises(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from engine.ops.vecagg import grouped_vector_mean
+
+    t = pa.table({"label": [0, 1],
+                  "embedding": pa.array([[1.0, 2.0], [3.0]],
+                                        type=pa.list_(pa.float32()))})
+    with _pytest.raises(Exception):
+        grouped_vector_mean(ray.data.from_arrow(t), "label", "embedding")
