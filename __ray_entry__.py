@@ -2775,6 +2775,228 @@ def _q_order_gap_hist(sf_dir):
                          use_shuffle="auto")
 
 
+def _q_common_paths(sf_dir):
+    """TOP-10 CLICKSTREAM PATHS: each user's ordered event-type string
+    (the grouped_string_agg kernel), then a combiner-first count over
+    whole paths + distributed sort/limit — 'what are the most common
+    user journeys'."""
+    import ray.data
+
+    from engine.ops.window import grouped_string_agg
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    paths = grouped_string_agg(proj, "user_id", ["ts_us", "event_id"],
+                               "event_type", sep=",", out_col="path")
+    counts = grouped_count(paths.select_columns(["path"]), ["path"],
+                           out_col="n_users", use_shuffle="auto")
+    return counts.sort(["n_users", "path"],
+                       descending=[True, False]).limit(10)
+
+
+def _q_cell_density_stats(sf_dir):
+    """SPATIAL DENSITY SUMMARY: distribution stats (cells, min, max,
+    total, lower median) over the per-cell image counts.  The count
+    table is world-bounded (≤ (extent/cell)² cells no matter the data
+    volume), so the distributed count folds to a driver-side summary —
+    the 'how skewed is my spatial partitioning' diagnostic."""
+    from engine.rayds import pipeline, shuffle
+
+    enc = pipeline.encoded_dataset(sf_dir).select_columns(["cell"])
+    counts = shuffle.grouped_count(enc, ["cell"], out_col="n_images")
+    rows = counts.take_all()
+    n = np.sort(np.array([r["n_images"] for r in rows], dtype=np.int64))
+    return pa.table({
+        "n_cells": pa.array([len(n)], type=pa.int64()),
+        "min_n": pa.array([int(n[0])], type=pa.int64()),
+        "max_n": pa.array([int(n[-1])], type=pa.int64()),
+        "total": pa.array([int(n.sum())], type=pa.int64()),
+        "med_n": pa.array([int(n[(len(n) - 1) // 2])], type=pa.int64()),
+    })
+
+
+def _q_lift_pairs(sf_dir):
+    """ASSOCIATION-RULE MINING: top-20 co-purchased part pairs by LIFT
+    (n_ab·N / (n_a·n_b)) with a support floor — the market-basket
+    follow-up to raw pair counts.  Pair and item counts are
+    combiner-first; the two count attachments ride the adaptive
+    equi-join; lift is ONE double division of exact int64 products."""
+    import ray.data
+
+    from engine.ops.basket import cooccur_pairs
+    from engine.rayds.shuffle import equi_join, grouped_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    pairs = cooccur_pairs(li, "l_orderkey", "l_partkey",
+                          out_cols=("p1", "p2"))
+    ab = grouped_count(pairs, ["p1", "p2"], out_col="n_ab",
+                       use_shuffle="auto")
+
+    def support(batch: pa.Table) -> pa.Table:
+        keep = batch["n_ab"].to_numpy(zero_copy_only=False) >= 3
+        return batch.filter(pa.array(keep))
+
+    ab = ab.map_batches(support, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+    # distinct (part, order) once, reused for item counts and N
+    po = grouped_count(li, ["l_partkey", "l_orderkey"], out_col="_d",
+                       use_shuffle="auto")
+    ca = grouped_count(po.select_columns(["l_partkey"]), ["l_partkey"],
+                       out_col="n_item", use_shuffle="auto")
+    n_orders = grouped_count(
+        li.select_columns(["l_orderkey"]), ["l_orderkey"],
+        out_col="_o", use_shuffle="auto").count()
+
+    j1 = equi_join(ca, ab, "l_partkey", "p1", ["n_item"],
+                   ["p2", "n_ab"])
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [{"_k": "p1", "n_item": "n_a"}.get(c, c)
+             for c in b.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    j2 = equi_join(ca, j1, "l_partkey", "p2", ["n_item"],
+                   ["p1", "n_a", "n_ab"])
+
+    def lift(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        n_a = batch["n_a"].to_numpy(zero_copy_only=False)
+        n_b = batch["n_item"].to_numpy(zero_copy_only=False)
+        v = ((n_ab * np.int64(n_orders)).astype(np.float64)
+             / (n_a * n_b).astype(np.float64))
+        return pa.table({"p1": batch["p1"], "p2": batch["_k"],
+                         "n_ab": pa.array(n_ab.astype(np.int64)),
+                         "lift": pa.array(v)})
+
+    scored = j2.map_batches(lift, batch_format="pyarrow",
+                            batch_size=None)
+    return scored.sort(["lift", "p1", "p2"],
+                       descending=[True, False, False]).limit(20)
+
+
+def _q_region_top_customers(sf_dir):
+    """PER-REGION TOP-3 CUSTOMERS by lifetime spend: customer rollup
+    over the engine's hash exchange (custkey cardinality scales), the
+    region attaches from driver-side scale-invariant dims (nation ⋈
+    region pre-joined, 25 rows), then ONE fine-grained exchange on the
+    5 region keys for the windowed top-3 (spend DESC, custkey ASC)."""
+    import ray.data
+
+    from engine.rayds.shuffle import (dim_table, equi_join, grouped_agg,
+                                      hash_exchange_fine_groups)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "_c": pa.array(c)})
+
+    proj = orders.map_batches(cents, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    spend = grouped_agg(proj, ["o_custkey"], [("_c", "sum")],
+                        ["spend_c"], plan="shuffle")
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    j1 = equi_join(spend, cust, "o_custkey", "c_custkey",
+                   ["spend_c"], ["c_nationkey"])
+    nation = dim_table(f"{sf_dir}/nation.parquet",
+                       ["n_nationkey", "n_regionkey"])
+    region = dim_table(f"{sf_dir}/region.parquet",
+                       ["r_regionkey", "r_name"])
+    rname = {int(nk): rn for nk, rk in
+             zip(nation["n_nationkey"].to_pylist(),
+                 nation["n_regionkey"].to_pylist())
+             for rk2, rn in zip(region["r_regionkey"].to_pylist(),
+                                region["r_name"].to_pylist())
+             if rk == rk2}
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array([rname[int(v)] for v in nk],
+                               type=pa.string()),
+            "c_custkey": batch["_k"],
+            "spend_c": batch["spend_c"],
+        })
+
+    labeled = j1.map_batches(attach, batch_format="pyarrow",
+                             batch_size=None)
+
+    def top3(group: pa.Table) -> pa.Table:
+        s = group["spend_c"].to_numpy(zero_copy_only=False)
+        ck = group["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -s))[:3]
+        sel = pa.array(order)
+        rank = np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.table({
+            "r_name": group["r_name"].take(sel),
+            "c_custkey": group["c_custkey"].take(sel),
+            "spend_c": group["spend_c"].take(sel),
+            "rank": pa.array(rank),
+        })
+
+    return hash_exchange_fine_groups(labeled, ["r_name"], top3)
+
+
+def _q_brand_share(sf_dir):
+    """SHARE-OF-PARENT ratio: each brand's fraction of its part-type's
+    retail value (SQL SUM OVER (PARTITION BY) ratio).  One
+    combiner-first (type, brand) rollup — the type totals derive from
+    the rollup itself on the driver (type vocabulary is
+    catalog-bounded), so the parts stream is read ONCE and nothing
+    joins back through an exchange."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_type", "p_brand",
+                                           "p_retailprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"p_type": batch["p_type"],
+                         "p_brand": batch["p_brand"],
+                         "_c": pa.array(c)})
+
+    proj = parts.map_batches(cents, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+    agg = grouped_agg(proj, ["p_type", "p_brand"], [("_c", "sum")],
+                      ["brand_c"], plan="tree")
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    types = np.asarray(t["p_type"].to_pylist(), dtype=object)
+    bc = t["brand_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    totals = {}
+    for ty, c in zip(types, bc):
+        totals[ty] = totals.get(ty, 0) + int(c)
+    tot = np.array([totals[ty] for ty in types], dtype=np.int64)
+    share = bc.astype(np.float64) / tot.astype(np.float64)
+    return pa.table({
+        "p_type": t["p_type"], "p_brand": t["p_brand"],
+        "brand_c": t["brand_c"],
+        "type_c": pa.array(tot),
+        "share": pa.array(share),
+    })
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -3065,6 +3287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": _q_user_running_total,
         "centroid_by_label": _q_centroid_by_label,
         "order_gap_hist": _q_order_gap_hist,
+        "common_paths": _q_common_paths,
+        "cell_density_stats": _q_cell_density_stats,
+        "lift_pairs": _q_lift_pairs,
+        "region_top_customers": _q_region_top_customers,
+        "brand_share": _q_brand_share,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -4320,6 +4547,80 @@ def oracle_sql() -> dict[str, str]:
                string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)
                    AS path
         FROM events GROUP BY user_id
+    """
+    sql["common_paths"] = """
+        WITH p AS (
+            SELECT user_id,
+                   string_agg(event_type, ','
+                              ORDER BY epoch_us(ts), event_id) AS path
+            FROM events GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users FROM p
+        GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10
+    """
+    sql["cell_density_stats"] = f"""
+        WITH {_IMGS},
+        c AS (
+            SELECT CAST(floor(x / 5.0) AS BIGINT) * 1048576
+                   + CAST(floor(y / 5.0) AS BIGINT) AS cell,
+                   count(*) AS n
+            FROM imgs GROUP BY 1
+        )
+        SELECT count(*) AS n_cells, min(n) AS min_n, max(n) AS max_n,
+               CAST(sum(n) AS BIGINT) AS total,
+               quantile_disc(n, 0.5) AS med_n
+        FROM c
+    """
+    sql["region_top_customers"] = """
+        WITH s AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_c
+            FROM orders GROUP BY 1
+        ), l AS (
+            SELECT r_name, o_custkey AS c_custkey, spend_c
+            FROM s, customer, nation, region
+            WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY r_name
+                ORDER BY spend_c DESC, c_custkey) AS rank
+            FROM l
+        )
+        SELECT r_name, c_custkey, spend_c, rank FROM r WHERE rank <= 3
+    """
+    sql["brand_share"] = """
+        WITH b AS (
+            SELECT p_type, p_brand,
+                   CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS brand_c
+            FROM part GROUP BY 1, 2
+        )
+        SELECT p_type, p_brand, brand_c,
+               CAST(SUM(brand_c) OVER (PARTITION BY p_type) AS BIGINT)
+                   AS type_c,
+               CAST(brand_c AS DOUBLE)
+               / CAST(SUM(brand_c) OVER (PARTITION BY p_type) AS DOUBLE)
+                   AS share
+        FROM b
+    """
+    sql["lift_pairs"] = """
+        WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ab AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+            FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        c AS (SELECT l_partkey, count(*) AS n FROM l GROUP BY 1),
+        t AS (SELECT count(DISTINCT l_orderkey) AS nn FROM lineitem)
+        SELECT p1, p2, n_ab,
+               CAST(n_ab * nn AS DOUBLE)
+               / CAST(ca.n * cb.n AS DOUBLE) AS lift
+        FROM ab JOIN c ca ON p1 = ca.l_partkey
+                JOIN c cb ON p2 = cb.l_partkey, t
+        ORDER BY lift DESC, p1, p2 LIMIT 20
     """
     sql["triangle_count"] = """
         WITH raw AS (

@@ -1173,3 +1173,19 @@ def test_grouped_vector_mean_ragged_raises(ray_session):
                                         type=pa.list_(pa.float32()))})
     with _pytest.raises(Exception):
         grouped_vector_mean(ray.data.from_arrow(t), "label", "embedding")
+
+
+def test_cell_density_stats_consistent(ray_session):
+    """Summary row agrees with the per-cell counts it summarizes."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    cells = {r["cell"]: r["n_images"]
+             for r in e.queries()["cell_counts"](sf).take_all()}
+    s = e.queries()["cell_density_stats"](sf)
+    n = np.sort(np.array(list(cells.values()), dtype=np.int64))
+    assert s["n_cells"][0].as_py() == len(n)
+    assert s["min_n"][0].as_py() == int(n[0])
+    assert s["max_n"][0].as_py() == int(n[-1])
+    assert s["total"][0].as_py() == int(n.sum())
+    assert s["med_n"][0].as_py() == int(n[(len(n) - 1) // 2])
