@@ -2997,6 +2997,53 @@ def _q_brand_share(sf_dir):
     })
 
 
+def _q_curation_pipeline(sf_dir):
+    """END-TO-END LLM DATA-CURATION CHAIN (the flagship text-pipeline
+    composition): language filter (pred_lang = 'en', vectorized marker
+    scores) → integer quality gates (5 ≤ tokens ≤ 1000, digit-ratio
+    < 20% as the pure-int comparison 5·digits < chars) → exact dedup
+    on the vectorized md5(text) 16-hex key keeping the lowest doc_id.
+    All predicates are integer comparisons and the dedup key is
+    byte-equal with the oracle's substr(md5(text),1,16), so the kept
+    set matches hash-exactly.  One map chain + ONE hash exchange on
+    the fp key — the text itself never rides a shuffle."""
+    import pyarrow.compute as pc
+
+    from engine.ops import text
+    from engine.ops.vhash import md5_hex
+    from engine.rayds.shuffle import hash_shuffle_agg
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = text.lang_id(batch)
+        keep = pc.equal(t["pred_lang"], "en").to_numpy(
+            zero_copy_only=False)
+        txt = t["text"]
+        ntok = pc.add(pc.count_substring(txt, " "), 1).to_numpy(
+            zero_copy_only=False)
+        ndig = pc.count_substring_regex(txt, "[0-9]").to_numpy(
+            zero_copy_only=False)
+        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        keep &= (ntok >= 5) & (ntok <= 1000) & (5 * ndig < nch)
+        kept = t.filter(pa.array(keep))
+        fp = md5_hex(kept["text"], prefix=16)
+        g = pa.table({"fp": pa.array(fp, type=pa.string()),
+                      "doc_id": kept["doc_id"],
+                      "n_tokens": pa.array(
+                          ntok[keep].astype(np.int64))})
+        # duplicates share identical text, hence identical n_tokens —
+        # min() carries the kept doc's value exactly
+        agg = g.group_by(["fp"]).aggregate(
+            [("doc_id", "min"), ("n_tokens", "min")])
+        return agg.rename_columns(["fp", "_min_id", "_nt"])
+
+    part = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    return hash_shuffle_agg(part, ["fp"],
+                            [("_min_id", "min"), ("_nt", "min")],
+                            ["doc_id", "n_tokens"])
+
+
 def _q_user_event_path(sf_dir):
     """Per-key ORDERED STRING AGGREGATION: each user's full event-type
     sequence as one comma-joined string (the clickstream-path feature).
@@ -3292,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lift_pairs": _q_lift_pairs,
         "region_top_customers": _q_region_top_customers,
         "brand_share": _q_brand_share,
+        "curation_pipeline": _q_curation_pipeline,
         "user_event_path": _q_user_event_path,
         "triangle_count": _q_triangle_count,
         "phash_neardup": _q_phash_neardup,
@@ -4570,6 +4618,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n) AS BIGINT) AS total,
                quantile_disc(n, 0.5) AS med_n
         FROM c
+    """
+    sql["curation_pipeline"] = """
+        WITH m AS (
+            SELECT doc_id, text,
+              (length(text) - length(replace(text, ' the ', ''))) / 5
+            + (length(text) - length(replace(text, ' and ', ''))) / 5
+            + (length(text) - length(replace(text, ' is ', '')))  / 4 AS s_en,
+              (length(text) - length(replace(text, ' el ', '')))  / 4
+            + (length(text) - length(replace(text, ' la ', '')))  / 4
+            + (length(text) - length(replace(text, ' que ', ''))) / 5 AS s_es,
+              (length(text) - length(replace(text, ' der ', ''))) / 5
+            + (length(text) - length(replace(text, ' und ', ''))) / 5
+            + (length(text) - length(replace(text, ' die ', ''))) / 5 AS s_de,
+              (length(text) - length(replace(text, ' le ', '')))  / 4
+            + (length(text) - length(replace(text, ' et ', '')))  / 4
+            + (length(text) - length(replace(text, ' les ', ''))) / 5 AS s_fr
+            FROM documents
+        ), en AS (
+            SELECT doc_id, text,
+                   length(text) - length(replace(text, ' ', '')) + 1
+                       AS n_tokens,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS n_dig
+            FROM m
+            WHERE greatest(s_en, s_es, s_de, s_fr) > 0
+              AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        ), kept AS (
+            SELECT doc_id, n_tokens, substr(md5(text), 1, 16) AS fp
+            FROM en
+            WHERE n_tokens BETWEEN 5 AND 1000
+              AND 5 * n_dig < length(text)
+        )
+        SELECT fp, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+        FROM kept GROUP BY fp
     """
     sql["region_top_customers"] = """
         WITH s AS (
