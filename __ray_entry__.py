@@ -3224,6 +3224,346 @@ def _q_pagerank_top20(sf_dir):
     return pr.sort(["pr", "node"], descending=[True, False]).limit(20)
 
 
+def _q_q4_priority(sf_dir):
+    """TPC-H Q4-shaped CORRELATED EXISTS: count orders per priority
+    having at least one lineitem shipped after the order date.
+    EXISTS(ship > odate) ⟺ per-order max(shipdate) > odate, so the
+    lineitem stream collapses to ONE row per orderkey (combiner-first
+    grouped max, one exchange) BEFORE the join — the exists probe never
+    materializes pair rows.  The join is the adaptive equi-join on
+    orderkey (hash plan: both sides scale); the 5-row priority count is
+    a combiner-first tree fold."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg, grouped_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def ship_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "_s": batch["l_shipdate"].cast(pa.int64())})
+
+    mx = grouped_agg(
+        li.map_batches(ship_us, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["l_orderkey"], [("_s", "max")], ["max_ship_us"], plan="shuffle")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def odate(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_date_us": batch["o_orderdate"].cast(pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    orders = orders.map_batches(odate, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+    j = equi_join(orders, mx, "o_orderkey", "l_orderkey",
+                  ["o_date_us", "o_orderpriority"], ["max_ship_us"])
+
+    def exists(batch: pa.Table) -> pa.Table:
+        keep = (batch["max_ship_us"].to_numpy(zero_copy_only=False)
+                > batch["o_date_us"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(keep)).select(["o_orderpriority"])
+
+    hit = j.map_batches(exists, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    return grouped_count(hit, ["o_orderpriority"], out_col="n_orders")
+
+
+def _q_cust_order_dist(sf_dir):
+    """TPC-H Q13-shaped LEFT-OUTER DISTRIBUTION: how many customers
+    placed exactly k URGENT orders, INCLUDING the k=0 bucket.  The
+    scale plan never left-joins the full customer table: urgent orders
+    roll up to per-customer counts (one exchange on o_custkey), the
+    k-histogram is a second combiner-first count (k is bounded by a
+    customer's order volume, so the histogram is tiny), and the k=0
+    bucket is |customer| − |customers with ≥1 urgent order| — the
+    customer table contributes only its parquet-metadata row count
+    (exact because o_custkey ⊆ c_custkey by construction)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        return batch.filter(keep).select(["o_custkey"])
+
+    u = orders.map_batches(urgent, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    per_cust = grouped_count(u, ["o_custkey"], out_col="n_urgent",
+                             use_shuffle=True)
+    hist = grouped_count(per_cust.select_columns(["n_urgent"]),
+                         ["n_urgent"], out_col="n_cust")
+    t = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow")])
+    n_customers = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    with_urgent = int(pc.sum(t["n_cust"]).as_py() or 0)
+    zero = n_customers - with_urgent
+    if zero > 0:
+        t = pa.concat_tables([t, pa.table({
+            "n_urgent": pa.array([0], type=pa.int64()),
+            "n_cust": pa.array([zero], type=pa.int64())})])
+    return t
+
+
+def _q_promo_share(sf_dir):
+    """TPC-H Q14-shaped CONDITIONAL REVENUE SHARE: fraction of 1996-Q1
+    revenue coming from PROMO-type parts.  Lineitem prunes to the date
+    window and the 3 needed columns at the read; part contributes only
+    (p_partkey, is_promo) through the adaptive equi-join (broadcast
+    while the catalog fits, hash past it); the conditional/total
+    basis-point sums reduce as per-block 2-int partials through the
+    raw-task tree fold — no all-to-all anywhere.  The share is ONE
+    float division of exact int64 basis points, mirrored bit-for-bit
+    by the SQL oracle."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, tree_fold_refs
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def window_bp(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi))
+        b = batch.filter(m)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        bp = np.floor(ep * (1.0 - dc) * 10000.0).astype(np.int64)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "_bp": pa.array(bp)})
+
+    win = li.map_batches(window_bp, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"])
+
+    def promo_flag(batch: pa.Table) -> pa.Table:
+        f = pc.equal(batch["p_type"], "PROMO").cast(pa.int64())
+        return pa.table({"p_partkey": batch["p_partkey"],
+                         "_promo": f})
+
+    part = part.map_batches(promo_flag, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    j = equi_join(win, part, "l_partkey", "p_partkey",
+                  ["_bp"], ["_promo"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bp = batch["_bp"].to_numpy(zero_copy_only=False)
+        pr = batch["_promo"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_bp": pa.array([int((bp * pr).sum())], type=pa.int64()),
+            "total_bp": pa.array([int(bp.sum())], type=pa.int64()),
+        })
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls)
+        return pa.table({
+            "promo_bp": pa.array([int(pc.sum(t["promo_bp"]).as_py() or 0)],
+                                 type=pa.int64()),
+            "total_bp": pa.array([int(pc.sum(t["total_bp"]).as_py() or 0)],
+                                 type=pa.int64()),
+        })
+
+    t = tree_fold_refs(parts, combine)
+    promo = t["promo_bp"][0].as_py()
+    tot = t["total_bp"][0].as_py()
+    return t.append_column(
+        "promo_share",
+        pa.array([float(promo) / float(tot)], type=pa.float64()))
+
+
+def _q_cust_no_urgent(sf_dir):
+    """TPC-H Q22-shaped SCALAR SUBQUERY + ANTI JOIN: per nation, count
+    and total balance of customers whose balance exceeds the average
+    positive balance and who never placed an URGENT order.  The global
+    average stays EXACT-INTEGER: per-block (Σcents, n) partials tree-
+    fold to two scalars and the filter is the integer cross-multiply
+    bal·n > Σ (no float average anywhere — mirrored by the SQL oracle;
+    at 10^12 customers the product needs int128, noted here: numpy
+    int64 holds to ~9e18 = 9e12 customers × 1e6-cent balances).  The
+    have-urgent set is a distinct-custkey rollup; absence = LEFT OUTER
+    adaptive join + null filter; the nation rollup is combiner-first
+    (nation-bounded, tree fold)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import (equi_join, grouped_agg,
+                                      grouped_count, tree_fold_refs)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "c_nationkey": batch["c_nationkey"],
+                         "bal_c": pa.array(c)})
+
+    cc = cust.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bal_c"].to_numpy(zero_copy_only=False)
+        b = b[b > 0]
+        return pa.table({"_s": pa.array([int(b.sum())], type=pa.int64()),
+                         "_n": pa.array([len(b)], type=pa.int64())})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls)
+        return pa.table({
+            "_s": pa.array([int(pc.sum(t["_s"]).as_py() or 0)],
+                           type=pa.int64()),
+            "_n": pa.array([int(pc.sum(t["_n"]).as_py() or 0)],
+                           type=pa.int64())})
+
+    # scale-invariant scalar: two ints to the driver through the fold
+    s = tree_fold_refs(
+        cc.map_batches(pos_partial, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True), fold)
+    tot, n_pos = s["_s"][0].as_py(), s["_n"][0].as_py()
+
+    def rich(batch: pa.Table) -> pa.Table:
+        b = batch["bal_c"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b * n_pos > tot))
+
+    rich_ds = cc.map_batches(rich, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        return batch.filter(keep).select(["o_custkey"])
+
+    has_urgent = grouped_count(
+        orders.map_batches(urgent, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+        ["o_custkey"], out_col="_hit", use_shuffle=True)
+    j = equi_join(rich_ds, has_urgent, "c_custkey", "o_custkey",
+                  ["c_nationkey", "bal_c"], ["_hit"],
+                  join_type="left outer")
+
+    def no_hit(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch["_hit"])
+        return batch.filter(keep).select(["c_nationkey", "bal_c"])
+
+    anti = j.map_batches(no_hit, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_one", pa.array(
+            np.ones(batch.num_rows, dtype=np.int64)))
+
+    return grouped_agg(
+        anti.map_batches(one, batch_format="pyarrow", batch_size=None),
+        ["c_nationkey"], [("_one", "sum"), ("bal_c", "sum")],
+        ["n_cust", "total_bal_c"], plan="tree")
+
+
+def _q_users_both_halves(sf_dir):
+    """ROW-SET INTERSECT: user_ids active in BOTH halves of the month.
+    One combiner-first grouped min/max over a 0/1 half flag —
+    present-in-both ⟺ min=0 ∧ max=1 — so the INTERSECT costs one
+    exchange on the key and never materializes either distinct set
+    (the general plan for INTERSECT/EXCEPT over distinct keys: reduce
+    per-key presence masks, filter the mask)."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    mid = np.datetime64("2024-01-16T00:00:00", "us").astype(np.int64)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "half": pa.array((ts >= mid).astype(np.int64))})
+
+    proj = ds.map_batches(flag, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    agg = grouped_agg(proj, ["user_id"],
+                      [("half", "min"), ("half", "max")],
+                      ["h_min", "h_max"], plan="shuffle")
+
+    def both(batch: pa.Table) -> pa.Table:
+        lo = batch["h_min"].to_numpy(zero_copy_only=False)
+        hi = batch["h_max"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((lo == 0) & (hi == 1))).select(
+            ["user_id"])
+
+    return agg.map_batches(both, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+
+
+def _q_session_quantiles(sf_dir):
+    """PIPELINE COMPOSITION sessionize → exact quantiles: p50/p90 of
+    session DURATION (µs, 30-min gap).  Sessions form in one hash
+    exchange on user_id (vectorized per-partition lexsort + gap-diff,
+    emitting one int64 duration per session); the quantiles ride the
+    shared histogram-refinement waves (engine/ops/kth.py) — EXACT and
+    bit-identical to SQL quantile_cont (integer value universe, lerp in
+    DuckDB's own expression order)."""
+    import ray.data
+
+    from engine.ops.kth import quantiles_cont
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    gap_us = 1_800_000_000
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, k))
+        k, ts = k[order], ts[order]
+        n = len(k)
+        if n == 0:
+            return pa.table({"dur_us": pa.array([], type=pa.int64())})
+        new_s = np.ones(n, dtype=bool)
+        new_s[1:] = (k[1:] != k[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.nonzero(new_s)[0]
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({"dur_us": pa.array(
+            (ts[ends] - ts[starts]).astype(np.int64))})
+
+    sess = hash_exchange_groups(ds, ["user_id"], part_fn).materialize()
+    n_sessions = sess.count()
+    p50, p90 = quantiles_cont(sess, "dur_us", [0.5, 0.9])
+    return pa.table({
+        "n_sessions": pa.array([n_sessions], type=pa.int64()),
+        "p50_dur": pa.array([p50], type=pa.float64()),
+        "p90_dur": pa.array([p90], type=pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -3347,6 +3687,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rank": _q_lineitem_rank,
         "fuzzy_title_pairs": _q_fuzzy_title_pairs,
         "pagerank_top20": _q_pagerank_top20,
+        "q4_priority": _q_q4_priority,
+        "cust_order_dist": _q_cust_order_dist,
+        "promo_share": _q_promo_share,
+        "cust_no_urgent": _q_cust_no_urgent,
+        "users_both_halves": _q_users_both_halves,
+        "session_quantiles": _q_session_quantiles,
     }
 
 
@@ -4741,5 +5087,92 @@ def oracle_sql() -> dict[str, str]:
         FROM d x JOIN d y
           ON x.doc_id < y.doc_id
          AND levenshtein(x.title, y.title) <= 1
+    """
+    sql["q4_priority"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY 1
+    """
+    sql["cust_order_dist"] = """
+        WITH c AS (
+            SELECT c_custkey,
+                   count(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN 1 END) AS n_urgent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1
+        )
+        SELECT n_urgent, count(*) AS n_cust FROM c GROUP BY 1
+    """
+    sql["promo_share"] = """
+        WITH w AS (
+            SELECT CAST(floor(l_extendedprice * (1.0 - l_discount)
+                        * 10000.0) AS BIGINT) AS bp,
+                   p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        )
+        SELECT
+            CAST(SUM(CASE WHEN p_type = 'PROMO' THEN bp ELSE 0 END)
+                 AS BIGINT) AS promo_bp,
+            CAST(SUM(bp) AS BIGINT) AS total_bp,
+            CAST(SUM(CASE WHEN p_type = 'PROMO' THEN bp ELSE 0 END)
+                 AS DOUBLE) / CAST(SUM(bp) AS DOUBLE) AS promo_share
+        FROM w
+    """
+    sql["cust_no_urgent"] = """
+        WITH cc AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM customer
+        ), s AS (
+            SELECT CAST(SUM(bal_c) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cc WHERE bal_c > 0
+        )
+        SELECT c_nationkey, count(*) AS n_cust,
+               CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+        FROM cc, s
+        WHERE bal_c * n > tot
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+        GROUP BY 1
+    """
+    sql["users_both_halves"] = """
+        SELECT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-16'
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16'
+    """
+    sql["session_quantiles"] = """
+        WITH e AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events
+        ), marked AS (
+            SELECT *,
+                   CASE WHEN LAG(ts_us) OVER w IS NULL
+                             OR ts_us - LAG(ts_us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), sess AS (
+            SELECT *,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ), d AS (
+            SELECT CAST(max(ts_us) - min(ts_us) AS DOUBLE) AS dur
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT count(*) AS n_sessions,
+               quantile_cont(dur, 0.5) AS p50_dur,
+               quantile_cont(dur, 0.9) AS p90_dur
+        FROM d
     """
     return sql

@@ -1,0 +1,226 @@
+"""Brute-force parity tests for the round-3 relational driver queries
+(correlated EXISTS, left-outer distribution with zero bucket,
+conditional revenue share, scalar-subquery + anti join, row-set
+INTERSECT, sessionize→quantile composition).
+
+Each test synthesizes a tiny parquet layout with the production schema
+into tmp_path and compares the ``_q_`` function's result against a
+pandas/numpy brute force — independent of the DuckDB oracle the driver
+runs (tools/check_oracle.py covers that side)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ts(day_offsets_us):
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    return pa.array((base + np.asarray(day_offsets_us, dtype=np.int64))
+                    .view("datetime64[us]"))
+
+
+def _to_table(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return pa.concat_tables(
+            [b for b in res.iter_batches(batch_format="pyarrow")])
+    return res
+
+
+def test_users_both_halves_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_users_both_halves
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    user = rng.integers(0, 60, size=n)
+    # spread over the month; some users confined to one half by id
+    off = rng.integers(0, 30 * 86_400_000_000, size=n)
+    half_len = 15 * 86_400_000_000
+    off = np.where(user % 3 == 0, off % half_len, off)          # first only
+    off = np.where(user % 3 == 1, off % half_len + half_len, off)  # second
+    pq.write_table(pa.table({
+        "user_id": pa.array(user.astype(np.int64)),
+        "ts": _ts(off),
+    }), str(tmp_path / "events.parquet"))
+
+    got = sorted(_to_table(_q_users_both_halves(str(tmp_path)))
+                 ["user_id"].to_pylist())
+    mid = 15 * 86_400_000_000
+    first = set(user[off < mid].tolist())
+    second = set(user[off >= mid].tolist())
+    assert got == sorted(first & second)
+    assert len(got) > 0
+
+
+def test_session_quantiles_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_session_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    user = rng.integers(0, 40, size=n).astype(np.int64)
+    off = rng.integers(0, 5 * 86_400_000_000, size=n)
+    pq.write_table(pa.table({
+        "user_id": pa.array(user), "ts": _ts(off),
+    }), str(tmp_path / "events.parquet"))
+
+    t = _q_session_quantiles(str(tmp_path))
+
+    gap = 1_800_000_000
+    durs = []
+    df = pd.DataFrame({"u": user, "ts": off}).sort_values(["u", "ts"])
+    for _, g in df.groupby("u"):
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(ts)) - 1
+        durs.extend((ts[ends] - ts[starts]).tolist())
+    durs = np.sort(np.asarray(durs, dtype=np.float64))
+    assert t["n_sessions"][0].as_py() == len(durs)
+    for q, col in [(0.5, "p50_dur"), (0.9, "p90_dur")]:
+        h = (len(durs) - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        frac = h - lo
+        expect = durs[lo] * (1 - frac) + durs[hi] * frac
+        assert t[col][0].as_py() == expect  # bit-exact lerp
+
+
+def test_cust_order_dist_zero_bucket(ray_session, tmp_path):
+    from __ray_entry__ import _q_cust_order_dist
+
+    rng = np.random.default_rng(3)
+    custs = np.arange(1, 31, dtype=np.int64)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(custs),
+        "c_name": pa.array([f"c{i}" for i in custs]),
+        "c_nationkey": pa.array(np.zeros(len(custs), dtype=np.int32)),
+        "c_acctbal": pa.array(np.zeros(len(custs))),
+        "c_mktsegment": pa.array(["A"] * len(custs)),
+    }), str(tmp_path / "customer.parquet"))
+    n = 300
+    ock = rng.integers(1, 21, size=n).astype(np.int64)  # custs 21..30: zero
+    prio = np.where(rng.random(n) < 0.4, "1-URGENT", "5-LOW")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ock),
+        "o_orderpriority": pa.array(prio.astype(object)),
+    }), str(tmp_path / "orders.parquet"))
+
+    t = _to_table(_q_cust_order_dist(str(tmp_path)))
+    got = dict(zip(t["n_urgent"].to_pylist(), t["n_cust"].to_pylist()))
+
+    per = pd.Series(ock[prio == "1-URGENT"]).value_counts()
+    full = per.reindex(custs, fill_value=0)
+    expect = full.value_counts().to_dict()
+    assert got == {int(k): int(v) for k, v in expect.items()}
+    assert 0 in got  # zero bucket present by construction
+
+
+def test_cust_no_urgent_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_cust_no_urgent
+
+    rng = np.random.default_rng(5)
+    nc = 80
+    custs = np.arange(1, nc + 1, dtype=np.int64)
+    nat = rng.integers(0, 5, size=nc).astype(np.int32)
+    bal = np.round(rng.uniform(-500, 5000, size=nc), 2)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(custs),
+        "c_nationkey": pa.array(nat),
+        "c_acctbal": pa.array(bal),
+    }), str(tmp_path / "customer.parquet"))
+    n = 400
+    ock = rng.integers(1, nc + 1, size=n).astype(np.int64)
+    prio = np.where(rng.random(n) < 0.25, "1-URGENT", "3-MEDIUM")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ock),
+        "o_orderpriority": pa.array(prio.astype(object)),
+    }), str(tmp_path / "orders.parquet"))
+
+    t = _to_table(_q_cust_no_urgent(str(tmp_path)))
+    got = {r["c_nationkey"]: (r["n_cust"], r["total_bal_c"])
+           for r in t.to_pylist()}
+
+    cents = np.rint(bal * 100).astype(np.int64)
+    pos = cents[cents > 0]
+    tot, npos = pos.sum(), len(pos)
+    urgent_custs = set(ock[prio == "1-URGENT"].tolist())
+    expect = {}
+    for ck, nk, c in zip(custs, nat, cents):
+        if c * npos > tot and int(ck) not in urgent_custs:
+            a, b = expect.get(int(nk), (0, 0))
+            expect[int(nk)] = (a + 1, b + int(c))
+    assert got == expect and len(expect) > 0
+
+
+def test_q4_priority_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_q4_priority
+
+    rng = np.random.default_rng(9)
+    no = 120
+    okey = np.arange(1, no + 1, dtype=np.int64)
+    odate = rng.integers(0, 10 * 86_400_000_000, size=no)
+    prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], size=no)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okey),
+        "o_orderdate": _ts(odate),
+        "o_orderpriority": pa.array(prio.astype(object)),
+    }), str(tmp_path / "orders.parquet"))
+    nl = 500
+    lok = rng.integers(1, no + 1, size=nl).astype(np.int64)
+    lsd = rng.integers(0, 10 * 86_400_000_000, size=nl)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lok),
+        "l_shipdate": _ts(lsd),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    t = _to_table(_q_q4_priority(str(tmp_path)))
+    got = dict(zip(t["o_orderpriority"].to_pylist(),
+                   t["n_orders"].to_pylist()))
+
+    mx = pd.DataFrame({"k": lok, "s": lsd}).groupby("k")["s"].max()
+    expect = {}
+    for k, d, p in zip(okey, odate, prio):
+        if k in mx.index and mx[k] > d:
+            expect[p] = expect.get(p, 0) + 1
+    assert got == expect
+
+
+def test_promo_share_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_promo_share
+
+    rng = np.random.default_rng(13)
+    npart = 40
+    pkey = np.arange(1, npart + 1, dtype=np.int64)
+    ptype = np.where(rng.random(npart) < 0.3, "PROMO", "STANDARD")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(pkey),
+        "p_type": pa.array(ptype.astype(object)),
+    }), str(tmp_path / "part.parquet"))
+    n = 600
+    lpk = rng.integers(1, npart + 1, size=n).astype(np.int64)
+    ep = np.round(rng.uniform(100, 5000, size=n), 2)
+    dc = np.round(rng.uniform(0, 0.1, size=n), 2)
+    base = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    # half in the window, half after it
+    sd = base + rng.integers(0, 180 * 86_400_000_000, size=n)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(lpk),
+        "l_extendedprice": pa.array(ep),
+        "l_discount": pa.array(dc),
+        "l_shipdate": pa.array(sd.view("datetime64[us]")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    t = _q_promo_share(str(tmp_path))
+
+    hi = np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64)
+    in_win = sd < hi
+    bp = np.floor(ep * (1.0 - dc) * 10000.0).astype(np.int64)
+    promo = {int(k) for k, ty in zip(pkey, ptype) if ty == "PROMO"}
+    is_promo = np.array([int(k) in promo for k in lpk])
+    promo_bp = int(bp[in_win & is_promo].sum())
+    total_bp = int(bp[in_win].sum())
+    assert t["promo_bp"][0].as_py() == promo_bp
+    assert t["total_bp"][0].as_py() == total_bp
+    assert t["promo_share"][0].as_py() == float(promo_bp) / float(total_bp)
