@@ -3564,6 +3564,172 @@ def _q_session_quantiles(sf_dir):
     })
 
 
+def _q_bfs_hops4(sf_dir):
+    """FIXED-DEPTH DISTRIBUTED BFS (min hop count ≤ 4 from node 0) over
+    the events-derived undirected graph — the Spark-style K-chained
+    frontier plan: each round joins ONLY the newest frontier against
+    the edge table through the adaptive equi-join, unions into the
+    label set and re-minimizes (combiner-first grouped min, one
+    exchange on node).  Frontier volume is bounded by reachable-set
+    growth, edges stream per round, nothing lands on the driver.  For
+    unbounded-depth traversal the CC/PageRank BSP task rounds
+    (engine/ops/graph.py) are the scale path; fixed K keeps this one
+    SQL-expressible (K chained DISTINCT joins in the oracle)."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg, grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        x = eid % np.int64(499)
+        y = (eid // np.int64(499) + eid % np.int64(491)) % np.int64(499)
+        m = x != y
+        x, y = x[m], y[m]
+        return pa.table({
+            "a": pa.array(np.concatenate([x, y])),
+            "b": pa.array(np.concatenate([y, x])),
+        })
+
+    e = grouped_count(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["a", "b"], out_col="_d", use_shuffle=True,
+    ).select_columns(["a", "b"]).materialize()
+
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array([0], type=pa.int64()),
+        "hops": pa.array([0], type=pa.int64())}))
+    frontier = labels
+    for k in range(1, 5):
+        nxt = equi_join(frontier, e, "node", "a", [], ["b"])
+        reached = nxt.map_batches(
+            lambda t, k=k: pa.table({
+                "node": t["b"],
+                "hops": pa.array(np.full(t.num_rows, k, dtype=np.int64)),
+            }),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        labels = grouped_agg(labels.union(reached), ["node"],
+                             [("hops", "min")], ["hops"],
+                             plan="shuffle").materialize()
+        frontier = labels.filter(
+            lambda r, k=k: r["hops"] == k).materialize()
+        if frontier.count() == 0:  # exhausted before depth K
+            break
+    return labels
+
+
+def _q_user_active_time(sf_dir):
+    """INTERVAL UNION LENGTH per key (total 'active time'): each event
+    opens a fixed 15-minute presence interval; overlapping intervals
+    merge and the merged lengths sum per user.  Fixed-length intervals
+    sorted by start have nondecreasing ends, so the merge break is the
+    single vectorized compare s[i] > s[i−1]+L — ONE hash exchange on
+    user_id, per-partition lexsort + reduceat, no segmented cummax
+    needed (the variable-length form would composite-shift a run-local
+    cummax).  Mirrored by the SQL lag/island oracle."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    L = 900_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        u = g["user_id"].to_numpy()
+        s = g["ts"].cast(pa.int64()).to_numpy()
+        order = np.lexsort((s, u))
+        u, s = u[order], s[order]
+        n = len(u)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "active_us": pa.array([], type=pa.int64())})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (s[1:] > s[:-1] + L)
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], n) - 1
+        mlen = (s[ends] + L) - s[starts]
+        mu = u[starts]
+        ustart = np.ones(len(mu), dtype=bool)
+        ustart[1:] = mu[1:] != mu[:-1]
+        uidx = np.nonzero(ustart)[0]
+        return pa.table({
+            "user_id": pa.array(mu[uidx]),
+            "active_us": pa.array(
+                np.add.reduceat(mlen, uidx).astype(np.int64)),
+        })
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
+def _q_click_nobuy_days(sf_dir):
+    """ROW-SET EXCEPT over a composite key: (user, day) pairs with ≥1
+    click but NO purchase that day — the complement family to
+    users_both_halves' INTERSECT, same one-exchange plan: reduce per-key
+    presence flags (max of a 0/1 per event class), filter the mask.
+    Neither distinct side ever materializes."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        b = batch.filter(keep)
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        is_buy = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(day.astype(np.int64)),
+            "c": pa.array(1 - is_buy),
+            "p": pa.array(is_buy),
+        })
+
+    proj = ds.map_batches(flags, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    agg = grouped_agg(proj, ["user_id", "day"],
+                      [("c", "max"), ("p", "max")], ["has_c", "has_p"],
+                      plan="shuffle")
+
+    def except_fn(batch: pa.Table) -> pa.Table:
+        c = batch["has_c"].to_numpy(zero_copy_only=False)
+        p = batch["has_p"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((c == 1) & (p == 0))).select(
+            ["user_id", "day"])
+
+    return agg.map_batches(except_fn, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+
+
+def _q_distinct_users_hll(sf_dir):
+    """APPROXIMATE COUNT DISTINCT (HyperLogLog, p=14): per-block 16 KiB
+    register partials merge by elementwise max through the tree fold —
+    ZERO exchanges, constant driver traffic; the scale path when exact
+    distinct (distinct_users ★) is too wide.  Hash-derived ⇒ no SQL
+    oracle; the ±2% bound vs the exact count is pinned by pytest and
+    asserted here."""
+    import ray.data
+
+    from engine.ops.sketch import hll_distinct
+    from engine.rayds.shuffle import tree_fold_refs  # noqa: F401 (doc)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    est = hll_distinct(ds, "user_id")
+    return pa.table({"n_users_hll": pa.array([est], type=pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -3693,6 +3859,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_no_urgent": _q_cust_no_urgent,
         "users_both_halves": _q_users_both_halves,
         "session_quantiles": _q_session_quantiles,
+        "bfs_hops4": _q_bfs_hops4,
+        "user_active_time": _q_user_active_time,
+        "click_nobuy_days": _q_click_nobuy_days,
+        "distinct_users_hll": _q_distinct_users_hll,
     }
 
 
@@ -5149,6 +5319,66 @@ def oracle_sql() -> dict[str, str]:
         INTERSECT
         SELECT user_id FROM events
         WHERE ts >= TIMESTAMP '2024-01-16'
+    """
+    sql["bfs_hops4"] = """
+        WITH raw AS (
+            SELECT event_id % 499 AS x,
+                   (event_id // 499 + event_id % 491) % 499 AS y
+            FROM events
+        ), e0 AS (
+            SELECT DISTINCT x, y FROM raw WHERE x <> y
+        ), ud AS (
+            SELECT x AS a, y AS b FROM e0
+            UNION
+            SELECT y AS a, x AS b FROM e0
+        ), h0 AS (SELECT CAST(0 AS BIGINT) AS node),
+        h1 AS (SELECT DISTINCT ud.b AS node FROM ud, h0
+               WHERE ud.a = h0.node),
+        h2 AS (SELECT DISTINCT ud.b AS node FROM ud, h1
+               WHERE ud.a = h1.node),
+        h3 AS (SELECT DISTINCT ud.b AS node FROM ud, h2
+               WHERE ud.a = h2.node),
+        h4 AS (SELECT DISTINCT ud.b AS node FROM ud, h3
+               WHERE ud.a = h3.node),
+        lab AS (
+            SELECT node, 0 AS hops FROM h0
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
+            UNION ALL SELECT node, 3 FROM h3
+            UNION ALL SELECT node, 4 FROM h4
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM lab GROUP BY 1
+    """
+    sql["user_active_time"] = """
+        WITH iv AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s FROM events
+        ), m AS (
+            SELECT user_id, s,
+                   CASE WHEN lag(s) OVER w IS NULL
+                             OR s > lag(s) OVER w + 900000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s)
+        ), g AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+            FROM m
+        ), mg AS (
+            SELECT user_id, grp,
+                   max(s) + 900000000 - min(s) AS len
+            FROM g GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_us
+        FROM mg GROUP BY 1
+    """
+    sql["click_nobuy_days"] = """
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events WHERE event_type = 'purchase'
     """
     sql["session_quantiles"] = """
         WITH e AS (

@@ -745,10 +745,20 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
         st = small.select([small_on] + small_cols).rename_columns(
             ["_k"] + small_cols)
     else:
-        st = pa.concat_tables(
+        batches = list(
             small.select_columns([small_on] + small_cols)
-            .iter_batches(batch_format="pyarrow")
-        ).rename_columns(["_k"] + small_cols)
+            .iter_batches(batch_format="pyarrow"))
+        if batches:
+            st = pa.concat_tables(batches).rename_columns(
+                ["_k"] + small_cols)
+        else:
+            # an EMPTY small side is legitimate (e.g. an exhausted BFS
+            # frontier) — build a typed empty from the dataset schema so
+            # the per-batch hash join still type-checks
+            sch = small.schema(fetch_if_missing=True)
+            st = (sch.base_schema.empty_table()
+                  .select([small_on] + small_cols)
+                  .rename_columns(["_k"] + small_cols))
     ref = ray.put(st.combine_chunks())
     order = list(col_order) if col_order is not None else (
         ["_k"] + list(small_cols) + list(large_cols)

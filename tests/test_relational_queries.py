@@ -224,3 +224,128 @@ def test_promo_share_brute(ray_session, tmp_path):
     assert t["promo_bp"][0].as_py() == promo_bp
     assert t["total_bp"][0].as_py() == total_bp
     assert t["promo_share"][0].as_py() == float(promo_bp) / float(total_bp)
+
+
+def test_bfs_hops4_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_bfs_hops4
+
+    rng = np.random.default_rng(17)
+    eid = rng.integers(0, 200_000, size=2500).astype(np.int64)
+    pq.write_table(pa.table({"event_id": pa.array(eid)}),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_bfs_hops4(str(tmp_path)))
+    got = dict(zip(t["node"].to_pylist(), t["hops"].to_pylist()))
+
+    x = eid % 499
+    y = (eid // 499 + eid % 491) % 499
+    adj = {}
+    for a, b in zip(x, y):
+        if a != b:
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+    hops, frontier = {0: 0}, {0}
+    for k in range(1, 5):
+        frontier = {n for f in frontier for n in adj.get(f, ())
+                    if n not in hops}
+        for n in frontier:
+            hops[n] = k
+        if not frontier:
+            break
+    assert got == hops and len(got) > 1
+
+
+def test_bfs_early_exhaustion(ray_session, tmp_path):
+    """A 2-hop path graph exhausts the frontier before depth 4 — the
+    empty-frontier break and the typed-empty broadcast side must hold."""
+    from __ray_entry__ import _q_bfs_hops4
+
+    # edges 0-1 and 1-2 only: event_id=499*b+a gives a % 499 = a,
+    # (eid//499 + eid%491) % 499 edge derivation — craft via search
+    eids = []
+    want = [(0, 1), (1, 2)]
+    e = 0
+    while want and e < 5_000_000:
+        a = e % 499
+        b = (e // 499 + e % 491) % 499
+        if (a, b) in want or (b, a) in want:
+            pair = (a, b) if (a, b) in want else (b, a)
+            want.remove(pair)
+            eids.append(e)
+        e += 1
+    assert not want, "could not synthesize path edges"
+    pq.write_table(pa.table({"event_id": pa.array(
+        np.asarray(eids, dtype=np.int64))}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_bfs_hops4(str(tmp_path)))
+    got = dict(zip(t["node"].to_pylist(), t["hops"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_user_active_time_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_user_active_time
+
+    rng = np.random.default_rng(19)
+    n = 2500
+    user = rng.integers(0, 25, size=n).astype(np.int64)
+    off = rng.integers(0, 2 * 86_400_000_000, size=n)
+    pq.write_table(pa.table({
+        "user_id": pa.array(user), "ts": _ts(off),
+    }), str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_user_active_time(str(tmp_path)))
+    got = dict(zip(t["user_id"].to_pylist(), t["active_us"].to_pylist()))
+
+    L = 900_000_000
+    expect = {}
+    df = pd.DataFrame({"u": user, "s": off}).sort_values(["u", "s"])
+    for u, g in df.groupby("u"):
+        s = g["s"].to_numpy()
+        total, cs, ce = 0, s[0], s[0] + L
+        for v in s[1:]:
+            if v > ce:
+                total += ce - cs
+                cs, ce = v, v + L
+            else:
+                ce = v + L
+        total += ce - cs
+        expect[int(u)] = int(total)
+    assert got == expect
+
+
+def test_click_nobuy_days_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_click_nobuy_days
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    user = rng.integers(0, 30, size=n).astype(np.int64)
+    off = rng.integers(0, 20 * 86_400_000_000, size=n)
+    et = rng.choice(["click", "purchase", "view"], size=n)
+    pq.write_table(pa.table({
+        "user_id": pa.array(user), "ts": _ts(off),
+        "event_type": pa.array(et.astype(object)),
+    }), str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_click_nobuy_days(str(tmp_path)))
+    got = set(zip(t["user_id"].to_pylist(), t["day"].to_pylist()))
+
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    day = (base + off) // 86_400_000_000
+    clicks = {(int(u), int(d)) for u, d, e in zip(user, day, et)
+              if e == "click"}
+    buys = {(int(u), int(d)) for u, d, e in zip(user, day, et)
+            if e == "purchase"}
+    assert got == clicks - buys and len(got) > 0
+
+
+def test_distinct_users_hll_tolerance(ray_session, tmp_path):
+    from __ray_entry__ import _q_distinct_users_hll
+
+    rng = np.random.default_rng(29)
+    user = rng.integers(0, 5000, size=40_000).astype(np.int64)
+    pq.write_table(pa.table({"user_id": pa.array(user)}),
+                   str(tmp_path / "events.parquet"))
+    est = _q_distinct_users_hll(str(tmp_path))["n_users_hll"][0].as_py()
+    exact = len(np.unique(user))
+    assert abs(est - exact) / exact < 0.05
