@@ -3611,9 +3611,14 @@ def _q_bfs_hops4(sf_dir):
                 "hops": pa.array(np.full(t.num_rows, k, dtype=np.int64)),
             }),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        # adaptive min-merge: while the label set is small the tree
+        # fold skips the 64-part exchange's fixed cost; past the budget
+        # the hash shuffle is the scale plan (node cardinality grows
+        # with the graph).  labels is materialized ⇒ count() is free.
+        plan = "tree" if labels.count() < 100_000 else "shuffle"
         labels = grouped_agg(labels.union(reached), ["node"],
                              [("hops", "min")], ["hops"],
-                             plan="shuffle").materialize()
+                             plan=plan).materialize()
         frontier = labels.filter(
             lambda r, k=k: r["hops"] == k).materialize()
         if frontier.count() == 0:  # exhausted before depth K
@@ -3728,6 +3733,182 @@ def _q_distinct_users_hll(sf_dir):
                                columns=["user_id"])
     est = hll_distinct(ds, "user_id")
     return pa.table({"n_users_hll": pa.array([est], type=pa.float64())})
+
+
+def _q_calendar_fill(sf_dir):
+    """TIME-SERIES GAP FILL: dense daily counts of high-value events
+    (value > 300) INCLUDING zero days, over the calendar spanned by the
+    whole stream.  The calendar bounds come from per-block (min, max)
+    day partials (2 ints through the tree fold); the spine is
+    calendar-bounded — days, not data — so it generates driver-side at
+    any input volume; sparse counts are combiner-first and join the
+    spine in one vectorized map.  The standard dense-feature op (LEFT
+    JOIN generate_series in SQL)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count, tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        if len(day) == 0:
+            return pa.table({"_lo": pa.array([], type=pa.int64()),
+                             "_hi": pa.array([], type=pa.int64())})
+        return pa.table({"_lo": pa.array([int(day.min())], type=pa.int64()),
+                         "_hi": pa.array([int(day.max())], type=pa.int64())})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls)
+        return pa.table({
+            "_lo": pa.array([pc.min(t["_lo"]).as_py()], type=pa.int64()),
+            "_hi": pa.array([pc.max(t["_hi"]).as_py()], type=pa.int64())})
+
+    b = tree_fold_refs(
+        ds.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True), fold)
+    lo, hi = b["_lo"][0].as_py(), b["_hi"][0].as_py()
+
+    def rare_day(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["value"], 300.0)
+        f = batch.filter(keep)
+        day = (f["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({"day": pa.array(day.astype(np.int64))})
+
+    counts = grouped_count(
+        ds.map_batches(rare_day, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True), ["day"], out_col="n")
+    t = pa.concat_tables(
+        [bb for bb in counts.iter_batches(batch_format="pyarrow")])
+    spine = np.arange(lo, hi + 1, dtype=np.int64)
+    dense = np.zeros(len(spine), dtype=np.int64)
+    if t.num_rows:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        dense[d - lo] = n
+    return pa.table({"day": pa.array(spine),
+                     "n_events": pa.array(dense)})
+
+
+def _q_locf_value(sf_dir):
+    """LAST-OBSERVATION-CARRIED-FORWARD imputation per key (the
+    canonical time-series data-prep op): error events' values are
+    treated as missing and filled from the user's most recent non-error
+    value (−1 when none yet).  ONE hash exchange on user_id;
+    per-partition everything is vectorized — lexsort by (user, ts,
+    event_id), np.maximum.accumulate over valid source positions, a
+    run-start compare gates carries from crossing key boundaries.
+    Mirrored by the SQL last_value(... IGNORE NULLS) window oracle."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy(zero_copy_only=False)
+        valid = (pc.not_equal(g["event_type"], "error")
+                 .to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, u))
+        u, eid, val, valid = u[order], eid[order], val[order], valid[order]
+        n = len(u)
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "filled_value": pa.array([], type=pa.float64())})
+        pos = np.arange(n, dtype=np.int64)
+        src = np.where(valid, pos, np.int64(-1))
+        carry = np.maximum.accumulate(src)
+        run_start = np.zeros(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = u[1:] != u[:-1]
+        start_pos = pos[run_start][np.cumsum(run_start) - 1]
+        ok = carry >= start_pos
+        filled = np.where(ok, val[np.maximum(carry, 0)], -1.0)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(u),
+            "filled_value": pa.array(filled.astype(np.float64))})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
+def _q_csv_roundtrip(sf_dir):
+    """CSV SOURCE/SINK roundtrip: an integer projection of lineitem
+    writes to CSV (Ray's native partitioned write_csv) and reads back
+    through read_csv into the usual combiner-first rollup — the oracle
+    aggregates the original table, so the check is lossless-roundtrip +
+    aggregation.  Integer columns keep the text roundtrip exact (float
+    formatting never enters).  Output layout under /tmp is per-run
+    scratch (at scale: one file per block = the resumable layout)."""
+    import shutil
+
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    out = f"/tmp/graft_csv_roundtrip_{abs(hash(sf_dir)) % (1 << 32)}"
+    shutil.rmtree(out, ignore_errors=True)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"])
+
+    def ints(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qty": pa.array(q)})
+
+    li.map_batches(ints, batch_format="pyarrow", batch_size=None,
+                   zero_copy_batch=True).write_csv(out)
+    back = ray.data.read_csv(out)
+    return grouped_agg(back, ["l_returnflag"], [("qty", "sum")],
+                       ["sum_qty"], plan="tree")
+
+
+def _q_train_val_split(sf_dir):
+    """DETERMINISTIC TRAIN/VAL/TEST SPLIT (the canonical ML-data op):
+    each document lands in a split by its md5(doc_id) first byte —
+    hex < 'cc' → train (204/256), < 'e6' → val (26/256), else test —
+    reproducible on any cluster size or partitioning (pure function of
+    the key, the same property as mix_sources).  Vectorized MD5 over
+    the Arrow buffer; per-split row and char counts are combiner-first
+    partials through the tree fold (3 output rows)."""
+    import pyarrow.compute as pc
+
+    from engine.ops.vhash import md5_hex
+    from engine.rayds.shuffle import grouped_agg
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        h2 = md5_hex(ids, prefix=2)
+        h = np.asarray(h2, dtype=object)
+        split = np.where(h < "cc", "train",
+                         np.where(h < "e6", "val", "test"))
+        return pa.table({
+            "split": pa.array(split.astype(object), type=pa.string()),
+            "n_chars": batch["n_chars"],
+            "_one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    proj = docs.map_batches(split, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    return grouped_agg(proj, ["split"],
+                       [("_one", "sum"), ("n_chars", "sum")],
+                       ["n_docs", "total_chars"], plan="tree")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3863,6 +4044,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": _q_user_active_time,
         "click_nobuy_days": _q_click_nobuy_days,
         "distinct_users_hll": _q_distinct_users_hll,
+        "calendar_fill": _q_calendar_fill,
+        "locf_value": _q_locf_value,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "train_val_split": _q_train_val_split,
     }
 
 
@@ -5379,6 +5564,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
         FROM events WHERE event_type = 'purchase'
+    """
+    sql["calendar_fill"] = """
+        WITH b AS (
+            SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS lo,
+                   CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi)) AS day FROM b
+        ), c AS (
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   count(*) AS n
+            FROM events WHERE value > 300.0 GROUP BY 1
+        )
+        SELECT spine.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM spine LEFT JOIN c USING (day)
+    """
+    sql["locf_value"] = """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE value END AS v
+            FROM events
+        )
+        SELECT event_id, user_id,
+               COALESCE(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   -1.0) AS filled_value
+        FROM e
+    """
+    sql["csv_roundtrip"] = """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+        FROM lineitem GROUP BY 1
+    """
+    sql["train_val_split"] = """
+        WITH s AS (
+            SELECT CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   n_chars
+            FROM documents
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY 1
     """
     sql["session_quantiles"] = """
         WITH e AS (

@@ -349,3 +349,118 @@ def test_distinct_users_hll_tolerance(ray_session, tmp_path):
     est = _q_distinct_users_hll(str(tmp_path))["n_users_hll"][0].as_py()
     exact = len(np.unique(user))
     assert abs(est - exact) / exact < 0.05
+
+
+def test_calendar_fill_zero_days(ray_session, tmp_path):
+    from __ray_entry__ import _q_calendar_fill
+
+    rng = np.random.default_rng(31)
+    n = 800
+    off = rng.integers(0, 12 * 86_400_000_000, size=n)
+    val = rng.uniform(0, 100, size=n)
+    # plant exactly three rare events on days 2 and 9
+    off[:3] = [2 * 86_400_000_000 + 5, 2 * 86_400_000_000 + 9,
+               9 * 86_400_000_000 + 1]
+    val[:3] = 500.0
+    pq.write_table(pa.table({
+        "ts": _ts(off), "value": pa.array(val),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+    }), str(tmp_path / "events.parquet"))
+
+    t = _q_calendar_fill(str(tmp_path))
+    base_day = (np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+                // 86_400_000_000)
+    days = t["day"].to_numpy()
+    counts = dict(zip((days - base_day).tolist(),
+                      t["n_events"].to_pylist()))
+    lo = int(off.min() // 86_400_000_000)
+    hi = int(off.max() // 86_400_000_000)
+    assert sorted(counts) == list(range(lo, hi + 1))  # dense spine
+    assert counts[2] == 2 and counts[9] == 1
+    assert sum(counts.values()) == 3  # every other day zero-filled
+
+
+def test_locf_value_run_boundaries(ray_session, tmp_path):
+    """The carry must NOT cross user boundaries: a user whose first
+    events are all 'error' stays at -1 even when the lexsort places a
+    valid row of ANOTHER user immediately before."""
+    from __ray_entry__ import _q_locf_value
+
+    rng = np.random.default_rng(37)
+    n = 2000
+    user = rng.integers(0, 20, size=n).astype(np.int64)
+    off = rng.integers(0, 86_400_000_000, size=n)
+    et = rng.choice(["error", "click"], size=n, p=[0.4, 0.6])
+    # user 19: errors only → every filled_value must be -1
+    et = np.where(user == 19, "error", et)
+    val = np.round(rng.uniform(0, 10, size=n), 3)
+    eid = np.arange(n, dtype=np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid), "user_id": pa.array(user),
+        "ts": _ts(off), "event_type": pa.array(et.astype(object)),
+        "value": pa.array(val),
+    }), str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_locf_value(str(tmp_path)))
+    got = dict(zip(t["event_id"].to_pylist(),
+                   t["filled_value"].to_pylist()))
+
+    df = pd.DataFrame({"e": eid, "u": user, "ts": off, "et": et,
+                       "v": val}).sort_values(["u", "ts", "e"])
+    expect = {}
+    for _, g in df.groupby("u"):
+        last = -1.0
+        for _, r in g.iterrows():
+            if r["et"] != "error":
+                last = r["v"]
+            expect[int(r["e"])] = last
+    assert got == expect
+    assert all(got[int(e)] == -1.0 for e in eid[user == 19])
+
+
+def test_train_val_split_deterministic(ray_session, tmp_path):
+    from __ray_entry__ import _q_train_val_split
+    import hashlib
+
+    ids = np.arange(1, 4001, dtype=np.int64)
+    nch = np.full(len(ids), 7, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(["x"] * len(ids)),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["s"] * len(ids)),
+        "n_chars": pa.array(nch),
+    }), str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_train_val_split(str(tmp_path)))
+    got = {r["split"]: (r["n_docs"], r["total_chars"])
+           for r in t.to_pylist()}
+
+    expect = {}
+    for i in ids:
+        h = hashlib.md5(str(int(i)).encode()).hexdigest()[:2]
+        s = "train" if h < "cc" else ("val" if h < "e6" else "test")
+        a, b = expect.get(s, (0, 0))
+        expect[s] = (a + 1, b + 7)
+    assert got == expect
+    # rough ratios hold (204/26/26 out of 256)
+    assert abs(got["train"][0] / len(ids) - 204 / 256) < 0.03
+
+
+def test_csv_roundtrip_exact(ray_session, tmp_path):
+    from __ray_entry__ import _q_csv_roundtrip
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    flag = rng.choice(["A", "N", "R"], size=n)
+    qty = rng.uniform(0.4, 50.6, size=n)
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flag.astype(object)),
+        "l_quantity": pa.array(qty),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    t = _to_table(_q_csv_roundtrip(str(tmp_path)))
+    got = dict(zip(t["l_returnflag"].to_pylist(),
+                   t["sum_qty"].to_pylist()))
+    q = np.rint(qty).astype(np.int64)
+    expect = {f: int(q[flag == f].sum()) for f in ["A", "N", "R"]}
+    assert got == expect
