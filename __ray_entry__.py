@@ -3911,6 +3911,119 @@ def _q_train_val_split(sf_dir):
                        ["n_docs", "total_chars"], plan="tree")
 
 
+def _q_open_orders_daily(sf_dir):
+    """SWEEP-LINE INTERVAL COUNTING: how many orders are 'open' each
+    calendar day, treating an order as open for 30 days from its order
+    date.  The classic difference-array plan: each order contributes
+    (+1 at start_day, −1 at end_day+1) — TWO narrow delta rows per
+    order, combiner-first summed per day (one tiny exchange-free tree
+    fold: the delta table is calendar-bounded, ≤ 2·days distinct
+    rows) — then one driver-side prefix sum over the calendar spine.
+    Never materializes the order×day pairs the naive BETWEEN join
+    makes (30× the order count)."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate"])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        day = (batch["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "day": pa.array(np.concatenate([day, day + 30]).astype(
+                np.int64)),
+            "d": pa.array(np.concatenate([
+                np.ones(len(day), dtype=np.int64),
+                np.full(len(day), -1, dtype=np.int64)])),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(deltas, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["day"], [("d", "sum")], ["delta"], plan="tree")
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    d = t["day"].to_numpy(zero_copy_only=False)
+    v = t["delta"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")
+    d, v = d[order], v[order]
+    lo, hi = int(d[0]), int(d[-1])
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(dense, d - lo, v)
+    run = np.cumsum(dense)
+    # the final spine day (hi) is the day after the last close: count 0
+    return pa.table({"day": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                     "n_open": pa.array(run[:hi - lo])})
+
+
+def _q_feature_hash_counts(sf_dir):
+    """FEATURE HASHING (the hashing-trick featurizer): every token of
+    every document maps to one of 256 buckets by its md5 first byte;
+    per-bucket occurrence counts are the feature vector.  The split
+    rides the Arrow ListArray (offset arithmetic), the hash is the
+    vectorized MD5 over the flat token buffer, counts are
+    combiner-first into a 256-row tree fold — zero all-to-alls at any
+    corpus size (bucket space is fixed by construction)."""
+    import pyarrow.compute as pc
+
+    from engine.ops.vhash import md5_hex
+    from engine.rayds.shuffle import grouped_agg
+
+    docs = _docs(sf_dir).select_columns(["text"])
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.string()),
+                             "_one": pa.array([], type=pa.int64())})
+        h2 = md5_hex(flat, prefix=2)
+        return pa.table({
+            "bucket": pa.array(h2, type=pa.string()),
+            "_one": pa.array(np.ones(len(flat), dtype=np.int64))})
+
+    proj = docs.map_batches(buckets, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    return grouped_agg(proj, ["bucket"], [("_one", "sum")], ["n_tokens"],
+                       plan="tree")
+
+
+def _q_ann_range(sf_dir):
+    """COSINE RANGE SEARCH (the threshold variant of ANN top-k): all
+    (query, vector) pairs with round(cos, 6) ≥ 0.3 for a broadcast
+    8-query matrix.  Pure streaming map — each batch computes one
+    matmul against the broadcast unit queries and emits its qualifying
+    pairs; no exchange, no state.  Same round-6 boundary contract the
+    exact embed joins use (proven hash-exact vs DuckDB
+    list_cosine_similarity in embed_dedup)."""
+    from engine.ops.dedup import _emb_matrix
+
+    q, qids = _load_query_vecs(sf_dir, 8)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qunit = (q / qn[:, None]).T  # dim × nq
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        emb = _emb_matrix(batch["embedding"])
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms[:, None]) @ qunit  # rows × nq
+        vi, qi = np.nonzero(np.round(sims, 6) >= 0.3)
+        vid, qid = ids[vi], qids[qi]
+        keep = vid != qid
+        return pa.table({"qid": pa.array(qid[keep]),
+                         "vec_id": pa.array(vid[keep])})
+
+    return _embeddings(sf_dir).map_batches(
+        scan, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -4048,6 +4161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_value": _q_locf_value,
         "csv_roundtrip": _q_csv_roundtrip,
         "train_val_split": _q_train_val_split,
+        "open_orders_daily": _q_open_orders_daily,
+        "feature_hash_counts": _q_feature_hash_counts,
+        "ann_range": _q_ann_range,
     }
 
 
@@ -5616,6 +5732,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM s GROUP BY 1
+    """
+    sql["open_orders_daily"] = """
+        WITH o AS (
+            SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS sd
+            FROM orders
+        ), b AS (
+            SELECT min(sd) AS lo, max(sd) + 30 AS hi FROM o
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi - 1)) AS day FROM b
+        )
+        SELECT spine.day,
+               CAST(count(o.sd) AS BIGINT) AS n_open
+        FROM spine LEFT JOIN o
+          ON spine.day >= o.sd AND spine.day < o.sd + 30
+        GROUP BY 1
+    """
+    sql["feature_hash_counts"] = """
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        SELECT substr(md5(word), 1, 2) AS bucket,
+               count(*) AS n_tokens
+        FROM w GROUP BY 1
+    """
+    sql["ann_range"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), q AS (SELECT * FROM v WHERE vec_id < 8)
+        SELECT q.vec_id AS qid, v.vec_id AS vec_id
+        FROM q JOIN v ON v.vec_id <> q.vec_id
+        WHERE round(list_cosine_similarity(q.e, v.e), 6) >= 0.3
     """
     sql["session_quantiles"] = """
         WITH e AS (

@@ -464,3 +464,81 @@ def test_csv_roundtrip_exact(ray_session, tmp_path):
     q = np.rint(qty).astype(np.int64)
     expect = {f: int(q[flag == f].sum()) for f in ["A", "N", "R"]}
     assert got == expect
+
+
+def test_open_orders_daily_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_open_orders_daily
+
+    rng = np.random.default_rng(43)
+    n = 400
+    sd = rng.integers(0, 90, size=n)  # start days
+    pq.write_table(pa.table({
+        "o_orderdate": _ts(sd * 86_400_000_000),
+    }), str(tmp_path / "orders.parquet"))
+
+    t = _q_open_orders_daily(str(tmp_path))
+    base = (np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+            // 86_400_000_000)
+    got = dict(zip((t["day"].to_numpy() - base).tolist(),
+                   t["n_open"].to_pylist()))
+
+    lo, hi = int(sd.min()), int(sd.max()) + 30
+    expect = {d: int(((sd <= d) & (d < sd + 30)).sum())
+              for d in range(lo, hi)}
+    assert got == expect
+    assert min(expect.values()) >= 0 and max(got.values()) > 1
+
+
+def test_feature_hash_counts_brute(ray_session, tmp_path):
+    import hashlib
+
+    from __ray_entry__ import _q_feature_hash_counts
+
+    rng = np.random.default_rng(47)
+    vocab = ["alpha", "beta", "gamma", "", "x y", "delta9"]
+    texts = [" ".join(rng.choice(vocab[:4], size=rng.integers(1, 12)))
+             for _ in range(400)]
+    texts.append("")          # empty doc → one empty token
+    texts.append("a  b")      # double space → empty middle token
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_feature_hash_counts(str(tmp_path)))
+    got = dict(zip(t["bucket"].to_pylist(), t["n_tokens"].to_pylist()))
+
+    expect = {}
+    for txt in texts:
+        for w in txt.split(" "):
+            b = hashlib.md5(w.encode()).hexdigest()[:2]
+            expect[b] = expect.get(b, 0) + 1
+    assert got == expect
+
+
+def test_ann_range_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_ann_range
+
+    rng = np.random.default_rng(53)
+    n, dim = 300, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    t = _to_table(_q_ann_range(str(tmp_path)))
+    got = set(zip(t["qid"].to_pylist(), t["vec_id"].to_pylist()))
+
+    v = vecs.astype(np.float64)
+    u = v / np.linalg.norm(v, axis=1)[:, None]
+    sims = u[:8] @ u.T
+    expect = {(q, i) for q in range(8) for i in range(n)
+              if q != i and np.round(sims[q, i], 6) >= 0.3}
+    assert got == expect and len(got) > 0
+    assert all(q != i for q, i in got)  # self-pairs excluded
