@@ -4024,6 +4024,55 @@ def _q_ann_range(sf_dir):
         zero_copy_batch=True)
 
 
+def _q_nearest_poly(sf_dir):
+    """DISTRIBUTED STRtree.query_nearest ANALOG: for every image point,
+    the nearest polygon (clamp point-to-box distance) with deterministic
+    lowest-poly_id tie-break — the engine's documented deviation from
+    the reference's explicitly nondeterministic visit-order ties
+    (reference strtree.py:276-279).  The layer broadcasts once
+    (ray.put); each batch computes the full rows×P distance matrix in
+    ONE vectorized expression evaluated in the SQL oracle's exact IEEE
+    order, so the returned d2 doubles are bit-identical.  Layer sorted
+    by poly_id ⇒ np.argmin's first-min IS the lowest-id tie-break."""
+    import ray
+
+    from engine.rayds.imagetab import image_dataset, load_layer
+
+    layer = load_layer(sf_dir)
+    order = np.argsort(layer.poly_ids, kind="stable")
+    ref = ray.put((layer.poly_ids[order].astype(np.int64),
+                   layer.bounds[order]))
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        ids, bounds = _bcast_layer(ref)
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        xmin, ymin, xmax, ymax = (bounds[:, 0], bounds[:, 1],
+                                  bounds[:, 2], bounds[:, 3])
+        dx = np.maximum(np.maximum(xmin[None, :] - x[:, None],
+                                   x[:, None] - xmax[None, :]), 0.0)
+        dy = np.maximum(np.maximum(ymin[None, :] - y[:, None],
+                                   y[:, None] - ymax[None, :]), 0.0)
+        d2 = dx * dx + dy * dy
+        j = np.argmin(d2, axis=1)
+        rows = np.arange(len(x))
+        return pa.table({
+            "image_id": batch["image_id"],
+            "poly_id": pa.array(ids[j]),
+            "d2": pa.array(d2[rows, j]),
+        })
+
+    return image_dataset(sf_dir).map_batches(
+        nearest, batch_format="pyarrow", batch_size=8192,
+        zero_copy_batch=True)
+
+
+def _bcast_layer(ref):
+    from engine.rayds.bcast import cached
+
+    return cached(ref)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -4164,6 +4213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "open_orders_daily": _q_open_orders_daily,
         "feature_hash_counts": _q_feature_hash_counts,
         "ann_range": _q_ann_range,
+        "nearest_poly": _q_nearest_poly,
     }
 
 
@@ -5732,6 +5782,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT split, count(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM s GROUP BY 1
+    """
+    sql["nearest_poly"] = f"""
+        WITH {_IMGS}, {_LAYER},
+        d AS (
+            SELECT image_id, poly_id,
+                   greatest(xmin - x, x - xmax, 0)
+                   * greatest(xmin - x, x - xmax, 0)
+                 + greatest(ymin - y, y - ymax, 0)
+                   * greatest(ymin - y, y - ymax, 0) AS d2
+            FROM imgs CROSS JOIN layer
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY image_id ORDER BY d2, poly_id) AS rn
+            FROM d
+        )
+        SELECT image_id, poly_id, d2 FROM r WHERE rn = 1
     """
     sql["open_orders_daily"] = """
         WITH o AS (

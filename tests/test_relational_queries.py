@@ -542,3 +542,42 @@ def test_ann_range_brute(ray_session, tmp_path):
               if q != i and np.round(sims[q, i], 6) >= 0.3}
     assert got == expect and len(got) > 0
     assert all(q != i for q, i in got)  # self-pairs excluded
+
+
+def test_nearest_poly_ties_and_containment(ray_session):
+    """Points inside overlapping boxes must pick the LOWEST poly_id at
+    d2=0; outside points get the exact clamp distance."""
+    import numpy as np
+
+    from __ray_entry__ import _q_nearest_poly
+    from engine.rayds.imagetab import image_dataset, load_layer
+
+    sf = "/root/testdata/sf0.001"
+    t = pa.concat_tables([b for b in _q_nearest_poly(sf).iter_batches(
+        batch_format="pyarrow")])
+    layer = load_layer(sf)
+    imgs = pa.concat_tables([b for b in image_dataset(sf).iter_batches(
+        batch_format="pyarrow")])
+    x = imgs["x"].to_numpy(zero_copy_only=False)
+    y = imgs["y"].to_numpy(zero_copy_only=False)
+    order = np.argsort(layer.poly_ids, kind="stable")
+    ids, b = layer.poly_ids[order], layer.bounds[order]
+    dx = np.maximum(np.maximum(b[None, :, 0] - x[:, None],
+                               x[:, None] - b[None, :, 2]), 0.0)
+    dy = np.maximum(np.maximum(b[None, :, 1] - y[:, None],
+                               y[:, None] - b[None, :, 3]), 0.0)
+    d2 = dx * dx + dy * dy
+    j = np.argmin(d2, axis=1)
+    got = dict(zip(t["image_id"].to_pylist(),
+                   zip(t["poly_id"].to_pylist(), t["d2"].to_pylist())))
+    expect = dict(zip(imgs["image_id"].to_pylist(),
+                      zip(ids[j].tolist(),
+                          d2[np.arange(len(x)), j].tolist())))
+    assert got == expect
+    # the fixture layer overlaps: some point sits in >1 box (d2 == 0
+    # with a tie) and must resolve to the lowest id
+    inside_multi = (d2 == 0).sum(axis=1) > 1
+    assert inside_multi.any()
+    for i in np.nonzero(inside_multi)[0][:5]:
+        iid = imgs["image_id"][int(i)].as_py()
+        assert got[iid][0] == int(ids[np.nonzero(d2[i] == 0)[0][0]])
