@@ -3305,8 +3305,10 @@ def _q_cust_order_dist(sf_dir):
                              use_shuffle=True)
     hist = grouped_count(per_cust.select_columns(["n_urgent"]),
                          ["n_urgent"], out_col="n_cust")
-    t = pa.concat_tables(
-        [b for b in hist.iter_batches(batch_format="pyarrow")])
+    batches = [b for b in hist.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(batches) if batches else pa.table({
+        "n_urgent": pa.array([], type=pa.int64()),
+        "n_cust": pa.array([], type=pa.int64())})
     n_customers = pq.ParquetFile(
         f"{sf_dir}/customer.parquet").metadata.num_rows
     with_urgent = int(pc.sum(t["n_cust"]).as_py() or 0)
@@ -3782,8 +3784,10 @@ def _q_calendar_fill(sf_dir):
     counts = grouped_count(
         ds.map_batches(rare_day, batch_format="pyarrow", batch_size=None,
                        zero_copy_batch=True), ["day"], out_col="n")
-    t = pa.concat_tables(
-        [bb for bb in counts.iter_batches(batch_format="pyarrow")])
+    cb = [bb for bb in counts.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(cb) if cb else pa.table({
+        "day": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64())})
     spine = np.arange(lo, hi + 1, dtype=np.int64)
     dense = np.zeros(len(spine), dtype=np.int64)
     if t.num_rows:
@@ -3859,7 +3863,11 @@ def _q_csv_roundtrip(sf_dir):
 
     from engine.rayds.shuffle import grouped_agg
 
-    out = f"/tmp/graft_csv_roundtrip_{abs(hash(sf_dir)) % (1 << 32)}"
+    import hashlib
+
+    # stable scratch path (Python's str hash is process-salted)
+    out = ("/tmp/graft_csv_roundtrip_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     shutil.rmtree(out, ignore_errors=True)
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
