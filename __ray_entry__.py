@@ -2883,8 +2883,32 @@ def _q_lift_pairs(sf_dir):
 
     scored = j2.map_batches(lift, batch_format="pyarrow",
                             batch_size=None)
-    return scored.sort(["lift", "p1", "p2"],
-                       descending=[True, False, False]).limit(20)
+
+    # top-20 by (lift DESC, p1, p2): per-block top-20 combiner + tree
+    # fold instead of Ray's range-partitioned sort all-to-all — exact
+    # because block-local top-k under the full tie-broken order is a
+    # sound partial of the global top-k
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 20:
+            return batch
+        v = batch["lift"].to_numpy(zero_copy_only=False)
+        p1 = batch["p1"].to_numpy(zero_copy_only=False)
+        p2 = batch["p2"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((p2, p1, -v))[:20]
+        return batch.take(pa.array(sel))
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        return block_topk(pa.concat_tables(tbls).combine_chunks())
+
+    top = tree_fold_refs(
+        scored.map_batches(block_topk, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True), fold)
+    order = np.lexsort((top["p2"].to_numpy(zero_copy_only=False),
+                        top["p1"].to_numpy(zero_copy_only=False),
+                        -top["lift"].to_numpy(zero_copy_only=False)))
+    return top.take(pa.array(order[:20]))
 
 
 def _q_region_top_customers(sf_dir):
