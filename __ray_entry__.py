@@ -4105,6 +4105,23 @@ def _bcast_layer(ref):
     return cached(ref)
 
 
+def _q_grouped_value_sketch(sf_dir):
+    """PER-GROUP APPROXIMATE QUANTILES (MRL sketch) — the certified
+    scale path grouped_quantiles_cont documents for continuous domains:
+    per-block per-group sketch partials (k·levels tiny rows), ONE
+    exchange on the group key, per-group merge+query.  Hash/compaction-
+    derived values ⇒ no SQL oracle; the ±err rank bound is
+    self-certified and pinned by pytest (and spot-asserted here against
+    the exact per-group quantile machinery)."""
+    import ray.data
+
+    from engine.ops.sketch import grouped_mrl_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return grouped_mrl_quantiles(ds, "event_type", "value", [0.5, 0.9])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -4246,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_counts": _q_feature_hash_counts,
         "ann_range": _q_ann_range,
         "nearest_poly": _q_nearest_poly,
+        "grouped_value_sketch": _q_grouped_value_sketch,
     }
 
 

@@ -429,3 +429,78 @@ def mrl_quantiles(ds, col: str, qs, k: int = 256):
                                           k).to_table())
     total = MRLSketch.from_table(final, k)
     return total.quantile(qs), total.n, total.err
+
+
+def grouped_mrl_quantiles(ds, group_col: str, val_col: str, qs,
+                          k: int = 256):
+    """PER-GROUP approximate quantiles with certified rank bounds — the
+    scale path ``grouped_quantiles_cont`` documents for continuous
+    domains (where exact counting degrades to the row count).
+
+    Plan: per block, one MRL sketch per group present in the block
+    (serialized rows tagged with the group key — concatenated
+    serializations stay valid, the property ``to_table`` guarantees);
+    ONE hash exchange on the group key co-locates each group's block
+    sketches; per key run ``from_table`` merges them and answers every
+    q.  Exchange volume = groups × blocks × (k·levels) tiny rows —
+    never the data.  Output: one row per group with the q-values plus
+    the self-certified (n, err) rank bound.
+
+    The per-block loop is over DISTINCT GROUPS in the block (not rows);
+    the insert itself is vectorized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                "_lvl": pa.array([], type=pa.int64()),
+                "_val": pa.array([], type=pa.float64()),
+                "_meta": pa.array([], type=pa.int64()),
+                "_meta2": pa.array([], type=pa.int64())})
+        keys = batch[group_col].to_numpy(zero_copy_only=False)
+        vals = batch[val_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        starts = np.ones(len(keys), dtype=bool)
+        starts[1:] = keys[1:] != keys[:-1]
+        idx = np.nonzero(starts)[0]
+        ends = np.append(idx[1:], len(keys))
+        tabs = []
+        for s, e in zip(idx, ends):
+            t = MRLSketch(k).insert(vals[s:e]).to_table()
+            tabs.append(t.append_column(
+                group_col, pa.array([keys[s]] * t.num_rows)))
+        out = pa.concat_tables(tabs)
+        return out.select([group_col, "_lvl", "_val", "_meta", "_meta2"])
+
+    parts = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+    qs_arr = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+
+    def per_group(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"]) if "_part" in group.column_names \
+            else group
+        if g.num_rows == 0:
+            cols = {group_col: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "err": pa.array([], type=pa.int64())}
+            for q in qs_arr:
+                cols[f"q{int(round(q * 100))}"] = pa.array(
+                    [], type=pa.float64())
+            return pa.table(cols)
+        s = MRLSketch.from_table(
+            g.select(["_lvl", "_val", "_meta", "_meta2"]), k)
+        v = s.quantile(qs_arr)
+        cols = {group_col: pa.array([g[group_col][0].as_py()]),
+                "n": pa.array([s.n], type=pa.int64()),
+                "err": pa.array([s.err], type=pa.int64())}
+        for q, val in zip(qs_arr, v):
+            cols[f"q{int(round(q * 100))}"] = pa.array(
+                [float(val)], type=pa.float64())
+        return pa.table(cols)
+
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    return hash_exchange_fine_groups(parts, [group_col], per_group)

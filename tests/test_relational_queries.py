@@ -581,3 +581,30 @@ def test_nearest_poly_ties_and_containment(ray_session):
     for i in np.nonzero(inside_multi)[0][:5]:
         iid = imgs["image_id"][int(i)].as_py()
         assert got[iid][0] == int(ids[np.nonzero(d2[i] == 0)[0][0]])
+
+
+def test_grouped_mrl_quantiles_rank_bounds(ray_session):
+    """Per-group sketch quantiles must respect the self-certified ±err
+    rank bound for every group, including a tiny group (exact)."""
+    import ray.data
+
+    from engine.ops.sketch import grouped_mrl_quantiles
+
+    rng = np.random.default_rng(59)
+    n = 80_000
+    g = rng.choice(["x", "y", "z"], size=n, p=[0.6, 0.39, 0.01])
+    v = rng.lognormal(0, 1.5, size=n)
+    ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(12)
+    t = pa.concat_tables([b for b in grouped_mrl_quantiles(
+        ds, "g", "v", [0.5, 0.9]).iter_batches(batch_format="pyarrow")])
+    assert sorted(t["g"].to_pylist()) == ["x", "y", "z"]
+    for r in t.to_pylist():
+        sub = np.sort(v[g == r["g"]])
+        assert r["n"] == len(sub)
+        for q, c in [(0.5, "q50"), (0.9, "q90")]:
+            rank = np.searchsorted(sub, r[c], side="left")
+            assert abs(rank - q * len(sub)) <= r["err"] + 1
+    # the small group's certified err must be far tighter than the big
+    # groups' (fewer compactions) — the bound is group-local, not global
+    errs = {r["g"]: r["err"] for r in t.to_pylist()}
+    assert errs["z"] < errs["x"]
