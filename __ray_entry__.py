@@ -4122,6 +4122,313 @@ def _q_grouped_value_sketch(sf_dir):
     return grouped_mrl_quantiles(ds, "event_type", "value", [0.5, 0.9])
 
 
+def _q_quality_buckets(sf_dir):
+    """CURRICULUM / QUALITY BINNING (the training-data-mixing op):
+    assign every document to one of 4 length-quartile buckets and count
+    per (lang, bucket).  The quartile boundaries are EXACT global
+    quantile_disc values from the shared histogram-refinement waves
+    (engine/ops/kth.py — one histogram pass resolves all three ranks,
+    driver traffic = 512 KiB folds); boundaries broadcast into a pure
+    streaming bucket-assign map; counts are combiner-first.  Nothing
+    wide moves: the only exchange is the (lang, bucket) count merge
+    over ≤ 20 distinct keys."""
+    import ray.data
+
+    from engine.ops.kth import quantiles_disc
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    dv = ds.map_batches(
+        lambda t: pa.table({"v": t["n_chars"].cast(pa.float64())}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    b25, b50, b75 = quantiles_disc(dv, "v", [0.25, 0.5, 0.75])
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy().astype(np.float64)
+        bucket = ((v > b25).astype(np.int64) + (v > b50) + (v > b75))
+        return pa.table({"lang": t["lang"],
+                         "bucket": pa.array(bucket.astype(np.int64)),
+                         "_one": pa.array(np.ones(len(v), dtype=np.int64))})
+
+    g = grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["lang", "bucket"], [("_one", "sum")], ["n_docs"], plan="tree")
+    return g
+
+
+def _q_part_best_supplier(sf_dir):
+    """ARGMIN JOIN (TPC-H Q2's min-per-group join-back shape): for every
+    part, the supplier offering its cheapest lineitem — tie-break lowest
+    suppkey.  The (price, suppkey) pair-min is associative, so a
+    per-block combiner (lexsort + first-of-run) shrinks every block to
+    ≤ distinct-parts rows BEFORE the one hash exchange on partkey; the
+    winning suppkeys then take the adaptive equi-join to the supplier
+    dimension (broadcast at this cardinality).  Output one row per part
+    present in lineitem."""
+    import ray.data
+
+    from engine.rayds.shuffle import dim_table, equi_join, \
+        hash_exchange_groups
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_suppkey"])
+
+    def block_min(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy()
+        pr = t["l_extendedprice"].to_numpy()
+        s = t["l_suppkey"].to_numpy()
+        order = np.lexsort((s, pr, p))
+        p, pr, s = p[order], pr[order], s[order]
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        return pa.table({"l_partkey": pa.array(p[first]),
+                         "best_price": pa.array(pr[first]),
+                         "best_supp": pa.array(s[first])})
+
+    part = li.map_batches(block_min, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return g
+        p = g["l_partkey"].to_numpy()
+        pr = g["best_price"].to_numpy()
+        s = g["best_supp"].to_numpy()
+        order = np.lexsort((s, pr, p))
+        p, pr, s = p[order], pr[order], s[order]
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        return pa.table({"l_partkey": pa.array(p[first]),
+                         "best_price": pa.array(pr[first]),
+                         "best_supp": pa.array(s[first])})
+
+    best = hash_exchange_groups(part, ["l_partkey"], merge)
+    supp = dim_table(f"{sf_dir}/supplier.parquet", ["s_suppkey", "s_name"])
+    j = equi_join(best, supp, "best_supp", "s_suppkey",
+                  ["l_partkey", "best_price"], ["s_name"])
+    return j.select_columns(["l_partkey", "best_price", "s_name"])
+
+
+def _q_bottom_decile(sf_dir):
+    """BOTTOM-DECILE STATS PER GROUP (the cume_dist ≤ 0.1 window filter)
+    computed WITHOUT a window: a row is in the decile iff
+    10·rank_le(value) ≤ n, i.e. iff its cents value ≤ the largest
+    threshold t with 10·cum(t) ≤ n — so kept-count and kept-sum both
+    fall out of the (event_type, cents) COUNT table: combiner-first
+    partials (movement bounded by the DISCRETIZED value domain, not
+    rows), ONE exchange on event_type, per-partition cumsum.  The
+    all-integer predicate sidesteps cume_dist's float division; the SQL
+    oracle mirrors it with an integer window count."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents_fn(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(c),
+                         "_one": pa.array(np.ones(len(c), dtype=np.int64))})
+
+    counts = grouped_agg(
+        ds.map_batches(cents_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["event_type", "cents"], [("_one", "sum")], ["cnt"])
+
+    def decile(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_decile": pa.array([], type=pa.int64()),
+                             "sum_cents": pa.array([], type=pa.int64())})
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy()
+        n = g["cnt"].to_numpy()
+        order = np.lexsort((c, et))
+        et, c, n = et[order], c[order], n[order]
+        new = np.ones(len(et), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        gid = np.cumsum(new) - 1
+        total = np.bincount(gid, weights=n).astype(np.int64)
+        cum = np.cumsum(n)
+        starts = np.nonzero(new)[0]
+        base_per_group = np.where(starts > 0, cum[starts - 1], 0)
+        cum_in = cum - base_per_group[gid]  # rank_le within the group
+        keep = 10 * cum_in <= total[gid]
+        n_dec = np.bincount(gid[keep], weights=n[keep],
+                            minlength=len(total)).astype(np.int64)
+        s_dec = np.bincount(gid[keep], weights=n[keep] * c[keep],
+                            minlength=len(total)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(et[starts]),
+            "n_decile": pa.array(n_dec),
+            "sum_cents": pa.array(s_dec)})
+
+    return hash_exchange_groups(counts, ["event_type"], decile)
+
+
+def _q_sssp_min_cost(sf_dir):
+    """WEIGHTED SHORTEST PATH ≤ 3 HOPS (distributed Bellman-Ford,
+    fixed depth) from node 0 over the events-derived weighted graph:
+    per-round frontier ⋈ edges (adaptive equi-join) + min-plus
+    relaxation through the combiner-first grouped min — the bfs_hops4
+    plan with integer edge weights.  Multigraph edges collapse to their
+    min weight FIRST (one grouped min), so round joins move the simple
+    graph only.  Fixed K keeps the oracle SQL-expressible (K chained
+    CTE relaxations); unbounded depth belongs to the BSP task rounds
+    (engine/ops/graph.py)."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        x = eid % np.int64(499)
+        y = (eid // np.int64(499) + eid % np.int64(491)) % np.int64(499)
+        w = (eid % np.int64(97)) + np.int64(1)
+        m = x != y
+        x, y, w = x[m], y[m], w[m]
+        return pa.table({
+            "a": pa.array(np.concatenate([x, y])),
+            "b": pa.array(np.concatenate([y, x])),
+            "w": pa.array(np.concatenate([w, w])),
+        })
+
+    e = grouped_agg(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["a", "b"], [("w", "min")], ["w"]).materialize()
+
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([0], type=pa.int64()),
+        "cost": pa.array([0], type=pa.int64())}))
+    for _ in range(3):
+        relax = equi_join(dist, e, "node", "a", ["cost"], ["b", "w"])
+        cand = relax.map_batches(
+            lambda t: pa.table({
+                "node": t["b"],
+                "cost": pa.array(t["cost"].to_numpy()
+                                 + t["w"].to_numpy())}),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        plan = "tree" if dist.count() < 100_000 else "shuffle"
+        dist = grouped_agg(dist.union(cand), ["node"],
+                           [("cost", "min")], ["cost"],
+                           plan=plan).materialize()
+    return dist
+
+
+def _q_morans_i(sf_dir):
+    """MORAN'S I SPATIAL AUTOCORRELATION of the image-point density
+    field over the planar 5×5 grid (rook adjacency between occupied
+    cells) — the classic hotspot/clustering statistic.  Per-cell counts
+    are combiner-first (movement = occupied cells × blocks); the final
+    quadratic form runs driver-side over the LATTICE-BOUNDED cell table
+    (≤ 400 cells here; bounded by world/cell_size², never by rows) in
+    exact python-int arithmetic — deviations are scaled integers
+    a_i = N·n_i − S so no float enters until the one final expression,
+    mirrored term-for-term by the SQL oracle."""
+    import ray.data
+
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["x", "y"])
+
+    def cell_fn(t: pa.Table) -> pa.Table:
+        cx = np.floor(t["x"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        cy = np.floor(t["y"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "_one": pa.array(np.ones(len(cx), dtype=np.int64))})
+
+    cells = grouped_agg(
+        ds.map_batches(cell_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["cx", "cy"], [("_one", "sum")], ["n"], plan="tree")
+    t = cells.take_all()  # lattice-bounded: ≤ (100/5)² rows by contract
+    cx = np.array([r["cx"] for r in t], dtype=np.int64)
+    cy = np.array([r["cy"] for r in t], dtype=np.int64)
+    n = np.array([r["n"] for r in t], dtype=np.int64)
+    N = len(n)
+    S = int(n.sum())
+    a = N * n - S  # scaled deviations (×N), exact int64
+    # rook neighbor pairs among occupied cells (both directions)
+    key = cx * np.int64(1 << 20) + cy
+    idx = {int(k): i for i, k in enumerate(key)}
+    num = 0
+    W = 0
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nk = (cx + dx) * np.int64(1 << 20) + (cy + dy)
+        for i, k in enumerate(nk):
+            j = idx.get(int(k))
+            if j is not None:
+                W += 1
+                num += int(a[i]) * int(a[j])
+    den = int((a.astype(object) * a.astype(object)).sum())
+    morans = (float(N) * float(num)) / (float(W) * float(den))
+    return pa.table({
+        "n_cells": pa.array([N], type=pa.int64()),
+        "w_pairs": pa.array([W], type=pa.int64()),
+        "morans_i": pa.array([morans], type=pa.float64())})
+
+
+def _q_aspect_buckets(sf_dir):
+    """ASPECT-RATIO BUCKETING (the SDXL multi-resolution training trick):
+    every image snaps to the nearest of 7 canonical aspect ratios and
+    the pipeline reports per-bucket image count + total pixels.  The
+    argmin over |w/h − p/q| is EXACT integer arithmetic — the common
+    denominator h cancels, so score_b = |w·q_b − h·p_b| · (12 / q_b)
+    (12 = lcm of the q's) ranks buckets with no float anywhere; ties
+    break to the smaller bucket index (np.argmin == SQL row_number
+    ORDER BY score, bucket).  Pure streaming map + a 7-key
+    combiner-first count: zero all-to-alls at any image count."""
+    import ray.data
+
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import grouped_agg
+
+    # (p, q) canonical ratios; q divides 12 for the exact common scale
+    ratios = [(1, 2), (2, 3), (3, 4), (1, 1), (4, 3), (3, 2), (2, 1)]
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["w", "h"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy().astype(np.int64)
+        h = t["h"].to_numpy().astype(np.int64)
+        scores = np.stack([np.abs(w * q - h * p) * (12 // q)
+                           for p, q in ratios], axis=1)
+        b = np.argmin(scores, axis=1).astype(np.int64)
+        return pa.table({"bucket": pa.array(b),
+                         "_one": pa.array(np.ones(len(b), dtype=np.int64)),
+                         "_px": pa.array(w * h)})
+
+    g = grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["bucket"], [("_one", "sum"), ("_px", "sum")],
+        ["n_images", "sum_pixels"], plan="tree")
+
+    def label(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy()
+        p = np.array([r[0] for r in ratios], dtype=np.int64)[b]
+        q = np.array([r[1] for r in ratios], dtype=np.int64)[b]
+        return pa.table({"bucket": t["bucket"],
+                         "ratio_p": pa.array(p), "ratio_q": pa.array(q),
+                         "n_images": t["n_images"],
+                         "sum_pixels": t["sum_pixels"]})
+
+    return g.map_batches(label, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -4264,6 +4571,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range": _q_ann_range,
         "nearest_poly": _q_nearest_poly,
         "grouped_value_sketch": _q_grouped_value_sketch,
+        "quality_buckets": _q_quality_buckets,
+        "part_best_supplier": _q_part_best_supplier,
+        "bottom_decile": _q_bottom_decile,
+        "sssp_min_cost": _q_sssp_min_cost,
+        "morans_i": _q_morans_i,
+        "aspect_buckets": _q_aspect_buckets,
     }
 
 
@@ -5906,5 +6219,146 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["quality_buckets"] = """
+        WITH b AS (
+            SELECT quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS b25,
+                   quantile_disc(CAST(n_chars AS DOUBLE), 0.50) AS b50,
+                   quantile_disc(CAST(n_chars AS DOUBLE), 0.75) AS b75
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN CAST(n_chars AS DOUBLE) <= b25 THEN 0
+                    WHEN CAST(n_chars AS DOUBLE) <= b50 THEN 1
+                    WHEN CAST(n_chars AS DOUBLE) <= b75 THEN 2
+                    ELSE 3 END AS bucket,
+               count(*) AS n_docs
+        FROM documents, b
+        GROUP BY 1, 2
+    """
+    sql["part_best_supplier"] = """
+        WITH r AS (
+            SELECT l_partkey, l_extendedprice, l_suppkey,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey) AS rn
+            FROM lineitem
+        )
+        SELECT r.l_partkey,
+               r.l_extendedprice AS best_price,
+               s.s_name
+        FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE rn = 1
+    """
+    sql["bottom_decile"] = """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), w AS (
+            SELECT event_type, cents,
+                   count(*) OVER (PARTITION BY event_type
+                                  ORDER BY cents
+                                  RANGE UNBOUNDED PRECEDING) AS rank_le,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM e
+        )
+        SELECT event_type,
+               count(*) AS n_decile,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM w WHERE 10 * rank_le <= n
+        GROUP BY 1
+    """
+    sql["sssp_min_cost"] = """
+        WITH raw AS (
+            SELECT event_id % 499 AS x,
+                   (event_id // 499 + event_id % 491) % 499 AS y,
+                   (event_id % 97) + 1 AS w
+            FROM events
+        ), und AS (
+            SELECT x AS a, y AS b, w FROM raw WHERE x <> y
+            UNION ALL
+            SELECT y AS a, x AS b, w FROM raw WHERE x <> y
+        ), e AS (
+            SELECT a, b, min(w) AS w FROM und GROUP BY 1, 2
+        ), d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+        d1 AS (
+            SELECT node, min(cost) AS cost FROM (
+                SELECT node, cost FROM d0
+                UNION ALL
+                SELECT e.b AS node, d0.cost + e.w AS cost
+                FROM d0 JOIN e ON e.a = d0.node
+            ) GROUP BY 1
+        ), d2 AS (
+            SELECT node, min(cost) AS cost FROM (
+                SELECT node, cost FROM d1
+                UNION ALL
+                SELECT e.b AS node, d1.cost + e.w AS cost
+                FROM d1 JOIN e ON e.a = d1.node
+            ) GROUP BY 1
+        ), d3 AS (
+            SELECT node, min(cost) AS cost FROM (
+                SELECT node, cost FROM d2
+                UNION ALL
+                SELECT e.b AS node, d2.cost + e.w AS cost
+                FROM d2 JOIN e ON e.a = d2.node
+            ) GROUP BY 1
+        )
+        SELECT node, cost FROM d3
+    """
+    sql["morans_i"] = f"""
+        WITH {_IMGS},
+        cells AS (
+            SELECT CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 5.0) AS BIGINT) AS cy,
+                   count(*) AS n
+            FROM imgs GROUP BY 1, 2
+        ), g AS (
+            SELECT count(*) AS n_cells, sum(n) AS s FROM cells
+        ), a AS (
+            SELECT cx, cy, CAST(g.n_cells * cells.n - g.s AS HUGEINT) AS a
+            FROM cells, g
+        ), pairs AS (
+            SELECT i.a AS ai, j.a AS aj
+            FROM a i JOIN a j
+              ON (abs(i.cx - j.cx) + abs(i.cy - j.cy)) = 1
+        ), agg AS (
+            SELECT (SELECT count(*) FROM pairs) AS w,
+                   (SELECT sum(ai * aj) FROM pairs) AS num,
+                   (SELECT sum(a * a) FROM a) AS den,
+                   (SELECT n_cells FROM g) AS n_cells
+        )
+        SELECT CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(w AS BIGINT) AS w_pairs,
+               (CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE)) /
+               (CAST(w AS DOUBLE) * CAST(den AS DOUBLE)) AS morans_i
+        FROM agg
+    """
+    sql["aspect_buckets"] = """
+        WITH img AS (
+            SELECT event_id,
+                   32 + (event_id % 4) * 16 AS w,
+                   32 + (event_id % 3) * 16 AS h
+            FROM events
+        ), ratio AS (
+            SELECT * FROM (VALUES
+                (0, 1, 2), (1, 2, 3), (2, 3, 4), (3, 1, 1),
+                (4, 4, 3), (5, 3, 2), (6, 2, 1)
+            ) AS t(bucket, p, q)
+        ), scored AS (
+            SELECT img.w, img.h, ratio.bucket, ratio.p, ratio.q,
+                   abs(img.w * ratio.q - img.h * ratio.p) * (12 // ratio.q)
+                       AS score,
+                   row_number() OVER (
+                       PARTITION BY img.event_id
+                       ORDER BY abs(img.w * ratio.q - img.h * ratio.p)
+                                * (12 // ratio.q), ratio.bucket) AS rn
+            FROM img CROSS JOIN ratio
+        )
+        SELECT bucket, p AS ratio_p, q AS ratio_q,
+               count(*) AS n_images,
+               CAST(sum(w * h) AS BIGINT) AS sum_pixels
+        FROM scored WHERE rn = 1
+        GROUP BY 1, 2, 3
     """
     return sql

@@ -156,6 +156,26 @@ def median(ds, col: str) -> pa.Table:
                                      type=pa.float64())})
 
 
+def quantiles_disc(ds, col: str, qs: list[float],
+                   budget: int = 200_000) -> list[float]:
+    """EXACT discrete quantiles for several ``q`` at once — each is SQL
+    ``quantile_disc(col, q)`` (rank = ceil(q·n)); every rank resolves in
+    the SAME shared refinement waves (one histogram pass + ≤3 refine
+    rounds total, however many quantiles are asked for)."""
+    state: dict[float, int] = {}
+
+    def ranks(n):
+        want = set()
+        for q in qs:
+            k = max(1, int(-(-n * q // 1)))  # ceil(q·n)
+            state[q] = k
+            want.add(k)
+        return sorted(want)
+
+    vals, _ = _multi_kth(_block_refs(ds, col), col, ranks, budget)
+    return [vals[state[q]] for q in qs]
+
+
 def quantiles_cont(ds, col: str, qs: list[float],
                    budget: int = 200_000) -> list[float]:
     """EXACT interpolated quantiles — bit-identical to SQL

@@ -1,0 +1,249 @@
+"""Brute-force parity tests for the curation/spatial-stats operator
+batch: quality-quartile binning, argmin join, bottom-decile window
+filter, weighted fixed-depth SSSP, Moran's I, aspect-ratio bucketing,
+and the multi-q quantiles_disc kernel they build on.
+
+Each test synthesizes a tiny parquet layout with the production schema
+into tmp_path and compares the ``_q_`` function's result against an
+independent pandas/numpy brute force (tools/check_oracle.py covers the
+DuckDB side)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _to_table(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return pa.concat_tables(
+            [b for b in res.iter_batches(batch_format="pyarrow")])
+    return res
+
+
+def test_quantiles_disc_multi_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from engine.ops.kth import quantiles_disc
+
+    rng = np.random.default_rng(11)
+    # heavy exact ties + a lognormal tail
+    v = np.concatenate([
+        np.round(rng.lognormal(3, 1, 20_000), 1),
+        np.repeat([7.5, 99.0], 3_000),
+    ])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)})).repartition(7)
+    qs = [0.1, 0.25, 0.5, 0.9, 0.999]
+    got = quantiles_disc(ds, "v", qs, budget=4_096)  # force refinement
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT quantile_disc(v, ?) FROM df", [q]).fetchone()[0]
+        for q in [*qs]
+        for df in [pd.DataFrame({"v": v})]]
+    assert got == want
+
+
+def test_quality_buckets_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_quality_buckets
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    lang = rng.choice(["en", "de", "fr", "zh"], size=n)
+    n_chars = rng.integers(40, 600, size=n).astype(np.int64)
+    pq.write_table(pa.table({"lang": pa.array(lang),
+                             "n_chars": pa.array(n_chars)}),
+                   str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_quality_buckets(str(tmp_path))).to_pandas()
+
+    s = np.sort(n_chars.astype(np.float64))
+    bounds = [s[int(-(-n * q // 1)) - 1] for q in (0.25, 0.5, 0.75)]
+    v = n_chars.astype(np.float64)
+    bucket = (v > bounds[0]).astype(int) + (v > bounds[1]) + (v > bounds[2])
+    want = (pd.DataFrame({"lang": lang, "bucket": bucket})
+            .groupby(["lang", "bucket"]).size().rename("n_docs")
+            .reset_index())
+    got = t.sort_values(["lang", "bucket"], ignore_index=True)
+    want = want.sort_values(["lang", "bucket"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"bucket": np.int64, "n_docs": np.int64}),
+        want.astype({"bucket": np.int64, "n_docs": np.int64}))
+
+
+def test_part_best_supplier_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_part_best_supplier
+
+    rng = np.random.default_rng(29)
+    n = 4000
+    part = rng.integers(1, 120, size=n).astype(np.int64)
+    supp = rng.integers(1, 40, size=n).astype(np.int64)
+    # coarse prices force (price, suppkey) ties
+    price = np.round(rng.uniform(10, 20, size=n), 0)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(part),
+        "l_extendedprice": pa.array(price),
+        "l_suppkey": pa.array(supp)}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(1, 40, dtype=np.int64)),
+        "s_name": pa.array([f"S#{i}" for i in range(1, 40)])}),
+        str(tmp_path / "supplier.parquet"))
+
+    t = _to_table(_q_part_best_supplier(str(tmp_path))).to_pandas()
+
+    df = pd.DataFrame({"p": part, "pr": price, "s": supp})
+    df = df.sort_values(["p", "pr", "s"]).groupby("p").first().reset_index()
+    want = pd.DataFrame({
+        "l_partkey": df["p"],
+        "best_price": df["pr"],
+        "s_name": [f"S#{i}" for i in df["s"]]})
+    got = t.sort_values("l_partkey", ignore_index=True)
+    want = want.sort_values("l_partkey", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bottom_decile_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_bottom_decile
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    et = rng.choice(["click", "view", "buy"], size=n)
+    # coarse grid of values → massive rank ties at the decile boundary
+    value = rng.integers(0, 40, size=n) / 4.0
+    ts = pa.array(np.zeros(n, dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": ts, "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(et), "value": pa.array(value),
+        "props": pa.array([""] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_bottom_decile(str(tmp_path))).to_pandas()
+
+    cents = np.floor(value * 100.0).astype(np.int64)
+    rows = []
+    for e in np.unique(et):
+        c = np.sort(cents[et == e])
+        m = len(c)
+        rank_le = np.searchsorted(c, c, side="right")
+        keep = 10 * rank_le <= m
+        rows.append((e, int(keep.sum()), int(c[keep].sum())))
+    want = pd.DataFrame(rows, columns=["event_type", "n_decile",
+                                       "sum_cents"])
+    got = t.sort_values("event_type", ignore_index=True)
+    want = want.sort_values("event_type", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sssp_min_cost_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_sssp_min_cost
+
+    rng = np.random.default_rng(37)
+    eid = rng.integers(0, 300_000, size=3000).astype(np.int64)
+    pq.write_table(pa.table({"event_id": pa.array(eid)}),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_sssp_min_cost(str(tmp_path)))
+    got = dict(zip(t["node"].to_pylist(), t["cost"].to_pylist()))
+
+    x = eid % 499
+    y = (eid // 499 + eid % 491) % 499
+    w = (eid % 97) + 1
+    ew = {}
+    for a, b, c in zip(x, y, w):
+        if a != b:
+            for k in ((int(a), int(b)), (int(b), int(a))):
+                ew[k] = min(ew.get(k, 1 << 30), int(c))
+    dist = {0: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for (a, b), c in ew.items():
+            if a in dist and dist[a] + c < nxt.get(b, 1 << 30):
+                nxt[b] = dist[a] + c
+        dist = nxt
+    assert got == dist and len(got) > 1
+
+
+def test_morans_i_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_morans_i
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    eid = rng.integers(0, 500_000, size=n).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_morans_i(str(tmp_path)))
+
+    x = ((eid * 9973) % 100_000) / 1000.0
+    y = ((eid * 7919) % 100_000) / 1000.0
+    cx = np.floor(x / 5.0).astype(np.int64)
+    cy = np.floor(y / 5.0).astype(np.int64)
+    counts = {}
+    for a, b in zip(cx, cy):
+        counts[(int(a), int(b))] = counts.get((int(a), int(b)), 0) + 1
+    cells = list(counts)
+    N = len(cells)
+    S = sum(counts.values())
+    a = {c: N * counts[c] - S for c in cells}
+    W = num = 0
+    for (i, j) in cells:
+        for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (i + d[0], j + d[1])
+            if nb in a:
+                W += 1
+                num += a[(i, j)] * a[nb]
+    den = sum(v * v for v in a.values())
+    want = (float(N) * float(num)) / (float(W) * float(den))
+    assert t["n_cells"][0].as_py() == N
+    assert t["w_pairs"][0].as_py() == W
+    assert t["morans_i"][0].as_py() == want
+
+
+def test_aspect_buckets_exact_argmin(ray_session, tmp_path):
+    """The integer score must pick the same bucket as exact-fraction
+    argmin of |w/h − p/q| (ties → smallest bucket index), over every
+    (w, h) the derivation produces AND a stress grid."""
+    from fractions import Fraction
+
+    from __ray_entry__ import _q_aspect_buckets
+
+    ratios = [(1, 2), (2, 3), (3, 4), (1, 1), (4, 3), (3, 2), (2, 1)]
+
+    def frac_bucket(w, h):
+        errs = [abs(Fraction(w, h) - Fraction(p, q)) for p, q in ratios]
+        return errs.index(min(errs))
+
+    # kernel-vs-fraction over a dense stress grid (includes exact ties)
+    for w in range(16, 97, 8):
+        for h in range(16, 97, 8):
+            scores = [abs(w * q - h * p) * (12 // q) for p, q in ratios]
+            assert scores.index(min(scores)) == frac_bucket(w, h), (w, h)
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    eid = rng.integers(0, 800_000, size=n).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_aspect_buckets(str(tmp_path))).to_pandas()
+
+    w = 32 + (eid % 4) * 16
+    h = 32 + (eid % 3) * 16
+    b = np.array([frac_bucket(int(a), int(c)) for a, c in zip(w, h)])
+    want = (pd.DataFrame({"bucket": b, "px": w * h})
+            .groupby("bucket").agg(n_images=("px", "size"),
+                                   sum_pixels=("px", "sum"))
+            .reset_index())
+    got = (t[["bucket", "n_images", "sum_pixels"]]
+           .sort_values("bucket", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64),
+        want.sort_values("bucket", ignore_index=True).astype(np.int64))
