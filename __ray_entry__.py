@@ -4429,6 +4429,376 @@ def _q_aspect_buckets(sf_dir):
                          zero_copy_batch=True)
 
 
+def _q_label_balance(sf_dir):
+    """CLASS-BALANCED DOWNSAMPLING (the training-mix balancing op):
+    every language keeps exactly m docs, m = the smallest class count,
+    selected by deterministic md5 priority (pure function of doc_id —
+    reproducible at any cluster size/partitioning).  m comes from a
+    5-row combiner-first count; the selection is a per-block top-m
+    combiner (narrow priority keys only) + ONE exchange on lang; output
+    is one row per lang with the kept-set's n and char sum proving set
+    identity.  Scale note: m ≈ n/|classes| keeps combiner volume
+    proportional to the balanced output, the thing being materialized
+    anyway; for extreme m use the per-class exact-kth threshold
+    (engine/ops/kth.py) + a filter instead."""
+    import ray.data
+
+    from engine.ops.vhash import md5_hex
+    from engine.rayds.shuffle import grouped_agg, hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "doc_id", "n_chars"])
+    counts = grouped_agg(
+        ds.map_batches(
+            lambda t: pa.table({
+                "lang": t["lang"],
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        ["lang"], [("_one", "sum")], ["cnt"], plan="tree")
+    m = int(min(r["cnt"] for r in counts.take_all()))
+
+    def topm(tbl: pa.Table) -> pa.Table:
+        lang = np.asarray(tbl["lang"].to_pylist(), dtype=object)
+        did = tbl["doc_id"].to_numpy()
+        nch = tbl["n_chars"].to_numpy()
+        h = md5_hex(did.astype(str))
+        keep: list[int] = []
+        for g in np.unique(lang):
+            idx = np.nonzero(lang == g)[0]
+            order = np.lexsort((did[idx], h[idx]))[:m]
+            keep.extend(idx[order].tolist())
+        k = np.sort(np.asarray(keep, dtype=np.int64))
+        return pa.table({"lang": pa.array(lang[k]),
+                         "doc_id": pa.array(did[k]),
+                         "n_chars": pa.array(nch[k])})
+
+    def final(group: pa.Table) -> pa.Table:
+        g = topm(group.drop_columns(["_part"]))
+        if g.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "n_kept": pa.array([], type=pa.int64()),
+                             "sum_chars": pa.array([], type=pa.int64())})
+        lang = np.asarray(g["lang"].to_pylist(), dtype=object)
+        nch = g["n_chars"].to_numpy()
+        order = np.argsort(lang, kind="stable")
+        lang, nch = lang[order], nch[order]
+        new = np.ones(len(lang), dtype=bool)
+        new[1:] = lang[1:] != lang[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table({
+            "lang": pa.array(lang[starts]),
+            "n_kept": pa.array(np.diff(np.append(starts, len(lang)))
+                               .astype(np.int64)),
+            "sum_chars": pa.array(
+                np.add.reduceat(nch, starts).astype(np.int64))})
+
+    local = ds.map_batches(topm, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+    return hash_exchange_groups(local, ["lang"], final)
+
+
+def _q_spearman_corr(sf_dir):
+    """EXACT DISTRIBUTED SPEARMAN RANK CORRELATION (quantity × price):
+    average-tie ranks are rationals with denominator 2, so DOUBLED
+    ranks r2 = 2·|{v' ≤ v}| − cnt(v) + 1 are exact int64 and Pearson
+    over them IS Spearman (affine invariance).  The rank map is built
+    scale-correctly: combiner-first distinct-value counts → ONE Ray
+    range sort of the DISTINCT table (581k rows at sf0.1, never the
+    stream) → the two-phase prefix-sum scan (engine/ops/scan.py — 3
+    ints per block to the driver) → doubled ranks attach back to rows
+    through the adaptive equi-join (quantity's 50-value map rides the
+    broadcast plan, price's hash plan).  Final r = exact integer
+    moments (decimal128 tree fold, zero extra shuffles) through
+    pearson_from_moments' fixed float order — bit-identical to the
+    window-function SQL oracle."""
+    import ray.data
+
+    from engine.ops.scan import ordered_cumsum
+    from engine.ops.stats import exact_moments, pearson_from_moments
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"])
+
+    def ints(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        c = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        one = np.ones(len(q), dtype=np.int64)
+        return pa.table({"x": pa.array(q), "y": pa.array(c),
+                         "_one": pa.array(one)})
+
+    rows = li.map_batches(ints, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True).materialize()
+
+    def rank_map(col: str):
+        counts = grouped_agg(rows, [col], [("_one", "sum")], ["cnt"])
+        # materialize: ordered_cumsum executes its input twice (meta
+        # pass + apply pass) — block boundaries must be identical
+        ranked = ordered_cumsum(counts.sort(col).materialize(), col,
+                                "cnt", out_col="_cum0")
+        return ranked.map_batches(
+            lambda t: pa.table({
+                col: t[col],
+                f"r2{col}": pa.array(
+                    2 * t["_cum0"].to_numpy() + t["cnt"].to_numpy() + 1)}),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    withx = equi_join(rows, rank_map("x"), "x", "x",
+                      ["y"], ["r2x"])
+    withxy = equi_join(withx, rank_map("y"), "y", "y",
+                       ["r2x"], ["r2y"])
+    m = exact_moments(withxy, "r2x", "r2y")
+    r = pearson_from_moments(m)
+    return pa.table({"n": pa.array([m["n"]], type=pa.int64()),
+                     "spearman": pa.array([r], type=pa.float64())})
+
+
+def _q_dasymetric_alloc(sf_dir):
+    """DASYMETRIC AREAL INTERPOLATION (raster↔vector disaggregation):
+    each polygon's value (synthetic population 1000·(poly_id+1))
+    redistributes onto its 4×4 tiles weighted by OBSERVED image density
+    — alloc(tile) = pop·n_tile / n_poly, exact integers until the one
+    final float division (mirrored verbatim in SQL).  Composition:
+    the distributed two-phase cell-join tile counts (salted) → a
+    layer-bounded per-poly rollup (tree) → broadcast join back."""
+    from engine.rayds import pipeline
+    from engine.rayds.shuffle import grouped_agg, tree_fold_refs
+
+    tc = pipeline.tile_counts(sf_dir, salted=True).materialize()
+    totals = tree_fold_refs(
+        grouped_agg(tc, ["poly_id"], [("n_images", "sum")], ["n_poly"],
+                    plan="tree"),
+        lambda tbls: pa.concat_tables(tbls))
+    pkeys = totals["poly_id"].to_numpy(zero_copy_only=False)
+    pvals = totals["n_poly"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pkeys)
+    pkeys, pvals = pkeys[order], pvals[order]
+
+    def alloc(t: pa.Table) -> pa.Table:
+        pid = t["poly_id"].to_numpy()
+        n = t["n_images"].to_numpy()
+        npoly = pvals[np.searchsorted(pkeys, pid)]
+        pop = (pid + 1) * 1000
+        a = (pop * n).astype(np.float64) / npoly.astype(np.float64)
+        return pa.table({"poly_id": t["poly_id"], "tile_id": t["tile_id"],
+                         "n_images": t["n_images"],
+                         "alloc": pa.array(a)})
+
+    return tc.map_batches(alloc, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+def _q_daily_autocorr(sf_dir):
+    """LAG-1 AUTOCORRELATION of the daily event-count series (the
+    seasonality screen): dense calendar counts (gap days = 0) from
+    combiner-first day counts — the series is CALENDAR-BOUNDED, so the
+    quadratic form runs driver-side over days, never rows; all moments
+    are exact python ints and the final r is pearson_from_moments'
+    fixed float expression, mirrored by the generate_series + LEAD SQL
+    oracle."""
+    import ray.data
+
+    from engine.ops.stats import pearson_from_moments
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_fn(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({"day": pa.array(day.astype(np.int64))})
+
+    counts = grouped_count(
+        ds.map_batches(day_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True), ["day"], out_col="n")
+    t = pa.concat_tables(
+        [b for b in counts.iter_batches(batch_format="pyarrow")])
+    day = t["day"].to_numpy()
+    n = t["n"].to_numpy()
+    lo, hi = int(day.min()), int(day.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[day - lo] = n
+    x, y = dense[:-1], dense[1:]
+    m = {"n": len(x), "sx": int(x.sum()), "sy": int(y.sum()),
+         "sxx": int((x.astype(object) * x).sum()),
+         "syy": int((y.astype(object) * y).sum()),
+         "sxy": int((x.astype(object) * y).sum())}
+    r = pearson_from_moments(m)
+    return pa.table({"n_days": pa.array([len(dense)], type=pa.int64()),
+                     "autocorr": pa.array([r], type=pa.float64())})
+
+
+def _q_cdc_state(sf_dir):
+    """CDC / CHANGELOG MERGE (the Hudi/Delta upsert-compaction op):
+    events are a changelog — 'error' rows are DELETE markers, everything
+    else upserts the user's value; the final state is each user's last
+    op by (ts, event_id), surviving only if it wasn't a delete.  The
+    per-key argmax is associative, so a per-block combiner keeps one
+    row per (key, block) and the ONE exchange moves keys × blocks rows,
+    never the stream (latest_event's plan + tombstone semantics)."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "is_del": pa.array(et == "error"),
+            "cents": pa.array(cents)})
+
+    def block_last(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        u = t["user_id"].to_numpy()
+        s = t["ts_us"].to_numpy()
+        e = t["event_id"].to_numpy()
+        order = np.lexsort((e, s, u))
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = u[order][1:] != u[order][:-1]
+        return t.take(pa.array(order[last]))
+
+    def final(group: pa.Table) -> pa.Table:
+        g = block_last(group.drop_columns(["_part"]))
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "last_cents": pa.array([], type=pa.int64())})
+        keep = pa.compute.invert(g["is_del"])
+        g = g.filter(keep)
+        return pa.table({"user_id": g["user_id"],
+                         "last_cents": g["cents"]})
+
+    local = ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True).map_batches(
+        block_last, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    return hash_exchange_groups(local, ["user_id"], final)
+
+
+def _q_json_roundtrip(sf_dir):
+    """JSONL SOURCE/SINK roundtrip: an integer projection of events
+    writes through Ray's native partitioned write_json and reads back
+    through read_json into the usual combiner-first rollup — the oracle
+    aggregates the ORIGINAL table, so the check is lossless-roundtrip +
+    aggregation (integer columns keep the text exact)."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    out = ("/tmp/graft_json_roundtrip_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(out, ignore_errors=True)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def ints(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(c)})
+
+    ev.map_batches(ints, batch_format="pyarrow", batch_size=None,
+                   zero_copy_batch=True).write_json(out)
+    back = ray.data.read_json(out)
+    return grouped_agg(back, ["event_type"], [("cents", "sum")],
+                       ["sum_cents"], plan="tree")
+
+
+def _q_wds_shards(sf_dir):
+    """WEBDATASET-STYLE TAR SHARD EXPORT (the training-data packaging
+    sink) + read-back: every payload batch writes one POSIX tar shard
+    ({image_id}.{fmt} payload member + {image_id}.txt caption member,
+    the WebDataset key convention) with a per-shard manifest row —
+    the resumable layout: shard names are a pure function of their
+    content's min image number, so a re-run overwrites, never
+    duplicates.  The read-back side lists shards from the manifest and
+    streams tar members back into per-format caption stats; the SQL
+    oracle aggregates the source table, so the check is
+    lossless-roundtrip.  Payload BYTES never ride a shuffle — they go
+    straight from the codec stage to the tar sink; byte-exactness of
+    the payload roundtrip is pinned by pytest."""
+    import hashlib
+    import io
+    import os
+    import shutil
+    import tarfile
+
+    import ray.data
+
+    from engine.rayds.imgstage import payload_dataset
+    from engine.rayds.shuffle import grouped_agg
+
+    out = ("/tmp/graft_wds_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        ids = t["image_id"].to_pylist()
+        caps = t["caption"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        pays = t["bytes"].to_pylist()
+        keynum = min(int(i[3:]) for i in ids)
+        path = f"{out}/shard-{keynum:012d}.tar"
+        with tarfile.open(path + ".tmp", "w") as tf:
+            for i, c, f, p in zip(ids, caps, fmts, pays):
+                for name, data in ((f"{i}.{f}", p),
+                                   (f"{i}.txt", c.encode())):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(data))
+        os.replace(path + ".tmp", path)  # atomic publish (resume-safe)
+        return pa.table({"shard": pa.array([path]),
+                         "n": pa.array([t.num_rows], type=pa.int64())})
+
+    manifest = payload_dataset(sf_dir).map_batches(
+        write_shard, batch_format="pyarrow", batch_size=256).take_all()
+    shards = [r["shard"] for r in manifest]
+
+    def read_shard(row) -> pa.Table:
+        caps: dict[str, int] = {}
+        fmt_of: dict[str, str] = {}
+        with tarfile.open(row["path"]) as tf:
+            for mem in tf:
+                key, ext = mem.name.rsplit(".", 1)
+                if ext == "txt":
+                    caps[key] = mem.size
+                else:
+                    fmt_of[key] = ext
+        fmts = sorted(set(fmt_of.values()))
+        return pa.table({
+            "fmt": pa.array(fmts),
+            "n_images": pa.array(
+                [sum(1 for v in fmt_of.values() if v == f) for f in fmts],
+                type=pa.int64()),
+            "sum_caption_chars": pa.array(
+                [sum(c for k, c in caps.items() if fmt_of[k] == f)
+                 for f in fmts], type=pa.int64())})
+
+    back = ray.data.from_items(
+        [{"path": s} for s in shards]).flat_map(
+        lambda row: read_shard(row).to_pylist())
+    return grouped_agg(back, ["fmt"],
+                       [("n_images", "sum"), ("sum_caption_chars", "sum")],
+                       ["n_images", "sum_caption_chars"], plan="tree")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -4572,6 +4942,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_poly": _q_nearest_poly,
         "grouped_value_sketch": _q_grouped_value_sketch,
         "quality_buckets": _q_quality_buckets,
+        "label_balance": _q_label_balance,
+        "spearman_corr": _q_spearman_corr,
+        "dasymetric_alloc": _q_dasymetric_alloc,
+        "daily_autocorr": _q_daily_autocorr,
+        "cdc_state": _q_cdc_state,
+        "json_roundtrip": _q_json_roundtrip,
+        "wds_shards": _q_wds_shards,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -6219,6 +6596,123 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["label_balance"] = """
+        WITH c AS (
+            SELECT min(cnt) AS m FROM (
+                SELECT count(*) AS cnt FROM documents GROUP BY lang)
+        ), r AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM r, c WHERE rn <= m
+        GROUP BY 1
+    """
+    sql["spearman_corr"] = """
+        WITH t AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ), r AS (
+            SELECT 2 * (count(*) OVER (ORDER BY x
+                                       RANGE UNBOUNDED PRECEDING))
+                     - (count(*) OVER (PARTITION BY x)) + 1 AS r2x,
+                   2 * (count(*) OVER (ORDER BY y
+                                       RANGE UNBOUNDED PRECEDING))
+                     - (count(*) OVER (PARTITION BY y)) + 1 AS r2y
+            FROM t
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) n,
+                   sum(CAST(r2x AS HUGEINT)) sx,
+                   sum(CAST(r2y AS HUGEINT)) sy,
+                   sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) sxx,
+                   sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) syy,
+                   sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) sxy
+            FROM r)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS spearman
+        FROM m
+    """
+    sql["dasymetric_alloc"] = f"""
+        WITH {_IMGS}, {_LAYER},
+        t AS (
+            SELECT poly_id, {_TILE} AS tile_id, count(*) AS n_images
+            FROM imgs JOIN layer ON {_COVERS}
+            GROUP BY 1, 2
+        ), p AS (
+            SELECT poly_id, sum(n_images) AS n_poly FROM t GROUP BY 1
+        )
+        SELECT t.poly_id, t.tile_id, t.n_images,
+               CAST((t.poly_id + 1) * 1000 * t.n_images AS DOUBLE)
+               / CAST(p.n_poly AS DOUBLE) AS alloc
+        FROM t JOIN p USING (poly_id)
+    """
+    sql["daily_autocorr"] = """
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+            FROM events GROUP BY 1
+        ), b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi)) AS day FROM b
+        ), dense AS (
+            SELECT spine.day, COALESCE(d.n, 0) AS n
+            FROM spine LEFT JOIN d USING (day)
+        ), pairs AS (
+            SELECT n AS x, LEAD(n) OVER (ORDER BY day) AS y FROM dense
+        ), pr AS (SELECT x, y FROM pairs WHERE y IS NOT NULL),
+        m AS (
+            SELECT CAST(count(*) AS HUGEINT) n,
+                   sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) sxx,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) syy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) sxy
+            FROM pr)
+        SELECT (SELECT CAST(hi - lo + 1 AS BIGINT) FROM b) AS n_days,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS autocorr
+        FROM m
+    """
+    sql["cdc_state"] = """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   event_type = 'error' AS is_del,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM e
+        )
+        SELECT user_id, cents AS last_cents
+        FROM r WHERE rn = 1 AND NOT is_del
+    """
+    sql["json_roundtrip"] = """
+        SELECT event_type,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1
+    """
+    sql["wds_shards"] = """
+        WITH f AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'raw'
+                        WHEN event_id % 4 = 1 THEN 'qraw'
+                        ELSE 'png' END AS fmt,
+                   length(event_type || ' #'
+                          || CAST(event_id AS VARCHAR)) AS cap_len
+            FROM events
+        )
+        SELECT fmt, count(*) AS n_images,
+               CAST(sum(cap_len) AS BIGINT) AS sum_caption_chars
+        FROM f GROUP BY 1
     """
     sql["quality_buckets"] = """
         WITH b AS (

@@ -247,3 +247,183 @@ def test_aspect_buckets_exact_argmin(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype(np.int64),
         want.sort_values("bucket", ignore_index=True).astype(np.int64))
+
+
+def test_label_balance_brute(ray_session, tmp_path):
+    import hashlib
+
+    from __ray_entry__ import _q_label_balance
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    lang = rng.choice(["en", "de", "fr"], size=n, p=[0.6, 0.3, 0.1])
+    did = rng.permutation(n).astype(np.int64)
+    nch = rng.integers(10, 500, size=n).astype(np.int64)
+    pq.write_table(pa.table({"lang": pa.array(lang),
+                             "doc_id": pa.array(did),
+                             "n_chars": pa.array(nch)}),
+                   str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_label_balance(str(tmp_path))).to_pandas()
+
+    df = pd.DataFrame({"lang": lang, "doc_id": did, "n_chars": nch})
+    df["h"] = [hashlib.md5(str(d).encode()).hexdigest() for d in did]
+    m = df.groupby("lang").size().min()
+    kept = (df.sort_values(["lang", "h", "doc_id"])
+            .groupby("lang").head(m))
+    want = (kept.groupby("lang")
+            .agg(n_kept=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index())
+    got = t.sort_values("lang", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("lang", ignore_index=True)
+        .astype({"n_kept": np.int64, "sum_chars": np.int64}))
+
+
+def test_spearman_brute_with_ties(ray_session, tmp_path):
+    from __ray_entry__ import _q_spearman_corr
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    q = rng.integers(1, 8, size=n).astype(np.float64)      # heavy ties
+    p = np.round(q * 10 + rng.integers(0, 50, size=n), 2)  # tied prices
+    pq.write_table(pa.table({"l_quantity": pa.array(q),
+                             "l_extendedprice": pa.array(p)}),
+                   str(tmp_path / "lineitem.parquet"))
+
+    t = _to_table(_q_spearman_corr(str(tmp_path)))
+    got = t["spearman"][0].as_py()
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    rx = avg_ranks(q)
+    ry = avg_ranks(np.rint(p * 100))
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got - want) < 1e-12
+    assert t["n"][0].as_py() == n
+
+
+def test_cdc_state_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_cdc_state
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    user = rng.integers(0, 80, size=n).astype(np.int64)
+    off = rng.integers(0, 10**9, size=n).astype(np.int64)
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    et = rng.choice(["click", "buy", "error"], size=n, p=[0.5, 0.3, 0.2])
+    value = np.round(rng.uniform(0, 100, size=n), 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((base + off).view("datetime64[us]")),
+        "user_id": pa.array(user),
+        "event_type": pa.array(et), "value": pa.array(value),
+        "props": pa.array([""] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_cdc_state(str(tmp_path))).to_pandas()
+
+    df = pd.DataFrame({"u": user, "ts": base + off,
+                       "e": np.arange(n), "et": et,
+                       "cents": np.floor(value * 100).astype(np.int64)})
+    last = (df.sort_values(["u", "ts", "e"]).groupby("u").last()
+            .reset_index())
+    want = (last[last["et"] != "error"][["u", "cents"]]
+            .rename(columns={"u": "user_id", "cents": "last_cents"})
+            .reset_index(drop=True))
+    got = t.sort_values("user_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("user_id", ignore_index=True))
+    # at least one tombstoned user must be absent for the test to bite
+    assert len(got) < df["u"].nunique()
+
+
+def test_daily_autocorr_gap_days(ray_session, tmp_path):
+    from __ray_entry__ import _q_daily_autocorr
+
+    rng = np.random.default_rng(61)
+    # three bursts with empty days between them
+    days = np.concatenate([np.zeros(50), np.full(200, 3),
+                           np.full(30, 4), np.full(80, 9)]).astype(np.int64)
+    base = np.datetime64("2024-02-01T12:00:00", "us").astype(np.int64)
+    ts = base + days * 86_400_000_000 + rng.integers(
+        0, 3_600_000_000, size=len(days))
+    pq.write_table(pa.table({"ts": pa.array(ts.view("datetime64[us]"))}),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_daily_autocorr(str(tmp_path)))
+    dense = np.zeros(10, dtype=np.int64)
+    for d in days:
+        dense[d] += 1
+    want = np.corrcoef(dense[:-1], dense[1:])[0, 1]
+    assert t["n_days"][0].as_py() == 10
+    assert abs(t["autocorr"][0].as_py() - want) < 1e-12
+
+
+def test_dasymetric_alloc_mass_preserving(ray_session):
+    """Allocations per polygon must sum back to the polygon's value
+    (pycnophylactic property) up to float addition of exact terms."""
+    from __ray_entry__ import _q_dasymetric_alloc
+
+    t = _to_table(_q_dasymetric_alloc("/root/testdata/sf0.001")).to_pandas()
+    per_poly = t.groupby("poly_id")["alloc"].sum()
+    for pid, s in per_poly.items():
+        assert abs(s - (pid + 1) * 1000) < 1e-6, (pid, s)
+
+
+def test_wds_shards_payload_byte_exact(ray_session, tmp_path):
+    """The tar members must roundtrip payload bytes and captions
+    EXACTLY (the input_hint per-row invariant for the lossless path:
+    byte equality; the lossy qraw branch's PSNR contract is pinned by
+    the codec tests)."""
+    import hashlib
+    import tarfile
+
+    from __ray_entry__ import _q_wds_shards
+    from engine.rayds.imgstage import payload_dataset
+
+    rng = np.random.default_rng(67)
+    n = 600
+    eid = rng.choice(np.arange(0, 100_000), size=n, replace=False)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid.astype(np.int64)),
+        "event_type": pa.array(["view"] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    _to_table(_q_wds_shards(str(tmp_path)))  # writes the shards
+
+    want = {}
+    for b in payload_dataset(str(tmp_path)).iter_batches(
+            batch_format="pyarrow"):
+        for i, p, c in zip(b["image_id"].to_pylist(),
+                           b["bytes"].to_pylist(),
+                           b["caption"].to_pylist()):
+            want[i] = (p, c.encode())
+
+    out = ("/tmp/graft_wds_"
+           + hashlib.md5(str(tmp_path).encode()).hexdigest()[:12])
+    got = {}
+    import glob
+    for shard in glob.glob(f"{out}/*.tar"):
+        with tarfile.open(shard) as tf:
+            for mem in tf:
+                key, ext = mem.name.rsplit(".", 1)
+                data = tf.extractfile(mem).read()
+                if ext == "txt":
+                    got.setdefault(key, [None, None])[1] = data
+                else:
+                    got.setdefault(key, [None, None])[0] = data
+    assert set(got) == set(want)
+    for k, (p, c) in want.items():
+        assert got[k][0] == p and got[k][1] == c
