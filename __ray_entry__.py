@@ -4730,73 +4730,118 @@ def _q_wds_shards(sf_dir):
     straight from the codec stage to the tar sink; byte-exactness of
     the payload roundtrip is pinned by pytest."""
     import hashlib
-    import io
     import os
     import shutil
-    import tarfile
 
     import ray.data
 
     from engine.rayds.imgstage import payload_dataset
     from engine.rayds.shuffle import grouped_agg
+    from engine.rayds.wds import read_shard_stats, write_shard_batch
 
     out = ("/tmp/graft_wds_"
            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
-    def write_shard(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"shard": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        ids = t["image_id"].to_pylist()
-        caps = t["caption"].to_pylist()
-        fmts = t["fmt"].to_pylist()
-        pays = t["bytes"].to_pylist()
-        keynum = min(int(i[3:]) for i in ids)
-        path = f"{out}/shard-{keynum:012d}.tar"
-        with tarfile.open(path + ".tmp", "w") as tf:
-            for i, c, f, p in zip(ids, caps, fmts, pays):
-                for name, data in ((f"{i}.{f}", p),
-                                   (f"{i}.txt", c.encode())):
-                    info = tarfile.TarInfo(name)
-                    info.size = len(data)
-                    info.mtime = 0
-                    tf.addfile(info, io.BytesIO(data))
-        os.replace(path + ".tmp", path)  # atomic publish (resume-safe)
-        return pa.table({"shard": pa.array([path]),
-                         "n": pa.array([t.num_rows], type=pa.int64())})
-
     manifest = payload_dataset(sf_dir).map_batches(
-        write_shard, batch_format="pyarrow", batch_size=256).take_all()
+        lambda t: write_shard_batch(t, out),
+        batch_format="pyarrow", batch_size=256).take_all()
     shards = [r["shard"] for r in manifest]
-
-    def read_shard(row) -> pa.Table:
-        caps: dict[str, int] = {}
-        fmt_of: dict[str, str] = {}
-        with tarfile.open(row["path"]) as tf:
-            for mem in tf:
-                key, ext = mem.name.rsplit(".", 1)
-                if ext == "txt":
-                    caps[key] = mem.size
-                else:
-                    fmt_of[key] = ext
-        fmts = sorted(set(fmt_of.values()))
-        return pa.table({
-            "fmt": pa.array(fmts),
-            "n_images": pa.array(
-                [sum(1 for v in fmt_of.values() if v == f) for f in fmts],
-                type=pa.int64()),
-            "sum_caption_chars": pa.array(
-                [sum(c for k, c in caps.items() if fmt_of[k] == f)
-                 for f in fmts], type=pa.int64())})
 
     back = ray.data.from_items(
         [{"path": s} for s in shards]).flat_map(
-        lambda row: read_shard(row).to_pylist())
+        lambda row: read_shard_stats(row["path"]).to_pylist())
     return grouped_agg(back, ["fmt"],
                        [("n_images", "sum"), ("sum_caption_chars", "sum")],
                        ["n_images", "sum_caption_chars"], plan="tree")
+
+
+def _q_getis_ord(sf_dir):
+    """GETIS-ORD Gi* HOTSPOT SCORES of the image-point density field
+    (queen adjacency + self, over occupied grid cells) — the per-cell
+    companion to morans_i's single global statistic.  Per-cell counts
+    are combiner-first; the neighbor sums and the standardized score
+    run driver-side over the LATTICE-BOUNDED cell table (≤ 400 cells;
+    bounded by world/cell_size², never rows).  Everything stays exact
+    int until ONE fixed float expression per cell:
+    gi = num / sqrt(A · B / (N−1)) with num = N·U_i − S1·W_i,
+    A = N·S2 − S1², B = N·W_i − W_i² — mirrored term-for-term in SQL."""
+    import math
+
+    import ray.data
+
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["x", "y"])
+
+    def cell_fn(t: pa.Table) -> pa.Table:
+        cx = np.floor(t["x"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        cy = np.floor(t["y"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "_one": pa.array(np.ones(len(cx), dtype=np.int64))})
+
+    cells = grouped_agg(
+        ds.map_batches(cell_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["cx", "cy"], [("_one", "sum")], ["n"], plan="tree")
+    t = cells.take_all()  # lattice-bounded by contract
+    cx = np.array([r["cx"] for r in t], dtype=np.int64)
+    cy = np.array([r["cy"] for r in t], dtype=np.int64)
+    n = np.array([r["n"] for r in t], dtype=np.int64)
+    N = len(n)
+    S1 = int(n.sum())
+    S2 = int((n.astype(object) * n).sum())
+    idx = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(cx, cy))}
+    gi = np.zeros(N, dtype=np.float64)
+    wi = np.zeros(N, dtype=np.int64)
+    A = N * S2 - S1 * S1
+    for i in range(N):  # N ≤ lattice cells, driver-side by contract
+        U = W = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j = idx.get((int(cx[i]) + dx, int(cy[i]) + dy))
+                if j is not None:
+                    W += 1
+                    U += int(n[j])
+        num = N * U - S1 * W
+        B = N * W - W * W
+        wi[i] = W
+        gi[i] = (float(num) / math.sqrt(float(A) * float(B) / float(N - 1))
+                 if B > 0 else 0.0)
+    return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                     "n": pa.array(n), "w_i": pa.array(wi),
+                     "gi_star": pa.array(gi)})
+
+
+def _q_pushdown_read(sf_dir):
+    """PREDICATE + PROJECTION PUSHDOWN at the source (the "prune at the
+    read" rule made explicit): the parquet scan itself evaluates
+    ``value > 300`` (row-group statistics skip whole groups; surviving
+    rows filter before leaving the read task) and only 2 of 6 columns
+    ever leave storage.  Everything downstream is the standard
+    combiner-first rollup."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pc.field("value") > 300.0)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        one = np.ones(len(c), dtype=np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(c), "_one": pa.array(one)})
+
+    return grouped_agg(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["event_type"], [("_one", "sum"), ("cents", "sum")],
+        ["n_big", "sum_cents"], plan="tree")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -4949,6 +4994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_state": _q_cdc_state,
         "json_roundtrip": _q_json_roundtrip,
         "wds_shards": _q_wds_shards,
+        "getis_ord": _q_getis_ord,
+        "pushdown_read": _q_pushdown_read,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -6596,6 +6643,43 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["getis_ord"] = f"""
+        WITH {_IMGS},
+        cells AS (
+            SELECT CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 5.0) AS BIGINT) AS cy,
+                   count(*) AS n
+            FROM imgs GROUP BY 1, 2
+        ), g AS (
+            SELECT count(*) AS nc, sum(n) AS s1,
+                   sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS s2
+            FROM cells
+        ), nbr AS (
+            SELECT i.cx, i.cy, i.n,
+                   count(*) AS w_i,
+                   sum(j.n) AS u_i
+            FROM cells i JOIN cells j
+              ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+            GROUP BY 1, 2, 3
+        )
+        SELECT cx, cy, n, CAST(w_i AS BIGINT) AS w_i,
+               CASE WHEN g.nc * w_i - w_i * w_i > 0 THEN
+                   CAST(g.nc * u_i - g.s1 * w_i AS DOUBLE)
+                   / sqrt(CAST(g.nc * g.s2 - CAST(g.s1 AS HUGEINT)
+                               * CAST(g.s1 AS HUGEINT) AS DOUBLE)
+                          * CAST(g.nc * w_i - w_i * w_i AS DOUBLE)
+                          / CAST(g.nc - 1 AS DOUBLE))
+               ELSE 0.0 END AS gi_star
+        FROM nbr, g
+    """
+    sql["pushdown_read"] = """
+        SELECT event_type,
+               count(*) AS n_big,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events WHERE value > 300
+        GROUP BY 1
     """
     sql["label_balance"] = """
         WITH c AS (

@@ -33,7 +33,8 @@ def main() -> int:
         "GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--out", default="/tmp/ingest_out")
     ap.add_argument("--num-shards", type=int, default=8)
-    ap.add_argument("--pipeline", choices=["tiles", "celljoin", "dedup"],
+    ap.add_argument("--pipeline",
+                    choices=["tiles", "celljoin", "dedup", "wds"],
                     default="tiles")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -53,6 +54,11 @@ def main() -> int:
             args.sf_dir, args.out, num_shards=args.num_shards)
     elif args.pipeline == "celljoin":
         res = pipeline.run_celljoin_checkpointed(
+            args.sf_dir, args.out, num_shards=args.num_shards)
+    elif args.pipeline == "wds":
+        from engine.rayds.wds import run_wds_checkpointed
+
+        res = run_wds_checkpointed(
             args.sf_dir, args.out, num_shards=args.num_shards)
     else:
         res = pipeline.run_dedup_checkpointed(

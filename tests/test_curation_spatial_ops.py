@@ -427,3 +427,101 @@ def test_wds_shards_payload_byte_exact(ray_session, tmp_path):
     assert set(got) == set(want)
     for k, (p, c) in want.items():
         assert got[k][0] == p and got[k][1] == c
+
+
+def test_getis_ord_brute(ray_session, tmp_path):
+    import math
+
+    from __ray_entry__ import _q_getis_ord
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    eid = rng.integers(0, 400_000, size=n).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_getis_ord(str(tmp_path))).to_pandas()
+
+    x = ((eid * 9973) % 100_000) / 1000.0
+    y = ((eid * 7919) % 100_000) / 1000.0
+    cx = np.floor(x / 5.0).astype(np.int64)
+    cy = np.floor(y / 5.0).astype(np.int64)
+    counts = {}
+    for a, b in zip(cx, cy):
+        counts[(int(a), int(b))] = counts.get((int(a), int(b)), 0) + 1
+    N = len(counts)
+    S1 = sum(counts.values())
+    S2 = sum(v * v for v in counts.values())
+    A = N * S2 - S1 * S1
+    for _, row in t.iterrows():
+        key = (int(row["cx"]), int(row["cy"]))
+        assert counts[key] == row["n"]
+        U = W = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                v = counts.get((key[0] + dx, key[1] + dy))
+                if v is not None:
+                    W += 1
+                    U += v
+        assert W == row["w_i"]
+        B = N * W - W * W
+        want = (float(N * U - S1 * W)
+                / math.sqrt(float(A) * float(B) / float(N - 1))
+                if B > 0 else 0.0)
+        assert row["gi_star"] == want
+    assert len(t) == N
+
+
+def test_wds_checkpointed_resume(ray_session, tmp_path):
+    """Delete ONE shard manifest → only that shard recomputes (other
+    shards' tar mtimes untouched); the union of shard stats equals the
+    full unsharded export."""
+    import glob
+    import json
+    import os
+
+    from engine.rayds.wds import read_shard_stats, run_wds_checkpointed
+
+    rng = np.random.default_rng(73)
+    n = 800
+    eid = rng.choice(np.arange(0, 50_000), size=n, replace=False)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid.astype(np.int64)),
+        "event_type": pa.array(["view"] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    out = str(tmp_path / "wds_out")
+    r1 = run_wds_checkpointed(str(tmp_path), out, num_shards=4)
+    assert sorted(r1["computed"]) == [0, 1, 2, 3] and not r1["skipped"]
+
+    mtimes = {p: os.stat(p).st_mtime_ns
+              for p in glob.glob(f"{out}/shard=*/*.tar")}
+    os.remove(f"{out}/_manifest/shard-2.json")
+
+    r2 = run_wds_checkpointed(str(tmp_path), out, num_shards=4)
+    assert r2["computed"] == [2] and sorted(r2["skipped"]) == [0, 1, 3]
+    for p, m in mtimes.items():
+        if "/shard=2/" not in p:
+            assert os.stat(p).st_mtime_ns == m, p
+
+    # union of shard stats == stats of every image exactly once
+    total = {}
+    seen_keys = set()
+    import tarfile
+    for p in glob.glob(f"{out}/shard=*/*.tar"):
+        st = read_shard_stats(p).to_pandas()
+        with tarfile.open(p) as tf:
+            for mem in tf:
+                key = mem.name.rsplit(".", 1)[0]
+                assert key not in seen_keys or mem.name.endswith(".txt")
+                seen_keys.add(key)
+        for _, row in st.iterrows():
+            total[row["fmt"]] = total.get(row["fmt"], 0) + row["n_images"]
+    assert sum(total.values()) == n
+    # manifests carry lineage + metrics
+    with open(f"{out}/_manifest/shard-0.json") as f:
+        m = json.load(f)
+    assert m["status"] == "complete" and m["rows"] > 0
+    assert m["slice"] == [0, 4] and "wall_secs" in m and m["tars"] >= 1
