@@ -4513,9 +4513,9 @@ def _q_spearman_corr(sf_dir):
     window-function SQL oracle."""
     import ray.data
 
-    from engine.ops.scan import ordered_cumsum
+    from engine.ops.rank import doubled_rank_map
     from engine.ops.stats import exact_moments, pearson_from_moments
-    from engine.rayds.shuffle import equi_join, grouped_agg
+    from engine.rayds.shuffle import equi_join
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -4526,29 +4526,14 @@ def _q_spearman_corr(sf_dir):
             zero_copy_only=False)).astype(np.int64)
         c = np.rint(batch["l_extendedprice"].to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
-        one = np.ones(len(q), dtype=np.int64)
-        return pa.table({"x": pa.array(q), "y": pa.array(c),
-                         "_one": pa.array(one)})
+        return pa.table({"x": pa.array(q), "y": pa.array(c)})
 
     rows = li.map_batches(ints, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True).materialize()
 
-    def rank_map(col: str):
-        counts = grouped_agg(rows, [col], [("_one", "sum")], ["cnt"])
-        # materialize: ordered_cumsum executes its input twice (meta
-        # pass + apply pass) — block boundaries must be identical
-        ranked = ordered_cumsum(counts.sort(col).materialize(), col,
-                                "cnt", out_col="_cum0")
-        return ranked.map_batches(
-            lambda t: pa.table({
-                col: t[col],
-                f"r2{col}": pa.array(
-                    2 * t["_cum0"].to_numpy() + t["cnt"].to_numpy() + 1)}),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-
-    withx = equi_join(rows, rank_map("x"), "x", "x",
+    withx = equi_join(rows, doubled_rank_map(rows, "x", "r2x"), "x", "x",
                       ["y"], ["r2x"])
-    withxy = equi_join(withx, rank_map("y"), "y", "y",
+    withxy = equi_join(withx, doubled_rank_map(rows, "y", "r2y"), "y", "y",
                        ["r2x"], ["r2y"])
     m = exact_moments(withxy, "r2x", "r2y")
     r = pearson_from_moments(m)
@@ -4844,6 +4829,253 @@ def _q_pushdown_read(sf_dir):
         ["n_big", "sum_cents"], plan="tree")
 
 
+def _q_rank_sums(sf_dir):
+    """KRUSKAL-WALLIS RANK SUMS per group (the nonparametric ANOVA
+    building block): every event's value takes its GLOBAL doubled
+    average-tie rank (exact int64, engine/ops/rank.py) and the per-type
+    rank sums are exact integer aggregates — distinct-value counts →
+    one sort of the distinct table → prefix-sum scan → one rank-attach
+    join → combiner-first sums.  The H statistic is one driver
+    expression away; the exact rank sums are what the oracle hashes."""
+    import ray.data
+
+    from engine.ops.rank import doubled_rank_map
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def ints(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "c": pa.array(c)})
+
+    rows = ds.map_batches(ints, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True).materialize()
+    joined = equi_join(rows, doubled_rank_map(rows, "c", "r2"), "c", "c",
+                       ["event_type"], ["r2"])
+    one = joined.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"], "r2": t["r2"],
+            "_one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return grouped_agg(one, ["event_type"],
+                       [("_one", "sum"), ("r2", "sum")],
+                       ["n_g", "r2_sum"], plan="tree")
+
+
+def _q_winsorized(sf_dir):
+    """WINSORIZED AGGREGATE (the outlier-robust preprocessing op): clip
+    every value to the EXACT global [p01, p99] quantile_disc boundaries
+    (both ranks resolve in ONE shared histogram-refinement pass —
+    engine/ops/kth.py), then the usual combiner-first rollup.  Clipping
+    happens in exact integer cents; boundaries broadcast as two
+    scalars."""
+    import ray.data
+
+    from engine.ops.kth import quantiles_disc
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    dv = ds.map_batches(
+        lambda t: pa.table({"v": pa.array(np.floor(
+            t["value"].to_numpy() * 100.0))}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    lo, hi = quantiles_disc(dv, "v", [0.01, 0.99])
+    lo_i, hi_i = int(lo), int(hi)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0).astype(np.int64)
+        w = np.clip(c, lo_i, hi_i)
+        return pa.table({"event_type": batch["event_type"],
+                         "w": pa.array(w),
+                         "_one": pa.array(np.ones(len(w), dtype=np.int64))})
+
+    return grouped_agg(
+        ds.map_batches(clip, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["event_type"], [("_one", "sum"), ("w", "sum")],
+        ["n", "sum_wcents"], plan="tree")
+
+
+def _q_mad_outliers(sf_dir):
+    """MEDIAN/MAD ROBUST OUTLIER SCREEN (the heavy-tail-safe z-score):
+    med and MAD = median(|x − med|) are both EXACT distributed medians
+    (two histogram-refinement passes — the second over the derived
+    deviation column, never materialized); outliers are the exact
+    integer predicate |c − med| > 3·MAD, counted per type
+    combiner-first.  Complements anomaly_zscore's mean/std screen."""
+    import ray.data
+
+    from engine.ops.kth import kth_smallest
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def cents_only(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.floor(
+            t["value"].to_numpy() * 100.0))})
+
+    med = int(kth_smallest(
+        ds.map_batches(cents_only, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True), "v", q=0.5))
+
+    def dev_only(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"v": pa.array(np.abs(c - med).astype(np.float64))})
+
+    mad = int(kth_smallest(
+        ds.map_batches(dev_only, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True), "v", q=0.5))
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        out = (np.abs(c - med) > 3 * mad).astype(np.int64)
+        one = np.ones(len(c), dtype=np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "_one": pa.array(one), "out": pa.array(out)})
+
+    g = grouped_agg(
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["event_type"], [("_one", "sum"), ("out", "sum")],
+        ["n", "n_outliers"], plan="tree")
+    return g.map_batches(
+        lambda t: t.append_column(
+            "med_cents", pa.array(np.full(t.num_rows, med,
+                                          dtype=np.int64))).append_column(
+            "mad_cents", pa.array(np.full(t.num_rows, mad,
+                                          dtype=np.int64))),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _q_gini_order_value(sf_dir):
+    """EXACT GINI COEFFICIENT of order values (the inequality /
+    concentration statistic): from the ranked distinct-value table
+    (cum0, cnt per value — engine/ops/rank.py), the sorted-position sum
+    Σ i·x_(i) is Σ_v v·(cnt·cum0 + cnt(cnt+1)/2); doubled it stays
+    integer, folded to the driver as exact python ints (the distinct
+    table's per-block partials can exceed int64, so blocks fold object
+    ints like the moment machinery).  G = (T2 − (n+1)·S) / (n·S) — one
+    float division of exact integers, mirrored in HUGEINT SQL."""
+    import ray.data
+
+    from engine.ops.rank import distinct_counts_ranked
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+    rows = ds.map_batches(
+        lambda t: pa.table({"c": pa.array(np.rint(
+            t["o_totalprice"].to_numpy() * 100.0).astype(np.int64))}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ranked = distinct_counts_ranked(rows, "c")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy().astype(object)
+        cnt = t["cnt"].to_numpy().astype(object)
+        cum0 = t["_cum0"].to_numpy().astype(object)
+        t2 = int((c * (2 * cnt * cum0 + cnt * (cnt + 1))).sum()) \
+            if len(c) else 0
+        s = int((c * cnt).sum()) if len(c) else 0
+        n = int(cnt.sum()) if len(c) else 0
+        d = pa.decimal128(38, 0)
+        return pa.table({"t2": pa.array([t2], type=d),
+                         "s": pa.array([s], type=d),
+                         "n": pa.array([n], type=d)})
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    folded = tree_fold_refs(
+        ranked.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    t2 = sum(int(v.as_py()) for v in folded["t2"])
+    s = sum(int(v.as_py()) for v in folded["s"])
+    n = sum(int(v.as_py()) for v in folded["n"])
+    gini = float(t2 - (n + 1) * s) / float(n * s)
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "gini": pa.array([gini], type=pa.float64())})
+
+
+def _q_local_supplier_revenue(sf_dir):
+    """TPC-H Q5 SHAPE (local-supplier revenue): the 6-table join chain
+    customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation, revenue credited
+    only when the customer's and supplier's nations match.  Join plan:
+    both dimension attaches (orders→customer, lineitem→supplier) ride
+    the adaptive equi-join (broadcast at this cardinality, hash past
+    the budget); the one genuinely big-big join (lineitem ⋈ filtered
+    orders on orderkey) is the engine's hash exchange; the rollup is
+    combiner-first on the 25-value nation key, with the nation-name
+    attach on the 25-row folded result.  Revenue is exact int64 basis
+    points: price_cents · (100 − discount_pct)."""
+    import ray.data
+
+    from engine.rayds.shuffle import dim_table, equi_join, grouped_agg
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def owin(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]}).filter(
+            pa.array(keep))
+
+    ow = orders.map_batches(owin, batch_format="pyarrow", batch_size=None,
+                            zero_copy_batch=True)
+    cust = dim_table(f"{sf_dir}/customer.parquet",
+                     ["c_custkey", "c_nationkey"])
+    oc = equi_join(ow, cust, "o_custkey", "c_custkey",
+                   ["o_orderkey"], ["c_nationkey"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_bp(t: pa.Table) -> pa.Table:
+        pc_ = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_bp": pa.array(pc_ * (100 - d100))})
+
+    supp = dim_table(f"{sf_dir}/supplier.parquet",
+                     ["s_suppkey", "s_nationkey"])
+    ls = equi_join(
+        li.map_batches(li_bp, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        supp, "l_suppkey", "s_suppkey", ["l_orderkey", "rev_bp"],
+        ["s_nationkey"])
+
+    j = equi_join(ls, oc, "l_orderkey", "o_orderkey",
+                  ["rev_bp", "s_nationkey"], ["c_nationkey"])
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(t["s_nationkey"], t["c_nationkey"])
+        f = t.filter(keep)
+        return pa.table({"n_nationkey": f["s_nationkey"],
+                         "rev_bp": f["rev_bp"]})
+
+    rolled = grouped_agg(
+        j.map_batches(local_only, batch_format="pyarrow", batch_size=None,
+                      zero_copy_batch=True),
+        ["n_nationkey"], [("rev_bp", "sum")], ["revenue_bp"], plan="tree")
+    nat = dim_table(f"{sf_dir}/nation.parquet",
+                    ["n_nationkey", "n_name"])
+    out = equi_join(rolled, nat, "n_nationkey", "n_nationkey",
+                    ["revenue_bp"], ["n_name"])
+    return out.select_columns(["n_name", "revenue_bp"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -4996,6 +5228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_shards": _q_wds_shards,
         "getis_ord": _q_getis_ord,
         "pushdown_read": _q_pushdown_read,
+        "rank_sums": _q_rank_sums,
+        "winsorized": _q_winsorized,
+        "mad_outliers": _q_mad_outliers,
+        "gini_order_value": _q_gini_order_value,
+        "local_supplier_revenue": _q_local_supplier_revenue,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -6643,6 +6880,101 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["rank_sums"] = """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ), r AS (
+            SELECT event_type,
+                   2 * (count(*) OVER (ORDER BY c
+                                       RANGE UNBOUNDED PRECEDING))
+                     - (count(*) OVER (PARTITION BY c)) + 1 AS r2
+            FROM t
+        )
+        SELECT event_type, count(*) AS n_g,
+               CAST(sum(r2) AS BIGINT) AS r2_sum
+        FROM r GROUP BY 1
+    """
+    sql["winsorized"] = """
+        WITH v AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ), b AS (
+            SELECT CAST(quantile_disc(CAST(c AS DOUBLE), 0.01) AS BIGINT)
+                       AS lo,
+                   CAST(quantile_disc(CAST(c AS DOUBLE), 0.99) AS BIGINT)
+                       AS hi
+            FROM v
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(least(greatest(c, lo), hi)) AS BIGINT)
+                   AS sum_wcents
+        FROM v, b GROUP BY 1
+    """
+    sql["mad_outliers"] = """
+        WITH v AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ), m AS (
+            SELECT CAST(quantile_disc(CAST(c AS DOUBLE), 0.5) AS BIGINT)
+                       AS med
+            FROM v
+        ), d AS (
+            SELECT CAST(quantile_disc(CAST(abs(c - med) AS DOUBLE), 0.5)
+                        AS BIGINT) AS mad
+            FROM v, m
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN abs(c - med) > 3 * mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               med AS med_cents, mad AS mad_cents
+        FROM v, m, d GROUP BY 1, 4, 5
+    """
+    sql["gini_order_value"] = """
+        WITH v AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ), d AS (
+            SELECT c, count(*) AS cnt FROM v GROUP BY 1
+        ), w AS (
+            SELECT c, cnt,
+                   COALESCE(sum(cnt) OVER (
+                       ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum0
+            FROM d
+        ), m AS (
+            SELECT sum(CAST(c AS HUGEINT)
+                       * (2 * CAST(cnt AS HUGEINT) * CAST(cum0 AS HUGEINT)
+                          + CAST(cnt AS HUGEINT)
+                            * (CAST(cnt AS HUGEINT) + 1))) AS t2,
+                   sum(CAST(c AS HUGEINT) * CAST(cnt AS HUGEINT)) AS s,
+                   sum(CAST(cnt AS HUGEINT)) AS n
+            FROM w)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(t2 - (n + 1) * s AS DOUBLE)
+               / CAST(n * s AS DOUBLE) AS gini
+        FROM m
+    """
+    sql["local_supplier_revenue"] = """
+        SELECT n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100)
+                                      AS BIGINT))) AS BIGINT)
+                   AS revenue_bp
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
     """
     sql["getis_ord"] = f"""
         WITH {_IMGS},

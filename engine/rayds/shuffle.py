@@ -268,6 +268,10 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str]],
     merge_spec = [(p, _PARTIAL_MERGE_FN[fn]) for p, (_, fn) in zip(pcols, specs)]
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            # column-less empty anchor (a task-exchange partition that
+            # saw no rows) — pass through; both merge plans drop these
+            return batch
         g = batch.group_by(keys).aggregate([(c, fn) for c, fn in specs])
         return g.rename_columns(keys + pcols)
 

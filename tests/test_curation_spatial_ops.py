@@ -525,3 +525,184 @@ def test_wds_checkpointed_resume(ray_session, tmp_path):
         m = json.load(f)
     assert m["status"] == "complete" and m["rows"] > 0
     assert m["slice"] == [0, 4] and "wall_secs" in m and m["tars"] >= 1
+
+
+def _avg_ranks_doubled(v):
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    r2 = np.empty(len(v), dtype=np.int64)
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        r2[order[i:j]] = (i + 1) + (j - 1) + 1  # 2*avg of ranks i+1..j
+        i = j
+    return r2
+
+
+def test_rank_sums_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_rank_sums
+
+    rng = np.random.default_rng(79)
+    n = 5000
+    et = rng.choice(["a", "b", "c"], size=n)
+    value = rng.integers(0, 30, size=n) / 2.0  # heavy global ties
+    pq.write_table(pa.table({"event_type": pa.array(et),
+                             "value": pa.array(value)}),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_rank_sums(str(tmp_path))).to_pandas()
+
+    c = np.floor(value * 100).astype(np.int64)
+    r2 = _avg_ranks_doubled(c)
+    want = (pd.DataFrame({"event_type": et, "r2": r2})
+            .groupby("event_type")
+            .agg(n_g=("r2", "size"), r2_sum=("r2", "sum")).reset_index())
+    got = t.sort_values("event_type", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("event_type", ignore_index=True)
+        .astype({"n_g": np.int64, "r2_sum": np.int64}))
+    # global sanity: sum of doubled ranks == n(n+1)
+    assert int(got["r2_sum"].sum()) == n * (n + 1)
+
+
+def test_winsorized_and_mad_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_mad_outliers, _q_winsorized
+
+    rng = np.random.default_rng(83)
+    n = 4000
+    et = rng.choice(["x", "y"], size=n)
+    value = np.concatenate([rng.uniform(0, 50, n - 40),
+                            rng.uniform(5000, 9000, 40)])  # fat tail
+    pq.write_table(pa.table({"event_type": pa.array(et),
+                             "value": pa.array(value)}),
+                   str(tmp_path / "events.parquet"))
+
+    c = np.floor(value * 100).astype(np.int64)
+    s = np.sort(c)
+
+    def disc(q):
+        return s[max(1, int(-(-len(s) * q // 1))) - 1]
+
+    lo, hi = disc(0.01), disc(0.99)
+    w = np.clip(c, lo, hi)
+    want_w = (pd.DataFrame({"event_type": et, "w": w})
+              .groupby("event_type")
+              .agg(n=("w", "size"), sum_wcents=("w", "sum")).reset_index())
+    got_w = (_to_table(_q_winsorized(str(tmp_path))).to_pandas()
+             .sort_values("event_type", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got_w, want_w.astype({"n": np.int64, "sum_wcents": np.int64}))
+
+    med = disc(0.5)
+    dev = np.sort(np.abs(c - med))
+    mad = dev[max(1, int(-(-len(dev) * 0.5 // 1))) - 1]
+    out = np.abs(c - med) > 3 * mad
+    want_m = (pd.DataFrame({"event_type": et, "out": out.astype(np.int64)})
+              .groupby("event_type")
+              .agg(n=("out", "size"), n_outliers=("out", "sum"))
+              .reset_index())
+    got_m = (_to_table(_q_mad_outliers(str(tmp_path))).to_pandas()
+             .sort_values("event_type", ignore_index=True))
+    assert (got_m["med_cents"] == med).all()
+    assert (got_m["mad_cents"] == mad).all()
+    pd.testing.assert_frame_equal(
+        got_m[["event_type", "n", "n_outliers"]],
+        want_m.astype({"n": np.int64, "n_outliers": np.int64}))
+    assert want_m["n_outliers"].sum() > 0  # the tail must actually flag
+
+
+def test_gini_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_gini_order_value
+
+    rng = np.random.default_rng(89)
+    n = 3000
+    price = np.round(rng.lognormal(8, 1, n), 2)
+    pq.write_table(pa.table({"o_totalprice": pa.array(price)}),
+                   str(tmp_path / "orders.parquet"))
+
+    t = _to_table(_q_gini_order_value(str(tmp_path)))
+
+    c = np.sort(np.rint(price * 100).astype(np.int64))
+    i = np.arange(1, n + 1, dtype=object)
+    t2 = int((2 * i * c.astype(object)).sum())
+    s = int(c.sum())
+    want = float(t2 - (n + 1) * s) / float(n * s)
+    assert t["n"][0].as_py() == n
+    assert abs(t["gini"][0].as_py() - want) < 1e-15
+    # sanity: 0 < gini < 1 for a lognormal
+    assert 0.0 < t["gini"][0].as_py() < 1.0
+
+
+def test_local_supplier_revenue_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_local_supplier_revenue
+
+    rng = np.random.default_rng(97)
+    n_cust, n_supp, n_ord, n_li = 40, 12, 300, 1200
+    nk_c = rng.integers(0, 5, size=n_cust).astype(np.int64)
+    nk_s = rng.integers(0, 5, size=n_supp).astype(np.int64)
+    base = np.datetime64("1995-06-01T00:00:00", "us").astype(np.int64)
+    od = base + rng.integers(0, 3 * 365, size=n_ord) * 86_400_000_000
+    ock = rng.integers(0, n_cust, size=n_ord).astype(np.int64)
+    lok = rng.integers(0, n_ord, size=n_li).astype(np.int64)
+    lsk = rng.integers(0, n_supp, size=n_li).astype(np.int64)
+    price = np.round(rng.uniform(100, 2000, size=n_li), 2)
+    disc = rng.integers(0, 11, size=n_li) / 100.0
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_nationkey": pa.array(nk_c)}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+        "s_nationkey": pa.array(nk_s)}),
+        str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(ock),
+        "o_orderdate": pa.array(od.view("datetime64[us]"))}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lok), "l_suppkey": pa.array(lsk),
+        "l_extendedprice": pa.array(price),
+        "l_discount": pa.array(disc)}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(5, dtype=np.int64)),
+        "n_name": pa.array([f"N{i}" for i in range(5)])}),
+        str(tmp_path / "nation.parquet"))
+
+    t = _to_table(_q_local_supplier_revenue(str(tmp_path))).to_pandas()
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+    ok = (od[lok] >= lo) & (od[lok] < hi)
+    same = nk_c[ock[lok]] == nk_s[lsk]
+    rev = (np.rint(price * 100).astype(np.int64)
+           * (100 - np.rint(disc * 100).astype(np.int64)))
+    keep = ok & same
+    want = (pd.DataFrame({"n": nk_s[lsk][keep], "rev": rev[keep]})
+            .groupby("n")["rev"].sum())
+    got = dict(zip(t["n_name"], t["revenue_bp"]))
+    assert got == {f"N{k}": int(v) for k, v in want.items()}
+
+
+def test_grouped_agg_columnless_empty_partitions(ray_session):
+    """A hash-join output whose exchange leaves most partitions with NO
+    rows (column-less anchors) must still aggregate (the Q5 regression:
+    grouped_agg over a sparse big-big join)."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, hash_equi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([7] * 5, type=pa.int64()),
+        "v": pa.array([1, 2, 3, 4, 5], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([7], type=pa.int64()),
+        "w": pa.array([10], type=pa.int64())}))
+    j = hash_equi_join(left, right, "k", "k", ["v"], ["w"])
+    out = grouped_agg(j, ["w"], [("v", "sum")], ["sum_v"], plan="tree")
+    t = _to_table(out)
+    assert t.to_pydict() == {"w": [10], "sum_v": [15]}
