@@ -5076,6 +5076,83 @@ def _q_local_supplier_revenue(sf_dir):
     return out.select_columns(["n_name", "revenue_bp"])
 
 
+def _q_geohash_counts(sf_dir):
+    """GEOHASH cell counts — the engine's bit-exact PUBLIC cell-id
+    standard (engine/geo/geohash.py, validated against the published
+    reference vector at precisions 1..11): planar x,y map to lat/lng,
+    every image takes its precision-3 geohash (two quantizations + one
+    Morton dilation + a byte gather, no row loops), counts are
+    combiner-first.  The SQL oracle reproduces the dilation chain in
+    BIGINT magic-mask arithmetic and the base-32 chars with three fixed
+    substr picks — ids hash bit-identically as STRINGS."""
+    import ray.data
+
+    from engine.geo.geohash import geohash_encode
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["x", "y"])
+
+    def gh(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        lat = y * 1.8 - 90.0
+        lng = x * 3.6 - 180.0
+        g = geohash_encode(lat, lng, 3)
+        return pa.table({"gh": pa.array(g),
+                         "_one": pa.array(np.ones(len(g), dtype=np.int64))})
+
+    return grouped_agg(
+        ds.map_batches(gh, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["gh"], [("_one", "sum")], ["n_images"])
+
+
+def _q_lm_quality_flags(sf_dir):
+    """CHAR-TRIGRAM LANGUAGE-MODEL QUALITY SCREEN (the KenLM-shaped
+    filter of web-scale curation): train a hashed trigram model over
+    the English reference slice in ONE streaming pass (per-block
+    fixed-512KiB bucket partials, tree-folded — zero exchanges),
+    broadcast it once, score every doc's mean log2 probability
+    (per-doc sums are strictly sequential reduceat — identical at any
+    partitioning), and count flagged low-likelihood docs per lang
+    (score < −8.78: the rare-trigram tail of this corpus; a real
+    pipeline tunes the cut on a held-out slice).  Hash/log derived
+    values ⇒ no SQL oracle; pinned by a brute-force exact-parity pytest
+    plus a planted-gibberish separation test."""
+    import ray
+
+    import ray.data
+
+    from engine.ops.text import (TRI_BUCKETS, fold_trigram_model,
+                                 lm_score_docs, trigram_model_partial)
+    from engine.rayds.shuffle import grouped_agg, tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    model_t = tree_fold_refs(
+        ds.map_batches(trigram_model_partial, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True),
+        fold_trigram_model)
+    cnt = model_t["cnt"].to_numpy().astype(np.float64)
+    total = int(cnt.sum())
+    ref = ray.put(cnt)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        model = ray.get(ref)
+        s = lm_score_docs(batch, model, total)
+        return pa.table({
+            "lang": batch["lang"],
+            "_one": pa.array(np.ones(len(s), dtype=np.int64)),
+            "flagged": pa.array((s < -8.78).astype(np.int64))})
+
+    return grouped_agg(
+        ds.map_batches(flag, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["lang"], [("_one", "sum"), ("flagged", "sum")],
+        ["n_docs", "n_flagged"], plan="tree")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5233,6 +5310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "gini_order_value": _q_gini_order_value,
         "local_supplier_revenue": _q_local_supplier_revenue,
+        "geohash_counts": _q_geohash_counts,
+        "lm_quality_flags": _q_lm_quality_flags,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -6880,6 +6959,39 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["geohash_counts"] = f"""
+        WITH {_IMGS},
+        q AS (
+            SELECT CAST(floor(((x * 3.6 - 180) + 180) / 360 * 256)
+                        AS BIGINT) AS lngq,
+                   CAST(floor(((y * 1.8 - 90) + 90) / 180 * 128)
+                        AS BIGINT) AS latq
+            FROM imgs
+        ), d1 AS (
+            SELECT ((lngq | (lngq << 4)) & 252645135) AS a,
+                   ((latq | (latq << 4)) & 252645135) AS b
+            FROM q
+        ), d2 AS (
+            SELECT ((a | (a << 2)) & 858993459) AS a,
+                   ((b | (b << 2)) & 858993459) AS b
+            FROM d1
+        ), d3 AS (
+            SELECT ((a | (a << 1)) & 1431655765) AS a,
+                   ((b | (b << 1)) & 1431655765) AS b
+            FROM d2
+        ), c AS (
+            SELECT (a | (b << 1)) AS code FROM d3
+        ), g AS (
+            SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST((code >> 10) & 31 AS INTEGER) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST((code >> 5) & 31 AS INTEGER) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST(code & 31 AS INTEGER) + 1, 1) AS gh
+            FROM c
+        )
+        SELECT gh, count(*) AS n_images FROM g GROUP BY 1
     """
     sql["rank_sums"] = """
         WITH t AS (

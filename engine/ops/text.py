@@ -427,3 +427,91 @@ def doc_term_freqs(batch: pa.Table, id_col: str = "doc_id",
         "word": enc.dictionary.take(pa.array(uniq % nv)),
         "tf": pa.array(cnt.astype(np.int64)),
     })
+
+
+# --- char-trigram language model (quality scoring, KenLM-style) ----------
+
+TRI_BUCKETS = 1 << 16  # hashing-trick model size: fixed 512 KiB of int64
+
+
+def _str_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """Raw (data_bytes, byte_offsets) of an Arrow string column —
+    zero-copy views honoring the array offset."""
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bo = arr.offset
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        bo:bo + n + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None else np.empty(0, np.uint8))
+    return data, off
+
+
+def _concat_ranges(counts: np.ndarray) -> np.ndarray:
+    """0..c_i−1 concatenated for every i (vectorized arange-per-group)."""
+    total = int(counts.sum())
+    ix = np.arange(total, dtype=np.int64)
+    resets = np.repeat(np.cumsum(counts) - counts, counts)
+    return ix - resets
+
+
+def _tri_hashes(data: np.ndarray,
+                off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Bucketed char-trigram hashes of every doc, flat + per-doc counts.
+
+    Every length-3 byte window inside a doc (never across docs) hashes
+    to ``(b0·65599 + b1·257 + b2) mod TRI_BUCKETS`` — one gather per
+    byte position, no loops."""
+    lens = off[1:] - off[:-1]
+    nt = np.maximum(lens - 2, 0)
+    if nt.sum() == 0:
+        return np.empty(0, dtype=np.int64), nt
+    starts = np.repeat(off[:-1], nt) + _concat_ranges(nt)
+    h = (data[starts].astype(np.int64) * 65599
+         + data[starts + 1].astype(np.int64) * 257
+         + data[starts + 2].astype(np.int64)) % TRI_BUCKETS
+    return h, nt
+
+
+def trigram_model_partial(batch: pa.Table, text_col: str = "text",
+                          lang_col: str = "lang",
+                          ref_lang: str = "en") -> pa.Table:
+    """Per-block model partial: bucket counts over the REFERENCE-class
+    docs only (TRI_BUCKETS rows of int64 — fixed size, data-independent)."""
+    t = batch.filter(pc.equal(batch[lang_col], ref_lang))
+    if t.num_rows == 0:
+        cnt = np.zeros(TRI_BUCKETS, dtype=np.int64)
+    else:
+        data, off = _str_buffers(t[text_col])
+        h, _ = _tri_hashes(data, off)
+        cnt = np.bincount(h, minlength=TRI_BUCKETS).astype(np.int64)
+    return pa.table({"cnt": pa.array(cnt)})
+
+
+def fold_trigram_model(tbls: list[pa.Table]) -> pa.Table:
+    out = np.zeros(TRI_BUCKETS, dtype=np.int64)
+    for t in tbls:
+        if t.num_rows:
+            out += t["cnt"].to_numpy()
+    return pa.table({"cnt": pa.array(out)})
+
+
+def lm_score_docs(batch: pa.Table, model: np.ndarray, total: int,
+                  text_col: str = "text") -> np.ndarray:
+    """Per-doc mean log2 probability under the add-one-smoothed bucket
+    model.  The per-doc sum is np.add.reduceat — STRICTLY SEQUENTIAL in
+    document order, so scores are identical at any partitioning.  Docs
+    with no trigram score 0.0."""
+    data, off = _str_buffers(batch[text_col])
+    h, nt = _tri_hashes(data, off)
+    scores = np.zeros(len(nt), dtype=np.float64)
+    if len(h):
+        logp = np.log2((model[h] + 1.0) / float(total + TRI_BUCKETS))
+        starts = np.cumsum(nt) - nt
+        nz = nt > 0
+        sums = np.add.reduceat(logp, starts[nz])
+        scores[nz] = sums / nt[nz]
+    return scores

@@ -706,3 +706,81 @@ def test_grouped_agg_columnless_empty_partitions(ray_session):
     out = grouped_agg(j, ["w"], [("v", "sum")], ["sum_v"], plan="tree")
     t = _to_table(out)
     assert t.to_pydict() == {"w": [10], "sum_v": [15]}
+
+
+def test_geohash_reference_vectors():
+    """Published vectors + structural properties of the public geohash
+    standard (no Ray needed — pure kernel)."""
+    from engine.geo.geohash import geohash_encode
+
+    lat = np.array([57.64911, 48.858, 0.0, -33.8568])
+    lng = np.array([10.40744, 2.294, 0.0, 151.2153])
+    # wikipedia's worked example at every precision 1..11
+    full = "u4pruydqqvj"
+    for p in range(1, 12):
+        assert geohash_encode(lat[:1], lng[:1], p)[0] == full[:p]
+    # eiffel tower (even precision exercises the parity branch)
+    assert geohash_encode(lat[1:2], lng[1:2], 6)[0] == "u09tun"
+    # sydney opera house
+    assert geohash_encode(lat[3:4], lng[3:4], 5)[0] == "r3gx2"
+    # prefix nesting: precision-k hash is a prefix of precision-(k+1)
+    rng = np.random.default_rng(101)
+    la = rng.uniform(-89.9, 89.9, 500)
+    lo = rng.uniform(-179.9, 179.9, 500)
+    for p in range(1, 8):
+        a = geohash_encode(la, lo, p)
+        b = geohash_encode(la, lo, p + 1)
+        assert all(y.startswith(x) for x, y in zip(a, b))
+
+
+def test_lm_quality_flags_brute_and_separation(ray_session, tmp_path):
+    import math
+
+    from __ray_entry__ import _q_lm_quality_flags
+    from engine.ops.text import TRI_BUCKETS
+
+    rng = np.random.default_rng(103)
+    vocab = ["key", "table", "row", "scan", "fast", "value", "merge",
+             "batch", "the", "join"]
+    norm = [" ".join(rng.choice(vocab, size=30)) for _ in range(300)]
+    gib = ["zq" * 3 + " " + "xj" * 5 + " qqz zzq jxq" for _ in range(20)]
+    text = norm + gib
+    lang = ["en"] * 300 + ["xx"] * 20
+    pq.write_table(pa.table({"lang": pa.array(lang),
+                             "text": pa.array(text),
+                             "doc_id": pa.array(
+                                 np.arange(320, dtype=np.int64)),
+                             "source": pa.array(["s"] * 320),
+                             "n_chars": pa.array(
+                                 np.array([len(t) for t in text],
+                                          dtype=np.int64))}),
+                   str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_lm_quality_flags(str(tmp_path))).to_pandas()
+    got = {r["lang"]: (r["n_docs"], r["n_flagged"])
+           for r in t.to_dict("records")}
+
+    # brute force: identical hashes, identical sequential float order
+    model = np.zeros(TRI_BUCKETS, dtype=np.int64)
+    for txt, lg in zip(text, lang):
+        if lg != "en":
+            continue
+        b = txt.encode()
+        for i in range(len(b) - 2):
+            model[(b[i] * 65599 + b[i + 1] * 257 + b[i + 2])
+                  % TRI_BUCKETS] += 1
+    T = int(model.sum())
+    want = {}
+    for txt, lg in zip(text, lang):
+        b = txt.encode()
+        s = 0.0
+        n = len(b) - 2
+        for i in range(n):
+            h = (b[i] * 65599 + b[i + 1] * 257 + b[i + 2]) % TRI_BUCKETS
+            s += math.log2((model[h] + 1.0) / float(T + TRI_BUCKETS))
+        score = s / n if n > 0 else 0.0
+        d, f = want.get(lg, (0, 0))
+        want[lg] = (d + 1, f + (1 if score < -8.78 else 0))
+    assert got == want
+    # the planted gibberish must flag at a much higher rate
+    assert got["xx"][1] == 20 and got["en"][1] < 30
