@@ -5153,6 +5153,146 @@ def _q_lm_quality_flags(sf_dir):
         ["n_docs", "n_flagged"], plan="tree")
 
 
+def _q_colocated_join(sf_dir):
+    """STORAGE-PARTITIONED (CO-LOCATED) JOIN — zero exchange at query
+    time: both tables first land through the clustered sink
+    (ckpt.write_hash_partitioned — hive ``part=`` directories keyed by
+    the engine's OWN shuffle hash), then the join simply pairs matching
+    part directories: one task per bucket joins locally (sorted-key
+    searchsorted lookup) and emits its partial rollup; 16 tiny partials
+    fold on the driver.  The "pick ONE partitioning key and reuse it"
+    principle materialized — the one-time clustering cost amortizes
+    across every later join/groupby on the key, which is how a 100 TB
+    fact table avoids re-shuffling per query."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data
+
+    from engine.rayds.ckpt import write_hash_partitioned
+
+    P = 16
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    li_dir = f"/tmp/graft_clustered_li_{tag}"
+    od_dir = f"/tmp/graft_clustered_ord_{tag}"
+    shutil.rmtree(li_dir, ignore_errors=True)
+    shutil.rmtree(od_dir, ignore_errors=True)
+    write_hash_partitioned(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_extendedprice"]),
+        li_dir, ["l_orderkey"], P)
+    write_hash_partitioned(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority"]),
+        od_dir, ["o_orderkey"], P)
+
+    @ray.remote
+    def join_part(lp: str, op: str) -> pa.Table:
+        empty = pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "sum_cents": pa.array([], type=pa.int64())})
+        if not (os.path.isdir(lp) and os.path.isdir(op)):
+            return empty
+        lt = _pq.read_table(lp)
+        ot = _pq.read_table(op)
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return empty
+        lk = lt["l_orderkey"].to_numpy()
+        cents = np.rint(lt["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        ok = ot["o_orderkey"].to_numpy()
+        pr = np.asarray(ot["o_orderpriority"].to_pylist(), dtype=object)
+        order = np.argsort(ok)
+        ok_s, pr_s = ok[order], pr[order]
+        pos = np.searchsorted(ok_s, lk)
+        hit = (pos < len(ok_s))
+        pos = np.minimum(pos, len(ok_s) - 1)
+        hit &= ok_s[pos] == lk
+        pri = pr_s[pos[hit]]
+        c = cents[hit]
+        cats, codes = np.unique(pri, return_inverse=True)
+        n = np.bincount(codes).astype(np.int64)
+        s = np.bincount(codes, weights=c).astype(np.int64)
+        return pa.table({"o_orderpriority": pa.array(list(cats)),
+                         "n": pa.array(n), "sum_cents": pa.array(s)})
+
+    parts = [join_part.remote(f"{li_dir}/part={p}", f"{od_dir}/part={p}")
+             for p in range(P)]
+    t = pa.concat_tables(ray.get(parts))
+    g = t.group_by(["o_orderpriority"]).aggregate(
+        [("n", "sum"), ("sum_cents", "sum")])
+    return g.rename_columns(["o_orderpriority", "n", "sum_cents"])
+
+
+def _q_dbscan_cells(sf_dir):
+    """GRID-DBSCAN (density-based spatial clustering): dense cells
+    (count ≥ mean density — the all-integer predicate n·n_cells ≥ total)
+    connect by rook adjacency into clusters; output one row per cluster
+    with its min-cell-id label, cell count and point count.  Per-cell
+    counts are combiner-first; the clustering runs driver-side over the
+    LATTICE-BOUNDED dense set with union-find (the distributed BSP CC
+    in engine/ops/graph.py is the unbounded-graph path; this query's
+    graph is ≤ 400 nodes by contract).  The SQL oracle reproduces the
+    components with a recursive-CTE closure."""
+    import ray.data
+
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["x", "y"])
+
+    def cell_fn(t: pa.Table) -> pa.Table:
+        cx = np.floor(t["x"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        cy = np.floor(t["y"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "_one": pa.array(np.ones(len(cx), dtype=np.int64))})
+
+    cells = grouped_agg(
+        ds.map_batches(cell_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["cx", "cy"], [("_one", "sum")], ["n"], plan="tree")
+    t = cells.take_all()  # lattice-bounded by contract
+    cx = np.array([r["cx"] for r in t], dtype=np.int64)
+    cy = np.array([r["cy"] for r in t], dtype=np.int64)
+    n = np.array([r["n"] for r in t], dtype=np.int64)
+    nc, s = len(n), int(n.sum())
+    dense = n * nc >= s  # n ≥ ceil(total/cells), all-integer
+    dcx, dcy, dn = cx[dense], cy[dense], n[dense]
+    ids = dcx * 2048 + dcy
+    index = {int(i): k for k, i in enumerate(ids)}
+    parent = list(range(len(ids)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for k in range(len(ids)):
+        for dx, dy in ((1, 0), (0, 1)):
+            j = index.get(int((dcx[k] + dx) * 2048 + (dcy[k] + dy)))
+            if j is not None:
+                ra, rb = find(k), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+    root_id = np.array([ids[find(k)] for k in range(len(ids))],
+                       dtype=np.int64)
+    # label = min cell id in the component
+    comp_min: dict[int, int] = {}
+    for r, i in zip(root_id, ids):
+        comp_min[int(r)] = min(comp_min.get(int(r), 1 << 62), int(i))
+    lab = np.array([comp_min[int(r)] for r in root_id], dtype=np.int64)
+    out_lab, codes = np.unique(lab, return_inverse=True)
+    n_cells = np.bincount(codes).astype(np.int64)
+    n_points = np.bincount(codes, weights=dn).astype(np.int64)
+    return pa.table({"cluster_id": pa.array(out_lab),
+                     "n_cells": pa.array(n_cells),
+                     "n_points": pa.array(n_points)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5312,6 +5452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": _q_local_supplier_revenue,
         "geohash_counts": _q_geohash_counts,
         "lm_quality_flags": _q_lm_quality_flags,
+        "colocated_join": _q_colocated_join,
+        "dbscan_cells": _q_dbscan_cells,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -6959,6 +7101,42 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["colocated_join"] = """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """
+    sql["dbscan_cells"] = f"""
+        WITH RECURSIVE {_IMGS},
+        cells AS (
+            SELECT CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 5.0) AS BIGINT) AS cy,
+                   count(*) AS n
+            FROM imgs GROUP BY 1, 2
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS nc,
+                   CAST(sum(n) AS BIGINT) AS s
+            FROM cells
+        ), dense AS (
+            SELECT cx, cy, n, cx * 2048 + cy AS id
+            FROM cells, g WHERE n * nc >= s
+        ), e1 AS (
+            SELECT i.id AS a, j.id AS b
+            FROM dense i JOIN dense j
+              ON abs(i.cx - j.cx) + abs(i.cy - j.cy) = 1
+        ), reach(src, dst) AS (
+            SELECT id, id FROM dense
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN e1 e ON e.a = r.dst
+        ), comp AS (
+            SELECT src AS id, min(dst) AS root FROM reach GROUP BY 1
+        )
+        SELECT root AS cluster_id, count(*) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS n_points
+        FROM comp JOIN dense USING (id) GROUP BY 1
     """
     sql["geohash_counts"] = f"""
         WITH {_IMGS},

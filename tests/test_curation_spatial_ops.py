@@ -784,3 +784,91 @@ def test_lm_quality_flags_brute_and_separation(ray_session, tmp_path):
     assert got == want
     # the planted gibberish must flag at a much higher rate
     assert got["xx"][1] == 20 and got["en"][1] < 30
+
+
+def test_colocated_join_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_colocated_join
+
+    rng = np.random.default_rng(107)
+    n_ord, n_li = 500, 3000
+    pri = rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"], size=n_ord)
+    lok = rng.integers(0, n_ord, size=n_li).astype(np.int64)
+    price = np.round(rng.uniform(10, 500, size=n_li), 2)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_orderpriority": pa.array(pri)}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lok),
+        "l_extendedprice": pa.array(price)}),
+        str(tmp_path / "lineitem.parquet"))
+
+    t = _to_table(_q_colocated_join(str(tmp_path))).to_pandas()
+
+    cents = np.rint(price * 100).astype(np.int64)
+    want = (pd.DataFrame({"p": pri[lok], "c": cents})
+            .groupby("p").agg(n=("c", "size"), sum_cents=("c", "sum"))
+            .reset_index().rename(columns={"p": "o_orderpriority"}))
+    got = t.sort_values("o_orderpriority", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("o_orderpriority", ignore_index=True)
+        .astype({"n": np.int64, "sum_cents": np.int64}))
+
+
+def test_dbscan_cells_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_dbscan_cells
+
+    rng = np.random.default_rng(109)
+    # two hot blobs + uniform noise → ≥2 clusters
+    n_noise, n_blob = 1500, 1200
+    eid_noise = rng.integers(0, 500_000, size=n_noise).astype(np.int64)
+    # blob events: craft event_ids whose derived x,y land in two zones
+    # by rejection sampling
+    cand = rng.integers(0, 3_000_000, size=200_000).astype(np.int64)
+    x = ((cand * 9973) % 100_000) / 1000.0
+    y = ((cand * 7919) % 100_000) / 1000.0
+    in_a = (x < 15) & (y < 15)
+    in_b = (x > 80) & (y > 80)
+    eid_blob = np.concatenate([cand[in_a][:n_blob // 2],
+                               cand[in_b][:n_blob // 2]])
+    eid = np.concatenate([eid_noise, eid_blob])
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * len(eid))}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_dbscan_cells(str(tmp_path))).to_pandas()
+
+    # brute force
+    x = ((eid * 9973) % 100_000) / 1000.0
+    y = ((eid * 7919) % 100_000) / 1000.0
+    cx = np.floor(x / 5.0).astype(np.int64)
+    cy = np.floor(y / 5.0).astype(np.int64)
+    counts = {}
+    for a, b in zip(cx, cy):
+        counts[(int(a), int(b))] = counts.get((int(a), int(b)), 0) + 1
+    nc, s = len(counts), sum(counts.values())
+    dense = {k: v for k, v in counts.items() if v * nc >= s}
+    # BFS components
+    seen, comps = set(), []
+    for k in dense:
+        if k in seen:
+            continue
+        stack, comp = [k], []
+        seen.add(k)
+        while stack:
+            c = stack.pop()
+            comp.append(c)
+            for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nb = (c[0] + d[0], c[1] + d[1])
+                if nb in dense and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        comps.append(comp)
+    want = sorted(
+        (min(c[0] * 2048 + c[1] for c in comp), len(comp),
+         sum(dense[c] for c in comp))
+        for comp in comps)
+    got = sorted(zip(t["cluster_id"], t["n_cells"], t["n_points"]))
+    assert [tuple(map(int, g)) for g in got] == want
+    assert len(want) >= 2  # the blobs must appear as separate clusters
