@@ -5293,6 +5293,177 @@ def _q_dbscan_cells(sf_dir):
                      "n_points": pa.array(n_points)})
 
 
+def _q_chi2_topwords(sf_dir):
+    """CHI-SQUARE FEATURE SELECTION (the classic discriminative-vocab
+    screen): for every (lang, word) the 2×2 contingency chi² against
+    the rest of the corpus, keeping the top-5 words per lang.  Doc-term
+    presence counts are combiner-first (movement = distinct pairs);
+    marginals are a lang-count rollup + a word-count rollup over the
+    SAME pair table; chi² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — exact
+    integers inside, ONE float division per pair in the same IEEE order
+    as the SQL oracle; per-lang top-5 by (chi², word) runs in a
+    lattice-of-langs-bounded final group stage."""
+    import ray.data
+
+    from engine.rayds.shuffle import (grouped_agg, hash_exchange_groups,
+                                      tree_fold_refs)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        words = pc.split_pattern(t["text"].combine_chunks()
+                                 if isinstance(t["text"], pa.ChunkedArray)
+                                 else t["text"], " ")
+        lang = t["lang"]
+        n_per = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        lang_rep = lang.take(pa.array(np.repeat(
+            np.arange(len(n_per), dtype=np.int64), n_per)))
+        # per-doc DISTINCT (lang, word): dedupe within doc via doc id
+        doc_rep = np.repeat(np.arange(len(n_per), dtype=np.int64), n_per)
+        tbl = pa.table({"doc": pa.array(doc_rep), "lang": lang_rep,
+                        "word": flat})
+        g = tbl.group_by(["doc", "lang", "word"]).aggregate([])
+        return pa.table({
+            "lang": g["lang"], "word": g["word"],
+            "_one": pa.array(np.ones(g.num_rows, dtype=np.int64))})
+
+    lw = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["lang", "word"], [("_one", "sum")], ["a_cnt"]).materialize()
+
+    # marginals: docs per lang (tiny) and docs-containing-word (vocab)
+    ndocs_t = tree_fold_refs(
+        grouped_agg(ds.map_batches(
+            lambda t: pa.table({
+                "lang": t["lang"],
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+            ["lang"], [("_one", "sum")], ["n_lang"], plan="tree"),
+        lambda tbls: pa.concat_tables(tbls))
+    lang_n = dict(zip(ndocs_t["lang"].to_pylist(),
+                      ndocs_t["n_lang"].to_pylist()))
+    N = int(sum(lang_n.values()))
+
+    wc = grouped_agg(lw, ["word"], [("a_cnt", "sum")], ["w_cnt"])
+    from engine.rayds.shuffle import equi_join
+    joined = equi_join(lw, wc, "word", "word", ["lang", "a_cnt"],
+                       ["w_cnt"]).map_batches(
+        lambda t: t.rename_columns(
+            ["word" if c == "_k" else c for c in t.column_names]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    def score(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "chi2": pa.array([], type=pa.float64())})
+        lang = np.asarray(g["lang"].to_pylist(), dtype=object)
+        word = np.asarray(g["word"].to_pylist(), dtype=object)
+        a = g["a_cnt"].to_numpy()          # docs in lang with word
+        w = g["w_cnt"].to_numpy()          # docs with word (all langs)
+        nlan = np.array([lang_n[x] for x in lang], dtype=np.int64)
+        b = nlan - a                        # in lang, without word
+        c = w - a                           # other langs, with word
+        d = (N - nlan) - c                  # other langs, without word
+        det = a * d - b * c  # |det| ≤ N², exact int64
+        # per-factor float casts in a FIXED order (each factor < 2^53 ⇒
+        # exactly representable; no int64 overflow at any doc count) —
+        # the SQL oracle casts and multiplies in the identical order
+        fdet = det.astype(np.float64)
+        chi2 = (float(N) * fdet * fdet) / (
+            (a + b).astype(np.float64) * (c + d).astype(np.float64)
+            * (a + c).astype(np.float64) * (b + d).astype(np.float64))
+        out: list[int] = []
+        for x in np.unique(lang):  # loop over LANGS (≤5), not rows
+            idx = np.nonzero(lang == x)[0]
+            order = np.lexsort((word[idx], -chi2[idx]))[:5]
+            out.extend(idx[order].tolist())
+        k = np.asarray(sorted(out), dtype=np.int64)
+        return pa.table({"lang": pa.array(lang[k]),
+                         "word": pa.array(word[k]),
+                         "chi2": pa.array(chi2[k])})
+
+    return hash_exchange_groups(joined, ["lang"], score)
+
+
+def _q_q6_revenue(sf_dir):
+    """TPC-H Q6 (the filtered-scan aggregate): one streaming pass, the
+    predicate prunes at the read where possible, 1-int per-block
+    partials tree-fold — zero exchanges.  Revenue in exact basis
+    points."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+        filter=pc.field("l_quantity") < 24.0)
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = np.rint(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        price = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        keep = (d >= lo) & (d < hi) & (disc >= 5) & (disc <= 7)
+        rev = int((price[keep] * disc[keep]).sum())
+        return pa.table({"rev_bp": pa.array([rev], type=pa.int64()),
+                         "n": pa.array([int(keep.sum())],
+                                       type=pa.int64())})
+
+    t = tree_fold_refs(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    return pa.table({
+        "revenue_bp": pa.array([int(pa.compute.sum(t["rev_bp"]).as_py())],
+                               type=pa.int64()),
+        "n_items": pa.array([int(pa.compute.sum(t["n"]).as_py())],
+                            type=pa.int64())})
+
+
+def _q_normalize_text_stats(sf_dir):
+    """TEXT NORMALIZATION stage (lowercase + collapse whitespace runs +
+    strip leading/trailing space — the standard curation cleanup) with
+    before/after char counts per lang: pure streaming pyarrow C string
+    kernels (utf8_lower, RE2 replace, utf8_trim), combiner-first
+    rollup; the SQL oracle applies the identical RE2 pattern."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t["text"]
+        lowered = pc.utf8_lower(s)
+        collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
+        trimmed = pc.utf8_trim_whitespace(collapsed)
+        return pa.table({
+            "lang": t["lang"],
+            "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "chars_before": pc.utf8_length(s).cast(pa.int64()),
+            "chars_after": pc.utf8_length(trimmed).cast(pa.int64())})
+
+    return grouped_agg(
+        ds.map_batches(norm, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["lang"],
+        [("_one", "sum"), ("chars_before", "sum"), ("chars_after", "sum")],
+        ["n_docs", "chars_before", "chars_after"], plan="tree")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5454,6 +5625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_flags": _q_lm_quality_flags,
         "colocated_join": _q_colocated_join,
         "dbscan_cells": _q_dbscan_cells,
+        "chi2_topwords": _q_chi2_topwords,
+        "q6_revenue": _q_q6_revenue,
+        "normalize_text_stats": _q_normalize_text_stats,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -7101,6 +7275,62 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["chi2_topwords"] = """
+        WITH w AS (
+            SELECT lang, doc_id,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), dw AS (SELECT DISTINCT lang, doc_id, word FROM w),
+        a AS (SELECT lang, word, count(*) AS a_cnt FROM dw GROUP BY 1, 2),
+        nl AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM documents),
+        wc AS (SELECT word, sum(a_cnt) AS w_cnt FROM a GROUP BY 1),
+        sc AS (
+            SELECT a.lang, a.word,
+                   CAST(a.a_cnt AS BIGINT) AS a_,
+                   CAST(nl.n_lang - a.a_cnt AS BIGINT) AS b_,
+                   CAST(wc.w_cnt - a.a_cnt AS BIGINT) AS c_,
+                   CAST((nn.n - nl.n_lang)
+                        - (wc.w_cnt - a.a_cnt) AS BIGINT) AS d_,
+                   CAST(nn.n AS BIGINT) AS n
+            FROM a JOIN nl USING (lang) JOIN wc USING (word)
+            CROSS JOIN nn
+        ), x AS (
+            SELECT lang, word,
+                   (CAST(n AS DOUBLE)
+                    * CAST(a_ * d_ - b_ * c_ AS DOUBLE)
+                    * CAST(a_ * d_ - b_ * c_ AS DOUBLE))
+                   / (CAST(a_ + b_ AS DOUBLE) * CAST(c_ + d_ AS DOUBLE)
+                      * CAST(a_ + c_ AS DOUBLE)
+                      * CAST(b_ + d_ AS DOUBLE)) AS chi2
+            FROM sc
+        ), r AS (
+            SELECT lang, word, chi2,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY chi2 DESC, word) AS rn
+            FROM x
+        )
+        SELECT lang, word, chi2 FROM r WHERE rn <= 5
+    """
+    sql["q6_revenue"] = """
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_bp,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """
+    sql["normalize_text_stats"] = r"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS chars_before,
+               CAST(sum(length(trim(regexp_replace(
+                   lower(text), '\s+', ' ', 'g')))) AS BIGINT)
+                   AS chars_after
+        FROM documents GROUP BY 1
     """
     sql["colocated_join"] = """
         SELECT o_orderpriority, count(*) AS n,

@@ -872,3 +872,88 @@ def test_dbscan_cells_brute(ray_session, tmp_path):
     got = sorted(zip(t["cluster_id"], t["n_cells"], t["n_points"]))
     assert [tuple(map(int, g)) for g in got] == want
     assert len(want) >= 2  # the blobs must appear as separate clusters
+
+
+def test_chi2_topwords_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_chi2_topwords
+
+    rng = np.random.default_rng(113)
+    langs = ["en", "de", "fr"]
+    vocab = {"en": ["the", "fast", "key"], "de": ["der", "und", "key"],
+             "fr": ["le", "et", "key"]}
+    text, lang = [], []
+    for lg in langs:
+        for _ in range(60):
+            ws = list(rng.choice(vocab[lg] + ["common", "word"], size=12))
+            text.append(" ".join(ws))
+            lang.append(lg)
+    n = len(text)
+    pq.write_table(pa.table({
+        "lang": pa.array(lang), "text": pa.array(text),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(np.array([len(t) for t in text],
+                                     dtype=np.int64))}),
+        str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_chi2_topwords(str(tmp_path))).to_pandas()
+
+    # brute: per-doc distinct words, 2x2 chi2, top-5 per lang
+    from collections import defaultdict
+    a_cnt = defaultdict(int)
+    w_cnt = defaultdict(int)
+    n_lang = defaultdict(int)
+    for lg, tx in zip(lang, text):
+        n_lang[lg] += 1
+        for w in set(tx.split(" ")):
+            a_cnt[(lg, w)] += 1
+            w_cnt[w] += 1
+    rows = []
+    for (lg, w), a in a_cnt.items():
+        b = n_lang[lg] - a
+        c = w_cnt[w] - a
+        d = (n - n_lang[lg]) - c
+        det = float(a * d - b * c)
+        chi2 = (float(n) * det * det) / (
+            float(a + b) * float(c + d) * float(a + c) * float(b + d))
+        rows.append((lg, w, chi2))
+    df = pd.DataFrame(rows, columns=["lang", "word", "chi2"])
+    want = (df.sort_values(["lang", "chi2", "word"],
+                           ascending=[True, False, True])
+            .groupby("lang").head(5)
+            .sort_values(["lang", "word"], ignore_index=True))
+    got = t.sort_values(["lang", "word"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the language markers must surface as the top discriminators
+    top = got.loc[got.groupby("lang")["chi2"].idxmax()]
+    assert set(top["word"]) & {"the", "der", "le", "und", "et", "fast"}
+
+
+def test_normalize_text_stats_brute(ray_session, tmp_path):
+    import re
+
+    from __ray_entry__ import _q_normalize_text_stats
+
+    text = ["  Hello   WORLD  ", "a\t\tb\nc", "", "x", "  ", "A  B"]
+    lang = ["en", "en", "de", "de", "fr", "fr"]
+    pq.write_table(pa.table({
+        "lang": pa.array(lang), "text": pa.array(text),
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array(np.array([len(t) for t in text],
+                                     dtype=np.int64))}),
+        str(tmp_path / "documents.parquet"))
+
+    t = _to_table(_q_normalize_text_stats(str(tmp_path))).to_pandas()
+
+    after = [len(re.sub(r"\s+", " ", s.lower()).strip(" ")) for s in text]
+    want = (pd.DataFrame({"lang": lang,
+                          "before": [len(s) for s in text],
+                          "after": after})
+            .groupby("lang")
+            .agg(n_docs=("before", "size"), chars_before=("before", "sum"),
+                 chars_after=("after", "sum")).reset_index())
+    got = t.sort_values("lang", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_docs": np.int64, "chars_before": np.int64,
+                          "chars_after": np.int64}))
