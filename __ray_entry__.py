@@ -1122,6 +1122,19 @@ def _q_ann_topk(sf_dir):
     return ann.topk_cosine(_embeddings(sf_dir), q, qids, k=10)
 
 
+def _q_pq_ann_topk(sf_dir):
+    """PRODUCT-QUANTIZATION ANN (the 16×-compressed scale path beside
+    brute/LSH/IVF): bounded-sample codebook → broadcast → one streaming
+    encode+ADC-score pass over code bytes → fine-key merge.  Hash/
+    kmeans-derived ranking ⇒ no SQL oracle; recall@10 vs the exact
+    brute force is pinned by pytest."""
+    from engine.ops import ann
+
+    q, qids = _load_query_vecs(sf_dir, 5)
+    return ann.pq_topk(_embeddings(sf_dir), q, qids, k=10, m=16,
+                       kcent=128)
+
+
 def _q_embed_dedup(sf_dir):
     """Exact cosine-threshold self-join as the distributed block-pair
     plan (no driver read, no full-matrix broadcast)."""
@@ -5464,6 +5477,121 @@ def _q_normalize_text_stats(sf_dir):
         ["n_docs", "chars_before", "chars_after"], plan="tree")
 
 
+def _q_twap_value(sf_dir):
+    """TIME-WEIGHTED AVERAGE (the TWAP/sensor-mean op): per user, each
+    value holds until the next event; the mean weights each value by
+    its holding duration.  ONE hash exchange on the key; per-partition
+    lexsort + vectorized diffs; the numerator Σ cents·Δt_seconds and
+    the span stay exact int64 (µs→s keeps products < 2^63 at any
+    realistic span), ONE float division mirrored by the LEAD window
+    oracle.  Users with a single event emit NULL-free zero-span rows
+    excluded (span > 0 filter on both sides)."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_s": pa.array(t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 1_000_000),
+            "event_id": t["event_id"],
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy() * 100.0).astype(np.int64))})
+
+    def twap(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "twap": pa.array([], type=pa.float64())})
+        u = g["user_id"].to_numpy()
+        s = g["ts_s"].to_numpy()
+        e = g["event_id"].to_numpy()
+        c = g["cents"].to_numpy()
+        order = np.lexsort((e, s, u))
+        u, s, c = u[order], s[order], c[order]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = u[1:] != u[:-1]
+        dt = np.zeros(len(u), dtype=np.int64)
+        dt[:-1] = s[1:] - s[:-1]
+        dt[last] = 0  # the final value of each user holds zero time
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(first) - 1
+        num = np.bincount(gid, weights=c * dt).astype(np.int64)
+        span = np.bincount(gid, weights=dt).astype(np.int64)
+        uid = u[first]
+        keep = span > 0
+        return pa.table({
+            "user_id": pa.array(uid[keep]),
+            "twap": pa.array(num[keep].astype(np.float64)
+                             / span[keep].astype(np.float64))})
+
+    local = ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+    return hash_exchange_groups(local, ["user_id"], twap)
+
+
+def _q_snapshot_diff(sf_dir):
+    """SNAPSHOT DIFF (the data-versioning change feed): compare two
+    table versions — B derives from A by dropping ids ≡0 (mod 11) and
+    bumping values on ids ≡0 (mod 7) — and classify every key as
+    added/removed/changed/same, reporting counts.  ONE exchange: both
+    sides union with a side tag, a per-key combiner keeps (side-mask,
+    value-per-side) partials, the final per-key classify is vectorized.
+    The full-outer-join-without-a-join plan (presence masks), mirrored
+    by a FULL OUTER JOIN oracle."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        keep_b = eid % 11 != 0
+        cb = np.where(eid % 7 == 0, c + 100, c)
+        return pa.table({
+            "event_id": pa.array(np.concatenate([eid, eid[keep_b]])),
+            "a_val": pa.array(np.concatenate(
+                [c, np.full(keep_b.sum(), -1, dtype=np.int64)])),
+            "b_val": pa.array(np.concatenate(
+                [np.full(len(eid), -1, dtype=np.int64), cb[keep_b]]))})
+
+    # per-key combiner: max folds the -1 absent markers away (values
+    # are cents ≥ 0, each side appears at most once per key)
+    merged = grouped_agg(
+        ds.map_batches(sides, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["event_id"], [("a_val", "max"), ("b_val", "max")],
+        ["a_val", "b_val"])
+
+    def classify(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"status": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        a = g["a_val"].to_numpy()
+        b = g["b_val"].to_numpy()
+        status = np.where(
+            a < 0, "added", np.where(b < 0, "removed", np.where(
+                a != b, "changed", "same"))).astype(object)
+        cats, codes = np.unique(status, return_inverse=True)
+        return pa.table({
+            "status": pa.array(list(cats)),
+            "n": pa.array(np.bincount(codes).astype(np.int64))})
+
+    part = hash_exchange_groups(merged, ["event_id"], classify)
+    return grouped_agg(part, ["status"], [("n", "sum")], ["n"],
+                       plan="tree")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5628,6 +5756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_topwords": _q_chi2_topwords,
         "q6_revenue": _q_q6_revenue,
         "normalize_text_stats": _q_normalize_text_stats,
+        "twap_value": _q_twap_value,
+        "snapshot_diff": _q_snapshot_diff,
+        "pq_ann_topk": _q_pq_ann_topk,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -7275,6 +7406,47 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["twap_value"] = """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), w AS (
+            SELECT user_id, cents,
+                   LEAD(ts_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) - ts_s AS dt
+            FROM e
+        ), agg AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN dt IS NULL THEN 0
+                                 ELSE cents * dt END) AS BIGINT) AS num,
+                   CAST(sum(CASE WHEN dt IS NULL THEN 0
+                                 ELSE dt END) AS BIGINT) AS span
+            FROM w GROUP BY 1
+        )
+        SELECT user_id, CAST(num AS DOUBLE) / CAST(span AS DOUBLE) AS twap
+        FROM agg WHERE span > 0
+    """
+    sql["snapshot_diff"] = """
+        WITH a AS (
+            SELECT event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM events
+        ), b AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN v + 100 ELSE v END AS v
+            FROM a WHERE event_id % 11 <> 0
+        ), f AS (
+            SELECT a.v AS av, b.v AS bv
+            FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+        )
+        SELECT CASE WHEN av IS NULL THEN 'added'
+                    WHEN bv IS NULL THEN 'removed'
+                    WHEN av <> bv THEN 'changed'
+                    ELSE 'same' END AS status,
+               count(*) AS n
+        FROM f GROUP BY 1
     """
     sql["chi2_topwords"] = """
         WITH w AS (

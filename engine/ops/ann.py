@@ -387,3 +387,115 @@ def kmeans_full(ds, k: int = 8, iters: int = 20, tol: float = 1e-6,
         if move < tol:
             break
     return cents, counts
+
+
+# --------------------------------------------------- product quantization
+def pq_train(sample: np.ndarray, m: int = 8, k: int = 16,
+             iters: int = 25) -> np.ndarray:
+    """Train a PRODUCT-QUANTIZATION codebook on a bounded driver sample
+    (the IVF-trainer pattern: the model is small and fixed-size; the
+    full pass is the encode stage).  Per subspace: deterministic
+    farthest-point init + Lloyd.  Returns (m, k_eff, dim/m)."""
+    n, d = sample.shape
+    assert d % m == 0, (d, m)
+    sub = d // m
+    k_eff = min(k, n)
+    books = np.zeros((m, k_eff, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        chosen = [0]
+        d2 = ((x - x[0]) ** 2).sum(1)
+        for _ in range(k_eff - 1):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(1))
+        c = x[chosen].copy()
+        for _ in range(iters):
+            a = np.argmin(((x[:, None, :] - c[None]) ** 2).sum(2), axis=1)
+            for ki in range(k_eff):
+                mask = a == ki
+                if mask.any():
+                    c[ki] = x[mask].mean(0)
+        books[j] = c
+    return books
+
+
+def pq_encode_batch(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, m) uint8 codes: per-subspace nearest centroid
+    (one (n, k) distance matrix per subspace — vectorized)."""
+    m, _, sub = books.shape
+    codes = np.empty((len(emb), m), dtype=np.uint8)
+    for j in range(m):
+        x = emb[:, j * sub:(j + 1) * sub]
+        d2 = ((x[:, None, :] - books[j][None]) ** 2).sum(2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+            m: int = 8, kcent: int = 16, sample_rows: int = 2048,
+            col: str = "embedding"):
+    """PQ-compressed approximate top-k by ASYMMETRIC distance (ADC):
+    train the codebook on a bounded sample, broadcast it once, encode +
+    score every block in ONE streaming pass (per-query K×m lookup
+    tables; scoring is a table-gather sum, never a full matmul), local
+    top-k per block, one fine-key merge exchange.  The 100-TB shape:
+    vectors compress dim·4 bytes → m bytes (32× here), the scan reads
+    codes not floats; recall-vs-exact is pinned by pytest."""
+    import ray
+
+    from engine.ops.dedup import _emb_matrix
+    from engine.rayds.bcast import cached
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    mat = ds.select_columns(["vec_id", col]).materialize()
+    sample_tab = pa.concat_tables(
+        mat.limit(sample_rows).iter_batches(batch_format="pyarrow"))
+    sample = _unit(_emb_matrix(sample_tab[col]))
+    books = pq_train(sample, m=m, k=kcent)
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # per-query ADC tables: dt[qi, j, code] = ||q_sub − c||²
+    sub = books.shape[2]
+    dt = np.zeros((len(q), books.shape[0], books.shape[1]))
+    for j in range(books.shape[0]):
+        qs = q[:, j * sub:(j + 1) * sub]
+        dt[:, j, :] = ((qs[:, None, :] - books[j][None]) ** 2).sum(2)
+    bundle = ray.put((books, dt, qids, k))
+
+    def build(b):
+        return b
+
+    def score(batch: pa.Table) -> pa.Table:
+        books_, dt_, qids_, k_ = cached(bundle, build)
+        emb = _unit(_emb_matrix(batch[col]))
+        vid = batch["vec_id"].to_numpy()
+        codes = pq_encode_batch(emb, books_)
+        outs = []
+        jj = np.arange(books_.shape[0])
+        for qi in range(len(qids_)):  # loop over QUERIES (small), not rows
+            s = dt_[qi][jj[None, :], codes].sum(1)  # (n,) gather-sum
+            keep = vid != qids_[qi]
+            ss, vv = s[keep], vid[keep]
+            top = np.argsort(ss, kind="stable")[:k_]
+            outs.append(pa.table({
+                "query_id": pa.array(np.full(len(top), qids_[qi])),
+                "vec_id": pa.array(vv[top]),
+                "adc": pa.array(ss[top])}))
+        return pa.concat_tables(outs)
+
+    local = mat.map_batches(score, batch_format="pyarrow",
+                            batch_size=4096, zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group["adc"].to_numpy()
+        ids = group["vec_id"].to_numpy()
+        qq = group["query_id"].to_numpy()
+        order = np.lexsort((ids, np.round(s, 9)))[:k]
+        return pa.table({
+            "query_id": pa.array(qq[order]),
+            "vec_id": pa.array(ids[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64))})
+
+    return hash_exchange_fine_groups(local, ["query_id"], merge)

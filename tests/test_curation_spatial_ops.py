@@ -957,3 +957,84 @@ def test_normalize_text_stats_brute(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, want.astype({"n_docs": np.int64, "chars_before": np.int64,
                           "chars_after": np.int64}))
+
+
+def test_twap_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_twap_value
+
+    rng = np.random.default_rng(127)
+    n = 3000
+    user = rng.integers(0, 50, size=n).astype(np.int64)
+    base = np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64)
+    off = rng.integers(0, 30 * 86_400_000_000, size=n).astype(np.int64)
+    value = np.round(rng.uniform(0, 400, size=n), 2)
+    # one single-event user (span 0 → excluded)
+    user[0] = 999
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((base + off).view("datetime64[us]")),
+        "user_id": pa.array(user),
+        "event_type": pa.array(["v"] * n),
+        "value": pa.array(value), "props": pa.array([""] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_twap_value(str(tmp_path))).to_pandas()
+
+    df = pd.DataFrame({
+        "u": user, "s": (base + off) // 1_000_000, "e": np.arange(n),
+        "c": np.floor(value * 100).astype(np.int64)})
+    df = df.sort_values(["u", "s", "e"])
+    rows = {}
+    for u, g in df.groupby("u"):
+        s = g["s"].to_numpy()
+        c = g["c"].to_numpy()
+        dt = s[1:] - s[:-1]
+        span = int(dt.sum())
+        if span > 0:
+            rows[u] = float(int((c[:-1] * dt).sum())) / float(span)
+    got = dict(zip(t["user_id"], t["twap"]))
+    assert got == rows
+    assert 999 not in got
+
+
+def test_snapshot_diff_classes(ray_session, tmp_path):
+    from __ray_entry__ import _q_snapshot_diff
+
+    rng = np.random.default_rng(131)
+    n = 2000
+    eid = rng.choice(np.arange(1, 100_000), size=n, replace=False)
+    value = np.round(rng.uniform(0, 100, size=n), 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid.astype(np.int64)),
+        "value": pa.array(value)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_snapshot_diff(str(tmp_path))).to_pandas()
+    got = dict(zip(t["status"], t["n"]))
+
+    removed = int((eid % 11 == 0).sum())
+    changed = int(((eid % 11 != 0) & (eid % 7 == 0)).sum())
+    same = n - removed - changed
+    assert got == {"removed": removed, "changed": changed, "same": same}
+    assert removed > 0 and changed > 0
+
+
+def test_pq_ann_recall(ray_session):
+    """PQ ADC top-10 must recall most of the exact cosine top-10 on the
+    clustered embeddings table (16× compression; clusters are far
+    apart, so the coarse codes keep neighborhoods)."""
+    from __ray_entry__ import _q_ann_topk, _q_pq_ann_topk
+
+    exact = _to_table(_q_ann_topk("/root/testdata/sf0.001")).to_pandas()
+    approx = _to_table(_q_pq_ann_topk("/root/testdata/sf0.001")).to_pandas()
+    rec = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.6, rec
+    # determinism: a second run returns the identical table
+    again = _to_table(_q_pq_ann_topk("/root/testdata/sf0.001")).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"], ignore_index=True),
+        again.sort_values(["query_id", "rank"], ignore_index=True))
