@@ -5592,6 +5592,94 @@ def _q_snapshot_diff(sf_dir):
                        plan="tree")
 
 
+def _q_raster_smooth(sf_dir):
+    """RASTER FOCAL OPERATION (3×3 box-sum smoothing of the density
+    grid — the hillshade/convolution family): per-cell counts are
+    combiner-first; the focal pass runs one vectorized 2-D window sum
+    over the LATTICE-BOUNDED dense grid (zero-padded edges), exact
+    integers end-to-end.  The SQL oracle sums the 9-neighborhood via a
+    bounded self-join."""
+    import ray.data
+
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["x", "y"])
+
+    def cell_fn(t: pa.Table) -> pa.Table:
+        cx = np.floor(t["x"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        cy = np.floor(t["y"].to_numpy() / imagetab.CELL_SIZE).astype(np.int64)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "_one": pa.array(np.ones(len(cx), dtype=np.int64))})
+
+    cells = grouped_agg(
+        ds.map_batches(cell_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["cx", "cy"], [("_one", "sum")], ["n"], plan="tree")
+    t = cells.take_all()  # lattice-bounded by contract
+    cx = np.array([r["cx"] for r in t], dtype=np.int64)
+    cy = np.array([r["cy"] for r in t], dtype=np.int64)
+    n = np.array([r["n"] for r in t], dtype=np.int64)
+    W = H = int(100.0 / imagetab.CELL_SIZE)
+    grid = np.zeros((W + 2, H + 2), dtype=np.int64)  # zero-padded
+    grid[cx + 1, cy + 1] = n
+    smooth = sum(grid[1 + dx:W + 1 + dx, 1 + dy:H + 1 + dy]
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    # emit only occupied cells (same key set as the input counts)
+    return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                     "n": pa.array(n),
+                     "focal_sum": pa.array(smooth[cx, cy])})
+
+
+def _q_incremental_rollup(sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE (the streaming-warehouse delta
+    merge): the standing (event_type, day) rollup updates with a new
+    day-range delta WITHOUT rescanning the base — base partials
+    (materialized once, the 'stored view state') merge with the
+    delta's partials through one tiny combiner; the oracle recomputes
+    from scratch, so the check is merge == full recompute.  At 100 TB
+    the base partials live in the clustered sink and the delta is the
+    day's new files; only delta bytes move."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    split = pa.scalar(np.datetime64("2024-01-25T00:00:00", "us").item(),
+                      type=pa.timestamp("us"))
+
+    def side(pred):
+        # delta pruned AT THE READ (row-group stats + in-scan filter) —
+        # a schema'd read also keeps an all-empty delta well-typed
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+            filter=pred)
+
+        def fn(t: pa.Table) -> pa.Table:
+            c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+            return pa.table({
+                "event_type": t["event_type"],
+                "_one": pa.array(np.ones(len(c), dtype=np.int64)),
+                "cents": pa.array(c)})
+
+        return grouped_agg(
+            ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True),
+            ["event_type"], [("_one", "sum"), ("cents", "sum")],
+            ["n", "sum_cents"], plan="tree",
+            empty_schema=pa.schema([("event_type", pa.string()),
+                                    ("n", pa.int64()),
+                                    ("sum_cents", pa.int64())]))
+
+    base = side(pc.field("ts") < split).materialize()  # the stored view
+    delta = side(pc.field("ts") >= split)
+    # merge = re-aggregate the two partial sets (associative)
+    return grouped_agg(
+        base.union(delta), ["event_type"],
+        [("n", "sum"), ("sum_cents", "sum")],
+        ["n", "sum_cents"], plan="tree")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5759,6 +5847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twap_value": _q_twap_value,
         "snapshot_diff": _q_snapshot_diff,
         "pq_ann_topk": _q_pq_ann_topk,
+        "raster_smooth": _q_raster_smooth,
+        "incremental_rollup": _q_incremental_rollup,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -7406,6 +7496,26 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["raster_smooth"] = f"""
+        WITH {_IMGS},
+        cells AS (
+            SELECT CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 5.0) AS BIGINT) AS cy,
+                   count(*) AS n
+            FROM imgs GROUP BY 1, 2
+        )
+        SELECT i.cx, i.cy, i.n,
+               CAST(sum(j.n) AS BIGINT) AS focal_sum
+        FROM cells i JOIN cells j
+          ON abs(i.cx - j.cx) <= 1 AND abs(i.cy - j.cy) <= 1
+        GROUP BY 1, 2, 3
+    """
+    sql["incremental_rollup"] = """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1
     """
     sql["twap_value"] = """
         WITH e AS (

@@ -250,7 +250,8 @@ _PARTIAL_MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str]],
                 out_cols: list[str], plan: str = "shuffle",
-                num_parts: int = HASH_PARTS):
+                num_parts: int = HASH_PARTS,
+                empty_schema: pa.Schema | None = None):
     """Combiner-first grouped aggregate for DECOMPOSABLE aggregations
     (sum / count / min / max — partials re-aggregate associatively).
 
@@ -288,6 +289,11 @@ def grouped_agg(ds, keys: list[str], specs: list[tuple[str, str]],
     import ray.data
 
     final = tree_fold_refs(part, combine)
+    if final.num_columns == 0 and empty_schema is not None:
+        # an ALL-EMPTY input: Ray 2.49 drops the schema of zero-row map
+        # outputs, so the fold has nothing typed to anchor on — callers
+        # whose input may be legitimately empty pass the output schema
+        return ray.data.from_arrow(empty_schema.empty_table())
     return ray.data.from_arrow(final.rename_columns(keys + out_cols))
 
 

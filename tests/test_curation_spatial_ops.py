@@ -1038,3 +1038,89 @@ def test_pq_ann_recall(ray_session):
     pd.testing.assert_frame_equal(
         approx.sort_values(["query_id", "rank"], ignore_index=True),
         again.sort_values(["query_id", "rank"], ignore_index=True))
+
+
+def test_raster_smooth_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_raster_smooth
+
+    rng = np.random.default_rng(137)
+    eid = rng.integers(0, 300_000, size=2500).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * len(eid))}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_raster_smooth(str(tmp_path))).to_pandas()
+
+    x = ((eid * 9973) % 100_000) / 1000.0
+    y = ((eid * 7919) % 100_000) / 1000.0
+    cx = np.floor(x / 5.0).astype(np.int64)
+    cy = np.floor(y / 5.0).astype(np.int64)
+    counts = {}
+    for a, b in zip(cx, cy):
+        counts[(int(a), int(b))] = counts.get((int(a), int(b)), 0) + 1
+    for _, row in t.iterrows():
+        k = (int(row["cx"]), int(row["cy"]))
+        assert counts[k] == row["n"]
+        want = sum(counts.get((k[0] + dx, k[1] + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert row["focal_sum"] == want
+    assert len(t) == len(counts)
+
+
+def test_incremental_rollup_merge_equals_full(ray_session, tmp_path):
+    """delta-merge == full recompute, including an all-empty delta
+    (the Ray 2.49 schema-less empty-block case)."""
+    from __ray_entry__ import _q_incremental_rollup
+
+    rng = np.random.default_rng(139)
+    n = 3000
+    et = rng.choice(["a", "b"], size=n)
+    value = np.round(rng.uniform(0, 100, size=n), 2)
+    base = np.datetime64("2024-01-10T00:00:00", "us").astype(np.int64)
+    off = rng.integers(0, 25 * 86_400_000_000, size=n).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((base + off).view("datetime64[us]")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(et), "value": pa.array(value),
+        "props": pa.array([""] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_incremental_rollup(str(tmp_path))).to_pandas()
+    cents = np.floor(value * 100).astype(np.int64)
+    want = (pd.DataFrame({"event_type": et, "c": cents})
+            .groupby("event_type")
+            .agg(n=("c", "size"), sum_cents=("c", "sum")).reset_index())
+    got = t.sort_values("event_type", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n": np.int64, "sum_cents": np.int64}))
+
+
+def test_incremental_rollup_empty_delta(ray_session, tmp_path):
+    """All events before the split day → the delta read is EMPTY; the
+    merge must still equal the full rollup (typed empty delta)."""
+    from __ray_entry__ import _q_incremental_rollup
+
+    rng = np.random.default_rng(149)
+    n = 800
+    et = rng.choice(["a", "b"], size=n)
+    value = np.round(rng.uniform(0, 100, size=n), 2)
+    base = np.datetime64("2024-01-02T00:00:00", "us").astype(np.int64)
+    off = rng.integers(0, 5 * 86_400_000_000, size=n).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array((base + off).view("datetime64[us]")),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "event_type": pa.array(et), "value": pa.array(value),
+        "props": pa.array([""] * n)}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_incremental_rollup(str(tmp_path))).to_pandas()
+    cents = np.floor(value * 100).astype(np.int64)
+    want = (pd.DataFrame({"event_type": et, "c": cents})
+            .groupby("event_type")
+            .agg(n=("c", "size"), sum_cents=("c", "sum")).reset_index())
+    pd.testing.assert_frame_equal(
+        t.sort_values("event_type", ignore_index=True),
+        want.astype({"n": np.int64, "sum_cents": np.int64}))
