@@ -5680,6 +5680,122 @@ def _q_incremental_rollup(sf_dir):
         ["n", "sum_cents"], plan="tree")
 
 
+def _q_mann_whitney(sf_dir):
+    """MANN-WHITNEY U (the two-sample nonparametric location test):
+    click vs purchase event values.  Doubled average-tie ranks over the
+    COMBINED sample come from the shared ranking core; per-group rank
+    sums are exact int64, and 2·U_g = Σr2_g − n_g(n_g+1) stays integer
+    — the query asserts the U identity 2U₁+2U₂ = 2n₁n₂ before
+    returning.  One rank-attach join + a 2-key combiner."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops.rank import doubled_rank_map
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def ints(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.is_in(batch["event_type"],
+                                  value_set=pa.array(["click",
+                                                      "purchase"])))
+        c = np.floor(f["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": f["event_type"],
+                         "c": pa.array(c)})
+
+    rows = ds.map_batches(ints, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True).materialize()
+    joined = equi_join(rows, doubled_rank_map(rows, "c", "r2"), "c", "c",
+                       ["event_type"], ["r2"])
+    one = joined.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"], "r2": t["r2"],
+            "_one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    g = grouped_agg(one, ["event_type"],
+                    [("_one", "sum"), ("r2", "sum")],
+                    ["n_g", "r2_sum"], plan="tree")
+    t = pa.concat_tables(
+        [b for b in g.iter_batches(batch_format="pyarrow")])
+    d = {r["event_type"]: (r["n_g"], r["r2_sum"]) for r in t.to_pylist()}
+    n1, s1 = d["click"]
+    n2, s2 = d["purchase"]
+    u2_click = s1 - n1 * (n1 + 1)
+    u2_purchase = s2 - n2 * (n2 + 1)
+    assert u2_click + u2_purchase == 2 * n1 * n2  # the U identity
+    return pa.table({
+        "n_click": pa.array([n1], type=pa.int64()),
+        "n_purchase": pa.array([n2], type=pa.int64()),
+        "u2_click": pa.array([u2_click], type=pa.int64()),
+        "u2_purchase": pa.array([u2_purchase], type=pa.int64())})
+
+
+def _q_orders_profile(sf_dir):
+    """TABLE PROFILING (the data-quality summary pass): one streaming
+    scan reduces the orders table to its profile row — row count, null
+    count, min/max order date, min/max price cents, distinct status
+    count.  Per-block partials are single rows (distinct statuses ride
+    as a deduped list — domain-bounded by contract), tree-folded;
+    ZERO exchanges."""
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "n": pa.array([], type=pa.int64()),
+                "nulls": pa.array([], type=pa.int64()),
+                "min_d": pa.array([], type=pa.int64()),
+                "max_d": pa.array([], type=pa.int64()),
+                "min_c": pa.array([], type=pa.int64()),
+                "max_c": pa.array([], type=pa.int64()),
+                "statuses": pa.array([], type=pa.list_(pa.string()))})
+        d = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = np.rint(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        st = np.unique(np.asarray(t["o_orderstatus"].to_pylist(),
+                                  dtype=object))
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "nulls": pa.array([t["o_custkey"].null_count],
+                              type=pa.int64()),
+            "min_d": pa.array([int(d.min())], type=pa.int64()),
+            "max_d": pa.array([int(d.max())], type=pa.int64()),
+            "min_c": pa.array([int(c.min())], type=pa.int64()),
+            "max_c": pa.array([int(c.max())], type=pa.int64()),
+            "statuses": pa.array([list(st)],
+                                 type=pa.list_(pa.string()))})
+
+    f = tree_fold_refs(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    import pyarrow.compute as pc
+    statuses = set()
+    for lst in f["statuses"].to_pylist():
+        statuses.update(lst)
+    return pa.table({
+        "n_rows": pa.array([int(pc.sum(f["n"]).as_py())], type=pa.int64()),
+        "n_null_cust": pa.array([int(pc.sum(f["nulls"]).as_py())],
+                                type=pa.int64()),
+        "min_date_us": pa.array([int(pc.min(f["min_d"]).as_py())],
+                                type=pa.int64()),
+        "max_date_us": pa.array([int(pc.max(f["max_d"]).as_py())],
+                                type=pa.int64()),
+        "min_cents": pa.array([int(pc.min(f["min_c"]).as_py())],
+                              type=pa.int64()),
+        "max_cents": pa.array([int(pc.max(f["max_c"]).as_py())],
+                              type=pa.int64()),
+        "n_status": pa.array([len(statuses)], type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5849,6 +5965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": _q_pq_ann_topk,
         "raster_smooth": _q_raster_smooth,
         "incremental_rollup": _q_incremental_rollup,
+        "mann_whitney": _q_mann_whitney,
+        "orders_profile": _q_orders_profile,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -7496,6 +7614,43 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["mann_whitney"] = """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), r AS (
+            SELECT event_type,
+                   2 * (count(*) OVER (ORDER BY c
+                                       RANGE UNBOUNDED PRECEDING))
+                     - (count(*) OVER (PARTITION BY c)) + 1 AS r2
+            FROM t
+        ), g AS (
+            SELECT event_type, count(*) AS n_g,
+                   CAST(sum(r2) AS BIGINT) AS s
+            FROM r GROUP BY 1
+        )
+        SELECT (SELECT n_g FROM g WHERE event_type = 'click') AS n_click,
+               (SELECT n_g FROM g WHERE event_type = 'purchase')
+                   AS n_purchase,
+               (SELECT s - n_g * (n_g + 1) FROM g
+                WHERE event_type = 'click') AS u2_click,
+               (SELECT s - n_g * (n_g + 1) FROM g
+                WHERE event_type = 'purchase') AS u2_purchase
+    """
+    sql["orders_profile"] = """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+               CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
+               CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us,
+               CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS min_cents,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_cents,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+        FROM orders
     """
     sql["raster_smooth"] = f"""
         WITH {_IMGS},

@@ -1124,3 +1124,68 @@ def test_incremental_rollup_empty_delta(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         t.sort_values("event_type", ignore_index=True),
         want.astype({"n": np.int64, "sum_cents": np.int64}))
+
+
+def test_mann_whitney_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_mann_whitney
+
+    rng = np.random.default_rng(151)
+    n = 3000
+    et = rng.choice(["click", "purchase", "view"], size=n)
+    # shifted distributions with heavy cross-group ties
+    value = np.where(et == "purchase",
+                     rng.integers(5, 30, size=n),
+                     rng.integers(0, 25, size=n)) / 2.0
+    pq.write_table(pa.table({"event_type": pa.array(et),
+                             "value": pa.array(value)}),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_mann_whitney(str(tmp_path)))
+
+    keep = np.isin(et, ["click", "purchase"])
+    c = np.floor(value[keep] * 100).astype(np.int64)
+    g = et[keep]
+    r2 = _avg_ranks_doubled(c)
+    n1 = int((g == "click").sum())
+    n2 = int((g == "purchase").sum())
+    s1 = int(r2[g == "click"].sum())
+    want_u2_click = s1 - n1 * (n1 + 1)
+    assert t["n_click"][0].as_py() == n1
+    assert t["n_purchase"][0].as_py() == n2
+    assert t["u2_click"][0].as_py() == want_u2_click
+    assert t["u2_purchase"][0].as_py() == 2 * n1 * n2 - want_u2_click
+    # the shifted purchase group must dominate: U_purchase > U_click
+    assert t["u2_purchase"][0].as_py() > t["u2_click"][0].as_py()
+
+
+def test_orders_profile_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_orders_profile
+
+    rng = np.random.default_rng(157)
+    n = 2000
+    price = np.round(rng.uniform(100, 9000, size=n), 2)
+    base = np.datetime64("1995-03-01T00:00:00", "us").astype(np.int64)
+    od = base + rng.integers(0, 2000, size=n) * 86_400_000_000
+    st = rng.choice(["O", "F", "P"], size=n)
+    cust = pa.array(
+        [None if i % 97 == 0 else int(i) for i in range(n)],
+        type=pa.int64())
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": cust,
+        "o_orderstatus": pa.array(st),
+        "o_totalprice": pa.array(price),
+        "o_orderdate": pa.array(od.view("datetime64[us]")),
+        "o_orderpriority": pa.array(["1"] * n)}),
+        str(tmp_path / "orders.parquet"))
+
+    t = _to_table(_q_orders_profile(str(tmp_path)))
+    cents = np.rint(price * 100).astype(np.int64)
+    assert t["n_rows"][0].as_py() == n
+    assert t["n_null_cust"][0].as_py() == len([1 for i in range(n)
+                                               if i % 97 == 0])
+    assert t["min_date_us"][0].as_py() == int(od.min())
+    assert t["max_date_us"][0].as_py() == int(od.max())
+    assert t["min_cents"][0].as_py() == int(cents.min())
+    assert t["max_cents"][0].as_py() == int(cents.max())
+    assert t["n_status"][0].as_py() == 3
