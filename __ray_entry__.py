@@ -5796,6 +5796,60 @@ def _q_orders_profile(sf_dir):
         "n_status": pa.array([len(statuses)], type=pa.int64())})
 
 
+def _q_zorder_range_scan(sf_dir):
+    """Z-ORDER INDEX RANGE SCAN (the lakehouse bbox-query mechanic):
+    the query bbox decomposes into ≤64 z-contiguous Morton ranges by
+    quadtree descent (LITMAX/BIGMIN semantics; budget-capped ranges
+    stay a SUPERSET so correctness never depends on the cap), the scan
+    prefilters each block by vectorized range membership (one
+    searchsorted), then refines with the exact float bbox predicate —
+    the two-phase filter an engine runs against a z-clustered table
+    where the ranges prune row groups at the read (zorder_top100 shows
+    the clustering sort).  Exact-integer outputs; plain-bbox SQL
+    oracle."""
+    import ray.data
+
+    from engine.ops.zorder import bbox_to_zranges, morton2, zrange_member
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import tree_fold_refs
+
+    X0, X1, Y0, Y1 = 22.3, 61.7, 10.0, 45.5
+    BITS, WORLD = 10, 100.0
+    scale = (1 << BITS) / WORLD
+    ranges = bbox_to_zranges(int(np.floor(X0 * scale)),
+                             int(np.floor(X1 * scale)),
+                             int(np.floor(Y0 * scale)),
+                             int(np.floor(Y1 * scale)),
+                             BITS, max_ranges=64)
+
+    ds = imagetab.image_dataset(sf_dir).select_columns(["x", "y"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        qx = np.floor(x * scale).astype(np.int64)
+        qy = np.floor(y * scale).astype(np.int64)
+        z = morton2(qx, qy)
+        cand = zrange_member(z, ranges)          # index prefilter
+        xc, yc = x[cand], y[cand]
+        keep = (xc >= X0) & (xc <= X1) & (yc >= Y0) & (yc <= Y1)
+        x_milli = np.rint(xc[keep] * 1000.0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([int(keep.sum())], type=pa.int64()),
+            "sx": pa.array([int(x_milli.sum())], type=pa.int64())})
+
+    f = tree_fold_refs(
+        ds.map_batches(scan, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    import pyarrow.compute as pc
+    return pa.table({
+        "n_points": pa.array([int(pc.sum(f["n"]).as_py())],
+                             type=pa.int64()),
+        "sum_x_milli": pa.array([int(pc.sum(f["sx"]).as_py())],
+                                type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -5967,6 +6021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_rollup": _q_incremental_rollup,
         "mann_whitney": _q_mann_whitney,
         "orders_profile": _q_orders_profile,
+        "zorder_range_scan": _q_zorder_range_scan,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -7614,6 +7669,14 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["zorder_range_scan"] = f"""
+        WITH {_IMGS}
+        SELECT count(*) AS n_points,
+               CAST(sum(CAST(round(x * 1000) AS BIGINT)) AS BIGINT)
+                   AS sum_x_milli
+        FROM imgs
+        WHERE x >= 22.3 AND x <= 61.7 AND y >= 10.0 AND y <= 45.5
     """
     sql["mann_whitney"] = """
         WITH t AS (

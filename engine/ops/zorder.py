@@ -70,3 +70,62 @@ def zorder_sorted(ds, x_col: str = "x", y_col: str = "y",
     )
     keys = ["morton"] if tiebreak is None else ["morton", tiebreak]
     return keyed.sort(keys)
+
+
+def bbox_to_zranges(qx0: int, qx1: int, qy0: int, qy1: int,
+                    bits: int, max_ranges: int = 512) -> list[tuple[int, int]]:
+    """Decompose an inclusive integer bbox into disjoint, sorted,
+    z-CONTIGUOUS Morton-key ranges by quadtree descent (the LITMAX /
+    BIGMIN index-scan decomposition, expressed as prefix recursion):
+    a quadtree node is exactly one contiguous z interval; nodes fully
+    inside the query emit whole ranges, partial nodes split into their
+    4 children.  ``max_ranges`` bounds the result — when the budget is
+    hit, partial nodes emit their (conservative, superset) full range,
+    so the scan stays CORRECT and only prunes less.  Driver-side pure
+    integers; O(perimeter · bits) ranges in the exact case."""
+    out: list[tuple[int, int]] = []
+    budget = [max_ranges]
+
+    def node(px: int, py: int, level: int):
+        size = 1 << level
+        x0, y0 = px, py
+        x1, y1 = px + size - 1, py + size - 1
+        if x1 < qx0 or x0 > qx1 or y1 < qy0 or y0 > qy1:
+            return
+        lo = int(morton2(np.array([x0]), np.array([y0]))[0])
+        if (x0 >= qx0 and x1 <= qx1 and y0 >= qy0 and y1 <= qy1) \
+                or level == 0 or budget[0] <= 0:
+            out.append((lo, lo + (1 << (2 * level)) - 1))
+            budget[0] -= 1
+            return
+        half = size >> 1
+        # z order of children: (0,0) (1,0) (0,1) (1,1) — x is even bits
+        node(px, py, level - 1)
+        node(px + half, py, level - 1)
+        node(px, py + half, level - 1)
+        node(px + half, py + half, level - 1)
+
+    node(0, 0, bits)
+    out.sort()
+    # merge adjacent ranges (children of a fully-covered node arrive
+    # contiguous)
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def zrange_member(z: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
+    """Vectorized membership of Morton keys in sorted disjoint ranges:
+    one searchsorted over the starts + an end compare."""
+    if not ranges:
+        return np.zeros(len(z), dtype=bool)
+    starts = np.array([r[0] for r in ranges], dtype=np.int64)
+    ends = np.array([r[1] for r in ranges], dtype=np.int64)
+    ix = np.searchsorted(starts, z, side="right") - 1
+    ok = ix >= 0
+    ixc = np.maximum(ix, 0)
+    return ok & (z <= ends[ixc])

@@ -1189,3 +1189,63 @@ def test_orders_profile_brute(ray_session, tmp_path):
     assert t["min_cents"][0].as_py() == int(cents.min())
     assert t["max_cents"][0].as_py() == int(cents.max())
     assert t["n_status"][0].as_py() == 3
+
+
+def test_zorder_ranges_exact_and_budget():
+    """Quadtree z-range decomposition == brute bbox membership when the
+    budget allows; a tight budget yields a SUPERSET (never misses)."""
+    from engine.ops.zorder import bbox_to_zranges, morton2, zrange_member
+
+    rng = np.random.default_rng(163)
+    qx = rng.integers(0, 256, 4000)
+    qy = rng.integers(0, 256, 4000)
+    z = morton2(qx, qy)
+    for (x0, x1, y0, y1) in [(10, 200, 5, 50), (0, 255, 0, 255),
+                             (7, 7, 9, 9), (100, 130, 100, 230),
+                             (255, 255, 0, 255)]:
+        rg = bbox_to_zranges(x0, x1, y0, y1, 8, max_ranges=10**6)
+        got = zrange_member(z, rg)
+        want = (qx >= x0) & (qx <= x1) & (qy >= y0) & (qy <= y1)
+        assert (got == want).all(), (x0, x1, y0, y1)
+        # disjoint + sorted
+        for a, b in zip(rg, rg[1:]):
+            assert a[1] < b[0]
+    tight = bbox_to_zranges(10, 200, 5, 50, 8, max_ranges=8)
+    got = zrange_member(z, tight)
+    want = (qx >= 10) & (qx <= 200) & (qy >= 5) & (qy <= 50)
+    assert not (~got & want).any()       # superset: nothing missed
+    assert len(tight) <= 3 * 8           # budget respected (merged)
+
+
+def test_zorder_range_scan_prunes(ray_session, tmp_path):
+    """The range prefilter must PRUNE (candidates ≪ corpus) and the
+    final result must equal the brute bbox aggregate."""
+    from engine.ops.zorder import bbox_to_zranges, morton2, zrange_member
+    from __ray_entry__ import _q_zorder_range_scan
+
+    rng = np.random.default_rng(167)
+    eid = rng.integers(0, 800_000, size=5000).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * len(eid))}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_zorder_range_scan(str(tmp_path)))
+
+    x = ((eid * 9973) % 100_000) / 1000.0
+    y = ((eid * 7919) % 100_000) / 1000.0
+    keep = (x >= 22.3) & (x <= 61.7) & (y >= 10.0) & (y <= 45.5)
+    assert t["n_points"][0].as_py() == int(keep.sum())
+    assert t["sum_x_milli"][0].as_py() == int(
+        np.rint(x[keep] * 1000.0).sum())
+    # pruning factual: the 64-range prefilter admits well under the
+    # full corpus for this ~14%-selectivity box
+    scale = 1024 / 100.0
+    rg = bbox_to_zranges(int(np.floor(22.3 * scale)),
+                         int(np.floor(61.7 * scale)),
+                         int(np.floor(10.0 * scale)),
+                         int(np.floor(45.5 * scale)), 10, max_ranges=64)
+    z = morton2(np.floor(x * scale).astype(np.int64),
+                np.floor(y * scale).astype(np.int64))
+    cand = zrange_member(z, rg)
+    assert keep.sum() <= cand.sum() < 0.6 * len(eid)
