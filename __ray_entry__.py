@@ -5850,6 +5850,82 @@ def _q_zorder_range_scan(sf_dir):
                                 type=pa.int64())})
 
 
+def _q_video_scenes(sf_dir):
+    """VIDEO SCENE-CHANGE DETECTION over the sampled-frame stream: a
+    scene cut = consecutive sampled frames whose phash Hamming distance
+    exceeds 16 bits.  One hash exchange on the video key co-locates each
+    video's frames; the per-partition pass is one lexsort + vectorized
+    XOR-popcount; the bounded output is the (n_cuts, n_videos)
+    histogram.  Frame phashes come from the deterministic fake codec
+    (documented) ⇒ no SQL oracle; pinned by a brute-force parity pytest
+    with planted hard cuts."""
+    from engine.rayds.imgstage import frames_dataset
+    from engine.rayds.shuffle import grouped_agg, hash_exchange_groups
+
+    ds = frames_dataset(sf_dir, every_n=3)
+
+    def cuts(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"n_cuts": pa.array([], type=pa.int64()),
+                             "_one": pa.array([], type=pa.int64())})
+        vid = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        idx = g["frame_idx"].to_numpy()
+        ph = g["frame_phash"].to_numpy()
+        order = np.lexsort((idx, vid))
+        vid, ph = vid[order], ph[order]
+        same = np.zeros(len(vid), dtype=bool)
+        same[1:] = vid[1:] == vid[:-1]
+        x = np.zeros(len(vid), dtype=np.uint64)
+        x[1:] = (ph[1:].view(np.uint64) ^ ph[:-1].view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(1)
+        cut = same & (ham > 16)
+        first = ~same
+        gid = np.cumsum(first) - 1
+        ncuts = np.bincount(gid, weights=cut).astype(np.int64)
+        return pa.table({"n_cuts": pa.array(ncuts),
+                         "_one": pa.array(np.ones(len(ncuts),
+                                                  dtype=np.int64))})
+
+    per_video = hash_exchange_groups(ds, ["image_id"], cuts)
+    return grouped_agg(per_video, ["n_cuts"], [("_one", "sum")],
+                       ["n_videos"], plan="tree")
+
+
+def _q_selfjoin_size(sf_dir):
+    """JOIN-CARDINALITY STATISTIC (the planner's self-join size): the
+    exact output size of events ⋈ events on user_id is Σ_u c_u² — a
+    combiner-first per-key count plus one quadratic fold, no join ever
+    executed.  The statistic every shuffle-join planner needs before
+    committing to an exchange."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count, tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    counts = grouped_count(ds, ["user_id"], out_col="c")
+
+    def sq(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy().astype(object)
+        return pa.table({
+            "n_keys": pa.array([t.num_rows], type=pa.int64()),
+            "jsize": pa.array([int((c * c).sum()) if len(c) else 0],
+                              type=pa.int64())})
+
+    f = tree_fold_refs(
+        counts.map_batches(sq, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    import pyarrow.compute as pc
+    return pa.table({
+        "n_users": pa.array([int(pc.sum(f["n_keys"]).as_py())],
+                            type=pa.int64()),
+        "selfjoin_rows": pa.array([int(pc.sum(f["jsize"]).as_py())],
+                                  type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6022,6 +6098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney": _q_mann_whitney,
         "orders_profile": _q_orders_profile,
         "zorder_range_scan": _q_zorder_range_scan,
+        "video_scenes": _q_video_scenes,
+        "selfjoin_size": _q_selfjoin_size,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,
@@ -7669,6 +7747,15 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(dur, 0.5) AS p50_dur,
                quantile_cont(dur, 0.9) AS p90_dur
         FROM d
+    """
+    sql["selfjoin_size"] = """
+        WITH c AS (
+            SELECT user_id, count(*) AS c FROM events GROUP BY 1
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                    AS BIGINT) AS selfjoin_rows
+        FROM c
     """
     sql["zorder_range_scan"] = f"""
         WITH {_IMGS}

@@ -1249,3 +1249,35 @@ def test_zorder_range_scan_prunes(ray_session, tmp_path):
                 np.floor(y * scale).astype(np.int64))
     cand = zrange_member(z, rg)
     assert keep.sum() <= cand.sum() < 0.6 * len(eid)
+
+
+def test_video_scenes_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_video_scenes
+    from engine.img import codec
+
+    rng = np.random.default_rng(173)
+    eid = rng.choice(np.arange(0, 60_000), size=400,
+                     replace=False).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * len(eid))}),
+        str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_video_scenes(str(tmp_path))).to_pandas()
+    got = dict(zip(t["n_cuts"], t["n_videos"]))
+
+    # brute force: same synth → same phashes → same hammings
+    want: dict[int, int] = {}
+    for e in eid:
+        n = 4 + int(e) % 5
+        sel = list(range(0, n, 3))
+        fids = [f"img{e}#f{i}" for i in sel]
+        frames = codec.synth_image_batch(fids, 8, 8)
+        ph = codec.phash64_batch(frames).view(np.uint64)
+        cuts = 0
+        for a, b in zip(ph, ph[1:]):
+            cuts += bin(int(a ^ b)).count("1") > 16
+        want[cuts] = want.get(cuts, 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(eid)
+    assert len(got) >= 2  # the histogram must be non-degenerate
