@@ -5926,6 +5926,73 @@ def _q_selfjoin_size(sf_dir):
                                   type=pa.int64())})
 
 
+def _q_region_hulls(sf_dir):
+    """DISTRIBUTED CONVEX-HULL AGGREGATE per region (the geometry
+    kernels inside a combiner-first aggregate): hull is associative —
+    hull(A ∪ B) = hull(hull(A) ∪ hull(B)) — so each block reduces every
+    region's matched points to its hull VERTICES (engine.geo
+    constructive.convex_hull, the reference-conformant kernel), one
+    fine-key exchange moves only hull rings, and the final hull emits
+    (poly_id, n_vertices, area2_micro) with the doubled shoelace area
+    in EXACT integer micro-units (coords are milli-grid by
+    construction).  Geometry outputs aren't SQL-expressible ⇒ pinned by
+    a brute-force monotone-chain pytest."""
+    from engine.geo.constructive import convex_hull
+    from engine.geo.coordinates import get_coordinates
+    from engine.geo.creation import multipoints
+    from engine.rayds import pipeline
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    pairs = pipeline.pairs_dataset(sf_dir, "covers", keep_cols=())
+
+    def hull_pts(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        g = multipoints(np.column_stack([x, y]))
+        return get_coordinates(convex_hull(g))
+
+    def block_hull(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"poly_id": pa.array([], type=pa.int64()),
+                             "x": pa.array([], type=pa.float64()),
+                             "y": pa.array([], type=pa.float64())})
+        pid = t["poly_id"].to_numpy()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        op, ox, oy = [], [], []
+        for p in np.unique(pid):  # loop over REGIONS (layer-bounded)
+            m = pid == p
+            c = hull_pts(x[m], y[m])
+            op.extend([int(p)] * len(c))
+            ox.extend(c[:, 0].tolist())
+            oy.extend(c[:, 1].tolist())
+        return pa.table({"poly_id": pa.array(op, type=pa.int64()),
+                         "x": pa.array(ox, type=pa.float64()),
+                         "y": pa.array(oy, type=pa.float64())})
+
+    local = pairs.map_batches(block_hull, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"poly_id": pa.array([], type=pa.int64()),
+                             "n_vertices": pa.array([], type=pa.int64()),
+                             "area2_micro": pa.array([], type=pa.int64())})
+        pid = int(group["poly_id"][0].as_py())
+        c = hull_pts(group["x"].to_numpy(), group["y"].to_numpy())
+        # drop the closing duplicate if the ring is closed
+        if len(c) > 1 and (c[0] == c[-1]).all():
+            c = c[:-1]
+        xi = np.rint(c[:, 0] * 1000.0).astype(np.int64)
+        yi = np.rint(c[:, 1] * 1000.0).astype(np.int64)
+        area2 = int(np.abs(
+            (xi * np.roll(yi, -1) - np.roll(xi, -1) * yi).sum()))
+        return pa.table({
+            "poly_id": pa.array([pid], type=pa.int64()),
+            "n_vertices": pa.array([len(c)], type=pa.int64()),
+            "area2_micro": pa.array([area2], type=pa.int64())})
+
+    return hash_exchange_fine_groups(local, ["poly_id"], final)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6100,6 +6167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_range_scan": _q_zorder_range_scan,
         "video_scenes": _q_video_scenes,
         "selfjoin_size": _q_selfjoin_size,
+        "region_hulls": _q_region_hulls,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,

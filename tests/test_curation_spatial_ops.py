@@ -1281,3 +1281,77 @@ def test_video_scenes_brute(ray_session, tmp_path):
     assert got == want
     assert sum(got.values()) == len(eid)
     assert len(got) >= 2  # the histogram must be non-degenerate
+
+
+def test_region_hulls_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_region_hulls
+
+    rng = np.random.default_rng(179)
+    eid = rng.integers(0, 600_000, size=4000).astype(np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid),
+        "event_type": pa.array(["view"] * len(eid))}),
+        str(tmp_path / "events.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int64)),
+        "n_name": pa.array([f"N{i}" for i in range(25)]),
+        "n_regionkey": pa.array(np.arange(25, dtype=np.int64) % 5)}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int64)),
+        "r_name": pa.array([f"R{i}" for i in range(5)])}),
+        str(tmp_path / "region.parquet"))
+
+    t = _to_table(_q_region_hulls(str(tmp_path))).to_pandas()
+
+    # brute: all matched (poly, point) pairs + monotone-chain hull
+    x = ((eid * 9973) % 100_000) / 1000.0
+    y = ((eid * 7919) % 100_000) / 1000.0
+    boxes = []
+    for nk in range(25):
+        x0 = (nk % 5) * 20.0 + 1.5
+        y0 = (nk // 5) * 20.0 + 1.5
+        boxes.append((nk, x0, y0, x0 + 13.0, y0 + 13.0))
+    for rk in range(5):
+        boxes.append((100 + rk, rk * 17.0 + 1.0, rk * 13.0 + 2.0,
+                      rk * 17.0 + 26.0, rk * 13.0 + 27.0))
+
+    def chain(px, py):
+        pts = sorted(set(zip(px.tolist(), py.tolist())))
+        if len(pts) <= 2:
+            return pts
+
+        def half(points):
+            out = []
+            for p in points:
+                while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                ) <= 0:
+                    out.pop()
+                out.append(p)
+            return out
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        return lower[:-1] + upper[:-1]
+
+    want = {}
+    for pid, x0, y0, x1, y1 in boxes:
+        m = (x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)
+        if not m.any():
+            continue
+        h = chain(x[m], y[m])
+        xi = np.rint(np.array([p[0] for p in h]) * 1000).astype(np.int64)
+        yi = np.rint(np.array([p[1] for p in h]) * 1000).astype(np.int64)
+        area2 = int(abs((xi * np.roll(yi, -1)
+                         - np.roll(xi, -1) * yi).sum())) if len(h) >= 3 \
+            else 0
+        want[pid] = (len(h), area2)
+
+    got = {int(r["poly_id"]): (int(r["n_vertices"]), int(r["area2_micro"]))
+           for _, r in t.iterrows()}
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][1] == want[pid][1], (pid, got[pid], want[pid])
+        assert got[pid][0] == want[pid][0], (pid, got[pid], want[pid])
