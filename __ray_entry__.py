@@ -5993,6 +5993,40 @@ def _q_region_hulls(sf_dir):
     return hash_exchange_fine_groups(local, ["poly_id"], final)
 
 
+def _q_sssp_full(sf_dir):
+    """UNBOUNDED-depth weighted shortest paths (distributed
+    Bellman-Ford as BSP task rounds — engine/ops/graph.py::sssp) over
+    the same derived weighted graph as the fixed-depth sssp_min_cost:
+    every reachable node with its true min cost, converging in
+    hop-radius rounds with 2 task waves each.  Iterative shared-state
+    algorithm ⇒ no SQL oracle (a recursive-CTE closure enumerates
+    per-cost paths and blows up on cyclic graphs); pinned by a
+    brute-force Bellman-Ford pytest and the ≥-depth-3 consistency
+    check against the oracle-checked fixed-depth query."""
+    import ray.data
+
+    from engine.ops.graph import sssp
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        x = eid % np.int64(499)
+        y = (eid // np.int64(499) + eid % np.int64(491)) % np.int64(499)
+        w = (eid % np.int64(97)) + np.int64(1)
+        m = x != y
+        return pa.table({"a": pa.array(x[m]), "b": pa.array(y[m]),
+                         "w": pa.array(w[m])})
+
+    e = grouped_agg(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["a", "b"], [("w", "min")], ["w"])
+    return sssp(e, source=0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6168,6 +6202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scenes": _q_video_scenes,
         "selfjoin_size": _q_selfjoin_size,
         "region_hulls": _q_region_hulls,
+        "sssp_full": _q_sssp_full,
         "part_best_supplier": _q_part_best_supplier,
         "bottom_decile": _q_bottom_decile,
         "sssp_min_cost": _q_sssp_min_cost,

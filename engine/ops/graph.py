@@ -515,3 +515,118 @@ def pagerank(edges, damping: float = 0.85, iters: int = 20,
 
     tabs = [to_table.remote(statics[p], prs[p]) for p in range(P)]
     return ray.data.from_arrow_refs(tabs)
+
+
+# ----------------------------------------------- weighted SSSP (BSP rounds)
+_INF = np.int64(1 << 62)
+
+
+def _sssp_remotes():
+    import ray
+
+    @ray.remote
+    def shard_wedges(block: pa.Table, num_parts: int):
+        a = block["a"].to_numpy()
+        b = block["b"].to_numpy()
+        w = block["w"].to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        ww = np.concatenate([w, w])
+        return tuple(_route(src, num_parts, src, dst, ww))
+
+    @ray.remote
+    def build_part(source: int, *bundles):
+        srcs = [x[0] for x in bundles if x is not None and len(x[0])]
+        dsts = [x[1] for x in bundles if x is not None and len(x[1])]
+        ws = [x[2] for x in bundles if x is not None and len(x[2])]
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        w = np.concatenate(ws) if ws else np.empty(0, np.int64)
+        nodes, esrc = np.unique(src, return_inverse=True)
+        dist = np.full(len(nodes), _INF, dtype=np.int64)
+        hit = np.searchsorted(nodes, source)
+        if hit < len(nodes) and len(nodes) and nodes[hit] == source:
+            dist[hit] = 0
+        return {"nodes": nodes, "esrc": esrc, "edst": dst, "ew": w}, dist
+
+    @ray.remote
+    def relax(static, dist, num_parts: int):
+        # proposals (dst, dist[src] + w) for every FINITE-source edge
+        d = dist[static["esrc"]]
+        fin = d < _INF
+        pn = static["edst"][fin]
+        pc = d[fin] + static["ew"][fin]
+        return tuple(_route(pn, num_parts, pn, pc))
+
+    @ray.remote
+    def fold(static, dist, *msgs):
+        nodes = static["nodes"]
+        pn = np.concatenate([m[0] for m in msgs]) if msgs else \
+            np.empty(0, np.int64)
+        pc = np.concatenate([m[1] for m in msgs]) if msgs else \
+            np.empty(0, np.int64)
+        new = dist.copy()
+        if len(pn):
+            np.minimum.at(new, np.searchsorted(nodes, pn), pc)
+        return new, int((new != dist).sum())
+
+    @ray.remote
+    def to_table(static, dist) -> pa.Table:
+        keep = dist < _INF
+        return pa.table({"node": pa.array(static["nodes"][keep]),
+                         "cost": pa.array(dist[keep])})
+
+    return shard_wedges, build_part, relax, fold, to_table
+
+
+def sssp(edges, source: int = 0, num_parts: int = BSP_PARTS,
+         max_rounds: int = 10_000):
+    """UNBOUNDED-DEPTH single-source shortest paths over a weighted
+    (a, b, w) edge Dataset — distributed Bellman-Ford as BSP rounds
+    over raw Ray tasks (the weighted sibling of the CC hash-min plan;
+    the Dataset API can't express the shared mutable distance state
+    without a fresh executor run per round).
+
+    Per round: 2 task waves — *relax* (per-partition finite-source edge
+    proposals ``dist[src]+w`` routed by hash(dst)) and *fold*
+    (vectorized ``np.minimum.at`` + changed count, one int per task to
+    the driver).  Distances only ever DECREASE, so waves are
+    order-free and the fixpoint is the true shortest-path cost
+    (standard Bellman-Ford argument); rounds = shortest-path hop
+    radius.  Exchange volume per round ≤ 2·E narrow int64 entries,
+    partition-to-partition (never the driver).  Returns a (node, cost)
+    Dataset of REACHED nodes only; the fixed-depth Dataset plan
+    (__ray_entry__._q_sssp_min_cost) is the SQL-checkable sibling."""
+    import ray
+    import ray.data
+
+    shard_wedges, build_part, relax, fold, to_table = _sssp_remotes()
+    P = num_parts
+    blocks = edges.materialize().to_arrow_refs()
+    shard_refs = [
+        shard_wedges.options(num_returns=P).remote(b, P) for b in blocks
+    ]
+    built = [
+        build_part.options(num_returns=2).remote(
+            source, *[shard_refs[j][p] for j in range(len(blocks))]
+        )
+        for p in range(P)
+    ]
+    statics = [b[0] for b in built]
+    dists = [b[1] for b in built]
+
+    for _ in range(max_rounds):
+        waves = [relax.options(num_returns=P).remote(statics[p], dists[p], P)
+                 for p in range(P)]
+        fin = [
+            fold.options(num_returns=2).remote(
+                statics[p], dists[p], *[waves[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        dists = [f[0] for f in fin]
+        if sum(ray.get([f[1] for f in fin])) == 0:
+            break
+
+    tabs = [to_table.remote(statics[p], dists[p]) for p in range(P)]
+    return ray.data.from_arrow_refs(tabs)

@@ -1355,3 +1355,42 @@ def test_region_hulls_brute(ray_session, tmp_path):
     for pid in want:
         assert got[pid][1] == want[pid][1], (pid, got[pid], want[pid])
         assert got[pid][0] == want[pid][0], (pid, got[pid], want[pid])
+
+
+def test_sssp_full_brute_and_depth3_consistency(ray_session, tmp_path):
+    from __ray_entry__ import _q_sssp_full, _q_sssp_min_cost
+
+    rng = np.random.default_rng(181)
+    eid = rng.integers(0, 300_000, size=2500).astype(np.int64)
+    pq.write_table(pa.table({"event_id": pa.array(eid)}),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_sssp_full(str(tmp_path)))
+    got = dict(zip(t["node"].to_pylist(), t["cost"].to_pylist()))
+
+    # brute Bellman-Ford to fixpoint
+    x = eid % 499
+    y = (eid // 499 + eid % 491) % 499
+    w = (eid % 97) + 1
+    ew = {}
+    for a, b, c in zip(x, y, w):
+        if a != b:
+            for k in ((int(a), int(b)), (int(b), int(a))):
+                ew[k] = min(ew.get(k, 1 << 30), int(c))
+    dist = {0: 0}
+    for _ in range(600):
+        moved = False
+        for (a, b), c in ew.items():
+            if a in dist and dist[a] + c < dist.get(b, 1 << 30):
+                dist[b] = dist[a] + c
+                moved = True
+        if not moved:
+            break
+    assert got == dist and len(got) > 10
+
+    # unbounded costs are <= the oracle-checked depth-3 costs
+    t3 = _to_table(_q_sssp_min_cost(str(tmp_path)))
+    d3 = dict(zip(t3["node"].to_pylist(), t3["cost"].to_pylist()))
+    assert set(d3) <= set(got)
+    assert all(got[n] <= c for n, c in d3.items())
+    assert any(got[n] < c for n, c in d3.items())  # depth truncation bites
