@@ -112,6 +112,40 @@ def _locate_in(decomp, x: float, y: float) -> bool:
     return decomp.locate(x, y) == I
 
 
+def _drop_pinch_wrapped_shells(polys, shell_pts):
+    """Drop face-walk shells already encoded inside a sibling polygon.
+
+    A face-walk cycle can PINCH-WRAP a sibling face that touches it only
+    at vertices (e.g. an island corner-chained to a hole wall: the hole
+    cycle detours around the island, so the island is even-odd INTERIOR
+    to the assembled polygon — and the island's own cycle would count it
+    a second time).  Holes are immune: a pinch-wrapped hole reads
+    even-odd EXTERIOR to the wrapping shell, so nesting skips it.  Drop
+    any polygon whose shell interior point is even-odd interior to
+    another assembled polygon's full ring set; a legit nested island
+    sits inside a containing polygon's HOLE (even-odd exterior) and
+    survives.  Bbox prescreen keeps this O(pairs-that-could-nest)."""
+    n = len(polys)
+    if n < 2:
+        return polys
+    pts = np.asarray(shell_pts, dtype=np.float64).reshape(-1, 2)
+    lo = np.array([p[0][:, :2].min(axis=0) for p in polys])
+    hi = np.array([p[0][:, :2].max(axis=0) for p in polys])
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        x, y = pts[i]
+        cand = np.flatnonzero(
+            (lo[:, 0] <= x) & (x <= hi[:, 0])
+            & (lo[:, 1] <= y) & (y <= hi[:, 1]))
+        for j in cand:
+            if j == i:
+                continue
+            if core.point_in_rings(x, y, polys[j]) == 2:
+                keep[i] = False
+                break
+    return [p for k, p in zip(keep, polys) if k]
+
+
 def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
     """General areal overlay via the engine's arrangement machinery:
 
@@ -201,10 +235,10 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
     for r in rings2:
         x, y = _face_interior_point(r)
         if keep(_locate_in(da, x, y), _locate_in(db, x, y)):
-            shells.append(r)
+            shells.append((r, (x, y)))
         else:
             holes.append((r[::-1].copy(), (x, y)))  # store CW + interior pt
-    polys: list[list[np.ndarray]] = [[s] for s in shells]
+    polys: list[list[np.ndarray]] = [[s] for s, _ in shells]
     for h, (hx, hy) in holes:
         # smallest containing shell
         best, best_area = None, np.inf
@@ -215,6 +249,7 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
                     best, best_area = p, ar
         if best is not None:
             best.append(h)
+    polys = _drop_pinch_wrapped_shells(polys, [pt for _, pt in shells])
     parts = [Geom(GeomType.POLYGON, rings=p) for p in polys]
     if len(parts) == 1:
         return parts[0]
@@ -718,10 +753,10 @@ def _nary_union_areal(geoms: list[Geom]) -> Geom:
         face_in |= d.inside_many(face_pts[:, 0], face_pts[:, 1])
     for r, (x, y), ins in zip(cleaned, face_pts, face_in):
         if ins:
-            shells.append(r)
+            shells.append((r, (x, y)))
         else:
             holes.append((r[::-1].copy(), (x, y)))
-    polys: list[list[np.ndarray]] = [[s] for s in shells]
+    polys: list[list[np.ndarray]] = [[s] for s, _ in shells]
     for h, (hx, hy) in holes:
         best, best_area = None, np.inf
         for p in polys:
@@ -731,6 +766,7 @@ def _nary_union_areal(geoms: list[Geom]) -> Geom:
                     best, best_area = p, ar
         if best is not None:
             best.append(h)
+    polys = _drop_pinch_wrapped_shells(polys, [pt for _, pt in shells])
     parts = [Geom(GeomType.POLYGON, rings=p) for p in polys]
     if not parts:
         return Geom.empty(GeomType.POLYGON)
