@@ -6027,6 +6027,229 @@ def _q_sssp_full(sf_dir):
     return sssp(e, source=0)
 
 
+def _q_region_dissolve(sf_dir):
+    """DISTRIBUTED DISSOLVE (per-group polygon UNION — the GIS verb
+    region_hulls' hull aggregate doesn't cover): integer-aligned
+    footprint boxes derived from events are unioned per region through
+    the engine's arrangement overlay (set_operations._nary_union_areal).
+    The box VOCABULARY is domain-bounded (≤480 distinct boxes/region by
+    construction — the real-world shape: footprint tiles snap to a
+    grid), so each block DEDUPES to distinct boxes (np.unique over one
+    packed int64 — the combiner), ONE fine-key exchange moves
+    ≤ blocks×480 narrow rows, and union_all runs once per region over
+    the bounded distinct set.  Integer box coords make the overlay
+    float-EXACT, so union area == covered-unit-cell count — the SQL
+    oracle counts DISTINCT cells, which would catch any overlay
+    assembly bug (the pinch-wrap shell double-count fixed this round
+    was found exactly this way; tests/test_union_pinch.py)."""
+    import ray.data
+
+    from engine.geo.creation import box as _mkbox
+    from engine.geo.measure import area as _area
+    from engine.geo.set_operations import union_all
+    from engine.rayds.shuffle import hash_exchange_fine_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"])
+
+    def distinct_boxes(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        region = eid % np.int64(6)
+        x0 = eid % np.int64(24)
+        y0 = (eid // np.int64(24)) % np.int64(20)
+        key = np.unique((region * 24 + x0) * 20 + y0)  # w,h derive from x0,y0
+        return pa.table({"region": pa.array(key // (24 * 20)),
+                         "x0": pa.array((key // 20) % 24),
+                         "y0": pa.array(key % 20)})
+
+    local = ds.map_batches(distinct_boxes, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+
+    def dissolve(group: pa.Table) -> pa.Table:
+        empty = pa.table({"region": pa.array([], type=pa.int64()),
+                          "n_boxes": pa.array([], type=pa.int64()),
+                          "union_area": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        region = int(group["region"][0].as_py())
+        x0 = group["x0"].to_numpy()
+        y0 = group["y0"].to_numpy()
+        key = np.unique(x0 * 20 + y0)  # re-dedupe across blocks
+        x0 = (key // 20).astype(np.float64)
+        y0 = (key % 20).astype(np.float64)
+        w = 1.0 + (x0 + y0) % 3
+        h = 1.0 + (x0 * 3 + y0) % 5
+        u = union_all(_mkbox(x0, y0, x0 + w, y0 + h))
+        return pa.table({
+            "region": pa.array([region], type=pa.int64()),
+            "n_boxes": pa.array([len(key)], type=pa.int64()),
+            "union_area": pa.array([int(_area(u))], type=pa.int64())})
+
+    return hash_exchange_fine_groups(local, ["region"], dissolve)
+
+
+def _q_ohlc_daily(sf_dir):
+    """OHLC RESAMPLING (time-series downsample): per-day open/high/low/
+    close of the value stream ordered by (ts, event_id).  Open/close are
+    per-key ARGMIN/ARGMAX by a composite order — associative, so each
+    block keeps one partial row per day (lexsort + first/last-of-run)
+    and the day table is CALENDAR-BOUNDED ⇒ partials tree-fold to one
+    block with the SAME fold applied at every level; no all-to-all at
+    any volume."""
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_id", "value"])
+
+    def _fold(day, ts, eid, oc, cc, lo, hi) -> pa.Table:
+        """Merge partial OHLC rows: per day, open fields ride the row
+        with min (ts, eid), close fields the row with max, lo/hi fold
+        by min/max — emitted as ONE row per day."""
+        order = np.lexsort((eid, ts, day))
+        day, ts, eid = day[order], ts[order], eid[order]
+        oc, cc, lo, hi = oc[order], cc[order], lo[order], hi[order]
+        first = np.ones(len(day), dtype=bool)
+        first[1:] = day[1:] != day[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(day))
+        return pa.table({
+            "day": pa.array(day[starts]),
+            "o_ts": pa.array(ts[starts]),
+            "o_eid": pa.array(eid[starts]),
+            "open_cents": pa.array(oc[starts]),
+            "c_ts": pa.array(ts[ends - 1]),
+            "c_eid": pa.array(eid[ends - 1]),
+            "close_cents": pa.array(cc[ends - 1]),
+            "low_cents": pa.array(np.minimum.reduceat(lo, starts)),
+            "high_cents": pa.array(np.maximum.reduceat(hi, starts))})
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return _fold(ts // 86_400_000_000, ts,
+                     t["event_id"].to_numpy(), cents, cents, cents, cents)
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        # open/close candidates are rows (o_ts,o_eid)/(c_ts,c_eid); fold
+        # treats each partial row twice: once as an open candidate, once
+        # as a close candidate — concat the two views
+        o = pa.table({"day": t["day"], "ts": t["o_ts"], "eid": t["o_eid"],
+                      "oc": t["open_cents"], "cc": t["open_cents"],
+                      "lo": t["low_cents"], "hi": t["high_cents"]})
+        c = pa.table({"day": t["day"], "ts": t["c_ts"], "eid": t["c_eid"],
+                      "oc": t["close_cents"], "cc": t["close_cents"],
+                      "lo": t["low_cents"], "hi": t["high_cents"]})
+        v = pa.concat_tables([o, c])
+        return _fold(*(v[k].to_numpy() for k in
+                       ("day", "ts", "eid", "oc", "cc", "lo", "hi")))
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    final = tree_fold_refs(part, combine)
+    import ray.data as _rd
+    return _rd.from_arrow(final.select(
+        ["day", "open_cents", "high_cents", "low_cents", "close_cents"]))
+
+
+def _q_xcorr_lag(sf_dir):
+    """DAILY CROSS-CORRELATION (lead-lag screen between two event
+    streams): exact integer dot products Σ x_t·y_{t+lag} of the dense
+    click/purchase daily-count series at lags 0..7.  One combiner-first
+    (day, type) count — the series is CALENDAR-BOUNDED so the lag sweep
+    is a driver-side numpy dot over days, never rows (daily_autocorr's
+    plan generalized to two series × 8 lags); all values exact int64."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def day_fn(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "purchase")
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)[m]
+        return pa.table({"day": pa.array(day),
+                         "is_click": pa.array(et[m] == "click")})
+
+    counts = grouped_count(
+        ds.map_batches(day_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True), ["day", "is_click"])
+    t = pa.concat_tables(
+        [b for b in counts.iter_batches(batch_format="pyarrow")])
+    day = t["day"].to_numpy()
+    isc = t["is_click"].to_numpy(zero_copy_only=False)
+    n = t["cnt"].to_numpy()
+    lo, hi = int(day.min()), int(day.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    y = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[day[isc] - lo] = n[isc]
+    y[day[~isc] - lo] = n[~isc]
+    lags = np.arange(8, dtype=np.int64)
+    dots = [int(x[: len(x) - k] @ y[k:]) if k < len(x) else 0
+            for k in range(8)]
+    return pa.table({"lag": pa.array(lags),
+                     "dot": pa.array(dots, type=pa.int64())})
+
+
+def _q_simpson_diversity(sf_dir):
+    """PER-KEY SIMPSON DIVERSITY INDEX (behavioral-mix screen):
+    1 − Σ(c_i/n)² of each user's event-type distribution, computed as
+    the exact rational (n² − Σc²)/n² — ONE float division per user, no
+    libm (the bm25/idf bit-exactness rule).  Per-block (user, type)
+    count partials (pyarrow group_by combiner), ONE hash exchange on
+    user_id, then a fully vectorized per-partition fold (lexsort +
+    reduceat twice: type-count merge, then per-user moments)."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("user_id", "count")])
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    local = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_part"])
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "simpson": pa.array([], type=pa.float64())})
+        u = t["user_id"].to_numpy()
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy()
+        _, tcode = np.unique(ty, return_inverse=True)
+        order = np.lexsort((tcode, u))
+        u, tcode, c = u[order], tcode[order], c[order]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (tcode[1:] != tcode[:-1])
+        starts = np.nonzero(new)[0]
+        cm = np.add.reduceat(c, starts)          # merged (user,type) counts
+        um = u[starts]
+        ustarts = np.nonzero(np.concatenate(
+            [[True], um[1:] != um[:-1]]))[0]
+        n = np.add.reduceat(cm, ustarts)
+        s = np.add.reduceat(cm * cm, ustarts)
+        n2 = n * n
+        return pa.table({
+            "user_id": pa.array(um[ustarts]),
+            "n_events": pa.array(n),
+            "simpson": pa.array((n2 - s).astype(np.float64)
+                                / n2.astype(np.float64))})
+
+    return hash_exchange_groups(local, ["user_id"], fold)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6208,6 +6431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_min_cost": _q_sssp_min_cost,
         "morans_i": _q_morans_i,
         "aspect_buckets": _q_aspect_buckets,
+        "region_dissolve": _q_region_dissolve,
+        "ohlc_daily": _q_ohlc_daily,
+        "xcorr_lag": _q_xcorr_lag,
+        "simpson_diversity": _q_simpson_diversity,
     }
 
 
@@ -8480,5 +8707,80 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(w * h) AS BIGINT) AS sum_pixels
         FROM scored WHERE rn = 1
         GROUP BY 1, 2, 3
+    """
+    sql["region_dissolve"] = """
+        WITH b AS (
+            SELECT DISTINCT event_id % 6 AS region,
+                            event_id % 24 AS x0,
+                            (event_id // 24) % 20 AS y0
+            FROM events
+        ), wb AS (
+            SELECT region, x0, y0,
+                   1 + (x0 + y0) % 3 AS w,
+                   1 + (x0 * 3 + y0) % 5 AS h
+            FROM b
+        ), cells AS (
+            -- union area of integer-aligned boxes == covered unit cells
+            SELECT DISTINCT region, x0 + gx.g AS cx, y0 + gy.g AS cy
+            FROM wb
+            JOIN (SELECT unnest(generate_series(0, 2)) AS g) gx
+              ON gx.g < w
+            JOIN (SELECT unnest(generate_series(0, 4)) AS g) gy
+              ON gy.g < h
+        ), nb AS (SELECT region, count(*) AS n_boxes FROM wb GROUP BY 1),
+           ar AS (SELECT region, count(*) AS union_area FROM cells
+                  GROUP BY 1)
+        SELECT nb.region, CAST(nb.n_boxes AS BIGINT) AS n_boxes,
+               CAST(ar.union_area AS BIGINT) AS union_area
+        FROM nb JOIN ar USING (region)
+    """
+    sql["ohlc_daily"] = """
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS ts_us,
+                   event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT day,
+               first(cents ORDER BY ts_us, event_id) AS open_cents,
+               max(cents) AS high_cents,
+               min(cents) AS low_cents,
+               last(cents ORDER BY ts_us, event_id) AS close_cents
+        FROM e GROUP BY day
+    """
+    sql["xcorr_lag"] = """
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) FILTER (event_type = 'click') AS x,
+                   count(*) FILTER (event_type = 'purchase') AS y
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ), bnd AS (SELECT min(day) lo, max(day) hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bnd),
+        dense AS (
+            SELECT spine.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+            FROM spine LEFT JOIN d USING (day)
+        ), lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        pairs AS (
+            SELECT l.lag, a.x * b.y AS xy
+            FROM lags l
+            JOIN dense a ON TRUE
+            JOIN dense b ON b.day = a.day + l.lag
+        )
+        SELECT l.lag, CAST(COALESCE(sum(p.xy), 0) AS BIGINT) AS dot
+        FROM lags l LEFT JOIN pairs p ON p.lag = l.lag
+        GROUP BY 1
+    """
+    sql["simpson_diversity"] = """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), a AS (
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * c) AS BIGINT) AS s
+            FROM c GROUP BY 1
+        )
+        SELECT user_id, n AS n_events,
+               CAST(n * n - s AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson
+        FROM a
     """
     return sql
