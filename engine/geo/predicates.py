@@ -207,6 +207,57 @@ def _ring_valid(ring: np.ndarray) -> bool:
     return _line_is_simple([ring])
 
 
+def _ring_pair_touches(ri: np.ndarray, rj: np.ndarray):
+    """Classify how two SIMPLE rings interact (the JTS IsValidOp rule):
+    returns None if they properly cross or share a collinear overlap of
+    positive length (always invalid), else the set of DISTINCT touch
+    points (possibly empty).  A single point touch is valid OGC (a hole
+    may touch its shell / another hole at one point); two or more touch
+    points between one pair disconnect the interior."""
+    si = np.hstack([ri[:-1], ri[1:]])
+    sj = np.hstack([rj[:-1], rj[1:]])
+    ax, ay, bx, by = (si[:, None, 0], si[:, None, 1],
+                      si[:, None, 2], si[:, None, 3])
+    cx, cy, dx, dy = (sj[None, :, 0], sj[None, :, 1],
+                      sj[None, :, 2], sj[None, :, 3])
+    d1 = core.orient(cx, cy, dx, dy, ax, ay)
+    d2 = core.orient(cx, cy, dx, dy, bx, by)
+    d3 = core.orient(ax, ay, bx, by, cx, cy)
+    d4 = core.orient(ax, ay, bx, by, dx, dy)
+    proper = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+              & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0))
+    if proper.any():
+        return None
+    t1 = (d1 == 0) & core.on_segment(ax, ay, cx, cy, dx, dy, 0.0)
+    t2 = (d2 == 0) & core.on_segment(bx, by, cx, cy, dx, dy, 0.0)
+    t3 = (d3 == 0) & core.on_segment(cx, cy, ax, ay, bx, by, 0.0)
+    t4 = (d4 == 0) & core.on_segment(dx, dy, ax, ay, bx, by, 0.0)
+    # all four endpoints collinear + both of one segment's endpoints on
+    # the other (or one endpoint of each inside the other) = overlap of
+    # positive length UNLESS the shared stretch is a single point —
+    # single-point cases have exactly one shared coordinate, so counting
+    # distinct touch coordinates below covers them; flag genuine overlap
+    colin = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    if colin.any():
+        ii, jj = np.nonzero(colin)
+        for k in range(len(ii)):
+            a = si[ii[k], :2]; b = si[ii[k], 2:]
+            c = sj[jj[k], :2]; d = sj[jj[k], 2:]
+            # 1-D overlap length along the dominant axis
+            axs = 0 if abs(b[0] - a[0]) >= abs(b[1] - a[1]) else 1
+            lo = max(min(a[axs], b[axs]), min(c[axs], d[axs]))
+            hi = min(max(a[axs], b[axs]), max(c[axs], d[axs]))
+            if hi > lo:
+                return None
+    pts = set()
+    for flag, px, py in ((t1, ax, ay), (t2, bx, by), (t3, cx, cy),
+                         (t4, dx, dy)):
+        if flag.any():
+            m = np.broadcast_arrays(flag, px, py)
+            pts.update(zip(m[1][flag].tolist(), m[2][flag].tolist()))
+    return pts
+
+
 def _polygon_valid(rings: list[np.ndarray]) -> bool:
     for r in rings:
         if not _ring_valid(r):
@@ -218,17 +269,27 @@ def _polygon_valid(rings: list[np.ndarray]) -> bool:
             locs = core.points_in_rings(h[:, 0], h[:, 1], [shell])
             if np.any(locs == 0):
                 return False
-        # rings must not cross each other (shared boundary allowed at points)
+        # ring pairs: no proper crossing / collinear overlap; at most ONE
+        # touch point per pair; no touch-graph cycle (either disconnects
+        # the interior — the JTS connected-interior rule)
+        parent = list(range(len(rings)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
         for i in range(len(rings)):
-            si = np.hstack([rings[i][:-1], rings[i][1:]])
             for j in range(i + 1, len(rings)):
-                sj = np.hstack([rings[j][:-1], rings[j][1:]])
-                inter = core.segments_intersect_bool(
-                    si[:, None, 0], si[:, None, 1], si[:, None, 2], si[:, None, 3],
-                    sj[None, :, 0], sj[None, :, 1], sj[None, :, 2], sj[None, :, 3],
-                )
-                if inter.sum() > 2:  # more than touch points -> likely crossing
+                pts = _ring_pair_touches(rings[i], rings[j])
+                if pts is None or len(pts) > 1:
                     return False
+                if pts:
+                    ri, rj = find(i), find(j)
+                    if ri == rj:
+                        return False  # touch cycle ⇒ disconnected interior
+                    parent[ri] = rj
     return True
 
 

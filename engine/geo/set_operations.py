@@ -112,6 +112,62 @@ def _locate_in(decomp, x: float, y: float) -> bool:
     return decomp.locate(x, y) == I
 
 
+def _split_simple_cycles(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a closed cycle that revisits vertices into SIMPLE cycles.
+
+    The face walk can emit pinched cycles — a single cycle through a
+    vertex where two region components touch only at that corner (a
+    self-touching ring, invalid OGC; GEOS emits separate simple
+    polygons there).  Stack walk: each time a vertex repeats, pop the
+    enclosed loop as one simple cycle and continue from the first
+    occurrence.  Exact float comparison is right here: pinch vertices
+    are NODES of the arrangement, so both visits carry bit-identical
+    coordinates."""
+    pts = [tuple(p) for p in ring[:-1]]
+    out: list[np.ndarray] = []
+    stack: list[tuple] = []
+    index: dict[tuple, int] = {}
+    for p in pts:
+        k = index.get(p)
+        if k is None:
+            index[p] = len(stack)
+            stack.append(p)
+            continue
+        loop = stack[k:]
+        if len(loop) >= 3:
+            out.append(np.asarray(loop + [p], dtype=np.float64))
+        for q in loop[1:]:
+            index.pop(q, None)
+        del stack[k + 1:]
+    if len(stack) >= 3:
+        out.append(np.asarray(stack + [stack[0]], dtype=np.float64))
+    return out
+
+
+def _expand_simple_cycles(rings, min_area):
+    """Apply _split_simple_cycles to every face cycle, normalize to CCW,
+    drop degenerate slivers, and DEDUP geometrically identical cycles —
+    a face pinch-wrapped by a sibling's cycle appears once from its own
+    face walk and once from the split of the wrapper (same undirected
+    edge set)."""
+    seen = set()
+    out = []
+    for r in rings:
+        for c in _split_simple_cycles(r):
+            if abs(core.ring_signed_area(c)) <= min_area:
+                continue
+            if core.ring_signed_area(c) < 0:
+                c = c[::-1].copy()
+            key = frozenset(
+                (a, b) if a <= b else (b, a)
+                for a, b in zip(map(tuple, c[:-1]), map(tuple, c[1:])))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(c)
+    return out
+
+
 def _drop_pinch_wrapped_shells(polys, shell_pts):
     """Drop face-walk shells already encoded inside a sibling polygon.
 
@@ -231,6 +287,7 @@ def _polygon_overlay(a: Geom, b: Geom, keep) -> Geom:
         for cr in (clean_ring(r) for r in rings2)
         if cr is not None and abs(core.ring_signed_area(cr)) > min_area
     ]
+    rings2 = _expand_simple_cycles(rings2, min_area)
     shells, holes = [], []
     for r in rings2:
         x, y = _face_interior_point(r)
@@ -745,6 +802,7 @@ def _nary_union_areal(geoms: list[Geom]) -> Geom:
             rr = np.vstack([rr, rr[:1]])
         if len(rr) >= 4 and abs(core.ring_signed_area(rr)) > min_area:
             cleaned.append(rr)
+    cleaned = _expand_simple_cycles(cleaned, min_area)
     shells, holes = [], []
     face_pts = np.array([_face_interior_point(r) for r in cleaned],
                         dtype=np.float64).reshape(-1, 2)

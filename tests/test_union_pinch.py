@@ -69,6 +69,92 @@ def test_pinch_variants_still_exact():
         assert _union_area(bxs) == float(want) == _covered_cells(bxs), bxs
 
 
+def test_union_emits_simple_valid_rings():
+    """Corner-touching covered components must come out as SEPARATE
+    simple polygons (the GEOS form), never as one self-touching ring;
+    union outputs must be valid so they can feed further overlays."""
+    from engine.geo import predicates as pred
+    from engine.geo.set_operations import intersection
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 50
+        x0 = rng.integers(0, 20, n)
+        y0 = rng.integers(0, 18, n)
+        w = 1 + rng.integers(0, 3, n)
+        h = 1 + rng.integers(0, 4, n)
+        u = union_all(box(x0.astype(float), y0.astype(float),
+                          (x0 + w).astype(float), (y0 + h).astype(float)))
+        assert pred.is_valid(u), seed
+        for p in (u.parts or [u]):
+            for r in p.rings:
+                vv = [tuple(v) for v in r[:-1]]
+                assert len(vv) == len(set(vv)), "self-touching ring"
+        # must be accepted as overlay input (the downstream contract)
+        assert area(intersection(u, u)) == area(u)
+
+
+def test_polygon_validity_touch_rules():
+    """JTS IsValidOp ring-interaction semantics: a single point touch
+    between rings is VALID; two touch points / crossings / collinear
+    overlaps / touch cycles are INVALID."""
+    from engine.geo.geom import from_wkt
+    from engine.geo import predicates as pred
+
+    valid = [
+        # hole touches shell at one point
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (5 0, 7 3, 3 3, 5 0))",
+        # two holes, each touching the shell at one distinct point
+        ("POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0), (3 0, 5 3, 1 3, 3 0),"
+         " (13 0, 15 3, 11 3, 13 0))"),
+    ]
+    invalid = [
+        # hole touches shell at two points (disconnects the interior)
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 0, 8 0, 5 5, 2 0))",
+        # hole crosses shell
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+         " (8 2, 12 2, 12 4, 8 4, 8 2))"),
+        # hole shares a collinear boundary stretch with the shell
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+         " (2 0, 5 0, 5 3, 2 3, 2 0))"),
+        # touch cycle shell→hole1→hole2→shell (disconnected interior)
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (0 5, 4 3, 4 7, 0 5),"
+         " (4 5, 10 4, 10 6, 4 5))"),
+    ]
+    for wkt in valid:
+        assert pred.is_valid(from_wkt(wkt)), wkt
+    for wkt in invalid:
+        assert not pred.is_valid(from_wkt(wkt)), wkt
+
+
+def test_binary_overlay_differential_vs_cells():
+    """Differential stress: intersection/difference/symmetric_difference
+    of two random integer-box unions measured against boolean-grid cell
+    arithmetic — all exact."""
+    from engine.geo.set_operations import (difference, intersection,
+                                           symmetric_difference)
+
+    def mkgrid(rng, n, W=16, H=14):
+        x0 = rng.integers(0, W, n)
+        y0 = rng.integers(0, H, n)
+        w = 1 + rng.integers(0, 3, n)
+        h = 1 + rng.integers(0, 4, n)
+        g = np.zeros((W + 3, H + 4), dtype=bool)
+        for i in range(n):
+            g[x0[i]:x0[i] + w[i], y0[i]:y0[i] + h[i]] = True
+        u = union_all(box(x0.astype(float), y0.astype(float),
+                          (x0 + w).astype(float), (y0 + h).astype(float)))
+        return u, g
+
+    for seed in (0, 5):
+        rng = np.random.default_rng(seed)
+        A, ga = mkgrid(rng, 30)
+        B, gb = mkgrid(rng, 30)
+        assert area(intersection(A, B)) == float((ga & gb).sum())
+        assert area(difference(A, B)) == float((ga & ~gb).sum())
+        assert area(symmetric_difference(A, B)) == float((ga ^ gb).sum())
+
+
 def test_random_integer_boxes_area_equals_cell_count():
     # randomized stress: dense overlapping integer boxes form rings,
     # holes, islands and pinch chains; union area must equal the covered
