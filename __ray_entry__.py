@@ -6250,6 +6250,163 @@ def _q_simpson_diversity(sf_dir):
     return hash_exchange_groups(local, ["user_id"], fold)
 
 
+def _dense_daily(sf_dir, value: str | None = None):
+    """Shared dense-calendar helper: (lo, dense int64 array) of daily
+    counts (value=None) or daily summed cents — combiner-first day
+    rollup, CALENDAR-BOUNDED driver fold (the daily_autocorr plan)."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, grouped_count
+
+    cols = ["ts"] + ([value] if value else [])
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def day_fn(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        out = {"day": pa.array(day.astype(np.int64))}
+        if value:
+            out["cents"] = pa.array(
+                np.floor(t[value].to_numpy() * 100.0).astype(np.int64))
+        return pa.table(out)
+
+    mapped = ds.map_batches(day_fn, batch_format="pyarrow", batch_size=None,
+                            zero_copy_batch=True)
+    if value:
+        agg = grouped_agg(mapped, ["day"], [("cents", "sum")], ["v"])
+    else:
+        agg = grouped_count(mapped, ["day"], out_col="v")
+    t = pa.concat_tables([b for b in agg.iter_batches(batch_format="pyarrow")])
+    day = t["day"].to_numpy()
+    v = t["v"].to_numpy()
+    lo, hi = int(day.min()), int(day.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[day - lo] = v
+    return lo, dense
+
+
+def _q_mann_kendall(sf_dir):
+    """MANN-KENDALL TREND TEST statistic on the dense daily event-count
+    series: S = Σ_{i<j} sign(n_j − n_i), with the tie-correction inputs
+    (Σ t_g·(t_g−1) over tied-value groups) — all exact int64.  Dense
+    counts come from one combiner-first day rollup; the quadratic pair
+    sweep runs driver-side over DAYS (calendar-bounded), never rows."""
+    lo, dense = _dense_daily(sf_dir)
+    d = len(dense)
+    # S via broadcast sign matrix over days (d is calendar-bounded)
+    diff = np.sign(dense[None, :].astype(np.int64)
+                   - dense[:, None].astype(np.int64))
+    s = int(np.triu(diff, k=1).sum())
+    _, counts = np.unique(dense, return_counts=True)
+    ties = int((counts * (counts - 1)).sum())
+    return pa.table({"n_days": pa.array([d], type=pa.int64()),
+                     "s_stat": pa.array([s], type=pa.int64()),
+                     "tie_pairs2": pa.array([ties], type=pa.int64())})
+
+
+def _q_cusum_changepoint(sf_dir):
+    """CUSUM CHANGE-POINT detection on the dense daily revenue series:
+    the split t* maximizing |n·S_t − t·S_n| (the scaled deviation of the
+    prefix sum from the global linear trend) — EXACT integers end to
+    end, earliest-day tie-break; output (day, dev).  Same plan shape as
+    mann_kendall: one day rollup, driver math over the bounded
+    calendar."""
+    lo, dense = _dense_daily(sf_dir, value="value")
+    n = len(dense)
+    s = np.cumsum(dense)  # S_t for prefix length t = 1..n
+    t_arr = np.arange(1, n, dtype=np.int64)  # splits 1..n-1
+    dev = np.abs(n * s[:-1] - t_arr * int(s[-1]))
+    k = int(np.argmax(dev))  # argmax takes the FIRST max: earliest day
+    return pa.table({
+        "split_day": pa.array([lo + k], type=pa.int64()),
+        "dev": pa.array([int(dev[k])], type=pa.int64())})
+
+
+_KCORE_ROUNDS = 8
+_KCORE_K = 3
+
+
+def _q_k_core(sf_dir):
+    """K-CORE PEELING (bounded rounds): nodes surviving 8 rounds of
+    degree-≥3 filtering on the derived undirected graph, with their
+    degrees in the surviving edge set.  The node space is DOMAIN-BOUNDED
+    (≤397 ids by construction — same contract as dbscan_cells' lattice),
+    so after ONE combiner-first distinct-edge aggregate the peeling runs
+    driver-side over ≤78k edges at any event volume; the round count is
+    FIXED so the SQL oracle unrolls the identical 8 filters (unbounded
+    fixpoint peeling belongs to the BSP family, cf. cc_iterative).
+    The graph derives from the FIXED event_id ≤ 1000 slice (predicate
+    pushed into the parquet scan) so its density — hence the peeling
+    cascade: 225 → 99 nodes over the 8 rounds — is scale-invariant; an
+    unfiltered arithmetic graph saturates the bounded node space at
+    higher volumes and the degree filter never bites."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    import pyarrow.dataset as pds
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"],
+                               filter=pds.field("event_id") <= 1000)
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        x = eid % np.int64(397)
+        y = (eid // np.int64(397) + eid % np.int64(389)) % np.int64(397)
+        m = x != y
+        a = np.minimum(x[m], y[m])
+        b = np.maximum(x[m], y[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    e = grouped_agg(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["a", "b"], [("a", "count")], ["_n"], plan="tree")
+    t = pa.concat_tables([x for x in e.iter_batches(batch_format="pyarrow")])
+    a = t["a"].to_numpy().copy()
+    b = t["b"].to_numpy().copy()
+    for _ in range(_KCORE_ROUNDS):
+        deg = np.bincount(a, minlength=397) + np.bincount(b, minlength=397)
+        keep_node = deg >= _KCORE_K
+        m = keep_node[a] & keep_node[b]
+        a, b = a[m], b[m]
+    deg = np.bincount(a, minlength=397) + np.bincount(b, minlength=397)
+    nodes = np.nonzero(deg)[0].astype(np.int64)
+    return pa.table({"node": pa.array(nodes),
+                     "deg": pa.array(deg[nodes].astype(np.int64))})
+
+
+def _q_ewma_value(sf_dir):
+    """EXPONENTIALLY-WEIGHTED moving value per user (the smoothing
+    variant completing the window-frame family: ROWS-k = rolling_value,
+    RANGE-time = time_window, unbounded = user_running_total): trailing
+    10-row frame with DYADIC weights 2^(9−lag), so the weighted sum and
+    weight total stay EXACT int64 and the float ewma is one division —
+    bit-identical to the SQL shifted-join oracle.  One hash exchange on
+    user_id (engine/ops/window.py::ewma_sum)."""
+    import ray.data
+
+    from engine.ops.window import ewma_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "cents": pa.array(
+                np.floor(batch["value"].to_numpy() * 100.0)
+                .astype(np.int64))})
+
+    proj = ds.map_batches(project, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    return ewma_sum(proj, "user_id", ["ts_us", "event_id"], "cents",
+                    span=10, id_col="event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6435,6 +6592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_daily": _q_ohlc_daily,
         "xcorr_lag": _q_xcorr_lag,
         "simpson_diversity": _q_simpson_diversity,
+        "mann_kendall": _q_mann_kendall,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "k_core": _q_k_core,
+        "ewma_value": _q_ewma_value,
     }
 
 
@@ -8782,5 +8943,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n AS n_events,
                CAST(n * n - s AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson
         FROM a
+    """
+    _dense = """
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, {agg} AS v
+            FROM events GROUP BY 1
+        ), bnd AS (SELECT min(day) lo, max(day) hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM bnd),
+        dense AS (
+            SELECT spine.day, COALESCE(d.v, 0) AS v
+            FROM spine LEFT JOIN d USING (day)
+        )"""
+    sql["mann_kendall"] = _dense.format(agg="count(*)") + """
+        , pr AS (
+            SELECT CASE WHEN b.v > a.v THEN 1
+                        WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+            FROM dense a JOIN dense b ON b.day > a.day
+        ), ties AS (
+            SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS t2
+            FROM (SELECT v, count(*) AS c FROM dense GROUP BY 1)
+        )
+        SELECT (SELECT CAST(hi - lo + 1 AS BIGINT) FROM bnd) AS n_days,
+               (SELECT CAST(COALESCE(sum(sgn), 0) AS BIGINT) FROM pr)
+                   AS s_stat,
+               (SELECT t2 FROM ties) AS tie_pairs2
+    """
+    sql["cusum_changepoint"] = _dense.format(
+        agg="CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)") + """
+        , pre AS (
+            SELECT day,
+                   sum(v) OVER (ORDER BY day) AS st,
+                   row_number() OVER (ORDER BY day) AS t,
+                   count(*) OVER () AS n,
+                   sum(v) OVER () AS sn
+            FROM dense
+        )
+        SELECT day AS split_day,
+               CAST(abs(n * st - t * sn) AS BIGINT) AS dev
+        FROM pre WHERE t < n
+        ORDER BY abs(n * st - t * sn) DESC, day ASC LIMIT 1
+    """
+    _kcore_edges = """
+        WITH m AS (
+            SELECT event_id % 397 AS x,
+                   (event_id // 397 + event_id % 389) % 397 AS y
+            FROM events WHERE event_id <= 1000
+        ), e0 AS MATERIALIZED (
+            SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM m WHERE x <> y
+        )"""
+    _peel = ""
+    for _r in range(_KCORE_ROUNDS):
+        # MATERIALIZED: each round references the previous one three
+        # times — inlined CTEs would expand to 3^rounds base scans
+        _peel += f"""
+        , n{_r + 1} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT a AS node FROM e{_r}
+                UNION ALL SELECT b FROM e{_r}
+            ) GROUP BY 1 HAVING count(*) >= {_KCORE_K}
+        ), e{_r + 1} AS MATERIALIZED (
+            SELECT e{_r}.a, e{_r}.b FROM e{_r}
+            JOIN n{_r + 1} na ON na.node = e{_r}.a
+            JOIN n{_r + 1} nb ON nb.node = e{_r}.b
+        )"""
+    sql["k_core"] = _kcore_edges + _peel + f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e{_KCORE_ROUNDS}
+              UNION ALL SELECT b FROM e{_KCORE_ROUNDS})
+        GROUP BY 1
+    """
+    sql["ewma_value"] = """
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ), j AS (
+            SELECT a.event_id, a.user_id,
+                   CAST(sum(b.cents * (1 << (9 - (a.rn - b.rn))))
+                        AS BIGINT) AS num,
+                   CAST(sum(1 << (9 - (a.rn - b.rn))) AS BIGINT) AS den
+            FROM e a JOIN e b
+              ON b.user_id = a.user_id AND a.rn - b.rn BETWEEN 0 AND 9
+            GROUP BY 1, 2
+        )
+        SELECT user_id, event_id, num AS ewma_num, den AS ewma_den,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+        FROM j
     """
     return sql

@@ -82,6 +82,64 @@ def rolling_sum(ds, key: str, order_cols: list[str], val_col: str,
                                 num_parts)
 
 
+def ewma_sum(ds, key: str, order_cols: list[str], val_col: str,
+             span: int = 10, id_col: str | None = None,
+             num_parts: int = 64):
+    """→ Dataset (id_col?, key, ewma_num BIGINT, ewma_den BIGINT,
+    ewma DOUBLE): per-key EXPONENTIALLY weighted trailing window over
+    the last ``span`` rows with DYADIC weights 2^(span-1-d) for lag d —
+    num/den stay exact int64 (each term is value × a power of two), so
+    the float ewma is ONE division of exact integers, bit-identical to
+    a SQL oracle stating the same shifted-join sum.  Same plan as
+    rolling_sum: one hash exchange, per-partition lexsort, ``span``
+    vectorized shifted adds gated at key-run starts."""
+    cols = list(dict.fromkeys(
+        [key] + order_cols + [val_col] + ([id_col] if id_col else [])))
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        k = g[key].to_numpy(zero_copy_only=False)
+        order_arrs = [g[c].to_numpy(zero_copy_only=False)
+                      for c in order_cols]
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort(tuple(reversed([k] + order_arrs)))
+        k = k[order]
+        v = v[order]
+        n = len(k)
+        if n == 0:
+            out = {key: g[key]}
+            if id_col:
+                out[id_col] = g[id_col]
+            out["ewma_num"] = pa.array([], type=pa.int64())
+            out["ewma_den"] = pa.array([], type=pa.int64())
+            out["ewma"] = pa.array([], type=pa.float64())
+            return pa.table(out)
+        seg_start_mask = np.r_[True, k[1:] != k[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(seg_start_mask, np.arange(n), 0))
+        idx = np.arange(n)
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        for d in range(span):
+            wt = np.int64(1) << np.int64(span - 1 - d)
+            ok = idx - d >= seg_start
+            num[ok] += v[idx[ok] - d] * wt
+            den[ok] += wt
+        out = {key: pa.array(k)}
+        if id_col:
+            out[id_col] = g[id_col].take(pa.array(order))
+        out["ewma_num"] = pa.array(num)
+        out["ewma_den"] = pa.array(den)
+        out["ewma"] = pa.array(num.astype(np.float64)
+                               / den.astype(np.float64))
+        return pa.table(out)
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)
+
+
 def grouped_string_agg(ds, key: str, order_cols: list[str], val_col: str,
                        sep: str = ",", out_col: str = "agg",
                        num_parts: int = 64):
