@@ -172,4 +172,54 @@ def test_random_integer_boxes_area_equals_cell_count():
         bxs = list(zip(x0.tolist(), y0.tolist(),
                        (x0 + w).tolist(), (y0 + h).tolist()))
         assert area(u) == float(_covered_cells(bxs))
-        assert length(u) == float(int(length(u)))  # integer perimeter
+        # exact perimeter: covered/uncovered 4-adjacency count incl. the
+        # outer rim and interior hole walls (== total ring length)
+        g = np.zeros((44, 45), dtype=bool)
+        for (bx0, by0, bx1, by1) in bxs:
+            g[bx0:bx1, by0:by1] = True
+        per = int((g[1:, :] != g[:-1, :]).sum() + g[0, :].sum()
+                  + g[-1, :].sum() + (g[:, 1:] != g[:, :-1]).sum()
+                  + g[:, 0].sum() + g[:, -1].sum())
+        assert length(u) == float(per)
+
+
+def test_de9im_predicates_vs_cell_arithmetic():
+    """Differential: every binary predicate on two random integer-box
+    union multipolygons against exact cell arithmetic (interior overlap
+    = shared covered cell; touch = Chebyshev cell distance exactly 1;
+    containment = cell-set inclusion)."""
+    from engine.geo import predicates as pred
+
+    def mkgrid(rng, n, W=14, H=12):
+        x0 = rng.integers(0, W, n)
+        y0 = rng.integers(0, H, n)
+        w = 1 + rng.integers(0, 3, n)
+        h = 1 + rng.integers(0, 3, n)
+        g = np.zeros((W + 3, H + 3), dtype=bool)
+        for i in range(n):
+            g[x0[i]:x0[i] + w[i], y0[i]:y0[i] + h[i]] = True
+        u = union_all(box(x0.astype(float), y0.astype(float),
+                          (x0 + w).astype(float), (y0 + h).astype(float)))
+        return u, g
+
+    for seed in range(1000, 1014):
+        rng = np.random.default_rng(seed)
+        A, ga = mkgrid(rng, int(rng.integers(2, 14)))
+        B, gb = mkgrid(rng, int(rng.integers(2, 14)))
+        pa_ = np.argwhere(ga)
+        pb_ = np.argwhere(gb)
+        cheb = int(np.max(np.abs(pa_[:, None, :] - pb_[None, :, :]),
+                          axis=2).min())
+        shared = bool((ga & gb).any())
+        subAB = bool((gb & ~ga).sum() == 0)  # cells(B) ⊆ cells(A)
+        subBA = bool((ga & ~gb).sum() == 0)
+        assert bool(pred.intersects(A, B)) == (cheb <= 1), seed
+        assert bool(pred.disjoint(A, B)) == (cheb >= 2), seed
+        assert bool(pred.touches(A, B)) == (cheb == 1), seed
+        assert bool(pred.contains(A, B)) == (subAB and shared), seed
+        assert bool(pred.within(A, B)) == (subBA and shared), seed
+        assert bool(pred.overlaps(A, B)) == (
+            shared and not subAB and not subBA), seed
+        assert bool(pred.equals(A, B)) == (subAB and subBA), seed
+        assert bool(pred.covers(A, B)) == subAB, seed
+        assert bool(pred.covered_by(A, B)) == subBA, seed
