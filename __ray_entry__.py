@@ -6407,6 +6407,97 @@ def _q_ewma_value(sf_dir):
                     span=10, id_col="event_id")
 
 
+def _q_rfm_segments(sf_dir):
+    """RFM SEGMENTATION (the marketing-analytics composite): per-user
+    Recency/Frequency/Monetary quintiles with SQL ntile(5) semantics
+    (remainder buckets first, ties broken by user_id), rolled up to the
+    ≤125 segment cells with user counts and monetary sums.
+
+    Scale shape: ONE hash exchange builds per-user metrics; each
+    metric's ntile needs every user's GLOBAL POSITION, which runs as a
+    Ray-native range sort of the (metric·2²⁰ + user_id) composite (the
+    unique-key total order) + the two-phase prefix scan — 3 ints per
+    block to the driver, no extra all-to-all (the shuffle_positions
+    machinery); buckets then attach through two adaptive equi-joins and
+    a combiner-first rollup.  The 2²⁰ composite bound on user_id is the
+    documented assumption (rank-encode ids past that)."""
+    import ray.data
+
+    from engine.ops.scan import ordered_cumsum
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "cents": pa.array(
+                np.floor(t["value"].to_numpy() * 100.0).astype(np.int64))})
+
+    per = grouped_agg(
+        ds.map_batches(proj, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["user_id"],
+        [("ts_us", "max"), ("one", "sum"), ("cents", "sum")],
+        ["last_ts", "freq", "mon"]).materialize()
+    n_users = per.count()
+
+    from engine.rayds.shuffle import dataset_minmax
+    gday = int(dataset_minmax(per, ["last_ts"])["last_ts"][1]) \
+        // 86_400_000_000
+
+    q, r = divmod(n_users, 5)
+
+    def pos_to_bucket(pos0: np.ndarray) -> np.ndarray:
+        # SQL ntile(5): remainder buckets (size q+1) come first
+        head = r * (q + 1)
+        return np.where(pos0 < head, pos0 // (q + 1),
+                        r + (pos0 - head) // max(q, 1)) + 1
+
+    def metric_buckets(metric_fn, out_name):
+        def key_fn(t: pa.Table) -> pa.Table:
+            m = metric_fn(t)
+            uid = t["user_id"].to_numpy()
+            return pa.table({
+                "k": pa.array(m * (1 << 20) + uid),
+                "user_id": t["user_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+        keyed = per.map_batches(key_fn, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+        pos = ordered_cumsum(keyed.sort("k").materialize(), "k", "one",
+                             out_col="cum0")
+
+        def bucket(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t["user_id"],
+                out_name: pa.array(pos_to_bucket(t["cum0"].to_numpy()))})
+
+        return pos.map_batches(bucket, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+
+    rb = metric_buckets(
+        lambda t: gday - t["last_ts"].to_numpy() // 86_400_000_000, "r_q")
+    fb = metric_buckets(lambda t: t["freq"].to_numpy(), "f_q")
+    mb = metric_buckets(lambda t: t["mon"].to_numpy(), "m_q")
+
+    def attach_mon(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "mon": t["mon"]})
+
+    mon = per.map_batches(attach_mon, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    j = equi_join(rb, fb, "user_id", "user_id", ["r_q"], ["f_q"])
+    j = equi_join(j, mb, "_k", "user_id", ["r_q", "f_q"], ["m_q"])
+    j = equi_join(j, mon, "_k", "user_id", ["r_q", "f_q", "m_q"], ["mon"])
+    out = grouped_agg(j, ["r_q", "f_q", "m_q"],
+                      [("r_q", "count"), ("mon", "sum")],
+                      ["n_users", "sum_cents"], plan="tree")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6596,6 +6687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint": _q_cusum_changepoint,
         "k_core": _q_k_core,
         "ewma_value": _q_ewma_value,
+        "rfm_segments": _q_rfm_segments,
     }
 
 
@@ -9033,5 +9125,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, num AS ewma_num, den AS ewma_den,
                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
         FROM j
+    """
+    sql["rfm_segments"] = """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), per AS (
+            SELECT user_id, max(ts_us) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(cents) AS BIGINT) AS mon
+            FROM e GROUP BY 1
+        ), g AS (SELECT max(last_ts) // 86400000000 AS gday FROM per),
+        met AS (
+            SELECT user_id, mon,
+                   (SELECT gday FROM g) - last_ts // 86400000000 AS r_days,
+                   freq
+            FROM per
+        ), b AS (
+            SELECT mon,
+                   ntile(5) OVER (ORDER BY r_days, user_id) AS r_q,
+                   ntile(5) OVER (ORDER BY freq, user_id) AS f_q,
+                   ntile(5) OVER (ORDER BY mon, user_id) AS m_q
+            FROM met
+        )
+        SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(mon) AS BIGINT) AS sum_cents
+        FROM b GROUP BY 1, 2, 3
     """
     return sql
