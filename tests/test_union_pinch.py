@@ -183,6 +183,36 @@ def test_random_integer_boxes_area_equals_cell_count():
         assert length(u) == float(per)
 
 
+def test_line_clip_length_vs_cell_rows():
+    """Differential: horizontal probe lines clipped by a box-union
+    multipolygon — inside length must equal the covered-cell count of
+    that row (and outside length the complement).  Tolerance covers the
+    parametric cut-point rounding (≤ ~1e-13 accumulated; a structural
+    error — a missing or phantom piece — is ≥ 1.0)."""
+    from engine.geo.geom import Geom
+    from engine.geo.measure import length
+    from engine.geo.set_operations import difference, intersection
+
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        n = 60
+        x0 = rng.integers(0, 20, n)
+        y0 = rng.integers(0, 18, n)
+        w = 1 + rng.integers(0, 3, n)
+        h = 1 + rng.integers(0, 4, n)
+        g = np.zeros((23, 22), dtype=bool)
+        for i in range(n):
+            g[x0[i]:x0[i] + w[i], y0[i]:y0[i] + h[i]] = True
+        u = union_all(box(x0.astype(float), y0.astype(float),
+                          (x0 + w).astype(float), (y0 + h).astype(float)))
+        for k in range(0, 20, 3):
+            line = Geom.linestring(
+                np.array([[-1.0, k + 0.5], [24.0, k + 0.5]]))
+            want = float(g[:, k].sum())
+            assert abs(length(intersection(line, u)) - want) < 1e-9
+            assert abs(length(difference(line, u)) - (25.0 - want)) < 1e-9
+
+
 def test_de9im_predicates_vs_cell_arithmetic():
     """Differential: every binary predicate on two random integer-box
     union multipolygons against exact cell arithmetic (interior overlap
