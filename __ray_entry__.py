@@ -6498,6 +6498,164 @@ def _q_rfm_segments(sf_dir):
     return out
 
 
+def _q_acf_table(sf_dir):
+    """AUTOCORRELATION FUNCTION table (lags 1..14) of the dense daily
+    event-count series — generalizes daily_autocorr's single lag to the
+    full ACF screen.  One combiner-first day rollup; per-lag exact
+    integer moments + pearson_from_moments' fixed float expression run
+    driver-side over the CALENDAR-BOUNDED series (never rows), mirrored
+    term-for-term by the SQL lag-join oracle."""
+    from engine.ops.stats import pearson_from_moments
+
+    lo, dense = _dense_daily(sf_dir)
+    lags, acfs = [], []
+    for k in range(1, 15):
+        if k >= len(dense):
+            break
+        x = dense[:-k].astype(object)
+        y = dense[k:].astype(object)
+        m = {"n": len(x), "sx": int(sum(x)), "sy": int(sum(y)),
+             "sxx": int(sum(x * x)), "syy": int(sum(y * y)),
+             "sxy": int(sum(x * y))}
+        lags.append(k)
+        acfs.append(pearson_from_moments(m))
+    return pa.table({"lag": pa.array(lags, type=pa.int64()),
+                     "acf": pa.array(acfs, type=pa.float64())})
+
+
+def _q_theil_sen(sf_dir):
+    """THEIL-SEN ROBUST TREND: the median of all pairwise slopes
+    (v_j − v_i)/(j − i) of the dense daily count series.  Slopes are
+    evaluated as DOUBLES in the oracle's exact expression (one division
+    of exact ints per pair — identical rounding both sides), and the
+    median interpolation mirrors SQL median() ((lo + hi)/2 on even
+    counts).  Pair sweep is driver-side over the calendar-bounded
+    series."""
+    lo, dense = _dense_daily(sf_dir)
+    d = len(dense)
+    i, j = np.triu_indices(d, k=1)
+    slopes = np.sort((dense[j] - dense[i]).astype(np.float64)
+                     / (j - i).astype(np.float64))
+    m = len(slopes)
+    med = (slopes[m // 2] if m % 2 else
+           (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0)
+    return pa.table({"n_pairs": pa.array([m], type=pa.int64()),
+                     "slope": pa.array([float(med)], type=pa.float64())})
+
+
+def _q_value_shape_stats(sf_dir):
+    """GROUPED SKEWNESS/KURTOSIS (distribution-shape screen): per
+    event_type population g1 = M3/M2^1.5 and g2 = M4/M2² − 3 where
+    M2/M3/M4 are the n-scaled central moments from EXACT integer power
+    sums (n·Σx²−S², n²Σx³−3nSΣx²+2S³, n³Σx⁴−4n²SΣx³+6nS²Σx²−3S⁴ — the
+    n-powers cancel so no float normalization is needed).  Per-block
+    per-type power sums come from the vectorized 16-bit-limb kernel
+    (stats.exact_power_sums — Σc⁴ overflows int64, so limb products
+    accumulate separately and recombine as Python ints), serialized as
+    decimal strings through the tree fold; the final floats are one
+    fixed expression mirrored by the HUGEINT oracle."""
+    import ray.data
+
+    from engine.ops.stats import exact_power_sums
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        types, code = np.unique(et, return_inverse=True)
+        rows = {"event_type": [], "n": [], "s1": [], "s2": [], "s3": [],
+                "s4": []}
+        for ti, tname in enumerate(types):  # loop over TYPES (bounded)
+            v = c[code == ti]
+            s1, s2, s3, s4 = exact_power_sums(v)
+            rows["event_type"].append(str(tname))
+            rows["n"].append(len(v))
+            rows["s1"].append(str(s1))
+            rows["s2"].append(str(s2))
+            rows["s3"].append(str(s3))
+            rows["s4"].append(str(s4))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], type=pa.string()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "s1": pa.array(rows["s1"], type=pa.string()),
+            "s2": pa.array(rows["s2"], type=pa.string()),
+            "s3": pa.array(rows["s3"], type=pa.string()),
+            "s4": pa.array(rows["s4"], type=pa.string())})
+
+    def combine(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        acc: dict[str, list] = {}
+        for i in range(t.num_rows):
+            key = t["event_type"][i].as_py()
+            r = acc.setdefault(key, [0, 0, 0, 0, 0])
+            r[0] += t["n"][i].as_py()
+            for j, col in enumerate(("s1", "s2", "s3", "s4"), start=1):
+                r[j] += int(t[col][i].as_py())
+        keys = sorted(acc)
+        return pa.table({
+            "event_type": pa.array(keys, type=pa.string()),
+            "n": pa.array([acc[k][0] for k in keys], type=pa.int64()),
+            **{c: pa.array([str(acc[k][j]) for k in keys],
+                           type=pa.string())
+               for j, c in enumerate(("s1", "s2", "s3", "s4"), start=1)}})
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    t = tree_fold_refs(part, combine)
+    out = {"event_type": [], "n": [], "skew": [], "kurtosis": []}
+    for i in range(t.num_rows):
+        n = t["n"][i].as_py()
+        s1, s2, s3, s4 = (int(t[c][i].as_py())
+                          for c in ("s1", "s2", "s3", "s4"))
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        out["event_type"].append(t["event_type"][i].as_py())
+        out["n"].append(n)
+        import math as _math
+        fm2 = float(m2)
+        out["skew"].append(float(m3) / (fm2 * _math.sqrt(fm2)))
+        out["kurtosis"].append(float(m4) / (fm2 * fm2) - 3.0)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n": pa.array(out["n"], type=pa.int64()),
+        "skew": pa.array(out["skew"], type=pa.float64()),
+        "kurtosis": pa.array(out["kurtosis"], type=pa.float64())})
+
+
+def _q_benford_digits(sf_dir):
+    """BENFORD FIRST-DIGIT profile (fraud/quality screen): counts of
+    the leading decimal digit of positive integer cents — the digit is
+    extracted with pyarrow's C string kernels (cast → slice → cast; no
+    float log10, whose boundary rounding at powers of ten would
+    misclassify), then a 9-cell combiner-first count."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        c = c[c > 0]
+        s = pc.cast(pa.array(c), pa.string())
+        d = pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())
+        return pa.table({"digit": d,
+                         "one": pa.array(np.ones(len(c), dtype=np.int64))})
+
+    return grouped_agg(
+        ds.map_batches(digit, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["digit"], [("one", "sum")], ["n"], plan="tree")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6688,6 +6846,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": _q_k_core,
         "ewma_value": _q_ewma_value,
         "rfm_segments": _q_rfm_segments,
+        "acf_table": _q_acf_table,
+        "theil_sen": _q_theil_sen,
+        "value_shape_stats": _q_value_shape_stats,
+        "benford_digits": _q_benford_digits,
     }
 
 
@@ -9152,5 +9314,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
                CAST(sum(mon) AS BIGINT) AS sum_cents
         FROM b GROUP BY 1, 2, 3
+    """
+    sql["acf_table"] = _dense.format(agg="count(*)") + """
+        , lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+        pr AS (
+            SELECT l.lag, a.v AS x, b.v AS y
+            FROM lags l
+            JOIN dense a ON TRUE
+            JOIN dense b ON b.day = a.day + l.lag
+        ), m AS (
+            SELECT lag, CAST(count(*) AS HUGEINT) n,
+                   sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) sxx,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) syy,
+                   sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) sxy
+            FROM pr GROUP BY 1)
+        SELECT lag, CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS acf
+        FROM m
+    """
+    sql["theil_sen"] = _dense.format(agg="count(*)") + """
+        , pr AS (
+            SELECT CAST(b.v - a.v AS DOUBLE) / (b.day - a.day) AS slope
+            FROM dense a JOIN dense b ON b.day > a.day
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               median(slope) AS slope
+        FROM pr
+    """
+    sql["value_shape_stats"] = """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS HUGEINT) AS c
+            FROM events
+        ), m AS (
+            SELECT event_type, CAST(count(*) AS HUGEINT) n,
+                   sum(c) s, sum(c*c) s2, sum(c*c*c) s3, sum(c*c*c*c) s4
+            FROM e GROUP BY 1
+        ), cm AS (
+            SELECT event_type, n,
+                   n*s2 - s*s AS m2,
+                   n*n*s3 - 3*n*s*s2 + 2*s*s*s AS m3,
+                   n*n*n*s4 - 4*n*n*s*s3 + 6*n*s*s*s2 - 3*s*s*s*s AS m4
+            FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(m3 AS DOUBLE)
+                   / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+                   AS skew,
+               CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+                   - 3.0 AS kurtosis
+        FROM cm
+    """
+    sql["benford_digits"] = """
+        WITH e AS (
+            SELECT CAST(floor(value * 100) AS BIGINT) AS c FROM events
+        )
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e WHERE c > 0 GROUP BY 1
     """
     return sql

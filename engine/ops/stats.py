@@ -115,6 +115,47 @@ def exact_moments(ds, xcol: str, ycol: str,
     return out
 
 
+def exact_power_sums(c: np.ndarray) -> tuple[int, int, int, int]:
+    """EXACT (Σc, Σc², Σc³, Σc⁴) for non-negative int64 ``c`` < 2²³,
+    fully vectorized: c² < 2⁴⁶ splits into three 16-bit limbs, c into
+    two; every limb product is < 2³², so int64 accumulation cannot
+    overflow below 2³¹ rows per block, and the limb sums recombine into
+    Python ints (arbitrary precision).  No per-row Python work — the
+    overflow-safe form of the _moment_partial chunking for 3rd/4th
+    powers, where the chunk step would degenerate to ~2 rows."""
+    n = len(c)
+    if n == 0:
+        return 0, 0, 0, 0
+    cmax = int(c.max())
+    if cmax >= (1 << 23) or int(c.min()) < 0:
+        # fall back to arbitrary-precision object math (rare: values
+        # beyond ~$84k cents); still exact, just not vectorized
+        v = c.astype(object)
+        return (int(sum(v)), int(sum(v * v)), int(sum(v * v * v)),
+                int(sum(v * v * v * v)))
+    q = c * c  # < 2^46, exact in int64
+    l0 = q & 0xFFFF
+    l1 = (q >> 16) & 0xFFFF
+    l2 = q >> 32  # < 2^14
+    m0 = c & 0xFFFF
+    m1 = c >> 16  # < 2^7
+    s1 = int(c.sum())
+    s2 = int(l0.sum()) + (int(l1.sum()) << 16) + (int(l2.sum()) << 32)
+    # s3 = Σ q·c = Σ (l0 + l1·2^16 + l2·2^32)(m0 + m1·2^16)
+    s3 = (int((l0 * m0).sum())
+          + ((int((l0 * m1).sum()) + int((l1 * m0).sum())) << 16)
+          + ((int((l1 * m1).sum()) + int((l2 * m0).sum())) << 32)
+          + (int((l2 * m1).sum()) << 48))
+    # s4 = Σ q² over the three q limbs
+    s4 = (int((l0 * l0).sum())
+          + (int((l0 * l1).sum()) << 17)          # 2·l0·l1·2^16
+          + ((int((l1 * l1).sum())
+              + (int((l0 * l2).sum()) << 1)) << 32)
+          + (int((l1 * l2).sum()) << 49)          # 2·l1·l2·2^48
+          + (int((l2 * l2).sum()) << 64))
+    return s1, s2, s3, s4
+
+
 def pearson_from_moments(m: dict[str, int]) -> float:
     """corr from exact integer moments.  FLOAT EVALUATION ORDER IS THE
     CONTRACT: float(n·Σxy − Σx·Σy) / (sqrt(float(n·Σxx − Σx²)) ·

@@ -1189,3 +1189,24 @@ def test_cell_density_stats_consistent(ray_session):
     assert s["max_n"][0].as_py() == int(n[-1])
     assert s["total"][0].as_py() == int(n.sum())
     assert s["med_n"][0].as_py() == int(n[(len(n) - 1) // 2])
+
+
+def test_exact_power_sums_vs_object_math():
+    from engine.ops.stats import exact_power_sums
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        c = rng.integers(0, 8_000_000,
+                         size=int(rng.integers(1, 60_000))).astype(np.int64)
+        v = c.astype(object)
+        assert exact_power_sums(c) == (
+            int(sum(v)), int(sum(v * v)), int(sum(v * v * v)),
+            int(sum(v * v * v * v)))
+    assert exact_power_sums(np.array([], dtype=np.int64)) == (0, 0, 0, 0)
+    # boundary and the arbitrary-precision fallback (values >= 2^23)
+    for arr in ([(1 << 23) - 1] * 777, [1 << 24, 5, 0]):
+        c = np.array(arr, dtype=np.int64)
+        v = c.astype(object)
+        assert exact_power_sums(c) == (
+            int(sum(v)), int(sum(v * v)), int(sum(v * v * v)),
+            int(sum(v * v * v * v)))
