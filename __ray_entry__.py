@@ -14,6 +14,7 @@ corpus (tests/test_predicates.py, tests/test_strtree_conformance.py).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -6107,6 +6108,12 @@ def _q_ohlc_daily(sf_dir):
         """Merge partial OHLC rows: per day, open fields ride the row
         with min (ts, eid), close fields the row with max, lo/hi fold
         by min/max — emitted as ONE row per day."""
+        if len(day) == 0:
+            i64 = pa.array([], type=pa.int64())
+            return pa.table({c: i64 for c in
+                             ("day", "o_ts", "o_eid", "open_cents", "c_ts",
+                              "c_eid", "close_cents", "low_cents",
+                              "high_cents")})
         order = np.lexsort((eid, ts, day))
         day, ts, eid = day[order], ts[order], eid[order]
         oc, cc, lo, hi = oc[order], cc[order], lo[order], hi[order]
@@ -6179,8 +6186,13 @@ def _q_xcorr_lag(sf_dir):
     counts = grouped_count(
         ds.map_batches(day_fn, batch_format="pyarrow", batch_size=None,
                        zero_copy_batch=True), ["day", "is_click"])
-    t = pa.concat_tables(
-        [b for b in counts.iter_batches(batch_format="pyarrow")])
+    batches = [b for b in counts.iter_batches(batch_format="pyarrow")]
+    lags = np.arange(8, dtype=np.int64)
+    t = pa.concat_tables(batches) if batches else None
+    if t is None or t.num_rows == 0:  # no click/purchase rows:
+        # the oracle emits 8 zero dots
+        return pa.table({"lag": pa.array(lags),
+                         "dot": pa.array([0] * 8, type=pa.int64())})
     day = t["day"].to_numpy()
     isc = t["is_click"].to_numpy(zero_copy_only=False)
     n = t["cnt"].to_numpy()
@@ -6189,7 +6201,6 @@ def _q_xcorr_lag(sf_dir):
     y = np.zeros(hi - lo + 1, dtype=np.int64)
     x[day[isc] - lo] = n[isc]
     y[day[~isc] - lo] = n[~isc]
-    lags = np.arange(8, dtype=np.int64)
     dots = [int(x[: len(x) - k] @ y[k:]) if k < len(x) else 0
             for k in range(8)]
     return pa.table({"lag": pa.array(lags),
@@ -6313,6 +6324,9 @@ def _q_cusum_changepoint(sf_dir):
     calendar."""
     lo, dense = _dense_daily(sf_dir, value="value")
     n = len(dense)
+    if n < 2:  # single-day calendar: no split candidates (oracle: 0 rows)
+        i64 = pa.array([], type=pa.int64())
+        return pa.table({"split_day": i64, "dev": i64})
     s = np.cumsum(dense)  # S_t for prefix length t = 1..n
     t_arr = np.arange(1, n, dtype=np.int64)  # splits 1..n-1
     dev = np.abs(n * s[:-1] - t_arr * int(s[-1]))
@@ -6537,6 +6551,9 @@ def _q_theil_sen(sf_dir):
     slopes = np.sort((dense[j] - dense[i]).astype(np.float64)
                      / (j - i).astype(np.float64))
     m = len(slopes)
+    if m == 0:  # single-day calendar — SQL median over 0 rows is NULL
+        return pa.table({"n_pairs": pa.array([0], type=pa.int64()),
+                         "slope": pa.array([None], type=pa.float64())})
     med = (slopes[m // 2] if m % 2 else
            (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0)
     return pa.table({"n_pairs": pa.array([m], type=pa.int64()),
@@ -6616,10 +6633,13 @@ def _q_value_shape_stats(sf_dir):
               + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
         out["event_type"].append(t["event_type"][i].as_py())
         out["n"].append(n)
-        import math as _math
         fm2 = float(m2)
-        out["skew"].append(float(m3) / (fm2 * _math.sqrt(fm2)))
-        out["kurtosis"].append(float(m4) / (fm2 * fm2) - 3.0)
+        if fm2 == 0.0:  # constant/singleton group — DuckDB x/0.0 is NULL
+            out["skew"].append(None)
+            out["kurtosis"].append(None)
+        else:
+            out["skew"].append(float(m3) / (fm2 * math.sqrt(fm2)))
+            out["kurtosis"].append(float(m4) / (fm2 * fm2) - 3.0)
     return pa.table({
         "event_type": pa.array(out["event_type"], type=pa.string()),
         "n": pa.array(out["n"], type=pa.int64()),

@@ -269,27 +269,43 @@ def _polygon_valid(rings: list[np.ndarray]) -> bool:
             locs = core.points_in_rings(h[:, 0], h[:, 1], [shell])
             if np.any(locs == 0):
                 return False
+        # holes must not nest inside each other (JTS 'holes are nested'):
+        # a hole disjoint from another but with a vertex strictly inside
+        # it is contained (crossings are excluded by the pair check below)
+        for i in range(1, len(rings)):
+            for j in range(1, len(rings)):
+                if i != j and np.any(core.points_in_rings(
+                        rings[i][:, 0], rings[i][:, 1], [rings[j]]) == 2):
+                    return False
         # ring pairs: no proper crossing / collinear overlap; at most ONE
-        # touch point per pair; no touch-graph cycle (either disconnects
-        # the interior — the JTS connected-interior rule)
-        parent = list(range(len(rings)))
+        # touch point per pair; interior stays connected iff the
+        # bipartite ring↔touch-point incidence graph is ACYCLIC (rings
+        # all meeting at one shared point form a star — valid; a cycle
+        # through ≥2 distinct points encloses area — the JTS
+        # connected-interior rule)
+        parent: dict = {}
 
         def find(x):
+            parent.setdefault(x, x)
             while parent[x] != x:
                 parent[x] = parent[parent[x]]
                 x = parent[x]
             return x
 
+        incidences = set()
         for i in range(len(rings)):
             for j in range(i + 1, len(rings)):
                 pts = _ring_pair_touches(rings[i], rings[j])
                 if pts is None or len(pts) > 1:
                     return False
-                if pts:
-                    ri, rj = find(i), find(j)
-                    if ri == rj:
-                        return False  # touch cycle ⇒ disconnected interior
-                    parent[ri] = rj
+                for p in pts:
+                    incidences.add((i, p))
+                    incidences.add((j, p))
+        for i, p in incidences:  # each distinct incidence is ONE edge
+            a, b = find(("r", i)), find(("p", p))
+            if a == b:
+                return False  # cycle ⇒ disconnected interior
+            parent[a] = b
     return True
 
 

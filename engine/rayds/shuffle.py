@@ -16,6 +16,10 @@ import pyarrow.compute as pc
 
 def _partial_count_fn(keys: list[str]):
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            # Ray 2.49 drops the schema of zero-row map outputs — pass
+            # the column-less anchor through (merge plans drop these)
+            return batch
         t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return t.rename_columns(keys + ["_pcnt"])
 
@@ -24,6 +28,8 @@ def _partial_count_fn(keys: list[str]):
 
 def _merge_counts(keys: list[str]):
     def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return batch
         t = batch.group_by(keys).aggregate([("_pcnt", "sum")])
         return t.rename_columns(keys + ["_pcnt"])
 
@@ -400,6 +406,13 @@ def merge_partial_counts(partial_ds, keys: list[str], out_col: str = "cnt",
         return mfn(pa.concat_tables(tbls).combine_chunks())
 
     final = tree_fold_refs(partial_ds, combine)
+    if final.num_columns == 0:
+        # every partial was a schema-less zero-row anchor (Ray 2.49
+        # drops empty map-output schemas): emit a typed empty result —
+        # int64 keys cover the engine's count callers; callers with
+        # other key types see zero rows either way
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], type=pa.int64()) for c in keys + [out_col]}))
     return ray.data.from_arrow(final.rename_columns(keys + [out_col]))
 
 

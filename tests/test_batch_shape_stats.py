@@ -113,3 +113,46 @@ def test_benford_digits_brute(ray_session, tmp_path):
     got = dict(zip(t["digit"], t["n"]))
     assert got == want
     assert set(got) == set(range(1, 10))
+
+
+def test_degenerate_inputs_match_oracle_semantics(ray_session, tmp_path):
+    """Review regressions: single-day calendars, missing event types and
+    constant/singleton groups must follow the SQL oracle's semantics
+    (zero rows / NULLs), not crash."""
+    from __ray_entry__ import (_q_cusum_changepoint, _q_ohlc_daily,
+                               _q_theil_sen, _q_value_shape_stats,
+                               _q_xcorr_lag)
+
+    base = np.datetime64("2024-07-01T00:00:00", "us").astype(np.int64)
+    # all events on ONE day; one singleton type, one constant type, and
+    # NO click/purchase rows at all
+    df = pd.DataFrame({
+        "event_id": np.arange(1, 6, dtype=np.int64),
+        "ts": (base + np.arange(5) * 3_600_000_000).view("datetime64[us]"),
+        "user_id": np.zeros(5, dtype=np.int64),
+        "event_type": ["view", "view", "view", "signup", "error"],
+        "value": [5.0, 5.0, 5.0, 7.0, 9.0],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    t = _to_table(_q_theil_sen(str(tmp_path)))
+    assert t["n_pairs"][0].as_py() == 0
+    assert t["slope"][0].as_py() is None
+
+    assert _to_table(_q_cusum_changepoint(str(tmp_path))).num_rows == 0
+
+    t = _to_table(_q_xcorr_lag(str(tmp_path))).to_pandas()
+    assert t["lag"].tolist() == list(range(8))
+    assert t["dot"].tolist() == [0] * 8
+
+    t = (_to_table(_q_value_shape_stats(str(tmp_path))).to_pandas()
+         .set_index("event_type"))
+    for et in ("signup", "error", "view"):  # singleton / constant groups
+        assert np.isnan(t.loc[et]["skew"])
+        assert np.isnan(t.loc[et]["kurtosis"])
+
+    t = _to_table(_q_ohlc_daily(str(tmp_path)))
+    assert t.num_rows == 1  # one day, fold handles the single-day case
+    assert t["open_cents"][0].as_py() == 500
+    assert t["close_cents"][0].as_py() == 900

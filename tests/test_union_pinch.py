@@ -107,8 +107,18 @@ def test_polygon_validity_touch_rules():
         # two holes, each touching the shell at one distinct point
         ("POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0), (3 0, 5 3, 1 3, 3 0),"
          " (13 0, 15 3, 11 3, 13 0))"),
+        # star: shell + two holes ALL meeting at one single point — the
+        # touch cycle encloses no area, interior stays connected (JTS)
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (5 0, 2 3, 4 3, 5 0),"
+         " (5 0, 6 3, 8 3, 5 0))"),
     ]
     invalid = [
+        # hole nested strictly inside another hole
+        ("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+         " (2 2, 18 2, 18 18, 2 18, 2 2), (5 5, 15 5, 15 15, 5 15, 5 5))"),
+        # hole wedge-contained in another hole, sharing one vertex
+        ("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+         " (2 2, 18 2, 18 18, 2 18, 2 2), (2 2, 9 5, 5 9, 2 2))"),
         # hole touches shell at two points (disconnects the interior)
         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 0, 8 0, 5 5, 2 0))",
         # hole crosses shell
