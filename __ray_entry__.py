@@ -6676,6 +6676,323 @@ def _q_benford_digits(sf_dir):
         ["digit"], [("one", "sum")], ["n"], plan="tree")
 
 
+def _q_q10_returned(sf_dir):
+    """TPC-H Q10 SHAPE (returned-item revenue, top-20 customers): the
+    big-big orderkey join between the date-windowed orders slice and
+    the returnflag='R' lineitem slice rides the adaptive equi-join,
+    revenue rolls up combiner-first on custkey (cardinality grows with
+    the data → shuffle plan), the exact top-20 is a block combiner +
+    tree fold (no second all-to-all), and c_name attaches to the
+    20-row result through the broadcast side of the adaptive join.
+    Revenue is exact int64 basis points: price_cents · (100 − disc)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg, tree_fold_refs
+
+    lo = np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1996-10-01T00:00:00", "us").astype(np.int64)
+
+    def owin(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        m = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(owin, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    def li_r(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = np.rint(f["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        d100 = np.rint(f["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": f["l_orderkey"],
+                         "rev_bp": pa.array(cents * (100 - d100))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_r, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    j = equi_join(li, orders, "l_orderkey", "o_orderkey",
+                  ["rev_bp"], ["o_custkey"])
+    rolled = grouped_agg(j, ["o_custkey"], [("rev_bp", "sum")],
+                         ["revenue_bp"], plan="shuffle")
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 20:
+            return batch
+        rev = batch["revenue_bp"].to_numpy()
+        key = batch["o_custkey"].to_numpy()
+        order = np.lexsort((key, -rev))[:20]
+        return batch.take(pa.array(order))
+
+    top = tree_fold_refs(
+        rolled.map_batches(topk, batch_format="pyarrow", batch_size=None),
+        lambda tbls: topk(pa.concat_tables(tbls).combine_chunks()))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    out = equi_join(top, cust, "o_custkey", "c_custkey",
+                    ["revenue_bp"], ["c_name"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_custkey", "revenue_bp", "c_name"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _q_q15_top_supplier(sf_dir):
+    """TPC-H Q15 SHAPE (top supplier(s) by windowed revenue — the view +
+    scalar-max-subquery pattern): per-suppkey revenue rolls up
+    combiner-first through the hash exchange (supplier cardinality
+    grows with the data), the global max folds as a 1-int per-block
+    partial, the ties-included filter streams, and s_name attaches via
+    the adaptive join.  ALL suppliers achieving the max are returned
+    (Q15 semantics)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg, tree_fold_refs
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64)
+
+    def li_fn(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        f = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents = np.rint(f["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        d100 = np.rint(f["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_suppkey": f["l_suppkey"],
+                         "rev_bp": pa.array(cents * (100 - d100))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    rolled = grouped_agg(li, ["l_suppkey"], [("rev_bp", "sum")],
+                         ["total_bp"], plan="shuffle").materialize()
+
+    def bmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], type=pa.int64())})
+        return pa.table({"m": pa.array(
+            [int(pc.max(t["total_bp"]).as_py())], type=pa.int64())})
+
+    mt = tree_fold_refs(
+        rolled.map_batches(bmax, batch_format="pyarrow", batch_size=None),
+        lambda tbls: pa.concat_tables(tbls))
+    best = int(pc.max(mt["m"]).as_py())
+
+    top = rolled.map_batches(
+        lambda t: t.filter(pc.equal(t["total_bp"], best)),
+        batch_format="pyarrow", batch_size=None)
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_name"])
+    out = equi_join(top, supp, "l_suppkey", "s_suppkey",
+                    ["total_bp"], ["s_name"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["s_suppkey", "total_bp", "s_name"])
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def _q_q17_small_qty(sf_dir):
+    """TPC-H Q17 SHAPE (small-quantity revenue vs a per-part scalar
+    subquery): the brand slice of part joins lineitem adaptively, the
+    (partkey → Σqty, n) rollup is combiner-first, and the qty <
+    0.2·avg(qty) predicate is evaluated in EXACT integers —
+    5·qty·n < Σqty (l_quantity is integral) — so no float average
+    exists anywhere.  The brand slice joins TWICE (to roll up and to
+    filter), so it is materialized once; the final (count, Σcents)
+    folds as 2-int per-block partials."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg, tree_fold_refs
+
+    def pfn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_brand"], "Brand#11")).select(
+            ["p_partkey"])
+
+    brand = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+    ).map_batches(pfn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    def li_fn(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "qty": pa.array(qty), "cents": pa.array(cents),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    j = equi_join(li, brand, "l_partkey", "p_partkey",
+                  ["qty", "cents", "one"], []).materialize()
+    stats = grouped_agg(j, ["_k"], [("qty", "sum"), ("one", "sum")],
+                        ["sq", "n"], plan="shuffle")
+    jj = equi_join(j, stats, "_k", "_k", ["qty", "cents"], ["sq", "n"])
+
+    def small(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy()
+        keep = 5 * qty * t["n"].to_numpy() < t["sq"].to_numpy()
+        cents = t["cents"].to_numpy()[keep]
+        return pa.table({
+            "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+            "sum_cents": pa.array([int(cents.sum())], type=pa.int64())})
+
+    t = tree_fold_refs(
+        jj.map_batches(small, batch_format="pyarrow", batch_size=None),
+        lambda tbls: pa.concat_tables(tbls))
+    return pa.table({
+        "n_items": pa.array([int(pc.sum(t["n_items"]).as_py())],
+                            type=pa.int64()),
+        "sum_cents": pa.array([int(pc.sum(t["sum_cents"]).as_py())],
+                              type=pa.int64())})
+
+
+def _q_q19_disjunct(sf_dir):
+    """TPC-H Q19 SHAPE (disjunction-of-conjunctions join predicate):
+    part pre-filters to the three brands AT THE READ side, joins
+    lineitem adaptively on partkey, and the OR-of-AND predicate
+    evaluates as one vectorized boolean expression; revenue folds as
+    2-int per-block partials — no all-to-all anywhere."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, tree_fold_refs
+
+    BRANDS = ("Brand#12", "Brand#23", "Brand#34")
+
+    def pfn(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["p_brand"], value_set=pa.array(BRANDS))
+        return t.filter(m).select(["p_partkey", "p_brand", "p_size"])
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(pfn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    def li_fn(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"], "qty": pa.array(qty),
+                         "rev_bp": pa.array(cents * (100 - d100))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    j = equi_join(li, parts, "l_partkey", "p_partkey",
+                  ["qty", "rev_bp"], ["p_brand", "p_size"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy()
+        size = t["p_size"].to_numpy()
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        keep = (
+            ((brand == BRANDS[0]) & (size >= 1) & (size <= 25)
+             & (qty >= 1) & (qty <= 21))
+            | ((brand == BRANDS[1]) & (size >= 1) & (size <= 30)
+               & (qty >= 10) & (qty <= 30))
+            | ((brand == BRANDS[2]) & (size >= 1) & (size <= 40)
+               & (qty >= 20) & (qty <= 40)))
+        rev = t["rev_bp"].to_numpy()[keep]
+        return pa.table({
+            "n_items": pa.array([int(keep.sum())], type=pa.int64()),
+            "revenue_bp": pa.array([int(rev.sum())], type=pa.int64())})
+
+    t = tree_fold_refs(
+        j.map_batches(pred, batch_format="pyarrow", batch_size=None),
+        lambda tbls: pa.concat_tables(tbls))
+    return pa.table({
+        "n_items": pa.array([int(pc.sum(t["n_items"]).as_py())],
+                            type=pa.int64()),
+        "revenue_bp": pa.array([int(pc.sum(t["revenue_bp"]).as_py())],
+                               type=pa.int64())})
+
+
+def _q_prefix_dup_docs(sf_dir):
+    """PREFIX DEDUP over documents: ids whose text is an exact duplicate
+    of a lower-id doc or a strict prefix of another doc — the
+    sorted-adjacency suffix-array trick (one Ray native range sort; a
+    string is a prefix of any later string iff it is a prefix of its
+    next-distinct successor).  See
+    engine/ops/dedup.py::prefix_shadowed_ids for the boundary-stitch
+    contract (≤3 boundary strings per block on the driver)."""
+    import ray.data
+
+    from engine.ops.dedup import prefix_shadowed_ids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return prefix_shadowed_ids(ds, "text", "doc_id")
+
+
+def _q_minmax_scaled(sf_dir):
+    """MIN-MAX FEATURE SCALING (the ML-prep normalizer): the global
+    [min, max] folds as 2-double per-block partials (zero exchanges),
+    broadcasts as plain Python floats into one streaming map, and every
+    row scales as the single IEEE expression (v − mn) / (mx − mn) —
+    bit-identical to the SQL oracle evaluating the same expression."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        v = t["value"]
+        return pa.table({
+            "mn": pa.array([pc.min(v).as_py()], type=pa.float64()),
+            "mx": pa.array([pc.max(v).as_py()], type=pa.float64())})
+
+    t = tree_fold_refs(
+        ds.map_batches(mm, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    mn = float(pc.min(t["mn"]).as_py())
+    mx = float(pc.max(t["mx"]).as_py())
+    span = mx - mn
+
+    def scale(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        return pa.table({"event_id": b["event_id"],
+                         "scaled": pa.array((v - mn) / span)})
+
+    return ds.map_batches(scale, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -6870,6 +7187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": _q_theil_sen,
         "value_shape_stats": _q_value_shape_stats,
         "benford_digits": _q_benford_digits,
+        "q10_returned": _q_q10_returned,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q17_small_qty": _q_q17_small_qty,
+        "q19_disjunct": _q_q19_disjunct,
+        "prefix_dup_docs": _q_prefix_dup_docs,
+        "minmax_scaled": _q_minmax_scaled,
     }
 
 
@@ -9393,5 +9716,86 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
                CAST(count(*) AS BIGINT) AS n
         FROM e WHERE c > 0 GROUP BY 1
+    """
+    sql["q10_returned"] = """
+        WITH r AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_bp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+            GROUP BY 1
+        )
+        SELECT r.c_custkey, revenue_bp, c_name
+        FROM r JOIN customer ON r.c_custkey = customer.c_custkey
+        ORDER BY revenue_bp DESC, r.c_custkey LIMIT 20
+    """
+    sql["q15_top_supplier"] = """
+        WITH r AS (
+            SELECT l_suppkey AS s_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS total_bp
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT r.s_suppkey, total_bp, s_name
+        FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+        WHERE total_bp = (SELECT max(total_bp) FROM r)
+    """
+    sql["q17_small_qty"] = """
+        WITH b AS (
+            SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#11'
+        ), s AS (
+            SELECT l_partkey, sum(qty) AS sq, count(*) AS n
+            FROM b GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM b JOIN s USING (l_partkey)
+        WHERE 5 * qty * n < sq
+    """
+    sql["q19_disjunct"] = """
+        WITH j AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev_bp,
+                   p_brand, p_size
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(coalesce(sum(rev_bp), 0) AS BIGINT) AS revenue_bp
+        FROM j
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+               AND qty BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+               AND qty BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 40
+               AND qty BETWEEN 20 AND 40)
+    """
+    sql["prefix_dup_docs"] = """
+        SELECT doc_id FROM documents d
+        WHERE EXISTS (
+            SELECT 1 FROM documents o
+            WHERE o.doc_id <> d.doc_id
+              AND starts_with(o.text, d.text)
+              AND (length(o.text) > length(d.text)
+                   OR o.doc_id < d.doc_id))
+    """
+    sql["minmax_scaled"] = """
+        WITH m AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        SELECT event_id, (value - mn) / (mx - mn) AS scaled
+        FROM events, m
     """
     return sql

@@ -1148,3 +1148,132 @@ def embed_dedup_lsh(ds, threshold: float, nbits: int = 8, dim: int = 64,
     from engine.rayds.shuffle import hash_exchange_fine_groups
 
     return hash_exchange_fine_groups(bucketed, ["bucket"], group_fn)
+
+
+def prefix_shadowed_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PREFIX-DEDUP (the sorted-adjacency form of suffix-array exact
+    substring dedup, restricted to whole-document prefixes): return the
+    ids of documents that are *shadowed* — their text is an exact
+    duplicate of a lower-id document, or a strict prefix of some other
+    document (keep-the-longest / keep-the-lowest-id policy).
+
+    Plan (scale shape): ONE Ray native range sort on (text, id) — in
+    lexicographic order, ``t`` is a prefix of ANY later string iff it is
+    a prefix of its immediate next-distinct successor, so shadowing is
+    decidable from adjacent rows.  Per sorted block, flags are computed
+    vectorized; block boundaries stitch through ≤3 boundary strings per
+    block collected on the driver (first text, first text differing
+    from it, last text — enough to resolve runs that span blocks), so
+    driver traffic is O(blocks · max_doc_len), never O(rows).
+
+    No reference analog (shapely has no text ops); this is the
+    data-pipeline dedup family member next to minhash/simhash.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    srt = ds.select_columns([id_col, text_col]).sort(
+        [text_col, id_col]).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def _meta(tbl: pa.Table):
+        n = tbl.num_rows
+        if n == 0:
+            return (None, None, None)
+        col = tbl.column(text_col)
+        first = col[0].as_py()
+        last = col[n - 1].as_py()
+        second = None
+        if first != last:
+            idx = pc.index(pc.not_equal(col, first), True).as_py()
+            second = col[idx].as_py()
+        return (first, second, last)
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+    nonempty = [j for j, m in enumerate(metas) if m[0] is not None]
+
+    # boundary resolution: for block j, the text immediately before its
+    # first row, and the first text AFTER the block that differs from
+    # its last row's text (walk skips blocks made entirely of that text)
+    prev_last: dict[int, str | None] = {}
+    next_diff: dict[int, str | None] = {}
+    for pos, j in enumerate(nonempty):
+        prev_last[j] = metas[nonempty[pos - 1]][2] if pos > 0 else None
+        t_last = metas[j][2]
+        nd = None
+        for k in nonempty[pos + 1:]:
+            f, s, _l = metas[k]
+            if f != t_last:
+                nd = f
+                break
+            if s is not None:
+                nd = s
+                break
+        next_diff[j] = nd
+
+    CHUNK = 4096  # bounds the U-dtype copy in the startswith check
+
+    @ray.remote
+    def _flags(tbl: pa.Table, prev_txt, next_txt) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        col = tbl.column(text_col).combine_chunks()
+        # prev-equal: an equal-text row with a smaller id exists
+        prev_eq = np.zeros(n, dtype=bool)
+        if n > 1:
+            prev_eq[1:] = pc.equal(
+                col.slice(1), col.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        if prev_txt is not None:
+            prev_eq[0] = col[0].as_py() == prev_txt
+        # run-first rows: strict-prefix test against the run's
+        # next-distinct text (runs of equal texts are adjacent)
+        change = np.flatnonzero(~prev_eq)  # run starts (row 0 unless its
+        # run continues from the previous block)
+        run_end = np.empty(len(change), dtype=np.int64)
+        if len(change):
+            run_end[:-1] = change[1:] - 1
+            run_end[-1] = n - 1
+        texts = col.to_numpy(zero_copy_only=False)
+        shadowed = prev_eq.copy()
+        for lo in range(0, len(change), CHUNK):
+            ci = change[lo:lo + CHUNK]
+            ei = run_end[lo:lo + CHUNK]
+            cur = texts[ci]
+            nxt = np.empty(len(ci), dtype=object)
+            inb = ei + 1 < n
+            nxt[inb] = texts[ei[inb] + 1]
+            if not inb.all():
+                if next_txt is None:
+                    # nothing after: those run-firsts can't be prefixes
+                    keep = inb
+                    ci, cur, nxt = ci[keep], cur[keep], nxt[keep]
+                else:
+                    nxt[~inb] = next_txt
+            if len(ci) == 0:
+                continue
+            cu = cur.astype("U")
+            nu = nxt.astype("U")
+            lens_c = np.char.str_len(cu)
+            lens_n = np.char.str_len(nu)
+            is_pre = np.char.startswith(nu, cu) & (lens_n > lens_c)
+            shadowed[ci[is_pre]] = True
+        out = tbl.column(id_col).filter(pa.array(shadowed))
+        return pa.table({id_col: out.cast(pa.int64())})
+
+    out_refs = [
+        _flags.remote(refs[j], prev_last[j], next_diff[j]) for j in nonempty
+    ]
+    empty = pa.table({id_col: pa.array([], type=pa.int64())})
+    if not out_refs:
+        return empty
+    out = ray.data.from_arrow_refs(out_refs)
+    if out.count() == 0:
+        # Ray 2.49 drops the column schema of an all-empty Dataset in
+        # to_pandas(); the blocks are already materialized, so the count
+        # is metadata-cheap — hand back a typed driver-side table
+        return empty
+    return out
