@@ -6993,6 +6993,128 @@ def _q_minmax_scaled(sf_dir):
                           zero_copy_batch=True)
 
 
+def _q_dim_stats(sf_dir):
+    """PER-DIMENSION EMBEDDING STATS (feature-scaling / whitening
+    prep): exact integer micro-unit moments per vector position, ZERO
+    shuffles (the (dim, n, Σ, Σ²) partial matrix is |dims| rows per
+    block regardless of corpus size), decimal128 tree fold, doubles
+    computed in one fixed evaluation order mirrored by the oracle's
+    lateral-unnest SQL.  See engine/ops/vecagg.py::vector_dim_stats."""
+    import ray.data
+
+    from engine.ops.vecagg import vector_dim_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return vector_dim_stats(ds, "embedding")
+
+
+def _q_degree_assortativity(sf_dir):
+    """DEGREE ASSORTATIVITY of the part↔order bipartite graph: Pearson
+    correlation between the part-degree and order-degree across the
+    DISTINCT edge set (the graph-topology summary statistic).  Plan:
+    distinct pairs + both degree rollups are combiner-first counts,
+    degrees attach back through the adaptive equi-join, and the
+    correlation rides the exact-integer decimal128 moment fold
+    (engine/ops/stats.py::exact_corr) — bit-identical doubles."""
+    import ray.data
+
+    from engine.ops.stats import exact_corr
+    from engine.rayds.shuffle import equi_join, grouped_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_orderkey"])
+    pairs = grouped_count(li, ["l_partkey", "l_orderkey"],
+                          out_col="_dup", use_shuffle="auto")
+    degp = grouped_count(pairs.select_columns(["l_partkey"]),
+                         ["l_partkey"], out_col="dx", use_shuffle="auto")
+    dego = grouped_count(pairs.select_columns(["l_orderkey"]),
+                         ["l_orderkey"], out_col="dy", use_shuffle="auto")
+    j1 = equi_join(pairs, degp, "l_partkey", "l_partkey",
+                   ["l_orderkey"], ["dx"])
+    j2 = equi_join(j1, dego, "l_orderkey", "l_orderkey", ["dx"], ["dy"])
+    return exact_corr(j2, "dx", "dy")
+
+
+def _q_user_record_high(sf_dir):
+    """PER-USER RECORD-HIGH COUNT (running-max window screen): events
+    whose value strictly exceeds every earlier value of the same user
+    in (ts, event_id) order; the first event counts.  One hash
+    exchange; the per-partition kernel is one composite-rank
+    np.maximum.accumulate across ALL key runs (no per-user loop) —
+    see engine/ops/window.py::record_high_counts."""
+    import ray.data
+
+    from engine.ops.window import record_high_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+    return record_high_counts(ds, "user_id", "ts", "event_id", "value")
+
+
+def _q_sequence_ngrams(sf_dir):
+    """EVENT-SEQUENCE TRIGRAM MINING (the n-gram generalization of
+    markov_transitions' next-1): top-20 (e1,e2,e3) event-type trigrams
+    over each user's (ts, event_id)-ordered stream, ties broken
+    lexicographically.  One hash exchange on user_id; per partition a
+    lexsort + shifted-array trigram emission (rows whose next two rows
+    stay in the same key run) collapsed to ≤|types|³ count rows; the
+    type-vocabulary-bounded partials tree-fold and the top-20 sorts on
+    the driver."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        empty = pa.table({"e1": pa.array([], type=pa.string()),
+                          "e2": pa.array([], type=pa.string()),
+                          "e3": pa.array([], type=pa.string()),
+                          "one": pa.array([], type=pa.int64())})
+        if n < 3:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        ok = (u[:-2] == u[1:-1]) & (u[:-2] == u[2:])
+        if not ok.any():
+            return empty
+        idx = np.flatnonzero(ok)
+        t = pa.table({"e1": pa.array(et[idx]),
+                      "e2": pa.array(et[idx + 1]),
+                      "e3": pa.array(et[idx + 2]),
+                      "one": pa.array(np.ones(len(idx), dtype=np.int64))})
+        gb = t.group_by(["e1", "e2", "e3"]).aggregate([("one", "sum")])
+        return gb.rename_columns(["e1", "e2", "e3", "one"])
+
+    parts = hash_exchange_groups(ds, ["user_id"], part_fn)
+    rolled = grouped_agg(parts, ["e1", "e2", "e3"], [("one", "sum")],
+                         ["n"], plan="tree")
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        nn = t["n"].to_numpy()
+        import pyarrow.compute as pc
+
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("n", "descending"), ("e1", "ascending"),
+                          ("e2", "ascending"), ("e3", "ascending")])
+        return t.take(idx[:20])
+
+    return rolled.map_batches(topk, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -7193,6 +7315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunct": _q_q19_disjunct,
         "prefix_dup_docs": _q_prefix_dup_docs,
         "minmax_scaled": _q_minmax_scaled,
+        "dim_stats": _q_dim_stats,
+        "degree_assortativity": _q_degree_assortativity,
+        "user_record_high": _q_user_record_high,
+        "sequence_ngrams": _q_sequence_ngrams,
     }
 
 
@@ -9797,5 +9923,81 @@ def oracle_sql() -> dict[str, str]:
         WITH m AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
         SELECT event_id, (value - mn) / (mx - mn) AS scaled
         FROM events, m
+    """
+    sql["dim_stats"] = """
+        WITH x AS (
+            SELECT i.i AS dim,
+                   CAST(round(CAST(embedding[i.i + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS mv
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(len(embedding))) AS i) i(i)
+        ), m AS (
+            SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(mv AS HUGEINT)) AS s,
+                   sum(CAST(mv AS HUGEINT) * CAST(mv AS HUGEINT)) AS ss
+            FROM x GROUP BY 1
+        )
+        SELECT dim, CAST(n AS BIGINT) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro,
+               CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)
+                   AS var_micro2
+        FROM m
+    """
+    sql["degree_assortativity"] = """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_orderkey FROM lineitem
+        ), dp AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS dx
+            FROM pairs GROUP BY 1
+        ), dor AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS dy
+            FROM pairs GROUP BY 1
+        ), e AS (
+            SELECT dx, dy FROM pairs
+            JOIN dp USING (l_partkey) JOIN dor USING (l_orderkey)
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) n,
+                   sum(CAST(dx AS HUGEINT)) sx,
+                   sum(CAST(dy AS HUGEINT)) sy,
+                   sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) sxx,
+                   sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) syy,
+                   sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) sxy
+            FROM e
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+        FROM m
+    """
+    sql["user_record_high"] = """
+        WITH w AS (
+            SELECT user_id, value,
+                   max(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prevmax
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE prevmax IS NULL
+                                        OR value > prevmax) AS BIGINT)
+                   AS n_records,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM w GROUP BY 1
+    """
+    sql["sequence_ngrams"] = """
+        WITH s AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                   lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS e3
+            FROM events
+        )
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, e1, e2, e3 LIMIT 20
     """
     return sql

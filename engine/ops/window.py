@@ -571,3 +571,55 @@ def running_total(ds, key: str, ts_col: str, id_col: str, val_col: str,
 
     return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
                                 num_parts)
+
+
+def record_high_counts(ds, key: str, ts_col: str, id_col: str,
+                       val_col: str, num_parts: int = 64):
+    """Per-key RECORD-HIGH counter: how many of a key's events strictly
+    exceed every earlier value in (ts, id) order (the running-max /
+    new-personal-best screen; first event counts).  SQL mirror:
+    ``value > max(value) OVER (... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` with the NULL first frame counted.
+
+    One hash exchange on the key.  The per-partition kernel is fully
+    vectorized across key runs via a composite-rank prefix max: values
+    dense-rank to int64 (order-isomorphic), each row's composite is
+    run_id·(nv+1) + rank+1 — a later run's composites strictly dominate
+    every earlier run's, so ONE global ``np.maximum.accumulate`` yields
+    the per-run prefix max and ``record ⟺ composite > shifted prefix
+    max`` (run firsts compare against a smaller-run composite and win).
+    Strictness is exact: equal values share a rank, so a tie is never a
+    record."""
+    cols = list(dict.fromkeys([key, ts_col, id_col, val_col]))
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({key: g[key],
+                             "n_records": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        k = g[key].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        v = g[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, k))
+        k, v = k[order], v[order]
+        _, rank = np.unique(v, return_inverse=True)
+        nv = len(_)
+        new = np.r_[True, k[1:] != k[:-1]]
+        run_id = np.cumsum(new) - 1
+        comp = run_id.astype(np.int64) * (nv + 1) + rank + 1
+        shifted = np.r_[np.int64(0), np.maximum.accumulate(comp)[:-1]]
+        rec = (comp > shifted).astype(np.int64)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        recs = np.add.reduceat(rec, starts)
+        return pa.table({key: pa.array(k[starts]),
+                         "n_records": pa.array(recs),
+                         "n_events": pa.array(counts.astype(np.int64))})
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    return hash_exchange_groups(ds.select_columns(cols), [key], part_fn,
+                                num_parts)
