@@ -7115,6 +7115,188 @@ def _q_sequence_ngrams(sf_dir):
                               batch_size=None)
 
 
+def _q_setsim_orders(sf_dir):
+    """EXACT SET-SIMILARITY SELF-JOIN (AllPairs/PPJoin prefix
+    filtering) over order baskets: all order pairs whose part sets
+    have Jaccard ≥ 1/2, verified with exact integer arithmetic — the
+    structured-record near-dup operator next to the text LSH families.
+    See engine/ops/setsim.py for the prefix-filter dataflow (candidate
+    generation only buckets on each basket's RAREST floor(c/2)+1
+    tokens in global-frequency order)."""
+    import ray.data
+
+    from engine.ops.setsim import setsim_join
+    from engine.rayds.shuffle import grouped_count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    baskets = grouped_count(li, ["l_orderkey", "l_partkey"],
+                            out_col="_d", use_shuffle="auto")
+    return setsim_join(baskets, "l_orderkey", "l_partkey", 1, 2)
+
+
+def _q_boilerplate_ngrams(sf_dir):
+    """BOILERPLATE / CONTAMINATION SCREEN: top-20 word 5-grams by
+    cross-document spread (distinct docs DESC, occurrences DESC, gram
+    ASC) — the repeated-template detector of LLM curation pipelines.
+    Offset-arithmetic n-gram explode (engine/ops/text.py::
+    ngram_explode, no row loops), per-(gram, doc) partial counts, one
+    exchange on gram for the distinct-doc + occurrence rollup, block
+    top-20 combiner + tree fold."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, grouped_count, \
+        tree_fold_refs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    from engine.ops.text import ngram_explode
+
+    grams = docs.map_batches(
+        lambda b: ngram_explode(b, 5), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True)
+    per_doc = grouped_count(grams, ["gram", "doc_id"], out_col="nc",
+                            use_shuffle=True)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": t["gram"], "nc": t["nc"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    rolled = grouped_agg(
+        per_doc.map_batches(ones, batch_format="pyarrow",
+                            batch_size=None),
+        ["gram"], [("one", "sum"), ("nc", "sum")], ["nd", "nc"],
+        plan="shuffle")
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 20:
+            return t
+        idx = pa.compute.sort_indices(
+            t, sort_keys=[("nd", "descending"), ("nc", "descending"),
+                          ("gram", "ascending")])
+        return t.take(idx[:20])
+
+    top = tree_fold_refs(
+        rolled.map_batches(topk, batch_format="pyarrow",
+                           batch_size=None),
+        lambda tbls: topk(pa.concat_tables(tbls).combine_chunks()))
+    return top
+
+
+def _q_mkt_share(sf_dir):
+    """TPC-H Q8 SHAPE (market share): the revenue share of
+    supplier-nation NATION_2 per order-year, restricted to customers
+    in region ASIA.  The nation→region ladder rides driver-side
+    scale-invariant dim tables (a broadcast nationkey set), customer /
+    supplier attaches take the adaptive equi-join, the one big-big
+    orderkey join is the engine's hash exchange, and the rollup is the
+    4-cell (year, is_target) matrix — the share is one float division
+    of exact int64 basis points per year."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import dim_table, equi_join, grouped_agg
+
+    nat = dim_table(f"{sf_dir}/nation.parquet",
+                    ["n_nationkey", "n_regionkey"])
+    reg = dim_table(f"{sf_dir}/region.parquet",
+                    ["r_regionkey", "r_name"])
+    asia = int(reg.filter(pc.equal(reg["r_name"], "ASIA"))
+               ["r_regionkey"][0].as_py())
+    asia_nations = set(
+        nat.filter(pc.equal(nat["n_regionkey"], asia))
+        ["n_nationkey"].to_pylist())
+    TARGET_NATION = 2  # NATION_2 (in ASIA)
+
+    lo = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def cfil(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"].cast(pa.int64()),
+                        value_set=pa.array(sorted(asia_nations),
+                                           type=pa.int64()))
+        return t.filter(keep).select(["c_custkey"])
+
+    cust = cust.map_batches(cfil, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+
+    def owin(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        f = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        yr = (f["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_custkey": f["o_custkey"],
+                         "o_year": pa.array(yr)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(owin, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    oc = equi_join(orders, cust, "o_custkey", "c_custkey",
+                   ["o_orderkey", "o_year"], [])
+
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"])
+
+    def li_fn(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy() * 100.0).astype(
+            np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_bp": pa.array(cents * (100 - d100))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    ls = equi_join(li, supp, "l_suppkey", "s_suppkey",
+                   ["l_orderkey", "rev_bp"], ["s_nationkey"])
+
+    j = equi_join(ls, oc, "l_orderkey", "o_orderkey",
+                  ["rev_bp", "s_nationkey"], ["o_year"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        tgt = pc.equal(t["s_nationkey"].cast(pa.int64()),
+                       TARGET_NATION).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_year": t["o_year"],
+                         "is_tgt": pa.array(tgt),
+                         "rev_bp": t["rev_bp"]})
+
+    rolled = grouped_agg(
+        j.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["o_year", "is_tgt"], [("rev_bp", "sum")], ["rev_bp"],
+        plan="tree")
+    t = pa.concat_tables([b for b in rolled.iter_batches(
+        batch_format="pyarrow")])
+    yrs = t["o_year"].to_numpy()
+    tgt = t["is_tgt"].to_numpy()
+    rev = t["rev_bp"].to_numpy()
+    out_y = np.unique(yrs)
+    tot = np.zeros(len(out_y), dtype=np.int64)
+    tg = np.zeros(len(out_y), dtype=np.int64)
+    pos = np.searchsorted(out_y, yrs)
+    np.add.at(tot, pos, rev)
+    np.add.at(tg, pos, rev * tgt)
+    share = np.array([float(a) / float(b) if b else float("nan")
+                      for a, b in zip(tg, tot)])
+    return pa.table({"o_year": pa.array(out_y),
+                     "target_bp": pa.array(tg),
+                     "total_bp": pa.array(tot),
+                     "mkt_share": pa.array(share, type=pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -7319,6 +7501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "user_record_high": _q_user_record_high,
         "sequence_ngrams": _q_sequence_ngrams,
+        "setsim_orders": _q_setsim_orders,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "mkt_share": _q_mkt_share,
     }
 
 
@@ -9999,5 +10184,67 @@ def oracle_sql() -> dict[str, str]:
         FROM s WHERE e3 IS NOT NULL
         GROUP BY 1, 2, 3
         ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """
+    sql["setsim_orders"] = """
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), sz AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) c
+            FROM b GROUP BY 1
+        ), i AS (
+            SELECT a.l_orderkey o1, bb.l_orderkey o2,
+                   CAST(count(*) AS BIGINT) inter
+            FROM b a JOIN b bb
+              ON a.l_partkey = bb.l_partkey
+             AND a.l_orderkey < bb.l_orderkey
+            GROUP BY 1, 2
+        )
+        SELECT o1, o2, inter, s1.c AS c1, s2.c AS c2
+        FROM i JOIN sz s1 ON o1 = s1.l_orderkey
+               JOIN sz s2 ON o2 = s2.l_orderkey
+        WHERE 2 * inter >= (s1.c + s2.c - inter)
+    """
+    sql["boilerplate_ngrams"] = """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+            SELECT doc_id, array_to_string(ws[i.i:i.i+4], ' ') AS gram
+            FROM w, LATERAL (
+                SELECT unnest(range(1, len(ws) - 3)) AS i) i(i)
+        ), c AS (
+            SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+                   CAST(count(*) AS BIGINT) AS nc
+            FROM g GROUP BY 1
+        )
+        SELECT gram, nd, nc FROM c
+        ORDER BY nd DESC, nc DESC, gram LIMIT 20
+    """
+    sql["mkt_share"] = """
+        WITH an AS (
+            SELECT n_nationkey FROM nation JOIN region
+              ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+        ), o AS (
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey IN (SELECT n_nationkey FROM an)
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        ), j AS (
+            SELECT o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev_bp,
+                   CASE WHEN s_nationkey = 2 THEN 1 ELSE 0 END AS tgt
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN o ON l_orderkey = o_orderkey
+        )
+        SELECT o_year,
+               CAST(sum(rev_bp * tgt) AS BIGINT) AS target_bp,
+               CAST(sum(rev_bp) AS BIGINT) AS total_bp,
+               CAST(sum(rev_bp * tgt) AS DOUBLE)
+                   / CAST(sum(rev_bp) AS DOUBLE) AS mkt_share
+        FROM j GROUP BY 1
     """
     return sql

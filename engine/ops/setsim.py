@@ -1,0 +1,203 @@
+"""Exact SET-SIMILARITY SELF-JOIN (AllPairs/PPJoin prefix filtering).
+
+Finds all id pairs whose token sets have Jaccard ≥ τ — exactly, with
+the classic prefix-filtering bound: order every set by GLOBAL token
+frequency (rarest first, ties by token id); if J(A,B) ≥ τ then A and B
+share at least one token among their first |x| − ⌈τ·|x|⌉ + 1 tokens, so
+candidate generation only buckets on PREFIX tokens (the rare ones) and
+never explodes on frequent tokens.
+
+Dataflow (every exchange moves narrow int64 rows; no driver
+materialization beyond the bounded candidate-pair table):
+
+1. per-id set size + global token frequency — combiner-first counts,
+   attached back through the adaptive equi-join;
+2. one exchange on id: per-partition lexsort by (id, freq, token),
+   run-relative ranks mark each id's prefix tokens;
+3. one exchange on prefix token: vectorized intra-run pair explode
+   (o1 < o2, the basket-mining primitive), then a pair-key dedupe;
+4. verify: the deduped pair table broadcasts once (``ray.put`` — the
+   engine's broadcast-pairs plan, size-guarded like the MinHash
+   verify); one map over the (id, token) rows routes each member's
+   tokens to its pairs' verify partitions; ONE exchange computes exact
+   intersections via a lexsort adjacent-duplicate count (a token
+   appears once per side, any int64 token) and applies the integer
+   threshold  tau_den·inter ≥ tau_num·(c1 + c2 − inter)  — τ as an
+   exact rational, no float Jaccard anywhere.
+
+At 100 TB a degenerate hot prefix token would get the same bucket-cap
+discipline as the LSH families (cap + targeted re-salt); the sf data
+never comes close.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+PAIR_BROADCAST_MAX = 5_000_000  # verify-plan budget (narrow int64 rows)
+
+
+def setsim_join(pairs_ds, id_col: str, tok_col: str,
+                tau_num: int = 1, tau_den: int = 2,
+                num_parts: int = 64):
+    """All (o1 < o2) with Jaccard(tokens(o1), tokens(o2)) ≥
+    tau_num/tau_den over an ALREADY-DISTINCT (id, token) row set.
+    Returns a Dataset of (o1, o2, inter, c1, c2)."""
+    import ray
+    import ray.data
+
+    from engine.ops.basket import _intra_run_pairs
+    from engine.rayds.shuffle import (equi_join, grouped_count,
+                                      hash_exchange_groups)
+
+    pairs_ds = pairs_ds.select_columns([id_col, tok_col]).materialize()
+
+    sizes = grouped_count(pairs_ds.select_columns([id_col]), [id_col],
+                          out_col="_c", use_shuffle="auto")
+    freqs = grouped_count(pairs_ds.select_columns([tok_col]), [tok_col],
+                          out_col="_f", use_shuffle="auto")
+    j1 = equi_join(pairs_ds, sizes, id_col, id_col, [tok_col], ["_c"])
+
+    def fix1(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["id", "tok", "c"])
+
+    j1 = j1.map_batches(fix1, batch_format="pyarrow", batch_size=None)
+    j2 = equi_join(j1, freqs, "tok", tok_col, ["id", "c"], ["_f"])
+
+    def fix2(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["tok", "id", "c", "f"])
+
+    rows = j2.map_batches(fix2, batch_format="pyarrow", batch_size=None)
+
+    def prefix_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "id": pa.array([], type=pa.int64())})
+        ids = g["id"].to_numpy()
+        tok = g["tok"].to_numpy()
+        c = g["c"].to_numpy()
+        f = g["f"].to_numpy()
+        order = np.lexsort((tok, f, ids))
+        ids_s, tok_s, c_s = ids[order], tok[order], c[order]
+        new = np.r_[True, ids_s[1:] != ids_s[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[run_id]
+        # prefix length |x| − ⌈τ·|x|⌉ + 1 (exact integer ceil)
+        plen = c_s - (tau_num * c_s + tau_den - 1) // tau_den + 1
+        keep = rank < plen
+        return pa.table({"tok": pa.array(tok_s[keep]),
+                         "id": pa.array(ids_s[keep])})
+
+    prefix = hash_exchange_groups(rows, ["id"], prefix_fn, num_parts)
+
+    def pair_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        empty = pa.table({"o1": pa.array([], type=pa.int64()),
+                          "o2": pa.array([], type=pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        tok = g["tok"].to_numpy()
+        ids = g["id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, tok))
+        tok_s, ids_s = tok[order], ids[order]
+        total = len(tok_s)
+        new = np.r_[True, tok_s[1:] != tok_s[:-1]]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], total)
+        first, second = _intra_run_pairs(starts, ends, total)
+        if len(first) == 0:
+            return empty
+        a, b = ids_s[first], ids_s[second]
+        return pa.table({"o1": pa.array(np.minimum(a, b)),
+                         "o2": pa.array(np.maximum(a, b))})
+
+    cand = hash_exchange_groups(prefix, ["tok"], pair_fn, num_parts)
+    cand = grouped_count(cand, ["o1", "o2"], out_col="_dup",
+                         use_shuffle="auto")
+
+    # --- broadcast-pairs verify (bounded pair table, size-guarded)
+    empty_out = pa.table({"o1": pa.array([], type=pa.int64()),
+                          "o2": pa.array([], type=pa.int64()),
+                          "inter": pa.array([], type=pa.int64()),
+                          "c1": pa.array([], type=pa.int64()),
+                          "c2": pa.array([], type=pa.int64())})
+    cblocks = [b for b in cand.select_columns(["o1", "o2"]).iter_batches(
+        batch_format="pyarrow")]
+    ctbl = (pa.concat_tables(cblocks) if cblocks
+            else empty_out.select(["o1", "o2"]))
+    if ctbl.num_rows == 0:
+        return empty_out
+    if ctbl.num_rows > PAIR_BROADCAST_MAX:
+        raise ValueError(
+            f"setsim_join: {ctbl.num_rows} candidate pairs exceed the "
+            f"broadcast verify budget {PAIR_BROADCAST_MAX}; raise the "
+            "threshold or add a cogroup verify plan")
+    o1 = ctbl["o1"].to_numpy()
+    o2 = ctbl["o2"].to_numpy()
+    members = np.concatenate([o1, o2])
+    pidx = np.tile(np.arange(len(o1), dtype=np.int64), 2)
+    side = np.repeat(np.array([0, 1], dtype=np.int64), len(o1))
+    morder = np.argsort(members, kind="stable")
+    bcast = ray.put({
+        "members": members[morder], "pidx": pidx[morder],
+        "side": side[morder], "o1": o1, "o2": o2})
+
+    def route(batch: pa.Table) -> pa.Table:
+        bb = ray.get(bcast)
+        mem, pix, sd = bb["members"], bb["pidx"], bb["side"]
+        ids = batch[id_col].to_numpy()
+        tok = batch[tok_col].to_numpy()
+        lo_ = np.searchsorted(mem, ids, side="left")
+        hi_ = np.searchsorted(mem, ids, side="right")
+        cnt = hi_ - lo_
+        has = cnt > 0
+        lo_, cnt = lo_[has], cnt[has]
+        tok_h = tok[has]
+        flat = (np.repeat(lo_, cnt)
+                + (np.arange(int(cnt.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+        p = pix[flat]
+        return pa.table({
+            "pp": pa.array(p % num_parts),
+            "p": pa.array(p),
+            "s": pa.array(sd[flat]),
+            "tok": pa.array(np.repeat(tok_h, cnt))})
+
+    routed = pairs_ds.map_batches(route, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return empty_out
+        bb = ray.get(bcast)
+        p = g["p"].to_numpy()
+        s = g["s"].to_numpy()
+        tok = g["tok"].to_numpy()
+        order = np.lexsort((tok, p))
+        p, s, tok = p[order], s[order], tok[order]
+        upairs, pp = np.unique(p, return_inverse=True)
+        nup = len(upairs)
+        # a token appears ≤1× per side → an adjacent duplicate of
+        # (pair, token) is exactly one shared token (any int64 token)
+        dup = (p[1:] == p[:-1]) & (tok[1:] == tok[:-1])
+        inter = np.zeros(nup, dtype=np.int64)
+        np.add.at(inter, pp[1:][dup], 1)
+        c1 = np.zeros(nup, dtype=np.int64)
+        c2 = np.zeros(nup, dtype=np.int64)
+        np.add.at(c1, pp, (s == 0).astype(np.int64))
+        np.add.at(c2, pp, (s == 1).astype(np.int64))
+        keep = (tau_den * inter >= tau_num * (c1 + c2 - inter)) \
+            & (c1 > 0) & (c2 > 0)
+        return pa.table({
+            "o1": pa.array(bb["o1"][upairs[keep]]),
+            "o2": pa.array(bb["o2"][upairs[keep]]),
+            "inter": pa.array(inter[keep]),
+            "c1": pa.array(c1[keep]),
+            "c2": pa.array(c2[keep])})
+
+    return hash_exchange_groups(routed, ["pp"], verify, num_parts)

@@ -515,3 +515,37 @@ def lm_score_docs(batch: pa.Table, model: np.ndarray, total: int,
         sums = np.add.reduceat(logp, starts[nz])
         scores[nz] = sums / nt[nz]
     return scores
+
+
+def ngram_explode(batch: pa.Table, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Word n-grams per document — (doc_id, gram) rows, pure offset
+    arithmetic over the flattened split ListArray (the k-gram
+    generalization of ``bigram_explode``): a gram starts at every flat
+    index whose document still has n−1 following words, so the last
+    n−1 positions of each doc mask out (clamped to the doc start so a
+    short doc never clobbers its predecessor's positions)."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = len(flat)
+    if total == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "gram": pa.array([], type=pa.string())})
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]  # sliced arrays carry a nonzero base offset
+    mask = np.ones(total, dtype=bool)
+    for k in range(1, n):
+        mask[np.maximum(offs[1:] - k, offs[:-1])] = False
+    start = np.nonzero(mask)[0]
+    if len(start) == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "gram": pa.array([], type=pa.string())})
+    parts = [flat.take(pa.array(start + k)) for k in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    doc_idx = np.searchsorted(offs[1:], start, side="right")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+    return pa.table({id_col: pa.array(ids), "gram": gram})
