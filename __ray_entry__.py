@@ -7297,6 +7297,149 @@ def _q_mkt_share(sf_dir):
                      "mkt_share": pa.array(share, type=pa.float64())})
 
 
+def _q_quantile_normalize(sf_dir):
+    """QUANTILE NORMALIZATION (rank-to-uniform feature transform):
+    every event's value maps to its exact cume_dist over the whole
+    table — the rank.py scale shape (combiner-first distinct-cent
+    counts → ONE range sort of the distinct table → two-phase prefix
+    scan) builds the (cent, |{≤v}|) rank map, which joins back to the
+    events through the adaptive equi-join; cdist is one float division
+    of exact integers.  Values quantize to cents (documented; the SQL
+    oracle applies the identical floor)."""
+    import ray.data
+
+    from engine.ops.rank import distinct_counts_ranked
+    from engine.rayds.shuffle import equi_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "c": pa.array(c)})
+
+    ev = ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True).materialize()
+    ranked = distinct_counts_ranked(ev.select_columns(["c"]), "c")
+
+    def le_counts(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t["c"],
+                         "le": pa.array(t["_cum0"].to_numpy()
+                                        + t["cnt"].to_numpy())})
+
+    rmap = ranked.map_batches(le_counts, batch_format="pyarrow",
+                              batch_size=None)
+    n = ev.count()
+    j = equi_join(ev, rmap, "c", "c", ["event_id"], ["le"])
+
+    def out(t: pa.Table) -> pa.Table:
+        le = t["le"].to_numpy()
+        return pa.table({"event_id": t["event_id"],
+                         "cdist": pa.array(le / float(n))})
+
+    return j.map_batches(out, batch_format="pyarrow", batch_size=None)
+
+
+def _q_longest_streak(sf_dir):
+    """GAPS-AND-ISLANDS: each user's longest run of consecutive equal
+    event types in (ts, event_id) order.  One hash exchange on
+    user_id; the per-partition kernel is one lexsort + run-boundary
+    diff over (user, type) change points + a reduceat max per user —
+    no row loops, the SQL mirror is the classic double-row_number
+    grouping trick."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"user_id": g["user_id"],
+                             "longest": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        rstarts = np.flatnonzero(new_run)
+        rlens = np.diff(np.append(rstarts, n))
+        ru = u[rstarts]
+        new_user = np.r_[True, ru[1:] != ru[:-1]]
+        ustarts = np.flatnonzero(new_user)
+        longest = np.maximum.reduceat(rlens, ustarts)
+        return pa.table({"user_id": pa.array(ru[ustarts]),
+                         "longest": pa.array(longest.astype(np.int64))})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
+def _q_table_checksums(sf_dir):
+    """ORDER-INDEPENDENT TABLE CHECKSUMS (the replication / migration
+    integrity op): per user-bucket, the XOR fold of each event's
+    60-bit md5 fingerprint plus a row count — XOR is commutative, so
+    any partitioning/arrival order produces the same checksum, and a
+    single flipped row flips the bucket.  Zero exchanges: 16-row
+    per-block partials tree-fold; md5 is the vectorized kernel
+    (engine/ops/vhash.py), bit-equal to the SQL
+    CAST(concat('0x', substr(md5(id),1,15)) AS BIGINT)."""
+    import ray.data
+
+    from engine.ops.vhash import md5_digest_words
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    B = 16
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "checksum": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        import pyarrow.compute as pc
+
+        s = pc.cast(t["event_id"], pa.string())
+        words = md5_digest_words(s)
+        u = (words[:, 1].astype(np.uint64) << np.uint64(32)) | \
+            words[:, 0].astype(np.uint64)
+        fp = (u.byteswap() >> np.uint64(4)).view(np.int64)
+        b = (t["user_id"].to_numpy() % B).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        b_s, fp_s = b[order], fp[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        xs = np.bitwise_xor.reduceat(fp_s, starts)
+        cnt = np.diff(np.append(starts, len(b_s)))
+        return pa.table({"bucket": pa.array(b_s[starts]),
+                         "checksum": pa.array(xs),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        if t.num_rows == 0:
+            return tbls[0]
+        b = t["bucket"].to_numpy()
+        xs = t["checksum"].to_numpy()
+        cnt = t["n"].to_numpy()
+        order = np.argsort(b, kind="stable")
+        b_s, xs_s, c_s = b[order], xs[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        return pa.table({
+            "bucket": pa.array(b_s[starts]),
+            "checksum": pa.array(np.bitwise_xor.reduceat(xs_s, starts)),
+            "n": pa.array(np.add.reduceat(c_s, starts))})
+
+    return tree_fold_refs(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True), fold)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -7504,6 +7647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_orders": _q_setsim_orders,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "mkt_share": _q_mkt_share,
+        "quantile_normalize": _q_quantile_normalize,
+        "longest_streak": _q_longest_streak,
+        "table_checksums": _q_table_checksums,
     }
 
 
@@ -10246,5 +10392,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(rev_bp * tgt) AS DOUBLE)
                    / CAST(sum(rev_bp) AS DOUBLE) AS mkt_share
         FROM j GROUP BY 1
+    """
+    sql["quantile_normalize"] = """
+        WITH e AS (
+            SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ), r AS (
+            SELECT c, count(*) AS cnt FROM e GROUP BY 1
+        ), s AS (
+            SELECT c, sum(cnt) OVER (
+                ORDER BY c ROWS UNBOUNDED PRECEDING) AS le
+            FROM r
+        )
+        SELECT event_id,
+               CAST(le AS DOUBLE)
+                   / CAST((SELECT count(*) FROM e) AS DOUBLE) AS cdist
+        FROM e JOIN s USING (c)
+    """
+    sql["longest_streak"] = """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rt
+            FROM events
+        ), runs AS (
+            SELECT user_id, event_type, rn - rt AS grp,
+                   count(*) AS cnt
+            FROM o GROUP BY 1, 2, 3
+        )
+        SELECT user_id, CAST(max(cnt) AS BIGINT) AS longest
+        FROM runs GROUP BY 1
+    """
+    sql["table_checksums"] = """
+        SELECT user_id % 16 AS bucket,
+               bit_xor(CAST(concat('0x',
+                   substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   AS BIGINT)) AS checksum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
     """
     return sql
