@@ -7440,6 +7440,153 @@ def _q_table_checksums(sf_dir):
                        zero_copy_batch=True), fold)
 
 
+def _q_debounce_events(sf_dir):
+    """DEBOUNCE / THROTTLE (streaming-hygiene dedup): drop an event if
+    the same (user, type) fired within the previous 5 minutes —
+    repeated-click suppression.  One hash exchange on user_id;
+    per-partition lexsort by (user, type, ts, id) + one vectorized
+    consecutive diff (run-start gating), exactly the SQL lag() mirror.
+    Returns the kept event ids."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    GAP = 300_000_000  # 5 min in µs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts",
+                                        "event_id"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        _, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, tcode, u))
+        u_s, t_s, ts_s, eid_s = u[order], tcode[order], ts[order], \
+            eid[order]
+        new = np.r_[True, (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1])]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = GAP + 1
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        keep = new | (gap > GAP)
+        return pa.table({"event_id": pa.array(np.sort(eid_s[keep]))})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
+def _q_order_skyline(sf_dir):
+    """SKYLINE (Pareto frontier) of orders maximizing (totalprice,
+    orderdate): rows no other row weakly dominates with one strict
+    coordinate.  Skylines compose — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each block reduces to its
+    local frontier (lexsort + per-x-run max + running-max filter, all
+    vectorized) and the tiny frontiers tree-fold; equal points are
+    mutually non-dominating and all survive (mirrored by the oracle's
+    NOT EXISTS).  Price compares in exact cents."""
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice",
+                                        "o_orderdate"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_cents": pa.array(
+                np.rint(t["o_totalprice"].to_numpy() * 100.0)
+                .astype(np.int64)),
+            "date_us": t["o_orderdate"].cast(pa.int64())})
+
+    def skyline(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "price_cents": pa.array([], type=pa.int64()),
+                "date_us": pa.array([], type=pa.int64())})
+        x = t["price_cents"].to_numpy()
+        y = t["date_us"].to_numpy()
+        k = t["o_orderkey"].to_numpy()
+        order = np.lexsort((-y, -x))
+        x_s, y_s, k_s = x[order], y[order], k[order]
+        new = np.r_[True, x_s[1:] != x_s[:-1]]
+        run_id = np.cumsum(new) - 1
+        run_top = y_s[np.flatnonzero(new)]        # max y of each x-run
+        # running max of y over STRICTLY larger x (previous runs)
+        prev = np.r_[np.int64(-2**62),
+                     np.maximum.accumulate(run_top)[:-1]]
+        keep = (y_s == run_top[run_id]) & (y_s > prev[run_id])
+        return pa.table({"o_orderkey": pa.array(k_s[keep]),
+                         "price_cents": pa.array(x_s[keep]),
+                         "date_us": pa.array(y_s[keep])})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        return skyline(pa.concat_tables(tbls).combine_chunks())
+
+    def pre(t: pa.Table) -> pa.Table:
+        return skyline(conv(t))
+
+    folded = tree_fold_refs(
+        ds.map_batches(pre, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        fold)
+    return folded
+
+
+def _q_brand_wavg_price(sf_dir):
+    """QUANTITY-WEIGHTED AVERAGE price per brand: Σ(cents·qty)/Σqty as
+    exact int64 partials (combiner-first through the adaptive join on
+    partkey, brand rollup on the catalog-bounded key) and ONE float
+    division — the weighted-aggregate family member next to the plain
+    sums."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    part_t = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                   columns=["p_partkey", "p_brand"])
+
+    def li_fn(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "wsum": pa.array(cents * qty),
+                         "qty": pa.array(qty)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_fn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    j = equi_join(li, part_t, "l_partkey", "p_partkey",
+                  ["wsum", "qty"], ["p_brand"])
+    rolled = grouped_agg(j, ["p_brand"], [("wsum", "sum"),
+                                          ("qty", "sum")],
+                         ["wsum", "qty"], plan="tree")
+
+    def fin(t: pa.Table) -> pa.Table:
+        w = t["wsum"].to_numpy()
+        q = t["qty"].to_numpy()
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "sum_weighted_cents": pa.array(w),
+            "sum_qty": pa.array(q),
+            "wavg_cents": pa.array(w.astype(np.float64)
+                                   / q.astype(np.float64))})
+
+    return rolled.map_batches(fin, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -7650,6 +7797,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": _q_quantile_normalize,
         "longest_streak": _q_longest_streak,
         "table_checksums": _q_table_checksums,
+        "debounce_events": _q_debounce_events,
+        "order_skyline": _q_order_skyline,
+        "brand_wavg_price": _q_brand_wavg_price,
     }
 
 
@@ -10434,5 +10584,48 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT)) AS checksum,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
+    """
+    sql["debounce_events"] = """
+        WITH w AS (
+            SELECT event_id, ts,
+                   lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT event_id FROM w
+        WHERE prev IS NULL
+           OR epoch_us(ts) - epoch_us(prev) > 300000000
+    """
+    sql["order_skyline"] = """
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+            FROM orders
+        )
+        SELECT o_orderkey, price_cents, date_us FROM o a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM o b
+            WHERE b.price_cents >= a.price_cents
+              AND b.date_us >= a.date_us
+              AND (b.price_cents > a.price_cents
+                   OR b.date_us > a.date_us))
+    """
+    sql["brand_wavg_price"] = """
+        WITH j AS (
+            SELECT p_brand,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT) AS wsum,
+                   CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT p_brand,
+               CAST(sum(wsum) AS BIGINT) AS sum_weighted_cents,
+               CAST(sum(qty) AS BIGINT) AS sum_qty,
+               CAST(sum(wsum) AS DOUBLE) / CAST(sum(qty) AS DOUBLE)
+                   AS wavg_cents
+        FROM j GROUP BY 1
     """
     return sql
