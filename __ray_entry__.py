@@ -7587,6 +7587,91 @@ def _q_brand_wavg_price(sf_dir):
                               batch_size=None)
 
 
+def _q_type_users_hll(sf_dir):
+    """Per-event-type approximate distinct users (○ — grouped
+    HyperLogLog): per-group 4 KiB register partials tree-fold with
+    elementwise max, zero exchanges at any event volume.  Accuracy
+    pinned by the ±6% pytest against the exact grouped distinct."""
+    import ray.data
+
+    from engine.ops.sketch import grouped_hll_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return grouped_hll_distinct(ds, "event_type", "user_id")
+
+
+def _q_cell_adjacency(sf_dir):
+    """SPATIAL ADJACENCY GRAPH of occupied grid cells: (cell_a,
+    cell_b) pairs where cell_b is the right or down lattice neighbour
+    of an occupied cell_a — the topology primitive under focal ops and
+    region merging.  The occupied-cell table is lattice-bounded, so
+    after the combiner-first count rollup ONE single-block vectorized
+    searchsorted membership test emits the edges; the SQL oracle
+    mirrors the cell-id arithmetic (right = +2^20, down = +1)."""
+    from engine.rayds import pipeline, shuffle
+
+    enc = pipeline.encoded_dataset(sf_dir).select_columns(["cell"])
+    cells = shuffle.grouped_count(enc, ["cell"], out_col="n")
+
+    def edges(t: pa.Table) -> pa.Table:
+        c = np.sort(t["cell"].to_numpy())
+        out_a, out_b = [], []
+        for step in (1 << 20, 1):  # right, down
+            nb = c + step
+            pos = np.searchsorted(c, nb)
+            ok = (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == nb)
+            out_a.append(c[ok])
+            out_b.append(nb[ok])
+        return pa.table({"cell_a": pa.array(np.concatenate(out_a)),
+                         "cell_b": pa.array(np.concatenate(out_b))})
+
+    return cells.map_batches(edges, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def _q_hive_partition_roundtrip(sf_dir):
+    """HIVE-PARTITIONED SINK + PARTITION-PRUNED SOURCE: events land
+    once as parquet partitioned by event_type (Ray's partition_cols
+    sink), then ONLY the purchase partition's directory is read back
+    (directory-level pruning — no bytes of the other partitions move)
+    into a per-user rollup.  The oracle aggregates the original table,
+    so the check proves the partitioned roundtrip is lossless."""
+    import shutil
+
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    out = "/tmp/graft_hive_events"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id",
+                                        "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "user_id": t["user_id"],
+                         "cents": pa.array(c)})
+
+    ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                   zero_copy_batch=True).write_parquet(
+        out, partition_cols=["event_type"])
+
+    back = ray.data.read_parquet(f"{out}/event_type=purchase")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "cents": t["cents"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    return grouped_agg(
+        back.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        ["user_id"], [("one", "sum"), ("cents", "sum")],
+        ["n", "sum_cents"], plan="shuffle")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -7800,6 +7885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": _q_debounce_events,
         "order_skyline": _q_order_skyline,
         "brand_wavg_price": _q_brand_wavg_price,
+        "type_users_hll": _q_type_users_hll,
+        "cell_adjacency": _q_cell_adjacency,
+        "hive_partition_roundtrip": _q_hive_partition_roundtrip,
     }
 
 
@@ -10627,5 +10715,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(wsum) AS DOUBLE) / CAST(sum(qty) AS DOUBLE)
                    AS wavg_cents
         FROM j GROUP BY 1
+    """
+    sql["cell_adjacency"] = f"""
+        WITH {_IMGS},
+        c AS (
+            SELECT DISTINCT CAST(floor(x / 5.0) AS BIGINT) * 1048576
+                   + CAST(floor(y / 5.0) AS BIGINT) AS cell
+            FROM imgs
+        )
+        SELECT a.cell AS cell_a, b.cell AS cell_b
+        FROM c a JOIN c b
+          ON b.cell = a.cell + 1048576 OR b.cell = a.cell + 1
+    """
+    sql["hive_partition_roundtrip"] = """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
     """
     return sql

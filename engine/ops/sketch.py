@@ -504,3 +504,59 @@ def grouped_mrl_quantiles(ds, group_col: str, val_col: str, qs,
     from engine.rayds.shuffle import hash_exchange_fine_groups
 
     return hash_exchange_fine_groups(parts, [group_col], per_group)
+
+
+def grouped_hll_distinct(ds, group_col: str, val_col: str):
+    """Per-group approximate COUNT(DISTINCT val) — HLL register
+    partials PER GROUP ride the raw-task tree fold (each partial is
+    |groups in block| rows × 4 KB registers; group cardinality is
+    small by contract — a categorical column), merged by elementwise
+    np.maximum per key.  Returns a driver-side table
+    (group, approx_distinct float)."""
+    from engine.rayds.shuffle import tree_fold_refs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gtype = batch.schema.field(group_col).type
+        if batch.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=gtype),
+                             "reg": pa.array([], type=pa.binary())})
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        keys, regs = [], []
+        for k in np.unique(g):
+            keys.append(k)
+            regs.append(hll_sketch(v[g == k]).tobytes())
+        return pa.table({group_col: pa.array(keys, type=gtype),
+                         "reg": pa.array(regs, type=pa.binary())})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        if t.num_rows == 0:
+            return tbls[0]
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        regs = t["reg"].to_pylist()
+        keys, out = [], []
+        for k in np.unique(g):
+            acc = np.zeros(_HLL_M, dtype=np.uint8)
+            for i in np.flatnonzero(g == k):
+                acc = hll_merge(acc, np.frombuffer(regs[i],
+                                                   dtype=np.uint8))
+            keys.append(k)
+            out.append(acc.tobytes())
+        return pa.table({group_col: pa.array(
+            keys, type=t.schema.field(group_col).type),
+            "reg": pa.array(out, type=pa.binary())})
+
+    folded = tree_fold_refs(
+        ds.select_columns([group_col, val_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True),
+        fold)
+    keys, est = [], []
+    for i in range(folded.num_rows):
+        keys.append(folded[group_col][i].as_py())
+        est.append(hll_count(np.frombuffer(folded["reg"][i].as_py(),
+                                           dtype=np.uint8)))
+    return pa.table({group_col: pa.array(
+        keys, type=folded.schema.field(group_col).type),
+        "approx_distinct": pa.array(est, type=pa.float64())})
