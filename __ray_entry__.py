@@ -7672,6 +7672,142 @@ def _q_hive_partition_roundtrip(sf_dir):
         ["n", "sum_cents"], plan="shuffle")
 
 
+def _q_q12_linestatus(sf_dir):
+    """TPC-H Q12 SHAPE (shipping-mode priority matrix, adapted to the
+    columns this schema carries): per lineitem linestatus, how many
+    joined orders are high-priority (1-URGENT / 2-HIGH) vs low — the
+    join + conditional-aggregation pattern.  Orders project to a
+    narrow (orderkey, is_high) stream, the big-big orderkey join rides
+    the adaptive equi-join, and the 2×2 matrix is a combiner-first
+    rollup folded as tree partials."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    def ofn(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "is_high": pc.cast(hi, pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(ofn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+
+    def lfn(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linestatus": t["l_linestatus"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus"],
+    ).map_batches(lfn, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    j = equi_join(li, orders, "l_orderkey", "o_orderkey",
+                  ["l_linestatus", "one"], ["is_high"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        hi = t["is_high"].to_numpy()
+        return pa.table({"l_linestatus": t["l_linestatus"],
+                         "high": pa.array(hi),
+                         "low": pa.array(1 - hi)})
+
+    return grouped_agg(
+        j.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["l_linestatus"], [("high", "sum"), ("low", "sum")],
+        ["high_count", "low_count"], plan="tree")
+
+
+def _q_above_avg_orders(sf_dir):
+    """CORRELATED SCALAR SUBQUERY, DECORRELATED (orders above the
+    customer's own average): the per-customer (Σcents, n) rollup rides
+    one hash exchange, joins back to the order stream adaptively, and
+    the predicate price > avg evaluates EXACTLY in integers —
+    cents·n > Σcents — so no float average exists anywhere.  Output:
+    per customer, how many of their orders beat their mean."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(c),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    ev = ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True).materialize()
+    stats = grouped_agg(ev, ["o_custkey"], [("cents", "sum"),
+                                            ("one", "sum")],
+                        ["s", "n"], plan="shuffle")
+    j = equi_join(ev, stats, "o_custkey", "o_custkey", ["cents"],
+                  ["s", "n"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        above = (t["cents"].to_numpy() * t["n"].to_numpy()
+                 > t["s"].to_numpy()).astype(np.int64)
+        return pa.table({"o_custkey": t["_k"],
+                         "above": pa.array(above),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    return grouped_agg(
+        j.map_batches(flag, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"], [("above", "sum"), ("one", "sum")],
+        ["n_above_avg", "n_orders"], plan="shuffle")
+
+
+def _q_dup_rate_by_source(sf_dir):
+    """PER-SOURCE DUPLICATION PROFILE (which crawl/source is dirtiest
+    — the curation triage view): per source, total docs vs distinct
+    texts (by the 16-hex md5 fingerprint — byte-equal with the SQL
+    substr(md5(text),1,16)).  Per-block (source, fp) dedup combiner →
+    exact grouped distinct through one exchange; doc totals are a
+    combiner-first count."""
+    import ray.data
+
+    from engine.ops.sketch import distinct_count_exact
+    from engine.ops.vhash import md5_hex
+    from engine.rayds.shuffle import equi_join, grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        h = md5_hex(t["text"], prefix=16)
+        return pa.table({"source": t["source"],
+                         "fp": pa.array(h)})
+
+    fps = ds.map_batches(fp, batch_format="pyarrow", batch_size=None,
+                         zero_copy_batch=True).materialize()
+    nd = distinct_count_exact(fps, "source", "fp",
+                              out_col="n_distinct")
+    tot = grouped_count(fps.select_columns(["source"]), ["source"],
+                        out_col="n_docs", use_shuffle=False)
+    out = equi_join(tot, nd, "source", "source", ["n_docs"],
+                    ["n_distinct"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["source", "n_docs", "n_distinct"])
+        nd_ = t["n_distinct"].to_numpy()
+        ndoc = t["n_docs"].to_numpy()
+        return t.append_column(
+            "n_dups", pa.array((ndoc - nd_).astype(np.int64)))
+
+    return out.map_batches(fin, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -7888,6 +8024,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_users_hll": _q_type_users_hll,
         "cell_adjacency": _q_cell_adjacency,
         "hive_partition_roundtrip": _q_hive_partition_roundtrip,
+        "q12_linestatus": _q_q12_linestatus,
+        "above_avg_orders": _q_above_avg_orders,
+        "dup_rate_by_source": _q_dup_rate_by_source,
     }
 
 
@@ -10733,5 +10872,41 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_cents
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
+    """
+    sql["q12_linestatus"] = """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """
+    sql["above_avg_orders"] = """
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), s AS (
+            SELECT o_custkey, sum(cents) AS sm, count(*) AS n
+            FROM o GROUP BY 1
+        )
+        SELECT o.o_custkey,
+               CAST(sum(CASE WHEN o.cents * s.n > s.sm
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above_avg,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM o JOIN s ON o.o_custkey = s.o_custkey
+        GROUP BY 1
+    """
+    sql["dup_rate_by_source"] = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT substr(md5(text), 1, 16))
+                    AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT substr(md5(text), 1, 16))
+                    AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1
     """
     return sql
