@@ -10,12 +10,15 @@ never explodes on frequent tokens.
 Dataflow (every exchange moves narrow int64 rows; no driver
 materialization beyond the bounded candidate-pair table):
 
-1. per-id set size + global token frequency — combiner-first counts,
-   attached back through the adaptive equi-join;
-2. one exchange on id: per-partition lexsort by (id, freq, token),
-   run-relative ranks mark each id's prefix tokens;
+1. global token frequency — one combiner-first count, attached
+   through the adaptive equi-join;
+2. one exchange on id: the partition holds every row of its ids, so
+   set sizes are run lengths; per-partition lexsort by (id, freq,
+   token) + run-relative ranks mark each id's prefix tokens;
 3. one exchange on prefix token: vectorized intra-run pair explode
-   (o1 < o2, the basket-mining primitive), then a pair-key dedupe;
+   (o1 < o2, the basket-mining primitive); band-duplicate candidates
+   dedupe in one np.unique at the driver collect the broadcast needs
+   anyway;
 4. verify: the deduped pair table broadcasts once (``ray.put`` — the
    engine's broadcast-pairs plan, size-guarded like the MinHash
    verify); one map over the (id, token) rows routes each member's
@@ -53,24 +56,19 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
 
     pairs_ds = pairs_ds.select_columns([id_col, tok_col]).materialize()
 
-    sizes = grouped_count(pairs_ds.select_columns([id_col]), [id_col],
-                          out_col="_c", use_shuffle="auto")
     freqs = grouped_count(pairs_ds.select_columns([tok_col]), [tok_col],
                           out_col="_f", use_shuffle="auto")
-    j1 = equi_join(pairs_ds, sizes, id_col, id_col, [tok_col], ["_c"])
-
-    def fix1(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["id", "tok", "c"])
-
-    j1 = j1.map_batches(fix1, batch_format="pyarrow", batch_size=None)
-    j2 = equi_join(j1, freqs, "tok", tok_col, ["id", "c"], ["_f"])
+    j2 = equi_join(pairs_ds, freqs, tok_col, tok_col, [id_col], ["_f"])
 
     def fix2(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["tok", "id", "c", "f"])
+        return t.rename_columns(["tok", "id", "f"])
 
     rows = j2.map_batches(fix2, batch_format="pyarrow", batch_size=None)
 
     def prefix_fn(group: pa.Table) -> pa.Table:
+        # the id-exchange partition holds EVERY row of its ids, so the
+        # set size c is just the id-run length — no size rollup or
+        # second join anywhere
         g = group.drop_columns(["_part"])
         n = g.num_rows
         if n == 0:
@@ -78,14 +76,14 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
                              "id": pa.array([], type=pa.int64())})
         ids = g["id"].to_numpy()
         tok = g["tok"].to_numpy()
-        c = g["c"].to_numpy()
         f = g["f"].to_numpy()
         order = np.lexsort((tok, f, ids))
-        ids_s, tok_s, c_s = ids[order], tok[order], c[order]
+        ids_s, tok_s = ids[order], tok[order]
         new = np.r_[True, ids_s[1:] != ids_s[:-1]]
         starts = np.flatnonzero(new)
         run_id = np.cumsum(new) - 1
         rank = np.arange(n, dtype=np.int64) - starts[run_id]
+        c_s = np.diff(np.append(starts, n))[run_id]
         # prefix length |x| − ⌈τ·|x|⌉ + 1 (exact integer ceil)
         plen = c_s - (tau_num * c_s + tau_den - 1) // tau_den + 1
         keep = rank < plen
@@ -116,17 +114,16 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
                          "o2": pa.array(np.maximum(a, b))})
 
     cand = hash_exchange_groups(prefix, ["tok"], pair_fn, num_parts)
-    cand = grouped_count(cand, ["o1", "o2"], out_col="_dup",
-                         use_shuffle="auto")
 
-    # --- broadcast-pairs verify (bounded pair table, size-guarded)
+    # --- broadcast-pairs verify (bounded pair table, size-guarded);
+    # band-duplicate candidates dedupe in ONE np.unique at the collect
+    # the broadcast needs anyway — no extra exchange
     empty_out = pa.table({"o1": pa.array([], type=pa.int64()),
                           "o2": pa.array([], type=pa.int64()),
                           "inter": pa.array([], type=pa.int64()),
                           "c1": pa.array([], type=pa.int64()),
                           "c2": pa.array([], type=pa.int64())})
-    cblocks = [b for b in cand.select_columns(["o1", "o2"]).iter_batches(
-        batch_format="pyarrow")]
+    cblocks = [b for b in cand.iter_batches(batch_format="pyarrow")]
     ctbl = (pa.concat_tables(cblocks) if cblocks
             else empty_out.select(["o1", "o2"]))
     if ctbl.num_rows == 0:
@@ -136,8 +133,18 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
             f"setsim_join: {ctbl.num_rows} candidate pairs exceed the "
             f"broadcast verify budget {PAIR_BROADCAST_MAX}; raise the "
             "threshold or add a cogroup verify plan")
-    o1 = ctbl["o1"].to_numpy()
-    o2 = ctbl["o2"].to_numpy()
+    raw1 = ctbl["o1"].to_numpy()
+    raw2 = ctbl["o2"].to_numpy()
+    upair = np.unique(raw1.astype(np.uint64) * np.uint64(1 << 32)
+                      + raw2.astype(np.uint64)) \
+        if (raw2 < (1 << 32)).all() and (raw1 < (1 << 32)).all() else None
+    if upair is not None:
+        o1 = (upair >> np.uint64(32)).astype(np.int64)
+        o2 = (upair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:  # ids past 2^32: structured dedupe
+        both = np.stack([raw1, raw2], axis=1)
+        both = np.unique(both, axis=0)
+        o1, o2 = both[:, 0], both[:, 1]
     members = np.concatenate([o1, o2])
     pidx = np.tile(np.arange(len(o1), dtype=np.int64), 2)
     side = np.repeat(np.array([0, 1], dtype=np.int64), len(o1))
