@@ -7808,6 +7808,147 @@ def _q_dup_rate_by_source(sf_dir):
                            batch_size=None)
 
 
+def _q_rolling_median(sf_dir):
+    """ROLLING MEDIAN (the NON-DECOMPOSABLE window aggregate — unlike
+    sum/mean it has no combiner form, which is exactly why it belongs
+    in the suite): per user, median of the trailing 5-row frame in
+    (ts, event_id) order.  One exchange; per partition the frame
+    matrix is 5 shifted columns with run-start gating (+inf pads),
+    one np.sort over axis 1, and the even-frame interpolation is
+    (lo + hi)·0.5 — DuckDB's windowed-median evaluation (measured: it
+    differs from quantile_cont's lo + (hi−lo)·frac by one rounding),
+    so the doubles hash bit-identically."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    W = 5
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"event_id": g["event_id"],
+                             "med": pa.array([], type=pa.float64())})
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        v = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u_s, v_s, eid_s = u[order], v[order], eid[order]
+        new = np.r_[True, u_s[1:] != u_s[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        frame = np.full((n, W), np.inf)
+        for k in range(W):
+            ok = pos >= k
+            idx = np.flatnonzero(ok)
+            frame[idx, k] = v_s[idx - k]
+        frame.sort(axis=1)
+        cnt = np.minimum(pos + 1, W)
+        lo_i = (cnt - 1) // 2
+        hi_i = cnt // 2
+        rows = np.arange(n)
+        lo = frame[rows, lo_i]
+        hi = frame[rows, hi_i]
+        med = (lo + hi) * 0.5   # DuckDB's windowed-median interpolation
+        return pa.table({"event_id": pa.array(eid_s),
+                         "med": pa.array(med)})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
+def _q_power_users_division(sf_dir):
+    """RELATIONAL DIVISION (users who did EVERY event type): distinct
+    (user, type) pair dedup doubles as the per-user distinct-type
+    count; a user divides the 5-type relation iff the count equals the
+    global type count (itself a tree-folded distinct — never
+    hardcoded).  Two combiner-first exchanges, no joins."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    pairs = grouped_count(ds, ["user_id", "event_type"], out_col="_d",
+                          use_shuffle="auto").materialize()
+    ntypes = grouped_count(pairs.select_columns(["event_type"]),
+                           ["event_type"], out_col="_t",
+                           use_shuffle=False).count()
+    per_user = grouped_count(pairs.select_columns(["user_id"]),
+                             ["user_id"], out_col="n_types",
+                             use_shuffle="auto")
+
+    def full(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["n_types"], ntypes)).select(
+            ["user_id"])
+
+    return per_user.map_batches(full, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def _q_next_purchase(sf_dir):
+    """FORWARD AS-OF JOIN (first purchase strictly after each click,
+    same user — the backward as-of's mirror): one exchange on
+    user_id; per partition both event streams ride ONE composite
+    (user_rank·span + dt) int64 and a single side='right'
+    searchsorted finds every click's next purchase — the
+    followup_pairs/time_window composite shape.  Clicks with no later
+    purchase report −1 (the SQL COALESCE mirror)."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "next_purchase_us": pa.array(
+                              [], type=pa.int64())})
+        if n == 0:
+            return empty
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        is_c = et == "click"
+        is_p = et == "purchase"
+        if not is_c.any():
+            return empty
+        t0 = ts.min()
+        dt = ts - t0
+        span = int(dt.max()) + 2
+        _, urank = np.unique(u, return_inverse=True)
+        comp = urank.astype(np.int64) * span + dt
+        pc_ = np.sort(comp[is_p])
+        p_ts = dt[is_p]
+        porder = np.argsort(comp[is_p], kind="stable")
+        p_ts_sorted = p_ts[porder]
+        cq = comp[is_c]
+        pos = np.searchsorted(pc_, cq, side="right")
+        # a hit only counts inside the SAME user's composite band
+        cu = urank[is_c].astype(np.int64)
+        ok = (pos < len(pc_)) & (pc_[np.minimum(pos, len(pc_) - 1)]
+                                 // span == cu)
+        out = np.full(int(is_c.sum()), -1, dtype=np.int64)
+        out[ok] = p_ts_sorted[pos[ok]] + t0
+        return pa.table({"event_id": pa.array(eid[is_c]),
+                         "next_purchase_us": pa.array(out)})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8027,6 +8168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_linestatus": _q_q12_linestatus,
         "above_avg_orders": _q_above_avg_orders,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "rolling_median": _q_rolling_median,
+        "power_users_division": _q_power_users_division,
+        "next_purchase": _q_next_purchase,
     }
 
 
@@ -10908,5 +11052,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) - count(DISTINCT substr(md5(text), 1, 16))
                     AS BIGINT) AS n_dups
         FROM documents GROUP BY 1
+    """
+    sql["rolling_median"] = """
+        SELECT event_id,
+               median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+        FROM events
+    """
+    sql["power_users_division"] = """
+        WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT user_id FROM p GROUP BY 1
+        HAVING count(*) = (SELECT count(DISTINCT event_type)
+                           FROM events)
+    """
+    sql["next_purchase"] = """
+        WITH c AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id,
+               CAST(coalesce(min(p.t), -1) AS BIGINT)
+                   AS next_purchase_us
+        FROM c LEFT JOIN p
+          ON p.user_id = c.user_id AND p.t > c.t
+        GROUP BY 1
     """
     return sql
