@@ -7949,6 +7949,139 @@ def _q_next_purchase(sf_dir):
     return hash_exchange_groups(ds, ["user_id"], part_fn)
 
 
+def _q_value_drift(sf_dir):
+    """DATA-DRIFT MONITOR (two-sample histogram comparison — the
+    train-vs-prod distribution check): events split at the time
+    midpoint into A/B, 20 fixed-width buckets over the exact global
+    [min,max]; per bucket the exact counts (cA, cB) and the two-sample
+    chi-square term ((cA·NB − cB·NA)² / (NA·NB·(cA+cB))) — emitted
+    PER BUCKET so no cross-bucket float summation order exists; every
+    numerator/denominator is an exact integer and the division is one
+    float op.  Zero exchanges: 3-scalar bounds partials + 20-row count
+    partials, both tree-folded."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tmn": pa.array([], type=pa.int64()),
+                             "tmx": pa.array([], type=pa.int64()),
+                             "vmn": pa.array([], type=pa.float64()),
+                             "vmx": pa.array([], type=pa.float64())})
+        tsv = t["ts"].cast(pa.int64())
+        return pa.table({
+            "tmn": pa.array([pc.min(tsv).as_py()], type=pa.int64()),
+            "tmx": pa.array([pc.max(tsv).as_py()], type=pa.int64()),
+            "vmn": pa.array([pc.min(t["value"]).as_py()],
+                            type=pa.float64()),
+            "vmx": pa.array([pc.max(t["value"]).as_py()],
+                            type=pa.float64())})
+
+    bt = tree_fold_refs(
+        ds.map_batches(bounds, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    tmn = int(pc.min(bt["tmn"]).as_py())
+    tmx = int(pc.max(bt["tmx"]).as_py())
+    vmn = float(pc.min(bt["vmn"]).as_py())
+    vmx = float(pc.max(bt["vmx"]).as_py())
+    mid = (tmn + tmx) // 2
+    span = vmx - vmn
+    B = 20
+
+    def hist(t: pa.Table) -> pa.Table:
+        tsv = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy()
+        b = np.minimum((((v - vmn) / span) * B).astype(np.int64), B - 1)
+        is_b = (tsv > mid).astype(np.int64)
+        comp = b * 2 + is_b
+        cnt = np.bincount(comp, minlength=2 * B).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.arange(B, dtype=np.int64)),
+            "ca": pa.array(cnt[0::2]),
+            "cb": pa.array(cnt[1::2])})
+
+    ht = tree_fold_refs(
+        ds.map_batches(hist, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls)
+        .group_by(["bucket"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        .rename_columns(["bucket", "ca", "cb"]))
+    ca = ht["ca"].to_numpy()
+    cb = ht["cb"].to_numpy()
+    na = int(ca.sum())
+    nb = int(cb.sum())
+    num = (ca * nb - cb * na).astype(object)
+    den = (na * nb) * (ca + cb).astype(object)
+    term = np.array(
+        [float(int(n_) * int(n_)) / float(d_) if d_ else 0.0
+         for n_, d_ in zip(num, den)], dtype=np.float64)
+    order = np.argsort(ht["bucket"].to_numpy())
+    return pa.table({
+        "bucket": pa.array(ht["bucket"].to_numpy()[order]),
+        "count_a": pa.array(ca[order]),
+        "count_b": pa.array(cb[order]),
+        "chi2_term": pa.array(term[order], type=pa.float64())})
+
+
+def _q_paa_symbols(sf_dir):
+    """SAX-STYLE SYMBOLIZATION (PAA + fixed breakpoints — the
+    time-series indexing transform): each user's (ts, event_id)-ordered
+    value series splits into 8 equal-count segments (seg =
+    ⌊i·8/n⌋), each segment's mean quantizes to a symbol by fixed
+    thresholds — decided EXACTLY as the integer comparison
+    Σcents vs T·100·n_seg (no float mean anywhere).  One exchange;
+    per-partition lexsort + reduceat sums."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    S = 8
+    THRESH = (25, 50, 75)  # dollar breakpoints → symbols 0..3
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "value"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"user_id": g["user_id"],
+                             "seg": pa.array([], type=pa.int64()),
+                             "symbol": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, c_s = u[order], cents[order]
+        new = np.r_[True, u_s[1:] != u_s[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        nlen = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        seg = pos * S // nlen[run_id]
+        comp = run_id * S + seg
+        segstart = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
+        ssum = np.add.reduceat(c_s, segstart)
+        scnt = np.diff(np.append(segstart, n))
+        sym = np.zeros(len(ssum), dtype=np.int64)
+        for t_ in THRESH:
+            sym += (ssum > t_ * 100 * scnt).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u_s[segstart]),
+            "seg": pa.array(seg[segstart]),
+            "symbol": pa.array(sym)})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8171,6 +8304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _q_rolling_median,
         "power_users_division": _q_power_users_division,
         "next_purchase": _q_next_purchase,
+        "value_drift": _q_value_drift,
+        "paa_symbols": _q_paa_symbols,
     }
 
 
@@ -11081,5 +11216,62 @@ def oracle_sql() -> dict[str, str]:
         FROM c LEFT JOIN p
           ON p.user_id = c.user_id AND p.t > c.t
         GROUP BY 1
+    """
+    sql["value_drift"] = """
+        WITH b AS (
+            SELECT CAST(min(epoch_us(ts)) AS BIGINT) tmn,
+                   CAST(max(epoch_us(ts)) AS BIGINT) tmx,
+                   min(value) vmn, max(value) vmx
+            FROM events
+        ), e AS (
+            SELECT least(CAST(floor(((value - b.vmn)
+                       / (b.vmx - b.vmn)) * 20) AS BIGINT), 19)
+                       AS bucket,
+                   CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                             > (b.tmn + b.tmx) // 2
+                        THEN 1 ELSE 0 END AS is_b
+            FROM events, b
+        ), h AS (
+            SELECT bucket,
+                   CAST(sum(1 - is_b) AS HUGEINT) ca,
+                   CAST(sum(is_b) AS HUGEINT) cb
+            FROM e GROUP BY 1
+        ), spine AS (
+            SELECT CAST(unnest(range(20)) AS BIGINT) AS bucket
+        ), t AS (
+            SELECT spine.bucket,
+                   CAST(coalesce(h.ca, 0) AS HUGEINT) ca,
+                   CAST(coalesce(h.cb, 0) AS HUGEINT) cb,
+                   (SELECT sum(ca) FROM h) na,
+                   (SELECT sum(cb) FROM h) nb
+            FROM spine LEFT JOIN h USING (bucket)
+        )
+        SELECT bucket, CAST(ca AS BIGINT) AS count_a,
+               CAST(cb AS BIGINT) AS count_b,
+               CASE WHEN ca + cb = 0 THEN 0.0
+                    ELSE CAST((ca*nb - cb*na) * (ca*nb - cb*na)
+                              AS DOUBLE)
+                         / CAST(na * nb * (ca + cb) AS DOUBLE)
+               END AS chi2_term
+        FROM t
+    """
+    sql["paa_symbols"] = """
+        WITH o AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) - 1 AS pos,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        )
+        SELECT user_id, CAST(pos * 8 // n AS BIGINT) AS seg,
+               CAST((CASE WHEN sum(cents) > 2500 * count(*)
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN sum(cents) > 5000 * count(*)
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN sum(cents) > 7500 * count(*)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS symbol
+        FROM o GROUP BY user_id, pos * 8 // n
     """
     return sql
