@@ -8082,6 +8082,137 @@ def _q_paa_symbols(sf_dir):
     return hash_exchange_groups(ds, ["user_id"], part_fn)
 
 
+def _q_seasonal_naive_error(sf_dir):
+    """FORECAST BACKTEST (seasonal-naive baseline): predict each day's
+    event count with the same weekday one week earlier and score MAE /
+    bias over the dense calendar — the model-evaluation loop every
+    forecasting pipeline needs.  Combiner-first day counts (the series
+    is CALENDAR-BOUNDED, so the scoring runs driver-side over days,
+    never rows); the error sums are exact integers and MAE is one
+    float division, mirrored by the generate_series + lag(7) oracle."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def day_fn(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({"day": pa.array(day.astype(np.int64))})
+
+    counts = grouped_count(
+        ds.map_batches(day_fn, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True), ["day"], out_col="n")
+    t = pa.concat_tables(
+        [b for b in counts.iter_batches(batch_format="pyarrow")])
+    day = t["day"].to_numpy()
+    n = t["n"].to_numpy()
+    lo, hi = int(day.min()), int(day.max())
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[day - lo] = n
+    if len(dense) <= 7:
+        return pa.table({"n_days": pa.array([0], type=pa.int64()),
+                         "abs_err": pa.array([0], type=pa.int64()),
+                         "bias": pa.array([0], type=pa.int64()),
+                         "mae": pa.array([0.0], type=pa.float64())})
+    actual = dense[7:]
+    pred = dense[:-7]
+    err = actual - pred
+    nd = len(err)
+    abs_err = int(np.abs(err).sum())
+    bias = int(err.sum())
+    return pa.table({
+        "n_days": pa.array([nd], type=pa.int64()),
+        "abs_err": pa.array([abs_err], type=pa.int64()),
+        "bias": pa.array([bias], type=pa.int64()),
+        "mae": pa.array([float(abs_err) / float(nd)],
+                        type=pa.float64())})
+
+
+def _q_source_vocab_overlap(sf_dir):
+    """CORPUS SIMILARITY MATRIX: vocabulary Jaccard between every
+    source pair — which crawls duplicate each other's language.  Per
+    doc-block distinct (source, word) rows (each doc is one row, so
+    block dedup is exact after the pair-count rollup), per-word source
+    lists explode to pairs (≤ sources² per word — catalog-bounded),
+    combiner-first pair counts + per-source vocab sizes, jaccard = one
+    float division of exact integers per pair."""
+    import ray.data
+
+    from engine.ops.basket import cooccur_pairs
+    from engine.rayds.shuffle import equi_join, grouped_count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def swords(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False)
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False),
+                        lens)
+        return pa.table({"source": pa.array(src), "word": flat})
+
+    sw = docs.map_batches(swords, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    pairs = grouped_count(sw, ["source", "word"], out_col="_d",
+                          use_shuffle="auto").materialize()
+    # source vocab gets an integer code so the pair explode stays int64
+    srcs = sorted(set(pa.concat_tables(
+        [b for b in grouped_count(pairs.select_columns(["source"]),
+                                  ["source"], out_col="nv",
+                                  use_shuffle=False)
+         .iter_batches(batch_format="pyarrow")])["source"].to_pylist()))
+    code = {s: i for i, s in enumerate(srcs)}
+
+    src_vals = pa.array(srcs)
+
+    def coded(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.index_in(t["source"], value_set=src_vals).cast(
+            pa.int64())
+        return pa.table({"word": t["word"], "scode": c})
+
+    cp = cooccur_pairs(
+        pairs.map_batches(coded, batch_format="pyarrow",
+                          batch_size=None),
+        "word", "scode", out_cols=("s1", "s2"))
+    inter = grouped_count(cp, ["s1", "s2"], out_col="inter",
+                          use_shuffle="auto")
+    sizes = grouped_count(pairs.select_columns(["source"]), ["source"],
+                          out_col="nv", use_shuffle=False)
+    sz = pa.concat_tables(
+        [b for b in sizes.iter_batches(batch_format="pyarrow")])
+    nv = np.zeros(len(srcs), dtype=np.int64)
+    for s, v in zip(sz["source"].to_pylist(), sz["nv"].to_pylist()):
+        nv[code[s]] = v
+
+    it = pa.concat_tables(
+        [b for b in inter.iter_batches(batch_format="pyarrow")])
+    s1 = it["s1"].to_numpy()
+    s2 = it["s2"].to_numpy()
+    iv = it["inter"].to_numpy()
+    c1 = nv[s1]
+    c2 = nv[s2]
+    jac = iv.astype(np.float64) / (c1 + c2 - iv).astype(np.float64)
+    order = np.lexsort((s2, s1))
+    return pa.table({
+        "source_a": pa.array([srcs[i] for i in s1[order]]),
+        "source_b": pa.array([srcs[i] for i in s2[order]]),
+        "inter": pa.array(iv[order]),
+        "va": pa.array(c1[order]),
+        "vb": pa.array(c2[order]),
+        "jaccard": pa.array(jac[order], type=pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8306,6 +8437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_purchase": _q_next_purchase,
         "value_drift": _q_value_drift,
         "paa_symbols": _q_paa_symbols,
+        "seasonal_naive_error": _q_seasonal_naive_error,
+        "source_vocab_overlap": _q_source_vocab_overlap,
     }
 
 
@@ -11273,5 +11406,50 @@ def oracle_sql() -> dict[str, str]:
                   + (CASE WHEN sum(cents) > 7500 * count(*)
                           THEN 1 ELSE 0 END) AS BIGINT) AS symbol
         FROM o GROUP BY user_id, pos * 8 // n
+    """
+    sql["seasonal_naive_error"] = """
+        WITH d AS (
+            SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        ), cal AS (
+            SELECT CAST(unnest(range(
+                (SELECT min(day) FROM d),
+                (SELECT max(day) FROM d) + 1)) AS BIGINT) AS day
+        ), dense AS (
+            SELECT cal.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+            FROM cal LEFT JOIN d USING (day)
+        ), scored AS (
+            SELECT n, lag(n, 7) OVER (ORDER BY day) AS pred
+            FROM dense
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(n - pred)) AS BIGINT) AS abs_err,
+               CAST(sum(n - pred) AS BIGINT) AS bias,
+               CAST(sum(abs(n - pred)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mae
+        FROM scored WHERE pred IS NOT NULL
+    """
+    sql["source_vocab_overlap"] = """
+        WITH sw AS (
+            SELECT DISTINCT source, unnest(string_split(text, ' '))
+                   AS word
+            FROM documents
+        ), sz AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS nv
+            FROM sw GROUP BY 1
+        ), i AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM sw a JOIN sw b
+              ON a.word = b.word AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, inter,
+               s1.nv AS va, s2.nv AS vb,
+               CAST(inter AS DOUBLE)
+                   / CAST(s1.nv + s2.nv - inter AS DOUBLE) AS jaccard
+        FROM i JOIN sz s1 ON source_a = s1.source
+               JOIN sz s2 ON source_b = s2.source
     """
     return sql
