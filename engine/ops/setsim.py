@@ -39,6 +39,7 @@ import numpy as np
 import pyarrow as pa
 
 PAIR_BROADCAST_MAX = 5_000_000  # verify-plan budget (narrow int64 rows)
+HOT_TOKEN_CAP = 20_000  # max ids sharing one PREFIX token (loud guard)
 
 
 def setsim_join(pairs_ds, id_col: str, tok_col: str,
@@ -106,6 +107,16 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
         new = np.r_[True, tok_s[1:] != tok_s[:-1]]
         starts = np.nonzero(new)[0]
         ends = np.append(starts[1:], total)
+        worst = int((ends - starts).max())
+        if worst > HOT_TOKEN_CAP:
+            # exactness forbids silently dropping pairs — fail loudly
+            # with the remedy instead of OOMing the task
+            hot = tok_s[starts[np.argmax(ends - starts)]]
+            raise ValueError(
+                f"setsim_join: prefix token {hot!r} is shared by "
+                f"{worst} sets (> HOT_TOKEN_CAP={HOT_TOKEN_CAP}); "
+                "raise the threshold, pre-filter stopword tokens, or "
+                "raise the cap explicitly")
         first, second = _intra_run_pairs(starts, ends, total)
         if len(first) == 0:
             return empty

@@ -102,3 +102,17 @@ def test_ngram_explode_sliced_offsets():
     assert got["gram"].to_pylist() == ["f g h", "g h i", "h i j",
                                        "i j k"]
     assert got["doc_id"].to_pylist() == [8, 8, 8, 8]
+
+
+def test_setsim_hot_token_guard(ray_session, monkeypatch):
+    import engine.ops.setsim as ss
+
+    monkeypatch.setattr(ss, "HOT_TOKEN_CAP", 10)
+    # 30 sets share rare token 999 → every prefix holds it → guard fires
+    baskets = {i: {999, 1000 + i} for i in range(30)}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        _run(baskets, 1, 2)
+    assert "HOT_TOKEN_CAP" in str(exc.value) or "prefix token" in str(
+        exc.value)
