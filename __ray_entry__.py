@@ -8213,6 +8213,48 @@ def _q_source_vocab_overlap(sf_dir):
         "jaccard": pa.array(jac[order], type=pa.float64())})
 
 
+def _q_word_freq_cm(sf_dir):
+    """COUNT-MIN word frequencies (○ — the streaming frequency sketch
+    next to Misra–Gries): per-block (4 × 16384) linear partials SUM
+    through the tree fold (merged sketch == single-pass sketch exactly,
+    so partitioning cannot change an estimate), zero exchanges, 512 KiB
+    driver state.  The query SELF-VALIDATES: it returns the exact
+    top-20 word counts beside their sketch estimates and asserts the
+    CM guarantee est ≥ exact on every row (the ε·N upper bound is
+    pinned by the pytest)."""
+    import pyarrow.compute as pc
+
+    from engine.ops.sketch import _hash_words, cm_estimate, \
+        cm_word_counts
+    from engine.rayds.shuffle import grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        return pa.table({"word": pc.list_flatten(words)})
+
+    docs = _docs(sf_dir).select_columns(["text"])
+    counts = grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True),
+        ["word"], out_col="cnt", use_shuffle="auto")
+    top = pa.concat_tables([b for b in counts.sort(
+        ["cnt", "word"], descending=[True, False]).limit(20)
+        .iter_batches(batch_format="pyarrow")]).combine_chunks()
+
+    m, ntok = cm_word_counts(docs, "text")
+    h = _hash_words(top["word"].combine_chunks().chunk(0)
+                    if top["word"].num_chunks else top["word"])
+    est = cm_estimate(m, h)
+    exact = top["cnt"].to_numpy()
+    if (est < exact).any():
+        raise AssertionError("count-min underestimated — impossible")
+    return pa.table({"word": top["word"],
+                     "exact_n": pa.array(exact),
+                     "est_n": pa.array(est),
+                     "n_tokens": pa.array(
+                         np.full(len(est), ntok, dtype=np.int64))})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8439,6 +8481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paa_symbols": _q_paa_symbols,
         "seasonal_naive_error": _q_seasonal_naive_error,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "word_freq_cm": _q_word_freq_cm,
     }
 
 

@@ -560,3 +560,102 @@ def grouped_hll_distinct(ds, group_col: str, val_col: str):
     return pa.table({group_col: pa.array(
         keys, type=folded.schema.field(group_col).type),
         "approx_distinct": pa.array(est, type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (linear: partials SUM, so the tree fold is exact)
+
+CM_D, CM_W = 4, 16384
+_CM_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+
+def cm_sketch(hashes64: np.ndarray) -> np.ndarray:
+    """(n,) uint64 pre-hashed keys → (CM_D, CM_W) int64 count matrix."""
+    m = np.zeros((CM_D, CM_W), dtype=np.int64)
+    if len(hashes64) == 0:
+        return m
+    for d in range(CM_D):
+        idx = ((hashes64 * _CM_SEEDS[d]) >> np.uint64(50)).astype(
+            np.int64) % CM_W
+        np.add.at(m[d], idx, 1)
+    return m
+
+
+def cm_estimate(m: np.ndarray, hashes64: np.ndarray) -> np.ndarray:
+    """Point estimates (upper bounds) for each queried key."""
+    est = np.full(len(hashes64), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CM_D):
+        idx = ((hashes64 * _CM_SEEDS[d]) >> np.uint64(50)).astype(
+            np.int64) % CM_W
+        est = np.minimum(est, m[d][idx])
+    return est
+
+
+def cm_word_counts(ds, text_col: str = "text"):
+    """COUNT-MIN word-frequency sketch over a corpus: per-block
+    (CM_D × CM_W) partials SUM through the raw-task tree fold (the
+    sketch is linear, so the merged sketch equals the single-pass
+    sketch EXACTLY — partitioning cannot change an estimate), zero
+    exchanges, 512 KiB driver state at any corpus size.  Returns the
+    merged matrix plus the exact total token count."""
+    import pyarrow.compute as pc
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        h = _hash_words(flat)
+        m = cm_sketch(h)
+        return pa.table({"m": pa.array([m.tobytes()], type=pa.binary()),
+                         "n": pa.array([len(h)], type=pa.int64())})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        if t.num_rows == 0:
+            return tbls[0]
+        acc = np.zeros((CM_D, CM_W), dtype=np.int64)
+        for b in t["m"].to_pylist():
+            acc += np.frombuffer(b, dtype=np.int64).reshape(CM_D, CM_W)
+        n = int(pa.compute.sum(t["n"]).as_py())
+        return pa.table({"m": pa.array([acc.tobytes()],
+                                       type=pa.binary()),
+                         "n": pa.array([n], type=pa.int64())})
+
+    folded = tree_fold_refs(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True),
+        fold)
+    m = np.frombuffer(folded["m"][0].as_py(), dtype=np.int64).reshape(
+        CM_D, CM_W)
+    return m, int(folded["n"][0].as_py())
+
+
+def _hash_words(flat: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over the flat UTF-8 buffer of a string
+    array — one pass over the bytes via offset-sliced accumulation (no
+    per-word Python)."""
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    raw = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    # keep offsets ABSOLUTE into the full data buffer (sliced arrays
+    # start mid-buffer)
+    offs = raw[flat.offset:flat.offset + n + 1].astype(np.int64)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    lens = offs[1:] - offs[:-1]
+    maxlen = int(lens.max()) if n else 0
+    prime = np.uint64(0x100000001B3)
+    for k in range(maxlen):
+        alive = lens > k
+        idx = offs[:-1][alive] + k
+        h[alive] = (h[alive] ^ buf[idx].astype(np.uint64)) * prime
+    return h
