@@ -8242,8 +8242,10 @@ def _q_word_freq_cm(sf_dir):
         .iter_batches(batch_format="pyarrow")]).combine_chunks()
 
     m, ntok = cm_word_counts(docs, "text")
-    h = _hash_words(top["word"].combine_chunks().chunk(0)
-                    if top["word"].num_chunks else top["word"])
+    wcol = top["word"].combine_chunks()
+    if isinstance(wcol, pa.ChunkedArray):
+        wcol = wcol.chunk(0)
+    h = _hash_words(wcol)
     est = cm_estimate(m, h)
     exact = top["cnt"].to_numpy()
     if (est < exact).any():
