@@ -8257,6 +8257,117 @@ def _q_word_freq_cm(sf_dir):
                          np.full(len(est), ntok, dtype=np.int64))})
 
 
+def _q_fk_violations(sf_dir):
+    """REFERENTIAL-INTEGRITY AUDIT (the FK data-quality gate a
+    warehouse load runs): orphan counts for lineitem→orders and
+    orders→customer as PRESENCE-MASK reductions — child and parent
+    keys union with a side flag, one combiner-first min/max exchange
+    per relationship, orphan ⟺ a key whose mask never saw the parent
+    side.  No broadcast of the (data-scale) parent key set anywhere."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg
+
+    def orphans(child_path, child_col, parent_path, parent_col):
+        child = ray.data.read_parquet(child_path, columns=[child_col])
+        parent = ray.data.read_parquet(parent_path,
+                                       columns=[parent_col])
+
+        def tag(side):
+            def fn(t: pa.Table) -> pa.Table:
+                col = t[child_col if side == 0 else parent_col] \
+                    .cast(pa.int64())
+                return pa.table({
+                    "k": col,
+                    "child": pa.array(np.full(t.num_rows, 1 - side,
+                                              dtype=np.int64)),
+                    "parent": pa.array(np.full(t.num_rows, side,
+                                               dtype=np.int64))})
+            return fn
+
+        u = child.map_batches(tag(0), batch_format="pyarrow",
+                              batch_size=None).union(
+            parent.map_batches(tag(1), batch_format="pyarrow",
+                               batch_size=None))
+        masks = grouped_agg(u, ["k"], [("child", "max"),
+                                       ("parent", "max")],
+                            ["has_child", "has_parent"],
+                            plan="shuffle")
+
+        def cnt(t: pa.Table) -> pa.Table:
+            hc = t["has_child"].to_numpy()
+            hp = t["has_parent"].to_numpy()
+            return pa.table({"n": pa.array(
+                [int(((hc == 1) & (hp == 0)).sum())],
+                type=pa.int64())})
+
+        from engine.rayds.shuffle import tree_fold_refs
+
+        t = tree_fold_refs(
+            masks.map_batches(cnt, batch_format="pyarrow",
+                              batch_size=None),
+            lambda tbls: pa.concat_tables(tbls))
+        return int(pa.compute.sum(t["n"]).as_py())
+
+    v1 = orphans(f"{sf_dir}/lineitem.parquet", "l_orderkey",
+                 f"{sf_dir}/orders.parquet", "o_orderkey")
+    v2 = orphans(f"{sf_dir}/orders.parquet", "o_custkey",
+                 f"{sf_dir}/customer.parquet", "c_custkey")
+    return pa.table({
+        "relationship": pa.array(["lineitem->orders",
+                                  "orders->customer"]),
+        "n_orphans": pa.array([v1, v2], type=pa.int64())})
+
+
+def _q_priority_percent_rank(sf_dir):
+    """PERCENT_RANK window function (completing the rank family next
+    to ntile / cume_dist / rank): each order's percent_rank of
+    totalprice within its priority class — (rank−1)/(n−1) with SQL
+    rank() tie semantics (ties share the FIRST index of their value
+    run).  One hash exchange on the priority key; per-partition
+    lexsort + run-start gather, exact integers into one float
+    division."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey",
+                                        "o_orderpriority",
+                                        "o_totalprice"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"o_orderkey": g["o_orderkey"],
+                             "pr": pa.array([], type=pa.float64())})
+        prio = g["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        key = g["o_orderkey"].to_numpy()
+        _, pcode = np.unique(prio, return_inverse=True)
+        order = np.lexsort((cents, pcode))
+        p_s, c_s, k_s = pcode[order], cents[order], key[order]
+        newg = np.r_[True, p_s[1:] != p_s[:-1]]
+        gstart = np.flatnonzero(newg)
+        grun = np.cumsum(newg) - 1
+        glen = np.diff(np.append(gstart, n))
+        pos = np.arange(n, dtype=np.int64) - gstart[grun]
+        # rank = first position of the value run within the group
+        newv = newg | np.r_[True, c_s[1:] != c_s[:-1]]
+        vstart_pos = pos[np.flatnonzero(newv)]
+        vrun = np.cumsum(newv) - 1
+        rank0 = vstart_pos[vrun]          # 0-based rank (ties share)
+        denom = (glen[grun] - 1).astype(np.float64)
+        pr = np.where(denom > 0, rank0.astype(np.float64)
+                      / np.where(denom > 0, denom, 1.0), 0.0)
+        return pa.table({"o_orderkey": pa.array(k_s),
+                         "pr": pa.array(pr, type=pa.float64())})
+
+    return hash_exchange_groups(ds, ["o_orderpriority"], part_fn)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8484,6 +8595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_naive_error": _q_seasonal_naive_error,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "word_freq_cm": _q_word_freq_cm,
+        "fk_violations": _q_fk_violations,
+        "priority_percent_rank": _q_priority_percent_rank,
     }
 
 
@@ -11496,5 +11609,24 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(s1.nv + s2.nv - inter AS DOUBLE) AS jaccard
         FROM i JOIN sz s1 ON source_a = s1.source
                JOIN sz s2 ON source_b = s2.source
+    """
+    sql["fk_violations"] = """
+        SELECT 'lineitem->orders' AS relationship,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(count(DISTINCT o_custkey) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer)
+    """
+    sql["priority_percent_rank"] = """
+        SELECT o_orderkey,
+               percent_rank() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+               ) AS pr
+        FROM orders
     """
     return sql
