@@ -8368,6 +8368,111 @@ def _q_priority_percent_rank(sf_dir):
     return hash_exchange_groups(ds, ["o_orderpriority"], part_fn)
 
 
+def _q_target_encode_type(sf_dir):
+    """LEAVE-ONE-OUT TARGET ENCODING (the categorical-feature ML-prep
+    transform; LOO prevents the self-leak a plain group mean has):
+    per-type (Σcents, n) rolls up combiner-first, joins back
+    adaptively, and every row's encoding is (Σ − x)/(n − 1) — exact
+    integers into ONE float division, bit-identical to the SQL window
+    mirror.  Singleton categories yield NULL-free −1 (the COALESCE
+    mirror)."""
+    import ray.data
+
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(c),
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
+
+    ev = ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True).materialize()
+    stats = grouped_agg(ev.select_columns(["event_type", "cents",
+                                           "one"]),
+                        ["event_type"], [("cents", "sum"),
+                                         ("one", "sum")],
+                        ["s", "n"], plan="tree")
+    j = equi_join(ev, stats, "event_type", "event_type",
+                  ["event_id", "cents"], ["s", "n"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy()
+        n = t["n"].to_numpy()
+        x = t["cents"].to_numpy()
+        loo = np.where(n > 1, (s - x).astype(np.float64)
+                       / np.where(n > 1, n - 1, 1).astype(np.float64),
+                       -1.0)
+        return pa.table({"event_id": t["event_id"],
+                         "loo_cents": pa.array(loo,
+                                               type=pa.float64())})
+
+    return j.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
+def _q_bloom_filter_fpr(sf_dir):
+    """BLOOM SEMI-JOIN FPR AUDIT (○ — the sketch the minhash verify
+    uses, surfaced and self-measured): build the Bloom bitmap over the
+    purchasing-user id set (OR-reduced per-block partials), probe
+    EVERY user through the broadcast filter, and report exact counts
+    of members, passed probes, and false positives (passed −
+    members) — correctness of the semi-join contract (no false
+    negatives) is asserted in-query; the FPR bound is pinned by
+    pytest."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from engine.ops.dedup import make_bloom_filter_fn, pairs_bloom
+    from engine.rayds.shuffle import grouped_count, tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def buyers(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "purchase"))
+        u = f["user_id"].to_numpy()
+        return pa.table({"a": pa.array(u), "b": pa.array(u)})
+
+    members_ds = grouped_count(
+        ds.map_batches(buyers, batch_format="pyarrow",
+                       batch_size=None, zero_copy_batch=True),
+        ["a", "b"], out_col="_d", use_shuffle="auto").materialize()
+    bloom = ray.put(pairs_bloom(members_ds))
+
+    users = grouped_count(ds.select_columns(["user_id"]), ["user_id"],
+                          out_col="_u", use_shuffle="auto") \
+        .materialize()
+    n_users = users.count()
+    n_members = members_ds.count()
+    passed = users.map_batches(
+        make_bloom_filter_fn(bloom, col="user_id"),
+        batch_format="pyarrow", batch_size=None)
+
+    def cnt(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
+
+    pt = tree_fold_refs(
+        passed.map_batches(cnt, batch_format="pyarrow",
+                           batch_size=None),
+        lambda tbls: pa.concat_tables(tbls))
+    n_passed = int(pa.compute.sum(pt["n"]).as_py())
+    if n_passed < n_members:
+        raise AssertionError("Bloom produced a false negative")
+    return pa.table({
+        "n_users": pa.array([n_users], type=pa.int64()),
+        "n_members": pa.array([n_members], type=pa.int64()),
+        "n_passed": pa.array([n_passed], type=pa.int64()),
+        "n_false_pos": pa.array([n_passed - n_members],
+                                type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8597,6 +8702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_cm": _q_word_freq_cm,
         "fk_violations": _q_fk_violations,
         "priority_percent_rank": _q_priority_percent_rank,
+        "target_encode_type": _q_target_encode_type,
+        "bloom_filter_fpr": _q_bloom_filter_fpr,
     }
 
 
@@ -11628,5 +11735,21 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
                ) AS pr
         FROM orders
+    """
+    sql["target_encode_type"] = """
+        WITH e AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), s AS (
+            SELECT event_type, sum(cents) AS sm, count(*) AS n
+            FROM e GROUP BY 1
+        )
+        SELECT event_id,
+               CASE WHEN s.n > 1
+                    THEN CAST(s.sm - e.cents AS DOUBLE)
+                         / CAST(s.n - 1 AS DOUBLE)
+                    ELSE -1.0 END AS loo_cents
+        FROM e JOIN s USING (event_type)
     """
     return sql
