@@ -8473,6 +8473,95 @@ def _q_bloom_filter_fpr(sf_dir):
                                 type=pa.int64())})
 
 
+def _q_zscore_normalize(sf_dir):
+    """Z-SCORE STANDARDIZATION (completing the scaler family beside
+    min-max and quantile-normalize): each event's (x − μ)/σ computed
+    WITHOUT a float mean — algebraically (n·x − Σ)/√(n·Σx² − Σ²), so
+    the numerator is an exact per-row integer, the radicand is one
+    exact integer, and the whole row costs one sqrt + one division —
+    bit-identical to the SQL mirror of the same expression.  Zero
+    exchanges: decimal128 moment partials tree-fold, scalars broadcast
+    into one streaming map."""
+    import math
+
+    import ray.data
+
+    from engine.ops.stats import exact_moments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "c": pa.array(c)})
+
+    ev = ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True).materialize()
+    m = exact_moments(ev, "c", "c")
+    n, s, ss = m["n"], m["sx"], m["sxx"]
+    denom = math.sqrt(float(n * ss - s * s))
+
+    def z(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        num = (n * c - s).astype(np.float64)
+        return pa.table({"event_id": t["event_id"],
+                         "z": pa.array(num / denom,
+                                       type=pa.float64())})
+
+    return ev.map_batches(z, batch_format="pyarrow", batch_size=None)
+
+
+def _q_ngram_novelty(sf_dir):
+    """NOVELTY / MEMORIZATION SCREEN: per document, the fraction of
+    its DISTINCT word 5-grams that appear in no other document — the
+    originality metric curation uses beside the boilerplate top-k.
+    Offset-arithmetic gram explode → per-(gram, doc) dedup combiner →
+    gram document-frequency rollup (one exchange) → df attaches back
+    through the adaptive join → per-doc counts; novelty is one float
+    division of exact integers."""
+    import ray.data
+
+    from engine.ops.text import ngram_explode
+    from engine.rayds.shuffle import equi_join, grouped_agg, \
+        grouped_count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    grams = docs.map_batches(
+        lambda b: ngram_explode(b, 5), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True)
+    gd = grouped_count(grams, ["gram", "doc_id"], out_col="_occ",
+                       use_shuffle=True).materialize()
+    df = grouped_count(gd.select_columns(["gram"]), ["gram"],
+                       out_col="df", use_shuffle=True)
+    j = equi_join(gd, df, "gram", "gram", ["doc_id"], ["df"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        uniq = (t["df"].to_numpy() == 1).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64)),
+                         "uniq": pa.array(uniq)})
+
+    rolled = grouped_agg(
+        j.map_batches(per_doc, batch_format="pyarrow",
+                      batch_size=None),
+        ["doc_id"], [("one", "sum"), ("uniq", "sum")],
+        ["n_grams", "n_unique"], plan="shuffle")
+
+    def fin(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy()
+        nu = t["n_unique"].to_numpy()
+        return t.append_column(
+            "novelty", pa.array(nu.astype(np.float64)
+                                / ng.astype(np.float64),
+                                type=pa.float64()))
+
+    return rolled.map_batches(fin, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8704,6 +8793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_percent_rank": _q_priority_percent_rank,
         "target_encode_type": _q_target_encode_type,
         "bloom_filter_fpr": _q_bloom_filter_fpr,
+        "zscore_normalize": _q_zscore_normalize,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -11751,5 +11842,40 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(s.n - 1 AS DOUBLE)
                     ELSE -1.0 END AS loo_cents
         FROM e JOIN s USING (event_type)
+    """
+    sql["zscore_normalize"] = """
+        WITH e AS (
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ), m AS (
+            SELECT CAST(count(*) AS HUGEINT) n,
+                   sum(CAST(c AS HUGEINT)) s,
+                   sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) ss
+            FROM e
+        )
+        SELECT event_id,
+               CAST(n * c - s AS DOUBLE)
+                   / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z
+        FROM e, m
+    """
+    sql["ngram_novelty"] = """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[i.i:i.i+4], ' ') AS gram
+            FROM w, LATERAL (
+                SELECT unnest(range(1, len(ws) - 3)) AS i) i(i)
+        ), df AS (
+            SELECT gram, count(*) AS df FROM g GROUP BY 1
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        FROM g JOIN df USING (gram)
+        GROUP BY 1
     """
     return sql
