@@ -8562,6 +8562,127 @@ def _q_ngram_novelty(sf_dir):
                               batch_size=None)
 
 
+def _q_regr2_price(sf_dir):
+    """MULTIVARIATE least squares (price ~ quantity + discount) solved
+    by EXACT-INTEGER Cramer's rule: the 3×3 normal-equation moment
+    matrix folds as decimal128 partials (zero exchanges), all four
+    determinants expand as exact Python-int polynomials, and each
+    coefficient is ONE float division — the SQL oracle states the same
+    determinant expressions in HUGEINT (entry magnitudes keep the
+    expansion far below HUGEINT's 1.7e38 at any tested scale).
+    Extends the univariate regr family to multiple features."""
+    import decimal
+
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    DEC = pa.decimal128(38, 0)
+    COLS = ["n", "s1", "s2", "s11", "s22", "s12", "sy", "sy1", "sy2"]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=DEC) for c in COLS})
+        x1 = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        x2 = np.rint(t["l_discount"].to_numpy() * 100.0).astype(
+            np.int64)
+        y = np.rint(t["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        vals = {"n": len(x1), "s1": int(x1.sum()), "s2": int(x2.sum()),
+                "s11": int((x1 * x1).sum()),
+                "s22": int((x2 * x2).sum()),
+                "s12": int((x1 * x2).sum()),
+                "sy": int(y.sum()), "sy1": int((y * x1).sum()),
+                "sy2": int((y * x2).sum())}
+        return pa.table({c: pa.array([decimal.Decimal(v)], type=DEC)
+                         for c, v in vals.items()})
+
+    def fold(tbls: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(tbls).combine_chunks()
+        if t.num_rows <= 1:
+            return t
+        sums = {c: decimal.Decimal(0) for c in COLS}
+        for c in COLS:
+            for v in t[c]:
+                sums[c] += v.as_py()
+        return pa.table({c: pa.array([sums[c]], type=DEC)
+                         for c in COLS})
+
+    f = tree_fold_refs(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True), fold)
+    m = {c: int(f[c][0].as_py()) for c in COLS}
+    n, s1, s2 = m["n"], m["s1"], m["s2"]
+    s11, s22, s12 = m["s11"], m["s22"], m["s12"]
+    sy, sy1, sy2 = m["sy"], m["sy1"], m["sy2"]
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+            + s2 * (sy1 * s12 - s11 * sy2))
+    det1 = (n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * sy2 - sy1 * s2))
+    det2 = (n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "b0": pa.array([float(det0) / float(det)], type=pa.float64()),
+        "b_qty": pa.array([float(det1) / float(det)],
+                          type=pa.float64()),
+        "b_disc": pa.array([float(det2) / float(det)],
+                           type=pa.float64())})
+
+
+def _q_bounce_rate(sf_dir):
+    """BOUNCE RATE (single-event sessions / sessions, per user) — the
+    sessionize → per-session-size → per-user rollup COMPOSITION: one
+    exchange sessionizes (30-min gap), a combiner-first rollup counts
+    sessions and bounces, rate is one float division of exact ints;
+    the SQL mirror is the full gaps-and-islands construction."""
+    import ray.data
+
+    from engine.rayds.shuffle import grouped_agg, sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    ev = ds.map_batches(us, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    sess = sessionize(ev, "user_id", "ts_us", 1_800_000_000)
+
+    def flags(t: pa.Table) -> pa.Table:
+        ne = t["n_events"].to_numpy()
+        return pa.table({"user_id": t["user_id"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64)),
+                         "bounce": pa.array(
+                             (ne == 1).astype(np.int64))})
+
+    rolled = grouped_agg(
+        sess.map_batches(flags, batch_format="pyarrow",
+                         batch_size=None),
+        ["user_id"], [("one", "sum"), ("bounce", "sum")],
+        ["n_sessions", "n_bounce"], plan="shuffle")
+
+    def fin(t: pa.Table) -> pa.Table:
+        ns = t["n_sessions"].to_numpy()
+        nb = t["n_bounce"].to_numpy()
+        return t.append_column(
+            "bounce_rate", pa.array(nb.astype(np.float64)
+                                    / ns.astype(np.float64),
+                                    type=pa.float64()))
+
+    return rolled.map_batches(fin, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8795,6 +8916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_filter_fpr": _q_bloom_filter_fpr,
         "zscore_normalize": _q_zscore_normalize,
         "ngram_novelty": _q_ngram_novelty,
+        "regr2_price": _q_regr2_price,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -11877,5 +12000,64 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
         FROM g JOIN df USING (gram)
         GROUP BY 1
+    """
+    sql["regr2_price"] = """
+        WITH m AS (
+            SELECT CAST(count(*) AS HUGEINT) n,
+                   sum(CAST(round(l_quantity) AS HUGEINT)) s1,
+                   sum(CAST(round(l_discount*100) AS HUGEINT)) s2,
+                   sum(CAST(round(l_quantity) AS HUGEINT)
+                       * CAST(round(l_quantity) AS HUGEINT)) s11,
+                   sum(CAST(round(l_discount*100) AS HUGEINT)
+                       * CAST(round(l_discount*100) AS HUGEINT)) s22,
+                   sum(CAST(round(l_quantity) AS HUGEINT)
+                       * CAST(round(l_discount*100) AS HUGEINT)) s12,
+                   sum(CAST(round(l_extendedprice*100) AS HUGEINT)) sy,
+                   sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+                       * CAST(round(l_quantity) AS HUGEINT)) sy1,
+                   sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+                       * CAST(round(l_discount*100) AS HUGEINT)) sy2
+            FROM lineitem
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(sy*(s11*s22 - s12*s12) - s1*(sy1*s22 - s12*sy2)
+                    + s2*(sy1*s12 - s11*sy2) AS DOUBLE)
+               / CAST(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                      + s2*(s1*s12 - s11*s2) AS DOUBLE) AS b0,
+               CAST(n*(sy1*s22 - s12*sy2) - sy*(s1*s22 - s12*s2)
+                    + s2*(s1*sy2 - sy1*s2) AS DOUBLE)
+               / CAST(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                      + s2*(s1*s12 - s11*s2) AS DOUBLE) AS b_qty,
+               CAST(n*(s11*sy2 - sy1*s12) - s1*(s1*sy2 - sy1*s2)
+                    + sy*(s1*s12 - s11*s2) AS DOUBLE)
+               / CAST(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                      + s2*(s1*s12 - s11*s2) AS DOUBLE) AS b_disc
+        FROM m
+    """
+    sql["bounce_rate"] = """
+        WITH o AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+                   lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(epoch_us(ts) AS BIGINT)) AS prev
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   sum(CASE WHEN prev IS NULL
+                             OR t - prev > 1800000000
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        ), c AS (
+            SELECT user_id, sid, count(*) AS ne
+            FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounce,
+               CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS bounce_rate
+        FROM c GROUP BY 1
     """
     return sql
