@@ -8683,6 +8683,96 @@ def _q_bounce_rate(sf_dir):
                               batch_size=None)
 
 
+def _q_survival_hazard(sf_dir):
+    """SURVIVAL ANALYSIS (Kaplan-Meier hazard table for
+    click→purchase conversion): per clicking user, the day offset from
+    first click to the first purchase AT OR AFTER it (no purchase →
+    right-censored at the corpus observation horizon).  One hash
+    exchange computes the per-user (t, observed) pair vectorized
+    (lexsort + per-run first-click / conditional-min-purchase); the
+    day-offset table is HORIZON-BOUNDED, so at-risk counts are a
+    driver-side reverse cumsum, and each day's hazard d/n is one float
+    division of exact integers — the cumulative product (whose float
+    order would be engine-dependent) is deliberately NOT emitted."""
+    import ray.data
+
+    from engine.rayds.shuffle import (dataset_minmax, grouped_agg,
+                                      hash_exchange_groups)
+
+    DAY = 86_400_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    ev = ds.map_batches(us, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True).materialize()
+    horizon = int(dataset_minmax(ev, ["ts_us"])["ts_us"][1])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        empty = pa.table({"t": pa.array([], type=pa.int64()),
+                          "ev": pa.array([], type=pa.int64()),
+                          "one": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        is_c = et == "click"
+        is_p = et == "purchase"
+        BIG = np.int64(1 << 62)
+        cts = np.where(is_c, ts, BIG)
+        order = np.lexsort((cts, u))
+        u_s, c_s = u[order], cts[order]
+        new = np.r_[True, u_s[1:] != u_s[:-1]]
+        starts = np.flatnonzero(new)
+        first_click = c_s[starts]          # BIG ⟹ the user never clicked
+        run_id = np.cumsum(new) - 1
+        # min purchase ts ≥ the user's first click, via a second sort
+        fc_of_row = first_click[run_id[np.argsort(order,
+                                                  kind="stable")]]
+        pts = np.where(is_p & (ts >= fc_of_row), ts, BIG)
+        order2 = np.lexsort((pts, u))
+        u2, p2 = u[order2], pts[order2]
+        new2 = np.r_[True, u2[1:] != u2[:-1]]
+        starts2 = np.flatnonzero(new2)
+        first_p = p2[starts2]
+        # runs align: both sorts group by the same user set
+        clicked = first_click < BIG
+        fc = first_click[clicked]
+        fp = first_p[clicked]
+        observed = fp < BIG
+        t = np.where(observed, (fp - fc) // DAY,
+                     (horizon - fc) // DAY)
+        return pa.table({"t": pa.array(t.astype(np.int64)),
+                         "ev": pa.array(observed.astype(np.int64)),
+                         "one": pa.array(np.ones(len(t),
+                                                 dtype=np.int64))})
+
+    per = hash_exchange_groups(ev, ["user_id"], per_user)
+    rolled = grouped_agg(per, ["t"], [("ev", "sum"), ("one", "sum")],
+                         ["d", "total"], plan="tree")
+    tt = pa.concat_tables(
+        [b for b in rolled.iter_batches(batch_format="pyarrow")])
+    day = tt["t"].to_numpy()
+    d = tt["d"].to_numpy()
+    tot = tt["total"].to_numpy()
+    order = np.argsort(day)
+    day, d, tot = day[order], d[order], tot[order]
+    n_risk = np.cumsum(tot[::-1])[::-1]
+    hazard = d.astype(np.float64) / n_risk.astype(np.float64)
+    return pa.table({"day": pa.array(day),
+                     "n_risk": pa.array(n_risk.astype(np.int64)),
+                     "n_event": pa.array(d),
+                     "hazard": pa.array(hazard, type=pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -8918,6 +9008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "regr2_price": _q_regr2_price,
         "bounce_rate": _q_bounce_rate,
+        "survival_hazard": _q_survival_hazard,
     }
 
 
@@ -12059,5 +12150,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS bounce_rate
         FROM c GROUP BY 1
+    """
+    sql["survival_hazard"] = """
+        WITH fc AS (
+            SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS fc
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ), fp AS (
+            SELECT e.user_id,
+                   min(CAST(epoch_us(e.ts) AS BIGINT)) AS fp
+            FROM events e JOIN fc ON e.user_id = fc.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(epoch_us(e.ts) AS BIGINT) >= fc.fc
+            GROUP BY 1
+        ), mx AS (
+            SELECT max(CAST(epoch_us(ts) AS BIGINT)) AS m FROM events
+        ), u AS (
+            SELECT fc.user_id,
+                   CASE WHEN fp.fp IS NULL
+                        THEN (mx.m - fc.fc) // 86400000000
+                        ELSE (fp.fp - fc.fc) // 86400000000
+                   END AS t,
+                   CASE WHEN fp.fp IS NULL THEN 0 ELSE 1 END AS ev
+            FROM fc LEFT JOIN fp USING (user_id), mx
+        ), d AS (
+            SELECT t, CAST(sum(ev) AS BIGINT) AS n_event,
+                   CAST(count(*) AS BIGINT) AS total
+            FROM u GROUP BY 1
+        )
+        SELECT t AS day,
+               CAST((SELECT sum(total) FROM d d2 WHERE d2.t >= d.t)
+                    AS BIGINT) AS n_risk,
+               n_event,
+               CAST(n_event AS DOUBLE)
+                   / CAST((SELECT sum(total) FROM d d2
+                           WHERE d2.t >= d.t) AS DOUBLE) AS hazard
+        FROM d
     """
     return sql
