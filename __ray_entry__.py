@@ -8773,6 +8773,79 @@ def _q_survival_hazard(sf_dir):
                      "hazard": pa.array(hazard, type=pa.float64())})
 
 
+def _q_decile_gains(sf_dir):
+    """GAINS / LIFT TABLE (the model-evaluation companion to RFM):
+    users rank by total spend DESC into exact SQL ntile(10) deciles
+    (remainder buckets first, user_id tie-break — the rfm_segments
+    machinery: unique (−spend·2²⁰ + uid) composite through one Ray
+    native range sort + the two-phase prefix scan), then a 10-row
+    rollup with cumulative spend share — each share is one float
+    division of exact integer cents.  The 2²⁰ uid bound is the same
+    documented assumption as rfm_segments."""
+    import ray.data
+
+    from engine.ops.scan import ordered_cumsum
+    from engine.rayds.shuffle import equi_join, grouped_agg
+
+    NT = 10
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pa.array(np.floor(t["value"].to_numpy() * 100.0)
+                              .astype(np.int64))})
+
+    per = grouped_agg(
+        ds.map_batches(proj, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["user_id"], [("cents", "sum")], ["spend"]).materialize()
+    n_users = per.count()
+    q, r = divmod(n_users, NT)
+
+    def key_fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(-t["spend"].to_numpy() * (1 << 20)
+                          + t["user_id"].to_numpy()),
+            "user_id": t["user_id"], "spend": t["spend"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    keyed = per.map_batches(key_fn, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+    pos = ordered_cumsum(keyed.sort("k").materialize(), "k", "one",
+                         out_col="cum0")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        pos0 = t["cum0"].to_numpy()
+        head = r * (q + 1)
+        dec = np.where(pos0 < head, pos0 // (q + 1),
+                       r + (pos0 - head) // max(q, 1)) + 1
+        return pa.table({"decile": pa.array(dec.astype(np.int64)),
+                         "spend": t["spend"],
+                         "one": t["one"]})
+
+    rolled = grouped_agg(
+        pos.map_batches(bucket, batch_format="pyarrow",
+                        batch_size=None),
+        ["decile"], [("one", "sum"), ("spend", "sum")],
+        ["n_users", "cents"], plan="tree")
+    t = pa.concat_tables(
+        [b for b in rolled.iter_batches(batch_format="pyarrow")])
+    order = np.argsort(t["decile"].to_numpy())
+    dec = t["decile"].to_numpy()[order]
+    nu = t["n_users"].to_numpy()[order]
+    cents = t["cents"].to_numpy()[order]
+    cum = np.cumsum(cents.astype(object))
+    total = int(cum[-1])
+    share = np.array([float(int(c)) / float(total) for c in cum])
+    return pa.table({"decile": pa.array(dec),
+                     "n_users": pa.array(nu),
+                     "cents": pa.array(cents),
+                     "cum_share": pa.array(share, type=pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9009,6 +9082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr2_price": _q_regr2_price,
         "bounce_rate": _q_bounce_rate,
         "survival_hazard": _q_survival_hazard,
+        "decile_gains": _q_decile_gains,
     }
 
 
@@ -12185,5 +12259,27 @@ def oracle_sql() -> dict[str, str]:
                    / CAST((SELECT sum(total) FROM d d2
                            WHERE d2.t >= d.t) AS DOUBLE) AS hazard
         FROM d
+    """
+    sql["decile_gains"] = """
+        WITH s AS (
+            SELECT user_id,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS spend
+            FROM events GROUP BY 1
+        ), d AS (
+            SELECT spend,
+                   ntile(10) OVER (ORDER BY spend DESC, user_id)
+                       AS decile
+            FROM s
+        ), g AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(spend) AS BIGINT) AS cents
+            FROM d GROUP BY 1
+        )
+        SELECT decile, n_users, cents,
+               CAST(sum(cents) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST((SELECT sum(cents) FROM g) AS DOUBLE)
+                   AS cum_share
+        FROM g
     """
     return sql
