@@ -8846,6 +8846,61 @@ def _q_decile_gains(sf_dir):
                      "cum_share": pa.array(share, type=pa.float64())})
 
 
+def _q_ab_test_ztest(sf_dir):
+    """A/B EXPERIMENT READOUT (two-proportion pooled z-test): users
+    split deterministically by user_id parity; conversion = purchases
+    / (clicks + purchases) per arm.  The four counts fold as 4-int
+    per-block partials (zero exchanges); every float op of the z
+    statistic — p1, p2, pooled p, the standard error, the ratio — is
+    written in ONE fixed order mirrored parenthesis-for-parenthesis by
+    the SQL oracle, so the doubles hash bit-identically."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.rayds.shuffle import tree_fold_refs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        rel = (et == "click") | (et == "purchase")
+        u = t["user_id"].to_numpy()[rel]
+        conv = (et[rel] == "purchase").astype(np.int64)
+        arm = (u % 2).astype(np.int64)
+        n1 = int((arm == 0).sum())
+        x1 = int(conv[arm == 0].sum())
+        n2 = int((arm == 1).sum())
+        x2 = int(conv[arm == 1].sum())
+        return pa.table({"n1": pa.array([n1], type=pa.int64()),
+                         "x1": pa.array([x1], type=pa.int64()),
+                         "n2": pa.array([n2], type=pa.int64()),
+                         "x2": pa.array([x2], type=pa.int64())})
+
+    t = tree_fold_refs(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        lambda tbls: pa.concat_tables(tbls))
+    n1 = int(pc.sum(t["n1"]).as_py())
+    x1 = int(pc.sum(t["x1"]).as_py())
+    n2 = int(pc.sum(t["n2"]).as_py())
+    x2 = int(pc.sum(t["x2"]).as_py())
+    p1 = float(x1) / float(n1)
+    p2 = float(x2) / float(n2)
+    p = float(x1 + x2) / float(n1 + n2)
+    se = math.sqrt((p * (1.0 - p)) * (1.0 / float(n1)
+                                      + 1.0 / float(n2)))
+    z = (p1 - p2) / se
+    return pa.table({
+        "n_a": pa.array([n1], type=pa.int64()),
+        "conv_a": pa.array([x1], type=pa.int64()),
+        "n_b": pa.array([n2], type=pa.int64()),
+        "conv_b": pa.array([x2], type=pa.int64()),
+        "z": pa.array([z], type=pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9083,6 +9138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": _q_bounce_rate,
         "survival_hazard": _q_survival_hazard,
         "decile_gains": _q_decile_gains,
+        "ab_test_ztest": _q_ab_test_ztest,
     }
 
 
@@ -12281,5 +12337,33 @@ def oracle_sql() -> dict[str, str]:
                    / CAST((SELECT sum(cents) FROM g) AS DOUBLE)
                    AS cum_share
         FROM g
+    """
+    sql["ab_test_ztest"] = """
+        WITH e AS (
+            SELECT user_id % 2 AS arm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), c AS (
+            SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) n1,
+                   CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                        AS BIGINT) x1,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) n2,
+                   CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                        AS BIGINT) x2
+            FROM e
+        )
+        SELECT n1 AS n_a, x1 AS conv_a, n2 AS n_b, x2 AS conv_b,
+               ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                - (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+               / sqrt(((CAST(x1 + x2 AS DOUBLE)
+                        / CAST(n1 + n2 AS DOUBLE))
+                       * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                                / CAST(n1 + n2 AS DOUBLE)))
+                      * (1.0 / CAST(n1 AS DOUBLE)
+                         + 1.0 / CAST(n2 AS DOUBLE))) AS z
+        FROM c
     """
     return sql

@@ -89,3 +89,37 @@ def test_bounce_rate_brute(ray_session, tmp_path):
     assert got["n_sessions"].tolist() == [ns[u] for u in sorted(ns)]
     assert got["n_bounce"].tolist() == [nb[u] for u in sorted(ns)]
     assert sum(nb.values()) > 0
+
+
+def test_ab_test_ztest_planted(ray_session, tmp_path):
+    from __ray_entry__ import _q_ab_test_ztest
+
+    import math
+
+    rng = np.random.default_rng(7)
+    n = 8000
+    user = rng.integers(0, 1000, size=n).astype(np.int64)
+    arm = user % 2
+    # arm 0 converts at ~30%, arm 1 at ~10% → strongly positive z
+    p = np.where(arm == 0, 0.3, 0.1)
+    et = np.where(rng.random(n) < p, "purchase", "click")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.zeros(n, dtype=np.int64)
+                       .view("datetime64[us]")),
+        "user_id": pa.array(user),
+        "event_type": pa.array(et.tolist()),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+
+    t = _q_ab_test_ztest(str(tmp_path))
+    n1, x1 = t["n_a"][0].as_py(), t["conv_a"][0].as_py()
+    n2, x2 = t["n_b"][0].as_py(), t["conv_b"][0].as_py()
+    assert n1 == int((arm == 0).sum())
+    assert x1 == int(((arm == 0) & (et == "purchase")).sum())
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    se = math.sqrt((pp * (1.0 - pp)) * (1.0 / n1 + 1.0 / n2))
+    assert t["z"][0].as_py() == (p1 - p2) / se
+    assert t["z"][0].as_py() > 10  # the planted effect is detected
