@@ -154,3 +154,51 @@ def test_fuzz_equi_join(ray_session, seed):
     """).df()["k"].tolist()
     assert got_n == len(want), (lt, rt, join_type, rsel)
     assert got_keys == want
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_outer_join_types(ray_session, seed):
+    from engine.rayds.shuffle import equi_join
+
+    rng = np.random.default_rng(200 + seed)
+    lt, rt, lk, rk = JOINS[seed % len(JOINS)]
+    join_type = ("right outer", "full outer")[seed % 2]
+    lsel = int(rng.integers(5, 60))
+
+    left = ray.data.read_parquet(f"{SF}/{lt}.parquet")
+    right = ray.data.read_parquet(f"{SF}/{rt}.parquet")
+
+    def lprep(t: pa.Table) -> pa.Table:
+        kv = t[lk].to_numpy().astype(np.int64)
+        out = pa.table({lk: t[lk], "lone": pa.array(
+            np.ones(t.num_rows, dtype=np.int64))})
+        return out.filter(pa.array(kv % 97 <= lsel))
+
+    def rprep(t: pa.Table) -> pa.Table:
+        return pa.table({rk: t[rk]})
+
+    j = equi_join(
+        left.map_batches(lprep, batch_format="pyarrow",
+                         batch_size=None),
+        right.map_batches(rprep, batch_format="pyarrow",
+                          batch_size=None),
+        lk, rk, ["lone"], [], join_type=join_type)
+    jt = pa.concat_tables(
+        [b for b in j.iter_batches(batch_format="pyarrow")])
+
+    con = duckdb.connect()
+    sqlj = ("RIGHT JOIN" if join_type == "right outer"
+            else "FULL JOIN")
+    want = con.sql(f"""
+        SELECT count(*) AS n,
+               CAST(coalesce(sum(CASE WHEN l.{lk} IS NULL
+                                      THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_rnull
+        FROM (SELECT {lk} FROM '{SF}/{lt}.parquet'
+              WHERE {lk} % 97 <= {lsel}) l
+        {sqlj} '{SF}/{rt}.parquet' r ON l.{lk} = r.{rk}
+    """).df()
+    assert jt.num_rows == int(want["n"][0]), (lt, rt, join_type)
+    # unmatched-right rows have a NULL left payload
+    got_null = jt["lone"].null_count
+    assert got_null == int(want["n_rnull"][0]), (lt, rt, join_type)
