@@ -7936,6 +7936,12 @@ def _q_next_purchase(sf_dir):
         porder = np.argsort(comp[is_p], kind="stable")
         p_ts_sorted = p_ts[porder]
         cq = comp[is_c]
+        if len(pc_) == 0:
+            # a partition whose users never purchase: every click −1
+            return pa.table({
+                "event_id": pa.array(eid[is_c]),
+                "next_purchase_us": pa.array(
+                    np.full(int(is_c.sum()), -1, dtype=np.int64))})
         pos = np.searchsorted(pc_, cq, side="right")
         # a hit only counts inside the SAME user's composite band
         cu = urank[is_c].astype(np.int64)
@@ -8901,6 +8907,78 @@ def _q_ab_test_ztest(sf_dir):
         "z": pa.array([z], type=pa.float64())})
 
 
+def _q_nearest_purchase(sf_dir):
+    """NEAREST-IN-TIME JOIN (completing the as-of triple: backward =
+    asof_click_view, forward = next_purchase, nearest = here): for
+    each click, the same user's closest purchase in EITHER direction —
+    |Δt| minimized, ties to the EARLIER purchase.  One exchange; per
+    partition the two candidates come from one left and one right
+    searchsorted over the same (user_rank·span + dt) composite, and
+    the comparison 2·|Δ| vs 2·|Δ| is pure integer (no float time
+    anywhere).  Clicks with no purchase report −1."""
+    import ray.data
+
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def part_fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        n = g.num_rows
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "nearest_us": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        is_c = et == "click"
+        is_p = et == "purchase"
+        if not is_c.any():
+            return empty
+        t0 = ts.min()
+        dt = ts - t0
+        span = int(dt.max()) + 2
+        _, urank = np.unique(u, return_inverse=True)
+        comp = urank.astype(np.int64) * span + dt
+        pc_sorted = np.sort(comp[is_p])
+        cq = comp[is_c]
+        cu = urank[is_c].astype(np.int64)
+        BIG = np.int64(1 << 62)
+        if len(pc_sorted) == 0:
+            # a partition whose users never purchase: every click −1
+            return pa.table({
+                "event_id": pa.array(eid[is_c]),
+                "nearest_us": pa.array(
+                    np.full(int(is_c.sum()), -1, dtype=np.int64))})
+        # candidate after (first ≥ query) and before (last ≤ query)
+        pos_r = np.searchsorted(pc_sorted, cq, side="left")
+        ok_r = (pos_r < len(pc_sorted)) & (
+            pc_sorted[np.minimum(pos_r, max(len(pc_sorted) - 1, 0))]
+            // span == cu)
+        after = np.where(ok_r, pc_sorted[np.minimum(
+            pos_r, max(len(pc_sorted) - 1, 0))], BIG)
+        pos_l = np.searchsorted(pc_sorted, cq, side="right") - 1
+        ok_l = (pos_l >= 0) & (
+            pc_sorted[np.maximum(pos_l, 0)] // span == cu)
+        before = np.where(ok_l, pc_sorted[np.maximum(pos_l, 0)], -BIG)
+        d_after = after - cq
+        d_before = cq - before
+        # nearest with tie → the EARLIER purchase (the 'before' side)
+        use_before = ok_l & (~ok_r | (d_before <= d_after))
+        chosen = np.where(use_before, before,
+                          np.where(ok_r, after, np.int64(-1)))
+        has = ok_l | ok_r
+        out = np.where(has, (chosen % span) + t0, np.int64(-1))
+        return pa.table({"event_id": pa.array(eid[is_c]),
+                         "nearest_us": pa.array(out.astype(np.int64))})
+
+    return hash_exchange_groups(ds, ["user_id"], part_fn)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9139,6 +9217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_hazard": _q_survival_hazard,
         "decile_gains": _q_decile_gains,
         "ab_test_ztest": _q_ab_test_ztest,
+        "nearest_purchase": _q_nearest_purchase,
     }
 
 
@@ -12365,5 +12444,25 @@ def oracle_sql() -> dict[str, str]:
                       * (1.0 / CAST(n1 AS DOUBLE)
                          + 1.0 / CAST(n2 AS DOUBLE))) AS z
         FROM c
+    """
+    sql["nearest_purchase"] = """
+        WITH c AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT c.event_id, p.t,
+                   row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY abs(p.t - c.t), p.t) AS rn
+            FROM c JOIN p ON p.user_id = c.user_id
+        )
+        SELECT c.event_id,
+               CAST(coalesce(j.t, -1) AS BIGINT) AS nearest_us
+        FROM c LEFT JOIN j
+          ON j.event_id = c.event_id AND j.rn = 1
     """
     return sql

@@ -81,6 +81,17 @@ def test_next_purchase_brute(ray_session, tmp_path):
     from __ray_entry__ import _q_next_purchase
 
     df = _events(tmp_path, 3000, 25, ("click", "purchase", "view"), 11)
+    # users divisible by 5 never purchase → zero-purchase partitions
+    df.loc[(df["u"] % 5 == 0) & (df["t"] == "purchase"), "t"] = "view"
+    pq.write_table(pa.table({
+        "event_id": pa.array(df["eid"].to_numpy(np.int64)),
+        "ts": pa.array(df["ts"].to_numpy(np.int64)
+                       .view("datetime64[us]")),
+        "user_id": pa.array(df["u"].to_numpy(np.int64)),
+        "event_type": pa.array(df["t"].tolist()),
+        "value": pa.array(df["v"].to_numpy()),
+        "props": pa.array(["{}"] * len(df)),
+    }), str(tmp_path / "events.parquet"))
     got = _to_table(_q_next_purchase(str(tmp_path))).to_pandas()
     got = got.sort_values("event_id", ignore_index=True)
     want = {}
@@ -91,5 +102,39 @@ def test_next_purchase_brute(ray_session, tmp_path):
     assert got["event_id"].tolist() == sorted(want)
     assert got["next_purchase_us"].tolist() == [want[e] for e in
                                                 sorted(want)]
+    vals = list(want.values())
+    assert any(v == -1 for v in vals) and any(v >= 0 for v in vals)
+
+
+def test_nearest_purchase_brute(ray_session, tmp_path):
+    from __ray_entry__ import _q_nearest_purchase
+
+    df = _events(tmp_path, 3000, 25, ("click", "purchase", "view"), 29)
+    # users divisible by 5 never purchase → the −1 branch is exercised
+    df.loc[(df["u"] % 5 == 0) & (df["t"] == "purchase"), "t"] = "view"
+    pq.write_table(pa.table({
+        "event_id": pa.array(df["eid"].to_numpy(np.int64)),
+        "ts": pa.array(df["ts"].to_numpy(np.int64)
+                       .view("datetime64[us]")),
+        "user_id": pa.array(df["u"].to_numpy(np.int64)),
+        "event_type": pa.array(df["t"].tolist()),
+        "value": pa.array(df["v"].to_numpy()),
+        "props": pa.array(["{}"] * len(df)),
+    }), str(tmp_path / "events.parquet"))
+    got = _to_table(_q_nearest_purchase(str(tmp_path))).to_pandas()
+    got = got.sort_values("event_id", ignore_index=True)
+    want = {}
+    for r in df[df["t"] == "click"].itertuples():
+        p = df[(df["t"] == "purchase") & (df["u"] == r.u)]["ts"] \
+            .to_numpy()
+        if len(p) == 0:
+            want[r.eid] = -1
+            continue
+        d = np.abs(p - r.ts)
+        best = p[np.lexsort((p, d))][0]   # min |Δ|, tie → earlier ts
+        want[r.eid] = int(best)
+    assert got["event_id"].tolist() == sorted(want)
+    assert got["nearest_us"].tolist() == [want[e] for e in
+                                          sorted(want)]
     vals = list(want.values())
     assert any(v == -1 for v in vals) and any(v >= 0 for v in vals)
