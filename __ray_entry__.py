@@ -1132,7 +1132,9 @@ def _q_pq_ann_topk(sf_dir):
     from engine.ops import ann
 
     q, qids = _load_query_vecs(sf_dir, 5)
-    return ann.pq_topk(_embeddings(sf_dir), q, qids, k=10, m=16,
+    d = int(q.shape[1])
+    m = next(mm for mm in (16, 8, 4, 2, 1) if d % mm == 0)
+    return ann.pq_topk(_embeddings(sf_dir), q, qids, k=10, m=m,
                        kcent=128)
 
 
@@ -1516,7 +1518,8 @@ def _q_ann_topk_lsh(sf_dir):
     from engine.ops import ann
 
     q, qids = _load_query_vecs(sf_dir, 3)
-    return ann.topk_cosine_lsh(_embeddings(sf_dir), q, qids, k=10, nbits=4, dim=64)
+    return ann.topk_cosine_lsh(_embeddings(sf_dir), q, qids, k=10,
+                               nbits=4, dim=int(q.shape[1]))
 
 
 def _q_ann_topk_ivf(sf_dir):
@@ -4387,7 +4390,10 @@ def _q_morans_i(sf_dir):
                 W += 1
                 num += int(a[i]) * int(a[j])
     den = int((a.astype(object) * a.astype(object)).sum())
-    morans = (float(N) * float(num)) / (float(W) * float(den))
+    # degenerate lattices: no adjacent pairs (W=0) or a zero-variance
+    # field (den=0) have no defined statistic → 0.0
+    morans = ((float(N) * float(num)) / (float(W) * float(den))
+              if W > 0 and den > 0 else 0.0)
     return pa.table({
         "n_cells": pa.array([N], type=pa.int64()),
         "w_pairs": pa.array([W], type=pa.int64()),
@@ -4807,8 +4813,10 @@ def _q_getis_ord(sf_dir):
         num = N * U - S1 * W
         B = N * W - W * W
         wi[i] = W
+        # degenerate lattices guard: a single cell (N=1) or a
+        # zero-variance field (A=0) has no defined z-score → 0.0
         gi[i] = (float(num) / math.sqrt(float(A) * float(B) / float(N - 1))
-                 if B > 0 else 0.0)
+                 if B > 0 and A > 0 and N > 1 else 0.0)
     return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
                      "n": pa.array(n), "w_i": pa.array(wi),
                      "gi_star": pa.array(gi)})
@@ -4840,7 +4848,10 @@ def _q_pushdown_read(sf_dir):
         ds.map_batches(cents, batch_format="pyarrow", batch_size=None,
                        zero_copy_batch=True),
         ["event_type"], [("_one", "sum"), ("cents", "sum")],
-        ["n_big", "sum_cents"], plan="tree")
+        ["n_big", "sum_cents"], plan="tree",
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("n_big", pa.int64()),
+                                ("sum_cents", pa.int64())]))
 
 
 def _q_rank_sums(sf_dir):
@@ -6375,10 +6386,18 @@ def _q_k_core(sf_dir):
     e = grouped_agg(
         ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
                        zero_copy_batch=True),
-        ["a", "b"], [("a", "count")], ["_n"], plan="tree")
-    t = pa.concat_tables([x for x in e.iter_batches(batch_format="pyarrow")])
-    a = t["a"].to_numpy().copy()
-    b = t["b"].to_numpy().copy()
+        ["a", "b"], [("a", "count")], ["_n"], plan="tree",
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("_n", pa.int64())]))
+    blocks = [x for x in e.iter_batches(batch_format="pyarrow")
+              if x.num_columns > 0]
+    if blocks:
+        t = pa.concat_tables(blocks)
+        a = t["a"].to_numpy().copy()
+        b = t["b"].to_numpy().copy()
+    else:  # a legitimately EMPTY derived graph (degenerate id range)
+        a = np.empty(0, dtype=np.int64)
+        b = np.empty(0, dtype=np.int64)
     for _ in range(_KCORE_ROUNDS):
         deg = np.bincount(a, minlength=397) + np.bincount(b, minlength=397)
         keep_node = deg >= _KCORE_K
@@ -6862,6 +6881,9 @@ def _q_q17_small_qty(sf_dir):
     t = tree_fold_refs(
         jj.map_batches(small, batch_format="pyarrow", batch_size=None),
         lambda tbls: pa.concat_tables(tbls))
+    if t.num_columns == 0:  # legitimately empty join at tiny scale
+        return pa.table({"n_items": pa.array([0], type=pa.int64()),
+                         "sum_cents": pa.array([0], type=pa.int64())})
     return pa.table({
         "n_items": pa.array([int(pc.sum(t["n_items"]).as_py())],
                             type=pa.int64()),
@@ -6929,6 +6951,9 @@ def _q_q19_disjunct(sf_dir):
     t = tree_fold_refs(
         j.map_batches(pred, batch_format="pyarrow", batch_size=None),
         lambda tbls: pa.concat_tables(tbls))
+    if t.num_columns == 0:  # legitimately empty join at tiny scale
+        return pa.table({"n_items": pa.array([0], type=pa.int64()),
+                         "revenue_bp": pa.array([0], type=pa.int64())})
     return pa.table({
         "n_items": pa.array([int(pc.sum(t["n_items"]).as_py())],
                             type=pa.int64()),

@@ -526,6 +526,11 @@ def _sssp_remotes():
 
     @ray.remote
     def shard_wedges(block: pa.Table, num_parts: int):
+        if block.num_columns == 0 or block.num_rows == 0:
+            # Ray 2.49 drops the schema of zero-row map outputs: an
+            # empty (possibly column-less) edge block routes nothing
+            z = np.empty(0, dtype=np.int64)
+            return tuple(_route(z, num_parts, z, z, z))
         a = block["a"].to_numpy()
         b = block["b"].to_numpy()
         w = block["w"].to_numpy()

@@ -779,9 +779,15 @@ def broadcast_equi_join(small, large, small_on: str, large_on: str,
             # frontier) — build a typed empty from the dataset schema so
             # the per-batch hash join still type-checks
             sch = small.schema(fetch_if_missing=True)
-            st = (sch.base_schema.empty_table()
-                  .select([small_on] + small_cols)
-                  .rename_columns(["_k"] + small_cols))
+            if sch is not None:
+                st = (sch.base_schema.empty_table()
+                      .select([small_on] + small_cols)
+                      .rename_columns(["_k"] + small_cols))
+            else:
+                # Ray 2.49 drops even the fetched schema of an all-empty
+                # map output: fall back to the documented int64 typing
+                st = pa.table({c: pa.array([], type=pa.int64())
+                               for c in ["_k"] + small_cols})
     ref = ray.put(st.combine_chunks())
     order = list(col_order) if col_order is not None else (
         ["_k"] + list(small_cols) + list(large_cols)
