@@ -3429,11 +3429,16 @@ def _q_promo_share(sf_dir):
         })
 
     t = tree_fold_refs(parts, combine)
+    if t.num_columns == 0 or t.num_rows == 0:
+        # an empty date window is legitimate on a sparse partition
+        t = pa.table({"promo_bp": pa.array([0], type=pa.int64()),
+                      "total_bp": pa.array([0], type=pa.int64())})
     promo = t["promo_bp"][0].as_py()
     tot = t["total_bp"][0].as_py()
     return t.append_column(
         "promo_share",
-        pa.array([float(promo) / float(tot)], type=pa.float64()))
+        pa.array([float(promo) / float(tot) if tot else 0.0],
+                 type=pa.float64()))
 
 
 def _q_cust_no_urgent(sf_dir):
@@ -5093,7 +5098,10 @@ def _q_local_supplier_revenue(sf_dir):
     rolled = grouped_agg(
         j.map_batches(local_only, batch_format="pyarrow", batch_size=None,
                       zero_copy_batch=True),
-        ["n_nationkey"], [("rev_bp", "sum")], ["revenue_bp"], plan="tree")
+        ["n_nationkey"], [("rev_bp", "sum")], ["revenue_bp"],
+        plan="tree",
+        empty_schema=pa.schema([("n_nationkey", pa.int32()),
+                                ("revenue_bp", pa.int64())]))
     nat = dim_table(f"{sf_dir}/nation.parquet",
                     ["n_nationkey", "n_name"])
     out = equi_join(rolled, nat, "n_nationkey", "n_nationkey",
@@ -6744,7 +6752,7 @@ def _q_q10_returned(sf_dir):
                          ["revenue_bp"], plan="shuffle")
 
     def topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= 20:
+        if batch.num_columns == 0 or batch.num_rows <= 20:
             return batch
         rev = batch["revenue_bp"].to_numpy()
         key = batch["o_custkey"].to_numpy()
@@ -6754,6 +6762,11 @@ def _q_q10_returned(sf_dir):
     top = tree_fold_refs(
         rolled.map_batches(topk, batch_format="pyarrow", batch_size=None),
         lambda tbls: topk(pa.concat_tables(tbls).combine_chunks()))
+    if top.num_columns == 0 or top.num_rows == 0:
+        # an empty date window is legitimate on a sparse partition
+        return pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                         "revenue_bp": pa.array([], type=pa.int64()),
+                         "c_name": pa.array([], type=pa.string())})
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_name"])
@@ -6810,6 +6823,11 @@ def _q_q15_top_supplier(sf_dir):
     mt = tree_fold_refs(
         rolled.map_batches(bmax, batch_format="pyarrow", batch_size=None),
         lambda tbls: pa.concat_tables(tbls))
+    if mt.num_columns == 0 or mt.num_rows == 0             or pc.max(mt["m"]).as_py() is None:
+        # an empty ship-date window is legitimate on a sparse partition
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "total_bp": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string())})
     best = int(pc.max(mt["m"]).as_py())
 
     top = rolled.map_batches(
@@ -7302,9 +7320,15 @@ def _q_mkt_share(sf_dir):
     rolled = grouped_agg(
         j.map_batches(cells, batch_format="pyarrow", batch_size=None),
         ["o_year", "is_tgt"], [("rev_bp", "sum")], ["rev_bp"],
-        plan="tree")
+        plan="tree",
+        empty_schema=pa.schema([("o_year", pa.int64()),
+                                ("is_tgt", pa.int64()),
+                                ("rev_bp", pa.int64())]))
     t = pa.concat_tables([b for b in rolled.iter_batches(
-        batch_format="pyarrow")])
+        batch_format="pyarrow")] or
+        [pa.table({"o_year": pa.array([], type=pa.int64()),
+                   "is_tgt": pa.array([], type=pa.int64()),
+                   "rev_bp": pa.array([], type=pa.int64())})])
     yrs = t["o_year"].to_numpy()
     tgt = t["is_tgt"].to_numpy()
     rev = t["rev_bp"].to_numpy()

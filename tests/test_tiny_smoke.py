@@ -156,3 +156,46 @@ def test_tiny_smoke_all_queries(ray_session, tiny_sf, part):
         except Exception as ex:  # noqa: BLE001 — collecting the sweep
             failures.append((name, f"{type(ex).__name__}: {ex}"))
     assert failures == []
+
+
+@pytest.fixture(scope="module")
+def tiny_sf_nowindow(tmp_path_factory, tiny_sf):
+    """The same tiny corpus with every order/ship date pushed OUTSIDE
+    the 1995-1998 windows the TPC-H-shaped queries filter on — every
+    date-windowed query sees a legitimately EMPTY slice."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("tinysf_nw")
+    for f in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        shutil.copy(f"{tiny_sf}/{f}.parquet", str(d / f"{f}.parquet"))
+    for f, col in (("orders", "o_orderdate"), ("lineitem",
+                                               "l_shipdate")):
+        t = pq.read_table(f"{tiny_sf}/{f}.parquet")
+        shifted = pa.array(
+            np.full(t.num_rows,
+                    np.datetime64("2010-06-01T00:00:00", "us")))
+        i = t.schema.get_field_index(col)
+        t = t.set_column(i, col, shifted)
+        pq.write_table(t, str(d / f"{f}.parquet"))
+    return str(d)
+
+
+WINDOWED = ["q3_topk", "q6_revenue", "q10_returned", "q15_top_supplier",
+            "mkt_share", "promo_share", "local_supplier_revenue",
+            "q4_priority", "open_orders_daily", "nation_flow"]
+
+
+def test_empty_window_queries(ray_session, tiny_sf_nowindow):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    failures = []
+    for name in WINDOWED:
+        try:
+            res = qs[name](tiny_sf_nowindow)
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            failures.append((name, f"{type(ex).__name__}: {ex}"))
+    assert failures == []
