@@ -9028,6 +9028,64 @@ def _q_nearest_purchase(sf_dir):
     return hash_exchange_groups(ds, ["user_id"], part_fn)
 
 
+def _q_zorder_locality(sf_dir):
+    """Z-ORDER CLUSTERING EFFECTIVENESS (○ — the measured WHY behind
+    zorder_top100/zorder_range_scan): images land in equal-size blocks
+    under (a) arrival order and (b) Morton order, and each layout
+    reports its mean per-block bounding-box area — the quantity that
+    decides how many row-groups a spatial range scan can skip.  Per
+    layout: one pass computing per-block bboxes (Ray native sort for
+    the Morton layout), tiny fold.  The pytest pins sorted ≪ unsorted;
+    no SQL oracle (the statistic depends on physical block
+    boundaries, which SQL cannot see)."""
+    import ray.data
+
+    from engine.ops.zorder import morton2
+    from engine.rayds import imagetab
+    from engine.rayds.shuffle import tree_fold_refs
+
+    enc = imagetab.image_dataset(sf_dir).select_columns(
+        ["image_id", "x", "y"])
+
+    def add_z(t: pa.Table) -> pa.Table:
+        xi = np.floor(t["x"].to_numpy() * 100.0).astype(np.int64)
+        yi = np.floor(t["y"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"x": t["x"], "y": t["y"],
+                         "z": pa.array(morton2(xi, yi))})
+
+    zd = enc.map_batches(add_z, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+
+    def bboxes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"area": pa.array([], type=pa.float64()),
+                             "one": pa.array([], type=pa.int64())})
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        area = float((x.max() - x.min()) * (y.max() - y.min()))
+        return pa.table({"area": pa.array([area], type=pa.float64()),
+                         "one": pa.array([1], type=pa.int64())})
+
+    def layout_stat(ds, label):
+        f = tree_fold_refs(
+            ds.map_batches(bboxes, batch_format="pyarrow",
+                           batch_size=512),
+            lambda tbls: pa.concat_tables(tbls))
+        import pyarrow.compute as pc
+
+        n = int(pc.sum(f["one"]).as_py() or 0)
+        tot = float(pc.sum(f["area"]).as_py() or 0.0)
+        return pa.table({
+            "layout": pa.array([label]),
+            "n_blocks": pa.array([n], type=pa.int64()),
+            "mean_bbox_area": pa.array(
+                [tot / n if n else 0.0], type=pa.float64())})
+
+    unsorted_stat = layout_stat(zd, "arrival")
+    sorted_stat = layout_stat(zd.sort("z"), "morton")
+    return pa.concat_tables([unsorted_stat, sorted_stat])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9267,6 +9325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decile_gains": _q_decile_gains,
         "ab_test_ztest": _q_ab_test_ztest,
         "nearest_purchase": _q_nearest_purchase,
+        "zorder_locality": _q_zorder_locality,
     }
 
 

@@ -98,3 +98,15 @@ def test_hive_roundtrip_partition_dirs(ray_session, tmp_path):
     assert got["user_id"].tolist() == want["user_id"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
     assert got["sum_cents"].tolist() == want["s"].tolist()
+
+
+def test_zorder_locality_improves(ray_session):
+    from __ray_entry__ import _q_zorder_locality
+
+    t = _to_table(_q_zorder_locality("/root/testdata/sf0.001")) \
+        .to_pandas().set_index("layout")
+    arr = t.loc["arrival", "mean_bbox_area"]
+    mor = t.loc["morton", "mean_bbox_area"]
+    assert t.loc["morton", "n_blocks"] >= 1
+    # the Morton layout must tighten per-block spatial locality a lot
+    assert mor < 0.6 * arr, (mor, arr)
