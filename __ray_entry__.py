@@ -9086,6 +9086,62 @@ def _q_zorder_locality(sf_dir):
     return pa.concat_tables([unsorted_stat, sorted_stat])
 
 
+def _q_region_simplify_stats(sf_dir):
+    """DISTRIBUTED GEOMETRY SIMPLIFICATION (○ — surfaces the
+    Douglas-Peucker kernel in a pipeline): the dense 32-gon footprint
+    layer simplifies at tolerance 0.2 as a Dataset map (rings ride as
+    WKT rows; per-poly work is bounded by the LAYER, the broadcast
+    side by design), reporting per-polygon vertex counts before/after
+    and the area ratio.  The pytest pins vertex reduction ≥ 2×, area
+    ratio within [0.9, 1.0] (DP under-approximates a convex ring) and
+    validity of every simplified polygon.  No SQL oracle (DuckDB has
+    no geometry kernels here)."""
+    import ray.data
+
+    from engine.geo import from_wkt, to_wkt
+    from engine.geo.constructive import simplify
+    from engine.geo.measure import area as _area
+    from engine.geo.predicates import is_valid
+    from engine.rayds import imagetab
+
+    layer = imagetab.make_dense_layer(n_polys=512)
+    polys = layer.polys
+    wkts = [to_wkt(polys.get(i)) for i in range(len(layer.poly_ids))]
+    ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array(layer.poly_ids),
+        "wkt": pa.array(wkts),
+    })).repartition(8)
+
+    TOL = 0.2
+
+    def simp(t: pa.Table) -> pa.Table:
+        ids = t["poly_id"].to_numpy()
+        out_b, out_a, ratio, valid = [], [], [], []
+        for w in t["wkt"].to_pylist():  # bounded by the layer side
+            g = from_wkt(w)
+            s = simplify(g, TOL)
+            a0, a1 = _area(g), _area(s)
+            out_b.append(_nverts(g))
+            out_a.append(_nverts(s))
+            ratio.append(a1 / a0 if a0 else 1.0)
+            valid.append(bool(is_valid(s)))
+        return pa.table({
+            "poly_id": pa.array(ids),
+            "n_before": pa.array(out_b, type=pa.int64()),
+            "n_after": pa.array(out_a, type=pa.int64()),
+            "area_ratio": pa.array(ratio, type=pa.float64()),
+            "valid": pa.array(valid, type=pa.bool_())})
+
+    return ds.map_batches(simp, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _nverts(g) -> int:
+    from engine.geo.coordinates import get_coordinates
+
+    return int(len(get_coordinates(g)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9326,6 +9382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_ztest": _q_ab_test_ztest,
         "nearest_purchase": _q_nearest_purchase,
         "zorder_locality": _q_zorder_locality,
+        "region_simplify_stats": _q_region_simplify_stats,
     }
 
 

@@ -110,3 +110,14 @@ def test_zorder_locality_improves(ray_session):
     assert t.loc["morton", "n_blocks"] >= 1
     # the Morton layout must tighten per-block spatial locality a lot
     assert mor < 0.6 * arr, (mor, arr)
+
+
+def test_region_simplify_stats(ray_session):
+    from __ray_entry__ import _q_region_simplify_stats
+
+    t = _to_table(_q_region_simplify_stats("/root/testdata/sf0.001")) \
+        .to_pandas()
+    assert len(t) == 512
+    assert (t["n_after"] * 2 <= t["n_before"]).all()  # ≥2× reduction
+    assert ((t["area_ratio"] >= 0.9) & (t["area_ratio"] <= 1.0)).all()
+    assert t["valid"].all()
