@@ -373,3 +373,60 @@ def semi_anti_ids(sf_dir: str, anti: bool = False):
         return batch.filter(pc.equal(batch["_m"], 0)).select(["image_id"])
 
     return cog.map_batches(keep_unmatched, batch_format="pyarrow", batch_size=None)
+
+
+def run_curation_checkpointed(sf_dir: str, out_dir: str,
+                              num_shards: int = 4) -> dict:
+    """Resumable LLM-CURATION chain (the ``curation_pipeline`` plan:
+    language filter → integer quality gates → exact dedup keeping the
+    lowest doc_id) over FP-HASH shards: the row-local filters run
+    before sharding, shard i owns md5-fingerprints with
+    ``hash(fp) % num_shards == i`` — the same partitioning the dedup
+    exchange uses, so each shard's keep-lowest set is globally
+    complete for its keys and cross-shard duplicates are impossible by
+    construction.  Shards recompute independently under ckpt
+    manifests (lineage = input files + slice)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops import text
+    from engine.ops.vhash import md5_hex
+    from engine.rayds.shuffle import _col_hash, hash_shuffle_agg
+
+    def build(shard_idx: int, n: int):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def gate(batch: pa.Table) -> pa.Table:
+            t = text.lang_id(batch)
+            keep = pc.equal(t["pred_lang"], "en").to_numpy(
+                zero_copy_only=False)
+            txt = t["text"]
+            ntok = pc.add(pc.count_substring(txt, " "), 1).to_numpy(
+                zero_copy_only=False)
+            ndig = pc.count_substring_regex(txt, "[0-9]").to_numpy(
+                zero_copy_only=False)
+            nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+            keep &= (ntok >= 5) & (ntok <= 1000) & (5 * ndig < nch)
+            kept = t.filter(pa.array(keep))
+            fp = md5_hex(kept["text"], prefix=16)
+            g = pa.table({"fp": pa.array(fp, type=pa.string()),
+                          "doc_id": kept["doc_id"],
+                          "n_tokens": pa.array(
+                              ntok[keep].astype(np.int64))})
+            h = _col_hash(g["fp"])
+            g = g.filter(pa.array(
+                (h % np.uint64(n)).view(np.int64) == shard_idx))
+            agg = g.group_by(["fp"]).aggregate(
+                [("doc_id", "min"), ("n_tokens", "min")])
+            return agg.rename_columns(["fp", "_min_id", "_nt"])
+
+        part = docs.map_batches(gate, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+        return hash_shuffle_agg(part, ["fp"],
+                                [("_min_id", "min"), ("_nt", "min")],
+                                ["doc_id", "n_tokens"])
+
+    return ckpt.run_sharded_ranges(build,
+                                   [f"{sf_dir}/documents.parquet"],
+                                   out_dir, num_shards=num_shards)

@@ -34,7 +34,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/ingest_out")
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--pipeline",
-                    choices=["tiles", "celljoin", "dedup", "wds"],
+                    choices=["tiles", "celljoin", "dedup", "wds", "curation"],
                     default="tiles")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -59,6 +59,9 @@ def main() -> int:
         from engine.rayds.wds import run_wds_checkpointed
 
         res = run_wds_checkpointed(
+            args.sf_dir, args.out, num_shards=args.num_shards)
+    elif args.pipeline == "curation":
+        res = pipeline.run_curation_checkpointed(
             args.sf_dir, args.out, num_shards=args.num_shards)
     else:
         res = pipeline.run_dedup_checkpointed(

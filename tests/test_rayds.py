@@ -1435,3 +1435,35 @@ def test_quad_pyramid_matches_brute_and_plans_agree(ray_ready):
     for (z, _, _), c in want.items():
         lvl[z] = lvl.get(z, 0) + c
     assert all(v == n for v in lvl.values())
+
+
+def test_checkpoint_resume_curation(ray_ready, tmp_path):
+    """The curation chain under fp-hash-shard manifests: per-shard
+    keep-lowest sets are globally complete per key; union == the
+    unsharded curation_pipeline, and a deleted manifest recomputes
+    exactly one shard."""
+    import __ray_entry__ as e
+    from engine.rayds import ckpt, pipeline
+
+    out = str(tmp_path / "cur_out")
+    r1 = pipeline.run_curation_checkpointed(SF, out, num_shards=3)
+    assert r1["computed"] == [0, 1, 2]
+    os.remove(ckpt.manifest_path(out, 1))
+    r2 = pipeline.run_curation_checkpointed(SF, out, num_shards=3)
+    assert r2 == {"computed": [1], "skipped": [0, 2]}
+    import pyarrow.parquet as pq
+    got = set()
+    for i in range(3):
+        d = os.path.join(out, f"shard={i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f))
+                got |= set(zip(t["fp"].to_pylist(),
+                               t["doc_id"].to_pylist(),
+                               t["n_tokens"].to_pylist()))
+    want = {
+        (r["fp"], r["doc_id"], r["n_tokens"])
+        for r in e.queries()["curation_pipeline"](SF).take_all()
+    }
+    assert got == want
+    assert len(want) > 0
