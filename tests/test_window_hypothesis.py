@@ -57,3 +57,33 @@ def test_record_high_random(ray_session, data):
     assert got["user_id"].tolist() == sorted(recs)
     assert got["n_records"].tolist() == [recs[x] for x in sorted(recs)]
     assert got["n_events"].tolist() == [evs[x] for x in sorted(recs)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 40)),
+                min_size=1, max_size=50),
+       st.integers(1, 8))
+def test_sessionize_random(ray_session, data, gap):
+    from engine.rayds.shuffle import sessionize
+
+    u = np.array([r[0] for r in data], dtype=np.int64)
+    ts = np.array([r[1] for r in data], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(u), "ts_us": pa.array(ts)}))
+    got = _to_table(sessionize(ds, "user_id", "ts_us", gap)).to_pandas()
+    got = got.sort_values(["user_id", "session_start_us"],
+                          ignore_index=True)
+
+    want = []
+    df = pd.DataFrame({"u": u, "ts": ts}).sort_values(
+        ["u", "ts"], ignore_index=True)
+    for uu, sub in df.groupby("u"):
+        t = sub["ts"].to_numpy()
+        new = np.r_[True, np.diff(t) > gap]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(t)))
+        for s, n in zip(starts, sizes):
+            want.append((uu, int(t[s]), int(n)))
+    want.sort()
+    assert list(zip(got["user_id"], got["session_start_us"],
+                    got["n_events"])) == want
