@@ -9142,6 +9142,39 @@ def _nverts(g) -> int:
     return int(len(get_coordinates(g)))
 
 
+def _q_crossmodal_dup_clusters(sf_dir):
+    """CROSS-MODAL DEDUP CLUSTERS (○ — the multi-signal curation
+    pattern: a document is a duplicate if EITHER its text or its
+    embedding says so): the MinHash-verified text pairs UNION the
+    exact cosine embedding pairs (vec_id i is doc i's embedding by
+    schema intent) feed one connected-components pass — text-similar
+    chains and embedding-similar chains merge into single clusters
+    across modalities.  Both pair generators and the CC are the
+    existing distributed plans; pytest checks the labels against a
+    driver union-find over the same collected pair set."""
+    from engine.ops import dedup
+    from engine.ops.graph import connected_components
+
+    text_pairs = dedup.minhash_verified_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        threshold=0.4)
+
+    def tp(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"])
+
+    emb_pairs = dedup.embed_dedup_pairs(_embeddings(sf_dir),
+                                        threshold=0.4, num_blocks=8)
+
+    def ep(t: pa.Table) -> pa.Table:
+        return t.select(["a", "b"])
+
+    edges = text_pairs.map_batches(tp, batch_format="pyarrow",
+                                   batch_size=None).union(
+        emb_pairs.map_batches(ep, batch_format="pyarrow",
+                              batch_size=None))
+    return connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9383,6 +9416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_purchase": _q_nearest_purchase,
         "zorder_locality": _q_zorder_locality,
         "region_simplify_stats": _q_region_simplify_stats,
+        "crossmodal_dup_clusters": _q_crossmodal_dup_clusters,
     }
 
 
