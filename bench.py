@@ -372,6 +372,57 @@ def main():
             ray.shutdown()
         return
 
+    if "--dense-layer" in sys.argv:
+        # VERDICT r3 #1 evidence: big-big cell join with a ≥160k-polygon
+        # layer that exists ONLY as a lazy Dataset — cover-explode +
+        # blob-serialize run in map_batches on workers; driver RSS stays
+        # flat (O(1) in layer size).
+        import pyarrow.compute as pc_mod
+
+        from engine.rayds.celljoin import cellpart_pairs
+        from engine.rayds.imagetab import dense_layer_dataset
+
+        def _rss_mb() -> float:
+            # RssAnon = driver-private heap; VmRSS would also count
+            # read-only shared plasma mappings the OS charges to whoever
+            # touched them
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("RssAnon"):
+                        return int(ln.split()[1]) / 1024.0
+            return 0.0
+
+        n_polys = int(os.environ.get("GRAFT_DENSE_POLYS", "160000"))
+        pts = _expanded_images(SF_DIR, max(1, MULT // 5)).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("image_id"), "image_id",
+                pc_mod.cast(t["image_id"], pa.string())),
+            batch_format="pyarrow", batch_size=None,
+        )
+        lds = dense_layer_dataset(n_polys=n_polys, verts=8, radius=0.25,
+                                  parallelism=64)
+        try:
+            rss0 = _rss_mb()
+            t0 = time.perf_counter()
+            n_pairs = cellpart_pairs(SF_DIR, layer_ds=lds, ds=pts).count()
+            secs = time.perf_counter() - t0
+            n_pts = pts.count()
+            print(json.dumps({
+                "metric": "dense_layer_cellpart_join",
+                "unit": "sec",
+                "value": round(secs, 3),
+                "n_polys": n_polys,
+                "n_points": n_pts,
+                "n_pairs": n_pairs,
+                "rows_per_sec": round((n_pts + n_polys) / secs, 1),
+                "driver_rss_mb_before": round(rss0, 1),
+                "driver_rss_mb_after": round(_rss_mb(), 1),
+                "num_cpus": NUM_CPUS, "sf": SF_DIR,
+            }))
+        finally:
+            ray.shutdown()
+        return
+
     if "--skew" in sys.argv:
         try:
             print(json.dumps({"metric": "skew_ladder", "unit": "sec",

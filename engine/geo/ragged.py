@@ -156,6 +156,88 @@ class PolygonArray:
         )
         return out
 
+    # --------------------------------------------------------------- slices
+    def take(self, idx: np.ndarray) -> "PolygonArray":
+        """Gather a subset of polygons (vectorized offset rebase)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        r0 = self.poly_offsets[idx]
+        r1 = self.poly_offsets[idx + 1]
+        nrings = r1 - r0
+        ring_sel = np.repeat(r0, nrings) + (
+            np.arange(int(nrings.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(nrings) - nrings, nrings)
+        )
+        ring_lens = self.ring_offsets[ring_sel + 1] - self.ring_offsets[ring_sel]
+        starts = self.ring_offsets[ring_sel]
+        total = int(ring_lens.sum())
+        coord_sel = np.repeat(starts, ring_lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(ring_lens) - ring_lens, ring_lens)
+        )
+        ring_off = np.concatenate([[0], np.cumsum(ring_lens)]).astype(np.int64)
+        poly_off = np.concatenate([[0], np.cumsum(nrings)]).astype(np.int64)
+        return PolygonArray(self.coords[coord_sel], ring_off, poly_off)
+
+    # --------------------------------------------------------------- blobs
+    #
+    # Per-polygon self-contained byte blobs — the wire format polygons
+    # ride through cell-partitioned shuffles (celljoin.py).  Layout:
+    #   int64 n_rings | int64 ring_len × n_rings | float64 coords (xy)
+    def to_blobs(self) -> pa.Array:
+        """Serialize every polygon to its shuffle blob, returned as a
+        zero-copy-constructed Arrow binary array (one from_buffers call;
+        the per-polygon loop does only slice memcpy, no per-coord work)."""
+        p = len(self)
+        nr = np.diff(self.poly_offsets)
+        ring_lens = np.diff(self.ring_offsets)
+        # header stream: for each poly, [n_rings, ring_len...]
+        header = np.insert(ring_lens, self.poly_offsets[:-1], nr).astype(np.int64)
+        hlen = 8 * (1 + nr)
+        c0 = self.ring_offsets[self.poly_offsets[:-1]]
+        c1 = self.ring_offsets[self.poly_offsets[1:]]
+        clen = 16 * (c1 - c0)
+        blob_len = hlen + clen
+        off = np.concatenate([[0], np.cumsum(blob_len)]).astype(np.int64)
+        values = np.empty(int(off[-1]), dtype=np.uint8)
+        hbytes = header.view(np.uint8)
+        cbytes = np.ascontiguousarray(self.coords).reshape(-1).view(np.uint8)
+        hoff = np.concatenate([[0], np.cumsum(hlen)]).astype(np.int64)
+        coff = 16 * c0
+        for i in range(p):
+            s = off[i]
+            values[s : s + hlen[i]] = hbytes[hoff[i] : hoff[i + 1]]
+            values[s + hlen[i] : off[i + 1]] = cbytes[coff[i] : coff[i] + clen[i]]
+        return pa.Array.from_buffers(
+            pa.large_binary(), p,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(values.tobytes())],
+        )
+
+    @classmethod
+    def from_blobs(cls, blobs) -> "PolygonArray":
+        """Rebuild a PolygonArray from shuffle blobs (group-local).
+
+        Accepts an Arrow binary array/chunked array or a list of bytes."""
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        if isinstance(blobs, pa.Array):
+            blobs = blobs.to_pylist()
+        coords_parts = []
+        ring_off = [0]
+        poly_off = [0]
+        n = 0
+        for blob in blobs:
+            buf = memoryview(blob)
+            n_rings = int(np.frombuffer(buf[:8], dtype=np.int64)[0])
+            ring_lens = np.frombuffer(buf[8 : 8 * (1 + n_rings)], dtype=np.int64)
+            coords = np.frombuffer(buf[8 * (1 + n_rings) :], dtype=np.float64).reshape(-1, 2)
+            coords_parts.append(coords)
+            for rl in ring_lens:
+                n += int(rl)
+                ring_off.append(n)
+            poly_off.append(len(ring_off) - 1)
+        c = np.vstack(coords_parts) if coords_parts else np.empty((0, 2))
+        return cls(c, np.asarray(ring_off), np.asarray(poly_off))
+
     # --------------------------------------------------------------- arrow
     ARROW_TYPE = pa.list_(pa.list_(pa.list_(pa.float64(), 2)))
 

@@ -9,12 +9,22 @@ co-partitioned by planar grid cell and joined inside each cell group:
   union → groupby(cell) → map_groups: bbox prefilter + EXACT refinement
   (PreparedPolygons point-in-polygon kernel) → pair table
 
-The only all-to-all moves (cell, narrow columns + ring blobs) — never
-image payloads.  The in-group refinement is the same vectorized kernel
-as the broadcast path (prepared.py), so the two physical plans produce
-identical results for ARBITRARY polygons (both oracle-checked against
-the same SQL for the box layer; the dense-polygon parity test covers the
-general case).
+BOTH sides are lazy Datasets: the polygon side is a poly-row Dataset
+(imagetab.layer_dataset / dense_layer_dataset schema) whose
+cover-explode + blob handling runs inside ``map_batches`` on workers —
+the driver never materializes the layer, so a 10M-footprint layer costs
+the driver O(1).  The only all-to-all moves (cell, narrow columns + ring
+blobs) — never image payloads.  The in-group refinement is the same
+vectorized kernel as the broadcast path (prepared.py), so the two
+physical plans produce identical results for ARBITRARY polygons (both
+oracle-checked against the same SQL for the box layer; the dense-polygon
+parity test covers the general case).
+
+Partition granularity AUTO-TUNES from the layer: a one-row-per-block
+stats pass (count, global bounds, mean side) sizes the grid cell so the
+join lands ≥4 groups per reducer slot without exploding the polygon
+replication factor (``choose_part_cell``) — the same code self-tunes on
+a real cluster where slot count and layer extent differ.
 
 Skew: every cell key is salted — points get a deterministic per-batch
 round-robin salt, polygons are replicated across the salt range — so a
@@ -38,57 +48,113 @@ from engine.geo.ragged import PolygonArray
 from engine.rayds.imagetab import Layer
 from engine.rayds.shuffle import hash_exchange_fine_groups
 
-# partition granularity: groups ≈ 4-16 per reducer slot.  12.5 over the
-# [0,100)² world → 8×8 = 64 base cells (×salt → 128 groups), i.e. 4 per
-# slot at 32 local CPUs (measured optimum: sweep at sf0.1 put 6.25-50.0
-# all within noise once salted; 12.5/2 minimized).  At cluster scale
-# shrink PART_CELL so groups stay ≥4× total reducer slots.
+# fallback partition granularity when the layer stats pass is skipped:
+# 12.5 over the [0,100)² world → 8×8 = 64 base cells (×salt → 128
+# groups), i.e. 4 per slot at 32 local CPUs (measured optimum: sweep at
+# sf0.1 put 6.25-50.0 all within noise once salted).  The default path
+# derives the granularity from the layer instead — see choose_part_cell.
 PART_CELL = 12.5
 SALT = 2
+TARGET_GROUPS_PER_SLOT = 4
 
 
-def _poly_blobs(layer: Layer) -> list[bytes]:
-    """Per-polygon ring serialization: n_rings, ring lengths, coords."""
-    polys = layer.polys
-    out = []
-    for i in range(len(polys)):
-        r0, r1 = polys.poly_offsets[i], polys.poly_offsets[i + 1]
-        ring_lens = (
-            polys.ring_offsets[r0 + 1 : r1 + 1] - polys.ring_offsets[r0:r1]
-        ).astype(np.int64)
-        c0 = polys.ring_offsets[r0]
-        c1 = polys.ring_offsets[r1]
-        coords = polys.coords[c0:c1]
-        header = np.concatenate([[len(ring_lens)], ring_lens]).astype(np.int64)
-        out.append(header.tobytes() + np.ascontiguousarray(coords).tobytes())
-    return out
+# ------------------------------------------------------------ layer side
 
 
-def _polys_from_blobs(blobs) -> PolygonArray:
-    """Rebuild a PolygonArray from per-polygon blobs (group-local)."""
-    coords_parts = []
-    ring_off = [0]
-    poly_off = [0]
-    n = 0
-    for blob in blobs:
-        buf = memoryview(blob)
-        n_rings = int(np.frombuffer(buf[:8], dtype=np.int64)[0])
-        ring_lens = np.frombuffer(buf[8 : 8 * (1 + n_rings)], dtype=np.int64)
-        coords = np.frombuffer(buf[8 * (1 + n_rings) :], dtype=np.float64).reshape(-1, 2)
-        coords_parts.append(coords)
-        for rl in ring_lens:
-            n += int(rl)
-            ring_off.append(n)
-        poly_off.append(len(ring_off) - 1)
-    c = np.vstack(coords_parts) if coords_parts else np.empty((0, 2))
-    return PolygonArray(c, np.asarray(ring_off), np.asarray(poly_off))
+def _resolve_layer_ds(sf_dir, layer=None, layer_ds=None):
+    """The polygon side as a poly-row Dataset.  Priority: explicit
+    Dataset > in-memory Layer (test path) > the sf_dir testdata layer
+    derived inside map_batches (driver-O(1) default)."""
+    if layer_ds is not None:
+        return layer_ds
+    if layer is not None:
+        import ray.data
+
+        from engine.rayds.imagetab import layer_rows_table
+
+        return ray.data.from_arrow(layer_rows_table(layer))
+    from engine.rayds.imagetab import layer_dataset
+
+    return layer_dataset(sf_dir)
 
 
-def _points_with_cell(salt: int, hot_cells=None):
+def layer_stats(layer_ds) -> dict:
+    """One cheap pass over the poly-row Dataset: per-block 1-row partials
+    (count, bbox, side sum) folded on the driver — O(blocks) driver data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "xmin": pa.array([], type=pa.float64()),
+                             "ymin": pa.array([], type=pa.float64()),
+                             "xmax": pa.array([], type=pa.float64()),
+                             "ymax": pa.array([], type=pa.float64()),
+                             "side_sum": pa.array([], type=pa.float64())})
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "xmin": pa.array([pc.min(batch["xmin"]).as_py()]),
+                "ymin": pa.array([pc.min(batch["ymin"]).as_py()]),
+                "xmax": pa.array([pc.max(batch["xmax"]).as_py()]),
+                "ymax": pa.array([pc.max(batch["ymax"]).as_py()]),
+                "side_sum": pa.array([pc.sum(batch["side"]).as_py()]),
+            }
+        )
+
+    rows = layer_ds.select_columns(
+        ["xmin", "ymin", "xmax", "ymax", "side"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        return {"n": 0, "bounds": (0.0, 0.0, 100.0, 100.0), "mean_side": 1.0}
+    return {
+        "n": n,
+        "bounds": (
+            min(r["xmin"] for r in rows),
+            min(r["ymin"] for r in rows),
+            max(r["xmax"] for r in rows),
+            max(r["ymax"] for r in rows),
+        ),
+        "mean_side": sum(r["side_sum"] for r in rows) / n,
+    }
+
+
+def choose_part_cell(stats: dict, slots: int | None = None,
+                     groups_per_slot: int = TARGET_GROUPS_PER_SLOT) -> float:
+    """Grid granularity from layer extent + reducer slots.
+
+    Pick the coarsest cell giving ≥``groups_per_slot`` groups per slot
+    (cell = sqrt(area / (gps·slots))), then clamp:
+      · cell ≥ mean_side/2 — finer would replicate every polygon across
+        ≥9 cells (cover factor (1+side/cell)²) for no extra parallelism;
+      · cell ≤ extent/2 — at least a 2×2 grid even for tiny layers.
+    """
+    if slots is None:
+        try:
+            import ray
+
+            slots = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            slots = 8
+    x0, y0, x1, y1 = stats["bounds"]
+    w = max(x1 - x0, 1e-9)
+    h = max(y1 - y0, 1e-9)
+    cell = float(np.sqrt((w * h) / max(groups_per_slot * slots, 1)))
+    cell = max(cell, float(stats["mean_side"]) / 2.0, 1e-9)
+    cell = min(cell, max(w, h) / 2.0)
+    return cell
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"image_id": pa.array([], type=pa.string()),
+                     "poly_id": pa.array([], type=pa.int64())})
+
+
+def _points_with_cell(part_cell: float, salt: int, hot_cells=None):
     def fn(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy()
         y = batch["y"].to_numpy()
-        cell = cells.grid_cell(x, y, PART_CELL)
+        cell = cells.grid_cell(x, y, part_cell)
         if salt > 1:
             s = np.arange(len(x), dtype=np.int64) % salt
             if hot_cells is not None:
@@ -103,42 +169,49 @@ def _points_with_cell(salt: int, hot_cells=None):
                 "x": x,
                 "y": y,
                 "poly_id": pa.nulls(len(batch), type=pa.int64()),
-                "geom": pa.nulls(len(batch), type=pa.binary()),
+                "geom": pa.nulls(len(batch), type=pa.large_binary()),
             }
         )
 
     return fn
 
 
-def _layer_cover_table(layer: Layer, salt: int, hot_cells=None) -> pa.Table:
-    """Polygon side, exploded to covering cells × salt replicas."""
-    rows, cids = cells.grid_cover_many(layer.bounds, PART_CELL)
-    blobs = _poly_blobs(layer)
-    if salt > 1:
-        if hot_cells is not None:
-            hot = np.isin(cids, hot_cells)
-            reps = np.where(hot, salt, 1).astype(np.int64)
+def _poly_cover_fn(part_cell: float, salt: int, hot_cells=None):
+    """map_batches kernel over POLY ROWS: explode each polygon to its
+    covering cells × salt replicas, geometry blob riding along."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bounds = np.column_stack(
+            [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
+        )
+        rows, cids = cells.grid_cover_many(bounds, part_cell)
+        if salt > 1:
+            if hot_cells is not None:
+                hot = np.isin(cids, hot_cells)
+                reps = np.where(hot, salt, 1).astype(np.int64)
+            else:
+                reps = np.full(len(cids), salt, dtype=np.int64)
+            rows2 = np.repeat(rows, reps)
+            cids2 = np.repeat(cids, reps)
+            starts = np.cumsum(reps) - reps
+            sidx = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+            key = cids2 * np.int64(64) + sidx
+            rows = rows2
         else:
-            reps = np.full(len(cids), salt, dtype=np.int64)
-        rows2 = np.repeat(rows, reps)
-        cids2 = np.repeat(cids, reps)
-        # salt index within each replicated run: 0..reps-1
-        starts = np.cumsum(reps) - reps
-        sidx = np.arange(reps.sum(), dtype=np.int64) - np.repeat(starts, reps)
-        key = cids2 * np.int64(64) + sidx
-        rows = rows2
-    else:
-        key = cids * np.int64(64)
-    return pa.table(
-        {
-            "cell": pa.array(key),
-            "image_id": pa.nulls(len(rows), type=pa.string()),
-            "x": pa.nulls(len(rows), type=pa.float64()),
-            "y": pa.nulls(len(rows), type=pa.float64()),
-            "poly_id": pa.array(layer.poly_ids[rows]),
-            "geom": pa.array([blobs[i] for i in rows], type=pa.binary()),
-        }
-    )
+            key = cids * np.int64(64)
+        take = pa.array(rows)
+        return pa.table(
+            {
+                "cell": pa.array(key),
+                "image_id": pa.nulls(len(rows), type=pa.string()),
+                "x": pa.nulls(len(rows), type=pa.float64()),
+                "y": pa.nulls(len(rows), type=pa.float64()),
+                "poly_id": batch["poly_id"].take(take),
+                "geom": pc.cast(batch["geom"], pa.large_binary()).take(take),
+            }
+        )
+
+    return fn
 
 
 def _join_cell_group(predicate: str):
@@ -151,11 +224,10 @@ def _join_cell_group(predicate: str):
         polys_t = group.filter(is_poly)
         pts = group.filter(pc.invert(is_poly))
         if len(polys_t) == 0 or len(pts) == 0:
-            return pa.table({"image_id": pa.array([], type=pa.string()),
-                             "poly_id": pa.array([], type=pa.int64())})
+            return _empty_pairs()
         x = pts["x"].to_numpy()
         y = pts["y"].to_numpy()
-        parr = _polys_from_blobs(polys_t["geom"].to_pylist())
+        parr = PolygonArray.from_blobs(polys_t["geom"])
         pp = PreparedPolygons(parr)
         pt, pl = pp.query_points(x, y, predicate)
         return pa.table(
@@ -168,6 +240,42 @@ def _join_cell_group(predicate: str):
     return fn
 
 
+def cellpart_pairs(sf_dir: str, layer: Layer | None = None,
+                   predicate: str = "covers", salt: int = SALT,
+                   hot_cells=None, ds=None, layer_ds=None,
+                   part_cell: float | None = None):
+    """Big-big join: co-partition by (cell, salt), exact-join per group.
+
+    NO pair-dedupe pass is needed: only the POLYGON side is exploded to
+    covering cells (and salt replicas) — each point lives in exactly one
+    (cell, salt) group, so a (point, polygon) pair can form in at most
+    one group.  (A dedupe ``groupby((image_id, poly_id))`` becomes
+    necessary only when BOTH sides are range-exploded, e.g. bbox×bbox
+    joins.)
+
+    ``part_cell=None`` auto-tunes the grid from the layer stats pass;
+    pass it explicitly when ``hot_cells`` were detected at a known
+    granularity."""
+    from engine.rayds.imagetab import image_dataset
+
+    polys_ds = _resolve_layer_ds(sf_dir, layer, layer_ds)
+    if part_cell is None:
+        part_cell = choose_part_cell(layer_stats(polys_ds))
+    if hot_cells is not None:
+        hot_cells = np.asarray(sorted(hot_cells), dtype=np.int64)
+    pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
+        _points_with_cell(part_cell, salt, hot_cells), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
+    )
+    polys = polys_ds.map_batches(
+        _poly_cover_fn(part_cell, salt, hot_cells), batch_format="pyarrow",
+        batch_size=None,
+    )
+    both = pts.union(polys)
+    return hash_exchange_fine_groups(both, ["cell"],
+                                     _join_cell_group(predicate))
+
+
 # --------------------------------------------------------- S2 / hex keying
 #
 # The north-rule keys: every row carries S2 + hex cell ids; these joins
@@ -178,14 +286,14 @@ def _join_cell_group(predicate: str):
 # cells whose union covers each polygon's lat/lng bbox (conservative
 # rect-bound pruning — provably a superset).  The point side emits its
 # ANCESTOR cell id at each level the covers actually use (≤
-# S2_COVER_LEVEL_SPAN distinct levels, enforced by the coverer), so
-# point-key ∈ polygon-cover holds exactly and — because a cover is a
-# DISJOINT cell union — each (point, polygon) pair forms in at most one
-# group: no pair-dedupe exchange.
+# S2_COVER_LEVEL_SPAN distinct levels, enforced by a global level
+# window), so point-key ∈ polygon-cover holds exactly and — because a
+# cover is a DISJOINT cell union — each (point, polygon) pair forms in
+# at most one group: no pair-dedupe exchange.
 #
-# Hex covers still compose a planar quantizer with the hex id of the
-# quantizer cell's center (documented superset construction) — the hex
-# ladder is H3-STYLE, not bit-exact H3, see engine/geo/cells.py.
+# Hex covers compose a planar quantizer with the hex id of the
+# quantizer cell's center (documented superset construction) — see
+# engine/geo/cells.py for the hex ladder's H3 relationship.
 S2_SNAP = 6.25  # planar quantizer for the HEX cover path
 S2_COVER_MAX_CELLS = 24
 S2_COVER_MAX_LEVEL = 12
@@ -205,8 +313,9 @@ def _hex_key(x: np.ndarray, y: np.ndarray, res: int = 7) -> np.ndarray:
     return np.asarray(cells.hex_cell(cx, cy, res))
 
 
-def _cover_keys_bbox(bounds: np.ndarray, key_fn):
-    """(row_idx, key) for every planar quantizer cell touching each bbox."""
+def _bbox_cover_keys(bounds: np.ndarray, key_fn):
+    """(row_idx, key) for every planar quantizer cell touching each bbox
+    (runs per-batch inside the polygon-side map_batches kernel)."""
     rows, keys = [], []
     c = S2_SNAP
     for i, (xmin, ymin, xmax, ymax) in enumerate(bounds):
@@ -224,14 +333,14 @@ def _cover_keys_bbox(bounds: np.ndarray, key_fn):
 
 
 def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
-                 predicate: str = "covers", ds=None):
+                 predicate: str = "covers", ds=None, layer_ds=None):
     """Generic cell-keyed big-big join: both sides keyed by ``key_fn``
-    over snapped planar coordinates, exact refinement per group."""
-    import ray.data
+    over snapped planar coordinates, exact refinement per group.  The
+    polygon cover-explode runs inside map_batches on the poly-row
+    Dataset."""
+    from engine.rayds.imagetab import image_dataset
 
-    from engine.rayds.imagetab import image_dataset, load_layer
-
-    layer = layer or load_layer(sf_dir)
+    polys_ds = _resolve_layer_ds(sf_dir, layer, layer_ds)
 
     def pts_fn(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy()
@@ -243,130 +352,196 @@ def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
                 "x": x,
                 "y": y,
                 "poly_id": pa.nulls(len(batch), type=pa.int64()),
-                "geom": pa.nulls(len(batch), type=pa.binary()),
+                "geom": pa.nulls(len(batch), type=pa.large_binary()),
             }
         )
 
-    rows, keys = _cover_keys_bbox(layer.bounds, key_fn)
-    blobs = _poly_blobs(layer)
-    cover = pa.table(
-        {
-            "cell": pa.array(keys),
-            "image_id": pa.nulls(len(rows), type=pa.string()),
-            "x": pa.nulls(len(rows), type=pa.float64()),
-            "y": pa.nulls(len(rows), type=pa.float64()),
-            "poly_id": pa.array(layer.poly_ids[rows]),
-            "geom": pa.array([blobs[i] for i in rows], type=pa.binary()),
-        }
-    )
+    def cover_fn(batch: pa.Table) -> pa.Table:
+        bounds = np.column_stack(
+            [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
+        )
+        rows, keys = _bbox_cover_keys(bounds, key_fn)
+        take = pa.array(rows)
+        return pa.table(
+            {
+                "cell": pa.array(keys),
+                "image_id": pa.nulls(len(rows), type=pa.string()),
+                "x": pa.nulls(len(rows), type=pa.float64()),
+                "y": pa.nulls(len(rows), type=pa.float64()),
+                "poly_id": batch["poly_id"].take(take),
+                "geom": pc.cast(batch["geom"], pa.large_binary()).take(take),
+            }
+        )
+
     pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
         pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    both = pts.union(ray.data.from_arrow(cover))
+    polys = polys_ds.map_batches(cover_fn, batch_format="pyarrow", batch_size=None)
+    both = pts.union(polys)
     return hash_exchange_fine_groups(both, ["cell"],
                                      _join_cell_group(predicate))
 
 
+def _clamp_cover(ids: np.ndarray, gmax: int) -> np.ndarray:
+    """Coarsen a single polygon's S2 cover into levels ≤ ``gmax``.
+
+    Coarsening a cell to its ancestor only GROWS the covered area
+    (superset stays safe; the per-group PIP refinement keeps the join
+    exact); dropping cells whose ancestor at a coarser used level is
+    also present preserves disjointness (a point still matches ≤1 cover
+    cell per polygon)."""
+    lv = np.asarray(cells.s2_level(ids))
+    if not (lv > gmax).any():
+        return ids
+    ids = ids.copy()
+    fine = lv > gmax
+    ids[fine] = cells.s2_parent(ids[fine], gmax)
+    ids = np.unique(ids)
+    lv = np.asarray(cells.s2_level(ids))
+    keep = np.ones(len(ids), dtype=bool)
+    for L in sorted(set(int(v) for v in lv))[:-1]:
+        at_l = set(ids[lv == L].tolist())
+        finer = lv > L
+        if at_l and finer.any():
+            anc = np.asarray(cells.s2_parent(ids[finer], L))
+            keep[finer] &= ~np.isin(anc, np.fromiter(at_l, dtype=np.int64))
+    return ids[keep]
+
+
+def _s2_cover_bbox(xmin, ymin, xmax, ymax,
+                   max_cells: int = S2_COVER_MAX_CELLS,
+                   max_level: int = S2_COVER_MAX_LEVEL) -> np.ndarray:
+    lon0, lat0 = _lonlat(np.float64(xmin), np.float64(ymin))
+    lon1, lat1 = _lonlat(np.float64(xmax), np.float64(ymax))
+    # polygons overhanging the world edge map beyond the valid lon/lat
+    # range; clamp the cover rect (with a small pad so edge points —
+    # whose keys are clipped into the open lon interval, see pts_fn —
+    # stay covered).  Points always lie in-range, so the clamped cover
+    # still covers every joinable point.
+    pad = 1e-6
+    lon0, lon1 = max(float(lon0) - pad, -180.0), min(float(lon1) + pad, 180.0)
+    lat0, lat1 = max(float(lat0) - pad, -89.9), min(float(lat1) + pad, 89.9)
+    return cells.s2_cover_rect(
+        float(lon0), float(lat0), float(lon1), float(lat1),
+        max_cells=max_cells, max_level=max_level,
+        max_level_span=S2_COVER_LEVEL_SPAN,
+    )
+
+
+def s2_global_min_level(layer_ds) -> int:
+    """Pass 1 of the distributed S2 keying: the GLOBAL minimum cover
+    level across all polygons, from one-row-per-block partials.  The
+    level window [gmin, gmin+span-1] bounds point-side replication — a
+    layer mixing continent- and block-sized polygons would otherwise
+    union into an unbounded level set and silently multiply the point
+    exchange."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.column_stack(
+            [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
+        )
+        mn = S2_COVER_MAX_LEVEL
+        seen = False
+        for xmin, ymin, xmax, ymax in b:
+            if np.isnan(xmin):
+                continue
+            ids = _s2_cover_bbox(xmin, ymin, xmax, ymax)
+            if len(ids):
+                mn = min(mn, int(np.min(np.asarray(cells.s2_level(ids)))))
+                seen = True
+        if not seen:
+            return pa.table({"mn": pa.array([], type=pa.int64())})
+        return pa.table({"mn": pa.array([mn], type=pa.int64())})
+
+    rows = layer_ds.select_columns(["xmin", "ymin", "xmax", "ymax"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not rows:
+        return 0
+    return min(r["mn"] for r in rows)
+
+
 def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
                    max_level: int = S2_COVER_MAX_LEVEL):
-    """True S2 region covers for every polygon bbox in the layer.
-
-    Returns ``(rows, keys, used_levels)`` — the flat-map explode of the
-    polygon side plus the sorted distinct levels the covers use (the
-    point side must emit ancestor keys at exactly these levels).
-    Driver-side over the (small) layer; at cluster scale this runs once
-    per layer load, not per batch.
-    """
-    per_poly: list[tuple[int, np.ndarray]] = []
-    lv_seen: set[int] = set()
-    for i, (xmin, ymin, xmax, ymax) in enumerate(np.asarray(layer.bounds)):
-        if np.isnan(xmin):
-            continue
-        lon0, lat0 = _lonlat(np.float64(xmin), np.float64(ymin))
-        lon1, lat1 = _lonlat(np.float64(xmax), np.float64(ymax))
-        ids = cells.s2_cover_rect(
-            float(lon0), float(lat0), float(lon1), float(lat1),
-            max_cells=max_cells, max_level=max_level,
-            max_level_span=S2_COVER_LEVEL_SPAN,
-        )
-        per_poly.append((i, ids))
-        lv_seen.update(int(v) for v in cells.s2_level(ids))
-    if not per_poly:
+    """True S2 region covers for every polygon bbox in an in-memory
+    Layer — driver-side mirror of the distributed two-pass path
+    (test / small-layer use).  Returns ``(rows, keys, used_levels)``."""
+    b = np.asarray(layer.bounds)
+    valid = [i for i in range(len(b)) if not np.isnan(b[i, 0])]
+    covers = {i: _s2_cover_bbox(*b[i], max_cells=max_cells, max_level=max_level)
+              for i in valid}
+    levels = sorted(
+        {int(v) for ids in covers.values() for v in cells.s2_level(ids)}
+    )
+    if not levels:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), [])
-    # GLOBAL level window: the point side replicates once per level in
-    # the UNION of all covers' levels — a layer mixing continent- and
-    # block-sized polygons would otherwise union into an unbounded level
-    # set and silently multiply the point exchange.  Clamp every cover
-    # into [gmin, gmin + span - 1]: coarsening a cell to its ancestor
-    # only GROWS the cover (superset stays safe; the per-group PIP
-    # refinement keeps the join exact), and re-normalizing preserves
-    # disjointness (a point still matches ≤1 cover cell per polygon).
-    levels = sorted(lv_seen)
     gmax = levels[0] + S2_COVER_LEVEL_SPAN - 1
-    if levels[-1] > gmax:
-        lv_seen = set()
-        clamped = []
-        for i, ids in per_poly:
-            lv = np.asarray(cells.s2_level(ids))
-            fine = lv > gmax
-            if fine.any():
-                ids = ids.copy()
-                ids[fine] = cells.s2_parent(ids[fine], gmax)
-                ids = np.unique(ids)
-                lv = np.asarray(cells.s2_level(ids))
-                # drop cells whose ancestor (at any coarser used level)
-                # is also in the set — keeps the union disjoint
-                keep = np.ones(len(ids), dtype=bool)
-                for L in sorted(set(int(v) for v in lv))[:-1]:
-                    at_l = set(ids[lv == L].tolist())
-                    finer = lv > L
-                    if at_l and finer.any():
-                        anc = np.asarray(cells.s2_parent(ids[finer], L))
-                        keep[finer] &= ~np.isin(
-                            anc, np.fromiter(at_l, dtype=np.int64))
-                ids = ids[keep]
-            clamped.append((i, ids))
-            lv_seen.update(int(v) for v in cells.s2_level(ids))
-        per_poly = clamped
-    rows_l = [np.full(len(ids), i, dtype=np.int64) for i, ids in per_poly]
-    keys_l = [ids for _, ids in per_poly]
+    lv_seen: set[int] = set()
+    rows_l, keys_l = [], []
+    for i in valid:
+        ids = _clamp_cover(covers[i], gmax)
+        rows_l.append(np.full(len(ids), i, dtype=np.int64))
+        keys_l.append(ids)
+        lv_seen.update(int(v) for v in cells.s2_level(ids))
     return np.concatenate(rows_l), np.concatenate(keys_l), sorted(lv_seen)
 
 
 def s2part_pairs(sf_dir: str, layer: Layer | None = None,
-                 predicate: str = "covers", ds=None):
+                 predicate: str = "covers", ds=None, layer_ds=None):
     """Big-big join SHUFFLED ON TRUE S2 CELL IDS (mixed-level covers).
 
-    Polygon side: flat-map exploded to its region-coverer cell union.
-    Point side: replicated once per cover-used level (≤3), emitting the
+    Two distributed passes over the poly-row Dataset:
+      1. ``s2_global_min_level`` — tiny per-block partials fix the
+         global level window [gmin, gmax].
+      2. cover-explode inside map_batches: per-polygon region cover,
+         locally clamped into the window, blobs riding along.
+    Point side: replicated once per window level (≤3), emitting the
     point's S2 ancestor id at that level.  A point matches at most one
     cover cell per polygon (covers are disjoint cell unions), so the
     per-group exact refinement emits each pair at most once — no dedupe
     exchange.  The narrow point row rides the shuffle ≤3×; ring blobs
     ride once per cover cell.
     """
-    import ray.data
+    from engine.rayds.imagetab import image_dataset
 
-    from engine.rayds.imagetab import image_dataset, load_layer
+    polys_ds = _resolve_layer_ds(sf_dir, layer, layer_ds)
+    gmin = s2_global_min_level(polys_ds)
+    gmax = gmin + S2_COVER_LEVEL_SPAN - 1
+    used_levels = list(range(gmin, gmax + 1))
 
-    layer = layer or load_layer(sf_dir)
-    rows, keys, used_levels = s2_layer_cover(layer)
-    blobs = _poly_blobs(layer)
-    cover = pa.table(
-        {
-            "cell": pa.array(keys),
-            "image_id": pa.nulls(len(rows), type=pa.string()),
-            "x": pa.nulls(len(rows), type=pa.float64()),
-            "y": pa.nulls(len(rows), type=pa.float64()),
-            "poly_id": pa.array(layer.poly_ids[rows]),
-            "geom": pa.array([blobs[i] for i in rows], type=pa.binary()),
-        }
-    )
+    def cover_fn(batch: pa.Table) -> pa.Table:
+        b = np.column_stack(
+            [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
+        )
+        rows_l, keys_l = [], []
+        for i in range(len(b)):
+            if np.isnan(b[i, 0]):
+                continue
+            ids = _clamp_cover(_s2_cover_bbox(*b[i]), gmax)
+            rows_l.append(np.full(len(ids), i, dtype=np.int64))
+            keys_l.append(ids)
+        rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, dtype=np.int64)
+        take = pa.array(rows)
+        return pa.table(
+            {
+                "cell": pa.array(keys),
+                "image_id": pa.nulls(len(rows), type=pa.string()),
+                "x": pa.nulls(len(rows), type=pa.float64()),
+                "y": pa.nulls(len(rows), type=pa.float64()),
+                "poly_id": batch["poly_id"].take(take),
+                "geom": pc.cast(batch["geom"], pa.large_binary()).take(take),
+            }
+        )
 
     def pts_fn(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy()
         y = batch["y"].to_numpy()
         lon, lat = _lonlat(x, y)
+        # lon = ±180 wraps to the opposite face edge in s2_cell; clip
+        # into the open interval so a world-edge point keys to the cell
+        # its (padded) covers actually contain
+        lon = np.clip(lon, -180.0 + 1e-7, 180.0 - 1e-7)
         n = len(x)
         key = np.concatenate(
             [np.asarray(cells.s2_cell(lon, lat, lv)) for lv in used_levels]
@@ -380,26 +555,29 @@ def s2part_pairs(sf_dir: str, layer: Layer | None = None,
                 "x": np.tile(x, reps),
                 "y": np.tile(y, reps),
                 "poly_id": pa.nulls(n * reps, type=pa.int64()),
-                "geom": pa.nulls(n * reps, type=pa.binary()),
+                "geom": pa.nulls(n * reps, type=pa.large_binary()),
             }
         )
 
     pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
         pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    both = pts.union(ray.data.from_arrow(cover))
+    polys = polys_ds.map_batches(cover_fn, batch_format="pyarrow", batch_size=None)
+    both = pts.union(polys)
     return hash_exchange_fine_groups(both, ["cell"],
                                      _join_cell_group(predicate))
 
 
 def hexpart_pairs(sf_dir: str, layer: Layer | None = None,
-                  predicate: str = "covers", res: int = 7, ds=None):
-    """Big-big join SHUFFLED ON HEX (H3-style res-7) CELL IDS."""
+                  predicate: str = "covers", res: int = 7, ds=None,
+                  layer_ds=None):
+    """Big-big join SHUFFLED ON HEX (H3 res-7) CELL IDS."""
     return _keyed_pairs(sf_dir, lambda x, y: _hex_key(x, y, res), layer,
-                        predicate, ds)
+                        predicate, ds, layer_ds)
 
 
-def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
+def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None,
+                  layer_ds=None):
     """RANGE JOIN (bbox × bbox intersects) — the both-sides-exploded
     shape: every image footprint covers ≥1 cell, every polygon bbox
     covers ≥1 cell, so a pair can form in MULTIPLE cell groups and a
@@ -407,12 +585,10 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
     single-cell point side avoids).  Footprint side = a square of planar
     half-extent w/512 centred on the geotag (deterministic from the
     row, mirrored in the SQL oracle)."""
-    import ray.data
-
-    from engine.rayds.imagetab import image_dataset, load_layer
+    from engine.rayds.imagetab import image_dataset
     from engine.rayds.shuffle import hash_shuffle_agg
 
-    layer = layer or load_layer(sf_dir)
+    polys_ds = _resolve_layer_ds(sf_dir, layer, layer_ds)
 
     def img_boxes(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy()
@@ -438,31 +614,35 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
             }
         )
 
-    rows, cids = cells.grid_cover_many(layer.bounds, PART_CELL)
-    b = layer.bounds[rows]
-    polys_t = pa.table(
-        {
-            "cell": pa.array(cids),
-            "image_id": pa.nulls(len(rows), type=pa.string()),
-            "ixmin": pa.nulls(len(rows), type=pa.float64()),
-            "iymin": pa.nulls(len(rows), type=pa.float64()),
-            "ixmax": pa.nulls(len(rows), type=pa.float64()),
-            "iymax": pa.nulls(len(rows), type=pa.float64()),
-            "poly_id": pa.array(layer.poly_ids[rows]),
-            "pxmin": pa.array(b[:, 0]),
-            "pymin": pa.array(b[:, 1]),
-            "pxmax": pa.array(b[:, 2]),
-            "pymax": pa.array(b[:, 3]),
-        }
-    )
+    def poly_boxes(batch: pa.Table) -> pa.Table:
+        b = np.column_stack(
+            [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
+        )
+        rows, cids = cells.grid_cover_many(b, PART_CELL)
+        take = pa.array(rows)
+        bb = b[rows]
+        return pa.table(
+            {
+                "cell": pa.array(cids),
+                "image_id": pa.nulls(len(rows), type=pa.string()),
+                "ixmin": pa.nulls(len(rows), type=pa.float64()),
+                "iymin": pa.nulls(len(rows), type=pa.float64()),
+                "ixmax": pa.nulls(len(rows), type=pa.float64()),
+                "iymax": pa.nulls(len(rows), type=pa.float64()),
+                "poly_id": batch["poly_id"].take(take),
+                "pxmin": pa.array(bb[:, 0]),
+                "pymin": pa.array(bb[:, 1]),
+                "pxmax": pa.array(bb[:, 2]),
+                "pymax": pa.array(bb[:, 3]),
+            }
+        )
 
     def join_group(group: pa.Table) -> pa.Table:
         is_poly = group["poly_id"].is_valid()
         polys = group.filter(is_poly)
         imgs = group.filter(pc.invert(is_poly))
         if len(polys) == 0 or len(imgs) == 0:
-            return pa.table({"image_id": pa.array([], type=pa.string()),
-                             "poly_id": pa.array([], type=pa.int64())})
+            return _empty_pairs()
         ix0 = imgs["ixmin"].to_numpy(zero_copy_only=False)
         iy0 = imgs["iymin"].to_numpy(zero_copy_only=False)
         ix1 = imgs["ixmax"].to_numpy(zero_copy_only=False)
@@ -497,7 +677,8 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
     imgs_ds = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
         img_boxes, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    both = imgs_ds.union(ray.data.from_arrow(polys_t))
+    polys = polys_ds.map_batches(poly_boxes, batch_format="pyarrow", batch_size=None)
+    both = imgs_ds.union(polys)
     pairs = hash_exchange_fine_groups(both, ["cell"], join_group)
     # BOTH sides were range-exploded → dedupe (image_id, poly_id)
     deduped = hash_shuffle_agg(
@@ -508,31 +689,3 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None):
         ["image_id", "poly_id"], [("_one", "min")], ["_one"],
     )
     return deduped.select_columns(["image_id", "poly_id"])
-
-
-def cellpart_pairs(sf_dir: str, layer: Layer | None = None,
-                   predicate: str = "covers", salt: int = SALT,
-                   hot_cells=None, ds=None):
-    """Big-big join: co-partition by (cell, salt), exact-join per group.
-
-    NO pair-dedupe pass is needed: only the POLYGON side is exploded to
-    covering cells (and salt replicas) — each point lives in exactly one
-    (cell, salt) group, so a (point, polygon) pair can form in at most
-    one group.  (A dedupe ``groupby((image_id, poly_id))`` becomes
-    necessary only when BOTH sides are range-exploded, e.g. bbox×bbox
-    joins.)"""
-    import ray.data
-
-    from engine.rayds.imagetab import image_dataset, load_layer
-
-    layer = layer or load_layer(sf_dir)
-    if hot_cells is not None:
-        hot_cells = np.asarray(sorted(hot_cells), dtype=np.int64)
-    pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
-        _points_with_cell(salt, hot_cells), batch_format="pyarrow",
-        batch_size=None, zero_copy_batch=True,
-    )
-    polys = ray.data.from_arrow(_layer_cover_table(layer, salt, hot_cells))
-    both = pts.union(polys)
-    return hash_exchange_fine_groups(both, ["cell"],
-                                     _join_cell_group(predicate))

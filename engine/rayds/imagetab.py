@@ -177,6 +177,158 @@ def make_dense_layer(n_polys: int = 4000, verts: int = 32, radius: float = 1.5,
     )
 
 
+# --- polygon layer as a DATASET (big-layer path) ---------------------------
+#
+# The cell-partitioned joins (celljoin.py) take the polygon side as a
+# ``ray.data.Dataset`` of POLY ROWS — one row per polygon, geometry as a
+# self-contained blob (PolygonArray.to_blobs wire format) — so the
+# cover-explode + blob-serialize work runs inside ``map_batches`` on
+# workers and the driver stays O(1) regardless of layer size.  Schema:
+#   poly_id:int64, xmin/ymin/xmax/ymax:float64, side:float64,
+#   geom:large_binary
+
+
+def layer_rows_table(layer: Layer) -> pa.Table:
+    """Serialize an in-memory Layer to the poly-row schema (test /
+    small-layer path; the big-layer path never builds a Layer at all)."""
+    b = layer.bounds
+    return pa.table(
+        {
+            "poly_id": pa.array(layer.poly_ids.astype(np.int64)),
+            "xmin": pa.array(b[:, 0]),
+            "ymin": pa.array(b[:, 1]),
+            "xmax": pa.array(b[:, 2]),
+            "ymax": pa.array(b[:, 3]),
+            "side": pa.array(np.asarray(layer.sides, dtype=np.float64)),
+            "geom": layer.polys.to_blobs(),
+        }
+    )
+
+
+def _nation_rows(batch: pa.Table) -> pa.Table:
+    nk = batch["n_nationkey"].to_numpy().astype(np.int64)
+    xmin = (nk % 5).astype(np.float64) * 20.0 + 1.5
+    ymin = np.floor(nk / 5.0) * 20.0 + 1.5
+    sides = np.full(len(nk), NATION_SIDE)
+    polys = PolygonArray.from_bounds(xmin, ymin, xmin + sides, ymin + sides)
+    return pa.table(
+        {
+            "poly_id": pa.array(nk),
+            "xmin": pa.array(xmin),
+            "ymin": pa.array(ymin),
+            "xmax": pa.array(xmin + sides),
+            "ymax": pa.array(ymin + sides),
+            "side": pa.array(sides),
+            "geom": polys.to_blobs(),
+        }
+    )
+
+
+def _region_rows(batch: pa.Table) -> pa.Table:
+    rk = batch["r_regionkey"].to_numpy().astype(np.int64)
+    xmin = rk.astype(np.float64) * 17.0 + 1.0
+    ymin = rk.astype(np.float64) * 13.0 + 2.0
+    sides = np.full(len(rk), REGION_SIDE)
+    polys = PolygonArray.from_bounds(xmin, ymin, xmin + sides, ymin + sides)
+    return pa.table(
+        {
+            "poly_id": pa.array(100 + rk),
+            "xmin": pa.array(xmin),
+            "ymin": pa.array(ymin),
+            "xmax": pa.array(xmin + sides),
+            "ymax": pa.array(ymin + sides),
+            "side": pa.array(sides),
+            "geom": polys.to_blobs(),
+        }
+    )
+
+
+def layer_dataset(sf_dir: str):
+    """The testdata polygon layer as a lazy poly-row Dataset — the same
+    layer ``load_layer`` builds, but derived inside ``map_batches`` from
+    the nation/region parquet reads (nothing layer-sized on the driver)."""
+    import ray.data
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(_nation_rows, batch_format="pyarrow", batch_size=None)
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"]
+    ).map_batches(_region_rows, batch_format="pyarrow", batch_size=None)
+    return nat.union(reg)
+
+
+def _dense_params(idx: np.ndarray, n_polys: int, verts: int, radius: float,
+                  seed: int):
+    """Order-independent per-index center derivation (hash jitter) so any
+    blocking of the index range generates the identical layer."""
+    side = int(np.ceil(np.sqrt(n_polys)))
+    step = 100.0 / side
+    cx = (idx % side + 0.5) * step
+    cy = (idx // side + 0.5) * step
+    # deterministic per-index jitter in ±0.2·step (Weyl-sequence hash)
+    jx = (((idx * 2654435761 + seed * 97) % 1_000_003) / 1_000_003.0 - 0.5) * 0.4 * step
+    jy = (((idx * 1597334677 + seed * 31) % 999_983) / 999_983.0 - 0.5) * 0.4 * step
+    return cx + jx, cy + jy
+
+
+def _dense_polys(idx: np.ndarray, n_polys: int, verts: int, radius: float,
+                 seed: int) -> PolygonArray:
+    cx, cy = _dense_params(idx, n_polys, verts, radius, seed)
+    ang = np.linspace(0.0, 2 * np.pi, verts, endpoint=False)
+    ring = np.column_stack([np.cos(ang), np.sin(ang)]) * radius
+    n = len(idx)
+    closed = np.empty((n, verts + 1, 2))
+    closed[:, :verts, 0] = cx[:, None] + ring[None, :, 0]
+    closed[:, :verts, 1] = cy[:, None] + ring[None, :, 1]
+    closed[:, verts] = closed[:, 0]
+    return PolygonArray(
+        closed.reshape(-1, 2),
+        np.arange(n + 1, dtype=np.int64) * (verts + 1),
+        np.arange(n + 1, dtype=np.int64),
+    )
+
+
+def dense_layer_dataset(n_polys: int = 4000, verts: int = 32,
+                        radius: float = 1.5, seed: int = 7,
+                        parallelism: int = -1):
+    """Arbitrarily large synthetic polygon layer as a lazy Dataset —
+    ``ray.data.range`` → per-batch polygon generation, so a 10M-footprint
+    layer never exists in one place (the ≥160k-poly bench path)."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy().astype(np.int64)
+        polys = _dense_polys(idx, n_polys, verts, radius, seed)
+        b = polys.bounds()
+        return pa.table(
+            {
+                "poly_id": pa.array(idx),
+                "xmin": pa.array(b[:, 0]),
+                "ymin": pa.array(b[:, 1]),
+                "xmax": pa.array(b[:, 2]),
+                "ymax": pa.array(b[:, 3]),
+                "side": pa.array(b[:, 2] - b[:, 0]),
+                "geom": polys.to_blobs(),
+            }
+        )
+
+    kw = {"override_num_blocks": parallelism} if parallelism > 0 else {}
+    return ray.data.range(n_polys, **kw).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    )
+
+
+def dense_layer_collect(n_polys: int = 4000, verts: int = 32,
+                        radius: float = 1.5, seed: int = 7) -> Layer:
+    """Driver-side Layer identical to ``dense_layer_dataset``'s rows
+    (parity-test / broadcast-path mirror of the same formulas)."""
+    idx = np.arange(n_polys, dtype=np.int64)
+    polys = _dense_polys(idx, n_polys, verts, radius, seed)
+    b = polys.bounds()
+    return Layer(poly_ids=idx, bounds=b, sides=b[:, 2] - b[:, 0], polys=polys)
+
+
 # --- SQL mirrors (DuckDB oracle) -----------------------------------------
 
 SQL_IMAGES = """

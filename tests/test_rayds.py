@@ -382,7 +382,9 @@ def test_cellpart_join_hot_cell_salting(ray_ready):
     hot = [int(C.grid_cell(np.array([50.0]), np.array([50.0]), PART_CELL)[0])]
     a = {
         (r["image_id"], int(r["poly_id"]))
-        for r in cellpart_pairs(SF, hot_cells=hot, salt=4).take_all()
+        for r in cellpart_pairs(
+            SF, hot_cells=hot, salt=4, part_cell=PART_CELL
+        ).take_all()
     }
     b = {
         (r["image_id"], int(r["poly_id"]))
@@ -1467,3 +1469,95 @@ def test_checkpoint_resume_curation(ray_ready, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_polygon_blob_roundtrip():
+    """PolygonArray.to_blobs/from_blobs must be a lossless wire format,
+    including polygons with holes and a take() gather."""
+    import numpy as np
+
+    from engine.geo.ragged import PolygonArray
+
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], float)
+    tri = np.array([[20, 20], [25, 20], [22, 27], [20, 20]], float)
+    coords = np.vstack([shell, hole, tri])
+    arr = PolygonArray(coords, np.array([0, 5, 10, 14]), np.array([0, 2, 3]))
+    rt = PolygonArray.from_blobs(arr.to_blobs())
+    assert np.array_equal(rt.coords, arr.coords)
+    assert np.array_equal(rt.ring_offsets, arr.ring_offsets)
+    assert np.array_equal(rt.poly_offsets, arr.poly_offsets)
+    # take: gather polygon 1 only (the triangle)
+    one = arr.take(np.array([1]))
+    assert np.array_equal(one.coords, tri)
+    assert np.array_equal(one.poly_offsets, [0, 1])
+
+
+def test_cellpart_join_dataset_native_layer(ray_ready):
+    """The polygon side as a lazy Dataset (dense_layer_dataset — never
+    materialized on the driver) must match the broadcast plan over the
+    identical driver-side Layer (dense_layer_collect)."""
+    from engine.rayds import pipeline
+    from engine.rayds.celljoin import cellpart_pairs
+    from engine.rayds.imagetab import dense_layer_collect, dense_layer_dataset
+
+    kw = dict(n_polys=150, verts=12, radius=5.0, seed=11)
+    a = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in cellpart_pairs(SF, layer_ds=dense_layer_dataset(**kw)).take_all()
+    }
+    b = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF, layer=dense_layer_collect(**kw))
+        .select_columns(["image_id", "poly_id"]).take_all()
+    }
+    assert len(b) > 0 and a == b
+
+
+def test_s2part_hexpart_dataset_native_layer(ray_ready):
+    """S2- and hex-keyed big-big joins over a Dataset polygon side must
+    match the broadcast plan (two-pass global S2 level window included)."""
+    from engine.rayds import pipeline
+    from engine.rayds.celljoin import hexpart_pairs, s2part_pairs
+    from engine.rayds.imagetab import dense_layer_collect, dense_layer_dataset
+
+    kw = dict(n_polys=60, verts=8, radius=6.0, seed=3)
+    want = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in pipeline.pairs_dataset(SF, layer=dense_layer_collect(**kw))
+        .select_columns(["image_id", "poly_id"]).take_all()
+    }
+    got_s2 = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in s2part_pairs(SF, layer_ds=dense_layer_dataset(**kw)).take_all()
+    }
+    got_hex = {
+        (r["image_id"], int(r["poly_id"]))
+        for r in hexpart_pairs(SF, layer_ds=dense_layer_dataset(**kw)).take_all()
+    }
+    assert len(want) > 0 and got_s2 == want and got_hex == want
+
+
+def test_choose_part_cell_groups_per_slot():
+    """Auto-tuned granularity must land >=4 groups per reducer slot
+    across heterogeneous layer extents (unless the polygon-size clamp
+    binds, which trades group count for bounded replication)."""
+    from engine.rayds.celljoin import TARGET_GROUPS_PER_SLOT, choose_part_cell
+
+    for bounds, mean_side in [
+        ((0.0, 0.0, 100.0, 100.0), 0.5),        # small polys, unit world
+        ((-180.0, -90.0, 180.0, 90.0), 0.1),    # planet extent
+        ((5.0, 5.0, 6.0, 6.0), 0.001),          # city-block extent
+    ]:
+        for slots in (4, 32, 256):
+            cell = choose_part_cell(
+                {"n": 1000, "bounds": bounds, "mean_side": mean_side},
+                slots=slots,
+            )
+            w = bounds[2] - bounds[0]
+            h = bounds[3] - bounds[1]
+            groups = (w / cell) * (h / cell)
+            assert groups >= TARGET_GROUPS_PER_SLOT * slots * 0.99, (
+                bounds, slots, cell, groups)
+            # replication clamp: cell never finer than half the mean side
+            assert cell >= mean_side / 2
