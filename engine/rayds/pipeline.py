@@ -232,6 +232,45 @@ def run_celljoin_checkpointed(sf_dir: str, out_dir: str,
                                    num_shards=num_shards)
 
 
+def run_keyedjoin_checkpointed(sf_dir: str, out_dir: str,
+                               num_shards: int = 4,
+                               plan: str = "s2",
+                               predicate: str = "covers") -> dict:
+    """Resumable S2-/hex-KEYED big-big join (the ``join_covers_s2part`` /
+    ``join_covers_hexpart`` plans) over KEY-RANGE shards, matching
+    ``run_celljoin_checkpointed``: the point side is sliced by
+    ``event_id % num_shards``; the polygon side (a lazy poly-row
+    Dataset) rides into every shard.  Correct per shard because only the
+    point side is sliced and both keyings emit each (point, polygon)
+    pair at most once — the shard outputs partition the unsharded
+    join's output.  A failed run recomputes only shards without a valid
+    manifest."""
+    import ray.data
+
+    from engine.rayds.celljoin import hexpart_pairs, s2part_pairs
+    from engine.rayds.imagetab import derive_batch, layer_dataset
+
+    pairs_fn = {"s2": s2part_pairs, "hex": hexpart_pairs}[plan]
+
+    def build(shard_idx: int, n: int):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+        )
+
+        def pick(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy()
+            return batch.filter(pa.array(eid % n == shard_idx))
+
+        imgs = ds.map_batches(pick, batch_format="pyarrow", batch_size=None).map_batches(
+            derive_batch, batch_format="pyarrow", batch_size=None
+        )
+        return pairs_fn(sf_dir, predicate=predicate, ds=imgs,
+                        layer_ds=layer_dataset(sf_dir))
+
+    return ckpt.run_sharded_ranges(build, [f"{sf_dir}/events.parquet"], out_dir,
+                                   num_shards=num_shards)
+
+
 def run_dedup_checkpointed(sf_dir: str, out_dir: str,
                            num_shards: int = 4) -> dict:
     """Resumable EXACT DEDUP (the ``dedup_exact`` plan) over KEY-HASH

@@ -1561,3 +1561,34 @@ def test_choose_part_cell_groups_per_slot():
                 bounds, slots, cell, groups)
             # replication clamp: cell never finer than half the mean side
             assert cell >= mean_side / 2
+
+
+def test_checkpoint_resume_keyed_joins(ray_ready, tmp_path):
+    """S2- and hex-keyed big-big joins under manifests: resume recomputes
+    exactly the failed shard; shard outputs partition the unsharded join."""
+    import pyarrow.parquet as pq
+
+    from engine.rayds import ckpt, pipeline
+    from engine.rayds.celljoin import hexpart_pairs, s2part_pairs
+
+    for plan, pairs_fn in (("s2", s2part_pairs), ("hex", hexpart_pairs)):
+        out = str(tmp_path / f"kj_{plan}")
+        r1 = pipeline.run_keyedjoin_checkpointed(SF, out, num_shards=2,
+                                                 plan=plan)
+        assert r1["computed"] == [0, 1]
+        os.remove(ckpt.manifest_path(out, 1))
+        r3 = pipeline.run_keyedjoin_checkpointed(SF, out, num_shards=2,
+                                                 plan=plan)
+        assert r3 == {"computed": [1], "skipped": [0]}
+        got = set()
+        for i in range(2):
+            d = os.path.join(out, f"shard={i}")
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(d, f),
+                                      columns=["image_id", "poly_id"])
+                    got |= set(zip(t["image_id"].to_pylist(),
+                                   t["poly_id"].to_pylist()))
+        want = {(r["image_id"], r["poly_id"])
+                for r in pairs_fn(SF).take_all()}
+        assert got == want and len(want) > 0
