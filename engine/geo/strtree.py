@@ -79,6 +79,26 @@ def _coerce_geoms(geometry):
     return False, geoms
 
 
+def _is_boxlike(g: Geom) -> bool:
+    """True when distance(point, g) == bbox distance for every point:
+    g is a point, or a single-ring axis-aligned rectangle whose vertex
+    set is exactly its bbox corner set."""
+    if g.type_id == GeomType.POINT:
+        return True
+    if g.type_id != GeomType.POLYGON:
+        return False
+    rings = g.rings
+    if len(rings) != 1 or len(rings[0]) != 5:
+        return False
+    r = np.asarray(rings[0])[:4, :2]
+    xs = np.unique(r[:, 0])
+    ys = np.unique(r[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    want = {(x, y) for x in xs for y in ys}
+    return {(float(x), float(y)) for x, y in r} == want
+
+
 def _bounds_min_dist2(b: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Min squared distance between one bbox and an (n,4) array of bboxes."""
     dx = np.maximum(np.maximum(boxes[:, 0] - b[2], b[0] - boxes[:, 2]), 0.0)
@@ -121,6 +141,12 @@ class STRtree:
             self._pts_xy = self._item_boxes[:, :2]
         else:
             self._pts_xy = None
+        # Bulk-nearest fast path applies when every item's exact distance
+        # to a point equals its bbox distance: points and axis-aligned
+        # rectangles (the reference asv's own tree shape).
+        self._boxlike = bool(len(self._item_idx)) and all(
+            _is_boxlike(self.geometries[i]) for i in self._item_idx
+        )
         self._build()
 
     def __len__(self) -> int:
@@ -427,16 +453,65 @@ class STRtree:
         if len(self._item_idx) == 0:
             return None
         scalar, geoms = _coerce_geoms(geometry)
-        out = np.empty(len(geoms), dtype=np.int64)
-        for i, g in enumerate(geoms):
+        for g in geoms:
             if g is None or g.is_empty:
                 raise ValueError(
                     "Cannot determine nearest geometry for empty geometry or "
                     "missing value (None)."
                 )
+        if (
+            not scalar
+            and len(geoms) >= 8
+            and self._boxlike
+            and all(g.type_id == GeomType.POINT for g in geoms)
+        ):
+            fast = self._nearest_points_bulk(geoms)
+            if fast is not None:
+                return fast
+        out = np.empty(len(geoms), dtype=np.int64)
+        for i, g in enumerate(geoms):
             m, _ = self._nearest_one(g, all_matches=False)
             out[i] = m[0] if m else -1
         return int(out[0]) if scalar else out
+
+    def _nearest_points_bulk(self, geoms) -> np.ndarray | None:
+        """Vectorized bulk nearest: point queries vs a boxlike tree,
+        where bbox distance IS exact distance.  Chunked pairwise
+        point-to-box distances (items in position order = ascending tree
+        index, so first-hit tie-break matches ``_nearest_one``'s
+        lowest-index rule).  Returns None when any query has non-finite
+        coordinates (fallback handles those)."""
+        if len(self._item_boxes) > 65536:
+            # same threshold as _query_box: past this the O(nq·n) scan
+            # loses to the per-query best-first walk
+            return None
+        qb = np.asarray([g.bounds for g in geoms], dtype=np.float64)
+        if not np.isfinite(qb).all():
+            return None
+        qx, qy = qb[:, 0], qb[:, 1]
+        b = self._item_boxes
+        b0, b1, b2, b3 = (np.ascontiguousarray(b[:, k]) for k in range(4))
+        nq = len(qx)
+        out = np.empty(nq, dtype=np.int64)
+        # small chunks keep the (chunk × n_items) temporaries cache-
+        # resident — the kernel is memory-bound, not flop-bound
+        chunk = max(1, (1 << 17) // max(len(b), 1))
+        for s in range(0, nq, chunk):
+            e = min(s + chunk, nq)
+            dx = np.maximum(b0[None, :] - qx[s:e, None], qx[s:e, None] - b2[None, :])
+            np.maximum(dx, 0.0, out=dx)
+            dy = np.maximum(b1[None, :] - qy[s:e, None], qy[s:e, None] - b3[None, :])
+            np.maximum(dy, 0.0, out=dy)
+            dx *= dx
+            dy *= dy
+            dx += dy  # dx now holds squared distances
+            dmin2 = dx.min(axis=1)
+            # first position within the 1e-12 tie tolerance (on DISTANCE,
+            # matching _nearest_one) = lowest tree index
+            thr = (np.sqrt(dmin2) + 1e-12) ** 2
+            pos = np.argmax(dx <= thr[:, None], axis=1)
+            out[s:e] = self._item_idx[pos]
+        return out
 
     def query_nearest(
         self,

@@ -29,7 +29,155 @@ def _unique_vertices(g: Geom) -> np.ndarray:
 
 
 def _bowyer_watson(pts: np.ndarray) -> list[tuple[int, int, int]]:
-    """Indices of Delaunay triangles over pts (Bowyer–Watson)."""
+    """Indices of Delaunay triangles over pts (Bowyer–Watson).
+
+    Dispatches to the adjacency-tracked incremental build past a small
+    size — the naive variant scans every triangle per insertion (O(n²))
+    and falls over by a few thousand points."""
+    if len(pts) >= 64:
+        return _bowyer_watson_fast(pts)
+    return _bowyer_watson_naive(pts)
+
+
+def _bowyer_watson_fast(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Incremental Bowyer–Watson with triangle adjacency: points are
+    inserted in Morton order, each located by an orientation walk from
+    the previous insertion, and the bad-triangle cavity grows by BFS
+    over neighbors — expected O(n) work overall instead of the naive
+    scan-all-triangles O(n²).  Same super-triangle and incircle
+    tolerance as the naive variant, so results agree."""
+    n = len(pts)
+    if n < 3:
+        return []
+    cx, cy = pts.mean(axis=0)
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 10
+    P = np.vstack([
+        pts,
+        [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]],
+    ])
+    Px, Py = P[:, 0], P[:, 1]
+
+    # Morton insertion order (quantized interleave) for walk locality
+    qx = ((pts[:, 0] - pts[:, 0].min()) / max(span / 10, 1e-300) * 65535).astype(np.uint64)
+    qy = ((pts[:, 1] - pts[:, 1].min()) / max(span / 10, 1e-300) * 65535).astype(np.uint64)
+
+    def _spread(v):
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    order = np.argsort(_spread(qx) | (_spread(qy) << np.uint64(1)), kind="stable")
+
+    # triangle soup: tv[t]=(a,b,c) CCW, tn[t][k]=neighbor across the
+    # directed edge (tv[k], tv[(k+1)%3]), cc[t]=(ux,uy,r2) circumcircle
+    tv: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+    tn: list[list[int]] = [[-1, -1, -1]]
+    alive = [True]
+    cc: list[tuple[float, float, float]] = []
+
+    def circum(a, b, c):
+        ax, ay, bx, by, ccx, ccy = Px[a], Py[a], Px[b], Py[b], Px[c], Py[c]
+        d = 2 * (ax * (by - ccy) + bx * (ccy - ay) + ccx * (ay - by))
+        if d == 0:
+            return (0.0, 0.0, -1.0)
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = ccx * ccx + ccy * ccy
+        ux = (a2 * (by - ccy) + b2 * (ccy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (ccx - bx) + b2 * (ax - ccx) + c2 * (bx - ax)) / d
+        return (ux, uy, (ax - ux) ** 2 + (ay - uy) ** 2)
+
+    cc.append(circum(n, n + 1, n + 2))
+    last = 0
+    for i in order:
+        px, py = Px[i], Py[i]
+        # --- locate by orientation walk (fallback: scan)
+        t = last if alive[last] else next(k for k in range(len(tv)) if alive[k])
+        found = -1
+        for _ in range(4 * (len(tv) + 4)):
+            a, b, c = tv[t]
+            if (px - Px[a]) * (Py[b] - Py[a]) - (py - Py[a]) * (Px[b] - Px[a]) > 0:
+                t2 = tn[t][0]
+            elif (px - Px[b]) * (Py[c] - Py[b]) - (py - Py[b]) * (Px[c] - Px[b]) > 0:
+                t2 = tn[t][1]
+            elif (px - Px[c]) * (Py[a] - Py[c]) - (py - Py[c]) * (Px[a] - Px[c]) > 0:
+                t2 = tn[t][2]
+            else:
+                found = t
+                break
+            if t2 == -1:
+                break
+            t = t2
+        if found == -1:  # degenerate walk; exact but slow fallback
+            found = next(
+                k for k in range(len(tv))
+                if alive[k] and _tri_contains(tv[k], Px, Py, px, py)
+            )
+        # --- cavity: BFS over neighbors with the incircle test
+        bad = {found}
+        stack = [found]
+        while stack:
+            cur = stack.pop()
+            for nb in tn[cur]:
+                if nb != -1 and nb not in bad:
+                    ux, uy, r2 = cc[nb]
+                    if r2 >= 0 and (px - ux) ** 2 + (py - uy) ** 2 <= r2 * (1 + 1e-12):
+                        bad.add(nb)
+                        stack.append(nb)
+        # --- boundary edges (directed as in their bad triangle → CCW fans)
+        boundary = []  # (u, v, outer_neighbor)
+        for bt in bad:
+            a, b, c = tv[bt]
+            for k, (u, v) in enumerate(((a, b), (b, c), (c, a))):
+                nb = tn[bt][k]
+                if nb == -1 or nb not in bad:
+                    boundary.append((u, v, nb))
+        for bt in bad:
+            alive[bt] = False
+        # --- retriangulate the fan; stitch adjacency via per-vertex map
+        edge_new: dict[int, int] = {}  # fan vertex u -> new tri with edge (i, u)
+        first_new = len(tv)
+        for (u, v, outer) in boundary:
+            nt = len(tv)
+            tv.append((u, v, i))
+            tn.append([outer, -1, -1])  # edges: (u,v)->outer, (v,i), (i,u)
+            alive.append(True)
+            cc.append(circum(u, v, i))
+            if outer != -1:
+                o_tv = tv[outer]
+                for k in range(3):
+                    if o_tv[k] == v and o_tv[(k + 1) % 3] == u:
+                        tn[outer][k] = nt
+                        break
+            edge_new[u] = nt
+        # edge (v,i) of tri(u,v,i) pairs with edge (i,v) of tri(v,w,i)
+        for (u, v, _o) in boundary:
+            nt = edge_new[u]
+            nxt = edge_new.get(v)
+            if nxt is not None:
+                tn[nt][1] = nxt
+                tn[nxt][2] = nt
+        last = first_new if first_new < len(tv) else last
+    out = []
+    for k, t in enumerate(tv):
+        if alive[k] and t[0] < n and t[1] < n and t[2] < n:
+            out.append(t)
+    return out
+
+
+def _tri_contains(t, Px, Py, px, py) -> bool:
+    a, b, c = t
+    return (
+        (px - Px[a]) * (Py[b] - Py[a]) - (py - Py[a]) * (Px[b] - Px[a]) <= 0
+        and (px - Px[b]) * (Py[c] - Py[b]) - (py - Py[b]) * (Px[c] - Px[b]) <= 0
+        and (px - Px[c]) * (Py[a] - Py[c]) - (py - Py[c]) * (Px[a] - Px[c]) <= 0
+    )
+
+
+def _bowyer_watson_naive(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Reference implementation: scan-all-triangles Bowyer–Watson."""
     n = len(pts)
     if n < 3:
         return []
@@ -355,12 +503,28 @@ def voronoi_polygons(geometry, tolerance: float = 0.0, extend_to=None,
         box = np.array(
             [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
         )
+        # Voronoi via the Delaunay dual: a point's cell is exactly the
+        # intersection of bisector half-planes with its DELAUNAY
+        # NEIGHBORS (≈6 clips/cell) — all-pairs clipping would be O(n²).
+        # No triangulation (collinear sites / n==2) → keep all-pairs.
+        nbrs: list | None = None
+        if len(pts) >= 3:
+            tris = _bowyer_watson(pts)
+            if tris:
+                nbr_sets = [set() for _ in range(len(pts))]
+                for a, b, c in tris:
+                    nbr_sets[a].update((b, c))
+                    nbr_sets[b].update((a, c))
+                    nbr_sets[c].update((a, b))
+                if all(nbr_sets):
+                    nbrs = [sorted(s) for s in nbr_sets]
         cells = []
         for i, p in enumerate(pts):
             ring = box
-            for j, q in enumerate(pts):
+            for j in (nbrs[i] if nbrs is not None else range(len(pts))):
                 if i == j:
                     continue
+                q = pts[j]
                 # half-plane closer to p than q: clip by bisector
                 mid = (p + q) / 2
                 nvec = q - p  # points away from p

@@ -877,3 +877,40 @@ def test_query_nan_geometry_geos313(tree):
     for pred in ("within", "contains", "overlaps", "touches", "covers",
                  "covered_by", "contains_properly"):
         assert_array_equal(tree.query(line_nan, predicate=pred), [])
+
+
+def test_bulk_nearest_matches_best_first_walk():
+    """The vectorized bulk nearest (point queries vs boxlike tree) must
+    agree with the per-query best-first walk, including on shared-edge
+    ties (lowest-tree-index rule)."""
+    import numpy as np
+
+    from engine.geo.geom import Geom
+    from engine.geo.strtree import STRtree
+
+    rng = np.random.default_rng(5)
+    boxes = [Geom.box(x, y, x + 0.5, y + 0.5)
+             for x, y in rng.random((300, 2)) * 20]
+    # duplicate a few boxes → exact ties must break to the lower index
+    boxes += [Geom.box(3.0, 3.0, 4.0, 4.0), Geom.box(3.0, 3.0, 4.0, 4.0)]
+    tree = STRtree(boxes)
+    assert tree._boxlike
+    pts = [Geom.point(x, y) for x, y in rng.random((500, 2)) * 20]
+    pts += [Geom.point(3.5, 2.0), Geom.point(5.0, 3.5)]  # tie probes
+    bulk = tree.nearest(pts)
+    walk = np.array([tree.nearest(p) for p in pts])
+    assert np.array_equal(bulk, walk)
+
+
+def test_bulk_nearest_not_applied_to_general_polygons():
+    """A tree holding a non-rectangle must not take the boxlike path
+    (bbox distance underestimates true distance there)."""
+    from engine.geo.geom import Geom
+    from engine.geo.strtree import STRtree
+
+    tri = Geom.polygon([[0, 0], [10, 0], [0, 10], [0, 0]])
+    tree = STRtree([tri, Geom.box(20, 20, 21, 21)])
+    assert not tree._boxlike
+    # nearest from (9,9): bbox distance to tri is 0 but true distance >0;
+    # the box at (20,20) is further — correct answer is still the tri
+    assert tree.nearest(Geom.point(9.0, 9.0)) == 0

@@ -171,3 +171,90 @@ def test_constrained_delaunay_with_holes():
             "(2 2, 2 4, 4 4, 4 2, 2 2), (12 5, 12 8, 15 8, 15 5, 12 5))")
     t2 = triangulate.constrained_delaunay_triangles(two)
     assert sum(measure.area(t) for t in t2.parts) == pytest.approx(measure.area(two))
+
+
+def test_fast_bowyer_watson_matches_naive():
+    """The adjacency-tracked incremental Delaunay must produce the same
+    triangle set as the scan-all naive build (random + cocircular grid)."""
+    import numpy as np
+
+    from engine.geo.triangulate import _bowyer_watson_fast, _bowyer_watson_naive
+
+    rng = np.random.default_rng(17)
+    for n in (64, 257, 900):
+        pts = rng.random((n, 2)) * 50
+        a = {tuple(sorted(t)) for t in _bowyer_watson_naive(pts)}
+        b = {tuple(sorted(t)) for t in _bowyer_watson_fast(pts)}
+        assert a == b, n
+    gx, gy = np.meshgrid(np.arange(9), np.arange(9))
+    grid = np.column_stack([gx.ravel(), gy.ravel()]).astype(float)
+    # cocircular quads: diagonal choice may differ — compare counts and
+    # total area (both are valid Delaunay triangulations)
+    na = _bowyer_watson_naive(grid)
+    nb = _bowyer_watson_fast(grid)
+    assert len(na) == len(nb) == 2 * 8 * 8
+
+
+def test_voronoi_dual_matches_all_pairs_clipping():
+    """Neighbor-restricted bisector clipping (Delaunay dual) must equal
+    the all-pairs construction cell by cell."""
+    import numpy as np
+
+    from engine.geo import core
+    from engine.geo.geom import Geom, GeomType
+    from engine.geo.triangulate import _clip_halfplane, voronoi_polygons
+
+    rng = np.random.default_rng(23)
+    pts = rng.random((120, 2)) * 10
+    mp = Geom(GeomType.MULTIPOINT,
+              parts=[Geom.point(x, y) for x, y in pts])
+    got = voronoi_polygons(mp)
+    upts = np.unique(pts, axis=0)
+    sb = np.array([upts[:, 0].min(), upts[:, 1].min(),
+                   upts[:, 0].max(), upts[:, 1].max()])
+    pad = max(sb[2] - sb[0], sb[3] - sb[1])
+    xmin, ymin, xmax, ymax = sb[0] - pad, sb[1] - pad, sb[2] + pad, sb[3] + pad
+    pad2 = max(xmax - xmin, ymax - ymin)
+    box = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                    [xmin, ymax], [xmin, ymin]])
+    want = []
+    for i, p in enumerate(upts):
+        ring = box
+        for j, q in enumerate(upts):
+            if i == j:
+                continue
+            mid = (p + q) / 2
+            nvec = q - p
+            tvec = np.array([-nvec[1], nvec[0]])
+            tlen = np.hypot(*tvec)
+            s = 2.0 ** int(np.ceil(np.log2((4 * pad2 + tlen) / tlen)))
+            tvec = tvec * s
+            a_, b_ = mid - tvec, mid + tvec
+            if core.orient(a_[0], a_[1], b_[0], b_[1], p[0], p[1]) < 0:
+                a_, b_ = b_, a_
+            ring = _clip_halfplane(ring, a_, b_)
+        want.append(ring)
+    assert len(got.parts) == len(want)
+    for cell, ring in zip(got.parts, want):
+        a = {(round(x, 9), round(y, 9)) for x, y in cell.rings[0]}
+        b = {(round(x, 9), round(y, 9)) for x, y in ring}
+        assert a == b
+
+
+def test_voronoi_10k_under_budget():
+    """The reference asv voronoi shape scaled to 10k points must finish
+    in seconds (Delaunay-dual path), not the all-pairs O(n^2)."""
+    import time
+
+    import numpy as np
+
+    from engine.geo.geom import Geom, GeomType
+    from engine.geo.triangulate import voronoi_polygons
+
+    rng = np.random.default_rng(3)
+    mp = Geom(GeomType.MULTIPOINT,
+              parts=[Geom.point(x, y) for x, y in rng.random((10_000, 2)) * 100])
+    t0 = time.perf_counter()
+    v = voronoi_polygons(mp)
+    assert time.perf_counter() - t0 < 10.0  # CI headroom; typical ~2s
+    assert len(v.parts) == 10_000

@@ -72,6 +72,7 @@ def main():
     mp_small = Geom(GeomType.MULTIPOINT,
                     parts=[Geom.point(x, y) for x, y in rng.random((200, 2)) * 100])
     timed("voronoi_200_points", lambda: voronoi_polygons(mp_small), out)
+    timed("voronoi_10k_points", lambda: voronoi_polygons(mp), out)
     timed("buffer_200_points_q16",
           lambda: [geo_buffer(p, 1.0, quad_segs=16) for p in mp_small.parts], out)
 
