@@ -1082,16 +1082,28 @@ def _q_lang_quality(sf_dir):
 
 
 def _q_minhash_pairs(sf_dir):
+    """MinHash+LSH candidate pairs (md5-hash family): every hash in the
+    tokenize→shingle→permute→band→bucket chain is the MD5 top-64, so a
+    DuckDB oracle reproduces the candidate set bit-exactly (dedup.py
+    md5-LSH section).  The integer-mix family (minhash_candidate_pairs)
+    remains the cheaper 100-TB path, recall-pinned in pytest."""
     from engine.ops import dedup
 
-    return dedup.minhash_candidate_pairs(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return dedup.minhash_candidate_pairs_md5(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
 
 
 def _q_simhash_pairs(sf_dir):
+    """EXACT Hamming-≤7 SimHash pairs (md5-token family): 8 bands × 8
+    bits + in-bucket exact Hamming — pigeonhole gives provable recall 1,
+    and the md5 hashes make the whole chain a DuckDB oracle.  The
+    integer-hash simhash_near_pairs stays pytest-pinned as the cheap
+    path."""
     from engine.ops import dedup
 
-    return dedup.simhash_near_pairs(
-        _docs(sf_dir).select_columns(["doc_id", "text"]), max_ham=8
+    return dedup.simhash_pairs_md5(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), max_ham=7
     )
 
 
@@ -1153,10 +1165,19 @@ def _q_psnr_validate(sf_dir):
 
 
 def _q_img_features(sf_dir):
-    """Decode → resize → featurize actor-pool stage (multimodal path)."""
+    """Decode → resize → featurize actor-pool stage (multimodal path).
+
+    Emits the INTEGER-EXACT feature (299R+587G+114B grayscale sum over
+    the 16×16 thumbnail): synth pixels, the qraw quantizer and the md5
+    seed rule are all integer/md5 arithmetic, so a DuckDB oracle
+    reproduces the full decode→resize→featurize chain bit-exactly (no
+    float summation-order hazard).  The float features (thumb_phash,
+    thumb_mean) stay pytest-pinned."""
     from engine.rayds.imgstage import features_dataset
 
-    return features_dataset(sf_dir).select_columns(["image_id", "thumb_phash"])
+    return features_dataset(sf_dir).select_columns(
+        ["image_id", "thumb_gray_sum"]
+    )
 
 
 def _q_pricing_summary(sf_dir):
@@ -1505,32 +1526,43 @@ def _q_video_frames(sf_dir):
 def _q_minhash_verified(sf_dir):
     """MinHash candidates verified with EXACT n-gram Jaccard — the
     adversarial-verify stage, fully distributed (candidate pairs
-    hash-join the per-doc shingle-set table; verify in map_batches)."""
+    hash-join the per-doc shingle-set table; verify in map_batches).
+    md5-hash family, so candidates AND the exact-Jaccard verdicts are
+    reproducible as a DuckDB oracle."""
     from engine.ops import dedup
 
-    return dedup.minhash_verified_pairs(
+    return dedup.minhash_verified_pairs_md5(
         _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5
     )
 
 
 def _q_ann_topk_lsh(sf_dir):
-    """LSH-bucketed approximate top-k (the 100-TB ANN scale path)."""
+    """LSH-bucketed top-k (the 100-TB ANN scale path), run at the
+    EXHAUSTIVE probe setting: multiprobe = nbits probes every bucket
+    within Hamming radius nbits, i.e. all 2^nbits buckets, so the
+    candidate set is the full corpus and the result provably equals the
+    exact top-k — SQL-oracle-checkable while still exercising the
+    plane-hash/bucket-filter machinery.  The approximate settings
+    (multiprobe < nbits) are recall-pinned in pytest."""
     from engine.ops import ann
 
     q, qids = _load_query_vecs(sf_dir, 3)
     return ann.topk_cosine_lsh(_embeddings(sf_dir), q, qids, k=10,
-                               nbits=4, dim=int(q.shape[1]))
+                               nbits=4, dim=int(q.shape[1]), multiprobe=4)
 
 
 def _q_ann_topk_ivf(sf_dir):
-    """IVF (inverted-file) approximate top-k — the second ANN scale path
-    (coarse k-means lists + nprobe probing); recall measured vs the
-    exact plan in pytest (no SQL oracle: approximate by design)."""
+    """IVF (inverted-file) top-k — the second ANN scale path (coarse
+    k-means lists + nprobe probing), run at nprobe = n_lists: every
+    inverted list is scanned, so the result provably equals the exact
+    top-k regardless of the k-means outcome — SQL-oracle-checkable
+    while still exercising the assign/probe machinery.  Approximate
+    nprobe settings are recall-pinned in pytest."""
     from engine.ops import ann
 
     q, qids = _load_query_vecs(sf_dir, 3)
     return ann.topk_cosine_ivf(_embeddings(sf_dir), q, qids, k=10,
-                               n_lists=16, nprobe=4)
+                               n_lists=16, nprobe=16)
 
 
 DEDUP_DROP_BUDGET = 2_000_000  # drop-set broadcast budget (dedup_canonical)
@@ -9420,6 +9452,178 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# md5-u64 in SQL: int(md5(x)[:16], 16)
+def _sql_md5u64(x: str) -> str:
+    return f"CAST(concat('0x', substr(md5({x}), 1, 16)) AS UBIGINT)"
+
+
+# SQL mirror of the md5-LSH shingle chain (dedup.py _md5_windows /
+# minhash_md5_batch): word-3-gram windows joined by chr(31), short docs
+# one whole-text window, 16 md5 permutations, 4 bands of 4.
+_MINHASH_BASE_SQL = f"""
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+          THEN list_transform(range(1, len(w) - 1),
+                              i -> array_to_string(w[i:i+2], chr(31)))
+          ELSE [array_to_string(w, chr(31))] END) AS win
+      FROM ws
+    ),
+    dwin AS (SELECT DISTINCT doc_id, win FROM wins),
+    sigs AS (
+      SELECT doc_id, p.range AS p,
+             min({_sql_md5u64("concat(CAST(p.range AS VARCHAR), '|', win)")}) AS sig
+      FROM dwin, range(16) p GROUP BY doc_id, p.range
+    ),
+    bands AS (
+      SELECT doc_id, (p // 4) AS band,
+             {_sql_md5u64("concat(CAST(p // 4 AS VARCHAR), ':', string_agg(CAST(sig AS VARCHAR), ',' ORDER BY p))")} AS bucket
+      FROM sigs GROUP BY doc_id, p // 4
+    ),
+    lsh_pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.band
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+"""
+
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_MINHASH_BASE_SQL}
+    SELECT a, b, CAST(count(*) AS BIGINT) AS n_bands
+    FROM lsh_pairs GROUP BY a, b
+"""
+
+_MINHASH_VERIFIED_SQL = f"""
+    WITH {_MINHASH_BASE_SQL},
+    dcount AS (SELECT doc_id, count(*) AS n FROM dwin GROUP BY doc_id),
+    cand AS (SELECT DISTINCT a, b FROM lsh_pairs),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN dwin wa ON wa.doc_id = c.a
+      JOIN dwin wb ON wb.doc_id = c.b AND wb.win = wa.win
+      GROUP BY c.a, c.b
+    )
+    SELECT t.a, t.b
+    FROM inter t
+    JOIN dcount na ON na.doc_id = t.a
+    JOIN dcount nb ON nb.doc_id = t.b
+    WHERE CAST(t.i AS DOUBLE) / (na.n + nb.n - t.i) >= 0.5
+"""
+
+# SQL mirror of the md5-token SimHash (dedup.py simhash_md5_batch):
+# 64-bit fingerprint from per-bit ±1 sums over ALL tokens (dups kept),
+# 8 bands × 8 bits, exact Hamming ≤ 7 (pigeonhole ⇒ exact pair set)
+_SIMHASH_PAIRS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (SELECT doc_id, {_sql_md5u64('tok')} AS h FROM toks),
+    bitsum AS (
+      SELECT doc_id, b.range AS bit,
+             SUM(CASE WHEN (h >> CAST(b.range AS UBIGINT)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS cnt
+      FROM th, range(64) b GROUP BY doc_id, b.range
+    ),
+    sbands AS (
+      SELECT doc_id, bit // 8 AS band,
+             CAST(SUM(CASE WHEN cnt > 0 THEN 1 << (bit % 8) ELSE 0 END) AS BIGINT) AS val
+      FROM bitsum GROUP BY doc_id, bit // 8
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sbands x JOIN sbands y
+        ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+    ),
+    ham AS (
+      SELECT c.a, c.b, CAST(SUM(bit_count(xor(xa.val, xb.val))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sbands xa ON xa.doc_id = c.a
+      JOIN sbands xb ON xb.doc_id = c.b AND xb.band = xa.band
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, hamming FROM ham WHERE hamming <= 7
+"""
+
+
+# exact top-k cosine over 3 query vectors — the oracle for the
+# exhaustive-probe LSH/IVF queries (both provably equal exact top-k)
+_ANN_TOPK_SQL_3Q = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 3
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    s AS (
+        SELECT query_id, vec_id, list_cosine_similarity(qe, ve) AS sim
+        FROM q CROSS JOIN v WHERE vec_id <> query_id
+    ),
+    r AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id
+               ) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
+
+
+def _sql_mul64(a: str, lo: int, hi: int) -> str:
+    """Wrapping uint64 multiply ``a * (hi<<32 | lo)`` in DuckDB: HUGEINT
+    intermediates (≤2^97) split around the 32-bit halves of the constant."""
+    return (
+        f"CAST(((CAST({a} AS HUGEINT) * {lo})"
+        f" + ((CAST({a} AS HUGEINT) * {hi}) % 4294967296) * 4294967296)"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+# Bit-exact SQL mirror of the decode→resize→featurize chain
+# (engine/rayds/imgstage.py ResizeExtract + engine/img/codec.py synth):
+# seed = md5 top-32 of image_id; SplitMix64 pixel streams via wrapping
+# uint64 arithmetic; qraw = 6-bit mid-rise quantizer; feature = integer
+# grayscale sum (299R+587G+114B) over the 16×16 NN thumbnail.
+_IMG_FEATURES_SQL = f"""
+    WITH imgs AS (
+      SELECT 'img' || CAST(event_id AS VARCHAR) AS image_id,
+             CAST(32 + (event_id % 4) * 16 AS BIGINT) AS w,
+             CAST(32 + (event_id % 3) * 16 AS BIGINT) AS h,
+             CASE WHEN event_id % 2 = 0 THEN 'raw'
+                  WHEN event_id % 4 = 1 THEN 'qraw' ELSE 'png' END AS fmt,
+             CAST(concat('0x', substr(md5('img' || CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS seed
+      FROM events
+    ),
+    grid AS (
+      SELECT image_id, w, h, fmt, seed, c.range AS c,
+             (ty.range * h) // 16 AS ys, (tx.range * w) // 16 AS xs
+      FROM imgs, range(16) ty, range(16) tx, range(3) c
+    ),
+    s0 AS (
+      SELECT image_id, fmt, c,
+             CAST(least((ys*4)//h,3)*12 + least((xs*4)//w,3)*3 + c AS UBIGINT) + seed AS bi,
+             CAST(ys*w + xs AS UBIGINT) + xor(seed, CAST(1515870810 AS UBIGINT)) AS ni
+      FROM grid
+    ),
+    s1 AS (SELECT image_id, fmt, c, {_sql_mul64('bi', 0x7F4A7C15, 0x9E3779B9)} AS b1,
+                                    {_sql_mul64('ni', 0x7F4A7C15, 0x9E3779B9)} AS n1 FROM s0),
+    s2 AS (SELECT image_id, fmt, c, xor(b1, b1 >> 31) AS b2, xor(n1, n1 >> 31) AS n2 FROM s1),
+    s3 AS (SELECT image_id, fmt, c, {_sql_mul64('b2', 0x1CE4E5B9, 0xBF58476D)} AS b3,
+                                    {_sql_mul64('n2', 0x1CE4E5B9, 0xBF58476D)} AS n3 FROM s2),
+    s4 AS (SELECT image_id, fmt, c,
+                  CAST(xor(b3, b3 >> 27) % 224 AS BIGINT) + CAST(xor(n3, n3 >> 27) % 32 AS BIGINT) AS p
+           FROM s3),
+    dec AS (
+      SELECT image_id, c,
+             CASE WHEN fmt='qraw' THEN ((p >> 2) << 2) + 2 ELSE p END AS v
+      FROM s4
+    )
+    SELECT image_id,
+           CAST(SUM(v * CASE c WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) AS BIGINT) AS thumb_gray_sum
+    FROM dec GROUP BY image_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "cell_counts": f"""
@@ -9773,6 +9977,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        # exhaustive-probe LSH/IVF == exact top-k (see the query
+        # docstrings); 3 query vectors instead of ann_topk's 5
+        "ann_topk_lsh": _ANN_TOPK_SQL_3Q,
+        "ann_topk_ivf": _ANN_TOPK_SQL_3Q,
+        "img_features": _IMG_FEATURES_SQL,
+        "minhash_pairs": _MINHASH_PAIRS_SQL,
+        "minhash_verified": _MINHASH_VERIFIED_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -129,8 +129,15 @@ def _synth_hash(seed: int, n: int, lo: int, hi: int) -> np.ndarray:
 
 
 def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic RGB image from the image_id (stable across runs)."""
-    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    """Deterministic RGB image from the image_id (stable across runs).
+
+    Seed rule = the md5 digest's top 32 bits (first 8 hex chars) — the
+    one 32-bit id hash both numpy (vhash) and a SQL oracle (DuckDB
+    ``md5()`` prefix cast) can reproduce bit-exactly, which makes
+    integer features of synth pixels oracle-checkable end-to-end."""
+    import hashlib
+
+    seed = int(hashlib.md5(image_id.encode()).hexdigest()[:8], 16)
     base = _synth_hash(seed, 48, 0, 224).reshape(4, 4, 3)
     # upsample a 4×4 palette to (h, w) — structured, compressible content
     yi = (np.arange(h) * 4 // max(h, 1)).clip(0, 3)
@@ -141,10 +148,15 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
 
 
 def synth_seeds(image_ids) -> np.ndarray:
-    """crc32 seeds for a list of image_ids (the scalar synth seed rule)."""
-    return np.array(
-        [zlib.crc32(i.encode()) & 0xFFFFFFFF for i in image_ids], dtype=np.uint64
-    )
+    """md5-top-32 seeds for a list of image_ids (the scalar synth seed
+    rule, vectorized via the numpy MD5 kernel)."""
+    import pyarrow as pa
+
+    from engine.ops.vhash import md5_digest_words
+
+    w = md5_digest_words(pa.array(list(image_ids), type=pa.string()))
+    u = ((w[:, 1].astype(np.uint64) << np.uint64(32)) | w[:, 0].astype(np.uint64))
+    return u.byteswap() >> np.uint64(32)
 
 
 def _synth_hash_batch(seeds: np.ndarray, n: int, lo: int, hi: int) -> np.ndarray:

@@ -528,7 +528,8 @@ BLOOM_MIN_CORPUS = 2_000_000  # docs; bloom pays once the corpus dwarfs pairs
 PAIR_BROADCAST_MAX = 2_000_000  # pairs; budget for the broadcast-pairs plan
 
 
-def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int):
+def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int,
+                           shingle_fn=None):
     """Verify plan for a candidate-pair table that fits a broadcast:
     the deduped (a, b) pairs (narrow: two int64s each) are indexed and
     shipped once via ``ray.put``; ONE map pass over the docs filters to
@@ -595,7 +596,7 @@ def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int):
                              "flip": pa.array([], type=pa.int64()),
                              "sh": pa.array([], type=pa.binary())})
         cand = batch.take(pa.array(sel))
-        t = shingle_sets(cand)
+        t = (shingle_fn or shingle_sets)(cand)
         sh = t["shingles"]
         if isinstance(sh, pa.ChunkedArray):
             sh = sh.combine_chunks()
@@ -630,7 +631,9 @@ def _verify_broadcast_plan(docs_ds, pairs, threshold: float, P: int):
 def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
                            num_partitions: int = 64,
                            bloom_prefilter: bool | None = None,
-                           pair_broadcast_max: int = PAIR_BROADCAST_MAX):
+                           pair_broadcast_max: int = PAIR_BROADCAST_MAX,
+                           explode_fn=None, bucket_keys=("bucket",),
+                           pair_fn=None, shingle_fn=None):
     """MinHash candidates verified with EXACT n-gram Jaccard — fully
     distributed, two physical plans:
 
@@ -662,16 +665,18 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
     # aggregate would be a whole extra all-to-all — both verify plans
     # dedupe (a, b[, flip]) rows for free during their sorts
     exploded = docs_ds.map_batches(
-        minhash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        explode_fn or minhash_batch, batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True
     )
     pairs = partitioned_buckets(
-        exploded, ("bucket",), _bucket_pairs(MAX_BUCKET)
+        exploded, bucket_keys, pair_fn or _bucket_pairs(MAX_BUCKET)
     )
     # bounded size probe: stream at most budget+1 pair rows; a prefix
     # within budget IS the whole pair table and is reused directly
     probe = pairs.limit(pair_broadcast_max + 1).materialize()
     if probe.count() <= pair_broadcast_max:
-        return _verify_broadcast_plan(docs_ds, probe, threshold, P)
+        return _verify_broadcast_plan(docs_ds, probe, threshold, P,
+                                      shingle_fn=shingle_fn)
     if bloom_prefilter is None:
         try:  # parquet-metadata count; no execution for read→project plans
             bloom_prefilter = docs_ds.count() >= BLOOM_MIN_CORPUS
@@ -689,7 +694,8 @@ def minhash_verified_pairs(docs_ds, threshold: float = 0.5,
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
     shingled = docs_side.map_batches(
-        shingle_sets, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        shingle_fn or shingle_sets, batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True
     )
 
     def explode_pairs(batch: pa.Table) -> pa.Table:
@@ -1277,3 +1283,293 @@ def prefix_shadowed_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
         # is metadata-cheap — hand back a typed driver-side table
         return empty
     return out
+
+
+# ------------------------------------------------------ md5 LSH (SQL-checkable)
+#
+# A second MinHash+LSH / SimHash family whose every hash is the MD5
+# top-64 (`vhash.md5_u64` == DuckDB's md5() prefix cast), so the ENTIRE
+# candidate-generation pipeline — tokenize, shingle, permute, band,
+# bucket — is reproducible as a SQL oracle.  The driver-facing
+# `minhash_pairs` / `minhash_verified` / `simhash_pairs` queries run
+# this family; the integer-mix family above remains the cheaper scale
+# path (recall-pinned in pytest).  Bucket groups are LOUD-guarded
+# instead of capped: the SQL mirror has no cap, so a silently-capped
+# bucket would diverge — past `LOUD_BUCKET` members the query raises.
+
+US = "\x1f"  # shingle joiner (chr(31) in SQL); never appears in testdata text
+NUM_PERM_MD5 = 16
+BANDS_MD5 = 4  # 4 bands × 4 rows ≈ threshold ~0.71 Jaccard
+SIMHASH_BANDS = 8  # 8 bands × 8 bits; max_ham ≤ 7 ⇒ pigeonhole recall = 1
+LOUD_BUCKET = 8192
+
+
+def _md5_windows(batch: pa.Table, k: int = SHINGLE_K):
+    """Per-doc k-word windows as STRINGS (DuckDB-mirrorable shingles).
+
+    Tokenization = split on single spaces, empties kept (DuckDB
+    ``string_split(text, ' ')`` parity).  Docs with < k words emit ONE
+    window = the whole text with spaces replaced by the joiner
+    (== ``array_to_string(words, chr(31))``).  Returns ``(windows,
+    doc_rows)`` — a string array plus the batch row index of each
+    window's doc.  Fully vectorized (shifted takes + element-wise join).
+    """
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off0 = words.offsets.to_numpy().astype(np.int64)
+    doc_off = off0 - off0[0]
+    flat = pc.list_flatten(words)
+    nw = doc_off[1:] - doc_off[:-1]
+    long_rows = np.nonzero(nw >= k)[0]
+    short_rows = np.nonzero(nw < k)[0]
+    parts_w: list = []
+    parts_d: list = []
+    if len(long_rows):
+        nwin = nw[long_rows] - k + 1
+        total = int(nwin.sum())
+        rep = np.repeat(long_rows, nwin)
+        starts = np.repeat(doc_off[long_rows], nwin) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(nwin) - nwin, nwin)
+        )
+        cols = [flat.take(pa.array(starts + j)) for j in range(k)]
+        win = pc.binary_join_element_wise(*cols, US)
+        parts_w.append(win)
+        parts_d.append(rep)
+    if len(short_rows):
+        joined = pc.replace_substring(
+            texts.take(pa.array(short_rows)), " ", US
+        )
+        parts_w.append(joined)
+        parts_d.append(short_rows)
+    if not parts_w:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    win = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                            else p for p in parts_w])
+    doc_rows = np.concatenate(parts_d)
+    return win, doc_rows
+
+
+def _distinct_windows(batch: pa.Table, k: int = SHINGLE_K):
+    """(windows, doc_rows) deduped per doc (by md5-u64; grouped by doc).
+
+    Returns (win_arr, doc_rows, hashes) sorted by (doc, hash)."""
+    from engine.ops.vhash import md5_u64
+
+    win, doc_rows = _md5_windows(batch, k)
+    h = md5_u64(win)
+    order = np.lexsort((h, doc_rows))
+    hs, ds = h[order], doc_rows[order]
+    keep = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    sel = order[keep]
+    return win.take(pa.array(sel)), doc_rows[sel], h[sel]
+
+
+def minhash_md5_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, band, bucket): the SQL-mirrorable LSH
+    explode.  sig[d,p] = min over d's distinct windows of
+    md5_u64(p || '|' || window); bucket = md5_u64(band || ':' ||
+    sig values joined by ',').  One row per (doc, band)."""
+    from engine.ops.vhash import md5_u64
+
+    ids = batch["doc_id"].to_numpy()
+    win, doc_rows, _h = _distinct_windows(batch)
+    if len(win) == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "band": pa.array([], type=pa.int64()),
+                         "bucket": pa.array([], type=pa.int64())})
+    present, seg_starts = np.unique(doc_rows, return_index=True)
+    nd = len(present)
+    sig = np.empty((nd, NUM_PERM_MD5), dtype=np.uint64)
+    for p in range(NUM_PERM_MD5):
+        hp = md5_u64(pc.binary_join_element_wise(f"{p}|", win, ""))
+        sig[:, p] = np.minimum.reduceat(hp, seg_starts)
+    r = NUM_PERM_MD5 // BANDS_MD5
+    out_doc, out_band, out_bucket = [], [], []
+    for b in range(BANDS_MD5):
+        pieces = [pa.array(sig[:, b * r + j]).cast(pa.string())
+                  for j in range(r)]
+        body = pc.binary_join_element_wise(*pieces, ",")
+        keyed = pc.binary_join_element_wise(f"{b}:", body, "")
+        bucket = md5_u64(keyed).view(np.int64)
+        out_doc.append(ids[present].astype(np.int64))
+        out_band.append(np.full(nd, b, dtype=np.int64))
+        out_bucket.append(bucket)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "band": pa.array(np.concatenate(out_band)),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+        }
+    )
+
+
+def shingle_sets_md5(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, shingles:binary) with md5-u64 window hashes
+    (same wire format as ``shingle_sets``, so both verify plans apply)."""
+    _win, doc_rows, h = _distinct_windows(batch)
+    n = len(batch)
+    counts = np.bincount(doc_rows, minlength=n)
+    sh_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=sh_off[1:])
+    byte_off = (sh_off * 8).astype(np.int32)
+    ba = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(byte_off.tobytes()),
+         pa.py_buffer(h.view(np.int64).tobytes())],
+    )
+    return pa.table({"doc_id": batch["doc_id"], "shingles": ba})
+
+
+def _bucket_pairs_loud(limit: int = LOUD_BUCKET):
+    """All (a<b) pairs of one bucket; RAISES past ``limit`` members
+    (the SQL mirror has no cap — a silent cap would diverge)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        if len(ids) > limit:
+            raise RuntimeError(
+                f"LSH bucket of {len(ids)} members exceeds the loud guard "
+                f"({limit}); shrink bands or pre-split the corpus"
+            )
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+    return fn
+
+
+def minhash_candidate_pairs_md5(docs_ds):
+    """md5-LSH candidate pairs with per-pair band counts — bit-exact
+    against the DuckDB mirror of the same tokenize→shingle→permute→
+    band→bucket chain."""
+    from engine.rayds.shuffle import grouped_count
+
+    exploded = docs_ds.map_batches(
+        minhash_md5_batch, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    pairs = partitioned_buckets(
+        exploded, ("band", "bucket"), _bucket_pairs_loud()
+    )
+    return grouped_count(pairs, ["a", "b"], out_col="n_bands", use_shuffle=True)
+
+
+def simhash_md5_batch(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, band, val, fp): md5-token SimHash.
+
+    fp = 64-bit fingerprint (bit j set iff Σ_tokens ±1 of md5-u64 bit j
+    is > 0, duplicates counted); val = fp's 8-bit band slice.  fp rides
+    along so the bucket stage computes exact Hamming locally (no second
+    join)."""
+    from engine.ops.vhash import md5_u64
+
+    ids = batch["doc_id"].to_numpy()
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off0 = words.offsets.to_numpy().astype(np.int64)
+    doc_off = off0 - off0[0]
+    flat = pc.list_flatten(words)
+    h = md5_u64(flat)
+    n = len(batch)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32) * 2 - 1
+    cnt = np.add.reduceat(bits, doc_off[:-1], axis=0) if len(h) else \
+        np.zeros((n, 64), dtype=np.int32)
+    # reduceat quirk: empty segments (zero-token docs) copy the next
+    # row — zero them explicitly
+    nw = doc_off[1:] - doc_off[:-1]
+    cnt[nw == 0] = 0
+    fpbits = (cnt > 0)
+    fp = (fpbits.astype(np.uint64)
+          @ (np.uint64(1) << np.arange(64, dtype=np.uint64))).view(np.int64)
+    band_vals = np.empty((n, SIMHASH_BANDS), dtype=np.int64)
+    for b in range(SIMHASH_BANDS):
+        band_vals[:, b] = (
+            fpbits[:, b * 8:(b + 1) * 8].astype(np.int64)
+            @ (1 << np.arange(8, dtype=np.int64))
+        )
+    rep = np.repeat(np.arange(n, dtype=np.int64), SIMHASH_BANDS)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), SIMHASH_BANDS)),
+            "band": pa.array(np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)),
+            "val": pa.array(band_vals.reshape(-1)),
+            "fp": pa.array(np.repeat(fp, SIMHASH_BANDS)),
+        }
+    )
+
+
+def simhash_pairs_md5(docs_ds, max_ham: int = 7):
+    """EXACT Hamming-≤max_ham SimHash pairs (md5 family): banded-equality
+    candidates + in-bucket exact Hamming.  With 8 bands of 8 bits and
+    ``max_ham ≤ 7``, pigeonhole guarantees every qualifying pair shares
+    ≥1 band — the emitted set is provably the full Hamming ball, which
+    is what makes the SQL mirror an exact oracle."""
+    from engine.rayds.shuffle import hash_shuffle_agg
+
+    if max_ham >= SIMHASH_BANDS:
+        raise ValueError("max_ham must be < SIMHASH_BANDS for exact recall")
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        fp = group["fp"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, fp = ids[order], fp[order]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        if len(ids) > LOUD_BUCKET:
+            raise RuntimeError(
+                f"SimHash band bucket of {len(ids)} members exceeds the "
+                f"loud guard ({LOUD_BUCKET})"
+            )
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = (fp[ai] ^ fp[bi]).view(np.uint64)
+        ham = np.zeros(len(x), dtype=np.int64)
+        for s in range(0, 64, 8):
+            ham += _POP8[((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.int64)]
+        keep = ham <= max_ham
+        return pa.table({"a": pa.array(ids[ai][keep]),
+                         "b": pa.array(ids[bi][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    exploded = docs_ds.map_batches(
+        simhash_md5_batch, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    cand = partitioned_buckets(exploded, ("band", "val"), bucket_fn)
+    # a pair found in several bands appears once per band — dedupe
+    # (hamming identical in each)
+    return hash_shuffle_agg(cand, ["a", "b"], [("hamming", "min")], ["hamming"])
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def minhash_verified_pairs_md5(docs_ds, threshold: float = 0.5, **kw):
+    """md5-LSH candidates verified with exact window Jaccard — the full
+    chain (tokenize→shingle→permute→band→bucket→pair→exact-Jaccard) is
+    bit-reproducible as a DuckDB oracle.  Same two physical verify plans
+    as ``minhash_verified_pairs``."""
+    return minhash_verified_pairs(
+        docs_ds, threshold,
+        explode_fn=minhash_md5_batch,
+        bucket_keys=("band", "bucket"),
+        pair_fn=_bucket_pairs_loud(),
+        shingle_fn=shingle_sets_md5,
+        **kw,
+    )

@@ -193,3 +193,14 @@ def md5_top64_key(col) -> np.ndarray:
     u = (words[:, 1].astype(np.uint64) << np.uint64(32)) | \
         words[:, 0].astype(np.uint64)
     return (u.byteswap() ^ np.uint64(1 << 63)).view(np.int64)
+
+
+def md5_u64(col) -> np.ndarray:
+    """Plain uint64 of each row's MD5 first 8 bytes big-endian —
+    numerically equal to ``int(md5_hex[:16], 16)`` and to DuckDB's
+    ``CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT)``; the hash
+    both numpy kernels and SQL oracles can compute identically."""
+    words = md5_digest_words(col)
+    u = (words[:, 1].astype(np.uint64) << np.uint64(32)) | \
+        words[:, 0].astype(np.uint64)
+    return u.byteswap()

@@ -133,6 +133,7 @@ class ResizeExtract:
         t = self.thumb
         hashes = np.empty(len(ids), dtype=np.int64)
         means = np.empty(len(ids))
+        gsums = np.empty(len(ids), dtype=np.int64)
         for idx, w, h in _wh_groups(ws, hs):
             imgs = np.stack(
                 [codec.decode_payload(data[i], w, h, fmts[i]) for i in idx]
@@ -142,9 +143,17 @@ class ResizeExtract:
             thumbs = imgs[:, yi[:, None], xi[None, :]]
             hashes[idx] = codec.phash64_batch(thumbs)
             means[idx] = thumbs.reshape(len(idx), -1).mean(axis=1)
+            # integer-exact grayscale sum (299R+587G+114B per pixel):
+            # the SQL-oracle-checkable feature (no float summation order)
+            gsums[idx] = (
+                thumbs.astype(np.int64)
+                @ np.array([299, 587, 114], dtype=np.int64)
+            ).reshape(len(idx), -1).sum(axis=1)
         return batch.drop_columns(["bytes"]).append_column(
             "thumb_phash", pa.array(hashes)
-        ).append_column("thumb_mean", pa.array(means))
+        ).append_column("thumb_mean", pa.array(means)).append_column(
+            "thumb_gray_sum", pa.array(gsums)
+        )
 
 
 class Transcode:

@@ -791,3 +791,98 @@ def test_phash_neardup_exact_recall_at_ham3(ray_session):
         assert got.get(k) == d
     for k, d in got.items():
         assert d <= 3 and k in want
+
+
+def test_md5_lsh_family_matches_brute_force(ray_session):
+    """The SQL-checkable md5-LSH family: simhash_pairs_md5 must emit the
+    EXACT Hamming-<=7 pair set (pigeonhole recall proof), and
+    minhash_verified_pairs_md5 must emit exactly the LSH candidates with
+    true window-Jaccard >= threshold (verified against a brute-force
+    python mirror of the same md5 hashes)."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops import dedup
+
+    rng = np.random.default_rng(9)
+    texts = []
+    for i in range(80):
+        if i % 7 == 0:
+            texts.append("the quick brown fox jumps over the lazy dog")
+        elif i % 7 == 1:
+            texts.append("the quick brown fox jumps over the lazy cat")
+        else:
+            texts.append(" ".join(
+                f"t{rng.integers(0, 50)}" for _ in range(rng.integers(2, 15))
+            ))
+    t = pa.table({"doc_id": pa.array(range(80), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t)
+
+    def u64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+    def windows(text: str) -> set:
+        w = text.split(" ")
+        if len(w) >= 3:
+            return {"\x1f".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {"\x1f".join(w)}
+
+    # --- simhash: brute-force exact Hamming <= 7 over ALL pairs
+    def fingerprint(text: str) -> int:
+        cnt = [0] * 64
+        for tok in text.split(" "):
+            h = u64(tok)
+            for b in range(64):
+                cnt[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(64) if cnt[b] > 0)
+
+    fps = [fingerprint(x) for x in texts]
+    want_sh = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(range(80), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 7
+    }
+    got_sh = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_pairs_md5(ds, max_ham=7).take_all()
+    }
+    assert got_sh == want_sh and len(want_sh) > 0
+
+    # --- minhash: brute-force mirror of perms/bands, then exact Jaccard
+    def sig_bands(text: str):
+        ws = windows(text)
+        out = []
+        for b in range(dedup.BANDS_MD5):
+            r = dedup.NUM_PERM_MD5 // dedup.BANDS_MD5
+            sigs = [min(u64(f"{p}|{w}") for w in ws)
+                    for p in range(b * r, (b + 1) * r)]
+            out.append(u64(f"{b}:" + ",".join(str(s) for s in sigs)))
+        return out
+
+    bands = [sig_bands(x) for x in texts]
+    cand = set()
+    for a, b in itertools.combinations(range(80), 2):
+        for i in range(dedup.BANDS_MD5):
+            if bands[a][i] == bands[b][i]:
+                cand.add((a, b))
+                break
+    wsets = [windows(x) for x in texts]
+    want_v = {
+        (a, b) for a, b in cand
+        if len(wsets[a] & wsets[b]) / len(wsets[a] | wsets[b]) >= 0.5
+    }
+    got_v = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_verified_pairs_md5(ds, threshold=0.5).take_all()
+    }
+    assert got_v == want_v and len(want_v) > 0
+    got_c = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_candidate_pairs_md5(ds).take_all()
+    }
+    assert got_c == cand
