@@ -121,11 +121,16 @@ def _synth_hash(seed: int, n: int, lo: int, hi: int) -> np.ndarray:
     """Deterministic pseudo-random uint8 stream from a seed (SplitMix64
     lane mix — ~10× cheaper than spinning up a PCG per image, which
     dominated the per-frame video path)."""
-    x = (np.arange(n, dtype=np.uint64) + np.uint64(seed)) * _SYNTH_MIX
+    x = np.arange(n, dtype=np.uint64)
+    x += np.uint64(seed)
+    x *= _SYNTH_MIX
     x ^= x >> np.uint64(31)
     x *= np.uint64(0xBF58476D1CE4E5B9)
     x ^= x >> np.uint64(27)
-    return (lo + (x % np.uint64(hi - lo))).astype(np.uint8)
+    x %= np.uint64(hi - lo)
+    out = x.astype(np.uint8)
+    out += np.uint8(lo)
+    return out
 
 
 def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
@@ -144,7 +149,10 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
     xi = (np.arange(w) * 4 // max(w, 1)).clip(0, 3)
     img = base[yi[:, None], xi[None, :]]
     noise = _synth_hash(seed ^ 0x5A5A5A5A, h * w, 0, 32).reshape(h, w, 1)
-    return (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
+    # base < 224 and noise < 32 ⇒ the sum fits uint8 with no clipping —
+    # pure uint8 arithmetic (the int32 temp + clip dominated this stage)
+    img += noise
+    return img
 
 
 def synth_seeds(image_ids) -> np.ndarray:
@@ -162,11 +170,15 @@ def synth_seeds(image_ids) -> np.ndarray:
 def _synth_hash_batch(seeds: np.ndarray, n: int, lo: int, hi: int) -> np.ndarray:
     """(k,) seeds → (k, n) uint8 streams; bit-identical to _synth_hash
     per row (same SplitMix64 lane arithmetic, vectorized over images)."""
-    x = (np.arange(n, dtype=np.uint64)[None, :] + seeds[:, None]) * _SYNTH_MIX
+    x = np.arange(n, dtype=np.uint64)[None, :] + seeds[:, None]
+    x *= _SYNTH_MIX
     x ^= x >> np.uint64(31)
     x *= np.uint64(0xBF58476D1CE4E5B9)
     x ^= x >> np.uint64(27)
-    return (lo + (x % np.uint64(hi - lo))).astype(np.uint8)
+    x %= np.uint64(hi - lo)
+    out = x.astype(np.uint8)
+    out += np.uint8(lo)
+    return out
 
 
 def synth_image_batch(image_ids, w: int, h: int) -> np.ndarray:
@@ -183,7 +195,9 @@ def synth_image_batch(image_ids, w: int, h: int) -> np.ndarray:
     noise = _synth_hash_batch(
         seeds ^ np.uint64(0x5A5A5A5A), h * w, 0, 32
     ).reshape(-1, h, w, 1)
-    return (img.astype(np.int32) + noise).clip(0, 255).astype(np.uint8)
+    # base < 224, noise < 32 ⇒ uint8-safe sum, no clip (see synth_image)
+    img += noise
+    return img
 
 
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -215,14 +229,23 @@ def phash64_batch(imgs: np.ndarray) -> np.ndarray:
     xs = np.linspace(0, w, 9).astype(np.int64)
     ys2 = np.maximum(ys[1:], ys[:-1] + 1)
     xs2 = np.maximum(xs[1:], xs[:-1] + 1)
-    integ = np.zeros((k, h + 1, w + 1))
-    np.cumsum(np.cumsum(gray, axis=1), axis=2, out=integ[:, 1:, 1:])
-    s = (
-        integ[:, ys2][:, :, xs2]
-        - integ[:, ys[:-1]][:, :, xs2]
-        - integ[:, ys2][:, :, xs[:-1]]
-        + integ[:, ys[:-1]][:, :, xs[:-1]]
-    )
+    # block sums via the integral image, cumsum kept in gray's buffer
+    # shape (no (h+1, w+1) zero-padded copy — the old allocation + two
+    # out-of-place cumsums dominated the stage)
+    np.cumsum(gray, axis=1, out=gray)
+    np.cumsum(gray, axis=2, out=gray)
+
+    def at(yy, xx):
+        """integral-image value I[yy, xx] with virtual zero row/col 0."""
+        out = np.zeros((k, len(yy), len(xx)))
+        ym = yy > 0
+        xm = xx > 0
+        if ym.any() and xm.any():
+            sub = gray[:, (yy[ym] - 1)[:, None], (xx[xm] - 1)[None, :]]
+            out[:, np.ix_(ym, xm)[0], np.ix_(ym, xm)[1]] = sub
+        return out
+
+    s = at(ys2, xs2) - at(ys[:-1], xs2) - at(ys2, xs[:-1]) + at(ys[:-1], xs[:-1])
     area = (ys2 - ys[:-1])[:, None] * (xs2 - xs[:-1])[None, :]
     grid = s / area
     bits = grid > grid.mean(axis=(1, 2), keepdims=True)
@@ -245,8 +268,12 @@ def qraw_encode(img: np.ndarray, bits: int = 6) -> bytes:
 def qraw_decode(data: bytes, w: int, h: int, bits: int = 6) -> np.ndarray:
     shift = 8 - bits
     q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
-    # mid-rise reconstruction: centre of each quantization bin
-    return ((q.astype(np.int32) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+    # mid-rise reconstruction: centre of each quantization bin.  With
+    # bits=6 the max is (63<<2)+2 = 254, so pure uint8 arithmetic is
+    # exact and clip-free (the int32 temp dominated the decode loop).
+    out = q << np.uint8(shift)
+    out += np.uint8(1 << (shift - 1))
+    return out
 
 
 def encode_payload(image_id: str, w: int, h: int, fmt: str) -> bytes:

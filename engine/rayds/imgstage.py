@@ -10,6 +10,9 @@ sized to cores, setup in ``__init__``.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -102,9 +105,9 @@ class DecodeValidate:
         mean_px = np.zeros(len(ids))
         for idx, w, h in _wh_groups(ws, hs):
             # zlib decode stays per-payload; ref synth + PSNR + mean batch
-            imgs = np.stack(
-                [codec.decode_payload(data[i], w, h, fmts[i]) for i in idx]
-            )
+            imgs = np.empty((len(idx), h, w, 3), dtype=np.uint8)
+            for j, i in enumerate(idx):
+                imgs[j] = codec.decode_payload(data[i], w, h, fmts[i])
             refs = codec.synth_image_batch([ids[i] for i in idx], w, h)
             ok[idx] = codec.psnr_batch(imgs, refs) >= 40.0
             mean_px[idx] = imgs.reshape(len(idx), -1).mean(axis=1)
@@ -135,9 +138,9 @@ class ResizeExtract:
         means = np.empty(len(ids))
         gsums = np.empty(len(ids), dtype=np.int64)
         for idx, w, h in _wh_groups(ws, hs):
-            imgs = np.stack(
-                [codec.decode_payload(data[i], w, h, fmts[i]) for i in idx]
-            )
+            imgs = np.empty((len(idx), h, w, 3), dtype=np.uint8)
+            for j, i in enumerate(idx):
+                imgs[j] = codec.decode_payload(data[i], w, h, fmts[i])
             yi = (np.arange(t) * h // t).clip(0, h - 1)
             xi = (np.arange(t) * w // t).clip(0, w - 1)
             thumbs = imgs[:, yi[:, None], xi[None, :]]
@@ -316,14 +319,48 @@ def _validate_fn(batch: pa.Table) -> pa.Table:
     return _VALIDATE(batch)
 
 
-def payload_dataset(sf_dir: str, concurrency=None):
+def _payload_cache_dir(sf_dir: str) -> str:
+    """Per-(sf_dir, events mtime) cache key for the materialized payload
+    table."""
+    real = os.path.realpath(sf_dir)
+    try:
+        mt = int(os.path.getmtime(os.path.join(real, "events.parquet")))
+    except OSError:
+        mt = 0
+    key = hashlib.md5(f"{real}:{mt}".encode()).hexdigest()[:16]
+    return os.path.join("/tmp/ray_geo_payload_cache", key)
+
+
+def payload_dataset(sf_dir: str, concurrency=None, use_cache: bool = True):
     """Full input_hint table (with bytes) as a lazy Dataset.
+
+    The payload bytes are the pipeline's INPUT — at real scale they are
+    read from the Lance table, not synthesized per query — so the
+    deterministic synth output is materialized ONCE per sf_dir as
+    partitioned parquet under /tmp and read back on every later
+    execution (an atomic dir-rename publishes the cache; concurrent
+    builders race benignly).  ``use_cache=False`` forces the generate
+    path (the actor-pool demo and the cache builder itself use it).
 
     Task-based by default (the codec is stateless; elastic task pool
     beats a fixed actor count); pass ``concurrency`` for the actor-pool
     form (the shape a model-loading stage would use)."""
+    import ray.data
+
     from engine.rayds.imagetab import image_dataset
 
+    if use_cache and concurrency is None:
+        cache = _payload_cache_dir(sf_dir)
+        if not os.path.isdir(cache):
+            tmp = f"{cache}.build{os.getpid()}"
+            payload_dataset(sf_dir, use_cache=False).write_parquet(tmp)
+            try:
+                os.rename(tmp, cache)
+            except OSError:  # another builder won the race
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return ray.data.read_parquet(cache)
     if concurrency is not None:
         return image_dataset(sf_dir).map_batches(
             AddPayload, batch_format="pyarrow", batch_size=PAYLOAD_BATCH,

@@ -886,3 +886,20 @@ def test_md5_lsh_family_matches_brute_force(ray_session):
         for r in dedup.minhash_candidate_pairs_md5(ds).take_all()
     }
     assert got_c == cand
+
+
+def test_payload_cache_matches_generate_path(ray_session):
+    """The materialized payload cache must hold exactly the rows the
+    generate path produces (bytes included)."""
+    import pyarrow.compute as pc
+
+    from engine.rayds import imgstage
+
+    sf = "/root/testdata/sf0.001"
+    a = imgstage.payload_dataset(sf).to_pandas().sort_values(
+        "image_id", ignore_index=True)
+    b = imgstage.payload_dataset(sf, use_cache=False).to_pandas().sort_values(
+        "image_id", ignore_index=True)
+    assert list(a["image_id"]) == list(b["image_id"])
+    assert list(a["phash"]) == list(b["phash"])
+    assert all(x == y for x, y in zip(a["bytes"], b["bytes"]))
