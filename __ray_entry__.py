@@ -282,6 +282,16 @@ def _q_join_covers_hexpart(sf_dir):
     return hexpart_pairs(sf_dir)
 
 
+def _q_join_covers_h3part(sf_dir):
+    """Same join, SHUFFLED ON SPHERICAL ICOSAHEDRAL HEX IDS — the
+    aperture-7 H3-class index (engine.geo.hexsphere: gnomonic face
+    projection, Eisenstein-integer digit hierarchy, H3-style bit
+    layout; orientation self-derived, see the module's honesty note)."""
+    from engine.rayds.celljoin import h3xpart_pairs
+
+    return h3xpart_pairs(sf_dir)
+
+
 def _q_join_overlaps_range(sf_dir):
     """RANGE JOIN: image footprints (squares of half-extent w/512) ×
     polygon bboxes, intersects semantics — the both-sides-exploded cell
@@ -9223,6 +9233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_covers_cellpart": _q_join_covers_cellpart,
         "join_covers_s2part": _q_join_covers_s2part,
         "join_covers_hexpart": _q_join_covers_hexpart,
+        "join_covers_h3part": _q_join_covers_h3part,
         "join_overlaps_range": _q_join_overlaps_range,
         "window_agg": _q_window_agg,
         "asof_click_view": _q_asof_click_view,
@@ -9787,6 +9798,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
         """,
         "join_covers_hexpart": f"""
+            WITH {_IMGS}, {_LAYER}
+            SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
+        """,
+        "join_covers_h3part": f"""
             WITH {_IMGS}, {_LAYER}
             SELECT image_id, poly_id FROM imgs JOIN layer ON {_COVERS}
         """,

@@ -11,11 +11,16 @@ prefilters on cell equality before exact refinement.
   published algorithm (s2geometry docs).  Validated by structural
   invariants (prefix/parent containment, round-trip decode) — the C++
   library is not available in this sandbox for golden comparison.
-- ``hex_cell``: H3-STYLE aperture-comparable hexagonal binning in axial
-  coordinates with cube rounding.  NOT bit-compatible with Uber H3 (the
-  122-entry icosahedron base-cell tables are not reproducible offline);
-  provides the same partitioning semantics (hex cells, ring neighbors,
-  multi-resolution) used for the h3_7/h3_8/h3_9 columns.
+- ``hex_cell``: planar axial hexagonal binning with cube rounding — the
+  cheap in-plane ladder.  The TRUE spherical hex index is
+  ``engine.geo.hexsphere`` (icosahedral aperture-7, H3-class geometry:
+  gnomonic faces, Eisenstein digit hierarchy, H3-style bit layout) —
+  still NOT bit-compatible with Uber H3: the library's 122-entry
+  base-cell orientation tables are lookup data, not derivable from the
+  published algorithm, and cannot be regenerated or validated offline.
+  See hexsphere.py's honesty note; joins treat hex ids purely as
+  partitioning keys (superset covers + exact refinement), so either
+  ladder gives exact join output.
 - ``grid_cell``: exact planar grid used for the join prefilter (its
   covering sets are trivially exact supersets) and for the DuckDB oracle
   (expressible as floor division — FIXTURES.md §6).

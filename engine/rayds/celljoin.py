@@ -689,3 +689,73 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None,
         ["image_id", "poly_id"], [("_one", "min")], ["_one"],
     )
     return deduped.select_columns(["image_id", "poly_id"])
+
+
+def h3xpart_pairs(sf_dir: str, layer: Layer | None = None,
+                  predicate: str = "covers", res: int = 2, ds=None,
+                  layer_ds=None):
+    """Big-big join SHUFFLED ON SPHERICAL ICOSAHEDRAL HEX CELL IDS
+    (engine.geo.hexsphere — the aperture-7 H3-class index).
+
+    Point side: one h3x cell per point.  Polygon side: padded superset
+    cover of each bbox's lon/lat rect (``h3x_cover_rect``) — covers are
+    supersets and the per-group refinement is exact, so per-face lattice
+    seams cost only extra candidates, never correctness.  Single-cell
+    point side ⇒ no pair-dedupe exchange."""
+    from engine.geo import hexsphere as HX
+    from engine.rayds.imagetab import image_dataset
+
+    polys_ds = _resolve_layer_ds(sf_dir, layer, layer_ds)
+
+    def pts_fn(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        lon, lat = _lonlat(x, y)
+        lon = np.clip(lon, -179.999999, 179.999999)
+        lat = np.clip(lat, -89.9, 89.9)
+        return pa.table(
+            {
+                "cell": pa.array(HX.h3x_cell(lon, lat, res)),
+                "image_id": batch["image_id"],
+                "x": x,
+                "y": y,
+                "poly_id": pa.nulls(len(batch), type=pa.int64()),
+                "geom": pa.nulls(len(batch), type=pa.large_binary()),
+            }
+        )
+
+    def cover_fn(batch: pa.Table) -> pa.Table:
+        b = np.column_stack(
+            [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
+        )
+        rows_l, keys_l = [], []
+        for i in range(len(b)):
+            if np.isnan(b[i, 0]):
+                continue
+            lon0, lat0 = _lonlat(np.float64(b[i, 0]), np.float64(b[i, 1]))
+            lon1, lat1 = _lonlat(np.float64(b[i, 2]), np.float64(b[i, 3]))
+            ids = HX.h3x_cover_rect(float(lon0), float(lat0),
+                                    float(lon1), float(lat1), res)
+            rows_l.append(np.full(len(ids), i, dtype=np.int64))
+            keys_l.append(ids)
+        rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, dtype=np.int64)
+        take = pa.array(rows)
+        return pa.table(
+            {
+                "cell": pa.array(keys),
+                "image_id": pa.nulls(len(rows), type=pa.string()),
+                "x": pa.nulls(len(rows), type=pa.float64()),
+                "y": pa.nulls(len(rows), type=pa.float64()),
+                "poly_id": batch["poly_id"].take(take),
+                "geom": pc.cast(batch["geom"], pa.large_binary()).take(take),
+            }
+        )
+
+    pts = (ds if ds is not None else image_dataset(sf_dir)).map_batches(
+        pts_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    polys = polys_ds.map_batches(cover_fn, batch_format="pyarrow", batch_size=None)
+    both = pts.union(polys)
+    return hash_exchange_fine_groups(both, ["cell"],
+                                     _join_cell_group(predicate))

@@ -25,19 +25,27 @@ def cell_encode(batch: pa.Table) -> pa.Table:
 
     cell   — planar grid id at CELL_SIZE (exact, oracle-expressible)
     s2_id  — S2 level-12 cell of the lon/lat mapping of (x, y)
-    hex7/8/9 — hierarchical hex cells (H3-style aperture ladder)
+    hex7/8/9 — hierarchical hex cells (planar axial ladder)
+    h3x7/8/9 — SPHERICAL icosahedral aperture-7 hex cells
+               (engine.geo.hexsphere; H3-class geometry)
     """
+    from engine.geo import hexsphere as HX
+
     x = batch["x"].to_numpy()
     y = batch["y"].to_numpy()
     lon = x * 3.6 - 180.0
     lat = y * 1.6 - 80.0
+    lon_c = np.clip(lon, -179.999999, 179.999999)
+    lat_c = np.clip(lat, -89.9, 89.9)
     return batch.append_column(
         "cell", pa.array(cells.grid_cell(x, y, CELL_SIZE))
     ).append_column("s2_id", pa.array(cells.s2_cell(lon, lat, level=12))).append_column(
         "hex7", pa.array(cells.hex_cell(x, y, 7))
     ).append_column("hex8", pa.array(cells.hex_cell(x, y, 8))).append_column(
         "hex9", pa.array(cells.hex_cell(x, y, 9))
-    )
+    ).append_column("h3x7", pa.array(HX.h3x_cell(lon_c, lat_c, 7))).append_column(
+        "h3x8", pa.array(HX.h3x_cell(lon_c, lat_c, 8))
+    ).append_column("h3x9", pa.array(HX.h3x_cell(lon_c, lat_c, 9)))
 
 
 def _resolve(layer_ref) -> Layer:
