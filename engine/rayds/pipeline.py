@@ -11,6 +11,8 @@ groupby.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -469,3 +471,120 @@ def run_curation_checkpointed(sf_dir: str, out_dir: str,
     return ckpt.run_sharded_ranges(build,
                                    [f"{sf_dir}/documents.parquet"],
                                    out_dir, num_shards=num_shards)
+
+
+def run_curation_full(sf_dir: str, out_dir: str, num_shards: int = 4,
+                      near_threshold: float = 0.5) -> dict:
+    """The FULL LLM-curation story as one resumable job:
+
+      phase1/  lang-ID → quality gates → exact dedup (keep lowest id)
+               — per-key-hash-shard manifests (run_curation_checkpointed)
+      phase2/  near-dup pruning over the survivors: md5-LSH candidates
+               verified with exact window Jaccard ≥ ``near_threshold``;
+               the LARGER doc of every verified pair is dropped
+               (deterministic greedy policy — for duplicate chains this
+               keeps exactly the min id, the exact-dedup convention)
+      phase3/  benchmark decontamination: drop survivors sharing any
+               word-5-gram with the benchmark slice (source='src0')
+
+    Each phase checkpoints independently; phase k's manifest fingerprint
+    chains phase k-1's manifest FILES, so a re-run resumes at the first
+    phase whose manifests are missing or whose upstream changed, and a
+    phase-1 recompute automatically invalidates phases 2-3.  Returns
+    per-phase row metrics."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from engine.ops import dedup as D
+
+    out1 = os.path.join(out_dir, "phase1")
+    out2 = os.path.join(out_dir, "phase2")
+    out3 = os.path.join(out_dir, "phase3")
+    r1 = run_curation_checkpointed(sf_dir, out1, num_shards=num_shards)
+    m1 = [ckpt.manifest_path(out1, i) for i in range(num_shards)]
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def _survivor_ids(dirs) -> "np.ndarray":
+        files = [os.path.join(d, f) for d in dirs
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        surv = ray.data.read_parquet(files, columns=["doc_id"])
+        ids: list = []
+        total = 0
+        for b in surv.iter_batches(batch_format="pyarrow"):
+            ids.append(b["doc_id"].to_numpy())
+            total += len(b)
+            if total > 20_000_000:
+                raise RuntimeError(
+                    "survivor id set exceeds the broadcast budget; switch "
+                    "the near-dup phase to the hash semi-join plan")
+        return np.sort(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+
+    def _docs_subset(keep_sorted):
+        ref = ray.put(keep_sorted)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            from engine.rayds.bcast import cached
+
+            k = cached(ref)
+            did = batch["doc_id"].to_numpy()
+            pos = np.searchsorted(k, did)
+            pos = np.clip(pos, 0, max(len(k) - 1, 0))
+            hit = (k[pos] == did) if len(k) else np.zeros(len(did), bool)
+            return batch.filter(pa.array(hit))
+
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text", "source"]
+        ).map_batches(pick, batch_format="pyarrow", batch_size=None,
+                      zero_copy_batch=True)
+
+    def build2(_i: int, _n: int):
+        keep = _survivor_ids([f"{out1}/shard={i}" for i in range(num_shards)])
+        docs = _docs_subset(keep).select_columns(["doc_id", "text"])
+        pairs = D.minhash_verified_pairs_md5(docs, threshold=near_threshold)
+        drop_parts = [b["b"].to_numpy()
+                      for b in pairs.iter_batches(batch_format="pyarrow")]
+        drop = np.unique(np.concatenate(drop_parts)) if drop_parts else \
+            np.empty(0, np.int64)
+        kept = keep[~np.isin(keep, drop)]
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array(kept)}))
+
+    r2 = ckpt.run_sharded_ranges(build2, m1 + [docs_path], out2, num_shards=1)
+
+    def build3(_i: int, _n: int):
+        from engine.ops.contam import benchmark_ngram_set, contamination_screen
+
+        keep = _survivor_ids([f"{out2}/shard=0"])
+        all_docs = ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text", "source"])
+        bench = all_docs.map_batches(
+            lambda b: b.filter(pc.equal(b["source"], "src0")),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        gref = ray.put(benchmark_ngram_set(bench))
+        corpus = _docs_subset(keep)
+        hits = contamination_screen(corpus, gref)
+        bad_parts = [b["doc_id"].to_numpy()
+                     for b in hits.iter_batches(batch_format="pyarrow")]
+        bad = np.unique(np.concatenate(bad_parts)) if bad_parts else \
+            np.empty(0, np.int64)
+        kept = keep[~np.isin(keep, bad)]
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array(kept)}))
+
+    m2 = [ckpt.manifest_path(out2, 0)]
+    r3 = ckpt.run_sharded_ranges(build3, m2 + [docs_path], out3, num_shards=1)
+
+    def _rows(out, shards):
+        import json as _json
+
+        t = 0
+        for i in range(shards):
+            with open(ckpt.manifest_path(out, i)) as f:
+                t += _json.load(f)["rows"]
+        return t
+
+    return {
+        "phase1": r1, "phase2": r2, "phase3": r3,
+        "rows_after_phase1": _rows(out1, num_shards),
+        "rows_after_phase2": _rows(out2, 1),
+        "rows_after_phase3": _rows(out3, 1),
+    }

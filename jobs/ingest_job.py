@@ -34,7 +34,8 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/ingest_out")
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--pipeline",
-                    choices=["tiles", "celljoin", "dedup", "wds", "curation"],
+                    choices=["tiles", "celljoin", "dedup", "wds", "curation",
+                             "curation_full", "keyedjoin_s2", "keyedjoin_hex"],
                     default="tiles")
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -63,6 +64,21 @@ def main() -> int:
     elif args.pipeline == "curation":
         res = pipeline.run_curation_checkpointed(
             args.sf_dir, args.out, num_shards=args.num_shards)
+    elif args.pipeline == "curation_full":
+        full = pipeline.run_curation_full(
+            args.sf_dir, args.out, num_shards=args.num_shards)
+        print(json.dumps({
+            "pipeline": "curation_full",
+            "wall_secs": round(time.perf_counter() - t0, 3),
+            **{k: v for k, v in full.items() if k.startswith("rows")},
+            "phase1": full["phase1"], "phase2": full["phase2"],
+            "phase3": full["phase3"],
+        }))
+        return 0
+    elif args.pipeline in ("keyedjoin_s2", "keyedjoin_hex"):
+        res = pipeline.run_keyedjoin_checkpointed(
+            args.sf_dir, args.out, num_shards=args.num_shards,
+            plan=args.pipeline.split("_")[1])
     else:
         res = pipeline.run_dedup_checkpointed(
             args.sf_dir, args.out, num_shards=args.num_shards)

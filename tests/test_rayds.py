@@ -1592,3 +1592,23 @@ def test_checkpoint_resume_keyed_joins(ray_ready, tmp_path):
         want = {(r["image_id"], r["poly_id"])
                 for r in pairs_fn(SF).take_all()}
         assert got == want and len(want) > 0
+
+
+def test_curation_full_resume(ray_ready, tmp_path):
+    """The full curation chain (gates → exact dedup → near-dup →
+    decontamination) under chained phase manifests: a deleted phase-2
+    manifest re-runs only phases 2-3; row counts shrink monotonically."""
+    from engine.rayds import ckpt, pipeline
+
+    out = str(tmp_path / "cur_full")
+    r = pipeline.run_curation_full(SF, out, num_shards=2)
+    assert r["phase1"]["computed"] == [0, 1]
+    assert (r["rows_after_phase1"] >= r["rows_after_phase2"]
+            >= r["rows_after_phase3"] > 0)
+    os.remove(ckpt.manifest_path(os.path.join(out, "phase2"), 0))
+    r2 = pipeline.run_curation_full(SF, out, num_shards=2)
+    assert r2["phase1"] == {"computed": [], "skipped": [0, 1]}
+    assert r2["phase2"]["computed"] == [0]
+    # phase 3's fingerprint chains phase 2's manifest file → recomputed
+    assert r2["phase3"]["computed"] == [0]
+    assert r2["rows_after_phase3"] == r["rows_after_phase3"]
