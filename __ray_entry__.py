@@ -9470,7 +9470,20 @@ def _sql_md5u64(x: str) -> str:
 
 # SQL mirror of the md5-LSH shingle chain (dedup.py _md5_windows /
 # minhash_md5_batch): word-3-gram windows joined by chr(31), short docs
-# one whole-text window, 16 md5 permutations, 4 bands of 4.
+# one whole-text window, one md5 per window + 16 affine permutations
+# (wrapping uint64 arithmetic; constants shared with dedup.py),
+# 4 bands of 4.
+def _minhash_perm_values() -> str:
+    from engine.ops.dedup import MINHASH_MD5_A, MINHASH_MD5_B
+
+    rows = []
+    for p in range(len(MINHASH_MD5_A)):
+        a = int(MINHASH_MD5_A[p])
+        rows.append(f"({p}, {a & 0xFFFFFFFF}, {a >> 32}, "
+                    f"{int(MINHASH_MD5_B[p])})")
+    return ", ".join(rows)
+
+
 _MINHASH_BASE_SQL = f"""
     ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     wins AS (
@@ -9481,10 +9494,16 @@ _MINHASH_BASE_SQL = f"""
       FROM ws
     ),
     dwin AS (SELECT DISTINCT doc_id, win FROM wins),
+    bwin AS (SELECT doc_id, win, {_sql_md5u64('win')} AS base FROM dwin),
+    perms(p, a_lo, a_hi, b) AS (VALUES {_minhash_perm_values()}),
     sigs AS (
-      SELECT doc_id, p.range AS p,
-             min({_sql_md5u64("concat(CAST(p.range AS VARCHAR), '|', win)")}) AS sig
-      FROM dwin, range(16) p GROUP BY doc_id, p.range
+      SELECT doc_id, p,
+             min(CAST((
+               (CAST(base AS HUGEINT) * a_lo
+                + ((CAST(base AS HUGEINT) * a_hi) % 4294967296) * 4294967296
+                + b)
+               % 18446744073709551616) AS UBIGINT)) AS sig
+      FROM bwin, perms GROUP BY doc_id, p
     ),
     bands AS (
       SELECT doc_id, (p // 4) AS band,

@@ -411,11 +411,16 @@ def pq_train(sample: np.ndarray, m: int = 8, k: int = 16,
             d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(1))
         c = x[chosen].copy()
         for _ in range(iters):
-            a = np.argmin(((x[:, None, :] - c[None]) ** 2).sum(2), axis=1)
-            for ki in range(k_eff):
-                mask = a == ki
-                if mask.any():
-                    c[ki] = x[mask].mean(0)
+            # assignment via GEMM (argmin of -2x·cᵀ + |c|²; |x|² constant
+            # per row) — the (n, k, sub) broadcast tensor dominated
+            # training time
+            d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            cnt = np.bincount(a, minlength=k_eff).astype(np.float64)
+            sums = np.zeros((k_eff, sub))
+            np.add.at(sums, a, x)
+            nz = cnt > 0
+            c[nz] = sums[nz] / cnt[nz, None]
         books[j] = c
     return books
 
@@ -427,7 +432,9 @@ def pq_encode_batch(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
     codes = np.empty((len(emb), m), dtype=np.uint8)
     for j in range(m):
         x = emb[:, j * sub:(j + 1) * sub]
-        d2 = ((x[:, None, :] - books[j][None]) ** 2).sum(2)
+        c = books[j]
+        # GEMM form (|x|² is constant per row, dropped for argmin)
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
         codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
     return codes
 

