@@ -7215,9 +7215,9 @@ def _q_setsim_orders(sf_dir):
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
-    baskets = grouped_count(li, ["l_orderkey", "l_partkey"],
-                            out_col="_d", use_shuffle="auto")
-    return setsim_join(baskets, "l_orderkey", "l_partkey", 1, 2)
+    # raw multiset rows go straight in: the distinct folds into the
+    # join's own exchanges (a separate distinct shuffle cost ~3 s)
+    return setsim_join(li, "l_orderkey", "l_partkey", 1, 2)
 
 
 def _q_boilerplate_ngrams(sf_dir):

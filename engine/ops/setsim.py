@@ -10,11 +10,15 @@ never explodes on frequent tokens.
 Dataflow (every exchange moves narrow int64 rows; no driver
 materialization beyond the bounded candidate-pair table):
 
-1. global token frequency — one combiner-first count, attached
-   through the adaptive equi-join;
+1. ONE materializing pass over the input (tok, id) rows; per-block
+   distinct token-frequency partials fold on the driver and broadcast
+   as a sorted lookup (approximate across blocks — the prefix bound is
+   exact under ANY consistent global token order; frequency order is
+   purely the candidate-count heuristic);
 2. one exchange on id: the partition holds every row of its ids, so
-   set sizes are run lengths; per-partition lexsort by (id, freq,
-   token) + run-relative ranks mark each id's prefix tokens;
+   set sizes are run lengths after an in-sort dedupe; per-partition
+   lexsort by (id, freq, token) + run-relative ranks mark each id's
+   prefix tokens;
 3. one exchange on prefix token: vectorized intra-run pair explode
    (o1 < o2, the basket-mining primitive); band-duplicate candidates
    dedupe in one np.unique at the driver collect the broadcast needs
@@ -46,40 +50,83 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
                 tau_num: int = 1, tau_den: int = 2,
                 num_parts: int = 64):
     """All (o1 < o2) with Jaccard(tokens(o1), tokens(o2)) ≥
-    tau_num/tau_den over an ALREADY-DISTINCT (id, token) row set.
-    Returns a Dataset of (o1, o2, inter, c1, c2)."""
+    tau_num/tau_den over an (id, token) row MULTISET — duplicates
+    dedupe for free inside the exchanges' lexsorts (a separate
+    distinct-pairs shuffle upstream would cost a whole extra
+    all-to-all).  Returns a Dataset of (o1, o2, inter, c1, c2)."""
     import ray
     import ray.data
 
     from engine.ops.basket import _intra_run_pairs
-    from engine.rayds.shuffle import (equi_join, grouped_count,
-                                      hash_exchange_groups)
+    from engine.rayds.shuffle import hash_exchange_groups
 
-    pairs_ds = pairs_ds.select_columns([id_col, tok_col]).materialize()
+    def to_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"tok": t[tok_col], "id": t[id_col]})
 
-    freqs = grouped_count(pairs_ds.select_columns([tok_col]), [tok_col],
-                          out_col="_f", use_shuffle="auto")
-    j2 = equi_join(pairs_ds, freqs, tok_col, tok_col, [id_col], ["_f"])
+    # ONE pass over the input: everything downstream (freq partials,
+    # the id exchange, the verify routing) consumes these in-memory
+    # blocks — every extra Dataset execution costs ~1 s fixed here
+    rows = pairs_ds.map_batches(to_rows, batch_format="pyarrow",
+                                batch_size=None,
+                                zero_copy_batch=True).materialize()
 
-    def fix2(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["tok", "id", "f"])
+    # GLOBAL token frequencies (DISTINCT per id): per-block combiner
+    # partials folded on the driver and BROADCAST as a sorted lookup —
+    # the vocabulary is small by construction, and both a frequency
+    # equi-join and a grouped_count shuffle would each cost a full
+    # extra all-to-all + Dataset execution.
+    def fpartial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["tok", "id"]).aggregate([]).group_by(
+            ["tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "_f"])
 
-    rows = j2.map_batches(fix2, batch_format="pyarrow", batch_size=None)
+    fp = rows.map_batches(fpartial, batch_format="pyarrow", batch_size=None)
+    ftoks, fcnts, total_f = [], [], 0
+    for b in fp.iter_batches(batch_format="pyarrow"):
+        ftoks.append(b["tok"].to_numpy())
+        fcnts.append(b["_f"].to_numpy())
+        total_f += len(b)
+        if total_f > 4 * PAIR_BROADCAST_MAX:
+            raise ValueError(
+                f"setsim_join: {total_f}+ frequency partials exceed the "
+                f"broadcast budget; add a join-based frequency-attach plan")
+    ft = np.concatenate(ftoks) if ftoks else np.empty(0, np.int64)
+    fc = np.concatenate(fcnts) if fcnts else np.empty(0, np.int64)
+    forder = np.argsort(ft, kind="stable")
+    ft, fc = ft[forder], fc[forder]
+    new_tok = np.r_[True, ft[1:] != ft[:-1]] if len(ft) else np.empty(0, bool)
+    starts = np.flatnonzero(new_tok)
+    ftu = ft[starts]
+    fcu = np.add.reduceat(fc, starts) if len(ft) else fc
+    if len(ftu) > PAIR_BROADCAST_MAX:
+        raise ValueError(
+            f"setsim_join: {len(ftu)} distinct tokens exceed the "
+            f"frequency-broadcast budget {PAIR_BROADCAST_MAX}")
+    fref = ray.put((ftu, fcu))
 
     def prefix_fn(group: pa.Table) -> pa.Table:
         # the id-exchange partition holds EVERY row of its ids, so the
         # set size c is just the id-run length — no size rollup or
-        # second join anywhere
+        # second join anywhere; frequencies come from the broadcast
         g = group.drop_columns(["_part"])
         n = g.num_rows
         if n == 0:
             return pa.table({"tok": pa.array([], type=pa.int64()),
                              "id": pa.array([], type=pa.int64())})
+        from engine.rayds.bcast import cached
+
+        ftok, fcnt = cached(fref)
         ids = g["id"].to_numpy()
         tok = g["tok"].to_numpy()
-        f = g["f"].to_numpy()
+        f = fcnt[np.searchsorted(ftok, tok)]
         order = np.lexsort((tok, f, ids))
         ids_s, tok_s = ids[order], tok[order]
+        # multiset input: equal (id, tok) rows are adjacent (equal f) —
+        # dedupe before ranks so set sizes are true set cardinalities
+        uniq = np.r_[True, (ids_s[1:] != ids_s[:-1]) | (tok_s[1:] != tok_s[:-1])]
+        if not uniq.all():
+            ids_s, tok_s = ids_s[uniq], tok_s[uniq]
+        n = len(ids_s)
         new = np.r_[True, ids_s[1:] != ids_s[:-1]]
         starts = np.flatnonzero(new)
         run_id = np.cumsum(new) - 1
@@ -167,8 +214,8 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
     def route(batch: pa.Table) -> pa.Table:
         bb = ray.get(bcast)
         mem, pix, sd = bb["members"], bb["pidx"], bb["side"]
-        ids = batch[id_col].to_numpy()
-        tok = batch[tok_col].to_numpy()
+        ids = batch["id"].to_numpy()
+        tok = batch["tok"].to_numpy()
         lo_ = np.searchsorted(mem, ids, side="left")
         hi_ = np.searchsorted(mem, ids, side="right")
         cnt = hi_ - lo_
@@ -185,7 +232,7 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
             "s": pa.array(sd[flat]),
             "tok": pa.array(np.repeat(tok_h, cnt))})
 
-    routed = pairs_ds.map_batches(route, batch_format="pyarrow",
+    routed = rows.map_batches(route, batch_format="pyarrow",
                                   batch_size=None, zero_copy_batch=True)
 
     def verify(group: pa.Table) -> pa.Table:
@@ -196,8 +243,17 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
         p = g["p"].to_numpy()
         s = g["s"].to_numpy()
         tok = g["tok"].to_numpy()
-        order = np.lexsort((tok, p))
-        p, s, tok = p[order], s[order], tok[order]
+        # multiset input: dedupe (pair, side, token) so each side's
+        # token set stays a SET (the adjacent-duplicate intersection
+        # count and the c1/c2 cardinalities both rely on it)
+        do = np.lexsort((tok, s, p))
+        pd_, sd_, td_ = p[do], s[do], tok[do]
+        uniq = np.r_[True, (pd_[1:] != pd_[:-1]) | (sd_[1:] != sd_[:-1])
+                     | (td_[1:] != td_[:-1])]
+        if not uniq.all():
+            pd_, sd_, td_ = pd_[uniq], sd_[uniq], td_[uniq]
+        order = np.lexsort((td_, pd_))
+        p, s, tok = pd_[order], sd_[order], td_[order]
         upairs, pp = np.unique(p, return_inverse=True)
         nup = len(upairs)
         # a token appears ≤1× per side → an adjacent duplicate of
