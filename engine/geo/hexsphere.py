@@ -264,8 +264,9 @@ def _decode(cell_id):
     return cid, res, face, aq, ar
 
 
-def h3x_center(cell_id):
-    """Cell center → (lon, lat) degrees (digit chain re-accumulated)."""
+def _decode_axial(cell_id):
+    """id → (res, face, res-level axial q, r) — the digit chain
+    re-accumulated (child = parent·(2+ω) + digit)."""
     cid, res, face, aq, ar = _decode(cell_id)
     rmax = int(res.max()) if len(res) else 0
     for lev in range(1, rmax + 1):
@@ -273,11 +274,98 @@ def h3x_center(cell_id):
         active = lev <= res
         dq = np.where(active, _DIG_AXIAL[np.clip(dig, 0, 6), 0], 0)
         dr = np.where(active, _DIG_AXIAL[np.clip(dig, 0, 6), 1], 0)
-        # child = parent·(2+ω) + digit
         nq = 2 * aq - ar + dq
         nr = aq + 3 * ar + dr
         aq = np.where(active, nq, aq)
         ar = np.where(active, nr, ar)
+    return res, face, aq, ar
+
+
+def h3x_neighbors(cell_id) -> np.ndarray:
+    """The 6 in-face lattice neighbors of each cell → (n, 6) ids.
+
+    Cells at a face edge may have neighbors whose res-0 ancestor falls
+    outside the base field; those slots repeat the cell itself
+    (documented: per-face lattices are independent — cross-face
+    adjacency is not defined in this index, and the join paths only
+    need neighbor expansion as a same-face superset)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    res, face, aq, ar = _decode_axial(cid)
+    out = np.empty((len(cid), 6), dtype=np.int64)
+    dirs = _DIG_AXIAL[1:]  # the six unit residues
+    for j, (dq, dr) in enumerate(dirs):
+        # group by res for the encoder (res is usually uniform)
+        col = np.empty(len(cid), dtype=np.int64)
+        for rv in np.unique(res):
+            m = res == rv
+            ids = _encode_cells(face[m], aq[m] + dq, ar[m] + dr, int(rv),
+                                drop_out_of_field=False) \
+                if _infield(face[m], aq[m] + dq, ar[m] + dr, int(rv)) \
+                else None
+            if ids is None:
+                # per-row fallback: out-of-field slots repeat the cell
+                sub = np.empty(int(m.sum()), dtype=np.int64)
+                idxs = np.nonzero(m)[0]
+                for k, i in enumerate(idxs):
+                    try:
+                        sub[k] = _encode_cells(
+                            face[i:i + 1], aq[i:i + 1] + dq, ar[i:i + 1] + dr,
+                            int(rv))[0]
+                    except AssertionError:
+                        sub[k] = cid[i]
+                col[m] = sub
+            else:
+                col[m] = ids
+        out[:, j] = col
+    return out
+
+
+def _infield(face, q, r, res: int) -> bool:
+    """True when every (q, r) cell's res-0 ancestor stays in the base
+    field (cheap float check with margin; exact check is the encoder)."""
+    fq = q.astype(np.float64)
+    fr = r.astype(np.float64)
+    for _ in range(res):
+        fq, fr = (3.0 * fq + fr) / 7.0, (-fq + 2.0 * fr) / 7.0
+    return bool((np.abs(fq) <= 2.5).all() and (np.abs(fr) <= 2.5).all())
+
+
+def h3x_kring(cell_id, k: int = 1) -> np.ndarray:
+    """Distinct cells within ≤k in-face lattice steps (incl. self)."""
+    cur = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    seen = set(cur.tolist())
+    frontier = cur
+    for _ in range(k):
+        nb = h3x_neighbors(frontier).reshape(-1)
+        fresh = np.array([v for v in np.unique(nb) if v not in seen],
+                         dtype=np.int64)
+        if not len(fresh):
+            break
+        seen.update(fresh.tolist())
+        frontier = fresh
+    return np.array(sorted(seen), dtype=np.int64)
+
+
+def h3x_polyfill(coords: np.ndarray, res: int = 4) -> np.ndarray:
+    """Cells whose CENTER falls inside a lon/lat polygon ring
+    (H3 polyfill semantics): candidates from the bbox cover, exact
+    center-in-polygon test via the engine's ray-casting kernel."""
+    from engine.geo import core
+
+    c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    cand = h3x_cover_rect(float(c[:, 0].min()), float(c[:, 1].min()),
+                          float(c[:, 0].max()), float(c[:, 1].max()), res)
+    if not len(cand):
+        return cand
+    lon, lat = h3x_center(cand)
+    loc = core.points_in_rings(lon, lat, [c])
+    return cand[loc == 2]
+
+
+def h3x_center(cell_id):
+    """Cell center → (lon, lat) degrees (digit chain re-accumulated)."""
+    cid = np.atleast_1d(np.asarray(cell_id, dtype=np.int64))
+    res, face, aq, ar = _decode_axial(cid)
     out_lon = np.empty(len(cid))
     out_lat = np.empty(len(cid))
     for f in np.unique(face):

@@ -112,3 +112,38 @@ def test_cover_rect_superset_face_seams():
             keys = H.h3x_cell(pl, pt, res)
             missing = set(keys.tolist()) - cover
             assert not missing, (rect, res, len(missing))
+
+
+def test_neighbors_kring_polyfill():
+    """Ring-1 neighbors are symmetric in-face, k-ring grows 1+3k(k+1)
+    for interior cells, and polyfill keeps exactly the center-inside
+    cells."""
+    from engine.geo import core
+
+    lon, lat = np.array([10.0, -50.0, 120.0]), np.array([20.0, -40.0, 70.0])
+    c = H.h3x_cell(lon, lat, 5)
+    nb = H.h3x_neighbors(c)
+    assert nb.shape == (3, 6)
+    for i in range(3):
+        for n in set(nb[i]) - {int(c[i])}:
+            assert int(c[i]) in set(H.h3x_neighbors(np.array([n]))[0])
+    assert len(H.h3x_kring(c[:1], 1)) == 7
+    assert len(H.h3x_kring(c[:1], 2)) == 19
+    tri = np.array([[0, 40], [20, 40], [10, 55], [0, 40]], float)
+    cells = H.h3x_polyfill(tri, 4)
+    assert len(cells) > 100
+    clon, clat = H.h3x_center(cells)
+    assert (core.points_in_rings(clon, clat, [tri]) == 2).all()
+    # completeness vs a dense point sample: every sampled inside point's
+    # cell is in the polyfill
+    rng = np.random.default_rng(2)
+    pl = rng.uniform(0, 20, 5000)
+    pt = rng.uniform(40, 55, 5000)
+    inside = core.points_in_rings(pl, pt, [tri]) == 2
+    keys = H.h3x_cell(pl[inside], pt[inside], 4)
+    lonc, latc = H.h3x_center(np.unique(keys))
+    in_cells = set(H.h3x_polyfill(tri, 4).tolist())
+    # cells straddling the edge may legitimately miss (center outside);
+    # interior ones must all be present
+    interior = np.unique(keys)[core.points_in_rings(lonc, latc, [tri]) == 2]
+    assert set(interior.tolist()) <= in_cells
