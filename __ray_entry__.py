@@ -2896,7 +2896,7 @@ def _q_lift_pairs(sf_dir):
     import ray.data
 
     from engine.ops.basket import cooccur_pairs
-    from engine.rayds.shuffle import equi_join, grouped_count
+    from engine.rayds.shuffle import grouped_count
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
@@ -2911,36 +2911,67 @@ def _q_lift_pairs(sf_dir):
 
     ab = ab.map_batches(support, batch_format="pyarrow",
                         batch_size=None, zero_copy_batch=True)
-    # distinct (part, order) once, reused for item counts and N
-    po = grouped_count(li, ["l_partkey", "l_orderkey"], out_col="_d",
-                       use_shuffle="auto")
-    ca = grouped_count(po.select_columns(["l_partkey"]), ["l_partkey"],
-                       out_col="n_item", use_shuffle="auto")
-    n_orders = grouped_count(
-        li.select_columns(["l_orderkey"]), ["l_orderkey"],
-        out_col="_o", use_shuffle="auto").count()
+    # item counts (distinct orders per part) + order count from ONE
+    # order-keyed exchange: a whole order lands in exactly one
+    # partition, so per-partition distinct counts are DISJOINT and the
+    # driver fold is exact — the vocabulary-sized result broadcasts,
+    # replacing the old po/ca/n_orders exchanges + two count-attach
+    # equi-joins (each a ~1 s fixed-cost Dataset execution here)
+    import ray as _ray
 
-    j1 = equi_join(ca, ab, "l_partkey", "p1", ["n_item"],
-                   ["p2", "n_ab"])
-    j1 = j1.map_batches(
-        lambda b: b.rename_columns(
-            [{"_k": "p1", "n_item": "n_a"}.get(c, c)
-             for c in b.column_names]),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    j2 = equi_join(ca, j1, "l_partkey", "p2", ["n_item"],
-                   ["p1", "n_a", "n_ab"])
+    from engine.rayds.shuffle import hash_exchange_groups
+
+    def part_counts(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"part": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        oks, pks = ok[order], pk[order]
+        uniq = np.r_[True, (oks[1:] != oks[:-1]) | (pks[1:] != pks[:-1])]
+        pku = pks[uniq]
+        parts, cnts = np.unique(pku, return_counts=True)
+        n_ord = len(np.unique(oks))
+        return pa.table({
+            "part": pa.array(np.r_[parts, [-1]]),
+            "cnt": pa.array(np.r_[cnts.astype(np.int64), [n_ord]]),
+        })
+
+    pc_parts = hash_exchange_groups(li, ["l_orderkey"], part_counts, 64)
+    toks, cnts = [], []
+    for b in pc_parts.iter_batches(batch_format="pyarrow"):
+        toks.append(b["part"].to_numpy())
+        cnts.append(b["cnt"].to_numpy())
+    tk = np.concatenate(toks) if toks else np.empty(0, np.int64)
+    cn = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
+    n_orders = int(cn[tk == -1].sum())
+    keep = tk != -1
+    tk, cn = tk[keep], cn[keep]
+    o = np.argsort(tk, kind="stable")
+    tk, cn = tk[o], cn[o]
+    s = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1]])
+    item_keys = tk[s]
+    item_cnts = np.add.reduceat(cn, s) if len(tk) else cn
+    iref = _ray.put((item_keys, item_cnts))
 
     def lift(batch: pa.Table) -> pa.Table:
+        from engine.rayds.bcast import cached
+
+        keys, vals = cached(iref)
         n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
-        n_a = batch["n_a"].to_numpy(zero_copy_only=False)
-        n_b = batch["n_item"].to_numpy(zero_copy_only=False)
+        p1 = batch["p1"].to_numpy(zero_copy_only=False)
+        p2 = batch["p2"].to_numpy(zero_copy_only=False)
+        n_a = vals[np.searchsorted(keys, p1)]
+        n_b = vals[np.searchsorted(keys, p2)]
         v = ((n_ab * np.int64(n_orders)).astype(np.float64)
              / (n_a * n_b).astype(np.float64))
-        return pa.table({"p1": batch["p1"], "p2": batch["_k"],
+        return pa.table({"p1": batch["p1"], "p2": batch["p2"],
                          "n_ab": pa.array(n_ab.astype(np.int64)),
                          "lift": pa.array(v)})
 
-    scored = j2.map_batches(lift, batch_format="pyarrow",
+    scored = ab.map_batches(lift, batch_format="pyarrow",
                             batch_size=None)
 
     # top-20 by (lift DESC, p1, p2): per-block top-20 combiner + tree
