@@ -7303,12 +7303,177 @@ def _q_boilerplate_ngrams(sf_dir):
 def _q_mkt_share(sf_dir):
     """TPC-H Q8 SHAPE (market share): the revenue share of
     supplier-nation NATION_2 per order-year, restricted to customers
-    in region ASIA.  The nation→region ladder rides driver-side
-    scale-invariant dim tables (a broadcast nationkey set), customer /
-    supplier attaches take the adaptive equi-join, the one big-big
-    orderkey join is the engine's hash exchange, and the rollup is the
-    4-cell (year, is_target) matrix — the share is one float division
-    of exact int64 basis points per year."""
+    in region ASIA.
+
+    BROADCAST plan (default): the asian custkey set, the windowed
+    (orderkey → year) map and the (suppkey → nation) map each fold from
+    ONE streaming pass under a budget guard and broadcast via ray.put;
+    lineitem then streams ONCE with three searchsorted lookups and
+    per-block 4-cell partials — zero exchanges.  Past any budget the
+    original three-equi-join plan applies (_mkt_share_join_plan)."""
+    try:
+        return _mkt_share_broadcast_plan(sf_dir)
+    except _MktShareOverflow:
+        return _mkt_share_join_plan(sf_dir)
+
+
+class _MktShareOverflow(Exception):
+    pass
+
+
+_MKT_BCAST_MAX = 5_000_000  # rows per broadcast map
+
+
+def _collect_two(ds, c1, c2, budget=_MKT_BCAST_MAX):
+    a, b, n = [], [], 0
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        a.append(t[c1].to_numpy(zero_copy_only=False))
+        b.append(t[c2].to_numpy(zero_copy_only=False) if c2 else None)
+        n += len(t)
+        if n > budget:
+            raise _MktShareOverflow
+    x = np.concatenate(a) if a else np.empty(0, np.int64)
+    if not c2:
+        return x, None
+    ys = [v for v in b if v is not None]
+    return x, (np.concatenate(ys) if ys else np.empty(0, np.int64))
+
+
+def _mkt_share_broadcast_plan(sf_dir):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from engine.rayds.shuffle import dim_table
+
+    nat = dim_table(f"{sf_dir}/nation.parquet",
+                    ["n_nationkey", "n_regionkey"])
+    reg = dim_table(f"{sf_dir}/region.parquet",
+                    ["r_regionkey", "r_name"])
+    asia = int(reg.filter(pc.equal(reg["r_name"], "ASIA"))
+               ["r_regionkey"][0].as_py())
+    asia_nations = sorted(
+        nat.filter(pc.equal(nat["n_regionkey"], asia))
+        ["n_nationkey"].to_pylist())
+    TARGET_NATION = 2
+    lo = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def cfil(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"].cast(pa.int64()),
+                        value_set=pa.array(asia_nations, type=pa.int64()))
+        return t.filter(keep).select(["c_custkey"])
+
+    ck, _ = _collect_two(cust.map_batches(
+        cfil, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True), "c_custkey", None)
+    ck = np.sort(ck.astype(np.int64))
+    ckref = ray.put(ck)
+
+    def owin(t: pa.Table) -> pa.Table:
+        from engine.rayds.bcast import cached
+
+        keys = cached(ckref)
+        d = t["o_orderdate"].cast(pa.int64())
+        f = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        okc = f["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, okc)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == okc) if len(keys) else np.zeros(len(okc), bool)
+        f = f.filter(pa.array(hit))
+        yr = (f["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"o_orderkey": f["o_orderkey"],
+                         "o_year": pa.array(yr)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(owin, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    ok, oy = _collect_two(orders, "o_orderkey", "o_year")
+    oo = np.argsort(ok, kind="stable")
+    ok, oy = ok[oo].astype(np.int64), oy[oo].astype(np.int64)
+
+    supp = dim_table(f"{sf_dir}/supplier.parquet",
+                     ["s_suppkey", "s_nationkey"])
+    if supp.num_rows > _MKT_BCAST_MAX:
+        raise _MktShareOverflow
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sk, kind="stable")
+    sk, sn = sk[so], sn[so]
+    mref = ray.put((ok, oy, sk, sn))
+
+    def li_cells(t: pa.Table) -> pa.Table:
+        from engine.rayds.bcast import cached
+
+        ok_, oy_, sk_, sn_ = cached(mref)
+        lok = t["l_orderkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ok_, lok)
+        pos_c = np.minimum(pos, max(len(ok_) - 1, 0))
+        hit = (ok_[pos_c] == lok) if len(ok_) else np.zeros(len(lok), bool)
+        if not hit.any():
+            return pa.table({"o_year": pa.array([], type=pa.int64()),
+                             "is_tgt": pa.array([], type=pa.int64()),
+                             "rev_bp": pa.array([], type=pa.int64())})
+        f = t.filter(pa.array(hit))
+        yr = oy_[pos_c[hit]]
+        lsk = f["l_suppkey"].to_numpy().astype(np.int64)
+        natk = sn_[np.searchsorted(sk_, lsk)]
+        cents = np.rint(f["l_extendedprice"].to_numpy() * 100.0).astype(
+            np.int64)
+        d100 = np.rint(f["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        rev = cents * (100 - d100)
+        tgt = (natk == TARGET_NATION).astype(np.int64)
+        key = yr * 2 + tgt
+        ks = np.unique(key)
+        sums = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(sums, np.searchsorted(ks, key), rev)
+        return pa.table({"o_year": pa.array(ks // 2),
+                         "is_tgt": pa.array(ks % 2),
+                         "rev_bp": pa.array(sums)})
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_cells, batch_format="pyarrow", batch_size=None,
+                  zero_copy_batch=True)
+    t = pa.concat_tables([b for b in partials.iter_batches(
+        batch_format="pyarrow")] or
+        [pa.table({"o_year": pa.array([], type=pa.int64()),
+                   "is_tgt": pa.array([], type=pa.int64()),
+                   "rev_bp": pa.array([], type=pa.int64())})])
+    return _mkt_share_finish(t)
+
+
+def _mkt_share_finish(t: pa.Table) -> pa.Table:
+    yrs = t["o_year"].to_numpy()
+    tgt = t["is_tgt"].to_numpy()
+    rev = t["rev_bp"].to_numpy()
+    out_y = np.unique(yrs)
+    tot = np.zeros(len(out_y), dtype=np.int64)
+    tg = np.zeros(len(out_y), dtype=np.int64)
+    pos = np.searchsorted(out_y, yrs)
+    np.add.at(tot, pos, rev)
+    np.add.at(tg, pos, rev * tgt)
+    share = np.array([float(a) / float(b) if b else float("nan")
+                      for a, b in zip(tg, tot)])
+    return pa.table({"o_year": pa.array(out_y),
+                     "target_bp": pa.array(tg),
+                     "total_bp": pa.array(tot),
+                     "mkt_share": pa.array(share, type=pa.float64())})
+
+
+def _mkt_share_join_plan(sf_dir):
+    """The general three-equi-join plan (both sides past broadcast
+    budgets): customer/supplier attaches via adaptive equi-join, the
+    big-big orderkey join via the hash exchange, 4-cell rollup."""
     import pyarrow.compute as pc
     import ray.data
 

@@ -608,3 +608,16 @@ def test_grouped_mrl_quantiles_rank_bounds(ray_session):
     # groups' (fewer compactions) — the bound is group-local, not global
     errs = {r["g"]: r["err"] for r in t.to_pylist()}
     assert errs["z"] < errs["x"]
+
+
+def test_mkt_share_plans_agree(ray_session):
+    """The zero-exchange broadcast plan and the general three-equi-join
+    plan must produce identical market-share tables."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e._mkt_share_broadcast_plan(sf).to_pandas().sort_values(
+        "o_year", ignore_index=True)
+    b = e._mkt_share_join_plan(sf).to_pandas().sort_values(
+        "o_year", ignore_index=True)
+    assert a.equals(b) and len(a) > 0
