@@ -6559,6 +6559,53 @@ def _q_rfm_segments(sf_dir):
         ["last_ts", "freq", "mon"]).materialize()
     n_users = per.count()
 
+    # DRIVER-NTILE fast path: the per-user table is vocabulary-sized
+    # (one row per user); within the broadcast budget the three ntiles
+    # + segment rollup are three np.lexsorts on the driver — the
+    # sort-based plan below (3 Ray range sorts + 3 equi-joins) remains
+    # for user counts past the budget.
+    if n_users <= 5_000_000:
+        t = pa.concat_tables(
+            [b for b in per.iter_batches(batch_format="pyarrow")]
+        ) if n_users else pa.table(
+            {"user_id": pa.array([], type=pa.int64()),
+             "last_ts": pa.array([], type=pa.int64()),
+             "freq": pa.array([], type=pa.int64()),
+             "mon": pa.array([], type=pa.int64())})
+        uid = t["user_id"].to_numpy()
+        last_ts = t["last_ts"].to_numpy()
+        freq = t["freq"].to_numpy()
+        mon = t["mon"].to_numpy()
+        gday = int(last_ts.max()) // 86_400_000_000 if n_users else 0
+        q, r = divmod(int(n_users), 5)
+
+        def ntile(metric: np.ndarray) -> np.ndarray:
+            order = np.lexsort((uid, metric))
+            pos0 = np.empty(len(metric), dtype=np.int64)
+            pos0[order] = np.arange(len(metric), dtype=np.int64)
+            head = r * (q + 1)
+            return np.where(pos0 < head, pos0 // (q + 1),
+                            r + (pos0 - head) // max(q, 1)) + 1
+
+        r_q = ntile(gday - last_ts // 86_400_000_000)
+        f_q = ntile(freq)
+        m_q = ntile(mon)
+        key = (r_q * 6 + f_q) * 6 + m_q  # buckets are 1..5 → base 6
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        newk = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.empty(0, bool)
+        s = np.flatnonzero(newk)
+        ku = ks[s]
+        cnt = np.diff(np.append(s, len(ks)))
+        msum = np.add.reduceat(mon[order], s) if len(ks) else             np.empty(0, np.int64)
+        return pa.table({
+            "r_q": pa.array(ku // 36),
+            "f_q": pa.array((ku // 6) % 6),
+            "m_q": pa.array(ku % 6),
+            "n_users": pa.array(cnt.astype(np.int64)),
+            "sum_cents": pa.array(msum.astype(np.int64)),
+        })
+
     from engine.rayds.shuffle import dataset_minmax
     gday = int(dataset_minmax(per, ["last_ts"])["last_ts"][1]) \
         // 86_400_000_000
@@ -7133,23 +7180,71 @@ def _q_degree_assortativity(sf_dir):
     degrees attach back through the adaptive equi-join, and the
     correlation rides the exact-integer decimal128 moment fold
     (engine/ops/stats.py::exact_corr) — bit-identical doubles."""
+    import ray
     import ray.data
 
     from engine.ops.stats import exact_corr
-    from engine.rayds.shuffle import equi_join, grouped_count
+    from engine.rayds.shuffle import hash_exchange_groups
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_partkey", "l_orderkey"])
-    pairs = grouped_count(li, ["l_partkey", "l_orderkey"],
-                          out_col="_dup", use_shuffle="auto")
-    degp = grouped_count(pairs.select_columns(["l_partkey"]),
-                         ["l_partkey"], out_col="dx", use_shuffle="auto")
-    dego = grouped_count(pairs.select_columns(["l_orderkey"]),
-                         ["l_orderkey"], out_col="dy", use_shuffle="auto")
-    j1 = equi_join(pairs, degp, "l_partkey", "l_partkey",
-                   ["l_orderkey"], ["dx"])
-    j2 = equi_join(j1, dego, "l_orderkey", "l_orderkey", ["dx"], ["dy"])
-    return exact_corr(j2, "dx", "dy")
+
+    # ONE order-keyed exchange dedupes edges AND attaches the order
+    # degree (an order is complete within its partition); the part
+    # degree then folds from per-partition partials that are DISJOINT
+    # (each distinct edge lives in exactly one order partition) and
+    # broadcasts — replaces the pairs/degp/dego shuffles + two
+    # degree-attach equi-joins (each a ~1 s fixed-cost execution).
+    def edges_dy(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return pa.table({"part": pa.array([], type=pa.int64()),
+                             "dy": pa.array([], type=pa.int64())})
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        oks, pks = ok[order], pk[order]
+        uniq = np.r_[True, (oks[1:] != oks[:-1]) | (pks[1:] != pks[:-1])]
+        oks, pks = oks[uniq], pks[uniq]
+        new = np.r_[True, oks[1:] != oks[:-1]]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        dy = np.diff(np.append(starts, len(oks)))[run]
+        return pa.table({"part": pa.array(pks.astype(np.int64)),
+                         "dy": pa.array(dy.astype(np.int64))})
+
+    edges = hash_exchange_groups(li, ["l_orderkey"], edges_dy, 64)
+
+    def degx_partial(t: pa.Table) -> pa.Table:
+        parts, cnts = np.unique(t["part"].to_numpy(), return_counts=True)
+        return pa.table({"part": pa.array(parts),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    tk, cn = [], []
+    for b in edges.map_batches(degx_partial, batch_format="pyarrow",
+                               batch_size=None).iter_batches(
+            batch_format="pyarrow"):
+        tk.append(b["part"].to_numpy())
+        cn.append(b["cnt"].to_numpy())
+    tka = np.concatenate(tk) if tk else np.empty(0, np.int64)
+    cna = np.concatenate(cn) if cn else np.empty(0, np.int64)
+    o = np.argsort(tka, kind="stable")
+    tka, cna = tka[o], cna[o]
+    s = np.flatnonzero(np.r_[True, tka[1:] != tka[:-1]]) \
+        if len(tka) else np.empty(0, np.int64)
+    dref = ray.put((tka[s], np.add.reduceat(cna, s) if len(tka) else cna))
+
+    def attach_dx(t: pa.Table) -> pa.Table:
+        from engine.rayds.bcast import cached
+
+        keys, vals = cached(dref)
+        p = t["part"].to_numpy()
+        return pa.table({"dx": pa.array(vals[np.searchsorted(keys, p)]),
+                         "dy": t["dy"]})
+
+    withdx = edges.map_batches(attach_dx, batch_format="pyarrow",
+                               batch_size=None)
+    return exact_corr(withdx, "dx", "dy")
 
 
 def _q_user_record_high(sf_dir):

@@ -36,9 +36,10 @@ def test_rfm_matches_brute(ray_session, tmp_path):
                    str(tmp_path / "events.parquet"))
 
     res = _q_rfm_segments(str(tmp_path))
-    t = (pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
-         .to_pandas().sort_values(["r_q", "f_q", "m_q"],
-                                  ignore_index=True))
+    if not isinstance(res, pa.Table):  # sort-based plan returns a Dataset
+        res = pa.concat_tables(list(res.iter_batches(batch_format="pyarrow")))
+    t = res.to_pandas().sort_values(["r_q", "f_q", "m_q"],
+                                    ignore_index=True)
 
     d = df.copy()
     d["ts_us"] = d["ts"].to_numpy().view("int64")
