@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import pyarrow as pa
 
+# Driver-fold budget for vocabulary-sized partials (lift_pairs,
+# degree_assortativity, spearman): past it the retained distributed
+# join plans apply.  Module-level so tests can force the fallbacks.
+_FOLD_BUDGET = 20_000_000
+
 from engine.rayds.imagetab import SQL_IMAGES, SQL_LAYER
 
 _IMGS = f"imgs AS ({SQL_IMAGES})"
@@ -2940,39 +2945,87 @@ def _q_lift_pairs(sf_dir):
         })
 
     pc_parts = hash_exchange_groups(li, ["l_orderkey"], part_counts, 64)
-    toks, cnts = [], []
+    # BUDGET-GUARDED driver fold (same pattern as _q_spearman_corr):
+    # the partials are part-vocabulary-sized per partition; past the
+    # budget the retained grouped_count + equi_join plan below applies
+    # instead of an unbounded driver materialization.
+    budget_ok = True
+    toks, cnts, tot = [], [], 0
     for b in pc_parts.iter_batches(batch_format="pyarrow"):
         toks.append(b["part"].to_numpy())
         cnts.append(b["cnt"].to_numpy())
-    tk = np.concatenate(toks) if toks else np.empty(0, np.int64)
-    cn = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
-    n_orders = int(cn[tk == -1].sum())
-    keep = tk != -1
-    tk, cn = tk[keep], cn[keep]
-    o = np.argsort(tk, kind="stable")
-    tk, cn = tk[o], cn[o]
-    s = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1]])
-    item_keys = tk[s]
-    item_cnts = np.add.reduceat(cn, s) if len(tk) else cn
-    iref = _ray.put((item_keys, item_cnts))
+        tot += len(b)
+        if tot > _FOLD_BUDGET:
+            budget_ok = False
+            break
+    if budget_ok:
+        tk = np.concatenate(toks) if toks else np.empty(0, np.int64)
+        cn = np.concatenate(cnts) if cnts else np.empty(0, np.int64)
+        n_orders = int(cn[tk == -1].sum())
+        keep = tk != -1
+        tk, cn = tk[keep], cn[keep]
+        o = np.argsort(tk, kind="stable")
+        tk, cn = tk[o], cn[o]
+        s = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1]])
+        item_keys = tk[s]
+        item_cnts = np.add.reduceat(cn, s) if len(tk) else cn
+        iref = _ray.put((item_keys, item_cnts))
 
-    def lift(batch: pa.Table) -> pa.Table:
-        from engine.rayds.bcast import cached
+        def lift(batch: pa.Table) -> pa.Table:
+            from engine.rayds.bcast import cached
 
-        keys, vals = cached(iref)
-        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
-        p1 = batch["p1"].to_numpy(zero_copy_only=False)
-        p2 = batch["p2"].to_numpy(zero_copy_only=False)
-        n_a = vals[np.searchsorted(keys, p1)]
-        n_b = vals[np.searchsorted(keys, p2)]
-        v = ((n_ab * np.int64(n_orders)).astype(np.float64)
-             / (n_a * n_b).astype(np.float64))
-        return pa.table({"p1": batch["p1"], "p2": batch["p2"],
-                         "n_ab": pa.array(n_ab.astype(np.int64)),
-                         "lift": pa.array(v)})
+            keys, vals = cached(iref)
+            n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+            p1 = batch["p1"].to_numpy(zero_copy_only=False)
+            p2 = batch["p2"].to_numpy(zero_copy_only=False)
+            n_a = vals[np.searchsorted(keys, p1)]
+            n_b = vals[np.searchsorted(keys, p2)]
+            v = ((n_ab * np.int64(n_orders)).astype(np.float64)
+                 / (n_a * n_b).astype(np.float64))
+            return pa.table({"p1": batch["p1"], "p2": batch["p2"],
+                             "n_ab": pa.array(n_ab.astype(np.int64)),
+                             "lift": pa.array(v)})
 
-    scored = ab.map_batches(lift, batch_format="pyarrow",
-                            batch_size=None)
+        scored = ab.map_batches(lift, batch_format="pyarrow",
+                                batch_size=None)
+    else:
+        # join plan: distinct (part, order) once, item counts + N via
+        # combiner-first grouped counts, counts attach through the
+        # adaptive equi-join — every stage distributed and bounded
+        from engine.rayds.shuffle import equi_join
+
+        po = grouped_count(li, ["l_partkey", "l_orderkey"], out_col="_d",
+                           use_shuffle="auto")
+        ca = grouped_count(po.select_columns(["l_partkey"]),
+                           ["l_partkey"], out_col="n_item",
+                           use_shuffle="auto")
+        n_orders = grouped_count(
+            li.select_columns(["l_orderkey"]), ["l_orderkey"],
+            out_col="_o", use_shuffle="auto").count()
+
+        j1 = equi_join(ca, ab, "l_partkey", "p1", ["n_item"],
+                       ["p2", "n_ab"])
+        j1 = j1.map_batches(
+            lambda b: b.rename_columns(
+                [{"_k": "p1", "n_item": "n_a"}.get(c, c)
+                 for c in b.column_names]),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
+        j2 = equi_join(ca, j1, "l_partkey", "p2", ["n_item"],
+                       ["p1", "n_a", "n_ab"])
+
+        def lift_j(batch: pa.Table) -> pa.Table:
+            n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+            n_a = batch["n_a"].to_numpy(zero_copy_only=False)
+            n_b = batch["n_item"].to_numpy(zero_copy_only=False)
+            v = ((n_ab * np.int64(n_orders)).astype(np.float64)
+                 / (n_a * n_b).astype(np.float64))
+            return pa.table({"p1": batch["p1"], "p2": batch["_k"],
+                             "n_ab": pa.array(n_ab.astype(np.int64)),
+                             "lift": pa.array(v)})
+
+        scored = j2.map_batches(lift_j, batch_format="pyarrow",
+                                batch_size=None)
 
     # top-20 by (lift DESC, p1, p2): per-block top-20 combiner + tree
     # fold instead of Ray's range-partitioned sort all-to-all — exact
@@ -4654,7 +4707,7 @@ def _q_spearman_corr(sf_dir):
         vv.append(b["v"].to_numpy())
         cc.append(b["c"].to_numpy())
         tot += len(b)
-        if tot > 20_000_000:
+        if tot > _FOLD_BUDGET:
             budget_ok = False
             break
     if budget_ok:
@@ -7281,31 +7334,59 @@ def _q_degree_assortativity(sf_dir):
         return pa.table({"part": pa.array(parts),
                          "cnt": pa.array(cnts.astype(np.int64))})
 
-    tk, cn = [], []
+    # BUDGET-GUARDED driver fold (same pattern as _q_spearman_corr):
+    # past the budget the part degree attaches through the retained
+    # grouped_count + equi_join plan instead of an unbounded driver
+    # materialization of vocabulary × partition partials.
+    budget_ok = True
+    tk, cn, tot = [], [], 0
     for b in edges.map_batches(degx_partial, batch_format="pyarrow",
                                batch_size=None).iter_batches(
             batch_format="pyarrow"):
         tk.append(b["part"].to_numpy())
         cn.append(b["cnt"].to_numpy())
-    tka = np.concatenate(tk) if tk else np.empty(0, np.int64)
-    cna = np.concatenate(cn) if cn else np.empty(0, np.int64)
-    o = np.argsort(tka, kind="stable")
-    tka, cna = tka[o], cna[o]
-    s = np.flatnonzero(np.r_[True, tka[1:] != tka[:-1]]) \
-        if len(tka) else np.empty(0, np.int64)
-    dref = ray.put((tka[s], np.add.reduceat(cna, s) if len(tka) else cna))
+        tot += len(b)
+        if tot > _FOLD_BUDGET:
+            budget_ok = False
+            break
+    if budget_ok:
+        tka = np.concatenate(tk) if tk else np.empty(0, np.int64)
+        cna = np.concatenate(cn) if cn else np.empty(0, np.int64)
+        o = np.argsort(tka, kind="stable")
+        tka, cna = tka[o], cna[o]
+        s = np.flatnonzero(np.r_[True, tka[1:] != tka[:-1]]) \
+            if len(tka) else np.empty(0, np.int64)
+        dref = ray.put((tka[s],
+                        np.add.reduceat(cna, s) if len(tka) else cna))
 
-    def attach_dx(t: pa.Table) -> pa.Table:
-        from engine.rayds.bcast import cached
+        def attach_dx(t: pa.Table) -> pa.Table:
+            from engine.rayds.bcast import cached
 
-        keys, vals = cached(dref)
-        p = t["part"].to_numpy()
-        return pa.table({"dx": pa.array(vals[np.searchsorted(keys, p)]),
-                         "dy": t["dy"]})
+            keys, vals = cached(dref)
+            p = t["part"].to_numpy()
+            return pa.table({"dx": pa.array(vals[np.searchsorted(keys,
+                                                                 p)]),
+                             "dy": t["dy"]})
 
-    withdx = edges.map_batches(attach_dx, batch_format="pyarrow",
-                               batch_size=None)
-    return exact_corr(withdx, "dx", "dy")
+        withdx = edges.map_batches(attach_dx, batch_format="pyarrow",
+                                   batch_size=None)
+        return exact_corr(withdx, "dx", "dy")
+    # join plan: distinct pairs + both degree rollups as combiner-first
+    # counts, degrees attach through the adaptive equi-join — every
+    # stage distributed and bounded
+    from engine.rayds.shuffle import equi_join, grouped_count
+
+    pairs = grouped_count(li, ["l_partkey", "l_orderkey"],
+                          out_col="_dup", use_shuffle="auto")
+    degp = grouped_count(pairs.select_columns(["l_partkey"]),
+                         ["l_partkey"], out_col="dx", use_shuffle="auto")
+    dego = grouped_count(pairs.select_columns(["l_orderkey"]),
+                         ["l_orderkey"], out_col="dy",
+                         use_shuffle="auto")
+    j1 = equi_join(pairs, degp, "l_partkey", "l_partkey",
+                   ["l_orderkey"], ["dx"])
+    j2 = equi_join(j1, dego, "l_orderkey", "l_orderkey", ["dx"], ["dy"])
+    return exact_corr(j2, "dx", "dy")
 
 
 def _q_user_record_high(sf_dir):

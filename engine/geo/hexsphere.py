@@ -156,21 +156,32 @@ _DIG_AXIAL = np.array(
 
 
 def h3x_cell(lon, lat, res: int = 7) -> np.ndarray:
-    """Vectorized spherical hex cell id at ``res`` (0..13)."""
+    """Vectorized spherical hex cell id at ``res`` (0..13).
+
+    Point keys CLAMP an out-of-base-field res-0 ancestor into the
+    3-bit field instead of asserting: the clamp is a deterministic
+    pure function of (face, ancestor), and the cover paths apply the
+    SAME clamp, so a clamped point key still meets its polygon's cover
+    keys — superset-safe for partitioning (the join refines exactly
+    afterwards).  The _SIZE0 margin makes this unreachable in every
+    200k-sample property test; the clamp is the no-crash fallback."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be 0..{MAX_RES}")
     face, z = _face_uv(lon, lat)
     q, r = _eis_round(*_axial_of(z, res))
-    return _encode_cells(face, q, r, res)
+    return _encode_cells(face, q, r, res, out_of_field="clamp")
 
 
 def _encode_cells(face: np.ndarray, q: np.ndarray, r: np.ndarray,
-                  res: int, drop_out_of_field: bool = False) -> np.ndarray:
+                  res: int, out_of_field: str = "raise") -> np.ndarray:
     """(face, res-axial) → 64-bit ids via the Eisenstein digit chain.
 
-    ``drop_out_of_field=True`` silently drops cells whose res-0 ancestor
-    falls outside the 3-bit base field (cover paths project samples far
-    beyond the owned face region; such cells are never point keys)."""
+    ``out_of_field`` says what to do with cells whose res-0 ancestor
+    falls outside the 3-bit base field: ``"raise"`` (loud guard),
+    ``"clamp"`` (deterministically clamp the ancestor into the field —
+    point keys and covers share the clamp, so partitioning stays a
+    superset), or ``"drop"`` (cover paths that project samples far
+    beyond the owned face region)."""
     # digit chain res → 0 via Eisenstein division by (2+ω):
     # parent = round(a / (2+ω)); digit = a − parent·(2+ω)
     digits = np.full((len(face), MAX_RES + 1), 7, dtype=np.int64)
@@ -223,11 +234,15 @@ def _encode_cells(face: np.ndarray, q: np.ndarray, r: np.ndarray,
     # base cell = res-0 axial; must fit the 3-bit fields
     infield = (aq >= -3) & (aq <= 4) & (ar >= -3) & (ar <= 4)
     if not infield.all():
-        if not drop_out_of_field:
+        if out_of_field == "clamp":
+            aq = np.clip(aq, -3, 4)
+            ar = np.clip(ar, -3, 4)
+        elif out_of_field == "drop":
+            face, aq, ar = face[infield], aq[infield], ar[infield]
+            digits = digits[infield]
+        else:
             raise AssertionError(
                 "res-0 axial outside the base field; shrink _SIZE0")
-        face, aq, ar = face[infield], aq[infield], ar[infield]
-        digits = digits[infield]
     cid = (
         (np.int64(1) << np.int64(60))
         | (np.int64(res) << np.int64(56))
@@ -298,10 +313,17 @@ def h3x_neighbors(cell_id) -> np.ndarray:
         col = np.empty(len(cid), dtype=np.int64)
         for rv in np.unique(res):
             m = res == rv
-            ids = _encode_cells(face[m], aq[m] + dq, ar[m] + dr, int(rv),
-                                drop_out_of_field=False) \
-                if _infield(face[m], aq[m] + dq, ar[m] + dr, int(rv)) \
-                else None
+            # the _infield float pre-check has only empirical margin —
+            # the encoder's exact integer check can still trip for one
+            # row, so the vectorized path falls back per-row on ANY
+            # AssertionError rather than crashing the whole call
+            ids = None
+            if _infield(face[m], aq[m] + dq, ar[m] + dr, int(rv)):
+                try:
+                    ids = _encode_cells(face[m], aq[m] + dq, ar[m] + dr,
+                                        int(rv))
+                except AssertionError:
+                    ids = None
             if ids is None:
                 # per-row fallback: out-of-field slots repeat the cell
                 sub = np.empty(int(m.sum()), dtype=np.int64)
@@ -449,9 +471,12 @@ def h3x_cover_rect(lon0: float, lat0: float, lon1: float, lat1: float,
         # dedupe before the digit chain; out-of-base-field cells (far
         # outside the face, never point keys) drop inside the encoder
         qr = np.unique(np.column_stack([q, r]), axis=0)
+        # "clamp", not "drop": a clamped point key (h3x_cell fallback)
+        # must still appear among the cover keys — the shared clamp
+        # keeps the cover a superset at the field boundary
         out.append(_encode_cells(
             np.full(len(qr), f, dtype=np.int64), qr[:, 0], qr[:, 1], res,
-            drop_out_of_field=True,
+            out_of_field="clamp",
         ))
     if not out:
         return np.empty(0, dtype=np.int64)

@@ -1346,6 +1346,13 @@ def _md5_windows(batch: pa.Table, k: int = SHINGLE_K):
     nw = doc_off[1:] - doc_off[:-1]
     long_rows = np.nonzero(nw >= k)[0]
     short_rows = np.nonzero(nw < k)[0]
+    if texts.null_count:
+        # SQL NULL parity: md5(NULL) is NULL in DuckDB, so null-text
+        # docs emit NO windows (they'd otherwise hash as empty strings
+        # and diverge from the oracle).  Nulls have nw == 0, so only
+        # the short-row path can see them.
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        short_rows = short_rows[valid[short_rows]]
     parts_w: list = []
     parts_d: list = []
     if len(long_rows):
@@ -1493,6 +1500,10 @@ def simhash_md5_batch(batch: pa.Table) -> pa.Table:
     join)."""
     from engine.ops.vhash import md5_u64
 
+    if batch["text"].null_count:
+        # SQL NULL parity (md5(NULL) is NULL): null-text docs drop out
+        # of the explode entirely instead of fingerprinting as 0
+        batch = batch.filter(pc.is_valid(batch["text"]))
     ids = batch["doc_id"].to_numpy()
     texts = batch["text"]
     if isinstance(texts, pa.ChunkedArray):
@@ -1507,7 +1518,11 @@ def simhash_md5_batch(batch: pa.Table) -> pa.Table:
     n = len(batch)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int32) * 2 - 1
-    cnt = np.add.reduceat(bits, doc_off[:-1], axis=0) if len(h) else \
+    # reduceat indices must stay < len(h): a trailing zero-token doc
+    # would otherwise put len(h) in the offset list (IndexError); the
+    # clamped copy it produces is zeroed by the empty-segment fix below
+    seg = np.minimum(doc_off[:-1], max(len(h) - 1, 0))
+    cnt = np.add.reduceat(bits, seg, axis=0) if len(h) else \
         np.zeros((n, 64), dtype=np.int32)
     # reduceat quirk: empty segments (zero-token docs) copy the next
     # row — zero them explicitly

@@ -81,44 +81,69 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
         return g.rename_columns(["tok", "_f"])
 
     fp = rows.map_batches(fpartial, batch_format="pyarrow", batch_size=None)
+    budget_ok = True
     ftoks, fcnts, total_f = [], [], 0
     for b in fp.iter_batches(batch_format="pyarrow"):
         ftoks.append(b["tok"].to_numpy())
         fcnts.append(b["_f"].to_numpy())
         total_f += len(b)
         if total_f > 4 * PAIR_BROADCAST_MAX:
-            raise ValueError(
-                f"setsim_join: {total_f}+ frequency partials exceed the "
-                f"broadcast budget; add a join-based frequency-attach plan")
-    ft = np.concatenate(ftoks) if ftoks else np.empty(0, np.int64)
-    fc = np.concatenate(fcnts) if fcnts else np.empty(0, np.int64)
-    forder = np.argsort(ft, kind="stable")
-    ft, fc = ft[forder], fc[forder]
-    new_tok = np.r_[True, ft[1:] != ft[:-1]] if len(ft) else np.empty(0, bool)
-    starts = np.flatnonzero(new_tok)
-    ftu = ft[starts]
-    fcu = np.add.reduceat(fc, starts) if len(ft) else fc
-    if len(ftu) > PAIR_BROADCAST_MAX:
-        raise ValueError(
-            f"setsim_join: {len(ftu)} distinct tokens exceed the "
-            f"frequency-broadcast budget {PAIR_BROADCAST_MAX}")
-    fref = ray.put((ftu, fcu))
+            budget_ok = False
+            break
+    fref = None
+    exchange_in = rows
+    if budget_ok:
+        ft = np.concatenate(ftoks) if ftoks else np.empty(0, np.int64)
+        fc = np.concatenate(fcnts) if fcnts else np.empty(0, np.int64)
+        forder = np.argsort(ft, kind="stable")
+        ft, fc = ft[forder], fc[forder]
+        new_tok = (np.r_[True, ft[1:] != ft[:-1]] if len(ft)
+                   else np.empty(0, bool))
+        starts = np.flatnonzero(new_tok)
+        ftu = ft[starts]
+        fcu = np.add.reduceat(fc, starts) if len(ft) else fc
+        if len(ftu) > PAIR_BROADCAST_MAX:
+            budget_ok = False
+        else:
+            fref = ray.put((ftu, fcu))
+    if not budget_ok:
+        # FALLBACK join plan (vocabulary past the broadcast budget):
+        # distinct (tok, id) → per-token count as combiner-first
+        # grouped counts, frequency attaches through the adaptive
+        # equi-join — distributed and bounded, at the price of the
+        # extra all-to-all the broadcast fast path avoids.
+        from engine.rayds.shuffle import equi_join, grouped_count
+
+        dtok = grouped_count(rows, ["tok", "id"], out_col="_d",
+                             use_shuffle="auto")
+        freqds = grouped_count(dtok.select_columns(["tok"]), ["tok"],
+                               out_col="_f", use_shuffle="auto")
+        joined = equi_join(rows, freqds, "tok", "tok", ["id"], ["_f"])
+        exchange_in = joined.map_batches(
+            lambda t: t.rename_columns(
+                [{"_k": "tok"}.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True)
 
     def prefix_fn(group: pa.Table) -> pa.Table:
         # the id-exchange partition holds EVERY row of its ids, so the
         # set size c is just the id-run length — no size rollup or
         # second join anywhere; frequencies come from the broadcast
+        # (fast path) or ride in as the joined ``_f`` column (fallback)
         g = group.drop_columns(["_part"])
         n = g.num_rows
         if n == 0:
             return pa.table({"tok": pa.array([], type=pa.int64()),
                              "id": pa.array([], type=pa.int64())})
-        from engine.rayds.bcast import cached
-
-        ftok, fcnt = cached(fref)
         ids = g["id"].to_numpy()
         tok = g["tok"].to_numpy()
-        f = fcnt[np.searchsorted(ftok, tok)]
+        if fref is not None:
+            from engine.rayds.bcast import cached
+
+            ftok, fcnt = cached(fref)
+            f = fcnt[np.searchsorted(ftok, tok)]
+        else:
+            f = g["_f"].to_numpy()
         order = np.lexsort((tok, f, ids))
         ids_s, tok_s = ids[order], tok[order]
         # multiset input: equal (id, tok) rows are adjacent (equal f) —
@@ -138,7 +163,8 @@ def setsim_join(pairs_ds, id_col: str, tok_col: str,
         return pa.table({"tok": pa.array(tok_s[keep]),
                          "id": pa.array(ids_s[keep])})
 
-    prefix = hash_exchange_groups(rows, ["id"], prefix_fn, num_parts)
+    prefix = hash_exchange_groups(exchange_in, ["id"], prefix_fn,
+                                  num_parts)
 
     def pair_fn(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["_part"])

@@ -343,16 +343,43 @@ def _validate_fn(batch: pa.Table) -> pa.Table:
     return _VALIDATE(batch)
 
 
+# Bump whenever the synth/derive/payload code or the cached schema
+# changes — the version is part of the cache key, so stale caches from
+# older code are simply never looked up again (they age out of /tmp).
+PAYLOAD_FORMAT_VERSION = "v5-md5seed-phash64"
+_PAYLOAD_SCHEMA_FP = (
+    "image_id:i64,w:i32,h:i32,fmt:str,label:str,bytes:bin,phash:i64"
+)
+
+
+def _cache_root() -> str:
+    """Per-user cache root (not a world-shared fixed path): a
+    pre-existing directory created by another uid at a predictable
+    name can't be trusted as our cache."""
+    import getpass
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    return os.path.join(
+        tempfile.gettempdir(), f"ray_geo_payload_cache_{user}"
+    )
+
+
 def _payload_cache_dir(sf_dir: str) -> str:
-    """Per-(sf_dir, events mtime) cache key for the materialized payload
-    table."""
+    """Cache key = (sf_dir realpath, events mtime, payload code version,
+    cached schema fingerprint) — code/schema changes invalidate it."""
     real = os.path.realpath(sf_dir)
     try:
         mt = int(os.path.getmtime(os.path.join(real, "events.parquet")))
     except OSError:
         mt = 0
-    key = hashlib.md5(f"{real}:{mt}".encode()).hexdigest()[:16]
-    return os.path.join("/tmp/ray_geo_payload_cache", key)
+    key = hashlib.md5(
+        f"{real}:{mt}:{PAYLOAD_FORMAT_VERSION}:{_PAYLOAD_SCHEMA_FP}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_cache_root(), key)
 
 
 def payload_dataset(sf_dir: str, concurrency=None, use_cache: bool = True):

@@ -1,0 +1,197 @@
+"""Round-5 regression tests for the ADVICE items: md5-kernel null/empty
+handling, the setsim / lift / assortativity budget-guard fallbacks, and
+the hexsphere out-of-field clamp."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from engine.ops.dedup import minhash_md5_batch, simhash_md5_batch
+
+
+def _tbl(ids, texts):
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+# ------------------------------------------------------------- md5 kernels
+
+def test_simhash_md5_trailing_null_text():
+    # previously IndexError: trailing zero-token doc put len(h) into the
+    # reduceat offsets
+    out = simhash_md5_batch(_tbl([1, 2], ["alpha beta gamma", None]))
+    # null-text doc drops out (md5(NULL) is NULL in the SQL mirror)
+    assert set(out["doc_id"].to_pylist()) == {1}
+    ref = simhash_md5_batch(_tbl([1], ["alpha beta gamma"]))
+    assert out.equals(ref)
+
+
+def test_simhash_md5_all_null_and_interior_null():
+    out = simhash_md5_batch(_tbl([1, 2], [None, None]))
+    assert out.num_rows == 0
+    mixed = simhash_md5_batch(
+        _tbl([1, 2, 3], ["a b c", None, "x y z"]))
+    ref = pa.concat_tables([
+        simhash_md5_batch(_tbl([1], ["a b c"])),
+        simhash_md5_batch(_tbl([3], ["x y z"]))])
+    assert sorted(mixed.to_pylist(), key=lambda r: (r["doc_id"], r["band"])) \
+        == sorted(ref.to_pylist(), key=lambda r: (r["doc_id"], r["band"]))
+
+
+def test_minhash_md5_null_text_skipped():
+    out = minhash_md5_batch(
+        _tbl([1, 2, 3], ["one two three four", None, "five six seven"]))
+    assert set(out["doc_id"].to_pylist()) == {1, 3}
+    ref = minhash_md5_batch(
+        _tbl([1, 3], ["one two three four", "five six seven"]))
+    assert sorted(out.to_pylist(), key=lambda r: (r["doc_id"], r["band"])) \
+        == sorted(ref.to_pylist(), key=lambda r: (r["doc_id"], r["band"]))
+
+
+def test_minhash_md5_trailing_null():
+    out = minhash_md5_batch(_tbl([7, 8], ["hello world again", None]))
+    assert set(out["doc_id"].to_pylist()) == {7}
+
+
+# -------------------------------------------------- setsim join fallback
+
+def test_setsim_fallback_join_plan(ray_session, monkeypatch):
+    """Vocabulary past the broadcast budget → the grouped_count +
+    equi_join frequency attach produces the same exact result."""
+    import engine.ops.setsim as ss
+
+    baskets = {1: {10, 11, 12}, 2: {10, 11, 12}, 3: {20, 21},
+               4: {10, 11, 30}, 5: {40}}
+    rows_id, rows_tok = [], []
+    for k, s in baskets.items():
+        for t in sorted(s):
+            rows_id.append(k)
+            rows_tok.append(t)
+    tbl = pa.table({"id": pa.array(rows_id, type=pa.int64()),
+                    "tok": pa.array(rows_tok, type=pa.int64())})
+
+    def run():
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        res = ss.setsim_join(ds, "id", "tok", 1, 2)
+        got = pa.concat_tables(
+            [b for b in res.iter_batches(batch_format="pyarrow")])
+        return sorted(map(tuple, got.to_pandas().itertuples(index=False)))
+
+    fast = run()
+    # 7 distinct tokens > budget 5 → fallback join plan (the raw
+    # candidate-pair rows, 4 here, stay under the shared verify budget)
+    monkeypatch.setattr(ss, "PAIR_BROADCAST_MAX", 5)
+    slow = run()
+    assert fast == slow
+    assert len(fast) > 0
+
+
+# --------------------------------- lift / assortativity fold fallbacks
+
+def _collect(res):
+    if isinstance(res, ray.data.Dataset):
+        return pa.concat_tables(
+            [b for b in res.iter_batches(batch_format="pyarrow")])
+    return res
+
+
+def test_lift_pairs_fallback_matches(ray_session, monkeypatch):
+    sf_dir = "/root/testdata/sf0.001"
+    import __ray_entry__ as entry
+
+    fast = _collect(entry._q_lift_pairs(sf_dir)).to_pandas()
+    monkeypatch.setattr(entry, "_FOLD_BUDGET", 0)
+    slow = _collect(entry._q_lift_pairs(sf_dir)).to_pandas()
+    fast = fast.sort_values(list(fast.columns)).reset_index(drop=True)
+    slow = slow.sort_values(list(slow.columns)).reset_index(drop=True)
+    assert fast.equals(slow)
+    assert len(fast) > 0
+
+
+def test_degree_assortativity_fallback_matches(ray_session,
+                                               monkeypatch):
+    sf_dir = "/root/testdata/sf0.001"
+    import __ray_entry__ as entry
+
+    fast = _collect(entry._q_degree_assortativity(sf_dir)).to_pandas()
+    monkeypatch.setattr(entry, "_FOLD_BUDGET", 0)
+    slow = _collect(entry._q_degree_assortativity(sf_dir)).to_pandas()
+    assert np.allclose(fast.to_numpy(dtype=float),
+                       slow.to_numpy(dtype=float))
+
+
+def test_spearman_fallback_matches(ray_session, monkeypatch):
+    sf_dir = "/root/testdata/sf0.001"
+    import __ray_entry__ as entry
+
+    fast = _collect(entry._q_spearman_corr(sf_dir)).to_pandas()
+    monkeypatch.setattr(entry, "_FOLD_BUDGET", 0)
+    slow = _collect(entry._q_spearman_corr(sf_dir)).to_pandas()
+    assert fast["n"][0] == slow["n"][0]
+    assert abs(fast["spearman"][0] - slow["spearman"][0]) < 1e-12
+
+
+# ------------------------------------------------------ hexsphere clamp
+
+def test_encode_cells_clamp_no_crash():
+    from engine.geo import hexsphere as hx
+
+    # synthetic out-of-field res-0 axial: clamp keeps the id encodable
+    # and in-field; "raise" still raises (the loud default)
+    face = np.array([0, 0], dtype=np.int64)
+    q = np.array([9, 0], dtype=np.int64)
+    r = np.array([-8, 0], dtype=np.int64)
+    import pytest
+
+    with pytest.raises(AssertionError):
+        hx._encode_cells(face, q, r, 0)
+    ids = hx._encode_cells(face, q, r, 0, out_of_field="clamp")
+    assert len(ids) == 2
+    _cid, res, f, aq, ar = hx._decode(ids)
+    assert (aq >= -3).all() and (aq <= 4).all()
+    assert (ar >= -3).all() and (ar <= 4).all()
+
+
+def test_h3x_cell_extreme_points_no_crash():
+    from engine.geo import hexsphere as hx
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-90, 90, 20000)
+    for res in (0, 3, 7, 13):
+        ids = hx.h3x_cell(lon, lat, res)
+        assert len(ids) == len(lon)
+        # ids decode back in-field
+        _cid, rs, f, aq, ar = hx._decode(ids)
+        assert (rs == res).all()
+        assert (aq >= -3).all() and (aq <= 4).all()
+
+
+def test_h3x_neighbors_never_crashes_on_edge_cells():
+    from engine.geo import hexsphere as hx
+
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    cells = np.unique(hx.h3x_cell(lon, lat, 2))
+    nb = hx.h3x_neighbors(cells)
+    assert nb.shape == (len(cells), 6)
+
+
+# -------------------------------------------------- payload cache keying
+
+def test_payload_cache_key_includes_version(tmp_path):
+    from engine.rayds import imgstage
+
+    d1 = imgstage._payload_cache_dir(str(tmp_path))
+    old = imgstage.PAYLOAD_FORMAT_VERSION
+    try:
+        imgstage.PAYLOAD_FORMAT_VERSION = old + "-bumped"
+        d2 = imgstage._payload_cache_dir(str(tmp_path))
+    finally:
+        imgstage.PAYLOAD_FORMAT_VERSION = old
+    assert d1 != d2
+    # per-user root, not the fixed world-shared /tmp path
+    assert "/tmp/ray_geo_payload_cache/" not in d1
