@@ -524,6 +524,116 @@ def s2_cover_rect(
     return ids[keep_mask]
 
 
+# Published S2 quadratic-projection cell metrics (s2geometry
+# S2::kMinWidth / kMaxDiag derivatives, radians at level 0; level-L
+# value = deriv / 2^L): the sampling cover below relies only on
+#   min cell inradius ≥ MIN_WIDTH/2 / 2^L   (grid step bound)
+#   max cell circumradius ≤ MAX_DIAG/2 / 2^L (pad bound)
+_S2_MIN_WIDTH = 0.942809  # 2·√2/3
+_S2_MAX_DIAG = 2.438654
+
+
+def s2_level_for_rects(bounds: np.ndarray, max_cells: int = 16,
+                       max_level: int = 12) -> np.ndarray:
+    """Vectorized single-level choice per lon/lat rect (degrees,
+    (n, 4) = lon_lo, lat_lo, lon_hi, lat_hi): the finest level whose
+    count of rect-intersecting cells stays ≈ ``max_cells``.  NaN rows
+    get level -1."""
+    b = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    lat0 = np.radians(b[:, 1])
+    lat1 = np.radians(b[:, 3])
+    lat_span = np.maximum(lat1 - lat0, 0.0)
+    spans0 = (lat0 <= 0.0) & (lat1 >= 0.0)
+    maxcos = np.where(spans0, 1.0,
+                      np.cos(np.minimum(np.abs(lat0), np.abs(lat1))))
+    lon_span = np.maximum(np.radians(b[:, 2] - b[:, 0]), 0.0) * maxcos
+    span = np.maximum(np.maximum(lat_span, lon_span), 1e-9)
+    k = np.sqrt(float(max_cells))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lv = np.floor(np.log2(k * _S2_MIN_WIDTH / span))
+    lv = np.clip(np.nan_to_num(lv, nan=0.0), 0, max_level).astype(np.int64)
+    lv[np.isnan(b[:, 0])] = -1
+    return lv
+
+
+def s2_cover_rects_many(bounds: np.ndarray, levels: np.ndarray):
+    """All level-``levels[i]`` S2 cells intersecting lon/lat rect ``i``
+    → ``(row_idx, cell_id)`` arrays — the VECTORIZED cover-explode
+    (replaces a per-rect children-walk coverer in the join hot path).
+
+    Construction: a padded sample grid per rect, one batched
+    ``s2_cell`` call per level group, then a rect-bound post-filter.
+    Correctness: any cell intersecting the rect has its center within
+    one circumradius of the rect, i.e. inside the padded region; the
+    grid's half-diagonal (step·√2/2 = 0.21/2^L) is under the minimum
+    cell inradius (0.47/2^L), so the center's inradius disc contains a
+    sample → EVERY intersecting cell is sampled (true superset).  The
+    post-filter (conservative ``s2_rect_bound`` vs the rect) then
+    drops pad-only cells, so the output ≈ the minimal intersecting
+    set.  Cells per rect are single-level → disjoint per rect."""
+    b = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    levels = np.asarray(levels, dtype=np.int64)
+    valid = (~np.isnan(b[:, 0])) & (levels >= 0)
+    rows_out: list[np.ndarray] = []
+    ids_out: list[np.ndarray] = []
+    for L in np.unique(levels[valid]):
+        sel = np.nonzero(valid & (levels == L))[0]
+        step = 0.30 / float(1 << int(L))  # rad; √2/2·step < min inradius
+        pad = 1.25 / float(1 << int(L))   # rad; > max circumradius
+        step_deg = np.degrees(step)
+        pad_deg = np.degrees(pad)
+        lon0, lat0 = b[sel, 0], b[sel, 1]
+        lon1, lat1 = b[sel, 2], b[sel, 3]
+        plat0 = np.clip(lat0 - pad_deg, -89.95, 89.95)
+        plat1 = np.clip(lat1 + pad_deg, -89.95, 89.95)
+        maxabs = np.maximum(np.abs(plat0), np.abs(plat1))
+        lon_pad = pad_deg / np.maximum(np.cos(np.radians(maxabs)), 0.02)
+        plon0 = lon0 - lon_pad
+        plon1 = lon1 + lon_pad
+        # lon spacing: Δlon·cos φ ≤ step must hold at the band's
+        # largest cos (smallest |lat|)
+        spans0 = (plat0 <= 0.0) & (plat1 >= 0.0)
+        maxcos = np.where(spans0, 1.0, np.cos(np.radians(
+            np.minimum(np.abs(plat0), np.abs(plat1)))))
+        lon_step = step_deg / np.maximum(maxcos, 1e-4)
+        # padded span caps at one full wrap — beyond that samples repeat
+        nx = (np.floor(np.clip(plon1 - plon0, 0.0, 360.0) / lon_step)
+              .astype(np.int64) + 2)
+        ny = (np.floor(np.maximum(plat1 - plat0, 0.0) / step_deg)
+              .astype(np.int64) + 2)
+        cnt = nx * ny
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        rep = np.repeat(np.arange(len(sel), dtype=np.int64), cnt)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        ny_rep = ny[rep]
+        dx = within // ny_rep
+        dy = within % ny_rep
+        # WRAP (not clip) pad samples crossing ±180 so seam-crossing
+        # cells centered on the far side are still sampled
+        lons = plon0[rep] + dx * lon_step[rep]
+        lons = np.clip(((lons + 180.0) % 360.0) - 180.0,
+                       -179.999999, 179.999999)
+        lats = np.clip(plat0[rep] + dy * step_deg, -89.95, 89.95)
+        ids = np.asarray(s2_cell(lons, lats, int(L)))
+        # per-rect dedupe (adjacent after the lexsort)
+        order = np.lexsort((ids, rep))
+        rs, cs = rep[order], ids[order]
+        uniq = np.r_[True, (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])]
+        rs, cs = rs[uniq], cs[uniq]
+        # post-filter: drop pad-only cells (bound is conservative, so
+        # truly intersecting cells always survive)
+        inter, _ = _rect_relation(s2_rect_bound(cs), lat0[rs], lat1[rs],
+                                  lon0[rs], lon1[rs])
+        rows_out.append(sel[rs[inter]])
+        ids_out.append(cs[inter])
+    if not rows_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(rows_out), np.concatenate(ids_out)
+
+
 def s2_cover_contains(cover: np.ndarray, lon, lat) -> np.ndarray:
     """Bool per point: does any cover cell contain the point?  (test
     helper — ancestor-at-cover-level membership, fully vectorized per

@@ -416,6 +416,133 @@ def cell_size_deg(res: int) -> float:
     return float(np.degrees(np.arctan(plane_r))) * 1.7
 
 
+def h3x_cover_rects_many(rects: np.ndarray, res: int = 7,
+                         max_chunk_samples: int = 4_000_000):
+    """Superset covers of MANY lon/lat rects at once → ``(row_idx,
+    cell_id)`` arrays — the vectorized form of ``h3x_cover_rect`` for
+    the join cover-explode (one face loop per CHUNK instead of 20 per
+    rect; sample generation via segment arithmetic).  Same sampling
+    construction and guarantees as the single-rect docstring below;
+    chunked so the flat sample matrix stays memory-bounded."""
+    b = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    valid = ~np.isnan(b[:, 0])
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    sz = cell_size_deg(res)
+    step = sz * 0.2
+    # pad ≥ the max point→cell-center angular distance: measured ratio
+    # ≤ 0.82·sz across res 2-7 at 200k samples (cell_size_deg is the
+    # conservative circumradius), so 1.5·sz carries a 1.8× margin —
+    # cells with centers beyond it cannot intersect the rect (the
+    # post-filter below re-checks at 1.4·sz)
+    pad = sz * 1.5
+    lon0, lat0 = b[idx, 0], b[idx, 1]
+    lon1, lat1 = b[idx, 2], b[idx, 3]
+    maxlat = np.minimum(np.maximum(np.abs(lat0), np.abs(lat1)) + pad, 89.0)
+    lon_pad = pad / np.maximum(np.cos(np.radians(maxlat)), 0.02)
+    l0 = lon0 - lon_pad
+    l1 = lon1 + lon_pad
+    t0 = np.maximum(lat0 - pad, -89.9)
+    t1 = np.minimum(lat1 + pad, 89.9)
+    # padded lon span caps at one full wrap — beyond that samples repeat
+    nx = np.floor(np.clip(l1 - l0, 0.0, 360.0) / step).astype(np.int64) + 2
+    ny = np.floor(np.maximum(t1 - t0, 0.0) / step).astype(np.int64) + 2
+    cnt = nx * ny
+    plane_r = _SIZE0 / (7.0 ** (res / 2.0))
+    zmax = 0.765 + 3.0 * plane_r
+    rows_out: list[np.ndarray] = []
+    ids_out: list[np.ndarray] = []
+    # chunk rects so each flat sample batch stays bounded
+    csum = np.cumsum(cnt)
+    starts = [0]
+    while starts[-1] < len(idx):
+        base = csum[starts[-1] - 1] if starts[-1] else 0
+        nxt = int(np.searchsorted(csum, base + max_chunk_samples,
+                                  side="left")) + 1
+        starts.append(max(nxt, starts[-1] + 1))
+    for a, e in zip(starts[:-1], starts[1:]):
+        sl = slice(a, min(e, len(idx)))
+        c_ = cnt[sl]
+        total = int(c_.sum())
+        rep = np.repeat(np.arange(sl.stop - sl.start, dtype=np.int64), c_)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(c_) - c_, c_))
+        ny_rep = ny[sl][rep]
+        # WRAP pad samples crossing ±180 to their true longitudes (a
+        # clip would collapse them onto the seam and miss cells whose
+        # center lies on the far side — the antimeridian sliver bug)
+        gl = l0[sl][rep] + (within // ny_rep) * step
+        gl = np.clip(((gl + 180.0) % 360.0) - 180.0,
+                     -179.999999, 179.999999)
+        gt = t0[sl][rep] + (within % ny_rep) * step
+        lam = np.radians(gl)
+        phi = np.radians(gt)
+        p = np.column_stack([np.cos(phi) * np.cos(lam),
+                             np.cos(phi) * np.sin(lam), np.sin(phi)])
+        rect_of = idx[sl][rep]
+        for f in range(20):
+            d = p @ _FN[f]
+            m = d > 0.55
+            if not m.any():
+                continue
+            t = p[m] / d[m, None]
+            dd = t - _FN[f][None, :]
+            z = (dd @ _EX[f]) + 1j * (dd @ _EY[f])
+            near = np.abs(z) <= zmax
+            if not near.any():
+                continue
+            q, r = _eis_round(*_axial_of(z[near], res))
+            rr = rect_of[m][near]
+            order = np.lexsort((r, q, rr))
+            rs, qs, rs2 = rr[order], q[order], r[order]
+            uniq = np.r_[True, (rs[1:] != rs[:-1]) | (qs[1:] != qs[:-1])
+                         | (rs2[1:] != rs2[:-1])]
+            rs, qs, rs2 = rs[uniq], qs[uniq], rs2[uniq]
+            ids = _encode_cells(np.full(len(qs), f, dtype=np.int64),
+                                qs, rs2, res, out_of_field="clamp")
+            rows_out.append(rs)
+            ids_out.append(ids)
+    if not rows_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = np.concatenate(rows_out)
+    ids = np.concatenate(ids_out)
+    # cross-face / clamp duplicates: final (rect, id) dedupe
+    order = np.lexsort((ids, rows))
+    rs, cs = rows[order], ids[order]
+    uniq = np.r_[True, (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])]
+    rs, cs = rs[uniq], cs[uniq]
+    # POST-FILTER pad-only cells: the 2.2·sz sampling pad keeps the
+    # superset guarantee but inflates covers ~5-10× with cells far from
+    # the rect; any TRULY intersecting cell has its center within one
+    # circumradius (≤ sz) of the rect, so dropping cells whose center
+    # is further than 1.4·sz (flat-angle approx + safety slack) can
+    # never drop a cell a point key could land in.
+    if len(cs):
+        clon, clat = h3x_center(cs)
+        r0, r1 = b[rs, 0], b[rs, 2]
+        t0_, t1_ = b[rs, 1], b[rs, 3]
+        dlat = np.maximum(np.maximum(t0_ - clat, clat - t1_), 0.0)
+        # antimeridian: the true short-way lon clamp distance is the
+        # min over the center shifted by 0 / ±360
+        dlon = np.minimum(np.minimum(
+            np.maximum(np.maximum(r0 - clon, clon - r1), 0.0),
+            np.maximum(np.maximum(r0 - clon - 360.0, clon + 360.0 - r1),
+                       0.0)),
+            np.maximum(np.maximum(r0 - clon + 360.0, clon - 360.0 - r1),
+                       0.0))
+        # UNDERestimate the distance (safe to keep): smallest cos along
+        # the path = cos at the larger |lat| of center vs nearest rect
+        # lat
+        nlat = np.clip(clat, t0_, t1_)
+        cosm = np.cos(np.radians(np.clip(
+            np.maximum(np.abs(clat), np.abs(nlat)), 0.0, 89.9)))
+        dist = np.hypot(dlon * cosm, dlat)
+        keep = dist <= sz * 1.4
+        rs, cs = rs[keep], cs[keep]
+    return rs, cs
+
+
 def h3x_cover_rect(lon0: float, lat0: float, lon1: float, lat1: float,
                    res: int = 7) -> np.ndarray:
     """Superset cover of a lon/lat rect: sample a padded grid finer than
@@ -442,7 +569,11 @@ def h3x_cover_rect(lon0: float, lat0: float, lon1: float, lat1: float,
     )
     if len(lons) == 0 or len(lats) == 0:
         return np.empty(0, dtype=np.int64)
-    gl, gt = np.meshgrid(np.clip(lons, -179.999999, 179.999999), lats)
+    # wrap (not clip) pad samples crossing ±180 — a clip collapses them
+    # onto the seam and can miss cells centered on the far side
+    lons = np.clip(((lons + 180.0) % 360.0) - 180.0,
+                   -179.999999, 179.999999)
+    gl, gt = np.meshgrid(lons, lats)
     lam = np.radians(gl.reshape(-1))
     phi = np.radians(gt.reshape(-1))
     p = np.column_stack(

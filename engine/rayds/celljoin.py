@@ -338,21 +338,36 @@ def _hex_key(x: np.ndarray, y: np.ndarray, res: int = 7) -> np.ndarray:
 
 def _bbox_cover_keys(bounds: np.ndarray, key_fn):
     """(row_idx, key) for every planar quantizer cell touching each bbox
-    (runs per-batch inside the polygon-side map_batches kernel)."""
-    rows, keys = [], []
+    (runs per-batch inside the polygon-side map_batches kernel).
+
+    Fully vectorized — segment arithmetic enumerates all quantizer cell
+    centers across all bboxes at once, ``key_fn`` runs ONCE per batch,
+    and per-row dedupe is one lexsort (the per-polygon Python loop was
+    the polygon-side bottleneck at dense layers)."""
     c = S2_SNAP
-    for i, (xmin, ymin, xmax, ymax) in enumerate(bounds):
-        if np.isnan(xmin):
-            continue
-        xs = (np.arange(int(np.floor(xmin / c)), int(np.floor(xmax / c)) + 1) + 0.5) * c
-        ys = (np.arange(int(np.floor(ymin / c)), int(np.floor(ymax / c)) + 1) + 0.5) * c
-        gx, gy = np.meshgrid(xs, ys)
-        k = np.unique(key_fn(gx.reshape(-1), gy.reshape(-1)))
-        rows.append(np.full(len(k), i, dtype=np.int64))
-        keys.append(k)
-    if not rows:
+    b = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    valid = ~np.isnan(b[:, 0])
+    idx = np.nonzero(valid)[0]
+    if len(idx) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(rows), np.concatenate(keys)
+    ix0 = np.floor(b[idx, 0] / c).astype(np.int64)
+    iy0 = np.floor(b[idx, 1] / c).astype(np.int64)
+    nx = np.floor(b[idx, 2] / c).astype(np.int64) - ix0 + 1
+    ny = np.floor(b[idx, 3] / c).astype(np.int64) - iy0 + 1
+    cnt = nx * ny
+    total = int(cnt.sum())
+    rep = np.repeat(np.arange(len(idx), dtype=np.int64), cnt)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    ny_rep = ny[rep]
+    cx = (ix0[rep] + within // ny_rep + 0.5) * c
+    cy = (iy0[rep] + within % ny_rep + 0.5) * c
+    k = np.asarray(key_fn(cx, cy))
+    rows = idx[rep]
+    order = np.lexsort((k, rows))
+    rs, ks = rows[order], k[order]
+    uniq = np.r_[True, (rs[1:] != rs[:-1]) | (ks[1:] != ks[:-1])]
+    return rs[uniq], ks[uniq]
 
 
 def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
@@ -405,50 +420,25 @@ def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
                                      _join_cell_group(predicate))
 
 
-def _clamp_cover(ids: np.ndarray, gmax: int) -> np.ndarray:
-    """Coarsen a single polygon's S2 cover into levels ≤ ``gmax``.
+def _s2_rects_levels(bounds: np.ndarray):
+    """Planar (n, 4) bboxes → (lon/lat rects, per-poly cover level).
 
-    Coarsening a cell to its ancestor only GROWS the covered area
-    (superset stays safe; the per-group PIP refinement keeps the join
-    exact); dropping cells whose ancestor at a coarser used level is
-    also present preserves disjointness (a point still matches ≤1 cover
-    cell per polygon)."""
-    lv = np.asarray(cells.s2_level(ids))
-    if not (lv > gmax).any():
-        return ids
-    ids = ids.copy()
-    fine = lv > gmax
-    ids[fine] = cells.s2_parent(ids[fine], gmax)
-    ids = np.unique(ids)
-    lv = np.asarray(cells.s2_level(ids))
-    keep = np.ones(len(ids), dtype=bool)
-    for L in sorted(set(int(v) for v in lv))[:-1]:
-        at_l = set(ids[lv == L].tolist())
-        finer = lv > L
-        if at_l and finer.any():
-            anc = np.asarray(cells.s2_parent(ids[finer], L))
-            keep[finer] &= ~np.isin(anc, np.fromiter(at_l, dtype=np.int64))
-    return ids[keep]
-
-
-def _s2_cover_bbox(xmin, ymin, xmax, ymax,
-                   max_cells: int = S2_COVER_MAX_CELLS,
-                   max_level: int = S2_COVER_MAX_LEVEL) -> np.ndarray:
-    lon0, lat0 = _lonlat(np.float64(xmin), np.float64(ymin))
-    lon1, lat1 = _lonlat(np.float64(xmax), np.float64(ymax))
-    # polygons overhanging the world edge map beyond the valid lon/lat
-    # range; clamp the cover rect (with a small pad so edge points —
-    # whose keys are clipped into the open lon interval, see pts_fn —
-    # stay covered).  Points always lie in-range, so the clamped cover
-    # still covers every joinable point.
+    The lon/lat transform + world-edge clamping (tiny pad so world-edge
+    point keys stay covered) vectorized, plus the deterministic single-level choice
+    (``cells.s2_level_for_rects``) shared by BOTH passes of the
+    distributed keying — pass 1's global min and pass 2's clamped
+    covers must see identical levels."""
+    b = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
+    lon0, lat0 = _lonlat(b[:, 0], b[:, 1])
+    lon1, lat1 = _lonlat(b[:, 2], b[:, 3])
     pad = 1e-6
-    lon0, lon1 = max(float(lon0) - pad, -180.0), min(float(lon1) + pad, 180.0)
-    lat0, lat1 = max(float(lat0) - pad, -89.9), min(float(lat1) + pad, 89.9)
-    return cells.s2_cover_rect(
-        float(lon0), float(lat0), float(lon1), float(lat1),
-        max_cells=max_cells, max_level=max_level,
-        max_level_span=S2_COVER_LEVEL_SPAN,
-    )
+    rects = np.column_stack([
+        np.maximum(lon0 - pad, -180.0), np.maximum(lat0 - pad, -89.9),
+        np.minimum(lon1 + pad, 180.0), np.minimum(lat1 + pad, 89.9),
+    ])
+    rects[np.isnan(b[:, 0])] = np.nan
+    return rects, cells.s2_level_for_rects(
+        rects, S2_COVER_MAX_CELLS, S2_COVER_MAX_LEVEL)
 
 
 def s2_global_min_level(layer_ds) -> int:
@@ -463,18 +453,11 @@ def s2_global_min_level(layer_ds) -> int:
         b = np.column_stack(
             [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
         )
-        mn = S2_COVER_MAX_LEVEL
-        seen = False
-        for xmin, ymin, xmax, ymax in b:
-            if np.isnan(xmin):
-                continue
-            ids = _s2_cover_bbox(xmin, ymin, xmax, ymax)
-            if len(ids):
-                mn = min(mn, int(np.min(np.asarray(cells.s2_level(ids)))))
-                seen = True
-        if not seen:
+        _rects, lv = _s2_rects_levels(b)
+        lv = lv[lv >= 0]
+        if not len(lv):
             return pa.table({"mn": pa.array([], type=pa.int64())})
-        return pa.table({"mn": pa.array([mn], type=pa.int64())})
+        return pa.table({"mn": pa.array([int(lv.min())], type=pa.int64())})
 
     rows = layer_ds.select_columns(["xmin", "ymin", "xmax", "ymax"]).map_batches(
         partial, batch_format="pyarrow", batch_size=None
@@ -486,27 +469,22 @@ def s2_global_min_level(layer_ds) -> int:
 
 def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
                    max_level: int = S2_COVER_MAX_LEVEL):
-    """True S2 region covers for every polygon bbox in an in-memory
-    Layer — driver-side mirror of the distributed two-pass path
-    (test / small-layer use).  Returns ``(rows, keys, used_levels)``."""
-    b = np.asarray(layer.bounds)
-    valid = [i for i in range(len(b)) if not np.isnan(b[i, 0])]
-    covers = {i: _s2_cover_bbox(*b[i], max_cells=max_cells, max_level=max_level)
-              for i in valid}
-    levels = sorted(
-        {int(v) for ids in covers.values() for v in cells.s2_level(ids)}
-    )
-    if not levels:
+    """S2 cell covers for every polygon bbox in an in-memory Layer —
+    driver-side mirror of the distributed two-pass path (test /
+    small-layer use).  Returns ``(rows, keys, used_levels)``: per-poly
+    single-level covers, levels clamped into the global
+    ``S2_COVER_LEVEL_SPAN`` window (coarsening only grows the covered
+    area, so the clamp is superset-safe)."""
+    rects, lv = _s2_rects_levels(np.asarray(layer.bounds))
+    valid = lv >= 0
+    if not valid.any():
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), [])
-    gmax = levels[0] + S2_COVER_LEVEL_SPAN - 1
-    lv_seen: set[int] = set()
-    rows_l, keys_l = [], []
-    for i in valid:
-        ids = _clamp_cover(covers[i], gmax)
-        rows_l.append(np.full(len(ids), i, dtype=np.int64))
-        keys_l.append(ids)
-        lv_seen.update(int(v) for v in cells.s2_level(ids))
-    return np.concatenate(rows_l), np.concatenate(keys_l), sorted(lv_seen)
+    gmin = int(lv[valid].min())
+    gmax = gmin + S2_COVER_LEVEL_SPAN - 1
+    lvc = np.where(valid, np.clip(lv, gmin, gmax), -1)
+    rows, keys = cells.s2_cover_rects_many(rects, lvc)
+    used = sorted(int(v) for v in np.unique(lvc[lvc >= 0]))
+    return rows, keys, used
 
 
 def s2part_pairs(sf_dir: str, layer: Layer | None = None,
@@ -529,10 +507,8 @@ def s2part_pairs(sf_dir: str, layer: Layer | None = None,
 
     polys_ds, mem_layer = _resolve_layer(sf_dir, layer, layer_ds)
     if mem_layer is not None:
-        b = np.asarray(mem_layer.bounds)
-        mins = [int(np.min(np.asarray(cells.s2_level(_s2_cover_bbox(*row)))))
-                for row in b if not np.isnan(row[0])]
-        gmin = min(mins) if mins else 0
+        _rects, lvs = _s2_rects_levels(np.asarray(mem_layer.bounds))
+        gmin = int(lvs[lvs >= 0].min()) if (lvs >= 0).any() else 0
     else:
         gmin = s2_global_min_level(polys_ds)
     gmax = gmin + S2_COVER_LEVEL_SPAN - 1
@@ -542,15 +518,13 @@ def s2part_pairs(sf_dir: str, layer: Layer | None = None,
         b = np.column_stack(
             [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
         )
-        rows_l, keys_l = [], []
-        for i in range(len(b)):
-            if np.isnan(b[i, 0]):
-                continue
-            ids = _clamp_cover(_s2_cover_bbox(*b[i]), gmax)
-            rows_l.append(np.full(len(ids), i, dtype=np.int64))
-            keys_l.append(ids)
-        rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
-        keys = np.concatenate(keys_l) if keys_l else np.empty(0, dtype=np.int64)
+        # VECTORIZED cover-explode: per-poly single-level covers at the
+        # deterministic level clamped into the global window (coarsening
+        # = superset; single level per poly keeps covers disjoint, so a
+        # pair still forms in at most one group)
+        rects, lv = _s2_rects_levels(b)
+        lvc = np.where(lv >= 0, np.clip(lv, gmin, gmax), -1)
+        rows, keys = cells.s2_cover_rects_many(rects, lvc)
         take = pa.array(rows)
         return pa.table(
             {
@@ -757,18 +731,14 @@ def h3xpart_pairs(sf_dir: str, layer: Layer | None = None,
         b = np.column_stack(
             [batch[c].to_numpy() for c in ("xmin", "ymin", "xmax", "ymax")]
         )
-        rows_l, keys_l = [], []
-        for i in range(len(b)):
-            if np.isnan(b[i, 0]):
-                continue
-            lon0, lat0 = _lonlat(np.float64(b[i, 0]), np.float64(b[i, 1]))
-            lon1, lat1 = _lonlat(np.float64(b[i, 2]), np.float64(b[i, 3]))
-            ids = HX.h3x_cover_rect(float(lon0), float(lat0),
-                                    float(lon1), float(lat1), res)
-            rows_l.append(np.full(len(ids), i, dtype=np.int64))
-            keys_l.append(ids)
-        rows = np.concatenate(rows_l) if rows_l else np.empty(0, dtype=np.int64)
-        keys = np.concatenate(keys_l) if keys_l else np.empty(0, dtype=np.int64)
+        # VECTORIZED cover-explode (h3x_cover_rects_many): all rects'
+        # padded sample grids in one flat pass, one 20-face loop per
+        # chunk instead of per polygon
+        lon0, lat0 = _lonlat(b[:, 0], b[:, 1])
+        lon1, lat1 = _lonlat(b[:, 2], b[:, 3])
+        rects = np.column_stack([lon0, lat0, lon1, lat1])
+        rects[np.isnan(b[:, 0])] = np.nan
+        rows, keys = HX.h3x_cover_rects_many(rects, res)
         take = pa.array(rows)
         return pa.table(
             {

@@ -195,3 +195,107 @@ def test_payload_cache_key_includes_version(tmp_path):
     assert d1 != d2
     # per-user root, not the fixed world-shared /tmp path
     assert "/tmp/ray_geo_payload_cache/" not in d1
+
+
+# ------------------------------------------ vectorized cover superset
+
+def test_s2_cover_rects_many_superset():
+    from engine.geo import cells
+
+    rng = np.random.default_rng(11)
+    n = 300
+    cx = rng.uniform(-175, 175, n)
+    cy = rng.uniform(-70, 70, n)
+    w = rng.uniform(0.02, 8.0, n)
+    h = rng.uniform(0.02, 6.0, n)
+    rects = np.column_stack([
+        np.maximum(cx - w, -180.0), np.maximum(cy - h, -89.9),
+        np.minimum(cx + w, 180.0), np.minimum(cy + h, 89.9)])
+    lv = cells.s2_level_for_rects(rects, 24, 12)
+    rows, ids = cells.s2_cover_rects_many(rects, lv)
+    order = np.argsort(rows, kind="stable")
+    ro, io = rows[order], ids[order]
+    st = np.searchsorted(ro, np.arange(n))
+    en = np.searchsorted(ro, np.arange(n), side="right")
+    for i in range(n):
+        px = np.r_[rng.uniform(rects[i, 0], rects[i, 2], 30),
+                   rects[i, 0], rects[i, 2]]
+        py = np.r_[rng.uniform(rects[i, 1], rects[i, 3], 30),
+                   rects[i, 1], rects[i, 3]]
+        keys = np.asarray(cells.s2_cell(
+            np.clip(px, -179.999999, 179.999999), py, int(lv[i])))
+        assert np.isin(keys, io[st[i]:en[i]]).all(), i
+        # single level per rect => disjoint cover
+        assert len(np.unique(io[st[i]:en[i]])) == en[i] - st[i]
+
+
+def test_h3x_cover_rects_many_superset_incl_antimeridian():
+    from engine.geo import hexsphere as hx
+
+    rng = np.random.default_rng(13)
+    n = 200
+    # bias some rects onto the ±180 seam (the wrap regression)
+    cx = np.r_[rng.uniform(-179, 179, n - 40),
+               rng.uniform(-181, -178, 20), rng.uniform(178, 181, 20)]
+    cy = rng.uniform(-75, 75, n)
+    w = rng.uniform(0.1, 9.0, n)
+    h = rng.uniform(0.1, 5.0, n)
+    rects = np.column_stack([cx - w, cy - h, cx + w, cy + h])
+    rows, ids = hx.h3x_cover_rects_many(rects, 2)
+    order = np.argsort(rows, kind="stable")
+    ro, io = rows[order], ids[order]
+    st = np.searchsorted(ro, np.arange(n))
+    en = np.searchsorted(ro, np.arange(n), side="right")
+    for i in range(n):
+        px = np.r_[rng.uniform(rects[i, 0], rects[i, 2], 40),
+                   rects[i, 0], rects[i, 2]]
+        py = np.r_[rng.uniform(rects[i, 1], rects[i, 3], 40),
+                   rects[i, 1], rects[i, 3]]
+        keys = hx.h3x_cell(np.clip(px, -179.999999, 179.999999),
+                           np.clip(py, -89.9, 89.9), 2)
+        assert np.isin(keys, io[st[i]:en[i]]).all(), i
+
+
+def test_h3x_cover_rects_many_matches_needs_of_single():
+    """Single-rect path still a superset after the wrap fix."""
+    from engine.geo import hexsphere as hx
+
+    rng = np.random.default_rng(17)
+    for _ in range(30):
+        lo = rng.uniform(-185, 175)
+        la = rng.uniform(-70, 60)
+        rect = (lo, la, lo + rng.uniform(0.5, 12), la + rng.uniform(0.5, 8))
+        cov = hx.h3x_cover_rect(*rect, 3)
+        px = rng.uniform(rect[0], rect[2], 50)
+        py = rng.uniform(rect[1], rect[3], 50)
+        keys = hx.h3x_cell(np.clip(px, -179.999999, 179.999999),
+                           np.clip(py, -89.9, 89.9), 3)
+        assert np.isin(keys, cov).all()
+
+
+def test_bbox_cover_keys_vectorized_matches_brute():
+    from engine.rayds import celljoin as cj
+
+    rng = np.random.default_rng(19)
+    n = 50
+    cx = rng.uniform(0, 100, n)
+    cy = rng.uniform(0, 100, n)
+    w = rng.uniform(0.1, 20.0, n)
+    bounds = np.column_stack([cx - w, cy - w, cx + w, cy + w])
+    bounds[7] = np.nan
+    key_fn = lambda x, y: cj._hex_key(x, y, 7)
+    rows, keys = cj._bbox_cover_keys(bounds, key_fn)
+    # brute: per-bbox meshgrid + unique
+    c = cj.S2_SNAP
+    for i in range(n):
+        if np.isnan(bounds[i, 0]):
+            assert (rows != i).all()
+            continue
+        xs = (np.arange(int(np.floor(bounds[i, 0] / c)),
+                        int(np.floor(bounds[i, 2] / c)) + 1) + 0.5) * c
+        ys = (np.arange(int(np.floor(bounds[i, 1] / c)),
+                        int(np.floor(bounds[i, 3] / c)) + 1) + 0.5) * c
+        gx, gy = np.meshgrid(xs, ys)
+        want = np.unique(key_fn(gx.reshape(-1), gy.reshape(-1)))
+        got = np.sort(keys[rows == i])
+        assert np.array_equal(got, want), i
