@@ -299,3 +299,56 @@ def test_bbox_cover_keys_vectorized_matches_brute():
         want = np.unique(key_fn(gx.reshape(-1), gy.reshape(-1)))
         got = np.sort(keys[rows == i])
         assert np.array_equal(got, want), i
+
+
+# ------------------------------------------- generic bulk STRtree.nearest
+
+def test_strtree_bulk_nearest_polygon_tree_parity():
+    """Bulk nearest on a NON-boxlike tree (triangles) must equal the
+    scalar best-first walk — the r4 scalar-fallback gap."""
+    from engine.geo import from_wkt
+    from engine.geo.geom import Geom
+    from engine.geo.strtree import STRtree
+
+    rng = np.random.default_rng(23)
+    polys = []
+    for _ in range(400):
+        cx, cy = rng.uniform(0, 50, 2)
+        a = rng.uniform(0, 2 * np.pi, 3)
+        r = rng.uniform(0.2, 1.0, 3)
+        xs = cx + r * np.cos(a)
+        ys = cy + r * np.sin(a)
+        polys.append(from_wkt(
+            f"POLYGON(({xs[0]} {ys[0]},{xs[1]} {ys[1]},"
+            f"{xs[2]} {ys[2]},{xs[0]} {ys[0]}))"))
+    tree = STRtree(polys)
+    pts = [Geom.point(float(x), float(y))
+           for x, y in rng.uniform(0, 50, (300, 2))]
+    # include points inside polygons (interior-zero path)
+    for i in range(0, 60, 3):
+        b = polys[i].bounds
+        pts.append(Geom.point((b[0] + b[2]) / 2, (b[1] + b[3]) / 2))
+    got = tree.nearest(pts)
+    exp = np.array([tree._nearest_one(g, all_matches=False)[0][0]
+                    for g in pts])
+    assert np.array_equal(got, exp)
+
+
+def test_strtree_bulk_nearest_mixed_tree_and_line_queries():
+    from engine.geo import from_wkt
+    from engine.geo.strtree import STRtree
+
+    rng = np.random.default_rng(29)
+    mixed = (
+        [from_wkt(f"POINT({x} {y})") for x, y in rng.uniform(0, 40, (60, 2))]
+        + [from_wkt(f"LINESTRING({x} {y},{x+2} {y+1})")
+           for x, y in rng.uniform(0, 38, (60, 2))]
+        + [from_wkt(f"POLYGON(({x} {y},{x+1} {y},{x+1} {y+1},{x} {y}))")
+           for x, y in rng.uniform(0, 39, (60, 2))])
+    tree = STRtree(mixed)
+    queries = [from_wkt(f"LINESTRING({x} {y},{x+0.5} {y+2})")
+               for x, y in rng.uniform(0, 38, (50, 2))]
+    got = tree.nearest(queries)
+    exp = np.array([tree._nearest_one(g, all_matches=False)[0][0]
+                    for g in queries])
+    assert np.array_equal(got, exp)
