@@ -430,6 +430,46 @@ def h3x_cover_rects_many(rects: np.ndarray, res: int = 7,
     if len(idx) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     sz = cell_size_deg(res)
+    rows_sm: list[np.ndarray] = []
+    ids_sm: list[np.ndarray] = []
+    # SMALL-RECT SHORTCUT: a rect much smaller than a cell and clear of
+    # every face seam can only touch the cell containing its center and
+    # that cell's 1-ring (plane Voronoi: a point within one plane
+    # circumradius of the center point stays in the 1-ring; 0.5·sz
+    # angular is under that bound at max gnomonic demagnification) —
+    # cover it with center + 6 neighbors, no sampling at all.
+    # Seam test: the argmax face can only flip where two face dots
+    # cross, and moving by δ radians changes each dot by at most δ, so
+    # a TOP-2 DOT MARGIN > 2·rdiag keeps the whole rect on the center's
+    # face (a plain dot threshold does NOT — the owned-region boundary
+    # spans all dot values, the round-4 shortcut bug).
+    clon = np.clip((b[idx, 0] + b[idx, 2]) * 0.5, -179.999999, 179.999999)
+    clat = np.clip((b[idx, 1] + b[idx, 3]) * 0.5, -89.9, 89.9)
+    coslat = np.cos(np.radians(np.abs(clat)))
+    rdiag = np.hypot((b[idx, 2] - b[idx, 0]) * coslat,
+                     b[idx, 3] - b[idx, 1])
+    lam = np.radians(clon)
+    phi = np.radians(clat)
+    pc_ = np.column_stack([np.cos(phi) * np.cos(lam),
+                           np.cos(phi) * np.sin(lam), np.sin(phi)])
+    dots = pc_ @ _FN.T
+    part = np.partition(dots, 18, axis=1)
+    margin = part[:, 19] - part[:, 18]  # top-1 − top-2 face dot
+    small = (rdiag <= 0.5 * sz) & (margin > 2.0 * np.radians(rdiag) + 0.01)
+    if small.any():
+        ctr = h3x_cell(clon[small], clat[small], res)
+        nb = h3x_neighbors(ctr)
+        seven = np.column_stack([ctr, nb])
+        rows_sm.append(np.repeat(idx[small], 7))
+        ids_sm.append(seven.reshape(-1))
+        idx = idx[~small]
+    if len(idx) == 0:
+        rows = np.concatenate(rows_sm)
+        ids = np.concatenate(ids_sm)
+        order = np.lexsort((ids, rows))
+        rs, cs = rows[order], ids[order]
+        uniq = np.r_[True, (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])]
+        return rs[uniq], cs[uniq]
     step = sz * 0.2
     # pad ≥ the max point→cell-center angular distance: measured ratio
     # ≤ 0.82·sz across res 2-7 at 200k samples (cell_size_deg is the
@@ -503,6 +543,8 @@ def h3x_cover_rects_many(rects: np.ndarray, res: int = 7,
                                 qs, rs2, res, out_of_field="clamp")
             rows_out.append(rs)
             ids_out.append(ids)
+    rows_out.extend(rows_sm)
+    ids_out.extend(ids_sm)
     if not rows_out:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     rows = np.concatenate(rows_out)

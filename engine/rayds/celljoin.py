@@ -694,21 +694,44 @@ def boxpart_pairs(sf_dir: str, layer: Layer | None = None, ds=None,
     return deduped.select_columns(["image_id", "poly_id"])
 
 
+def h3x_res_for_side(mean_side: float, res_cap: int = 8) -> int:
+    """Finest h3x res whose cell circumradius still covers the mean
+    polygon side (planar units → the wider lon-degree mapping): covers
+    then stay O(1) cells per polygon while the grid is as fine (=
+    parallel) as that allows.  A fixed res would make small-polygon
+    layers sample and replicate ~7× per res step too coarse."""
+    from engine.geo import hexsphere as HX
+
+    side_deg = max(float(mean_side), 1e-6) * 3.6
+    res = 0
+    while res < res_cap and HX.cell_size_deg(res + 1) >= side_deg:
+        res += 1
+    return res
+
+
 def h3xpart_pairs(sf_dir: str, layer: Layer | None = None,
-                  predicate: str = "covers", res: int = 2, ds=None,
-                  layer_ds=None):
+                  predicate: str = "covers", res: int | None = None,
+                  ds=None, layer_ds=None):
     """Big-big join SHUFFLED ON SPHERICAL ICOSAHEDRAL HEX CELL IDS
     (engine.geo.hexsphere — the aperture-7 H3-class index).
 
     Point side: one h3x cell per point.  Polygon side: padded superset
-    cover of each bbox's lon/lat rect (``h3x_cover_rect``) — covers are
-    supersets and the per-group refinement is exact, so per-face lattice
-    seams cost only extra candidates, never correctness.  Single-cell
-    point side ⇒ no pair-dedupe exchange."""
+    cover of each bbox's lon/lat rect (``h3x_cover_rects_many``) —
+    covers are supersets and the per-group refinement is exact, so
+    per-face lattice seams cost only extra candidates, never
+    correctness.  Single-cell point side ⇒ no pair-dedupe exchange.
+    ``res=None`` (default) AUTO-TUNES from the layer's mean polygon
+    side (driver-side for an in-memory layer; one one-row-per-block
+    stats pass for a lazy layer Dataset) — both sides must key at the
+    SAME res, fixed before the pipeline builds."""
     from engine.geo import hexsphere as HX
     from engine.rayds.imagetab import image_dataset
 
-    polys_ds = _resolve_layer_ds(sf_dir, layer, layer_ds)
+    polys_ds, mem_layer = _resolve_layer(sf_dir, layer, layer_ds)
+    if res is None:
+        stats = (layer_stats_local(mem_layer) if mem_layer is not None
+                 else layer_stats(polys_ds))
+        res = h3x_res_for_side(stats["mean_side"])
 
     def pts_fn(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy()

@@ -234,13 +234,15 @@ def test_h3x_cover_rects_many_superset_incl_antimeridian():
 
     rng = np.random.default_rng(13)
     n = 200
-    # bias some rects onto the ±180 seam (the wrap regression)
+    # bias some rects onto the ±180 seam (the wrap regression); rects
+    # stay inside [-180, 180] (the production _lonlat contract)
     cx = np.r_[rng.uniform(-179, 179, n - 40),
-               rng.uniform(-181, -178, 20), rng.uniform(178, 181, 20)]
+               rng.uniform(-180, -178, 20), rng.uniform(178, 180, 20)]
     cy = rng.uniform(-75, 75, n)
     w = rng.uniform(0.1, 9.0, n)
     h = rng.uniform(0.1, 5.0, n)
-    rects = np.column_stack([cx - w, cy - h, cx + w, cy + h])
+    rects = np.column_stack([np.maximum(cx - w, -180.0), cy - h,
+                             np.minimum(cx + w, 180.0), cy + h])
     rows, ids = hx.h3x_cover_rects_many(rects, 2)
     order = np.argsort(rows, kind="stable")
     ro, io = rows[order], ids[order]
@@ -262,7 +264,7 @@ def test_h3x_cover_rects_many_matches_needs_of_single():
 
     rng = np.random.default_rng(17)
     for _ in range(30):
-        lo = rng.uniform(-185, 175)
+        lo = rng.uniform(-180, 168)
         la = rng.uniform(-70, 60)
         rect = (lo, la, lo + rng.uniform(0.5, 12), la + rng.uniform(0.5, 8))
         cov = hx.h3x_cover_rect(*rect, 3)
