@@ -9503,62 +9503,102 @@ def _q_nearest_purchase(sf_dir):
     return hash_exchange_groups(ds, ["user_id"], part_fn)
 
 
+_ZORDER_CHUNK = 128  # logical rows per layout chunk
+
+
 def _q_zorder_locality(sf_dir):
     """Z-ORDER CLUSTERING EFFECTIVENESS (○ — the measured WHY behind
-    zorder_top100/zorder_range_scan): images land in equal-size blocks
-    under (a) arrival order and (b) Morton order, and each layout
-    reports its mean per-block bounding-box area — the quantity that
-    decides how many row-groups a spatial range scan can skip.  Per
-    layout: one pass computing per-block bboxes (Ray native sort for
-    the Morton layout), tiny fold.  The pytest pins sorted ≪ unsorted;
-    no SQL oracle (the statistic depends on physical block
-    boundaries, which SQL cannot see)."""
+    zorder_top100/zorder_range_scan): images land in LOGICAL 512-row
+    chunks under (a) arrival order (chunk = arrival index // C) and
+    (b) Morton order (chunk = z-rank // C, C = _ZORDER_CHUNK); each
+    layout reports its
+    mean per-chunk bounding-box area — the quantity that decides how
+    many row-groups a spatial range scan can skip.  Logical chunks
+    (not physical Ray blocks) keep the statistic DETERMINISTIC —
+    physical block boundaries drift with Ray's load-dependent split
+    decisions.  Plan: one streaming pass folds the (z, seq) pairs
+    (2 int64s per row, budget-guarded) and broadcasts the z-rank
+    permutation; each layout is then ONE distributed combiner-first
+    grouped min/max + tiny fold.  Past the budget the Morton chunks
+    fall back to fixed z-prefix tiles (rank-free, fully distributed).
+    No SQL oracle (the statistic depends on the engine's chunking
+    rule, which SQL cannot see)."""
+    import ray
     import ray.data
 
     from engine.ops.zorder import morton2
     from engine.rayds import imagetab
-    from engine.rayds.shuffle import tree_fold_refs
+    from engine.rayds.shuffle import grouped_agg
 
     enc = imagetab.image_dataset(sf_dir).select_columns(
         ["image_id", "x", "y"])
 
     def add_z(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         xi = np.floor(t["x"].to_numpy() * 100.0).astype(np.int64)
         yi = np.floor(t["y"].to_numpy() * 100.0).astype(np.int64)
-        return pa.table({"x": t["x"], "y": t["y"],
+        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 32),
+                      pa.int64())
+        return pa.table({"x": t["x"], "y": t["y"], "seq": seq,
                          "z": pa.array(morton2(xi, yi))})
 
     zd = enc.map_batches(add_z, batch_format="pyarrow",
-                         batch_size=None, zero_copy_batch=True)
+                         batch_size=None,
+                         zero_copy_batch=True).materialize()
 
-    def bboxes(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"area": pa.array([], type=pa.float64()),
-                             "one": pa.array([], type=pa.int64())})
-        x = t["x"].to_numpy()
-        y = t["y"].to_numpy()
-        area = float((x.max() - x.min()) * (y.max() - y.min()))
-        return pa.table({"area": pa.array([area], type=pa.float64()),
-                         "one": pa.array([1], type=pa.int64())})
+    budget_ok = True
+    zs, seqs, tot = [], [], 0
+    for b in zd.select_columns(["z", "seq"]).iter_batches(
+            batch_format="pyarrow"):
+        zs.append(b["z"].to_numpy())
+        seqs.append(b["seq"].to_numpy())
+        tot += len(b)
+        if tot > _FOLD_BUDGET:
+            budget_ok = False
+            break
+    rref = None
+    if budget_ok:
+        za = np.concatenate(zs) if zs else np.empty(0, np.int64)
+        sa = np.concatenate(seqs) if seqs else np.empty(0, np.int64)
+        order = np.lexsort((sa, za))
+        chunk_by_seq = np.empty(len(sa), dtype=np.int64)
+        chunk_by_seq[sa[order]] = (np.arange(len(sa), dtype=np.int64)
+                                   // _ZORDER_CHUNK)
+        rref = ray.put(chunk_by_seq)
 
-    def layout_stat(ds, label):
-        f = tree_fold_refs(
-            ds.map_batches(bboxes, batch_format="pyarrow",
-                           batch_size=512),
-            lambda tbls: pa.concat_tables(tbls))
-        import pyarrow.compute as pc
+    def chunks(t: pa.Table) -> pa.Table:
+        seq = t["seq"].to_numpy()
+        if rref is not None:
+            from engine.rayds.bcast import cached
 
-        n = int(pc.sum(f["one"]).as_py() or 0)
-        tot = float(pc.sum(f["area"]).as_py() or 0.0)
+            cm = cached(rref)[seq]
+        else:  # rank-free fallback: fixed z-prefix spatial tiles
+            cm = t["z"].to_numpy() >> 14
+        return pa.table({"x": t["x"], "y": t["y"],
+                         "ca": pa.array(seq // _ZORDER_CHUNK),
+                         "cm": pa.array(cm)})
+
+    ck = zd.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+    def layout_stat(key, label):
+        agg = grouped_agg(
+            ck.select_columns([key, "x", "y"]), [key],
+            [("x", "min"), ("x", "max"), ("y", "min"), ("y", "max")],
+            ["x0", "x1", "y0", "y1"], plan="tree")
+        t = pa.concat_tables(
+            [b for b in agg.iter_batches(batch_format="pyarrow")])
+        area = ((t["x1"].to_numpy() - t["x0"].to_numpy())
+                * (t["y1"].to_numpy() - t["y0"].to_numpy()))
+        n = len(area)
         return pa.table({
             "layout": pa.array([label]),
             "n_blocks": pa.array([n], type=pa.int64()),
             "mean_bbox_area": pa.array(
-                [tot / n if n else 0.0], type=pa.float64())})
+                [float(area.mean()) if n else 0.0], type=pa.float64())})
 
-    unsorted_stat = layout_stat(zd, "arrival")
-    sorted_stat = layout_stat(zd.sort("z"), "morton")
-    return pa.concat_tables([unsorted_stat, sorted_stat])
+    return pa.concat_tables([layout_stat("ca", "arrival"),
+                             layout_stat("cm", "morton")])
 
 
 def _q_region_simplify_stats(sf_dir):
