@@ -439,10 +439,12 @@ def h3x_cover_rects_many(rects: np.ndarray, res: int = 7,
     # angular is under that bound at max gnomonic demagnification) —
     # cover it with center + 6 neighbors, no sampling at all.
     # Seam test: the argmax face can only flip where two face dots
-    # cross, and moving by δ radians changes each dot by at most δ, so
-    # a TOP-2 DOT MARGIN > 2·rdiag keeps the whole rect on the center's
-    # face (a plain dot threshold does NOT — the owned-region boundary
-    # spans all dot values, the round-4 shortcut bug).
+    # cross, and moving by δ radians from the center changes each dot
+    # by at most δ (unit gradient), so any rect point (δ ≤ rdiag/2)
+    # shifts the top-2 difference by at most 2·(rdiag/2) = rdiag — a
+    # TOP-2 DOT MARGIN > rdiag keeps the whole rect on the center's
+    # face.  (A plain dot threshold does NOT — the owned-region
+    # boundary spans all dot values, the round-4 shortcut bug.)
     clon = np.clip((b[idx, 0] + b[idx, 2]) * 0.5, -179.999999, 179.999999)
     clat = np.clip((b[idx, 1] + b[idx, 3]) * 0.5, -89.9, 89.9)
     coslat = np.cos(np.radians(np.abs(clat)))
@@ -455,7 +457,7 @@ def h3x_cover_rects_many(rects: np.ndarray, res: int = 7,
     dots = pc_ @ _FN.T
     part = np.partition(dots, 18, axis=1)
     margin = part[:, 19] - part[:, 18]  # top-1 − top-2 face dot
-    small = (rdiag <= 0.5 * sz) & (margin > 2.0 * np.radians(rdiag) + 0.01)
+    small = (rdiag <= 0.5 * sz) & (margin > np.radians(rdiag) + 0.005)
     if small.any():
         ctr = h3x_cell(clon[small], clat[small], res)
         nb = h3x_neighbors(ctr)
