@@ -406,7 +406,29 @@ def main():
             t0 = time.perf_counter()
             n_pairs = cellpart_pairs(SF_DIR, layer_ds=lds, ds=pts).count()
             secs = time.perf_counter() - t0
+            rss1 = _rss_mb()  # read BEFORE the alt runs: the O(1)
+            # driver claim is about the cellpart join itself
             n_pts = pts.count()
+            # r5: the S2- and spherical-hex-keyed plans handle the same
+            # Dataset-only dense layer (vectorized cover-explode);
+            # identical pair counts cross-validate the three plans
+            alt = {}
+            if os.environ.get("GRAFT_DENSE_ALL", "1") != "0":
+                from engine.rayds.celljoin import (h3xpart_pairs,
+                                                   s2part_pairs)
+
+                for label, fn in (("s2part", s2part_pairs),
+                                  ("h3xpart", h3xpart_pairs)):
+                    lds2 = dense_layer_dataset(n_polys=n_polys, verts=8,
+                                               radius=0.25,
+                                               parallelism=64)
+                    ta = time.perf_counter()
+                    npair2 = fn(SF_DIR, layer_ds=lds2, ds=pts).count()
+                    alt[label] = {
+                        "secs": round(time.perf_counter() - ta, 3),
+                        "n_pairs": npair2,
+                        "pairs_match": npair2 == n_pairs,
+                    }
             print(json.dumps({
                 "metric": "dense_layer_cellpart_join",
                 "unit": "sec",
@@ -416,7 +438,8 @@ def main():
                 "n_pairs": n_pairs,
                 "rows_per_sec": round((n_pts + n_polys) / secs, 1),
                 "driver_rss_mb_before": round(rss0, 1),
-                "driver_rss_mb_after": round(_rss_mb(), 1),
+                "driver_rss_mb_after": round(rss1, 1),
+                "alt_plans": alt,
                 "num_cpus": NUM_CPUS, "sf": SF_DIR,
             }))
         finally:
