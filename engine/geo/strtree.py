@@ -547,29 +547,22 @@ class STRtree:
         self._decomp_csr_cache = (segs, soff, ppts, poff, has_poly)
         return self._decomp_csr_cache
 
-    def _nearest_bulk_generic(self, geoms) -> np.ndarray | None:
-        """Bulk nearest for ARBITRARY query / tree geometries (the path
-        VERDICT r4 flagged as a ~100× scalar fallback).
-
-        Phase 1 (vectorized): chunked bbox MIN- and MAX-distance
-        matrices.  u(q) = min over items of max box distance upper-
-        bounds the true nearest distance (any pair of member points is
-        at most that far apart), so items with bbox min-dist > u can
-        never win — surviving candidate pairs are typically O(1) per
-        query.  Phase 2 (exact): point queries evaluate VECTORIZED per
-        tree item (seg/point kernels + ray-cast interior test); other
-        query types run the scalar exact distance only on candidates,
-        cheapest-bound first with best-so-far pruning.  Tie-break:
-        lowest tree index within the 1e-12 tolerance, matching
-        ``_nearest_one``.  Returns None when the bound matrices don't
-        apply (non-finite bounds, oversized tree)."""
+    def _bbox_candidates(self, geoms, cap: float | None = None):
+        """Phase 1 of the bulk nearest paths: chunked bbox MIN- and
+        MAX-distance matrices → candidate (query, item-position) pairs.
+        u(q) = min over items of max box distance upper-bounds the true
+        nearest distance, so items with bbox min-dist > min(u, cap)
+        can never match.  Returns (qb, cq, ct, cm) or None when the
+        matrices don't apply (empty/oversized tree, non-finite
+        bounds)."""
         b = self._item_boxes
         nt = len(b)
         if nt == 0 or nt > 65536:
             return None
         qb = np.asarray([g.bounds for g in geoms], dtype=np.float64)
-        if not np.isfinite(qb).all():
+        if len(qb) and not np.isfinite(qb).all():
             return None
+        qb = qb.reshape(-1, 4)
         nq = len(qb)
         b0, b1, b2, b3 = (np.ascontiguousarray(b[:, k]) for k in range(4))
         cq_l, ct_l, cm_l = [], [], []
@@ -589,72 +582,104 @@ class STRtree:
             my = np.maximum(b3[None, :] - q1, q3 - b1[None, :])
             maxd2 = mx * mx + my * my
             u = np.sqrt(maxd2.min(axis=1)) + 1e-12
+            if cap is not None:
+                u = np.minimum(u, float(cap) + 1e-12)
             mask = mind2 <= (u * u)[:, None]
             qq, tt = np.nonzero(mask)
             cq_l.append(qq + s)
             ct_l.append(tt)
             cm_l.append(mind2[qq, tt])
-        cq = np.concatenate(cq_l)
-        ct = np.concatenate(ct_l)
-        cm = np.concatenate(cm_l)
+        cq = np.concatenate(cq_l) if cq_l else np.empty(0, dtype=np.int64)
+        ct = np.concatenate(ct_l) if ct_l else np.empty(0, dtype=np.int64)
+        cm = np.concatenate(cm_l) if cm_l else np.empty(0)
+        return qb, cq, ct, cm
+
+    def _eval_point_pairs(self, qb, cq, ct) -> np.ndarray:
+        """Exact point-to-item distances for candidate pairs — flat
+        seg/point kernel calls over the per-tree CSR decomposition
+        cache; interior ray casts only where a point lies inside a
+        polygonal item's bbox (outside, boundary distance IS the
+        distance)."""
+        segs, soff, ppts, poff, has_poly = self._decomp_csr()
+        b = self._item_boxes
+        b0, b1, b2, b3 = (np.ascontiguousarray(b[:, k]) for k in range(4))
+        px = qb[cq, 0]
+        py = qb[cq, 1]
+        dvals = np.full(len(cq), np.inf)
+        # flat point-vs-seg distances over ALL candidate pairs at once:
+        # pair p expands to its item's seg rows (CSR), one kernel call,
+        # min.reduceat back per pair
+        ns = soff[ct + 1] - soff[ct]
+        tot = int(ns.sum())
+        if tot:
+            rep = np.repeat(np.arange(len(cq), dtype=np.int64), ns)
+            csum = np.cumsum(ns) - ns
+            sidx = (np.repeat(soff[ct], ns)
+                    + np.arange(tot, dtype=np.int64)
+                    - np.repeat(csum, ns))
+            d2 = core.point_seg_dist2(
+                px[rep], py[rep], segs[sidx, 0], segs[sidx, 1],
+                segs[sidx, 2], segs[sidx, 3])
+            hasr = ns > 0
+            starts = csum[hasr]
+            dvals[hasr] = np.minimum.reduceat(d2, starts) \
+                if len(starts) else dvals[hasr]
+        npt = poff[ct + 1] - poff[ct]
+        tot = int(npt.sum())
+        if tot:
+            rep = np.repeat(np.arange(len(cq), dtype=np.int64), npt)
+            csum = np.cumsum(npt) - npt
+            pidx = (np.repeat(poff[ct], npt)
+                    + np.arange(tot, dtype=np.int64)
+                    - np.repeat(csum, npt))
+            d2 = ((px[rep] - ppts[pidx, 0]) ** 2
+                  + (py[rep] - ppts[pidx, 1]) ** 2)
+            hasr = npt > 0
+            starts = csum[hasr]
+            if len(starts):
+                dvals[hasr] = np.minimum(
+                    dvals[hasr], np.minimum.reduceat(d2, starts))
+        dvals = np.sqrt(dvals)
+        need = (has_poly[ct] & (px >= b0[ct]) & (px <= b2[ct])
+                & (py >= b1[ct]) & (py <= b3[ct]) & (dvals > 0))
+        if need.any():
+            from engine.geo.relate import Decomp
+
+            ni = np.nonzero(need)[0]
+            for pos in np.unique(ct[ni]):
+                m = ni[ct[ni] == pos]
+                dec = Decomp(self.geometries[int(self._item_idx[pos])])
+                inside = np.zeros(len(m), dtype=bool)
+                for rings in dec.polys:
+                    inside |= core.points_in_rings(px[m], py[m],
+                                                   rings) > 0
+                dvals[m[inside]] = 0.0
+        return dvals
+
+    def _nearest_bulk_generic(self, geoms) -> np.ndarray | None:
+        """Bulk nearest for ARBITRARY query / tree geometries (the path
+        VERDICT r4 flagged as a ~100× scalar fallback).
+
+        Phase 1 (vectorized): chunked bbox MIN- and MAX-distance
+        matrices.  u(q) = min over items of max box distance upper-
+        bounds the true nearest distance (any pair of member points is
+        at most that far apart), so items with bbox min-dist > u can
+        never win — surviving candidate pairs are typically O(1) per
+        query.  Phase 2 (exact): point queries evaluate VECTORIZED per
+        tree item (seg/point kernels + ray-cast interior test); other
+        query types run the scalar exact distance only on candidates,
+        cheapest-bound first with best-so-far pruning.  Tie-break:
+        lowest tree index within the 1e-12 tolerance, matching
+        ``_nearest_one``.  Returns None when the bound matrices don't
+        apply (non-finite bounds, oversized tree)."""
+        cand = self._bbox_candidates(geoms)
+        if cand is None:
+            return None
+        qb, cq, ct, cm = cand
+        nq = len(qb)
         out = np.full(nq, -1, dtype=np.int64)
         if all(g.type_id == GeomType.POINT for g in geoms):
-            segs, soff, ppts, poff, has_poly = self._decomp_csr()
-            px = qb[cq, 0]
-            py = qb[cq, 1]
-            dvals = np.full(len(cq), np.inf)
-            # flat point-vs-seg distances over ALL candidate pairs at
-            # once: pair p expands to its item's seg rows (CSR), one
-            # kernel call, min.reduceat back per pair
-            ns = soff[ct + 1] - soff[ct]
-            tot = int(ns.sum())
-            if tot:
-                rep = np.repeat(np.arange(len(cq), dtype=np.int64), ns)
-                csum = np.cumsum(ns) - ns
-                sidx = (np.repeat(soff[ct], ns)
-                        + np.arange(tot, dtype=np.int64)
-                        - np.repeat(csum, ns))
-                d2 = core.point_seg_dist2(
-                    px[rep], py[rep], segs[sidx, 0], segs[sidx, 1],
-                    segs[sidx, 2], segs[sidx, 3])
-                hasr = ns > 0
-                starts = csum[hasr]
-                dvals[hasr] = np.minimum.reduceat(d2, starts) \
-                    if len(starts) else dvals[hasr]
-            npt = poff[ct + 1] - poff[ct]
-            tot = int(npt.sum())
-            if tot:
-                rep = np.repeat(np.arange(len(cq), dtype=np.int64), npt)
-                csum = np.cumsum(npt) - npt
-                pidx = (np.repeat(poff[ct], npt)
-                        + np.arange(tot, dtype=np.int64)
-                        - np.repeat(csum, npt))
-                d2 = ((px[rep] - ppts[pidx, 0]) ** 2
-                      + (py[rep] - ppts[pidx, 1]) ** 2)
-                hasr = npt > 0
-                starts = csum[hasr]
-                if len(starts):
-                    dvals[hasr] = np.minimum(
-                        dvals[hasr], np.minimum.reduceat(d2, starts))
-            dvals = np.sqrt(dvals)
-            # interior test only where it can matter: point inside a
-            # polygonal item's bbox (outside, boundary distance is the
-            # true distance) — per-item ray casts over few pairs
-            need = (has_poly[ct] & (px >= b0[ct]) & (px <= b2[ct])
-                    & (py >= b1[ct]) & (py <= b3[ct]) & (dvals > 0))
-            if need.any():
-                from engine.geo.relate import Decomp
-
-                ni = np.nonzero(need)[0]
-                for pos in np.unique(ct[ni]):
-                    m = ni[ct[ni] == pos]
-                    dec = Decomp(
-                        self.geometries[int(self._item_idx[pos])])
-                    inside = np.zeros(len(m), dtype=bool)
-                    for rings in dec.polys:
-                        inside |= core.points_in_rings(
-                            px[m], py[m], rings) > 0
-                    dvals[m[inside]] = 0.0
+            dvals = self._eval_point_pairs(qb, cq, ct)
             sel = np.lexsort((ct, dvals, cq))
             qs2, ds2, ts2 = cq[sel], dvals[sel], ct[sel]
             first = np.flatnonzero(np.r_[True, qs2[1:] != qs2[:-1]])
@@ -691,6 +716,76 @@ class STRtree:
             out[qi] = min(ok) if ok else -1
         return out
 
+    def _query_nearest_points_bulk(self, geoms, max_distance,
+                                   exclusive, all_matches):
+        """Bulk ``query_nearest`` for point queries: the same candidate
+        prune + flat exact evaluation as the bulk ``nearest``, with the
+        cap folded into the bound (fewer candidates), ``exclusive``
+        resolved by scalar equals only on distance-0 pairs, and the
+        full tie SET per query kept (matches ``_nearest_one``: all
+        items within 1e-12 of the best, reported at the best
+        distance).  Returns (in_idx, tr_idx, dists) or None."""
+        cand = self._bbox_candidates(geoms, cap=max_distance)
+        if cand is None:
+            return None
+        qb, cq, ct, _cm = cand
+        dvals = self._eval_point_pairs(qb, cq, ct)
+        if max_distance is not None:
+            keep = dvals <= float(max_distance)
+            cq, ct, dvals = cq[keep], ct[keep], dvals[keep]
+        affected: np.ndarray = np.empty(0, dtype=np.int64)
+        if exclusive and len(cq):
+            zero = np.nonzero(dvals <= 1e-12)[0]
+            if len(zero):
+                drop = np.zeros(len(cq), dtype=bool)
+                for k in zero:
+                    tg = self.geometries[int(self._item_idx[int(ct[k])])]
+                    if R.equals(geoms[int(cq[k])], tg):
+                        drop[k] = True
+                if drop.any():
+                    # an equal item tightened u(q) before being
+                    # excluded, so its query's OTHER true matches may
+                    # have been pruned — recompute those queries with
+                    # the scalar walk (few; only equal-geometry hits)
+                    affected = np.unique(cq[drop])
+                    keep = ~np.isin(cq, affected)
+                    cq, ct, dvals = cq[keep], ct[keep], dvals[keep]
+        out_q: list[np.ndarray] = []
+        out_t: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        if len(cq):
+            sel = np.lexsort((ct, dvals, cq))
+            qs, ds, ts = cq[sel], dvals[sel], ct[sel]
+            first = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+            runid = np.cumsum(np.r_[True, qs[1:] != qs[:-1]]) - 1
+            best = ds[first][runid]
+            okm = ds <= best + 1e-12
+            qs, ts, best = qs[okm], ts[okm], best[okm]
+            if not all_matches:
+                # lexsort put ties in ascending item-position order, so
+                # the first row per query is the lowest tree index
+                first2 = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+                qs, ts, best = qs[first2], ts[first2], best[first2]
+            out_q.append(qs)
+            out_t.append(self._item_idx[ts])
+            out_d.append(best)
+        for qi in affected:
+            m, d = self._nearest_one(
+                geoms[int(qi)], max_distance=max_distance,
+                exclusive=True, all_matches=all_matches)
+            if m:
+                out_q.append(np.full(len(m), qi, dtype=np.int64))
+                out_t.append(np.asarray(m, dtype=np.int64))
+                out_d.append(np.full(len(m), d))
+        if not out_q:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64), np.empty(0))
+        qs = np.concatenate(out_q)
+        ts = np.concatenate(out_t)
+        ds = np.concatenate(out_d)
+        order = np.lexsort((ts, qs))
+        return qs[order], ts[order], ds[order]
+
     def query_nearest(
         self,
         geometry,
@@ -718,12 +813,29 @@ class STRtree:
         if all_matches not in {True, False}:
             raise ValueError("all_matches parameter must be boolean")
         scalar, geoms = _coerce_geoms(geometry)
+        live = [(ii, g) for ii, g in enumerate(geoms)
+                if g is not None and not g.is_empty]
+        if (
+            not scalar
+            and len(live) >= 8
+            and len(self._item_idx)
+            and all(g.type_id == GeomType.POINT for _, g in live)
+        ):
+            bulk = self._query_nearest_points_bulk(
+                [g for _, g in live], max_distance, exclusive,
+                all_matches)
+            if bulk is not None:
+                bq, bt, bd = bulk
+                remap = np.asarray([ii for ii, _ in live],
+                                   dtype=np.int64)
+                idx = np.array([remap[bq], bt], dtype=np.int64)
+                if return_distance:
+                    return idx, np.asarray(bd)
+                return idx
         in_idx: list[int] = []
         tr_idx: list[int] = []
         dists: list[float] = []
-        for ii, g in enumerate(geoms):
-            if g is None or g.is_empty:
-                continue
+        for ii, g in live:
             m, d = self._nearest_one(
                 g, max_distance=max_distance, exclusive=exclusive, all_matches=all_matches
             )

@@ -354,3 +354,63 @@ def test_strtree_bulk_nearest_mixed_tree_and_line_queries():
     exp = np.array([tree._nearest_one(g, all_matches=False)[0][0]
                     for g in queries])
     assert np.array_equal(got, exp)
+
+
+def test_query_nearest_bulk_parity():
+    """Bulk point query_nearest == the scalar walk across max_distance,
+    all_matches, and exclusive (incl. equal-geometry exclusion whose
+    pruning bound must not orphan a query's other matches)."""
+    from engine.geo import from_wkt
+    from engine.geo.geom import Geom
+    from engine.geo.strtree import STRtree
+
+    rng = np.random.default_rng(31)
+    polys = []
+    for _ in range(300):
+        cx, cy = rng.uniform(0, 40, 2)
+        a = rng.uniform(0, 2 * np.pi, 3)
+        r = rng.uniform(0.2, 1.0, 3)
+        xs = cx + r * np.cos(a)
+        ys = cy + r * np.sin(a)
+        polys.append(from_wkt(
+            f"POLYGON(({xs[0]} {ys[0]},{xs[1]} {ys[1]},"
+            f"{xs[2]} {ys[2]},{xs[0]} {ys[0]}))"))
+    tree = STRtree(polys)
+    pts = [Geom.point(float(x), float(y))
+           for x, y in rng.uniform(0, 40, (200, 2))]
+
+    def scalar(**kw):
+        ii, tt, dd = [], [], []
+        for i, g in enumerate(pts):
+            m, d = tree._nearest_one(g, **kw)
+            for t in m:
+                ii.append(i)
+                tt.append(t)
+                dd.append(d)
+        return np.array([ii, tt]), np.array(dd)
+
+    for kw in ({}, {"max_distance": 0.5}, {"all_matches": False}):
+        got, gd = tree.query_nearest(pts, return_distance=True, **kw)
+        exp, ed = scalar(max_distance=kw.get("max_distance"),
+                         all_matches=kw.get("all_matches", True))
+        assert got.shape == exp.shape and (got == exp).all()
+        assert np.allclose(gd, ed)
+
+    # exclusive: tree of points, half the queries ARE tree members
+    tp = [Geom.point(float(x), float(y))
+          for x, y in rng.uniform(0, 10, (120, 2))]
+    tree2 = STRtree(tp)
+    qs = tp[:40] + [Geom.point(float(x), float(y))
+                    for x, y in rng.uniform(0, 10, (40, 2))]
+    got, gd = tree2.query_nearest(qs, exclusive=True,
+                                  return_distance=True)
+    ii, tt, dd = [], [], []
+    for i, g in enumerate(qs):
+        m, d = tree2._nearest_one(g, exclusive=True)
+        for t in m:
+            ii.append(i)
+            tt.append(t)
+            dd.append(d)
+    exp = np.array([ii, tt])
+    assert got.shape == exp.shape and (got == exp).all()
+    assert np.allclose(gd, np.array(dd))
