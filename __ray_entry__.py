@@ -9690,6 +9690,36 @@ def _q_crossmodal_dup_clusters(sf_dir):
     return connected_components(edges)
 
 
+def _q_semivariogram(sf_dir):
+    """EMPIRICAL SEMIVARIOGRAM (Matheron estimator) of image width over
+    the geotag point field: γ(bin) = Σ(v_i−v_j)²/(2·N) for pairs with
+    distance ≤ 2.0, 8 distance bins — the classic geostatistical
+    spatial-dependence curve.  The cell-partitioned join machinery
+    serves as the PAIR GENERATOR: cell = max-lag grid, owners join
+    ring-1 replicas in ONE hash exchange, each pair counted exactly
+    once by the owner-of-smaller-id rule; per-group partials are
+    integer (bin, count, Σdv²) rows (≤ 8 per group) tree-folded
+    driver-side; the one float division per bin mirrors the SQL
+    verbatim (exact-integer sums ⇒ bit-identical doubles)."""
+    import pyarrow.compute as pc
+
+    from engine.ops.variogram import semivariogram
+    from engine.rayds.imagetab import image_dataset
+
+    def prep(t: pa.Table) -> pa.Table:
+        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 32),
+                      pa.int64())
+        return pa.table({"x": t["x"], "y": t["y"],
+                         "v": pc.cast(t["w"], pa.int64()), "id": seq})
+
+    ds = image_dataset(sf_dir).select_columns(
+        ["image_id", "x", "y", "w"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+    return semivariogram(ds, "x", "y", "v", "id", max_lag=2.0, nbins=8)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9933,6 +9963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_locality": _q_zorder_locality,
         "region_simplify_stats": _q_region_simplify_stats,
         "crossmodal_dup_clusters": _q_crossmodal_dup_clusters,
+        "semivariogram": _q_semivariogram,
     }
 
 
@@ -10129,6 +10160,32 @@ _IMG_FEATURES_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "semivariogram": f"""
+            WITH {_IMGS},
+            pts AS (
+                SELECT CAST(substr(image_id, 4) AS BIGINT) AS id, x, y,
+                       CAST(32 + (CAST(substr(image_id, 4) AS BIGINT)
+                                  % 4) * 16 AS BIGINT) AS v,
+                       CAST(floor(x / 2.0) AS BIGINT) AS cx,
+                       CAST(floor(y / 2.0) AS BIGINT) AS cy
+                FROM imgs),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            rep AS (SELECT id, x, y, v, cx + dx AS gx, cy + dy AS gy
+                    FROM pts, offs),
+            pairs AS (
+                SELECT a.v - b.v AS dv,
+                       sqrt((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)) AS d
+                FROM pts a JOIN rep b
+                  ON a.cx = b.gx AND a.cy = b.gy AND a.id < b.id)
+            SELECT least(CAST(floor(d / 0.25) AS BIGINT), 7) AS bin,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(dv * dv) AS DOUBLE) / (2.0 * COUNT(*))
+                       AS gamma
+            FROM pairs WHERE d <= 2.0
+            GROUP BY 1 ORDER BY 1
+        """,
         "cell_counts": f"""
             WITH {_IMGS}
             SELECT CAST(floor(x / 5.0) AS BIGINT) * 1048576

@@ -414,3 +414,41 @@ def test_query_nearest_bulk_parity():
     exp = np.array([ii, tt])
     assert got.shape == exp.shape and (got == exp).all()
     assert np.allclose(gd, np.array(dd))
+
+
+def test_semivariogram_brute(ray_session):
+    """Distributed semivariogram == the O(n²) driver brute force on
+    random points (pair-once rule, binning, exact integer sums)."""
+    from engine.ops.variogram import semivariogram
+
+    rng = np.random.default_rng(41)
+    n = 800
+    x = rng.uniform(0, 30, n)
+    y = rng.uniform(0, 30, n)
+    v = rng.integers(0, 100, n)
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(x), "y": pa.array(y),
+        "v": pa.array(v.astype(np.int64)), "id": pa.array(ids),
+    })).repartition(5)
+    max_lag, nbins = 3.0, 6
+    got = semivariogram(ds, "x", "y", "v", "id", max_lag, nbins) \
+        .to_pandas().set_index("bin")
+    binw = max_lag / nbins
+    cnt = np.zeros(nbins, dtype=np.int64)
+    ss = np.zeros(nbins, dtype=np.int64)
+    for i in range(n):
+        dx = x[i] - x[i + 1:]
+        dy = y[i] - y[i + 1:]
+        d = np.sqrt(dx * dx + dy * dy)
+        ok = d <= max_lag
+        db = np.minimum((d[ok] / binw).astype(np.int64), nbins - 1)
+        dv = (v[i] - v[i + 1:])[ok].astype(np.int64)
+        np.add.at(cnt, db, 1)
+        np.add.at(ss, db, dv * dv)
+    for b in range(nbins):
+        if cnt[b] == 0:
+            assert b not in got.index
+            continue
+        assert got.loc[b, "n_pairs"] == cnt[b], b
+        assert got.loc[b, "gamma"] == ss[b] / (2.0 * cnt[b]), b
