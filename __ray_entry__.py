@@ -9720,6 +9720,42 @@ def _q_semivariogram(sf_dir):
 
 
 
+def _q_ripley_k(sf_dir):
+    """RIPLEY'S K FUNCTION (point-pattern analysis): K̂(r) =
+    A·2·N(d ≤ r)/(n·(n−1)) at the 8 cumulative lag-bin edges over the
+    geotag field (A = the 100×100 world area) — clustering vs CSR
+    diagnosis, the cumulative companion of the semivariogram.  Reuses
+    the ring-1 cell pair generator (one hash exchange, pair-once rule);
+    the cumulative sum and the one float expression per bin run on the
+    8-row driver-side result, mirrored verbatim in SQL."""
+    import pyarrow.compute as pc
+
+    from engine.ops.variogram import semivariogram
+    from engine.rayds.imagetab import image_dataset
+
+    def prep(t: pa.Table) -> pa.Table:
+        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 32),
+                      pa.int64())
+        return pa.table({"x": t["x"], "y": t["y"],
+                         "v": pc.cast(t["w"], pa.int64()), "id": seq})
+
+    base = image_dataset(sf_dir).select_columns(
+        ["image_id", "x", "y", "w"])
+    ds = base.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    sv = semivariogram(ds, "x", "y", "v", "id", max_lag=2.0, nbins=8)
+    n = base.count()
+    counts = np.zeros(8, dtype=np.int64)
+    if sv.num_rows:
+        counts[sv["bin"].to_numpy()] = sv["n_pairs"].to_numpy()
+    cum = np.cumsum(counts)
+    k = 10000.0 * 2.0 * cum.astype(np.float64) / (n * (n - 1.0))
+    return pa.table({"bin": pa.array(np.arange(8, dtype=np.int64)),
+                     "cum_pairs": pa.array(cum),
+                     "k_hat": pa.array(k)})
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cell_counts": _q_cell_counts,
@@ -9964,6 +10000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_simplify_stats": _q_region_simplify_stats,
         "crossmodal_dup_clusters": _q_crossmodal_dup_clusters,
         "semivariogram": _q_semivariogram,
+        "ripley_k": _q_ripley_k,
     }
 
 
@@ -10160,6 +10197,35 @@ _IMG_FEATURES_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "ripley_k": f"""
+            WITH {_IMGS},
+            pts AS (
+                SELECT CAST(substr(image_id, 4) AS BIGINT) AS id, x, y,
+                       CAST(floor(x / 2.0) AS BIGINT) AS cx,
+                       CAST(floor(y / 2.0) AS BIGINT) AS cy
+                FROM imgs),
+            offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)),
+            rep AS (SELECT id, x, y, cx + dx AS gx, cy + dy AS gy
+                    FROM pts, offs),
+            pairs AS (
+                SELECT sqrt((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)) AS d
+                FROM pts a JOIN rep b
+                  ON a.cx = b.gx AND a.cy = b.gy AND a.id < b.id),
+            bc AS (SELECT least(CAST(floor(d / 0.25) AS BIGINT), 7) AS b,
+                          COUNT(*) AS c
+                   FROM pairs WHERE d <= 2.0 GROUP BY 1),
+            bins(b) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+            n AS (SELECT COUNT(*) AS np FROM imgs),
+            cc AS (SELECT CAST(bins.b AS BIGINT) AS bin,
+                          CAST(SUM(COALESCE(bc.c, 0)) OVER
+                               (ORDER BY bins.b) AS BIGINT) AS cum_pairs
+                   FROM bins LEFT JOIN bc ON bins.b = bc.b)
+            SELECT bin, cum_pairs,
+                   10000.0 * 2.0 * cum_pairs / (np * (np - 1.0)) AS k_hat
+            FROM cc, n ORDER BY bin
+        """,
         "semivariogram": f"""
             WITH {_IMGS},
             pts AS (

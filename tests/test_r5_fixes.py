@@ -452,3 +452,16 @@ def test_semivariogram_brute(ray_session):
             continue
         assert got.loc[b, "n_pairs"] == cnt[b], b
         assert got.loc[b, "gamma"] == ss[b] / (2.0 * cnt[b]), b
+
+
+def test_ripley_k_monotone_and_consistent(ray_session):
+    """K̂ is cumulative-monotone and its bin-0..7 pair counts agree
+    with the semivariogram's per-bin counts on the same field."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    rk = e._q_ripley_k(sf).to_pandas()
+    sv = e._q_semivariogram(sf).to_pandas()
+    assert (np.diff(rk["cum_pairs"]) >= 0).all()
+    assert (np.diff(rk["k_hat"]) >= 0).all()
+    assert rk["cum_pairs"].iloc[-1] == sv["n_pairs"].sum()
