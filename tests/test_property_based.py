@@ -221,3 +221,59 @@ def test_grid_box_union_exact_invariants(cells):
     )
     assert u.area == float(n)
     assert u.length == float(4 * n - 2 * shared)
+
+
+# ---------------------------------------------------------------------------
+# round-5 vectorized covers: superset property for ANY lon/lat rect
+# ---------------------------------------------------------------------------
+
+lon_c = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+lat_c = st.floats(min_value=-80.0, max_value=80.0, allow_nan=False)
+span_c = st.floats(min_value=0.001, max_value=10.0, allow_nan=False)
+
+
+@st.composite
+def lonlat_rects(draw):
+    cx = draw(lon_c)
+    cy = draw(lat_c)
+    w = draw(span_c)
+    h = draw(span_c)
+    return (max(cx - w, -180.0), cy - h, min(cx + w, 180.0), cy + h)
+
+
+@given(lonlat_rects(), st.integers(min_value=1, max_value=6),
+       st.randoms(use_true_random=False))
+@settings(max_examples=60, deadline=None)
+def test_h3x_cover_rects_many_superset_property(rect, res, rnd):
+    from engine.geo import hexsphere as hx
+
+    rows, ids = hx.h3x_cover_rects_many(
+        np.array([rect], dtype=np.float64), res)
+    cov = ids[rows == 0]
+    px = np.array([rnd.uniform(rect[0], rect[2]) for _ in range(20)]
+                  + [rect[0], rect[2], rect[0], rect[2]])
+    py = np.array([rnd.uniform(rect[1], rect[3]) for _ in range(20)]
+                  + [rect[1], rect[1], rect[3], rect[3]])
+    keys = hx.h3x_cell(np.clip(px, -179.999999, 179.999999),
+                       np.clip(py, -89.9, 89.9), res)
+    assert np.isin(keys, cov).all()
+
+
+@given(lonlat_rects(), st.randoms(use_true_random=False))
+@settings(max_examples=60, deadline=None)
+def test_s2_cover_rects_many_superset_property(rect, rnd):
+    from engine.geo import cells
+
+    r = np.array([rect], dtype=np.float64)
+    lv = cells.s2_level_for_rects(r, 24, 12)
+    rows, ids = cells.s2_cover_rects_many(r, lv)
+    cov = ids[rows == 0]
+    px = np.array([rnd.uniform(rect[0], rect[2]) for _ in range(20)]
+                  + [rect[0], rect[2], rect[0], rect[2]])
+    py = np.array([rnd.uniform(rect[1], rect[3]) for _ in range(20)]
+                  + [rect[1], rect[1], rect[3], rect[3]])
+    keys = np.asarray(cells.s2_cell(
+        np.clip(px, -179.999999, 179.999999), py, int(lv[0])))
+    assert np.isin(keys, cov).all()
+    # single-level cover => disjoint per rect
+    assert len(np.unique(cov)) == len(cov)
