@@ -9508,11 +9508,10 @@ _ZORDER_CHUNK = 128  # logical rows per layout chunk
 
 def _q_zorder_locality(sf_dir):
     """Z-ORDER CLUSTERING EFFECTIVENESS (○ — the measured WHY behind
-    zorder_top100/zorder_range_scan): images land in LOGICAL 512-row
-    chunks under (a) arrival order (chunk = arrival index // C) and
-    (b) Morton order (chunk = z-rank // C, C = _ZORDER_CHUNK); each
-    layout reports its
-    mean per-chunk bounding-box area — the quantity that decides how
+    zorder_top100/zorder_range_scan): images land in LOGICAL
+    fixed-size chunks (C = _ZORDER_CHUNK rows) under (a) arrival order
+    (chunk = seq-rank // C) and (b) Morton order (chunk = z-rank //
+    C); each layout reports its mean per-chunk bounding-box area — the quantity that decides how
     many row-groups a spatial range scan can skip.  Logical chunks
     (not physical Ray blocks) keep the statistic DETERMINISTIC —
     physical block boundaries drift with Ray's load-dependent split
@@ -9561,23 +9560,34 @@ def _q_zorder_locality(sf_dir):
     if budget_ok:
         za = np.concatenate(zs) if zs else np.empty(0, np.int64)
         sa = np.concatenate(seqs) if seqs else np.empty(0, np.int64)
-        order = np.lexsort((sa, za))
-        chunk_by_seq = np.empty(len(sa), dtype=np.int64)
-        chunk_by_seq[sa[order]] = (np.arange(len(sa), dtype=np.int64)
-                                   // _ZORDER_CHUNK)
-        rref = ray.put(chunk_by_seq)
+        # RANK-based chunks for BOTH layouts, looked up via the sorted
+        # seq vocabulary — no assumption that seq values are dense or
+        # 0-based (a sparse/1-based event-id scheme would break a
+        # scatter-indexed table and mis-bucket seq // C)
+        sorder = np.argsort(sa, kind="stable")
+        seq_sorted = sa[sorder]
+        ranks = np.arange(len(sa), dtype=np.int64)
+        # aligned with seq_sorted: arrival rank IS the sorted position
+        arr_by_sorted = ranks // _ZORDER_CHUNK
+        zorder_ = np.lexsort((sa, za))
+        mor_chunk = np.empty(len(sa), dtype=np.int64)
+        mor_chunk[zorder_] = ranks // _ZORDER_CHUNK
+        rref = ray.put((seq_sorted, arr_by_sorted, mor_chunk[sorder]))
 
     def chunks(t: pa.Table) -> pa.Table:
         seq = t["seq"].to_numpy()
         if rref is not None:
             from engine.rayds.bcast import cached
 
-            cm = cached(rref)[seq]
+            keys, ac, mc = cached(rref)
+            pos = np.searchsorted(keys, seq)
+            ca = ac[pos]
+            cm = mc[pos]
         else:  # rank-free fallback: fixed z-prefix spatial tiles
             cm = t["z"].to_numpy() >> 14
+            ca = seq // _ZORDER_CHUNK
         return pa.table({"x": t["x"], "y": t["y"],
-                         "ca": pa.array(seq // _ZORDER_CHUNK),
-                         "cm": pa.array(cm)})
+                         "ca": pa.array(ca), "cm": pa.array(cm)})
 
     ck = zd.map_batches(chunks, batch_format="pyarrow", batch_size=None)
 
@@ -9690,6 +9700,28 @@ def _q_crossmodal_dup_clusters(sf_dir):
     return connected_components(edges)
 
 
+def _img_point_field(sf_dir):
+    """(x, y, v=w, id=seq) point-field Dataset shared by the
+    geostatistics queries (semivariogram / ripley_k) — ONE place
+    encodes the image_id→seq slice and the value column, so the two
+    engines and their SQL oracles cannot desynchronize."""
+    import pyarrow.compute as pc
+
+    from engine.rayds.imagetab import image_dataset
+
+    def prep(t: pa.Table) -> pa.Table:
+        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 32),
+                      pa.int64())
+        return pa.table({"x": t["x"], "y": t["y"],
+                         "v": pc.cast(t["w"], pa.int64()), "id": seq})
+
+    return image_dataset(sf_dir).select_columns(
+        ["image_id", "x", "y", "w"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)
+
+
+
 def _q_semivariogram(sf_dir):
     """EMPIRICAL SEMIVARIOGRAM (Matheron estimator) of image width over
     the geotag point field: γ(bin) = Σ(v_i−v_j)²/(2·N) for pairs with
@@ -9701,22 +9733,10 @@ def _q_semivariogram(sf_dir):
     integer (bin, count, Σdv²) rows (≤ 8 per group) tree-folded
     driver-side; the one float division per bin mirrors the SQL
     verbatim (exact-integer sums ⇒ bit-identical doubles)."""
-    import pyarrow.compute as pc
-
     from engine.ops.variogram import semivariogram
-    from engine.rayds.imagetab import image_dataset
 
-    def prep(t: pa.Table) -> pa.Table:
-        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 32),
-                      pa.int64())
-        return pa.table({"x": t["x"], "y": t["y"],
-                         "v": pc.cast(t["w"], pa.int64()), "id": seq})
-
-    ds = image_dataset(sf_dir).select_columns(
-        ["image_id", "x", "y", "w"]).map_batches(
-        prep, batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True)
-    return semivariogram(ds, "x", "y", "v", "id", max_lag=2.0, nbins=8)
+    return semivariogram(_img_point_field(sf_dir), "x", "y", "v", "id",
+                         max_lag=2.0, nbins=8)
 
 
 
@@ -9728,23 +9748,16 @@ def _q_ripley_k(sf_dir):
     the ring-1 cell pair generator (one hash exchange, pair-once rule);
     the cumulative sum and the one float expression per bin run on the
     8-row driver-side result, mirrored verbatim in SQL."""
-    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from engine.ops.variogram import semivariogram
-    from engine.rayds.imagetab import image_dataset
 
-    def prep(t: pa.Table) -> pa.Table:
-        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 32),
-                      pa.int64())
-        return pa.table({"x": t["x"], "y": t["y"],
-                         "v": pc.cast(t["w"], pa.int64()), "id": seq})
-
-    base = image_dataset(sf_dir).select_columns(
-        ["image_id", "x", "y", "w"])
-    ds = base.map_batches(prep, batch_format="pyarrow", batch_size=None,
-                          zero_copy_batch=True)
-    sv = semivariogram(ds, "x", "y", "v", "id", max_lag=2.0, nbins=8)
-    n = base.count()
+    sv = semivariogram(_img_point_field(sf_dir), "x", "y", "v", "id",
+                       max_lag=2.0, nbins=8)
+    # one image row per event row: the point count reads from parquet
+    # metadata instead of a whole extra Dataset execution (~0.5-1 s
+    # fixed cost each in Ray 2.49)
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     counts = np.zeros(8, dtype=np.int64)
     if sv.num_rows:
         counts[sv["bin"].to_numpy()] = sv["n_pairs"].to_numpy()

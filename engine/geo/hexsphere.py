@@ -160,11 +160,13 @@ def h3x_cell(lon, lat, res: int = 7) -> np.ndarray:
 
     Point keys CLAMP an out-of-base-field res-0 ancestor into the
     3-bit field instead of asserting: the clamp is a deterministic
-    pure function of (face, ancestor), and the cover paths apply the
-    SAME clamp, so a clamped point key still meets its polygon's cover
-    keys — superset-safe for partitioning (the join refines exactly
-    afterwards).  The _SIZE0 margin makes this unreachable in every
-    200k-sample property test; the clamp is the no-crash fallback."""
+    pure function of (face, ancestor) and the cover SAMPLING applies
+    the same clamp.  The _SIZE0 margin makes this unreachable in every
+    200k-sample property test; the clamp is strictly a no-crash
+    fallback and warns loudly if it ever fires (a clamped id decodes
+    far from its true position, so the batched cover's center-distance
+    post-filter could drop it — acceptable for a provably-unreachable
+    path, unacceptable silently)."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be 0..{MAX_RES}")
     face, z = _face_uv(lon, lat)
@@ -235,6 +237,17 @@ def _encode_cells(face: np.ndarray, q: np.ndarray, r: np.ndarray,
     infield = (aq >= -3) & (aq <= 4) & (ar >= -3) & (ar <= 4)
     if not infield.all():
         if out_of_field == "clamp":
+            # believed unreachable for in-domain inputs (the _SIZE0
+            # margin, property-tested at 200k samples) — warn LOUDLY if
+            # it ever fires in production, because a clamped id decodes
+            # far from its true position and the cover post-filter's
+            # center-distance test then no longer protects it
+            import warnings
+
+            warnings.warn(
+                "hexsphere: res-0 ancestor left the base field; "
+                "clamping (no-crash fallback — investigate _SIZE0 "
+                "margin)", RuntimeWarning, stacklevel=2)
             aq = np.clip(aq, -3, 4)
             ar = np.clip(ar, -3, 4)
         elif out_of_field == "drop":

@@ -1518,16 +1518,17 @@ def simhash_md5_batch(batch: pa.Table) -> pa.Table:
     n = len(batch)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int32) * 2 - 1
-    # reduceat indices must stay < len(h): a trailing zero-token doc
-    # would otherwise put len(h) in the offset list (IndexError); the
-    # clamped copy it produces is zeroed by the empty-segment fix below
-    seg = np.minimum(doc_off[:-1], max(len(h) - 1, 0))
-    cnt = np.add.reduceat(bits, seg, axis=0) if len(h) else \
-        np.zeros((n, 64), dtype=np.int32)
-    # reduceat quirk: empty segments (zero-token docs) copy the next
-    # row — zero them explicitly
+    # reduceat ONLY over docs with ≥1 token: their start offsets are
+    # all < len(h) (no IndexError for trailing zero-token docs), each
+    # segment runs to the next nonzero doc's start (zero-token docs
+    # contribute no rows), and zero-token docs get an explicit zero
+    # count — no clamp that could silently truncate a neighbor's
+    # segment
     nw = doc_off[1:] - doc_off[:-1]
-    cnt[nw == 0] = 0
+    nz = nw > 0
+    cnt = np.zeros((n, 64), dtype=np.int32)
+    if len(h) and nz.any():
+        cnt[nz] = np.add.reduceat(bits, doc_off[:-1][nz], axis=0)
     fpbits = (cnt > 0)
     fp = (fpbits.astype(np.uint64)
           @ (np.uint64(1) << np.arange(64, dtype=np.uint64))).view(np.int64)

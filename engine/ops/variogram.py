@@ -29,7 +29,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_CHUNK = 512  # owner rows per distance-matrix chunk (hot-cell bound)
+# element budget per distance-matrix temporary: the chunk row count
+# adapts to the cell's replica population (chunk_rows × n_replicas ≤
+# budget), so a hot cell bounds BOTH matrix axes instead of only one
+_PAIR_ELEMS = 1 << 21  # ~2M float64 elements ≈ 16 MB per temporary
 
 
 def semivariogram(ds, x_col: str, y_col: str, v_col: str, id_col: str,
@@ -116,8 +119,9 @@ def semivariogram(ds, x_col: str, y_col: str, v_col: str, id_col: str,
             oid, ov = ids[a:b][own], vs[a:b][own]
             rx, ry = xs[a:b][~own], ys[a:b][~own]
             rid, rv = ids[a:b][~own], vs[a:b][~own]
-            for s in range(0, len(ox), _CHUNK):
-                e = min(s + _CHUNK, len(ox))
+            step = max(1, _PAIR_ELEMS // max(len(rx), 1))
+            for s in range(0, len(ox), step):
+                e = min(s + step, len(ox))
                 dx = ox[s:e, None] - rx[None, :]
                 dy = oy[s:e, None] - ry[None, :]
                 d = np.sqrt(dx * dx + dy * dy)

@@ -420,14 +420,17 @@ def _keyed_pairs(sf_dir: str, key_fn, layer: Layer | None = None,
                                      _join_cell_group(predicate))
 
 
-def _s2_rects_levels(bounds: np.ndarray):
+def _s2_rects_levels(bounds: np.ndarray,
+                     max_cells: int = S2_COVER_MAX_CELLS,
+                     max_level: int = S2_COVER_MAX_LEVEL):
     """Planar (n, 4) bboxes → (lon/lat rects, per-poly cover level).
 
     The lon/lat transform + world-edge clamping (tiny pad so world-edge
     point keys stay covered) vectorized, plus the deterministic single-level choice
     (``cells.s2_level_for_rects``) shared by BOTH passes of the
     distributed keying — pass 1's global min and pass 2's clamped
-    covers must see identical levels."""
+    covers must see identical levels (and thus identical
+    max_cells/max_level)."""
     b = np.asarray(bounds, dtype=np.float64).reshape(-1, 4)
     lon0, lat0 = _lonlat(b[:, 0], b[:, 1])
     lon1, lat1 = _lonlat(b[:, 2], b[:, 3])
@@ -437,8 +440,7 @@ def _s2_rects_levels(bounds: np.ndarray):
         np.minimum(lon1 + pad, 180.0), np.minimum(lat1 + pad, 89.9),
     ])
     rects[np.isnan(b[:, 0])] = np.nan
-    return rects, cells.s2_level_for_rects(
-        rects, S2_COVER_MAX_CELLS, S2_COVER_MAX_LEVEL)
+    return rects, cells.s2_level_for_rects(rects, max_cells, max_level)
 
 
 def s2_global_min_level(layer_ds) -> int:
@@ -475,7 +477,8 @@ def s2_layer_cover(layer: Layer, max_cells: int = S2_COVER_MAX_CELLS,
     single-level covers, levels clamped into the global
     ``S2_COVER_LEVEL_SPAN`` window (coarsening only grows the covered
     area, so the clamp is superset-safe)."""
-    rects, lv = _s2_rects_levels(np.asarray(layer.bounds))
+    rects, lv = _s2_rects_levels(np.asarray(layer.bounds), max_cells,
+                                 max_level)
     valid = lv >= 0
     if not valid.any():
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), [])
